@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count / collect of the final result)
+so the timing covers the full plan, not lazy construction.  A warmup query
+initializes the JVM/session outside the timed region.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # relational / reference-parity
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10",
+    "tpch_q12", "tpch_q14", "tpch_q18",
+    "a1_avg_by_year", "a3_pair_counts", "s8_multi_union",
+    # windows / event-time
+    "window_topn_per_group", "events_tumbling_window", "events_session_windows",
+    # data-pipeline extensions
+    "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_simhash",
+    "dedup_ngram_jaccard", "knn_bruteforce", "lsh_bucket_histogram",
+    "text_langid", "text_token_count", "text_fingerprint",
+    "multimodal_decode_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+
+    from mongo_hadoop_spark.session import get_spark, table
+    from mongo_hadoop_spark import operators
+
+    spark = get_spark(app_name="mhs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = operators.all_queries()
+
+    # warmup: touch every table + JIT the session
+    for t in ["lineitem", "orders", "customer", "documents", "embeddings", "events"]:
+        table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Scalar/column function library.
+
+Covers the reference's BSON-specific scalar surface (SURVEY §2.9: ObjectId
+helpers U1/U2, binary U3, JSON bridging U9, tokenization U7/U8) as pure
+built-in column expressions (JVM-side, whole-stage-codegen friendly — no
+Python UDFs in any hot path), plus deterministic cross-engine hashing
+primitives used by the dedup/similarity operators.
+
+Determinism contract: every function here must produce bit-identical
+results in Spark and in the DuckDB oracle SQL (see
+``mongo_hadoop_spark.operators``), which is why hashing is built on
+``md5`` (identical in both engines) rather than ``xxhash64``/``hash``
+(engine-specific seeds/algorithms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hashing (cross-engine parity with DuckDB)
+# ---------------------------------------------------------------------------
+
+def md5_long(col: Column | str, salt: str = "") -> Column:
+    """Deterministic 60-bit non-negative hash of a string column.
+
+    Spark:   conv(substr(md5(concat(salt, col)), 1, 15), 16, 10) :: long
+    DuckDB:  ('0x' || substr(md5(salt || col), 1, 15)) :: bigint
+
+    Both take the first 15 hex digits (60 bits) of the MD5 digest, so the
+    value fits a signed 64-bit integer and matches bit-for-bit across
+    engines.  Used for MinHash permutations, SimHash word hashes, and
+    document fingerprints.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if salt:
+        c = F.concat(F.lit(salt), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str, salt: str = "") -> str:
+    """DuckDB SQL fragment equivalent to :func:`md5_long`."""
+    inner = f"'{salt}' || {expr}" if salt else expr
+    return f"(('0x' || substr(md5({inner}), 1, 15))::bigint)"
+
+
+# ---------------------------------------------------------------------------
+# ObjectId helpers (reference: pig/udf/ToObjectId.java:14-29,
+# ObjectIdToSeconds.java:17-38) — ObjectIds modeled as 24-hex strings
+# (SURVEY §1.2) whose first 8 hex chars are the epoch-seconds timestamp.
+# ---------------------------------------------------------------------------
+
+def object_id_to_seconds(col: Column | str) -> Column:
+    """Epoch seconds embedded in a 24-hex ObjectId string (U2)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(c, 1, 8), 16, 10).cast("long")
+
+
+def make_object_id(epoch_seconds: Column, payload: Column) -> Column:
+    """Deterministically synthesize a 24-hex ObjectId from a timestamp and a
+    payload column (machine/pid/counter section ← md5 of the payload).
+
+    Reference analog: ObjectId construction in ToObjectId (U1); here the
+    random section is derived, so round-trips are testable.
+    """
+    ts_hex = F.lpad(F.lower(F.hex(epoch_seconds.cast("long"))), 8, "0")
+    tail = F.substring(F.md5(payload.cast("string")), 1, 16)
+    return F.concat(ts_hex, tail)
+
+
+# ---------------------------------------------------------------------------
+# Tokenization (U7/U8: enron recipient split, GridFS regex delimiter)
+# ---------------------------------------------------------------------------
+
+def tokenize(col: Column | str, pattern: str = r"\s+") -> Column:
+    """Split text into tokens on a delimiter regex, dropping empty tokens.
+
+    Reference analog: GridFSInputFormat's regex-delimited record reader
+    (core/.../GridFSInputFormat.java:252-281, default delimiter
+    ``(\\n|\\r\\n)``) and the enron ``split(to, ',')`` mapper
+    (examples/enron/.../EnronMailMapper.java:33-35).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, pattern), lambda t: t != "")
+
+
+def word_shingles(col: Column | str, n: int) -> Column:
+    """Word n-gram shingles of a text column (array<string>).
+
+    Built-in-only implementation: split → sliding slices via transform over
+    an index sequence.  Used by MinHash / n-gram Jaccard dedup.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = tokenize(c)
+    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector helpers (embedding column ops; array<float> → double math)
+# ---------------------------------------------------------------------------
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two numeric arrays in double.
+
+    ``zip_with`` then left-to-right ``aggregate`` — the accumulation order is
+    the array order, matching DuckDB's ``list_dot_product`` on
+    double-transformed lists (verified in tests for bit-parity).
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2(a: Column) -> Column:
+    """Squared L2 norm in double, sequential accumulation order."""
+    return F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(norm2(a)) * F.sqrt(norm2(b)))

@@ -1,0 +1,342 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Four families, all shuffle-conscious for 100 TB scale:
+
+- **Exact** — hash-groupBy on normalized text: one shuffle on the text
+  hash, map-side partial aggregation.  At scale, group on ``md5(text)``
+  rather than the full text so shuffle keys are 16 bytes, not documents.
+- **MinHash + LSH** — word-shingle → K salted min-hashes → banded bucket
+  join.  Candidate generation is an equi-join on (band, band_hash): the
+  classic linear-scale near-dup pipeline (no all-pairs comparison).
+- **SimHash** — 16-bit signatures from token-hash bit votes; exact-match
+  grouping on the signature finds near-identical docs with one shuffle.
+- **N-gram Jaccard** — blocked pairwise verification: pairs are only
+  formed *within* (lang, source) blocks, turning O(n²) into
+  O(Σ block²) — the blocking key would be the LSH bucket at full scale.
+
+Every operator is deterministic cross-engine (md5-based hashing, integer
+arithmetic), so all have full DuckDB oracles.
+
+Reference context: the connector has no dedup surface; these are the
+driver-mandated extensions (BASELINE.json north star).  The hashing uses
+only built-in JVM expressions — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mongo_hadoop_spark.functions import md5_long, md5_long_sql, tokenize, word_shingles
+from mongo_hadoop_spark.session import table
+
+# ---------------------------------------------------------------------------
+# Exact dedup: keep the lowest doc_id per distinct text
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    # Group on md5(text): at 100 TB the shuffle moves 16-byte keys, not docs.
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated document set itself (ids of survivors)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+EXACT_SURVIVORS_SQL = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 16          # signature length
+LSH_BANDS = 4           # bands of 4 rows each
+SHINGLE_N = 3           # word shingle width
+_ROWS_PER_BAND = MINHASH_K // LSH_BANDS
+
+_WORDS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+_SHINGLES_SQL = (
+    f"list_transform(generate_series(1, greatest(len({_WORDS_SQL}) - {SHINGLE_N - 1}, 0)),"
+    f" i -> array_to_string(({_WORDS_SQL})[i:i+{SHINGLE_N - 1}], ' '))"
+)
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h{K-1}) MinHash signatures from salted md5 min-hashing.
+
+    One explode + one groupBy with K min() aggregates: a single shuffle on
+    doc_id; partial (map-side) mins make the shuffle tiny.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(word_shingles("text", SHINGLE_N)).alias("s")
+    )
+    aggs = [
+        F.min(md5_long(F.col("s"), salt=f"mh{i}|")).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _signatures_sql() -> str:
+    mins = ",\n         ".join(
+        f"min({md5_long_sql('s', salt=f'mh{i}|')}) AS h{i}" for i in range(MINHASH_K)
+    )
+    return f"""
+  sh AS (
+    SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+  ),
+  sig AS (
+    SELECT doc_id,
+         {mins}
+    FROM sh GROUP BY doc_id
+  )"""
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signatures(spark, sf_dir)
+
+
+MINHASH_SIG_SQL = "WITH" + _signatures_sql() + "\nSELECT * FROM sig"
+
+
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding + signature-agreement score.
+
+    Plan shape (scale-critical): signatures → unpivot to (doc, band,
+    band_hash) → self-equi-join on (band, band_hash) → distinct pairs →
+    join back to signatures for the estimate.  No cross join anywhere;
+    the band join is an ordinary shuffled equi-join Catalyst can also
+    broadcast when one side is small.
+    """
+    sig = _signatures(spark, sf_dir)
+    bands = None
+    for b in range(LSH_BANDS):
+        cols = [f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
+        band_key = md5_long(
+            F.concat_ws(":", *[F.col(c).cast("string") for c in cols]), salt=f"band{b}|"
+        )
+        part = sig.select(
+            F.col("doc_id"), F.lit(b).alias("band_id"), band_key.alias("band_hash")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    return (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            (matches.cast("double") / MINHASH_K).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= 0.5)
+    )
+
+
+def _minhash_pairs_sql() -> str:
+    band_selects = []
+    for b in range(LSH_BANDS):
+        cols = [f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
+        concat = " || ':' || ".join(f"{c}::varchar" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, "
+            f"{md5_long_sql(f'({concat})', salt=f'band{b}|')} AS band_hash FROM sig"
+        )
+    bands = "\n    UNION ALL\n    ".join(band_selects)
+    match_sum = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K)
+    )
+    return f"""
+WITH {_signatures_sql().lstrip()},
+  bands AS (
+    {bands}
+  ),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  )
+SELECT doc_a, doc_b, ({match_sum})::double / {MINHASH_K} AS est_jaccard
+FROM pairs
+JOIN sig sa ON doc_a = sa.doc_id
+JOIN sig sb ON doc_b = sb.doc_id
+WHERE ({match_sum})::double / {MINHASH_K} >= 0.5
+"""
+
+
+MINHASH_PAIRS_SQL = _minhash_pairs_sql()
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit) signatures
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: token-hash bit votes, sign-aggregated.
+
+    explode(tokens) → one groupBy(doc_id) with per-bit vote sums — a single
+    shuffle with map-side partial aggregation; signature assembly is pure
+    column math afterwards.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokenize("text")).alias("w"))
+    h = md5_long(F.col("w"), salt="sh|")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return votes.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    h = md5_long_sql("w", salt="sh|")
+    votes = ",\n         ".join(
+        f"sum((({h} >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, ({sig})::bigint AS simhash FROM votes
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+
+def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical groups: documents sharing a SimHash signature."""
+    sig = dedup_simhash(spark, sf_dir)
+    return (
+        sig.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+SIMHASH_GROUPS_SQL = f"""
+WITH sig AS ({SIMHASH_SQL})
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM sig GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blocked n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.5
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard over distinct word sets for pairs within
+    (lang, source) blocks.  Integer-count division → deterministic doubles.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        F.array_distinct(tokenize("text")).alias("ws"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.array_union(F.col("a.ws"), F.col("b.ws")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH ds AS (
+  SELECT doc_id, lang, source, list_distinct({_WORDS_SQL}) AS ws FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.ws, b.ws))::double / len(list_distinct(a.ws || b.ws))::double AS jaccard
+FROM ds a JOIN ds b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.ws, b.ws))::double / len(list_distinct(a.ws || b.ws))::double
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_exact_survivors": dedup_exact_survivors,
+    "dedup_minhash_signatures": dedup_minhash_signatures,
+    "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+    "dedup_simhash": dedup_simhash,
+    "dedup_simhash_groups": dedup_simhash_groups,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}
+
+ORACLES = {
+    "dedup_exact": EXACT_SQL,
+    "dedup_exact_survivors": EXACT_SURVIVORS_SQL,
+    "dedup_minhash_signatures": MINHASH_SIG_SQL,
+    "dedup_minhash_lsh_pairs": MINHASH_PAIRS_SQL,
+    "dedup_simhash": SIMHASH_SQL,
+    "dedup_simhash_groups": SIMHASH_GROUPS_SQL,
+    "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+}

@@ -1,0 +1,174 @@
+"""Multimodal (binary) column plumbing.
+
+Pattern (GridFS analog, SURVEY §2.1 S6/S7): media lives in an opaque
+``binary`` column beside a typed metadata struct; decode / feature-extract
+steps run as Arrow-batched Python over ``mapInPandas``.  The actual
+image/audio decode is STUBBED (libs not in this container — see
+``decode_image_stub``) but the Spark-side plumbing — schema, batch shape,
+partition flow — is real and oracle-tested with a deterministic fake
+payload (md5-derived bytes standing in for media bytes).
+
+Reference parity: GridFS whole-binary reads
+(core/.../GridFSInputFormat.java:95-154) and chunk splits
+(core/.../input/GridFSSplit.java:18-111) map to (file_id, chunk_idx,
+bytes) rows; chunking keeps any single row under the executor page size
+regardless of media size — that is what makes 100 TB of video tractable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from mongo_hadoop_spark.session import table
+
+CHUNK_SIZE = 8  # bytes per chunk of the fake 16-byte payload
+
+
+def _with_payload(d: DataFrame) -> DataFrame:
+    """Attach the deterministic fake media payload + metadata struct."""
+    payload = F.unhex(F.md5("text"))
+    meta = F.struct(
+        F.length(payload).alias("n_bytes"),
+        F.lit("application/x-fake").alias("mime"),
+        F.col("source").alias("origin"),
+    )
+    return d.select("doc_id", payload.alias("payload"), meta.alias("meta"))
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over binary columns, no decode: the cheap path that
+    must never touch payload bytes at scale (column pruning keeps the
+    binary column out of the scan when only metadata is selected)."""
+    d = _with_payload(table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.substring(F.hex("payload"), 1, 8).alias("head_hex"),
+    )
+
+
+METADATA_SQL = """
+SELECT doc_id,
+       octet_length(unhex(md5(text))) AS n_bytes,
+       'application/x-fake' AS mime,
+       substr(upper(md5(text)), 1, 8) AS head_hex
+FROM documents
+"""
+
+
+def multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode payloads into fixed-size chunks — the GridFSSplit pattern:
+    (doc_id, chunk_idx, chunk_hex).  Pure built-ins via substr on hex."""
+    d = _with_payload(table(spark, sf_dir, "documents"))
+    hexed = d.select("doc_id", F.hex("payload").alias("ph"))
+    n_chunks = F.ceil(F.length("ph") / (CHUNK_SIZE * 2)).cast("int")
+    return (
+        hexed.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+            F.col("ph"),
+        )
+        .select(
+            "doc_id", "chunk_idx",
+            F.substring(
+                F.col("ph"), F.col("chunk_idx") * (CHUNK_SIZE * 2) + 1, CHUNK_SIZE * 2
+            ).alias("chunk_hex"),
+        )
+    )
+
+
+CHUNKS_SQL = f"""
+WITH p AS (SELECT doc_id, upper(md5(text)) AS ph FROM documents),
+     c AS (
+       SELECT doc_id, ph, unnest(generate_series(0, ceil(length(ph) / {CHUNK_SIZE * 2}.0)::int - 1)) AS chunk_idx
+       FROM p
+     )
+SELECT doc_id, chunk_idx, substr(ph, chunk_idx * {CHUNK_SIZE * 2} + 1, {CHUNK_SIZE * 2}) AS chunk_hex
+FROM c
+"""
+
+
+_DECODE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("feat_head", LongType()),
+    StructField("feat_sum", LongType()),
+])
+
+
+def decode_image_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 'decode' over binary payloads (mapInPandas body).
+
+    Real deployments would call PIL/torchaudio/ffmpeg here; those libs are
+    unavailable in this container, so the feature extraction is a
+    deterministic fake: big-endian int of the first 4 bytes + byte sum.
+    The batch shape, schema, and partition flow are the real thing.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "n_bytes": payloads.map(len).astype("int32"),
+            "feat_head": payloads.map(lambda b: int.from_bytes(b[:4], "big")),
+            "feat_sum": payloads.map(lambda b: sum(b)),
+        })
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode pipeline: binary column → per-doc features."""
+    d = _with_payload(table(spark, sf_dir, "documents"))
+    return d.select("doc_id", "payload").mapInPandas(decode_image_stub, _DECODE_SCHEMA)
+
+
+# byte sum of a 16-byte blob in SQL: sum of hex-pair values
+_BYTE_SUM = " + ".join(
+    f"('0x' || substr(md5(text), {i * 2 + 1}, 2))::bigint" for i in range(16)
+)
+
+DECODE_SQL = f"""
+SELECT doc_id,
+       octet_length(unhex(md5(text)))::int AS n_bytes,
+       ('0x' || substr(md5(text), 1, 8))::bigint AS feat_head,
+       ({_BYTE_SUM})::bigint AS feat_sum
+FROM documents
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for 'video' payloads: every Nth frame index
+    from a deterministic fake frame count (n_chars as duration proxy)."""
+    d = table(spark, sf_dir, "documents")
+    n_frames = (F.col("n_chars") / 10).cast("int") + 1
+    return d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(5))).alias("frame_idx"),
+    )
+
+
+FRAME_SAMPLE_SQL = """
+SELECT doc_id, unnest(range(0, (n_chars // 10)::int + 1, 5)) AS frame_idx
+FROM documents
+"""
+
+
+QUERIES = {
+    "multimodal_metadata": multimodal_metadata,
+    "multimodal_chunks": multimodal_chunks,
+    "multimodal_decode_features": multimodal_decode_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
+}
+
+ORACLES = {
+    "multimodal_metadata": METADATA_SQL,
+    "multimodal_chunks": CHUNKS_SQL,
+    "multimodal_decode_features": DECODE_SQL,
+    "multimodal_frame_sample": FRAME_SAMPLE_SQL,
+}

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **Brute-force top-k cosine** — the exactness baseline: query-set ×
+  corpus join with JVM-side `zip_with`/`aggregate` dot products (no
+  Python in the loop).  At 100 TB you never run all-queries × all-corpus;
+  the pattern here (sampled query set, broadcast of the smaller side) is
+  the one that scales out: Catalyst broadcasts the query side and the
+  corpus streams through executors exactly once.
+- **Random-hyperplane LSH bucketing** — the scale path: 16-bit signatures
+  from deterministic integer hyperplanes (md5-derived), so candidate
+  generation is an equi-join on the bucket id.  Bucket histogram +
+  signatures are oracle-checked; the hyperplanes are reproducible in SQL.
+
+Cosine ranking is emitted as (query, neighbor, rank) — floats stay out of
+the hashed output; ordering ties broken by neighbor id.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mongo_hadoop_spark.functions import cosine, dot
+from mongo_hadoop_spark.session import table
+
+TOP_K = 3
+QUERY_MOD = 100          # vec_id % QUERY_MOD == 0 → query set
+LSH_PLANES = 16
+EMB_DIM = 64
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine neighbors for the sampled query set (ids + rank only)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    sim = cosine(F.col("qv"), F.col("cv"))
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+_COS_SQL = (
+    "list_dot_product(qd, cd) / (sqrt(list_dot_product(qd, qd)) * sqrt(list_dot_product(cd, cd)))"
+)
+
+KNN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> x::double) AS qd
+  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, list_transform(embedding, x -> x::double) AS cd
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS_SQL} AS sim
+  FROM q JOIN c ON query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def near_dup_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ 0.95 within a label block.
+
+    Label blocking stands in for the LSH bucket at scale — pairs are only
+    scored inside a block, never across the whole corpus.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
+                   F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
+                   F.col("embedding").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= 0.95)
+        .select("id_a", "id_b")
+    )
+
+
+NEAR_DUP_SQL = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::double) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+"""
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def _hyperplane(j: int) -> list[int]:
+    """Deterministic integer hyperplane j: md5("hp|j|d") → [-1000, 1000]."""
+    out = []
+    for d in range(EMB_DIM):
+        h = int(hashlib.md5(f"hp|{j}|{d}".encode()).hexdigest()[:15], 16)
+        out.append(h % 2001 - 1000)
+    return out
+
+
+def lsh_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket): 16-bit signature of hyperplane-side bits."""
+    emb = table(spark, sf_dir, "embeddings")
+    sig = None
+    for j in range(LSH_PLANES):
+        plane = F.array(*[F.lit(float(v)) for v in _hyperplane(j)])
+        bit = F.when(dot(F.col("embedding"), plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return emb.select("vec_id", sig.cast("long").alias("bucket"))
+
+
+def _lsh_sql() -> str:
+    terms = []
+    for j in range(LSH_PLANES):
+        plane = ", ".join(f"{float(v)!r}" for v in _hyperplane(j))
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, [{plane}]) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    sig = " + ".join(terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+)
+SELECT vec_id, ({sig})::bigint AS bucket FROM e
+"""
+
+
+LSH_ASSIGN_SQL = _lsh_sql()
+
+
+def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket occupancy — the skew diagnostic you'd watch at scale."""
+    return (
+        lsh_bucket_assign(spark, sf_dir)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+LSH_HIST_SQL = f"""
+WITH assigned AS ({LSH_ASSIGN_SQL})
+SELECT bucket, count(*) AS n_vectors FROM assigned GROUP BY 1
+"""
+
+
+QUERIES = {
+    "knn_bruteforce": knn_bruteforce,
+    "near_dup_pairs_cosine": near_dup_pairs_cosine,
+    "lsh_bucket_assign": lsh_bucket_assign,
+    "lsh_bucket_histogram": lsh_bucket_histogram,
+}
+
+ORACLES = {
+    "knn_bruteforce": KNN_SQL,
+    "near_dup_pairs_cosine": NEAR_DUP_SQL,
+    "lsh_bucket_assign": LSH_ASSIGN_SQL,
+    "lsh_bucket_histogram": LSH_HIST_SQL,
+}

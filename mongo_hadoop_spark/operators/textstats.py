@@ -1,0 +1,164 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+All pure built-in column expressions (codegen'd, no Python UDFs) with
+deterministic arithmetic → full DuckDB oracles.  At 100 TB these are
+embarrassingly parallel map-only transforms: no shuffle at all, pushed
+projections read only (doc_id, text).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mongo_hadoop_spark.functions import md5_long, md5_long_sql, tokenize
+from mongo_hadoop_spark.session import table
+
+_WORDS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+# Tiny stopword inventories for the n-gram/stopword language heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein"],
+}
+
+
+def _stop_count(words, lang: str):
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words, lambda t: F.array_contains(arr, t)))
+
+
+def _stop_count_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(ws, x -> list_contains([{lst}], x)))"
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with deterministic tie-break (en≥es≥de)."""
+    d = table(spark, sf_dir, "documents")
+    words = tokenize("text")
+    d = d.select("doc_id", words.alias("ws"))
+    s_en = _stop_count(F.col("ws"), "en")
+    s_es = _stop_count(F.col("ws"), "es")
+    s_de = _stop_count(F.col("ws"), "de")
+    pred = (
+        F.when((s_en >= s_es) & (s_en >= s_de), "en")
+        .when(s_es >= s_de, "es")
+        .otherwise("de")
+    )
+    return d.select(
+        "doc_id", s_en.alias("score_en"), s_es.alias("score_es"),
+        s_de.alias("score_de"), pred.alias("predicted_lang"),
+    )
+
+
+LANGID_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents)
+SELECT doc_id,
+       {_stop_count_sql('en')} AS score_en,
+       {_stop_count_sql('es')} AS score_es,
+       {_stop_count_sql('de')} AS score_de,
+       CASE WHEN {_stop_count_sql('en')} >= {_stop_count_sql('es')}
+             AND {_stop_count_sql('en')} >= {_stop_count_sql('de')} THEN 'en'
+            WHEN {_stop_count_sql('es')} >= {_stop_count_sql('de')} THEN 'es'
+            ELSE 'de' END AS predicted_lang
+FROM w
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / mean-token-length / stopword-ratio quality features."""
+    d = table(spark, sf_dir, "documents")
+    d = d.select("doc_id", "n_chars", tokenize("text").alias("ws"))
+    n_tokens = F.size("ws")
+    mean_len = (
+        F.aggregate("ws", F.lit(0).cast("long"), lambda a, w: a + F.length(w)).cast("double")
+        / n_tokens.cast("double")
+    )
+    stop_ratio = _stop_count(F.col("ws"), "en").cast("double") / n_tokens.cast("double")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        (F.col("n_chars").cast("double") / n_tokens.cast("double")).alias("chars_per_token"),
+    )
+
+
+QUALITY_SQL = f"""
+WITH w AS (SELECT doc_id, n_chars, {_WORDS_SQL} AS ws FROM documents)
+SELECT doc_id,
+       len(ws) AS n_tokens,
+       list_reduce(list_prepend(0::bigint, list_transform(ws, x -> length(x)::bigint)),
+                   (a, b) -> a + b)::double / len(ws)::double AS mean_token_len,
+       {_stop_count_sql('en')}::double / len(ws)::double AS stopword_ratio,
+       n_chars::double / len(ws)::double AS chars_per_token
+FROM w
+"""
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish sub-token count (letter runs / digit runs /
+    single other chars) per document, and corpus totals per source."""
+    d = table(spark, sf_dir, "documents")
+    ws_count = F.size(tokenize("text"))
+    bpe_count = F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+    per_doc = d.select("source", ws_count.alias("n_ws"), bpe_count.alias("n_bpe"))
+    return per_doc.groupBy("source").agg(
+        F.sum("n_ws").alias("total_ws_tokens"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+TOKEN_COUNT_SQL = rf"""
+SELECT source,
+       sum(len({_WORDS_SQL})) AS total_ws_tokens,
+       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS total_bpe_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+FP_MOD = 1_000_000_007
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling polynomial fingerprint over word hashes:
+    acc = (acc * 31 + md5_long(word)) mod 1e9+7 — identical fold in DuckDB
+    via list_reduce with a prepended zero accumulator."""
+    d = table(spark, sf_dir, "documents")
+    words = tokenize("text")
+    fp = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * 31 + md5_long(w)) % FP_MOD,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::bigint, list_transform({_WORDS_SQL}, w -> {md5_long_sql('w')})),
+         (a, b) -> (a * 31 + b) % {FP_MOD}
+       ) AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_langid": text_langid,
+    "text_quality": text_quality,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_langid": LANGID_SQL,
+    "text_quality": QUALITY_SQL,
+    "text_token_count": TOKEN_COUNT_SQL,
+    "text_fingerprint": FINGERPRINT_SQL,
+}

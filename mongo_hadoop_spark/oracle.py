@@ -1,0 +1,121 @@
+"""Local replica of the driver's correctness gate.
+
+Runs a Spark query and its DuckDB oracle SQL side-by-side on the same
+parquet tables, then compares row-count, schema shape, and
+order-insensitive values (columns sorted by name, rows sorted by all
+columns).  Used by tests/test_oracle_parity.py so every ``queries()``
+entry is verified before the driver ever sees it.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    rows_spark: int
+    rows_oracle: int
+    mismatches: list[str] = field(default_factory=list)
+
+    def __str__(self) -> str:
+        status = "OK " if self.ok else "FAIL"
+        msg = f"[{status}] {self.name}: spark={self.rows_spark} oracle={self.rows_oracle}"
+        for m in self.mismatches[:5]:
+            msg += f"\n    - {m}"
+        return msg
+
+
+def compare(name: str, spark_df, oracle_df: pd.DataFrame,
+            float_tol: float = 0.0) -> CompareResult:
+    sp = _canon(spark_df.toPandas())
+    oc = _canon(oracle_df)
+    res = CompareResult(name, True, len(sp), len(oc))
+    if len(sp) != len(oc):
+        res.ok = False
+        res.mismatches.append(f"row count {len(sp)} != {len(oc)}")
+        return res
+    if list(sp.columns) != list(oc.columns):
+        res.ok = False
+        res.mismatches.append(f"columns {list(sp.columns)} != {list(oc.columns)}")
+        return res
+    for c in sp.columns:
+        a, b = sp[c], oc[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            af = a.astype(float).to_numpy()
+            bf = b.astype(float).to_numpy()
+            for i, (x, y) in enumerate(zip(af, bf)):
+                if x == y or (math.isnan(x) and math.isnan(y)):
+                    continue
+                if float_tol and abs(x - y) <= float_tol * max(1.0, abs(y)):
+                    continue
+                res.ok = False
+                res.mismatches.append(f"col {c} row {i}: {x!r} != {y!r} (delta={x - y!r})")
+                if len(res.mismatches) > 8:
+                    return res
+        else:
+            neq = ~(a.eq(b) | (a.isna() & b.isna()))
+            if neq.any():
+                i = int(neq.idxmax())
+                res.ok = False
+                res.mismatches.append(f"col {c} row {i}: {a[i]!r} != {b[i]!r}")
+    return res
+
+
+def run_all(spark, sf_dir: str, only: list[str] | None = None,
+            float_tol: float = 0.0) -> list[CompareResult]:
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duck_connection(sf_dir)
+    results = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            results.append(CompareResult(name, n >= 0, n, -1, ["no oracle (rows-only)"]))
+            continue
+        try:
+            oracle_df = con.execute(oracles[name]).fetchdf()
+            res = compare(name, fn(spark, sf_dir), oracle_df, float_tol=float_tol)
+        except Exception as e:  # pragma: no cover
+            res = CompareResult(name, False, -1, -1, [f"{type(e).__name__}: {e}"])
+        results.append(res)
+    con.close()
+    return results

@@ -1,0 +1,79 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Design notes (100 TB posture):
+- AQE on (runtime coalesce, skew-join splitting) — replaces the reference's
+  static split sizing (`mongo.input.split_size`, 8 MB) with runtime
+  re-planning; our sources still plan initial partitions explicitly.
+- `spark.sql.shuffle.partitions` defaults to the local core count for tests;
+  on a real cluster AQE's coalescing makes the initial number less critical.
+- Session timezone pinned to UTC so date/time semantics are reproducible and
+  match the DuckDB oracle (naive timestamps).
+- Arrow enabled for every Python boundary (Pandas UDF / mapInPandas /
+  toPandas) — the analog of the reference's pickle bridge
+  (spark/src/main/python/pymongo_spark.py) but columnar and vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mongo-hadoop-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    when no cluster master is configured; on a real deployment the
+    ``spark-submit`` master wins.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    # Only set master when not already provided by the environment
+    # (spark-submit --master takes precedence on clusters).
+    if "SPARK_MASTER" not in os.environ:
+        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", master))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def table(spark: SparkSession, sf_dir: str, name: str):
+    """Load one synthetic table (parquet) from a scale-factor directory.
+
+    Handles nanosecond-precision INT64 parquet timestamps (which Spark's
+    converter rejects): they are read as raw nanos via the legacy conf and
+    truncated to microsecond timestamps — the same ns→µs truncation DuckDB
+    applies, keeping the oracle comparison exact.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
