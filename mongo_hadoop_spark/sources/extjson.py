@@ -1,0 +1,78 @@
+"""MongoDB extended-JSON bridging (U9, SURVEY §2.9).
+
+The reference parses all config-level query/projection/sort documents from
+JSON (com.mongodb.util.JSON.parse, MongoConfigUtil.java:674-702).  Here the
+same role: option strings → query dicts, honoring the common extended-JSON
+wrappers ($oid, $date, $regex, $binary, $numberLong, $minKey, $maxKey).
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as _dt
+import json
+
+from mongo_hadoop_spark.bsonio import Binary, MaxKey, MinKey, ObjectId, Regex
+
+_UTC = _dt.timezone.utc
+
+
+def _revive(obj):
+    if isinstance(obj, list):
+        return [_revive(x) for x in obj]
+    if not isinstance(obj, dict):
+        return obj
+    if len(obj) == 1 or (len(obj) == 2 and "$options" in obj):
+        if "$oid" in obj:
+            return ObjectId(obj["$oid"])
+        if "$date" in obj:
+            v = obj["$date"]
+            if isinstance(v, (int, float)):
+                return _dt.datetime.fromtimestamp(v / 1000.0, tz=_UTC)
+            return _dt.datetime.fromisoformat(str(v).replace("Z", "+00:00"))
+        if "$regex" in obj and not isinstance(obj["$regex"], dict):
+            return Regex(obj["$regex"], obj.get("$options", ""))
+        if "$numberLong" in obj:
+            return int(obj["$numberLong"])
+        if "$minKey" in obj:
+            return MinKey()
+        if "$maxKey" in obj:
+            return MaxKey()
+        if "$binary" in obj:
+            b = obj["$binary"]
+            if isinstance(b, dict):
+                return Binary(base64.b64decode(b["base64"]), int(b.get("subType", "0"), 16))
+            return Binary(base64.b64decode(b), 0)
+    return {k: _revive(v) for k, v in obj.items()}
+
+
+def parse_query(text: str | None) -> dict:
+    if not text:
+        return {}
+    return _revive(json.loads(text))
+
+
+def to_extjson_value(v):
+    if isinstance(v, ObjectId):
+        return {"$oid": v.hex}
+    if isinstance(v, _dt.datetime):
+        return {"$date": int(v.timestamp() * 1000)}
+    if isinstance(v, Regex):
+        return {"$regex": v.pattern, "$options": v.flags}
+    if isinstance(v, Binary):
+        return {"$binary": {"base64": base64.b64encode(v.data).decode(), "subType": f"{v.subtype:02x}"}}
+    if isinstance(v, (bytes, bytearray)):
+        return {"$binary": {"base64": base64.b64encode(v).decode(), "subType": "00"}}
+    if isinstance(v, MinKey):
+        return {"$minKey": 1}
+    if isinstance(v, MaxKey):
+        return {"$maxKey": 1}
+    if isinstance(v, dict):
+        return {k: to_extjson_value(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [to_extjson_value(x) for x in v]
+    return v
+
+
+def dumps(doc) -> str:
+    return json.dumps(to_extjson_value(doc))

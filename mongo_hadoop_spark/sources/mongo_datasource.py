@@ -1,0 +1,274 @@
+"""``mongodoc`` — a Spark Python DataSource over the document store.
+
+The Spark-native re-expression of the reference's InputFormat/OutputFormat
+pair (SURVEY §3.1→Spark mapping): ``planInputPartitions`` ≙ splitter
+``calculateSplits``, ``PartitionReader`` ≙ MongoRecordReader,
+``DataWriter.commit`` ≙ MongoOutputCommitter's temp-file + commit-replay.
+
+Read path:
+    spark.read.format("mongodoc")
+         .option("path", store_dir).option("collection", name)
+         .option("query", '{"status": "A"}')        # static table query (F7)
+         .option("splitter", "bson_file|sample|paginating|single")
+         .load()
+
+- **Filter pushdown** (F5/F6): Catalyst's pushed filters are translated to
+  a Mongo query (plans.filters.translate_filters) and AND'd with the
+  static query; untranslatable filters stay residual and Spark re-applies
+  them above the scan — the reference's superset contract.
+- **Partition planning** (§2.2): byte-range splits at BSON doc boundaries
+  by default (P10); sample/paginating range splitters (P3/P7) emit
+  per-partition ``{key: {$gte,$lt}}`` queries (P8).
+- **Schema** (M4): user-supplied via ``.schema(...)`` or inferred from a
+  document sample with type widening.
+
+Write path:
+    df.write.format("mongodoc").option("path", store_dir)
+      .option("collection", name).mode("append").save()
+
+Each task spools rows to a temp ``.bson`` segment; global commit renames
+all segments into the collection (task retries/speculation leave only
+uncommitted temp files — the reference's idempotence story, W1/W2).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, DataSourceWriter, InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from mongo_hadoop_spark.plans.filters import and_queries, match, translate_filters
+from mongo_hadoop_spark.plans.splitters import (
+    DEFAULT_MIN_DOCS, DEFAULT_SPLIT_SIZE, SplitSpec, bson_file_splitter,
+    multi_collection_splits, paginating_splitter, sample_splitter,
+    single_splitter,
+)
+from mongo_hadoop_spark.sources import extjson
+from mongo_hadoop_spark.sources.schema_infer import doc_to_row, infer_schema
+
+
+@dataclass
+class _DocPartition(InputPartition):
+    spec: SplitSpec
+
+
+class DocumentDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "mongodoc"
+
+    def _store(self):
+        from mongo_hadoop_spark.store import DocumentStore
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("option 'path' (store directory) is required")
+        return DocumentStore(path)
+
+    def _collections(self) -> list[str]:
+        coll = self.options.get("collection")
+        if not coll:
+            raise ValueError("option 'collection' is required")
+        return [c.strip() for c in coll.split(",") if c.strip()]
+
+    def schema(self) -> StructType:
+        store = self._store()
+        sample_n = int(self.options.get("samplesize", 100))
+        docs = []
+        for name in self._collections():
+            docs.extend(store.collection(name).find(
+                query=extjson.parse_query(self.options.get("query")),
+                limit=sample_n,
+            ))
+        if not docs:
+            raise ValueError("cannot infer schema from an empty collection; "
+                             "provide .schema(...) explicitly")
+        return infer_schema(docs)
+
+    def reader(self, schema: StructType) -> "DocumentReader":
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return PushdownDocumentReader(self.options, schema)
+        return DocumentReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "DocumentWriter":
+        return DocumentWriter(self.options, schema, overwrite)
+
+
+class DocumentReader(DataSourceReader):
+    """Reader without Catalyst pushdown — correct under every plan-reuse
+    pattern.  Server-side filtering is still available via the static
+    ``query`` option (F1/F7), which is per-DataFrame by construction.
+
+    Catalyst pushdown (F5/F6) lives in :class:`PushdownDocumentReader`,
+    selected by ``.option("pushdown", "true")``.  It is opt-in for two
+    reasons: (a) Spark ships ``spark.sql.python.filterPushdown.enabled``
+    off by default and *raises* if a reader defines ``pushFilters`` while
+    it is off; (b) Spark caches the planned Python scan per DataFrame
+    relation, so a pushed filter from the first query on a DataFrame is
+    baked into later queries on the *same* DataFrame object (verified
+    against Spark 4.1: ``df.where(...).count(); df.count()`` under-counts).
+    With pushdown on, create a fresh ``load()`` per query — the normal
+    connector pattern; tests/test_datasource.py covers both behaviors.
+    """
+
+    def __init__(self, options, schema: StructType):
+        self.options = options
+        self.schema_ = schema
+        self.static_query = extjson.parse_query(options.get("query"))
+        self.pushed_query: dict = {}
+
+    # --- partition planning (§2.2) ----------------------------------------
+
+    def _effective_query(self) -> dict:
+        return and_queries(self.static_query, self.pushed_query)
+
+    def partitions(self):
+        from mongo_hadoop_spark.store import DocumentStore
+
+        store = DocumentStore(self.options["path"])
+        colls = [c.strip() for c in self.options["collection"].split(",")]
+        strategy = self.options.get("splitter", "bson_file")
+        key = self.options.get("key", "_id")
+        split_size = int(self.options.get("split_size", DEFAULT_SPLIT_SIZE))
+        query = self._effective_query()
+
+        all_splits: list[list[SplitSpec]] = []
+        for name in colls:
+            coll = store.collection(name)
+            if strategy == "single":
+                splits = single_splitter(name, query)
+            elif strategy == "sample":
+                stats = coll.stats()
+                import math
+                n_splits = max(1, math.ceil(stats["size"] / split_size))
+                sample = coll.sample_values(key, n_splits * 10)
+                splits = sample_splitter(stats, sample, name, key=key,
+                                         split_size=split_size, query=query)
+            elif strategy == "paginating":
+                min_docs = int(self.options.get("min_docs", DEFAULT_MIN_DOCS))
+
+                def nth(lower, n, _c=coll, _k=key, _q=query):
+                    rq = {_k: {"$gte": lower}} if lower is not None else {}
+                    found = _c.find(and_queries(_q, rq), projection={_k: 1},
+                                    sort=[(_k, 1)], skip=n, limit=1)
+                    return found[0].get(_k) if found else None
+
+                splits = paginating_splitter(nth, name, key=key,
+                                             min_docs=min_docs, query=query)
+            else:  # bson_file: byte-range splits per segment (P10/P11)
+                splits = []
+                for seg in coll.segments():
+                    splits.extend(bson_file_splitter(
+                        seg, name, target_size=split_size, query=query))
+                if not splits:
+                    splits = single_splitter(name, query)
+            all_splits.append(splits)
+        return [_DocPartition(s) for s in multi_collection_splits(all_splits)]
+
+    # --- per-partition scan (MongoRecordReader analog) --------------------
+
+    def read(self, partition: _DocPartition):
+        from mongo_hadoop_spark import bsonio
+        from mongo_hadoop_spark.store import DocumentStore
+
+        spec = partition.spec
+        schema = self.schema_
+        if spec.segment_path is not None:
+            with open(spec.segment_path, "rb") as f:
+                for doc in bsonio.decode_file_iter(
+                    f, start=spec.byte_start, length=spec.byte_length
+                ):
+                    if match(doc, spec.query):
+                        yield doc_to_row(doc, schema)
+        else:
+            store = DocumentStore(self.options["path"])
+            coll = store.collection(spec.collection)
+            for doc in coll._scan(spec.query):
+                yield doc_to_row(doc, schema)
+
+
+class PushdownDocumentReader(DocumentReader):
+    """Catalyst filter pushdown (F5/F6): translated filters are AND'd with
+    the static query; untranslatable filters stay residual (superset
+    contract).  See DocumentReader docstring for the opt-in rationale."""
+
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        query, residual = translate_filters(filters)
+        self.pushed_query = query
+        return iter(residual)
+
+
+@dataclass
+class _SegmentCommit(WriterCommitMessage):
+    tmp_path: str
+    final_path: str
+    rows: int
+
+
+class DocumentWriter(DataSourceWriter):
+    """Insert-mode writer with the reference's commit protocol (W1/W2):
+    task → temp segment; job commit → atomic renames; abort → delete."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self.options = options
+        self.schema_ = schema
+        self.overwrite = overwrite
+        self.coll_dir = os.path.join(options["path"], options["collection"])
+
+    def write(self, rows) -> _SegmentCommit:
+        from mongo_hadoop_spark import bsonio
+
+        os.makedirs(self.coll_dir, exist_ok=True)
+        name = uuid.uuid4().hex[:12]
+        tmp = os.path.join(self.coll_dir, f"_tmp_{name}.bson.inprogress")
+        final = os.path.join(self.coll_dir, f"{name}.bson")
+        fields = [f.name for f in self.schema_.fields]
+        n = 0
+        with open(tmp, "wb") as f:
+            for row in rows:
+                doc = _row_to_doc(row, fields)
+                f.write(bsonio.encode(doc))
+                n += 1
+        return _SegmentCommit(tmp, final, n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            import glob
+            for seg in glob.glob(os.path.join(self.coll_dir, "*.bson")):
+                os.remove(seg)
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.rename(m.tmp_path, m.final_path)
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+def _row_to_doc(row, fields) -> dict:
+    out = {}
+    for name in fields:
+        v = row[name] if not hasattr(row, "asDict") else row.asDict(recursive=True).get(name)
+        out[name] = _to_bson_value(v)
+    return out
+
+
+def _to_bson_value(v):
+    import datetime as _dt
+
+    if hasattr(v, "asDict"):
+        return {k: _to_bson_value(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):
+        return {k: _to_bson_value(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_to_bson_value(x) for x in v]
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return _dt.datetime(v.year, v.month, v.day, tzinfo=_dt.timezone.utc)
+    return v

@@ -1,0 +1,70 @@
+"""Structured Streaming jobs over the events stream.
+
+The reference's "streaming" is the Hadoop Streaming subprocess protocol
+(SURVEY §2.11) — no watermarks, no event-time windows.  The Spark-native
+engine supplies real stream processing: file-source streams with
+event-time tumbling/sliding windows + watermarks, and built-in session
+windows.  Each job's batch-equivalent lives in
+``operators.windows`` — tests assert streaming output (availableNow,
+complete/update modes) equals the batch result, which is the property
+that matters when backfilling 100 TB of history with the same code that
+handles the live stream.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mongo_hadoop_spark.operators.windows import (
+    SESSION_GAP_SECONDS, TUMBLE_SECONDS,
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def streaming_events_source(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files —
+    at scale this is the landing zone written by ingest; new files are
+    discovered per micro-batch."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_dir)
+    )
+
+
+def stream_tumbling_counts(events: DataFrame,
+                           watermark: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window counts with a watermark for late data.
+    Batch-equivalent: operators.windows.events_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{TUMBLE_SECONDS} seconds").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type", "cnt",
+        )
+    )
+
+
+def stream_sessionized(events: DataFrame,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Built-in session windows (gap-merged) per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )

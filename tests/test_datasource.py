@@ -1,0 +1,151 @@
+"""End-to-end mongodoc DataSource: partitioned reads with pushdown, schema
+inference, writes with commit protocol (reference lifecycle SURVEY §3.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from mongo_hadoop_spark.store import DocumentStore
+from mongo_hadoop_spark.bsonio import ObjectId
+
+
+@pytest.fixture()
+def store(tmp_path):
+    s = DocumentStore(str(tmp_path / "db"))
+    docs = [
+        {"_id": i, "status": "A" if i % 2 else "B", "qty": i,
+         "nested": {"tag": f"t{i % 3}"}, "price": i * 1.5}
+        for i in range(200)
+    ]
+    # two segments so the bson_file splitter has >1 file to range over
+    s.collection("orders").insert_many(docs[:100], segment_hint="seg0")
+    s.collection("orders").insert_many(docs[100:], segment_hint="seg1")
+    return s
+
+
+@pytest.fixture()
+def registered(spark):
+    from mongo_hadoop_spark.sources import register
+
+    register(spark)
+    return spark
+
+
+def read_orders(spark, store, **options):
+    r = (spark.read.format("mongodoc")
+         .option("path", store.path).option("collection", "orders"))
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_schema_inference_and_full_read(registered, store):
+    df = read_orders(registered, store)
+    assert df.count() == 200
+    types = dict(df.dtypes)
+    assert types["_id"] == "bigint" and types["status"] == "string"
+    assert types["price"] == "double"
+    assert types["nested"].startswith("struct<tag:string")
+
+
+def test_filter_pushdown_correctness(registered, store):
+    df = read_orders(registered, store, pushdown="true")
+    got = df.where((F.col("status") == "A") & (F.col("qty") > 150)).count()
+    assert got == sum(1 for i in range(200) if i % 2 and i > 150)
+
+
+def test_no_cross_query_leak_by_default(registered, store):
+    """Regression: Spark caches the planned python scan per DataFrame, so a
+    pushed filter from query 1 would poison query 2 on the same DataFrame.
+    The default (no-pushdown) reader must count correctly after a filtered
+    query on the same DataFrame object."""
+    df = read_orders(registered, store)
+    assert df.where(F.col("status") == "A").count() == 100
+    assert df.count() == 200  # would be 100 if pushdown state leaked
+
+
+def test_pushdown_fresh_load_contract(registered, store):
+    """With pushdown enabled, a fresh load() per query is always correct."""
+    a = read_orders(registered, store, pushdown="true")
+    assert a.where(F.col("qty") < 50).count() == 50
+    b = read_orders(registered, store, pushdown="true")
+    assert b.count() == 200
+
+
+def test_static_query_option_and_pushdown_conjunction(registered, store):
+    # static table query (F7) AND'd with a pushed filter (F5/F6)
+    df = read_orders(registered, store, query='{"status": "B"}')
+    assert df.count() == 100
+    assert df.where(F.col("qty") < 10).count() == 5
+
+
+def test_partition_planning_strategies(registered, store):
+    for strategy, opts in [
+        ("bson_file", {"split_size": "2048"}),
+        ("single", {}),
+        ("sample", {"split_size": "2048"}),
+        ("paginating", {"min_docs": "37"}),
+    ]:
+        df = read_orders(registered, store, splitter=strategy, **opts)
+        assert df.count() == 200, strategy
+        # disjoint cover: no duplicates
+        assert df.select("_id").distinct().count() == 200, strategy
+        if strategy in ("bson_file", "paginating"):
+            assert df.rdd.getNumPartitions() > 1, strategy
+
+
+def test_multi_collection_union(registered, store):
+    DocumentStore(store.path).collection("orders2").insert_many(
+        [{"_id": 1000 + i, "status": "A", "qty": i, "nested": {"tag": "z"},
+          "price": 0.0} for i in range(10)]
+    )
+    df = (registered.read.format("mongodoc")
+          .option("path", store.path)
+          .option("collection", "orders,orders2").load())
+    assert df.count() == 210
+
+
+def test_projection_stays_correct(registered, store):
+    df = read_orders(registered, store).select("qty")
+    assert df.agg(F.sum("qty")).collect()[0][0] == sum(range(200))
+
+
+def test_write_insert_and_read_back(registered, store, tmp_path):
+    df = registered.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(50)], "id long, name string, v double"
+    )
+    out = str(tmp_path / "outdb")
+    (df.write.format("mongodoc").option("path", out)
+       .option("collection", "sink").mode("append").save())
+    back = (registered.read.format("mongodoc")
+            .option("path", out).option("collection", "sink").load())
+    assert back.count() == 50
+    assert dict(back.dtypes)["name"] == "string"
+    # no uncommitted temp files
+    import os
+    assert all(not n.endswith(".inprogress")
+               for n in os.listdir(os.path.join(out, "sink")))
+
+
+def test_write_overwrite(registered, store, tmp_path):
+    out = str(tmp_path / "odb")
+    df1 = registered.createDataFrame([(1,)], "a long")
+    df2 = registered.createDataFrame([(2,), (3,)], "a long")
+    for df, mode in [(df1, "append"), (df2, "overwrite")]:
+        (df.write.format("mongodoc").option("path", out)
+           .option("collection", "c").mode(mode).save())
+    back = (registered.read.format("mongodoc")
+            .option("path", out).option("collection", "c").load())
+    assert sorted(r.a for r in back.collect()) == [2, 3]
+
+
+def test_objectid_bridging(registered, tmp_path):
+    s = DocumentStore(str(tmp_path / "oiddb"))
+    oids = [ObjectId(f"{i:024x}") for i in range(5)]
+    s.collection("docs").insert_many([{"_id": o, "n": i} for i, o in enumerate(oids)])
+    df = (registered.read.format("mongodoc")
+          .option("path", s.path).option("collection", "docs").load())
+    got = sorted(r._id for r in df.collect())
+    assert got == [f"{i:024x}" for i in range(5)]

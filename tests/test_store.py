@@ -1,0 +1,75 @@
+"""Document store: cursor semantics, commit protocol, GridFS analog."""
+
+from __future__ import annotations
+
+from mongo_hadoop_spark.store import DocumentStore
+
+
+def make_store(tmp_path):
+    return DocumentStore(str(tmp_path / "db"))
+
+
+def test_insert_find_cursor_options(tmp_path):
+    store = make_store(tmp_path)
+    c = store.collection("items")
+    c.insert_many([{"_id": i, "v": i % 3, "s": f"x{i}"} for i in range(20)])
+
+    assert c.count() == 20
+    assert c.count({"v": 0}) == 7
+    # filter → sort → skip → limit → project (MongoInputSplit.getCursor order)
+    got = c.find({"v": 0}, projection={"_id": 1}, sort=[("_id", -1)], skip=1, limit=2)
+    assert got == [{"_id": 15}, {"_id": 12}]
+
+
+def test_multi_segment_and_stats(tmp_path):
+    store = make_store(tmp_path)
+    c = store.collection("seg")
+    c.insert_many([{"i": 1}])
+    c.insert_many([{"i": 2}])
+    assert len(c.segments()) == 2
+    st = c.stats()
+    assert st["count"] == 2 and st["size"] > 0 and st["avgObjSize"] > 0
+
+
+def test_commit_protocol_leaves_no_temp(tmp_path):
+    store = make_store(tmp_path)
+    c = store.collection("t")
+    c.insert_many([{"i": i} for i in range(5)])
+    import os
+    names = os.listdir(c.path)
+    assert all(not n.endswith(".inprogress") for n in names)
+
+
+def test_sample_values_deterministic(tmp_path):
+    store = make_store(tmp_path)
+    c = store.collection("s")
+    c.insert_many([{"k": i} for i in range(1000)])
+    a = c.sample_values("k", 50)
+    b = c.sample_values("k", 50)
+    assert a == b and len(a) == 50
+
+
+def test_create_index_records_intent(tmp_path):
+    store = make_store(tmp_path)
+    c = store.collection("idx")
+    c.create_index([("user", 1), ("ts", -1)], unique=True)
+    assert c.requested_indexes() == ["user_1_ts_-1"]
+
+
+def test_gridfs_roundtrip(tmp_path):
+    store = make_store(tmp_path)
+    data = bytes(range(256)) * 40  # 10240 bytes
+    fid = store.gridfs_put("blob.bin", data, chunk_size=4096,
+                           metadata={"kind": "test"})
+    files = store.collection("fs.files").find({"_id": fid})
+    assert files[0]["length"] == len(data)
+    assert files[0]["numChunks"] == 3
+    assert store.gridfs_get(fid) == data
+
+
+def test_drop(tmp_path):
+    store = make_store(tmp_path)
+    store.collection("gone").insert_many([{"a": 1}])
+    assert "gone" in store.list_collections()
+    store.drop("gone")
+    assert "gone" not in store.list_collections()

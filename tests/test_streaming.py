@@ -1,0 +1,106 @@
+"""Structured Streaming: stream results must equal their batch
+equivalents (backfill == live property), and the bucketed sink must route
+documents like the reference's BucketedMongoDBSink."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+from conftest import SF_SMOKE
+
+from mongo_hadoop_spark.session import table
+from mongo_hadoop_spark.streaming import (
+    BucketedDocumentSink, stream_sessionized, stream_tumbling_counts,
+    streaming_events_source,
+)
+from mongo_hadoop_spark.store import DocumentStore
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events as a multi-file parquet directory (a streaming landing zone)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    table(spark, SF_SMOKE, "events").repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def run_to_completion(stream_df, out_mode: str, tmp_path) -> list:
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("t_out")
+        .outputMode(out_mode)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    spark = stream_df.sparkSession
+    return spark.sql("select * from t_out").collect()
+
+
+def test_stream_tumbling_equals_batch(spark, events_dir, tmp_path):
+    stream = stream_tumbling_counts(streaming_events_source(spark, events_dir))
+    got = {(r.window_start, r.event_type): r.cnt
+           for r in run_to_completion(stream, "append", tmp_path)}
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "21600 seconds").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "event_type", "cnt")
+    )
+    want = {(r.ws, r.event_type): r.cnt for r in batch.collect()}
+    # watermark may hold back the final windows in availableNow append mode;
+    # everything emitted must match the batch result exactly
+    assert got
+    for k, v in got.items():
+        assert want.get(k) == v, k
+    assert len(got) >= len(want) - 20
+
+
+def test_stream_sessions_equal_batch(spark, events_dir, tmp_path):
+    stream = stream_sessionized(streaming_events_source(spark, events_dir))
+    got = {(r.user_id, r.session_start): r.n_events
+           for r in run_to_completion(stream, "append", tmp_path)}
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.session_window("ts", "1800 seconds").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.unix_timestamp("w.start").alias("ss"), "n_events")
+    )
+    want = {(r.user_id, r.ss): r.n_events for r in batch.collect()}
+    assert got
+    for k, v in got.items():
+        assert want.get(k) == v, k
+
+
+def test_bucketed_sink_routing(spark, events_dir, tmp_path):
+    store_path = str(tmp_path / "streamdb")
+    sink = BucketedDocumentSink(store_path, "events_{event_type}_%Y%m%d")
+    q = (
+        streaming_events_source(spark, events_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    store = DocumentStore(store_path)
+    colls = store.list_collections()
+    assert colls, "no bucket collections written"
+    assert all(c.startswith("events_") for c in colls)
+    # routing correct: every doc in a bucket matches the bucket name
+    total = 0
+    for c in colls:
+        _, etype, day = c.rsplit("_", 2)
+        docs = store.collection(c).find()
+        total += len(docs)
+        for d in docs[:5]:
+            assert d["event_type"] == etype
+            assert d["ts"].strftime("%Y%m%d") == day
+    assert total == spark.read.parquet(events_dir).count()

@@ -1,0 +1,75 @@
+"""Update-operator semantics (reference: MongoUpdateWritable usage,
+TreasuryYieldUpdateReducer $set/$push/$inc, JSONPigReplace update DSL)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mongo_hadoop_spark.plans.updates import apply_update, init_upsert_doc
+
+
+def test_set_inc_push():
+    doc = {"_id": 1, "count": 5, "tags": ["a"]}
+    apply_update(doc, {"$set": {"avg": 2.5}, "$inc": {"count": 2},
+                       "$push": {"tags": "b"}})
+    assert doc == {"_id": 1, "count": 7, "tags": ["a", "b"], "avg": 2.5}
+
+
+def test_treasury_update_shape():
+    # TreasuryYieldUpdateReducer.java:46-80: $set{count,avg,sum} +
+    # $push{calculatedAt} + $inc{numCalculations}
+    doc = {"_id": 1990}
+    spec = {
+        "$set": {"count": 250, "avg": 8.55, "sum": 2137.8},
+        "$push": {"calculatedAt": "2020-01-01"},
+        "$inc": {"numCalculations": 1},
+    }
+    apply_update(doc, spec)
+    apply_update(doc, spec)
+    assert doc["numCalculations"] == 2
+    assert doc["calculatedAt"] == ["2020-01-01", "2020-01-01"]
+    assert doc["count"] == 250
+
+
+def test_nested_paths_and_unset():
+    doc = {"a": {"b": 1}, "x": 9}
+    apply_update(doc, {"$set": {"a.c.d": 2}, "$unset": {"x": ""}})
+    assert doc == {"a": {"b": 1, "c": {"d": 2}}}
+
+
+def test_min_max_mul_rename():
+    doc = {"lo": 5, "hi": 5, "m": 3, "old": "v"}
+    apply_update(doc, {"$min": {"lo": 2}, "$max": {"hi": 9},
+                       "$mul": {"m": 4}, "$rename": {"old": "new"}})
+    assert doc == {"lo": 2, "hi": 9, "m": 12, "new": "v"}
+
+
+def test_add_to_set_pull_pop():
+    doc = {"xs": [1, 2, 3]}
+    apply_update(doc, {"$addToSet": {"xs": 2}})
+    assert doc["xs"] == [1, 2, 3]
+    apply_update(doc, {"$addToSet": {"xs": {"$each": [3, 4]}}})
+    assert doc["xs"] == [1, 2, 3, 4]
+    apply_update(doc, {"$pull": {"xs": 2}})
+    assert doc["xs"] == [1, 3, 4]
+    apply_update(doc, {"$pop": {"xs": 1}})
+    assert doc["xs"] == [1, 3]
+
+
+def test_replace_semantics():
+    doc = {"_id": 7, "a": 1, "b": 2}
+    apply_update(doc, {"a": 99})
+    assert doc == {"_id": 7, "a": 99}
+
+
+def test_inc_non_numeric_raises():
+    with pytest.raises(ValueError):
+        apply_update({"s": "x"}, {"$inc": {"s": 1}})
+
+
+def test_init_upsert_doc():
+    doc = init_upsert_doc(
+        {"device_id": 42, "n": {"$gt": 5}},
+        {"$inc": {"logs_count": 3}, "$setOnInsert": {"created": "t0"}},
+    )
+    assert doc == {"device_id": 42, "logs_count": 3, "created": "t0"}

@@ -1,0 +1,90 @@
+"""Writer modes: insert / update / upsert / replace with the journaled
+commit protocol (reference W1/W2/W6/W8 semantics, sensors/treasury jobs)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mongo_hadoop_spark.sinks import UpdateSpec, write_documents
+from mongo_hadoop_spark.store import DocumentStore
+
+
+@pytest.fixture()
+def target(tmp_path):
+    store = DocumentStore(str(tmp_path / "db"))
+    store.collection("devices").insert_many(
+        [{"device_id": i, "logs_count": 0, "name": f"d{i}"} for i in range(5)]
+    )
+    return store
+
+
+def read_all(store, coll):
+    return {d["device_id"]: d for d in store.collection(coll).find()}
+
+
+def test_insert_mode(spark, tmp_path):
+    store = DocumentStore(str(tmp_path / "db2"))
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(30)], "k long, s string")
+    write_documents(df, store.path, "raw", mode="insert")
+    assert store.collection("raw").count() == 30
+
+
+def test_update_mode_set(spark, target):
+    df = spark.createDataFrame([(1, "renamed")], "device_id long, name string")
+    write_documents(df, target.path, "devices", mode="update", key_cols=["device_id"])
+    docs = read_all(target, "devices")
+    assert docs[1]["name"] == "renamed"
+    assert docs[1]["logs_count"] == 0          # untouched field survives
+    assert docs[2]["name"] == "d2"             # other docs untouched
+    assert len(docs) == 5                      # update (no upsert) adds nothing
+
+
+def test_update_mode_misses_do_not_upsert(spark, target):
+    df = spark.createDataFrame([(99, "ghost")], "device_id long, name string")
+    write_documents(df, target.path, "devices", mode="update", key_cols=["device_id"])
+    assert 99 not in read_all(target, "devices")
+
+
+def test_upsert_mode(spark, target):
+    df = spark.createDataFrame([(4, "upd"), (77, "new")],
+                               "device_id long, name string")
+    write_documents(df, target.path, "devices", mode="upsert", key_cols=["device_id"])
+    docs = read_all(target, "devices")
+    assert docs[4]["name"] == "upd" and docs[4]["logs_count"] == 0
+    assert docs[77] == {"device_id": 77, "name": "new"}
+
+
+def test_replace_mode_drops_other_fields(spark, target):
+    df = spark.createDataFrame([(3, "fresh")], "device_id long, name string")
+    write_documents(df, target.path, "devices", mode="replace", key_cols=["device_id"])
+    assert read_all(target, "devices")[3] == {"device_id": 3, "name": "fresh"}
+
+
+def test_inc_update_builder_sensors_rollup(spark, target):
+    # sensors job (A4): per-device counts emitted as $inc upserts
+    df = spark.createDataFrame([(0, 7), (1, 3), (88, 2)],
+                               "device_id long, cnt long")
+
+    def build(doc):
+        return UpdateSpec({"device_id": doc["device_id"]},
+                          {"$inc": {"logs_count": doc["cnt"]}}, upsert=True)
+
+    write_documents(df, target.path, "devices", mode="update", update_builder=build)
+    docs = read_all(target, "devices")
+    assert docs[0]["logs_count"] == 7
+    assert docs[1]["logs_count"] == 3
+    assert docs[88]["logs_count"] == 2 and "name" not in docs[88]
+
+
+def test_ensure_indexes(spark, target):
+    df = spark.createDataFrame([(1, "x")], "device_id long, name string")
+    write_documents(df, target.path, "devices", mode="update",
+                    key_cols=["device_id"],
+                    ensure_indexes=[([("device_id", 1)], {"unique": True})])
+    assert "device_id_1" in target.collection("devices").requested_indexes()
+
+
+def test_journal_cleared_after_apply(spark, target):
+    df = spark.createDataFrame([(1, "z")], "device_id long, name string")
+    write_documents(df, target.path, "devices", mode="update", key_cols=["device_id"])
+    assert "devices.updates" not in target.list_collections()
