@@ -70,6 +70,22 @@ LSH_BANDS = 4           # bands of 4 rows each
 SHINGLE_N = 3           # word shingle width
 _ROWS_PER_BAND = MINHASH_K // LSH_BANDS
 
+# One md5 per shingle + K affine permutations (a_i*h + b_i) mod p — the
+# classic "one hash, K universal-family transforms" trick: 16× fewer md5
+# evaluations than salting the digest per permutation.  p = 2^31-1 keeps
+# a_i*h' < 2^62 (no bigint overflow in either engine); a_i/b_i are
+# md5-derived constants baked identically into the Spark plan and the SQL.
+MINHASH_P = 2_147_483_647
+
+
+def _affine_params(i: int) -> tuple[int, int]:
+    import hashlib
+
+    a = int(hashlib.md5(f"mh-a{i}".encode()).hexdigest()[:15], 16) % (MINHASH_P - 1) + 1
+    b = int(hashlib.md5(f"mh-b{i}".encode()).hexdigest()[:15], 16) % MINHASH_P
+    return a, b
+
+
 _WORDS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 _SHINGLES_SQL = (
     f"list_transform(generate_series(1, greatest(len({_WORDS_SQL}) - {SHINGLE_N - 1}, 0)),"
@@ -78,33 +94,43 @@ _SHINGLES_SQL = (
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h0..h{K-1}) MinHash signatures from salted md5 min-hashing.
+    """(doc_id, h0..h{K-1}) MinHash signatures.
 
     One explode + one groupBy with K min() aggregates: a single shuffle on
-    doc_id; partial (map-side) mins make the shuffle tiny.
+    doc_id; partial (map-side) mins make the shuffle tiny.  The base md5
+    is computed once per shingle; each signature component is an affine
+    transform of it.
     """
-    d = table(spark, sf_dir, "documents")
+    # The documents table may arrive as few (or one) parquet row-groups;
+    # the shingle explode + hash is CPU-heavy per row, so fan out first —
+    # a tiny shuffle that unlocks full-core (or full-cluster) parallelism.
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sh = d.select(
         "doc_id", F.explode(word_shingles("text", SHINGLE_N)).alias("s")
-    )
-    aggs = [
-        F.min(md5_long(F.col("s"), salt=f"mh{i}|")).alias(f"h{i}")
-        for i in range(MINHASH_K)
-    ]
+    ).select("doc_id", (md5_long(F.col("s")) % MINHASH_P).alias("h"))
+    aggs = []
+    for i in range(MINHASH_K):
+        a, b = _affine_params(i)
+        aggs.append(F.min((F.col("h") * a + b) % MINHASH_P).alias(f"h{i}"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 def _signatures_sql() -> str:
-    mins = ",\n         ".join(
-        f"min({md5_long_sql('s', salt=f'mh{i}|')}) AS h{i}" for i in range(MINHASH_K)
-    )
+    mins = []
+    for i in range(MINHASH_K):
+        a, b = _affine_params(i)
+        mins.append(f"min((h * {a} + {b}) % {MINHASH_P}) AS h{i}")
+    mins_sql = ",\n         ".join(mins)
     return f"""
   sh AS (
-    SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+    SELECT doc_id, ({md5_long_sql('s')} % {MINHASH_P}) AS h
+    FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents)
   ),
   sig AS (
     SELECT doc_id,
-         {mins}
+         {mins_sql}
     FROM sh GROUP BY doc_id
   )"""
 
@@ -125,17 +151,22 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the band join is an ordinary shuffled equi-join Catalyst can also
     broadcast when one side is small.
     """
-    sig = _signatures(spark, sf_dir)
-    bands = None
+    # Persist signatures: they feed the band unpivot AND both sides of the
+    # estimate join — without persist Spark recomputes the explode+agg
+    # pipeline per reference.  At scale this table is tiny relative to the
+    # corpus (K longs per doc).
+    sig = _signatures(spark, sf_dir).persist()
+    stack_args = []
     for b in range(LSH_BANDS):
         cols = [f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
         band_key = md5_long(
             F.concat_ws(":", *[F.col(c).cast("string") for c in cols]), salt=f"band{b}|"
         )
-        part = sig.select(
-            F.col("doc_id"), F.lit(b).alias("band_id"), band_key.alias("band_hash")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+        stack_args.extend([F.lit(b), band_key])
+    bands = sig.select(
+        "doc_id",
+        F.stack(F.lit(LSH_BANDS), *stack_args).alias("band_id", "band_hash"),
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
     pairs = (
@@ -213,7 +244,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle with map-side partial aggregation; signature assembly is pure
     column math afterwards.
     """
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = d.select("doc_id", F.explode(tokenize("text")).alias("w"))
     h = md5_long(F.col("w"), salt="sh|")
     votes = toks.groupBy("doc_id").agg(
@@ -287,7 +320,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source",
         F.array_distinct(tokenize("text")).alias("ws"),
     )
-    a = d.alias("a")
+    # probe side fans out so the per-pair set intersections parallelize
+    # even when the input is a single small file; the build side stays
+    # broadcast-sized (it is the same table).
+    a = d.repartition(spark.sparkContext.defaultParallelism, "lang", "source").alias("a")
     b = d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
     union = F.size(F.array_union(F.col("a.ws"), F.col("b.ws")))

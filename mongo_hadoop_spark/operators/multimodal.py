@@ -123,8 +123,14 @@ def decode_image_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode pipeline: binary column → per-doc features."""
-    d = _with_payload(table(spark, sf_dir, "documents"))
+    """mapInPandas decode pipeline: binary column → per-doc features.
+    Repartition first: media decode is the CPU hot spot, so every core (or
+    executor) must get a batch even when the upstream is one small file."""
+    d = _with_payload(
+        table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
     return d.select("doc_id", "payload").mapInPandas(decode_image_stub, _DECODE_SCHEMA)
 
 

@@ -37,7 +37,9 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
     sim = cosine(F.col("qv"), F.col("cv"))
     scored = (
         F.broadcast(queries)
@@ -83,8 +85,9 @@ def near_dup_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored inside a block, never across the whole corpus.
     """
     emb = table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
-                   F.col("embedding").alias("va"))
+    a = emb.repartition(spark.sparkContext.defaultParallelism, "label").select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
+        F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
                    F.col("embedding").alias("vb"))
     sim = cosine(F.col("va"), F.col("vb"))
@@ -122,7 +125,9 @@ def _hyperplane(j: int) -> list[int]:
 
 def lsh_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, bucket): 16-bit signature of hyperplane-side bits."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sig = None
     for j in range(LSH_PLANES):
         plane = F.array(*[F.lit(float(v)) for v in _hyperplane(j)])
