@@ -28,6 +28,7 @@ import struct
 from dataclasses import dataclass
 
 _UTC = _dt.timezone.utc
+_EPOCH = _dt.datetime(1970, 1, 1, tzinfo=_UTC)
 
 
 class ObjectId:
@@ -131,7 +132,11 @@ def _encode_value(name: str, value) -> bytes:
     if isinstance(value, _dt.datetime):
         if value.tzinfo is None:
             value = value.replace(tzinfo=_UTC)
-        millis = int(value.timestamp() * 1000)
+        # exact integer millis via timedelta — float .timestamp()*1000 can
+        # round down a millisecond (e.g. .432 sec → 431.99997 ms)
+        delta = value - _EPOCH
+        millis = (delta.days * 86_400_000 + delta.seconds * 1000
+                  + delta.microseconds // 1000)
         return b"\x09" + key + struct.pack("<q", millis)
     if value is None:
         return b"\x0a" + key
@@ -187,7 +192,7 @@ def _decode_value(tag: int, data: bytes, pos: int):
         return data[pos] == 1, pos + 1
     if tag == 0x09:
         (millis,) = struct.unpack_from("<q", data, pos)
-        return _dt.datetime.fromtimestamp(millis / 1000.0, tz=_UTC), pos + 8
+        return _EPOCH + _dt.timedelta(milliseconds=millis), pos + 8
     if tag == 0x0B:
         pattern, pos = _read_cstring(data, pos)
         flags, pos = _read_cstring(data, pos)

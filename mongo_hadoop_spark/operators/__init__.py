@@ -22,9 +22,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mongo_hadoop_spark.operators import relational, dedup, similarity, textstats, multimodal, windows
+from mongo_hadoop_spark.operators import (
+    dedup, multimodal, relational, relational2, similarity, textstats, windows,
+)
 
-_MODULES = [relational, windows, dedup, similarity, textstats, multimodal]
+_MODULES = [relational, relational2, windows, dedup, similarity, textstats, multimodal]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

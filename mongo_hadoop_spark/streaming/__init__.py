@@ -1,4 +1,5 @@
 from mongo_hadoop_spark.streaming.jobs import (  # noqa: F401
-    stream_sessionized, stream_tumbling_counts, streaming_events_source,
+    stream_sessionized, stream_stateful_user_totals, stream_tumbling_counts,
+    streaming_events_source,
 )
 from mongo_hadoop_spark.streaming.sink import BucketedDocumentSink  # noqa: F401

@@ -52,6 +52,38 @@ def stream_tumbling_counts(events: DataFrame,
     )
 
 
+def stream_stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (n_events, total_value)
+    maintained across micro-batches with ``applyInPandasWithState`` — the
+    Spark-native form of the reference's arbitrary per-key reducer
+    (streaming reducer.py:108-124), but incremental and fault-tolerant
+    (state lives in the checkpoint).  Emits the updated running totals for
+    every user seen in the batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n], "total_value": [total]
+        })
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_sessionized(events: DataFrame,
                        watermark: str = "1 hour") -> DataFrame:
     """Built-in session windows (gap-merged) per user."""

@@ -1,0 +1,85 @@
+"""Physical-plan shape assertions: the properties that make these queries
+viable at 100 TB must be visible in explain() output — filters pushed to
+the parquet scan, column pruning, broadcast joins for dims, partial
+aggregation, no unexpected cartesian products.  Guards against plan
+regressions the same way the oracle guards values.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_SMOKE
+
+from mongo_hadoop_spark.operators import relational, windows, dedup, similarity
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def full_plan_of(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_q6_filter_pushdown_and_pruning(spark):
+    df = relational.tpch_q6(spark, SF_SMOKE)
+    plan = full_plan_of(df)
+    # predicate reaches the parquet scan
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:400]
+    # column pruning: only the needed columns are read
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    plan = plan_of(relational.tpch_q3(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_no_cartesian_all_broadcast_dims(spark):
+    plan = plan_of(relational.tpch_q5(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_partial_aggregation(spark):
+    plan = plan_of(relational.tpch_q1(spark, SF_SMOKE))
+    # map-side partial agg before the shuffle (combiner analog, A4)
+    assert "partial_sum" in plan or "HashAggregate" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_window_partitioned_no_global_sort(spark):
+    plan = plan_of(windows.window_topn_per_group(spark, SF_SMOKE))
+    # ranking runs within o_custkey partitions; no single-partition window
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_minhash_lsh_no_cartesian(spark):
+    plan = plan_of(dedup.dedup_minhash_lsh_pairs(spark, SF_SMOKE))
+    # candidate generation must be an equi-join on (band, hash)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_knn_broadcasts_queries(spark):
+    plan = plan_of(similarity.knn_bruteforce(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(relational.f3_sort_limit(spark, SF_SMOKE))
+    # orderBy().limit() must fuse into TakeOrderedAndProject, not global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_on_scan_heavy_query(spark):
+    df = relational.tpch_q1(spark, SF_SMOKE)
+    df.collect()  # finalize the adaptive plan
+    plan = plan_of(df)
+    assert "*(" in plan  # WholeStageCodegen spans present

@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis): BSON round-trip over arbitrary
+nested documents, total-order laws for the cross-type comparator, and
+disjoint-cover invariants for split planning."""
+
+from __future__ import annotations
+
+import datetime as dt
+import functools
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from mongo_hadoop_spark import bsonio
+from mongo_hadoop_spark.plans.filters import bson_compare, match
+from mongo_hadoop_spark.plans.splitters import boundaries_to_splits
+
+UTC = dt.timezone.utc
+
+keys = st.text(string.ascii_lowercase, min_size=1, max_size=8)
+
+scalars = st.one_of(
+    st.booleans(),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=40),
+    st.binary(max_size=32),
+    st.none(),
+    st.datetimes(
+        min_value=dt.datetime(1970, 1, 2), max_value=dt.datetime(2100, 1, 1)
+    ).map(lambda d: d.replace(microsecond=(d.microsecond // 1000) * 1000, tzinfo=UTC)),
+)
+
+documents = st.recursive(
+    st.dictionaries(keys, scalars, max_size=5),
+    lambda children: st.dictionaries(
+        keys,
+        st.one_of(scalars, children, st.lists(st.one_of(scalars, children), max_size=4)),
+        max_size=5,
+    ),
+    max_leaves=25,
+)
+
+
+@given(documents)
+@settings(max_examples=200, deadline=None)
+def test_bson_roundtrip_arbitrary_docs(doc):
+    out = bsonio.decode(bsonio.encode(doc))
+    assert _normalize(out) == _normalize(doc)
+
+
+def _normalize(v):
+    if isinstance(v, dict):
+        return {k: _normalize(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_normalize(x) for x in v]
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
+hetero_values = st.one_of(
+    scalars,
+    st.lists(scalars, max_size=3),
+    st.dictionaries(keys, scalars, max_size=3),
+)
+
+
+@given(st.lists(hetero_values, min_size=2, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_bson_compare_is_total_order(values):
+    key = functools.cmp_to_key(bson_compare)
+    ordered = sorted(values, key=key)
+    # sorted output is internally consistent (no a<b with b before a)
+    for x, y in zip(ordered, ordered[1:]):
+        assert bson_compare(x, y) <= 0
+    # reflexivity / antisymmetry on all pairs
+    for x in values:
+        assert bson_compare(x, x) == 0
+        for y in values:
+            assert bson_compare(x, y) == -bson_compare(y, x)
+
+
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=8, unique=True),
+    st.lists(st.integers(-1500, 1500), min_size=1, max_size=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_range_splits_disjoint_cover(boundaries, doc_keys):
+    splits = boundaries_to_splits("c", "k", sorted(boundaries))
+    for kv in doc_keys:
+        hits = sum(1 for s in splits if match({"k": kv}, s.query))
+        assert hits == 1

@@ -78,6 +78,49 @@ def test_stream_sessions_equal_batch(spark, events_dir, tmp_path):
         assert want.get(k) == v, k
 
 
+def test_stateful_user_totals_across_batches(spark, events_dir, tmp_path):
+    from mongo_hadoop_spark.streaming import stream_stateful_user_totals
+
+    # one file per micro-batch → state must carry across 4 batches
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    q = (
+        stream_stateful_user_totals(src)
+        .writeStream.format("memory").queryName("t_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # last emission per user = final running totals
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            "select user_id, n_events, total_value from ("
+            " select *, row_number() over (partition by user_id order by n_events desc) rn"
+            " from t_state) where rn = 1"
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.t)
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert final.keys() == batch.keys()
+    for u, (n, t) in batch.items():
+        assert final[u][0] == n
+        assert abs(final[u][1] - t) < 1e-6
+
+
 def test_bucketed_sink_routing(spark, events_dir, tmp_path):
     store_path = str(tmp_path / "streamdb")
     sink = BucketedDocumentSink(store_path, "events_{event_type}_%Y%m%d")
