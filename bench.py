@@ -21,10 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     # relational / reference-parity
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10",
-    "tpch_q12", "tpch_q14", "tpch_q18",
+    "tpch_q12", "tpch_q14", "tpch_q18", "tpch_q4_semijoin",
+    "tpch_q22_antijoin", "cube_agg", "count_distinct_suppliers",
     "a1_avg_by_year", "a3_pair_counts", "s8_multi_union",
     # windows / event-time
     "window_topn_per_group", "events_tumbling_window", "events_session_windows",
+    "grouped_reducer_stats", "skew_salted_rollup",
     # data-pipeline extensions
     "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_simhash",
     "dedup_ngram_jaccard", "knn_bruteforce", "lsh_bucket_histogram",

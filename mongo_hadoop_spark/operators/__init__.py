@@ -23,10 +23,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mongo_hadoop_spark.operators import (
-    dedup, multimodal, relational, relational2, similarity, textstats, windows,
+    dedup, multimodal, relational, relational2, similarity, skew, textstats,
+    windows,
 )
 
-_MODULES = [relational, relational2, windows, dedup, similarity, textstats, multimodal]
+_MODULES = [relational, relational2, windows, dedup, similarity, textstats,
+            multimodal, skew]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,50 @@
+"""Skew-aware aggregation: two-phase salted group-by.
+
+At 100 TB a handful of hot keys (one user, one null-ish default) can pin a
+single reducer.  The classic fix: salt the key, aggregate partially per
+(key, salt), then merge partials per key — two small shuffles instead of
+one skewed one.  AQE's skew-join splitting handles joins; this is the
+aggregation-side equivalent, exposed as an operator so pipelines can apply
+it declaratively.
+
+The salt is deterministic (row id mod buckets), so results are exactly
+reproducible and the oracle is the plain group-by.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mongo_hadoop_spark.session import table
+
+SALT_BUCKETS = 16
+
+
+def salted_aggregate(df: DataFrame, key: str, salt_src: str,
+                     buckets: int = SALT_BUCKETS) -> DataFrame:
+    """Generic two-phase count/sum aggregate of ``value`` by ``key``."""
+    salted = df.withColumn("_salt", F.pmod(F.col(salt_src), F.lit(buckets)))
+    partial = salted.groupBy(key, "_salt").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("_sum"),
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_cnt").alias("n_events"),
+        F.sum("_sum").cast("double").alias("total_value"),
+    )
+
+
+def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return salted_aggregate(e, "user_id", "event_id")
+
+
+SALTED_SQL = """
+SELECT user_id, count(*) AS n_events,
+       sum(value::decimal(12,2))::double AS total_value
+FROM events GROUP BY 1
+"""
+
+QUERIES = {"skew_salted_rollup": skew_salted_rollup}
+ORACLES = {"skew_salted_rollup": SALTED_SQL}

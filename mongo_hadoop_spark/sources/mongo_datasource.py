@@ -128,6 +128,23 @@ class DocumentReader(DataSourceReader):
     def _effective_query(self) -> dict:
         return and_queries(self.static_query, self.pushed_query)
 
+    def _cursor_options(self) -> dict:
+        """Per-split cursor options (F3/F4): like the reference, sort/
+        limit/skip apply to EACH split's cursor, not globally
+        (MongoInputSplit.java:281-296 — limit is effectively
+        limit × numSplits).  Global semantics belong to Spark
+        (orderBy/limit above the scan)."""
+        import json
+
+        sort = self.options.get("sort")
+        return {
+            "sort": tuple(json.loads(sort).items()) if sort else None,
+            "limit": int(self.options["limit"]) if "limit" in self.options else None,
+            "skip": int(self.options.get("skip", 0)),
+            "projection": (json.loads(self.options["fields"])
+                           if "fields" in self.options else None),
+        }
+
     def partitions(self):
         from mongo_hadoop_spark.store import DocumentStore
 
@@ -169,7 +186,17 @@ class DocumentReader(DataSourceReader):
                 if not splits:
                     splits = single_splitter(name, query)
             all_splits.append(splits)
-        return [_DocPartition(s) for s in multi_collection_splits(all_splits)]
+        import dataclasses
+
+        cur = self._cursor_options()
+        merged = [
+            dataclasses.replace(
+                s, projection=cur["projection"], sort=cur["sort"],
+                limit=cur["limit"], skip=cur["skip"],
+            )
+            for s in multi_collection_splits(all_splits)
+        ]
+        return [_DocPartition(s) for s in merged]
 
     # --- per-partition scan (MongoRecordReader analog) --------------------
 
@@ -177,19 +204,40 @@ class DocumentReader(DataSourceReader):
         from mongo_hadoop_spark import bsonio
         from mongo_hadoop_spark.store import DocumentStore
 
+        from mongo_hadoop_spark.plans.filters import project as mongo_project
+
         spec = partition.spec
         schema = self.schema_
-        if spec.segment_path is not None:
+        plain = not (spec.sort or spec.limit is not None or spec.skip)
+
+        if spec.segment_path is not None and plain:
+            # streaming fast path: no cursor options → decode-filter-emit
             with open(spec.segment_path, "rb") as f:
                 for doc in bsonio.decode_file_iter(
                     f, start=spec.byte_start, length=spec.byte_length
                 ):
                     if match(doc, spec.query):
+                        if spec.projection:
+                            doc = mongo_project(doc, spec.projection)
                         yield doc_to_row(doc, schema)
+            return
+
+        if spec.segment_path is not None:
+            with open(spec.segment_path, "rb") as f:
+                docs = [
+                    d for d in bsonio.decode_file_iter(
+                        f, start=spec.byte_start, length=spec.byte_length)
+                    if match(d, spec.query)
+                ]
+            docs = _apply_cursor_options(docs, spec)
+            for doc in docs:
+                yield doc_to_row(doc, schema)
         else:
             store = DocumentStore(self.options["path"])
             coll = store.collection(spec.collection)
-            for doc in coll._scan(spec.query):
+            for doc in coll.find(spec.query, projection=spec.projection,
+                                 sort=spec.sort, skip=spec.skip,
+                                 limit=spec.limit):
                 yield doc_to_row(doc, schema)
 
 
@@ -250,6 +298,30 @@ class DocumentWriter(DataSourceWriter):
         for m in messages or []:
             if m is not None and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
+
+
+def _apply_cursor_options(docs: list, spec) -> list:
+    """sort → skip → limit → project, in the reference's cursor order."""
+    from mongo_hadoop_spark.plans.filters import bson_compare, project
+    from mongo_hadoop_spark.plans.paths import get_path
+
+    if spec.sort:
+        import functools
+        for key, direction in reversed(list(spec.sort)):
+            docs = sorted(
+                docs,
+                key=functools.cmp_to_key(
+                    lambda a, b, k=key: bson_compare(get_path(a, k), get_path(b, k))
+                ),
+                reverse=direction < 0,
+            )
+    if spec.skip:
+        docs = docs[spec.skip:]
+    if spec.limit is not None:
+        docs = docs[: spec.limit]
+    if spec.projection:
+        docs = [project(d, spec.projection) for d in docs]
+    return docs
 
 
 def _row_to_doc(row, fields) -> dict:
