@@ -29,7 +29,7 @@ BENCH_QUERIES = [
     "grouped_reducer_stats", "skew_salted_rollup",
     # data-pipeline extensions
     "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_simhash",
-    "dedup_ngram_jaccard", "knn_bruteforce", "lsh_bucket_histogram",
+    "dedup_ngram_jaccard", "dedup_minhash_verified", "knn_bruteforce", "lsh_bucket_histogram",
     "text_langid", "text_token_count", "text_fingerprint",
     "multimodal_decode_features",
 ]
@@ -47,9 +47,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = operators.all_queries()
 
-    # warmup: touch every table + JIT the session
+    # warmup: touch every table + JIT the session + spawn the persistent
+    # Python UDF workers (otherwise their startup bills to the first
+    # Pandas-path query instead of the session)
     for t in ["lineitem", "orders", "customer", "documents", "embeddings", "events"]:
         table(spark, sf_dir, t).count()
+    import pandas as pd  # noqa: F401
+
+    (spark.range(1000, numPartitions=int(cpus) if cpus.isdigit() else 8)
+     .mapInPandas(lambda it: it, "id long").count())
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -226,7 +226,46 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+# U9 — JSON ⇄ struct bridging round-trip on the props column
+# ---------------------------------------------------------------------------
+
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    rebuilt = F.concat(F.lit('{"k": '), k.cast("string"), F.lit("}"))
+    return e.select("event_id", k.alias("k"), rebuilt.alias("props_rebuilt"))
+
+
+JSON_RT_SQL = """
+SELECT event_id, json_extract_string(props, '$.k')::bigint AS k,
+       '{"k": ' || json_extract_string(props, '$.k')::bigint || '}' AS props_rebuilt
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# O4 — custom sort comparator: order by a computed expression
+# ---------------------------------------------------------------------------
+
+def custom_sort_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "n_chars")
+        .orderBy((F.col("n_chars") % 7).asc(), F.col("doc_id").desc())
+        .limit(50)
+    )
+
+
+CUSTOM_SORT_SQL = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars % 7 ASC, doc_id DESC LIMIT 50
+"""
+
+
 QUERIES = {
+    "json_roundtrip": json_roundtrip,
+    "custom_sort_comparator": custom_sort_comparator,
     "tpch_q4_semijoin": tpch_q4_semijoin,
     "tpch_q22_antijoin": tpch_q22_antijoin,
     "cube_agg": cube_agg,
@@ -236,6 +275,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "json_roundtrip": JSON_RT_SQL,
+    "custom_sort_comparator": CUSTOM_SORT_SQL,
     "tpch_q4_semijoin": Q4_SQL,
     "tpch_q22_antijoin": Q22_SQL,
     "cube_agg": CUBE_SQL,

@@ -179,11 +179,22 @@ class DocumentReader(DataSourceReader):
                 splits = paginating_splitter(nth, name, key=key,
                                              min_docs=min_docs, query=query)
             else:  # bson_file: byte-range splits per segment (P10/P11)
+                import fnmatch
+                import os as _os
+
+                # F10: glob filter on which segment files are scanned
+                # (BSONPathFilter analog, core/.../BSONFileInputFormat.java:86-90)
+                path_filter = self.options.get("path_filter")
+                segs = [
+                    seg for seg in coll.segments()
+                    if not path_filter
+                    or fnmatch.fnmatch(_os.path.basename(seg), path_filter)
+                ]
                 splits = []
-                for seg in coll.segments():
+                for seg in segs:
                     splits.extend(bson_file_splitter(
                         seg, name, target_size=split_size, query=query))
-                if not splits:
+                if not splits and not path_filter:
                     splits = single_splitter(name, query)
             all_splits.append(splits)
         import dataclasses
@@ -206,6 +217,8 @@ class DocumentReader(DataSourceReader):
 
         from mongo_hadoop_spark.plans.filters import project as mongo_project
 
+        if partition is None:  # planner produced zero partitions
+            return
         spec = partition.spec
         schema = self.schema_
         plain = not (spec.sort or spec.limit is not None or spec.skip)

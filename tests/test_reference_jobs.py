@@ -135,6 +135,26 @@ def test_sensors_rollup_flow(registered, tmp_path):
     assert all(d["type"] == "temp" for d in devices.values())
 
 
+def test_path_filter_option(registered, tmp_path):
+    """F10: segment glob filter restricts which files are scanned
+    (BSONPathFilter analog)."""
+    store = DocumentStore(str(tmp_path / "db"))
+    c = store.collection("logs")
+    c.insert_many([{"_id": i, "day": "d1"} for i in range(10)], segment_hint="day1")
+    c.insert_many([{"_id": 10 + i, "day": "d2"} for i in range(10)], segment_hint="day2")
+
+    def load(pat):
+        return (registered.read.format("mongodoc")
+                .option("path", store.path).option("collection", "logs")
+                .option("splitter", "bson_file")
+                .option("path_filter", pat)
+                .schema("_id long, day string").load())
+
+    assert load("day1*").count() == 10
+    assert load("day*").count() == 20
+    assert load("nomatch*").count() == 0
+
+
 def test_per_split_cursor_options(registered, tmp_path):
     """F3/F4 per-split semantics: sort/limit/skip apply per split, so
     limit yields ≤ limit × numSplits rows (MongoInputSplit.java:281-296)."""
