@@ -22,7 +22,7 @@ import hashlib
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from mongo_hadoop_spark.functions import cosine, dot
+from mongo_hadoop_spark.functions import cosine, dot, norm2
 from mongo_hadoop_spark.session import table
 
 TOP_K = 3
@@ -172,7 +172,29 @@ SELECT bucket, count(*) AS n_vectors FROM assigned GROUP BY 1
 """
 
 
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise vector feature extraction: squared L2 norm + max component
+    per embedding.  Per-row (not grouped) so the float arithmetic is a
+    fixed sequential fold — bit-identical to DuckDB's list ops."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label",
+        norm2(F.col("embedding")).alias("norm2"),
+        F.array_max(F.col("embedding")).cast("double").alias("max_component"),
+    )
+
+
+NORMS_SQL = """
+SELECT vec_id, label,
+       list_dot_product(list_transform(embedding, x -> x::double),
+                        list_transform(embedding, x -> x::double)) AS norm2,
+       list_max(embedding)::double AS max_component
+FROM embeddings
+"""
+
+
 QUERIES = {
+    "embedding_norms": embedding_norms,
     "knn_bruteforce": knn_bruteforce,
     "near_dup_pairs_cosine": near_dup_pairs_cosine,
     "lsh_bucket_assign": lsh_bucket_assign,
@@ -180,6 +202,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_norms": NORMS_SQL,
     "knn_bruteforce": KNN_SQL,
     "near_dup_pairs_cosine": NEAR_DUP_SQL,
     "lsh_bucket_assign": LSH_ASSIGN_SQL,

@@ -78,6 +78,12 @@ class DocumentDataSource(DataSource):
         return [c.strip() for c in coll.split(",") if c.strip()]
 
     def schema(self) -> StructType:
+        # schemaless mode (SURVEY §1.3 mode 1 — Pig MongoLoader() with no
+        # schema): the whole document as one extended-JSON string column.
+        if str(self.options.get("schemaless", "false")).lower() == "true":
+            from pyspark.sql.types import StringType, StructField
+
+            return StructType([StructField("doc", StringType(), True)])
         store = self._store()
         sample_n = int(self.options.get("samplesize", 100))
         docs = []
@@ -89,7 +95,45 @@ class DocumentDataSource(DataSource):
         if not docs:
             raise ValueError("cannot infer schema from an empty collection; "
                              "provide .schema(...) explicitly")
-        return infer_schema(docs)
+        schema = infer_schema(docs)
+        # columns mapping (mode 2): rename document fields, incl. dotted
+        # paths, to view columns (mongo.columns.mapping analog)
+        mapping = self._columns_mapping()
+        if mapping:
+            from pyspark.sql.types import StructField
+
+            fields = {f.name: f for f in schema.fields}
+            out = []
+            for view_col, doc_field in mapping.items():
+                if "." in doc_field:
+                    from mongo_hadoop_spark.sources.schema_infer import (
+                        infer_value_type, merge_types,
+                    )
+                    from pyspark.sql.types import NullType
+
+                    t: object = NullType()
+                    for d in docs:
+                        from mongo_hadoop_spark.plans.paths import get_path
+
+                        v = get_path(d, doc_field)
+                        if v is not None:
+                            t = merge_types(t, infer_value_type(v))
+                    from pyspark.sql.types import StringType
+
+                    t = StringType() if isinstance(t, NullType) else t
+                    out.append(StructField(view_col, t, True))
+                elif doc_field in fields:
+                    out.append(StructField(view_col, fields[doc_field].dataType, True))
+            mapped_sources = set(mapping.values())
+            out.extend(f for f in schema.fields if f.name not in mapped_sources)
+            return StructType(out)
+        return schema
+
+    def _columns_mapping(self) -> dict[str, str]:
+        import json
+
+        raw = self.options.get("columns_mapping")
+        return json.loads(raw) if raw else {}
 
     def reader(self, schema: StructType) -> "DocumentReader":
         if str(self.options.get("pushdown", "false")).lower() == "true":
@@ -220,7 +264,7 @@ class DocumentReader(DataSourceReader):
         if partition is None:  # planner produced zero partitions
             return
         spec = partition.spec
-        schema = self.schema_
+        convert = self._converter()
         plain = not (spec.sort or spec.limit is not None or spec.skip)
 
         if spec.segment_path is not None and plain:
@@ -232,7 +276,7 @@ class DocumentReader(DataSourceReader):
                     if match(doc, spec.query):
                         if spec.projection:
                             doc = mongo_project(doc, spec.projection)
-                        yield doc_to_row(doc, schema)
+                        yield convert(doc)
             return
 
         if spec.segment_path is not None:
@@ -244,14 +288,41 @@ class DocumentReader(DataSourceReader):
                 ]
             docs = _apply_cursor_options(docs, spec)
             for doc in docs:
-                yield doc_to_row(doc, schema)
+                yield convert(doc)
         else:
             store = DocumentStore(self.options["path"])
             coll = store.collection(spec.collection)
             for doc in coll.find(spec.query, projection=spec.projection,
                                  sort=spec.sort, skip=spec.skip,
                                  limit=spec.limit):
-                yield doc_to_row(doc, schema)
+                yield convert(doc)
+
+    def _converter(self):
+        """doc → row tuple, honoring schemaless mode and columns mapping."""
+        import json
+
+        from mongo_hadoop_spark.plans.paths import get_path
+        from mongo_hadoop_spark.sources.schema_infer import convert_value
+
+        schema = self.schema_
+        if str(self.options.get("schemaless", "false")).lower() == "true":
+            return lambda doc: (extjson.dumps(doc),)
+        raw = self.options.get("columns_mapping")
+        if raw:
+            mapping = json.loads(raw)
+            fields = [(f, mapping.get(f.name, f.name)) for f in schema.fields]
+
+            def convert(doc):
+                return tuple(
+                    convert_value(
+                        get_path(doc, src) if "." in src else doc.get(src),
+                        f.dataType,
+                    )
+                    for f, src in fields
+                )
+
+            return convert
+        return lambda doc: doc_to_row(doc, schema)
 
 
 class PushdownDocumentReader(DocumentReader):

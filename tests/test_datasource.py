@@ -141,6 +141,31 @@ def test_write_overwrite(registered, store, tmp_path):
     assert sorted(r.a for r in back.collect()) == [2, 3]
 
 
+def test_schemaless_mode(registered, store):
+    """SURVEY §1.3 mode 1: whole document as one extended-JSON column."""
+    df = read_orders(registered, store, schemaless="true")
+    assert df.columns == ["doc"]
+    import json
+
+    first = json.loads(df.orderBy("doc").limit(1).collect()[0].doc)
+    assert set(first) >= {"_id", "status", "qty", "nested"}
+    assert df.count() == 200
+
+
+def test_columns_mapping_mode(registered, store):
+    """SURVEY §1.3 mode 2: declared renames incl. dotted nested paths
+    (mongo.columns.mapping analog)."""
+    df = read_orders(
+        registered, store,
+        columns_mapping='{"id": "_id", "tag": "nested.tag"}',
+    )
+    assert {"id", "tag"} <= set(df.columns)
+    assert "_id" not in df.columns
+    rows = {r.id: r.tag for r in df.select("id", "tag").collect()}
+    assert rows[7] == "t1" and rows[9] == "t0"
+    assert df.where(F.col("tag") == "t0").count() == 67
+
+
 def test_objectid_bridging(registered, tmp_path):
     s = DocumentStore(str(tmp_path / "oiddb"))
     oids = [ObjectId(f"{i:024x}") for i in range(5)]
