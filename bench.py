@@ -23,6 +23,8 @@ BENCH_QUERIES = [
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10",
     "tpch_q12", "tpch_q14", "tpch_q18", "tpch_q4_semijoin",
     "tpch_q22_antijoin", "cube_agg", "count_distinct_suppliers",
+    "tpch_q13_distribution", "tpch_q15_top_supplier", "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive",
     "a1_avg_by_year", "a3_pair_counts", "s8_multi_union",
     # windows / event-time
     "window_topn_per_group", "events_tumbling_window", "events_session_windows",

@@ -23,11 +23,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mongo_hadoop_spark.operators import (
-    dedup, multimodal, relational, relational2, similarity, skew, textstats,
+    dedup, multimodal, relational, relational2, relational3, similarity, skew, textstats,
     windows,
 )
 
-_MODULES = [relational, relational2, windows, dedup, similarity, textstats,
+_MODULES = [relational, relational2, relational3, windows, dedup, similarity, textstats,
             multimodal, skew]
 
 

@@ -121,6 +121,82 @@ def test_stateful_user_totals_across_batches(spark, events_dir, tmp_path):
         assert abs(final[u][1] - t) < 1e-6
 
 
+def test_stream_to_store_upsert_pipeline(spark, events_dir, tmp_path):
+    """Full ingest pipeline: stream → tumbling window agg → foreachBatch
+    upsert of window rollups into the document store (the Flume-sink +
+    sensors-rollup composition).  Re-running the stream from scratch must
+    leave the same rollups (upsert idempotence on window keys)."""
+    from mongo_hadoop_spark.sinks import UpdateSpec, write_documents
+    from mongo_hadoop_spark.streaming import (
+        stream_tumbling_counts, streaming_events_source,
+    )
+
+    store_path = str(tmp_path / "rollupdb")
+
+    def sink(batch_df, batch_id):
+        write_documents(
+            batch_df, store_path, "window_rollups", mode="update",
+            update_builder=lambda doc: UpdateSpec(
+                {"window_start": doc["window_start"], "event_type": doc["event_type"]},
+                {"$set": {"cnt": doc["cnt"]}},
+                upsert=True,
+            ),
+        )
+
+    def run(ckpt):
+        q = (
+            stream_tumbling_counts(streaming_events_source(spark, events_dir))
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run("ck1")
+    store = DocumentStore(store_path)
+    first = {(d["window_start"], d["event_type"]): d["cnt"]
+             for d in store.collection("window_rollups").find()}
+    assert first
+    run("ck2")  # full replay → upserts overwrite, no duplicates
+    second = {(d["window_start"], d["event_type"]): d["cnt"]
+              for d in store.collection("window_rollups").find()}
+    assert second == first
+    # spot-check one rollup against batch
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "21600 seconds").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "event_type", "cnt")
+    )
+    want = {(r.ws, r.event_type): r.cnt for r in batch.collect()}
+    for k, v in first.items():
+        assert want[k] == v
+
+
+def test_sql_ddl_using_mongodoc(spark, tmp_path):
+    """Hive-DDL-style table creation over the datasource:
+    CREATE TEMPORARY VIEW ... USING mongodoc OPTIONS (...) — the Spark
+    analog of STORED BY MongoStorageHandler (SURVEY §3.2)."""
+    from mongo_hadoop_spark.sources import register
+
+    register(spark)
+    store = DocumentStore(str(tmp_path / "ddldb"))
+    store.collection("t").insert_many(
+        [{"_id": i, "grp": i % 4, "x": float(i)} for i in range(80)]
+    )
+    spark.sql(f"""
+        CREATE OR REPLACE TEMPORARY VIEW ddl_t
+        USING mongodoc
+        OPTIONS (path '{store.path}', collection 't')
+    """)
+    got = spark.sql(
+        "SELECT grp, count(*) AS n, sum(x) AS sx FROM ddl_t GROUP BY grp ORDER BY grp"
+    ).collect()
+    assert [(r.grp, r.n) for r in got] == [(0, 20), (1, 20), (2, 20), (3, 20)]
+
+
 def test_bucketed_sink_routing(spark, events_dir, tmp_path):
     store_path = str(tmp_path / "streamdb")
     sink = BucketedDocumentSink(store_path, "events_{event_type}_%Y%m%d")
