@@ -70,6 +70,27 @@ def make_object_id(epoch_seconds: Column, payload: Column) -> Column:
     return F.concat(ts_hex, tail)
 
 
+def to_object_id(col: Column | str) -> Column:
+    """Validate/normalize a 24-hex ObjectId string (U1, ToObjectId.java):
+    lowercases and nulls out malformed values."""
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(c)
+    return F.when(low.rlike("^[0-9a-f]{24}$"), low)
+
+
+def to_binary(col: Column | str) -> Column:
+    """String/any → binary (U3, ToBinary.java)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("binary")
+
+
+def to_dbref(ref: Column | str, id_col: Column | str) -> Column:
+    """(collection, id) → DBRef struct {$ref, $id} (U4, ToDBRef.java)."""
+    r = F.col(ref) if isinstance(ref, str) else ref
+    i = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.struct(r.alias("ref"), i.cast("string").alias("id"))
+
+
 # ---------------------------------------------------------------------------
 # Tokenization (U7/U8: enron recipient split, GridFS regex delimiter)
 # ---------------------------------------------------------------------------

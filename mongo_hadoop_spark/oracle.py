@@ -95,12 +95,36 @@ def compare(name: str, spark_df, oracle_df: pd.DataFrame,
     return res
 
 
+def main() -> None:  # pragma: no cover
+    """CLI: ``python -m mongo_hadoop_spark.oracle [sf_dir] [query ...]``"""
+    import sys
+
+    from mongo_hadoop_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:] or None
+    spark = get_spark(app_name="oracle-gate")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = run_all(spark, sf_dir, only=only)
+    for r in results:
+        print(r)
+    ok = sum(r.ok for r in results)
+    print(f"{ok}/{len(results)} OK")
+    spark.stop()
+    sys.exit(0 if ok == len(results) else 1)
+
+
 def run_all(spark, sf_dir: str, only: list[str] | None = None,
             float_tol: float = 0.0) -> list[CompareResult]:
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = set(only) - queries.keys()
+        if unknown:
+            raise KeyError(f"unknown queries: {sorted(unknown)}; "
+                           f"available: {sorted(queries)}")
     con = duck_connection(sf_dir)
     results = []
     for name, fn in queries.items():
@@ -119,3 +143,7 @@ def run_all(spark, sf_dir: str, only: list[str] | None = None,
         results.append(res)
     con.close()
     return results
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -174,3 +174,51 @@ def test_objectid_bridging(registered, tmp_path):
           .option("path", s.path).option("collection", "docs").load())
     got = sorted(r._id for r in df.collect())
     assert got == [f"{i:024x}" for i in range(5)]
+
+
+def test_full_type_bridge_roundtrip(registered, tmp_path):
+    """Every SURVEY §1.2 bridged type survives store → DataFrame: double,
+    long, string, bool, binary, datetime, ObjectId (hex string), nested
+    struct, array, regex (string render), BsonTimestamp (timestamp)."""
+    import datetime as dt
+
+    from mongo_hadoop_spark.bsonio import Binary, BsonTimestamp, ObjectId, Regex
+
+    s = DocumentStore(str(tmp_path / "types"))
+    when = dt.datetime(2021, 3, 4, 5, 6, 7, 123000, tzinfo=dt.timezone.utc)
+    s.collection("t").insert_many([{
+        "_id": ObjectId("ab" * 12),
+        "d": 1.25, "i": 2**40, "s": "héllo", "b": True,
+        "bin": Binary(b"\x01\x02", 0), "raw": b"\xff\x00",
+        "when": when, "bts": BsonTimestamp(1600000000, 3),
+        "rx": Regex("^a", "i"),
+        "nested": {"x": [1, 2, 3], "y": {"z": "deep"}},
+        "arr": [{"k": 1}, {"k": 2}],
+    }])
+    df = (registered.read.format("mongodoc")
+          .option("path", s.path).option("collection", "t").load())
+    row = df.collect()[0]
+    assert row._id == "ab" * 12
+    assert row.d == 1.25 and row.i == 2**40 and row.s == "héllo" and row.b is True
+    assert bytes(row.bin) == b"\x01\x02" and bytes(row.raw) == b"\xff\x00"
+    assert row.when == when.replace(tzinfo=None) or row.when == when
+    assert row.rx == "/^a/i"
+    assert row.nested.x == [1, 2, 3] and row.nested.y.z == "deep"
+    assert [e.k for e in row.arr] == [1, 2]
+    types = dict(df.dtypes)
+    assert types["when"] == "timestamp" and types["bts"] == "timestamp"
+    assert types["bin"] == "binary"
+
+
+def test_concurrent_append_segments(registered, tmp_path):
+    """Two independent writes to the same collection commit disjoint
+    segments (uuid names) — no clobbering, counts add up."""
+    out = str(tmp_path / "cc")
+    for k in range(2):
+        (registered.range(100).selectExpr(f"id + {k * 1000} as v")
+         .write.format("mongodoc").option("path", out)
+         .option("collection", "c").mode("append").save())
+    back = (registered.read.format("mongodoc")
+            .option("path", out).option("collection", "c").load())
+    assert back.count() == 200
+    assert back.select("v").distinct().count() == 200

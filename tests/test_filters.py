@@ -139,3 +139,23 @@ class TestTranslate:
         assert not match({"a": 1, "b": 1}, merged)
         assert and_queries({}, {"a": 1}) == {"a": 1}
         assert and_queries() == {}
+
+
+class TestUdfHelpers:
+    def test_to_object_id_and_dbref(self, spark):
+        import pyspark.sql.functions as F
+
+        from mongo_hadoop_spark.functions import to_binary, to_dbref, to_object_id
+
+        df = spark.createDataFrame(
+            [("AB" * 12,), ("not-an-oid",)], "oid string"
+        ).select(
+            to_object_id("oid").alias("oid"),
+            to_dbref(F.lit("users"), F.lit(42)).alias("ref"),
+            to_binary(F.lit("xyz")).alias("bin"),
+        )
+        rows = df.collect()
+        assert rows[0].oid == "ab" * 12
+        assert rows[1].oid is None
+        assert rows[0].ref.ref == "users" and rows[0].ref.id == "42"
+        assert bytes(rows[0].bin) == b"xyz"
