@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_minhash_verified", "knn_bruteforce", "lsh_bucket_histogram",
     "text_langid", "text_token_count", "text_fingerprint",
-    "multimodal_decode_features",
+    "multimodal_decode_features", "corpus_yield_report",
 ]
 
 

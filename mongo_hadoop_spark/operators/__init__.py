@@ -23,12 +23,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mongo_hadoop_spark.operators import (
-    dedup, multimodal, relational, relational2, relational3, similarity, skew, textstats,
-    windows,
+    dedup, multimodal, pipeline, relational, relational2, relational3,
+    similarity, skew, textstats, windows,
 )
 
 _MODULES = [relational, relational2, relational3, windows, dedup, similarity, textstats,
-            multimodal, skew]
+            multimodal, skew, pipeline]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
