@@ -24,7 +24,8 @@ BENCH_QUERIES = [
     "tpch_q12", "tpch_q14", "tpch_q18", "tpch_q4_semijoin",
     "tpch_q22_antijoin", "cube_agg", "count_distinct_suppliers",
     "tpch_q13_distribution", "tpch_q15_top_supplier", "tpch_q17_small_quantity",
-    "tpch_q19_disjunctive",
+    "tpch_q19_disjunctive", "tpch_q7_nation_volume", "tpch_q9_profit",
+    "tpch_q21_waiting_supplier", "tpch_q11_value_share",
     "a1_avg_by_year", "a3_pair_counts", "s8_multi_union",
     # windows / event-time
     "window_topn_per_group", "events_tumbling_window", "events_session_windows",

@@ -23,11 +23,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mongo_hadoop_spark.operators import (
-    dedup, multimodal, pipeline, relational, relational2, relational3,
+    dedup, multimodal, pipeline, relational, relational2, relational3, relational4,
     similarity, skew, textstats, windows,
 )
 
-_MODULES = [relational, relational2, relational3, windows, dedup, similarity, textstats,
+_MODULES = [relational, relational2, relational3, relational4, windows, dedup, similarity, textstats,
             multimodal, skew, pipeline]
 
 
