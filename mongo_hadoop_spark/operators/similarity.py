@@ -193,7 +193,138 @@ FROM embeddings
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantization by deterministic centroids
+# ---------------------------------------------------------------------------
+
+CENTROID_MOD = 100  # vec_id % CENTROID_MOD == 0 → centroid seed
+
+
+def _centroids(emb):
+    return emb.where(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+
+
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every vector to its nearest seed centroid (one quantization
+    step; centroids are deterministic — the vectors at vec_id ≡ 0 mod 100).
+
+    Plan: broadcast the tiny centroid table, score every (vector,
+    centroid) pair JVM-side, keep the argmin per vector via a ranking
+    window partitioned by vec_id.  The inverted lists this induces are
+    what bounds the search space in :func:`ivf_knn`."""
+    emb = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    scored = (
+        emb.select("vec_id", F.col("embedding").alias("v"))
+        .join(F.broadcast(_centroids(emb)))
+        .select("vec_id", "centroid_id", cosine(F.col("v"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.select("vec_id", "centroid_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+IVF_ASSIGN_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % {CENTROID_MOD} = 0
+),
+scored AS (
+  SELECT e.vec_id, centroid_id,
+         list_dot_product(v, cv)
+           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM e CROSS JOIN cents
+)
+SELECT vec_id, centroid_id FROM (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+def ivf_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list sizes — the balance diagnostic (a fat cell = slow
+    probes; at scale you re-seed or split it)."""
+    return (
+        ivf_assign(spark, sf_dir)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+IVF_HIST_SQL = f"""
+WITH assigned AS ({IVF_ASSIGN_SQL})
+SELECT centroid_id, count(*) AS n_vectors FROM assigned GROUP BY 1
+"""
+
+
+IVF_QUERY_MOD = 250
+
+
+def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 searching only the query's own IVF cell (nprobe=1).
+
+    The join is (cell × cell) — candidate volume is Σ cell², bounded by
+    the histogram above, instead of |queries| × |corpus|."""
+    emb = table(spark, sf_dir, "embeddings")
+    assign = ivf_assign(spark, sf_dir).persist()
+    vecs = emb.select("vec_id", F.col("embedding").alias("v")).join(assign, "vec_id")
+    q = vecs.where(F.col("vec_id") % IVF_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("centroid_id").alias("qc"))
+    c = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+                    F.col("centroid_id").alias("cc"))
+    scored = (
+        F.broadcast(q).join(c, (F.col("qc") == F.col("cc"))
+                            & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+IVF_KNN_SQL = f"""
+WITH assigned AS ({IVF_ASSIGN_SQL}),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+vecs AS (
+  SELECT e.vec_id, v, centroid_id FROM e JOIN assigned USING (vec_id)
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, centroid_id AS qc
+  FROM vecs WHERE vec_id % {IVF_QUERY_MOD} = 0
+),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_dot_product(qv, c.v)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+  FROM q JOIN vecs c ON qc = c.centroid_id AND query_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
+    "ivf_assign": ivf_assign,
+    "ivf_cell_histogram": ivf_cell_histogram,
+    "ivf_knn": ivf_knn,
     "embedding_norms": embedding_norms,
     "knn_bruteforce": knn_bruteforce,
     "near_dup_pairs_cosine": near_dup_pairs_cosine,
@@ -202,6 +333,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ivf_assign": IVF_ASSIGN_SQL,
+    "ivf_cell_histogram": IVF_HIST_SQL,
+    "ivf_knn": IVF_KNN_SQL,
     "embedding_norms": NORMS_SQL,
     "knn_bruteforce": KNN_SQL,
     "near_dup_pairs_cosine": NEAR_DUP_SQL,

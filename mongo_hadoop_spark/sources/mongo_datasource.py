@@ -370,13 +370,29 @@ class DocumentWriter(DataSourceWriter):
         return _SegmentCommit(tmp, final, n)
 
     def commit(self, messages) -> None:
+        from mongo_hadoop_spark import bsonio
+        from mongo_hadoop_spark.plans.splitters import DEFAULT_SPLIT_SIZE
+
         if self.overwrite:
             import glob
             for seg in glob.glob(os.path.join(self.coll_dir, "*.bson")):
                 os.remove(seg)
+                sc = bsonio.sidecar_path(seg)
+                if os.path.exists(sc):
+                    os.remove(sc)
+        write_sidecar = (
+            str(self.options.get("write_sidecar", "false")).lower() == "true"
+        )
+        split_size = int(self.options.get("split_size", DEFAULT_SPLIT_SIZE))
         for m in messages:
             if m is not None and os.path.exists(m.tmp_path):
                 os.rename(m.tmp_path, m.final_path)
+                if write_sidecar:
+                    # W4: persist the doc-boundary splits beside the segment
+                    # (BSONFileRecordWriter's .splits sidecar) so later
+                    # readers skip the length-header walk
+                    splits = bsonio.find_split_points(m.final_path, split_size)
+                    bsonio.write_splits_sidecar(m.final_path, splits)
 
     def abort(self, messages) -> None:
         for m in messages or []:

@@ -222,3 +222,27 @@ def test_concurrent_append_segments(registered, tmp_path):
             .option("path", out).option("collection", "c").load())
     assert back.count() == 200
     assert back.select("v").distinct().count() == 200
+
+
+def test_write_sidecar_and_reader_reuse(registered, tmp_path):
+    """W4: write_sidecar=true persists .splits beside each segment; the
+    bson_file splitter then plans from the sidecar (and respects it even
+    if its ranges differ from a fresh recompute)."""
+    import glob
+    import os
+
+    out = str(tmp_path / "scdb")
+    (registered.range(500).selectExpr("id", "repeat('x', 40) as pad")
+     .write.format("mongodoc").option("path", out)
+     .option("collection", "c").option("write_sidecar", "true")
+     .option("split_size", "2000").mode("append").save())
+    segs = glob.glob(os.path.join(out, "c", "*.bson"))
+    assert segs
+    for seg in segs:
+        d, name = os.path.split(seg)
+        assert os.path.exists(os.path.join(d, f".{name}.splits")), seg
+    back = (registered.read.format("mongodoc").option("path", out)
+            .option("collection", "c").option("splitter", "bson_file")
+            .option("split_size", "2000").load())
+    assert back.count() == 500
+    assert back.rdd.getNumPartitions() > len(segs)  # sidecar ranges used
