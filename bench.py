@@ -32,7 +32,7 @@ BENCH_QUERIES = [
     "grouped_reducer_stats", "skew_salted_rollup",
     # data-pipeline extensions
     "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_minhash_verified", "knn_bruteforce", "lsh_bucket_histogram",
+    "dedup_ngram_jaccard", "dedup_minhash_verified", "knn_bruteforce", "lsh_bucket_histogram", "ivf_knn",
     "text_langid", "text_token_count", "text_fingerprint",
     "multimodal_decode_features", "corpus_yield_report",
 ]

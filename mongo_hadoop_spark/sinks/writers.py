@@ -101,6 +101,47 @@ def write_documents(
     apply_pending_updates(store_path, collection, batch_size=batch_size, ordered=ordered)
 
 
+def template_update_builder(
+    query_template: dict,
+    update_template: dict,
+    upsert: bool = True,
+    multi: bool = False,
+    replace: bool = False,
+) -> Callable[[dict], UpdateSpec]:
+    """Update-template substitution DSL (U10): ``$name`` placeholders in
+    query/update templates are filled from row fields, recursing into
+    nested documents and arrays.
+
+    Reference: pig/.../JSONPigReplace.java:47-251 (`substitute` 93-130,
+    `replaceAll` 199-223) — e.g. MongoUpdateStorage('{"_id": "$device_id"}',
+    '{"$inc": {"logs_count": "$cnt"}}').  Placeholders must be whole string
+    values; unresolved placeholders raise.
+    """
+
+    def fill(node, doc):
+        if isinstance(node, dict):
+            return {k: fill(v, doc) for k, v in node.items()}
+        if isinstance(node, list):
+            return [fill(v, doc) for v in node]
+        if isinstance(node, str) and node.startswith("$") and not node.startswith("$$"):
+            field = node[1:]
+            if field not in doc:
+                raise KeyError(f"update template placeholder ${field} "
+                               f"missing from row fields {sorted(doc)}")
+            return doc[field]
+        if isinstance(node, str) and node.startswith("$$"):
+            return node[1:]  # escaped literal "$..."
+        return node
+
+    def build(doc: dict) -> UpdateSpec:
+        return UpdateSpec(
+            fill(query_template, doc), fill(update_template, doc),
+            upsert=upsert, multi=multi, replace=replace,
+        )
+
+    return build
+
+
 def _default_builder(mode: str, key_cols: list[str]) -> Callable[[dict], UpdateSpec]:
     def build(doc: dict) -> UpdateSpec:
         query = {k: doc[k] for k in key_cols}

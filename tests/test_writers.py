@@ -88,3 +88,27 @@ def test_journal_cleared_after_apply(spark, target):
     df = spark.createDataFrame([(1, "z")], "device_id long, name string")
     write_documents(df, target.path, "devices", mode="update", key_cols=["device_id"])
     assert "devices.updates" not in target.list_collections()
+
+
+def test_template_update_builder_dsl(spark, target):
+    """U10 (JSONPigReplace): $name placeholders filled from row fields,
+    recursing into nested docs; $$x escapes to a literal $x string."""
+    from mongo_hadoop_spark.sinks import template_update_builder
+
+    df = spark.createDataFrame([(2, 5), (99, 7)], "device_id long, cnt long")
+    build = template_update_builder(
+        {"device_id": "$device_id"},
+        {"$inc": {"logs_count": "$cnt"},
+         "$set": {"meta": {"src": "$$literal", "from_row": "$cnt"}}},
+    )
+    write_documents(df, target.path, "devices", mode="update", update_builder=build)
+    docs = read_all(target, "devices")
+    assert docs[2]["logs_count"] == 5
+    assert docs[2]["meta"] == {"src": "$literal", "from_row": 5}
+    assert docs[99]["logs_count"] == 7  # upserted by template default
+
+    import pytest as _pytest
+
+    bad = template_update_builder({"device_id": "$nope"}, {"$set": {"x": 1}})
+    with _pytest.raises(Exception):
+        write_documents(df, target.path, "devices", mode="update", update_builder=bad)
