@@ -90,3 +90,88 @@ def test_range_splits_disjoint_cover(boundaries, doc_keys):
     for kv in doc_keys:
         hits = sum(1 for s in splits if match({"k": kv}, s.query))
         assert hits == 1
+
+
+# ---------------------------------------------------------------------------
+# Pushdown translation soundness: for any supported filter set, evaluating
+# the translated Mongo query must equal evaluating the filters directly.
+# ---------------------------------------------------------------------------
+
+_FIELDS = ["a", "b", "s"]
+
+
+def _mk_filters():
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull,
+        LessThan, LessThanOrEqual, StringStartsWith,
+    )
+
+    int_val = st.integers(-5, 5)
+    f = st.sampled_from(_FIELDS[:2])
+    sf = st.just("s")
+    return st.lists(
+        st.one_of(
+            st.builds(lambda fld, v: EqualTo((fld,), v), f, int_val),
+            st.builds(lambda fld, v: GreaterThan((fld,), v), f, int_val),
+            st.builds(lambda fld, v: GreaterThanOrEqual((fld,), v), f, int_val),
+            st.builds(lambda fld, v: LessThan((fld,), v), f, int_val),
+            st.builds(lambda fld, v: LessThanOrEqual((fld,), v), f, int_val),
+            st.builds(lambda fld, vs: In((fld,), tuple(vs)), f,
+                      st.lists(int_val, min_size=1, max_size=3)),
+            st.builds(lambda fld: IsNull((fld,)), f),
+            st.builds(lambda fld: IsNotNull((fld,)), f),
+            st.builds(lambda fld, v: StringStartsWith((fld,), v), sf,
+                      st.text(string.ascii_lowercase, max_size=2)),
+        ),
+        min_size=1, max_size=5,
+    )
+
+
+def _eval_filter(flt, doc):
+    name = type(flt).__name__
+    field = flt.attribute[0]
+    v = doc.get(field)
+    if name == "IsNull":
+        return v is None
+    if name == "IsNotNull":
+        return v is not None
+    if v is None:
+        return False
+    if name == "EqualTo":
+        return v == flt.value
+    if name == "GreaterThan":
+        return v > flt.value
+    if name == "GreaterThanOrEqual":
+        return v >= flt.value
+    if name == "LessThan":
+        return v < flt.value
+    if name == "LessThanOrEqual":
+        return v <= flt.value
+    if name == "In":
+        return v in flt.value
+    if name == "StringStartsWith":
+        return isinstance(v, str) and v.startswith(flt.value)
+    raise AssertionError(name)
+
+
+docs_for_filters = st.fixed_dictionaries({
+    "a": st.one_of(st.none(), st.integers(-6, 6)),
+    "b": st.one_of(st.none(), st.integers(-6, 6)),
+    "s": st.one_of(st.none(), st.text(string.ascii_lowercase, max_size=3)),
+})
+
+
+@given(_mk_filters(), st.lists(docs_for_filters, min_size=1, max_size=20))
+@settings(max_examples=300, deadline=None)
+def test_translate_filters_soundness(filters, docs):
+    from mongo_hadoop_spark.plans.filters import translate_filters
+
+    query, residual = translate_filters(filters)
+    assert residual == []  # all these filter types are supported
+    for doc in docs:
+        doc = {k: v for k, v in doc.items() if v is not None} | (
+            {k: None for k, v in doc.items() if v is None}
+        )
+        want = all(_eval_filter(f, doc) for f in filters)
+        got = match(doc, query)
+        assert got == want, (filters, doc, query)
