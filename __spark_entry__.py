@@ -7,11 +7,18 @@ implemented operator from SURVEY.md §2 (+ the data-pipeline extensions);
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mongo_hadoop_spark import operators
+# self-locating: works however the driver imports this file (any cwd)
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from mongo_hadoop_spark import operators  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 
