@@ -121,6 +121,77 @@ def test_stateful_user_totals_across_batches(spark, events_dir, tmp_path):
         assert abs(final[u][1] - t) < 1e-6
 
 
+def test_watermark_drops_late_event(spark, tmp_path):
+    """Event-time correctness: with a 1-hour watermark, an event arriving
+    a batch later but 10 hours behind the stream's max timestamp falls
+    into an already-finalized window and is dropped from append output.
+    File order is pinned via mtimes + maxFilesPerTrigger=1."""
+    import datetime as dt
+    import os
+    import time as _t
+
+    src_dir = str(tmp_path / "late_events")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        tmp = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob, shutil
+        os.makedirs(src_dir, exist_ok=True)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        dest = os.path.join(src_dir, name)
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string")
+            .parquet(src_dir)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "3600 seconds").alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.unix_timestamp("w.start").alias("ws"), "cnt")
+        )
+        out_dir = str(tmp_path / "late_out")
+
+        def collect_batch(bdf, bid):
+            bdf.write.mode("append").parquet(out_dir)
+
+        q = (agg.writeStream.foreachBatch(collect_batch)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck_late"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return out_dir
+
+    now = _t.time()
+    # run 1: on-time events spanning 24h → watermark persisted at 22:00
+    write_file("f1.parquet", [
+        (i, base + dt.timedelta(hours=i), 1, "view", 1.0, "{}")
+        for i in range(24)
+    ], now - 100)
+    run_stream()
+    # run 2 (same checkpoint): one event 10h behind the watermark + a fresh
+    # one — separate micro-batch by construction
+    write_file("f2.parquet", [
+        (100, base + dt.timedelta(hours=13), 1, "view", 1.0, "{}"),  # LATE
+        (101, base + dt.timedelta(hours=30), 1, "view", 1.0, "{}"),  # fresh
+    ], now - 50)
+    out_dir = run_stream()
+    got = {r.ws: r.cnt for r in spark.read.parquet(out_dir).collect()}
+    late_window = int((base + dt.timedelta(hours=13)).timestamp() // 3600 * 3600)
+    # the hour-13 window was emitted with ONLY the on-time event — the
+    # late duplicate was dropped by the watermark
+    assert got.get(late_window) == 1, got
+
+
 def test_stream_to_store_upsert_pipeline(spark, events_dir, tmp_path):
     """Full ingest pipeline: stream → tumbling window agg → foreachBatch
     upsert of window rollups into the document store (the Flume-sink +
