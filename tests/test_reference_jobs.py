@@ -186,3 +186,23 @@ def test_per_split_cursor_options(registered, tmp_path):
                  .option("fields", '{"_id": 1}').load())
     assert projected.where(F.col("v").isNotNull()).count() == 0
     assert projected.count() == 200
+
+
+def test_streaming_reducer_matches_grouped_map(spark):
+    """T2: the mapInPandas streaming reducer (sorted-stream groupby, the
+    reference's reducer.py protocol) and the applyInPandas grouped-map
+    variant must produce identical per-key stats."""
+    from conftest import SF_CORRECT
+    from mongo_hadoop_spark.operators.relational2 import (
+        grouped_reducer_stats,
+        grouped_reducer_stats_grouped_map,
+    )
+
+    a = {r["user_id"]: r for r in grouped_reducer_stats(spark, SF_CORRECT).collect()}
+    b = {r["user_id"]: r
+         for r in grouped_reducer_stats_grouped_map(spark, SF_CORRECT).collect()}
+    assert a.keys() == b.keys()
+    for uid in a:
+        assert a[uid]["n"] == b[uid]["n"]
+        assert a[uid]["median_value"] == b[uid]["median_value"]
+        assert a[uid]["iqr"] == b[uid]["iqr"]
