@@ -25,14 +25,14 @@ BENCH_QUERIES = [
     "tpch_q22_antijoin", "cube_agg", "count_distinct_suppliers",
     "tpch_q13_distribution", "tpch_q15_top_supplier", "tpch_q17_small_quantity",
     "tpch_q19_disjunctive", "tpch_q7_nation_volume", "tpch_q9_profit",
-    "tpch_q21_waiting_supplier", "tpch_q11_value_share",
+    "tpch_q21_waiting_supplier", "tpch_q11_value_share", "tpch_q8_market_share",
     "a1_avg_by_year", "a3_pair_counts", "s8_multi_union",
     # windows / event-time
     "window_topn_per_group", "events_tumbling_window", "events_session_windows",
     "grouped_reducer_stats", "skew_salted_rollup",
     # data-pipeline extensions
     "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_minhash_verified", "knn_bruteforce", "lsh_bucket_histogram", "ivf_knn",
+    "dedup_ngram_jaccard", "dedup_minhash_verified", "knn_bruteforce", "lsh_bucket_histogram", "ivf_knn", "ivf_knn_nprobe",
     "text_langid", "text_token_count", "text_fingerprint",
     "multimodal_decode_features", "corpus_yield_report",
 ]

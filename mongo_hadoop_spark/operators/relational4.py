@@ -197,8 +197,73 @@ WHERE part_value_dec::double > total_value / n_parts * {SHARE_MULTIPLE}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q8-style — market share of one supplier nation inside a region, by year.
+# 7-table join (the widest shape in the suite) with a conditional share:
+# both sums are exact decimal aggregates converted to double only at the
+# final division, so the ratio is bit-stable across engines.  Region,
+# nation, part, supplier are all broadcast — at 100 TB only lineitem,
+# orders and customer shuffle, and AQE picks the join order inside that
+# core.
+# ---------------------------------------------------------------------------
+
+MKT_REGION = "ASIA"
+MKT_NATION = "NATION_1"
+MKT_PTYPE = "ECONOMY"
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    p = table(spark, sf_dir, "part").where(F.col("p_type") == MKT_PTYPE)
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == MKT_REGION)
+    n_cust = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk"))
+    n_supp = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    rev = _rev()
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_cust), c.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(r), F.col("crk") == r.r_regionkey)
+        .join(F.broadcast(n_supp), s.s_nationkey == F.col("snk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(F.when(F.col("supp_nation") == MKT_NATION, rev)).cast("double")
+             / F.sum(rev).cast("double")).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q8_SQL = f"""
+SELECT year(o_orderdate) AS o_year,
+       sum(CASE WHEN n2.n_name = '{MKT_NATION}'
+                THEN l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2)) END)::double
+         / sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2)))::double
+         AS mkt_share,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = '{MKT_PTYPE}' AND r_name = '{MKT_REGION}'
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "tpch_q7_nation_volume": tpch_q7_nation_volume,
+    "tpch_q8_market_share": tpch_q8_market_share,
     "tpch_q9_profit": tpch_q9_profit,
     "tpch_q21_waiting_supplier": tpch_q21_waiting_supplier,
     "tpch_q11_value_share": tpch_q11_value_share,
@@ -206,6 +271,7 @@ QUERIES = {
 
 ORACLES = {
     "tpch_q7_nation_volume": Q7_SQL,
+    "tpch_q8_market_share": Q8_SQL,
     "tpch_q9_profit": Q9_SQL,
     "tpch_q21_waiting_supplier": Q21_SQL,
     "tpch_q11_value_share": Q11_SQL,

@@ -339,10 +339,96 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+NPROBE = 2
+
+
+def ivf_knn_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 probing the query's NPROBE nearest cells (recall knob).
+
+    Stage 1 re-ranks the (tiny, broadcast) centroid table per query and
+    keeps the top-NPROBE cells; stage 2 equi-joins those (query, cell)
+    pairs against the inverted lists, so candidate volume is
+    Σ_q Σ_{probed cells} |cell| — NPROBE× the nprobe=1 cost, still never
+    |queries| × |corpus|.  Deterministic: cell ranking and neighbor
+    ranking both tie-break on id."""
+    emb = table(spark, sf_dir, "embeddings")
+    assign = ivf_assign(spark, sf_dir)
+    vecs = emb.select("vec_id", F.col("embedding").alias("v"),
+                      F.sqrt(norm2(F.col("embedding"))).alias("vn")).join(assign, "vec_id")
+    q = emb.where(F.col("vec_id") % IVF_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.sqrt(norm2(F.col("embedding"))).alias("qn"))
+    cents = _centroids(emb)
+    cw = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id"))
+    probed = (
+        F.broadcast(q).join(cents)
+        .select("query_id", "qv", "qn", "centroid_id",
+                (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cvn"))).alias("csim"))
+        .select("query_id", "qv", "qn", "centroid_id", F.row_number().over(cw).alias("crn"))
+        .where(F.col("crn") <= NPROBE)
+        .select("query_id", "qv", "qn", "centroid_id")
+    )
+    c = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv2"),
+                    F.col("vn").alias("cn"), F.col("centroid_id").alias("cc"))
+    scored = (
+        F.broadcast(probed).join(c, (F.col("centroid_id") == F.col("cc"))
+                                 & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id",
+                (dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn"))).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+IVF_KNN_NPROBE_SQL = f"""
+WITH assigned AS ({IVF_ASSIGN_SQL}),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % {CENTROID_MOD} = 0
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {IVF_QUERY_MOD} = 0
+),
+probed AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT query_id, qv, centroid_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY list_dot_product(qv, cv)
+                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+                      centroid_id) AS crn
+    FROM q CROSS JOIN cents
+  ) WHERE crn <= {NPROBE}
+),
+vecs AS (
+  SELECT e.vec_id, v, centroid_id FROM e JOIN assigned USING (vec_id)
+),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_dot_product(qv, c.v)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+  FROM probed JOIN vecs c ON probed.centroid_id = c.centroid_id
+                         AND query_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ivf_assign": ivf_assign,
     "ivf_cell_histogram": ivf_cell_histogram,
     "ivf_knn": ivf_knn,
+    "ivf_knn_nprobe": ivf_knn_nprobe,
     "embedding_norms": embedding_norms,
     "knn_bruteforce": knn_bruteforce,
     "near_dup_pairs_cosine": near_dup_pairs_cosine,
@@ -354,6 +440,7 @@ ORACLES = {
     "ivf_assign": IVF_ASSIGN_SQL,
     "ivf_cell_histogram": IVF_HIST_SQL,
     "ivf_knn": IVF_KNN_SQL,
+    "ivf_knn_nprobe": IVF_KNN_NPROBE_SQL,
     "embedding_norms": NORMS_SQL,
     "knn_bruteforce": KNN_SQL,
     "near_dup_pairs_cosine": NEAR_DUP_SQL,

@@ -206,3 +206,35 @@ def test_streaming_reducer_matches_grouped_map(spark):
         assert a[uid]["n"] == b[uid]["n"]
         assert a[uid]["median_value"] == b[uid]["median_value"]
         assert a[uid]["iqr"] == b[uid]["iqr"]
+
+
+def test_ivf_nprobe_recall_dominates(spark):
+    """nprobe=2 probes a superset of cells, so its retrieved neighbor set —
+    scored by TRUE cosine — must be at least as similar as nprobe=1's,
+    query by query."""
+    import numpy as np
+
+    from conftest import SF_CORRECT
+    from mongo_hadoop_spark.operators.similarity import ivf_knn, ivf_knn_nprobe
+    from mongo_hadoop_spark.session import table
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in table(spark, SF_CORRECT, "embeddings").collect()}
+
+    def cos(a, b):
+        return float(vecs[a] @ vecs[b]) / (
+            np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+
+    def by_query(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        return out
+
+    one = by_query(ivf_knn(spark, SF_CORRECT))
+    two = by_query(ivf_knn_nprobe(spark, SF_CORRECT))
+    assert set(two) >= set(one)
+    for qid, n1 in one.items():
+        s1 = sum(cos(qid, n) for n in n1)
+        s2 = sum(cos(qid, n) for n in two[qid])
+        assert s2 >= s1 - 1e-12, (qid, s1, s2)
