@@ -84,6 +84,49 @@ def stream_stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Same per-user running totals via ``transformWithStateInPandas`` —
+    Spark 4's successor stateful API (typed state handles, timers,
+    RocksDB-backed).  Functionally identical to
+    :func:`stream_stateful_user_totals`; kept as the forward-looking
+    variant the engine will migrate to (state schema evolution + TTL come
+    free here, neither exists under ``applyInPandasWithState``).
+
+    Requires ``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider`` on the session (the HDFS-backed
+    default provider does not support transformWithState).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+
+    class _UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = self._totals.get()
+            n, total = cur if cur is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame({
+                "user_id": [key[0]], "n_events": [n], "total_value": [total]
+            })
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _UserTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_sessionized(events: DataFrame,
                        watermark: str = "1 hour") -> DataFrame:
     """Built-in session windows (gap-merged) per user."""

@@ -294,3 +294,64 @@ def test_bucketed_sink_routing(spark, events_dir, tmp_path):
             assert d["event_type"] == etype
             assert d["ts"].strftime("%Y%m%d") == day
     assert total == spark.read.parquet(events_dir).count()
+
+
+def test_stateful_user_totals_tws_across_batches(spark, events_dir, tmp_path):
+    """transformWithStateInPandas variant: identical final running totals
+    across 4 micro-batches (RocksDB state store required by the API)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's Python runner speaks protobuf to the "
+               "JVM; protobuf is not installed in this environment",
+    )
+    from mongo_hadoop_spark.streaming import stream_stateful_user_totals_tws
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+        )
+        q = (
+            stream_stateful_user_totals_tws(src)
+            .writeStream.format("memory").queryName("t_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            "select user_id, n_events, total_value from ("
+            " select *, row_number() over (partition by user_id order by n_events desc) rn"
+            " from t_tws) where rn = 1"
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.t)
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert final.keys() == batch.keys()
+    for u, (n, t) in batch.items():
+        assert final[u][0] == n
+        assert abs(final[u][1] - t) < 1e-6
