@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Scale probe: key-shifted N× replicas of the sf tables → wall-time trend.
+
+The synthetic testdata tops out at sf0.1, where fixed per-query overhead
+(plan construction, JIT) dominates.  This tool manufactures the next
+decade of scale locally: it unions key-shifted copies of the big tables
+(10× lineitem/orders/events, 8× documents/embeddings), leaves the dim
+tables untouched, and times headline queries warm on both directories.
+The interesting output is the RATIO column — sub-linear ratios mean the
+plan scales in partitions; super-linear ones flag a quadratic candidate
+space or a serialized stage.
+
+Key-shift rules preserve query semantics:
+- orders/lineitem share the o_orderkey/l_orderkey shift (joins intact);
+  o_custkey is NOT shifted, so each customer simply owns N× orders.
+- events shifts user_id too → N× groups of unchanged size.
+- embeddings shifts vec_id by a multiple of 500 = lcm(QUERY_MOD=100,
+  IVF_QUERY_MOD=250), so the sampled query/centroid classes scale
+  proportionally with the corpus.
+- documents replicates content verbatim → replica corpus is ~7/8 exact
+  duplicates, which stresses the dedup candidate generators the way a
+  crawl corpus would.
+
+Usage: python tools/scale_probe.py [--out /tmp/scale_probe] [--queries a,b,c]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+SMALL_TABLES = ["region", "nation", "customer", "supplier", "part"]
+MULTS = {"lineitem": 10, "orders": 10, "events": 10,
+         "documents": 8, "embeddings": 8}
+DEFAULT_QUERIES = [
+    "tpch_q1", "tpch_q3", "tpch_q18", "tpch_q8_market_share",
+    "grouped_reducer_stats",
+    "dedup_minhash_lsh_pairs", "dedup_minhash_verified",
+    "knn_bruteforce", "ivf_knn", "ivf_knn_nprobe", "lsh_bucket_histogram",
+]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def build_replicas(spark, out_dir: str) -> None:
+    from mongo_hadoop_spark.session import table
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in SMALL_TABLES:
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{out_dir}/{t}.parquet")
+
+    o = table(spark, SF_DIR, "orders")
+    li = table(spark, SF_DIR, "lineitem")
+    okey_shift = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    for name, df, shifts in [
+        ("orders", o, {"o_orderkey": okey_shift}),
+        ("lineitem", li, {"l_orderkey": okey_shift}),
+    ]:
+        parts = [df] + [
+            df.withColumns({c: F.col(c) + i * s for c, s in shifts.items()})
+            for i in range(1, MULTS[name])
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+    e = table(spark, SF_DIR, "events")
+    eid = e.agg(F.max("event_id")).collect()[0][0] + 1
+    uid = e.agg(F.max("user_id")).collect()[0][0] + 1
+    out = e
+    for i in range(1, MULTS["events"]):
+        out = out.unionByName(e.withColumns({
+            "event_id": F.col("event_id") + i * eid,
+            "user_id": F.col("user_id") + i * uid,
+        }))
+    out.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    d = table(spark, SF_DIR, "documents")
+    did = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    out = d
+    for i in range(1, MULTS["documents"]):
+        out = out.unionByName(d.withColumn("doc_id", F.col("doc_id") + i * did))
+    out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    emb = table(spark, SF_DIR, "embeddings")
+    vshift = _round_up(emb.agg(F.max("vec_id")).collect()[0][0] + 1, 500)
+    out = emb
+    for i in range(1, MULTS["embeddings"]):
+        out = out.unionByName(emb.withColumn("vec_id", F.col("vec_id") + i * vshift))
+    out.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def time_queries(spark, names, dirs) -> dict[str, list[float]]:
+    from mongo_hadoop_spark import operators
+
+    queries = operators.all_queries()
+    results: dict[str, list[float]] = {}
+    for name in names:
+        fn = queries[name]
+        row = []
+        for d in dirs:
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, d).count()
+                el = time.perf_counter() - t0
+                best = el if best is None or el < best else best
+            row.append(round(best, 3))
+        results[name] = row
+        print(f"  {name}: 1x={row[0]:.2f}s  Nx={row[1]:.2f}s  "
+              f"ratio={row[1] / max(row[0], 1e-9):.1f}x", file=sys.stderr)
+    return results
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/scale_probe")
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--skip-build", action="store_true")
+    args = ap.parse_args()
+
+    from mongo_hadoop_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe", master="local[16]",
+                      shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    if not args.skip_build:
+        print("building replicas...", file=sys.stderr)
+        build_replicas(spark, args.out)
+    # warm python workers
+    import pandas as pd  # noqa: F401
+    spark.range(1000, numPartitions=16).mapInPandas(lambda it: it, "id long").count()
+
+    names = [q for q in args.queries.split(",") if q]
+    results = time_queries(spark, names, [SF_DIR, args.out])
+    import json
+    print(json.dumps({"mults": MULTS, "timings_sec": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
