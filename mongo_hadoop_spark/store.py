@@ -29,6 +29,30 @@ from mongo_hadoop_spark.plans import filters as qf
 from mongo_hadoop_spark.plans.paths import get_path
 
 DEFAULT_CHUNK_SIZE = 255 * 1024  # GridFS default chunk size
+META_SUFFIX = ".meta.json"
+
+
+def _write_segment_meta(seg_path: str, count: int) -> None:
+    import json
+
+    meta = {"count": count, "bytes": os.path.getsize(seg_path)}
+    tmp = seg_path + META_SUFFIX + ".inprogress"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.rename(tmp, seg_path + META_SUFFIX)
+
+
+def _read_segment_meta(seg_path: str) -> dict | None:
+    import json
+
+    p = seg_path + META_SUFFIX
+    if not os.path.exists(p):
+        return None  # pre-stats segment (or foreign .bson file): caller scans
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
 
 
 class DocumentCollection:
@@ -80,7 +104,25 @@ class DocumentCollection:
                     if qf.match(doc, query):
                         yield doc
 
+    def _segment_count(self, seg: str) -> int:
+        """Doc count of one segment: sidecar stats if present (O(1)), else a
+        decode scan — the aggregate-pushdown analog of answering collstats
+        from metadata instead of the data (at 100 TB, planning must never
+        read the collection)."""
+        meta = _read_segment_meta(seg)
+        if meta is not None and "count" in meta:
+            return int(meta["count"])
+        with open(seg, "rb") as f:
+            return sum(1 for _ in bsonio.decode_file_iter(f))
+
     def count(self, query: dict | None = None, limit: int | None = None) -> int:
+        if not query:  # unfiltered count: sum per-segment sidecar stats
+            n = 0
+            for seg in self.segments():
+                n += self._segment_count(seg)
+                if limit is not None and n >= limit:
+                    return limit
+            return n
         n = 0
         for _ in self._scan(query):
             n += 1
@@ -117,12 +159,16 @@ class DocumentCollection:
     # --- write side --------------------------------------------------------
 
     def insert_many(self, docs, segment_hint: str | None = None) -> int:
-        """Bulk insert as one committed segment (temp file + rename)."""
+        """Bulk insert as one committed segment (temp file + rename).
+        A ``.meta.json`` stats sidecar (count/bytes) is committed alongside
+        so later collstats/count calls are metadata-only."""
         os.makedirs(self.path, exist_ok=True)
         name = segment_hint or uuid.uuid4().hex[:12]
         tmp = os.path.join(self.path, f"_tmp_{name}.bson.inprogress")
         final = os.path.join(self.path, f"{name}.bson")
         n = bsonio.write_bson_file(tmp, docs)
+        _write_segment_meta(tmp, n)
+        os.rename(tmp + META_SUFFIX, final + META_SUFFIX)
         os.rename(tmp, final)  # commit
         return n
 
@@ -131,9 +177,14 @@ class DocumentCollection:
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, "_tmp_rewrite.bson.inprogress")
         n = bsonio.write_bson_file(tmp, docs)
+        _write_segment_meta(tmp, n)
         for seg in self.segments():
             os.remove(seg)
-        os.rename(tmp, os.path.join(self.path, "seg-000000.bson"))
+            if os.path.exists(seg + META_SUFFIX):
+                os.remove(seg + META_SUFFIX)
+        final = os.path.join(self.path, "seg-000000.bson")
+        os.rename(tmp + META_SUFFIX, final + META_SUFFIX)
+        os.rename(tmp, final)
         return n
 
     def create_index(self, keys, **options) -> str:
@@ -190,6 +241,8 @@ class DocumentStore:
         coll = self.collection(name)
         for seg in coll.segments():
             os.remove(seg)
+            if os.path.exists(seg + META_SUFFIX):
+                os.remove(seg + META_SUFFIX)
         for extra in (".indexes",):
             p = os.path.join(coll.path, extra)
             if os.path.exists(p):

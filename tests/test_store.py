@@ -73,3 +73,49 @@ def test_drop(tmp_path):
     assert "gone" in store.list_collections()
     store.drop("gone")
     assert "gone" not in store.list_collections()
+
+
+def test_segment_meta_sidecar_fast_count(tmp_path):
+    """insert_many commits a .meta.json stats sidecar per segment; an
+    unfiltered count() sums sidecars without decoding any document, and
+    falls back to a decode scan per segment whose sidecar is missing."""
+    import os
+
+    from mongo_hadoop_spark.store import META_SUFFIX
+
+    store = make_store(tmp_path)
+    c = store.collection("metered")
+    c.insert_many([{"a": i} for i in range(7)])
+    c.insert_many([{"a": i} for i in range(5)])
+    segs = c.segments()
+    assert len(segs) == 2
+    for seg in segs:
+        assert os.path.exists(seg + META_SUFFIX)
+    assert c.count() == 12
+    assert c.count(limit=10) == 10
+    # stats() is metadata-only too
+    assert c.stats()["count"] == 12
+    # remove one sidecar → that segment is scanned, total unchanged
+    os.remove(segs[0] + META_SUFFIX)
+    assert c.count() == 12
+    # filtered count still scans
+    assert c.count({"a": {"$gte": 3}}) == 4 + 2
+
+
+def test_rewrite_refreshes_meta(tmp_path):
+    import os
+
+    from mongo_hadoop_spark.store import META_SUFFIX
+
+    store = make_store(tmp_path)
+    c = store.collection("rw")
+    c.insert_many([{"a": i} for i in range(9)])
+    c.rewrite([{"a": i} for i in range(4)])
+    segs = c.segments()
+    assert len(segs) == 1
+    assert os.path.exists(segs[0] + META_SUFFIX)
+    assert c.count() == 4
+    # no stale sidecars left behind
+    metas = [p for p in os.listdir(c.path) if p.endswith(META_SUFFIX)]
+    assert len(metas) == 1
+    store.drop("rw")
