@@ -32,14 +32,119 @@ DEFAULT_CHUNK_SIZE = 255 * 1024  # GridFS default chunk size
 META_SUFFIX = ".meta.json"
 
 
-def _write_segment_meta(seg_path: str, count: int) -> None:
+def _write_segment_meta(seg_path: str, count: int,
+                        bounds: dict | None = None) -> None:
     import json
 
     meta = {"count": count, "bytes": os.path.getsize(seg_path)}
+    if bounds:
+        clean = {k: b for k, b in bounds.items() if b is not None}
+        if clean:
+            meta["bounds"] = clean
     tmp = seg_path + META_SUFFIX + ".inprogress"
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.rename(tmp, seg_path + META_SUFFIX)
+
+
+# Zone-map bounds (parquet row-group stats analog): per segment, for each
+# top-level key whose present values are ALL scalars of one type family
+# ("n"umeric excl. bool/NaN, or "s"tring), record [family, min, max].
+# Any list/dict/bool/NaN/mixed-family value poisons the key (no bounds →
+# never pruned).  Dotted-path queries never see top-level bounds, so they
+# are never pruned either — pruning is strictly opportunistic.
+
+_NUM = (int, float)
+
+
+def _bounds_family(v):
+    if isinstance(v, bool) or (isinstance(v, float) and v != v):
+        return None
+    if isinstance(v, _NUM):
+        return "n"
+    if isinstance(v, str):
+        return "s"
+    return None
+
+
+def _track_bounds(bounds: dict, doc: dict) -> None:
+    for k, v in doc.items():
+        cur = bounds.get(k, _MISSING)
+        if cur is None:  # poisoned
+            continue
+        fam = _bounds_family(v)
+        if fam is None:
+            bounds[k] = None
+            continue
+        if cur is _MISSING:
+            bounds[k] = [fam, v, v]
+        elif cur[0] != fam:
+            bounds[k] = None
+        else:
+            if v < cur[1]:
+                cur[1] = v
+            if v > cur[2]:
+                cur[2] = v
+
+
+_MISSING = object()
+
+
+def _tracked(docs, bounds: dict):
+    for d in docs:
+        _track_bounds(bounds, d)
+        yield d
+
+
+def segment_may_match(bounds: dict | None, query: dict | None) -> bool:
+    """False only when the bounds PROVE no document in the segment can
+    match ``query`` (same contract as parquet row-group pruning).  Checks
+    $eq (bare or explicit), $gt/$gte/$lt/$lte and all-out-of-range $in on
+    keys with recorded bounds; everything else conservatively passes.
+    Sound because a key with bounds has only scalar values of that family
+    present, and missing/other-family values never satisfy eq/range/$in
+    (plans/filters semantics: comparisons are same-type-class only)."""
+    if not query or not bounds:
+        return True
+    for key, cond in query.items():
+        if key.startswith("$"):
+            continue  # $and/$or/$nor: no pruning
+        b = bounds.get(key)
+        if not b:
+            continue
+        fam, lo, hi = b
+        if isinstance(cond, dict) and cond and all(
+                str(c).startswith("$") for c in cond):
+            if "$exists" in cond:
+                continue  # presence semantics diverge; don't prune
+            ops = cond
+        else:
+            ops = {"$eq": cond}
+        for op, v in ops.items():
+            if op == "$in":
+                if (isinstance(v, (list, tuple)) and v
+                        and all(_bounds_family(x) == fam for x in v)
+                        and all(x < lo or x > hi for x in v)):
+                    return False
+                continue
+            vfam = _bounds_family(v)
+            if vfam is None:
+                continue
+            if vfam != fam:
+                if op == "$eq":
+                    return False  # no same-family value present → no eq match
+                continue
+            if op == "$eq" and (v < lo or v > hi):
+                return False
+            if op == "$gt" and hi <= v:
+                return False
+            if op == "$gte" and hi < v:
+                return False
+            if op == "$lt" and lo >= v:
+                return False
+            if op == "$lte" and lo > v:
+                return False
+    return True
 
 
 def _read_segment_meta(seg_path: str) -> dict | None:
@@ -99,6 +204,10 @@ class DocumentCollection:
 
     def _scan(self, query: dict | None = None):
         for seg in self.segments():
+            if query:
+                meta = _read_segment_meta(seg)
+                if meta and not segment_may_match(meta.get("bounds"), query):
+                    continue  # zone-map pruned: provably no match inside
             with open(seg, "rb") as f:
                 for doc in bsonio.decode_file_iter(f):
                     if qf.match(doc, query):
@@ -166,8 +275,9 @@ class DocumentCollection:
         name = segment_hint or uuid.uuid4().hex[:12]
         tmp = os.path.join(self.path, f"_tmp_{name}.bson.inprogress")
         final = os.path.join(self.path, f"{name}.bson")
-        n = bsonio.write_bson_file(tmp, docs)
-        _write_segment_meta(tmp, n)
+        bounds: dict = {}
+        n = bsonio.write_bson_file(tmp, _tracked(docs, bounds))
+        _write_segment_meta(tmp, n, bounds)
         os.rename(tmp + META_SUFFIX, final + META_SUFFIX)
         os.rename(tmp, final)  # commit
         return n
@@ -176,8 +286,9 @@ class DocumentCollection:
         """Replace collection contents atomically-ish (compaction/merge)."""
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, "_tmp_rewrite.bson.inprogress")
-        n = bsonio.write_bson_file(tmp, docs)
-        _write_segment_meta(tmp, n)
+        bounds: dict = {}
+        n = bsonio.write_bson_file(tmp, _tracked(docs, bounds))
+        _write_segment_meta(tmp, n, bounds)
         for seg in self.segments():
             os.remove(seg)
             if os.path.exists(seg + META_SUFFIX):

@@ -175,3 +175,48 @@ def test_translate_filters_soundness(filters, docs):
         want = all(_eval_filter(f, doc) for f in filters)
         got = match(doc, query)
         assert got == want, (filters, doc, query)
+
+
+# ---------------------------------------------------------------------------
+# Zone-map segment pruning soundness: a pruned segment provably contains
+# no matching document, for arbitrary docs (incl. poisoning values) and
+# range/eq/$in queries.
+# ---------------------------------------------------------------------------
+
+_zm_keys = st.sampled_from(["a", "b", "c"])
+_zm_values = st.one_of(
+    st.integers(-20, 20),
+    st.floats(allow_nan=True, allow_infinity=False, width=64),
+    st.text(string.ascii_lowercase, max_size=3),
+    st.booleans(),
+    st.none(),
+    st.lists(st.integers(-5, 5), max_size=2),
+)
+_zm_docs = st.lists(st.dictionaries(_zm_keys, _zm_values, max_size=3),
+                    min_size=0, max_size=12)
+_zm_operand = st.one_of(st.integers(-25, 25),
+                        st.text(string.ascii_lowercase, max_size=3),
+                        st.booleans(), st.none())
+_zm_cond = st.one_of(
+    _zm_operand,  # bare equality
+    st.fixed_dictionaries({}, optional={
+        "$eq": _zm_operand, "$gt": _zm_operand, "$gte": _zm_operand,
+        "$lt": _zm_operand, "$lte": _zm_operand,
+        "$in": st.lists(_zm_operand, max_size=3),
+    }).filter(bool),
+)
+_zm_query = st.dictionaries(_zm_keys, _zm_cond, min_size=1, max_size=2)
+
+
+@given(_zm_docs, _zm_query)
+@settings(max_examples=300, deadline=None)
+def test_zone_map_pruning_soundness(docs, query):
+    from mongo_hadoop_spark.store import _track_bounds, segment_may_match
+
+    bounds: dict = {}
+    for d in docs:
+        _track_bounds(bounds, d)
+    bounds = {k: b for k, b in bounds.items() if b is not None}
+    if not segment_may_match(bounds, query):
+        for d in docs:
+            assert not match(d, query), (d, query, bounds)

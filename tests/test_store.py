@@ -119,3 +119,36 @@ def test_rewrite_refreshes_meta(tmp_path):
     metas = [p for p in os.listdir(c.path) if p.endswith(META_SUFFIX)]
     assert len(metas) == 1
     store.drop("rw")
+
+
+def test_zone_map_prunes_segment_io(tmp_path):
+    """Pruning skips the segment's bytes entirely: after corrupting the
+    .bson file (sidecar intact), an out-of-bounds query still answers
+    (segment never decoded) while an in-bounds query hits the corruption."""
+    import pytest
+
+    store = make_store(tmp_path)
+    c = store.collection("zoned")
+    c.insert_many([{"a": i, "tag": f"t{i}"} for i in range(10)])
+    seg = c.segments()[0]
+    with open(seg, "wb") as f:
+        f.write(b"\xff" * 32)  # garbage: any decode now fails
+
+    assert c.find({"a": {"$gte": 100}}) == []          # pruned, no decode
+    assert c.find({"tag": "zzz"}) == []                 # string bounds prune
+    assert c.find({"a": {"$in": [50, 60]}}) == []       # $in prune
+    with pytest.raises(Exception):
+        c.find({"a": {"$gte": 5}})                      # overlaps → decodes
+
+
+def test_zone_map_mixed_and_nested_keys_not_pruned(tmp_path):
+    store = make_store(tmp_path)
+    c = store.collection("mixed")
+    c.insert_many([
+        {"a": 1, "m": 5},
+        {"a": "two", "m": {"x": 1}},   # a: mixed family; m: poisoned by dict
+    ])
+    # poisoned keys never prune — queries still evaluate correctly
+    assert len(c.find({"a": 1})) == 1
+    assert len(c.find({"a": "two"})) == 1
+    assert len(c.find({"m.x": 1})) == 1   # dotted path: no top-level bounds
