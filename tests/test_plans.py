@@ -83,3 +83,20 @@ def test_whole_stage_codegen_on_scan_heavy_query(spark):
     df.collect()  # finalize the adaptive plan
     plan = plan_of(df)
     assert "*(" in plan  # WholeStageCodegen spans present
+
+
+def test_q8_broadcasts_all_dims_no_cartesian(spark):
+    from mongo_hadoop_spark.operators import relational4
+
+    plan = plan_of(relational4.tpch_q8_market_share(spark, SF_SMOKE))
+    # part, supplier, both nation aliases, region are all broadcast;
+    # only the lineitem/orders/customer core may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_nprobe_broadcasts_probe_side(spark):
+    plan = plan_of(similarity.ivf_knn_nprobe(spark, SF_SMOKE))
+    # probed (query, cell) pairs are tiny → broadcast; inverted lists stream
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
