@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "a1_avg_by_year", "a3_pair_counts", "s8_multi_union",
     # windows / event-time
     "window_topn_per_group", "events_tumbling_window", "events_session_windows",
+    "events_asof_last_order",
     "grouped_reducer_stats", "skew_salted_rollup",
     # data-pipeline extensions
     "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_simhash",

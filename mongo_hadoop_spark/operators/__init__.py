@@ -23,12 +23,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mongo_hadoop_spark.operators import (
-    dedup, multimodal, pipeline, relational, relational2, relational3, relational4,
-    similarity, skew, textstats, windows,
+    asof, dedup, multimodal, pipeline, relational, relational2, relational3,
+    relational4, similarity, skew, textstats, windows,
 )
 
 _MODULES = [relational, relational2, relational3, relational4, windows, dedup, similarity, textstats,
-            multimodal, skew, pipeline]
+            multimodal, skew, pipeline, asof]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

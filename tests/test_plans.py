@@ -100,3 +100,13 @@ def test_ivf_nprobe_broadcasts_probe_side(spark):
     # probed (query, cell) pairs are tiny → broadcast; inverted lists stream
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_union_window_not_rangejoin(spark):
+    from mongo_hadoop_spark.operators import asof
+
+    plan = plan_of(asof.events_asof_last_order(spark, SF_SMOKE))
+    # the whole point: NOT a range nest-loop — one shuffle + window
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
