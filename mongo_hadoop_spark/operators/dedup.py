@@ -403,6 +403,51 @@ WHERE len(list_intersect(a.ws, b.ws))::double / len(list_distinct(a.ws || b.ws))
 """
 
 
+def dedup_minhash_ml_pairs(spark: SparkSession, sf_dir: str,
+                           num_hash_tables: int = 8) -> DataFrame:
+    """Alternative MinHash backend on ``pyspark.ml.feature.MinHashLSH``
+    (JVM-side hashing + ``approxSimilarityJoin``), exact-verified to the
+    same ``JACCARD_THRESHOLD`` contract as :func:`dedup_minhash_verified`.
+
+    Not a gate query: ml.feature's hash coefficients are seeded JVM-side
+    and have no DuckDB re-implementation, so there is no bit-exact oracle
+    — the cross-check test instead asserts post-verification equivalence
+    with the pure-DataFrame pipeline (precision 1.0 by construction, and
+    the candidate generators must agree on the verified pair set).
+    Scale posture matches `approxSimilarityJoin`'s banded equi-join: one
+    shuffle on hash buckets, candidates ~linear in true duplicates."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(word_shingles("text", SHINGLE_N)).alias("sh")
+    ).where(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(docs)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feats)
+    # approxSimilarityJoin distance = 1 - estimated Jaccard
+    cand = (
+        model.approxSimilarityJoin(feats, feats, 1.0 - JACCARD_THRESHOLD,
+                                   distCol="dist")
+        .select(F.col("datasetA.doc_id").alias("doc_a"),
+                F.col("datasetB.doc_id").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(tokenize("text")).alias("ws")
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wb"))
+    jac = (F.size(F.array_intersect(F.col("wa"), F.col("wb"))).cast("double")
+           / F.size(F.array_union(F.col("wa"), F.col("wb"))).cast("double"))
+    return (
+        cand.join(da, "doc_a").join(db, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_survivors": dedup_exact_survivors,

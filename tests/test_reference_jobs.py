@@ -238,3 +238,20 @@ def test_ivf_nprobe_recall_dominates(spark):
         s1 = sum(cos(qid, n) for n in n1)
         s2 = sum(cos(qid, n) for n in two[qid])
         assert s2 >= s1 - 1e-12, (qid, s1, s2)
+
+
+def test_ml_minhash_backend_matches_dataframe_pipeline(spark):
+    """spark.ml MinHashLSH backend and the pure-DataFrame banding pipeline
+    must agree on the exact-verified duplicate pair set (candidates may
+    differ; post-verification they must not)."""
+    from conftest import SF_CORRECT
+    from mongo_hadoop_spark.operators.dedup import (
+        dedup_minhash_ml_pairs,
+        dedup_minhash_verified,
+    )
+
+    ml = {(r.doc_a, r.doc_b)
+          for r in dedup_minhash_ml_pairs(spark, SF_CORRECT).collect()}
+    own = {(r.doc_a, r.doc_b)
+           for r in dedup_minhash_verified(spark, SF_CORRECT).collect()}
+    assert ml == own
