@@ -339,6 +339,88 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def ivf_assign_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd refinement of the IVF quantizer: recompute
+    each cell's centroid as the exact mean of its members, then re-assign
+    every vector to its nearest refined centroid.
+
+    Determinism across engines is the whole trick for an iterative float
+    algorithm: per-dimension sums go through exact ``decimal(27,10)``
+    (order-independent), are converted to double once, and divided by the
+    member count — so Spark and DuckDB compute bit-identical centroids no
+    matter how partitions group the additions.  Scale shape: the
+    per-dimension mean is one shuffle keyed by (cell, dim) — fully
+    partial-aggregated map-side — and re-assignment reuses the broadcast
+    argmin pattern of :func:`ivf_assign`.  Fixed iteration count keeps it
+    reproducible; more rounds = loop this function."""
+    emb = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    a0 = ivf_assign(spark, sf_dir)
+    vals = (
+        emb.join(a0, "vec_id")
+        .select("centroid_id", F.posexplode("embedding").alias("d", "x"))
+    )
+    means = vals.groupBy("centroid_id", "d").agg(
+        (F.sum(F.col("x").cast("decimal(27,10)")).cast("double")
+         / F.count(F.lit(1))).alias("m")
+    )
+    cents = (
+        means.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("pairs"))
+        .select(
+            "centroid_id",
+            F.transform("pairs", lambda p: p["m"]).alias("cv"),
+        )
+        .select("centroid_id", "cv", F.sqrt(norm2(F.col("cv"))).alias("cvn"))
+    )
+    scored = (
+        emb.select("vec_id", F.col("embedding").alias("v"),
+                   F.sqrt(norm2(F.col("embedding"))).alias("vn"))
+        .join(F.broadcast(cents))
+        .select("vec_id", "centroid_id",
+                (dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cvn"))).alias("sim"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.select("vec_id", "centroid_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+IVF_REFINED_SQL = f"""
+WITH assigned AS ({IVF_ASSIGN_SQL}),
+vals AS (
+  SELECT a.centroid_id, i AS d, embedding[i] AS x
+  FROM embeddings e JOIN assigned a USING (vec_id),
+       unnest(generate_series(1, len(embedding))) AS s(i)
+),
+means AS (
+  SELECT centroid_id, d,
+         sum(x::decimal(27,10))::double / count(*) AS m
+  FROM vals GROUP BY 1, 2
+),
+cents AS (
+  SELECT centroid_id, list(m ORDER BY d) AS cv FROM means GROUP BY 1
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+scored AS (
+  SELECT vec_id, centroid_id,
+         list_dot_product(v, cv)
+           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM e CROSS JOIN cents
+)
+SELECT vec_id, centroid_id FROM (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
 NPROBE = 2
 
 
@@ -429,6 +511,7 @@ QUERIES = {
     "ivf_cell_histogram": ivf_cell_histogram,
     "ivf_knn": ivf_knn,
     "ivf_knn_nprobe": ivf_knn_nprobe,
+    "ivf_assign_refined": ivf_assign_refined,
     "embedding_norms": embedding_norms,
     "knn_bruteforce": knn_bruteforce,
     "near_dup_pairs_cosine": near_dup_pairs_cosine,
@@ -441,6 +524,7 @@ ORACLES = {
     "ivf_cell_histogram": IVF_HIST_SQL,
     "ivf_knn": IVF_KNN_SQL,
     "ivf_knn_nprobe": IVF_KNN_NPROBE_SQL,
+    "ivf_assign_refined": IVF_REFINED_SQL,
     "embedding_norms": NORMS_SQL,
     "knn_bruteforce": KNN_SQL,
     "near_dup_pairs_cosine": NEAR_DUP_SQL,
