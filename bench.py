@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "tpch_q13_distribution", "tpch_q15_top_supplier", "tpch_q17_small_quantity",
     "tpch_q19_disjunctive", "tpch_q7_nation_volume", "tpch_q9_profit",
     "tpch_q21_waiting_supplier", "tpch_q11_value_share", "tpch_q8_market_share",
+    "tpch_q2_min_cost_supplier", "tpch_q16_supplier_cnt", "tpch_q20_excess_suppliers",
     "a1_avg_by_year", "a3_pair_counts", "s8_multi_union",
     # windows / event-time
     "window_topn_per_group", "events_tumbling_window", "events_session_windows",

@@ -24,10 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mongo_hadoop_spark.operators import (
     asof, dedup, multimodal, pipeline, relational, relational2, relational3,
-    relational4, similarity, skew, textstats, windows,
+    relational4, relational5, similarity, skew, textstats, windows,
 )
 
-_MODULES = [relational, relational2, relational3, relational4, windows, dedup, similarity, textstats,
+_MODULES = [relational, relational2, relational3, relational4, relational5,
+            windows, dedup, similarity, textstats,
             multimodal, skew, pipeline, asof]
 
 

@@ -1,8 +1,8 @@
 """Fourth relational wave — the remaining classic TPC-H shapes adapted to
 the synthetic schema: cross-nation volume (q7), profit rollup (q9),
 multi-exists suppliers-who-kept-waiting (q21), and value-share ranking
-(q11).  (q2/q20 need a partsupp table the synthetic schema lacks; their
-join/subquery shapes are covered by q15/q17/q21.)
+(q11).  (q2/q16/q20 live in relational5.py, over a partsupp relation
+derived from lineitem's distinct supplier/part pairs.)
 """
 
 from __future__ import annotations
