@@ -110,3 +110,41 @@ def test_asof_join_is_union_window_not_rangejoin(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_q2_window_decorrelation_all_dims_broadcast(spark):
+    from mongo_hadoop_spark.operators import relational5
+
+    plan = plan_of(relational5.tpch_q2_min_cost_supplier(spark, SF_SMOKE))
+    # part/supplier/nation/region all broadcast; the correlated MIN is a
+    # window pass, never a per-part re-scan or a sort-merge self-join
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # only two shuffles survive: the partsupp distinct and the window key
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    from mongo_hadoop_spark.operators import relational5
+
+    plan = plan_of(relational5.tpch_q16_supplier_cnt(spark, SF_SMOKE))
+    # NOT IN over the null-free supplier key compiles to a broadcast anti
+    # join, not a nested-loop null-aware join
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_semi_join_threshold_is_broadcast_scalar(spark):
+    from mongo_hadoop_spark.operators import relational5
+
+    plan = plan_of(relational5.tpch_q20_excess_suppliers(spark, SF_SMOKE))
+    # qualifying suppliers broadcast into a semi join against supplier; the
+    # only nested-loop is the single-row threshold scalar
+    assert "LeftSemi" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
