@@ -352,13 +352,17 @@ def ivf_assign_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dimension mean is one shuffle keyed by (cell, dim) — fully
     partial-aggregated map-side — and re-assignment reuses the broadcast
     argmin pattern of :func:`ivf_assign`.  Fixed iteration count keeps it
-    reproducible; more rounds = loop this function."""
+    reproducible; :func:`ivf_assign_lloyd` loops it for more rounds."""
     emb = table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    a0 = ivf_assign(spark, sf_dir)
+    return _lloyd_round(emb, ivf_assign(spark, sf_dir))
+
+
+def _lloyd_round(emb, assign):
+    """One Lloyd round: exact-decimal cell means → broadcast re-assign."""
     vals = (
-        emb.join(a0, "vec_id")
+        emb.join(assign, "vec_id")
         .select("centroid_id", F.posexplode("embedding").alias("d", "x"))
     )
     means = vals.groupBy("centroid_id", "d").agg(
@@ -419,6 +423,65 @@ SELECT vec_id, centroid_id FROM (
   FROM scored
 ) WHERE rn = 1
 """
+
+
+LLOYD_ROUNDS = 2
+
+
+def ivf_assign_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLOYD_ROUNDS deterministic Lloyd iterations of the IVF quantizer
+    (the k-means training loop, unrolled into one lazy plan).
+
+    Each round reuses :func:`_lloyd_round` — exact-decimal means keep every
+    round bit-identical across engines, so the *composition* stays
+    oracle-exact too.  The unrolled DAG grows linearly in rounds (each
+    round's assignment feeds the next round's means exactly once); at
+    production scale you would checkpoint the assignment every few rounds
+    to cap lineage, which changes nothing about the per-round plan."""
+    emb = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    a = ivf_assign(spark, sf_dir)
+    for _ in range(LLOYD_ROUNDS):
+        a = _lloyd_round(emb, a)
+    return a
+
+
+def _lloyd_sql(rounds: int) -> str:
+    """Chained-CTE DuckDB equivalent of ``rounds`` Lloyd iterations."""
+    ctes = [
+        f"a0 AS ({IVF_ASSIGN_SQL})",
+        "e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v"
+        " FROM embeddings)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""vals{r} AS (
+  SELECT a.centroid_id, i AS d, embedding[i] AS x
+  FROM embeddings emb JOIN a{r - 1} a USING (vec_id),
+       unnest(generate_series(1, len(embedding))) AS s(i)
+)""")
+        ctes.append(f"""means{r} AS (
+  SELECT centroid_id, d, sum(x::decimal(27,10))::double / count(*) AS m
+  FROM vals{r} GROUP BY 1, 2
+)""")
+        ctes.append(f"""cents{r} AS (
+  SELECT centroid_id, list(m ORDER BY d) AS cv FROM means{r} GROUP BY 1
+)""")
+        ctes.append(f"""a{r} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY
+             list_dot_product(v, cv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+             DESC, centroid_id) AS rn
+    FROM e CROSS JOIN cents{r}
+  ) WHERE rn = 1
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT vec_id, centroid_id FROM a{rounds}")
+
+
+IVF_LLOYD_SQL = _lloyd_sql(LLOYD_ROUNDS)
 
 
 NPROBE = 2
@@ -512,6 +575,7 @@ QUERIES = {
     "ivf_knn": ivf_knn,
     "ivf_knn_nprobe": ivf_knn_nprobe,
     "ivf_assign_refined": ivf_assign_refined,
+    "ivf_assign_lloyd": ivf_assign_lloyd,
     "embedding_norms": embedding_norms,
     "knn_bruteforce": knn_bruteforce,
     "near_dup_pairs_cosine": near_dup_pairs_cosine,
@@ -525,6 +589,7 @@ ORACLES = {
     "ivf_knn": IVF_KNN_SQL,
     "ivf_knn_nprobe": IVF_KNN_NPROBE_SQL,
     "ivf_assign_refined": IVF_REFINED_SQL,
+    "ivf_assign_lloyd": IVF_LLOYD_SQL,
     "embedding_norms": NORMS_SQL,
     "knn_bruteforce": KNN_SQL,
     "near_dup_pairs_cosine": NEAR_DUP_SQL,
