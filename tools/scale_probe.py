@@ -42,6 +42,8 @@ MULTS = {"lineitem": 10, "orders": 10, "events": 10,
          "documents": 8, "embeddings": 8}
 DEFAULT_QUERIES = [
     "tpch_q1", "tpch_q3", "tpch_q18", "tpch_q8_market_share",
+    "tpch_q2_min_cost_supplier", "tpch_q16_supplier_cnt",
+    "tpch_q20_excess_suppliers",
     "grouped_reducer_stats", "events_asof_last_order",
     "dedup_minhash_lsh_pairs", "dedup_minhash_verified",
     "knn_bruteforce", "ivf_knn", "ivf_knn_nprobe", "lsh_bucket_histogram",
