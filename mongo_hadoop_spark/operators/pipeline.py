@@ -74,9 +74,9 @@ WITH feats AS (
 )
 SELECT lang, source,
        count(*) AS docs_passed_quality,
-       sum(is_kept) AS docs_kept,
-       sum(CASE WHEN is_kept = 1 THEN n_tokens ELSE 0 END) AS tokens_kept,
-       count(*) - sum(is_kept) AS docs_deduped_away
+       sum(is_kept)::bigint AS docs_kept,
+       sum(CASE WHEN is_kept = 1 THEN n_tokens ELSE 0 END)::bigint AS tokens_kept,
+       (count(*) - sum(is_kept))::bigint AS docs_deduped_away
 FROM survivors GROUP BY 1, 2
 """
 

@@ -115,8 +115,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_COUNT_SQL = rf"""
 SELECT source,
-       sum(len({_WORDS_SQL})) AS total_ws_tokens,
-       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS total_bpe_tokens,
+       sum(len({_WORDS_SQL}))::bigint AS total_ws_tokens,
+       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')))::bigint AS total_bpe_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY 1
 """

@@ -182,7 +182,7 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sessions = e.select(
         "user_id", "event_id", epoch.alias("epoch_s"),
-        F.sum(new_session).over(wcum).alias("session_idx"),
+        F.sum(new_session).over(wcum).cast("long").alias("session_idx"),
     )
     return sessions.groupBy("user_id", "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -203,7 +203,7 @@ WITH flagged AS (
          sum(new_session) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS session_idx
+         )::bigint AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx, count(*) AS n_events,

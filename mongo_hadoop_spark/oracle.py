@@ -72,6 +72,33 @@ def compare(name: str, spark_df, oracle_df: pd.DataFrame,
         res.ok = False
         res.mismatches.append(f"columns {list(sp.columns)} != {list(oc.columns)}")
         return res
+    # Dtype-family-strict: the driver's value-hash is sensitive to the
+    # *family* of the physical type — e.g. a DuckDB HUGEINT sum reaches
+    # pandas as float64 while Spark's bigint arrives as int64, so "2" vs
+    # "2.0" hash-diverges (the tpch_q12 round-1 failure).  Width-only
+    # differences (int32 vs int64) canonicalize identically and pass the
+    # driver, so compare by family: integer / float / bool / datetime /
+    # other.  Cross-family ⇒ fail locally, same as the driver would.
+    def _family(dt) -> str:
+        if pd.api.types.is_bool_dtype(dt):
+            return "bool"
+        if pd.api.types.is_integer_dtype(dt):
+            return "int"
+        if pd.api.types.is_float_dtype(dt):
+            return "float"
+        if pd.api.types.is_datetime64_any_dtype(dt):
+            return "datetime"
+        return str(dt)
+
+    for c in sp.columns:
+        fa, fb = _family(sp[c].dtype), _family(oc[c].dtype)
+        if fa != fb:
+            res.ok = False
+            res.mismatches.append(
+                f"col {c} dtype family {fa}({sp[c].dtype}) != {fb}({oc[c].dtype}) "
+                f"(cast both sides to the same type; e.g. ::bigint for integer sums)")
+    if not res.ok:
+        return res
     for c in sp.columns:
         a, b = sp[c], oc[c]
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
