@@ -31,14 +31,41 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
             windows, dedup, similarity, textstats,
             multimodal, skew, pipeline, asof]
 
+# Registry order is part of the verification contract: external harnesses may
+# only sample a prefix of ``queries()``, so the entries that most need a fresh
+# cross-engine check come first — the LLM-pipeline extension operators
+# (dedup/similarity/text/multimodal/skew/pipeline/asof), the window suite,
+# recently-changed queries, then the hardest TPC-H join shapes.  The tail is
+# the long-stable simple-aggregate set.
+_PRIORITY_MODULES = [dedup, similarity, textstats, multimodal, skew, pipeline,
+                     asof, windows]
+_PRIORITY_KEYS = [
+    "tpch_q12", "f4_skip_pagination",
+    "tpch_q2_min_cost_supplier", "tpch_q16_supplier_cnt",
+    "tpch_q20_excess_suppliers",
+    "tpch_q7_nation_volume", "tpch_q8_market_share", "tpch_q9_profit",
+    "tpch_q21_waiting_supplier", "tpch_q11_value_share",
+    "tpch_q13_distribution", "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity", "tpch_q19_disjunctive",
+]
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _MODULES:
-        overlap = out.keys() & m.QUERIES.keys()
+        overlap = merged.keys() & m.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query keys: {overlap}")
+        merged.update(m.QUERIES)
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _PRIORITY_MODULES:
         out.update(m.QUERIES)
+    for k in _PRIORITY_KEYS:
+        out[k] = merged[k]
+    for k, fn in merged.items():
+        if k not in out:
+            out[k] = fn
+    assert len(out) == len(merged)
     return out
 
 
