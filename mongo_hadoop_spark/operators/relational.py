@@ -255,16 +255,21 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 
 # ---------------------------------------------------------------------------
-# F4 — skip/limit pagination (skip has no direct Spark analog → row_number)
+# F4 — skip/limit pagination (MongoInputSplit.java:291-296 skip/limit cursor
+# modifiers).  ``offset(skip).limit(n)`` plans as a single
+# TakeOrderedAndProject(limit=skip+n, offset=skip): each task keeps its local
+# top-(skip+n) and only those rows reach the driver — no global-window
+# single-task sort, so the plan survives arbitrarily large inputs as long as
+# skip+n is small (the only regime where skip-pagination makes sense).
 # ---------------------------------------------------------------------------
 
 def f4_skip_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
     return (
-        o.select("o_orderkey", "o_custkey", F.row_number().over(w).alias("rn"))
-        .where((F.col("rn") > 20) & (F.col("rn") <= 30))
-        .drop("rn")
+        o.orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey")
+        .offset(20)
+        .limit(10)
     )
 
 

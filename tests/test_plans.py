@@ -78,6 +78,15 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_skip_pagination_take_ordered_no_global_window(spark):
+    plan = plan_of(relational.f4_skip_pagination(spark, SF_SMOKE))
+    # skip+limit must be a TakeOrderedAndProject (per-task top-(skip+n)),
+    # never a single-partition global window / sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
 def test_whole_stage_codegen_on_scan_heavy_query(spark):
     df = relational.tpch_q1(spark, SF_SMOKE)
     df.collect()  # finalize the adaptive plan
