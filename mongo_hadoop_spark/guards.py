@@ -1,0 +1,63 @@
+"""Input-size guards for quadratic-by-design baseline operators.
+
+Some operators are kept deliberately exhaustive as *exactness baselines*
+(``dedup_ngram_jaccard``: blocked all-pairs Jaccard; ``knn_bruteforce``:
+query-set × full-corpus cosine).  Their cost grows quadratically with
+input size (measured in SCALE.md: 27× / 3.7× at 8× data), so running them
+on a production-scale corpus is always a mistake — the bucketed
+equivalents (``dedup_minhash_verified``, ``ivf_knn``) compute the same
+answers at linear-ish cost.
+
+``guard_quadratic`` refuses inputs above a configurable row bound instead
+of silently launching an O(n²) job.  The row probe is ``limit(n+1).count()``
+— a bounded scan that stops as soon as the limit is exceeded, so the guard
+itself stays cheap on arbitrarily large inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+#: default maximum input rows for a quadratic baseline; override with the
+#: ``SPARK_GRAFT_QUADRATIC_MAX_ROWS`` environment variable.
+DEFAULT_QUADRATIC_MAX_ROWS = 200_000
+
+_ENV_VAR = "SPARK_GRAFT_QUADRATIC_MAX_ROWS"
+
+
+class QuadraticInputError(ValueError):
+    """Raised when a quadratic baseline operator gets a too-large input."""
+
+
+def quadratic_max_rows() -> int:
+    """Current row bound (env override read per call, so tests and callers
+    can adjust it without re-importing)."""
+    return int(os.environ.get(_ENV_VAR, DEFAULT_QUADRATIC_MAX_ROWS))
+
+
+def guard_quadratic(
+    df: DataFrame,
+    op: str,
+    alternative: str,
+    max_rows: int | None = None,
+) -> DataFrame:
+    """Raise :class:`QuadraticInputError` if ``df`` has more than the
+    configured number of rows; otherwise return ``df`` unchanged.
+
+    ``df.limit(bound + 1).count()`` scans only until ``bound + 1`` rows are
+    found — it never materializes the full input, so the check is safe to
+    run even on an input that would be catastrophically large to join.
+    """
+    bound = quadratic_max_rows() if max_rows is None else max_rows
+    probe = df.limit(bound + 1).count()
+    if probe > bound:
+        raise QuadraticInputError(
+            f"{op} is a quadratic exactness baseline and refuses inputs over "
+            f"{bound} rows (got >{bound}). Use {alternative} — it computes "
+            f"the same result with bucketed candidate generation and holds "
+            f"at production scale. Override with {_ENV_VAR} if you really "
+            f"mean to run the exhaustive version."
+        )
+    return df

@@ -31,6 +31,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from mongo_hadoop_spark.functions import md5_long, md5_long_sql, tokenize, word_shingles
+from mongo_hadoop_spark.guards import guard_quadratic
 from mongo_hadoop_spark.session import table
 
 # ---------------------------------------------------------------------------
@@ -318,7 +319,15 @@ JACCARD_THRESHOLD = 0.5
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard over distinct word sets for pairs within
     (lang, source) blocks.  Integer-count division → deterministic doubles.
+
+    Quadratic in block size — kept as the exactness baseline only, and
+    guarded: inputs above the configured bound raise with a pointer to
+    ``dedup_minhash_verified`` (same answers, bucketed candidates).
     """
+    guard_quadratic(
+        table(spark, sf_dir, "documents"),
+        "dedup_ngram_jaccard", "dedup_minhash_verified",
+    )
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source",
         F.array_distinct(tokenize("text")).alias("ws"),

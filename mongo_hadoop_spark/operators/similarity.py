@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from mongo_hadoop_spark.functions import dot, norm2
+from mongo_hadoop_spark.guards import guard_quadratic
 from mongo_hadoop_spark.session import table
 
 TOP_K = 3
@@ -41,8 +42,14 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle hash) is unchanged while the interpreted higher-order-function
     work drops 3×.  At 100 TB the same shape holds: norms are a cheap
     narrow column carried with the vectors, never recomputed in the join.
+
+    O(queries × corpus) — kept as the exactness baseline only, and
+    guarded: corpora above the configured bound raise with a pointer to
+    ``ivf_knn`` (cell-scoped candidates, bounded per-query work).
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = guard_quadratic(
+        table(spark, sf_dir, "embeddings"), "knn_bruteforce", "ivf_knn"
+    )
     queries = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
         F.sqrt(norm2(F.col("embedding"))).alias("qn"),

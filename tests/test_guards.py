@@ -1,0 +1,49 @@
+"""Quadratic-baseline guards: exhaustive operators refuse huge inputs."""
+
+import pytest
+
+from mongo_hadoop_spark.guards import (
+    DEFAULT_QUADRATIC_MAX_ROWS,
+    QuadraticInputError,
+    guard_quadratic,
+    quadratic_max_rows,
+)
+from mongo_hadoop_spark.operators import dedup, similarity
+
+from conftest import SF_SMOKE
+
+
+def test_guard_passes_small_input(spark):
+    df = spark.range(10)
+    assert guard_quadratic(df, "op", "alt") is df
+
+
+def test_guard_trips_above_bound(spark):
+    df = spark.range(50)
+    with pytest.raises(QuadraticInputError, match="use ivf_knn|Use ivf_knn"):
+        guard_quadratic(df, "knn_bruteforce", "ivf_knn", max_rows=49)
+
+
+def test_env_override(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_QUADRATIC_MAX_ROWS", "123")
+    assert quadratic_max_rows() == 123
+    monkeypatch.delenv("SPARK_GRAFT_QUADRATIC_MAX_ROWS")
+    assert quadratic_max_rows() == DEFAULT_QUADRATIC_MAX_ROWS
+
+
+def test_ngram_jaccard_guard_trips(spark, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_QUADRATIC_MAX_ROWS", "10")
+    with pytest.raises(QuadraticInputError, match="dedup_minhash_verified"):
+        dedup.dedup_ngram_jaccard(spark, SF_SMOKE)
+
+
+def test_knn_bruteforce_guard_trips(spark, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_QUADRATIC_MAX_ROWS", "10")
+    with pytest.raises(QuadraticInputError, match="ivf_knn"):
+        similarity.knn_bruteforce(spark, SF_SMOKE)
+
+
+def test_gates_unchanged_at_default_bound(spark):
+    # the smoke tables are far under the default bound — operators build fine
+    assert dedup.dedup_ngram_jaccard(spark, SF_SMOKE).count() >= 0
+    assert similarity.knn_bruteforce(spark, SF_SMOKE).count() >= 0
