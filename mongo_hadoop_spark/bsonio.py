@@ -21,7 +21,9 @@ Reference parity:
 
 from __future__ import annotations
 
+import bz2
 import datetime as _dt
+import gzip
 import io
 import os
 import struct
@@ -245,10 +247,40 @@ def decode_file_iter(fobj: io.BufferedIOBase, start: int = 0, length: int | None
         yield decode(header + body)
 
 
+# ---------------------------------------------------------------------------
+# Compression codecs (gzip/bz2 mongodump archives)
+#
+# Reference parity: BSONFileRecordReader opens the file through the
+# configured Hadoop CompressionCodec (BSONFileRecordReader.java:104-112) and
+# BSONFileInputFormat refuses to byte-range-split compressed inputs
+# (BSONFileInputFormat.java:45-60) — a compressed .bson is one split.
+# ---------------------------------------------------------------------------
+
+_CODEC_OPENERS = {".gz": gzip.open, ".bz2": bz2.open}
+
+
+def compression_codec(path: str) -> str | None:
+    """'gzip' / 'bz2' for codec-suffixed paths, else None."""
+    ext = os.path.splitext(path)[1]
+    if ext == ".gz":
+        return "gzip"
+    if ext == ".bz2":
+        return "bz2"
+    return None
+
+
+def open_bson(path: str, mode: str = "rb"):
+    """Open a .bson file for binary read/write, transparently decompressing
+    / compressing by extension (.bson.gz → gzip, .bson.bz2 → bz2)."""
+    opener = _CODEC_OPENERS.get(os.path.splitext(path)[1], open)
+    return opener(path, mode)
+
+
 def write_bson_file(path: str, docs) -> int:
-    """Write documents to a mongorestore-compatible .bson file; returns count."""
+    """Write documents to a mongorestore-compatible .bson file (compressed
+    when the path carries a codec suffix); returns count."""
     n = 0
-    with open(path, "wb") as f:
+    with open_bson(path, "wb") as f:
         for d in docs:
             f.write(encode(d))
             n += 1
@@ -263,12 +295,18 @@ def write_bson_file(path: str, docs) -> int:
 class FileSplit:
     path: str
     start: int
-    length: int
+    length: int | None  # None = to EOF (unsplittable compressed file)
 
 
 def find_split_points(path: str, target_size: int) -> list[FileSplit]:
     """Walk length headers only (no body decode) and cut splits at the first
-    document boundary at/after each multiple of ``target_size``."""
+    document boundary at/after each multiple of ``target_size``.
+
+    Compressed files are unsplittable (BSONFileInputFormat.java:45-60):
+    one whole-file split, decoded sequentially through the codec stream.
+    """
+    if compression_codec(path):
+        return [FileSplit(path, 0, None)]
     size = os.path.getsize(path)
     splits: list[FileSplit] = []
     with open(path, "rb") as f:

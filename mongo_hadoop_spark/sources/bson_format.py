@@ -33,7 +33,10 @@ def read_bson(
     import tempfile
 
     if os.path.isdir(path):
-        files = sorted(glob.glob(os.path.join(path, "*.bson")))
+        files = sorted(
+            f for pat in ("*.bson", "*.bson.gz", "*.bson.bz2")
+            for f in glob.glob(os.path.join(path, pat))
+        )
     else:
         files = sorted(glob.glob(path)) if any(c in path for c in "*?[") else [path]
     files = [f for f in files if os.path.isfile(f)]

@@ -269,7 +269,7 @@ class DocumentReader(DataSourceReader):
 
         if spec.segment_path is not None and plain:
             # streaming fast path: no cursor options → decode-filter-emit
-            with open(spec.segment_path, "rb") as f:
+            with bsonio.open_bson(spec.segment_path) as f:
                 for doc in bsonio.decode_file_iter(
                     f, start=spec.byte_start, length=spec.byte_length
                 ):
@@ -280,7 +280,7 @@ class DocumentReader(DataSourceReader):
             return
 
         if spec.segment_path is not None:
-            with open(spec.segment_path, "rb") as f:
+            with bsonio.open_bson(spec.segment_path) as f:
                 docs = [
                     d for d in bsonio.decode_file_iter(
                         f, start=spec.byte_start, length=spec.byte_length)

@@ -171,7 +171,10 @@ class DocumentCollection:
         return os.path.basename(self.path.rstrip("/"))
 
     def segments(self) -> list[str]:
-        return sorted(glob.glob(os.path.join(self.path, "*.bson")))
+        return sorted(
+            f for pat in ("*.bson", "*.bson.gz", "*.bson.bz2")
+            for f in glob.glob(os.path.join(self.path, pat))
+        )
 
     def exists(self) -> bool:
         return os.path.isdir(self.path)
@@ -208,7 +211,7 @@ class DocumentCollection:
                 meta = _read_segment_meta(seg)
                 if meta and not segment_may_match(meta.get("bounds"), query):
                     continue  # zone-map pruned: provably no match inside
-            with open(seg, "rb") as f:
+            with bsonio.open_bson(seg) as f:
                 for doc in bsonio.decode_file_iter(f):
                     if qf.match(doc, query):
                         yield doc
@@ -221,7 +224,7 @@ class DocumentCollection:
         meta = _read_segment_meta(seg)
         if meta is not None and "count" in meta:
             return int(meta["count"])
-        with open(seg, "rb") as f:
+        with bsonio.open_bson(seg) as f:
             return sum(1 for _ in bsonio.decode_file_iter(f))
 
     def count(self, query: dict | None = None, limit: int | None = None) -> int:

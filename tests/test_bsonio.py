@@ -108,3 +108,37 @@ def test_truncated_doc_raises(tmp_path):
         assert next(it) == {"a": 1}
         with pytest.raises(ValueError):
             next(it)
+
+
+# ---------------------------------------------------------------------------
+# Compressed .bson (gzip/bz2) — unsplittable whole-file reads
+# ---------------------------------------------------------------------------
+
+def test_compression_codec_detection():
+    assert bsonio.compression_codec("a/b.bson.gz") == "gzip"
+    assert bsonio.compression_codec("a/b.bson.bz2") == "bz2"
+    assert bsonio.compression_codec("a/b.bson") is None
+
+
+@pytest.mark.parametrize("ext", [".gz", ".bz2"])
+def test_compressed_roundtrip_matches_plain(tmp_path, ext):
+    docs = [{"i": i, "s": f"doc-{i}"} for i in range(100)]
+    plain = str(tmp_path / "c.bson")
+    comp = str(tmp_path / ("c.bson" + ext))
+    bsonio.write_bson_file(plain, docs)
+    bsonio.write_bson_file(comp, docs)
+    with open(plain, "rb") as f:
+        expect = list(bsonio.decode_file_iter(f))
+    with bsonio.open_bson(comp) as f:
+        got = list(bsonio.decode_file_iter(f))
+    assert got == expect == docs
+
+
+@pytest.mark.parametrize("ext", [".gz", ".bz2"])
+def test_compressed_file_is_one_split(tmp_path, ext):
+    p = str(tmp_path / ("c.bson" + ext))
+    bsonio.write_bson_file(p, ({"i": i, "pad": "x" * 64} for i in range(200)))
+    # tiny target size would produce many splits for a plain file; the
+    # codec makes the file unsplittable -> exactly one whole-file split
+    splits = bsonio.find_split_points(p, target_size=128)
+    assert splits == [bsonio.FileSplit(p, 0, None)]

@@ -96,3 +96,22 @@ def test_sql_view_with_columns_mapping(registered, tmp_path):
     assert registered.sql(
         "SELECT * FROM querytest WHERE j > 2 AND j = 0").count() == 0
     assert registered.sql("SELECT max(id) FROM querytest").collect()[0][0] == 999
+
+
+@pytest.mark.parametrize("ext", [".gz", ".bz2"])
+def test_read_compressed_bson_dataframe(registered, tmp_path, ext):
+    """Codec-suffixed dumps read like plain ones, as ONE partition each
+    (unsplittable, BSONFileInputFormat.java:45-60)."""
+    docs = [{"k": i, "tag": f"t{i % 3}"} for i in range(60)]
+    plain = str(tmp_path / "a.bson")
+    comp = str(tmp_path / ("b.bson" + ext))
+    bsonio.write_bson_file(plain, docs[:30])
+    bsonio.write_bson_file(comp, docs[30:])
+    df = read_bson(registered, str(tmp_path), split_size=64)
+    assert df.count() == 60
+    # the plain half splits by bytes; the compressed half is a single task
+    comp_only = read_bson(registered, comp, split_size=64)
+    assert comp_only.rdd.getNumPartitions() == 1
+    assert comp_only.count() == 30
+    # query pushdown still applies through the codec stream
+    assert read_bson(registered, comp, query='{"tag": "t0"}').count() == 10
