@@ -22,10 +22,15 @@ from pyspark.sql import DataFrame
 
 class BucketedDocumentSink:
     def __init__(self, store_path: str, template: str,
-                 time_col: str = "ts"):
+                 time_col: str = "ts", num_partitions: int = 8,
+                 max_buckets: int | None = None):
         self.store_path = store_path
         self.template = template
         self.time_col = time_col
+        self.num_partitions = num_partitions
+        #: optional safety bound on distinct buckets per batch — checked
+        #: with a bounded distributed probe, never by collecting the names
+        self.max_buckets = max_buckets
 
     def _bucket_col(self, df: DataFrame):
         """Render the template into a bucket-name column (JVM-side)."""
@@ -42,7 +47,18 @@ class BucketedDocumentSink:
 
         store_path = self.store_path
         with_bucket = batch_df.withColumn("__bucket", self._bucket_col(batch_df))
-        buckets = [r[0] for r in with_bucket.select("__bucket").distinct().collect()]
+        if self.max_buckets is not None:
+            # bounded probe: distinct + limit(n+1) stops scanning once the
+            # cap is exceeded; only a count crosses to the driver
+            n = (with_bucket.select("__bucket").distinct()
+                 .limit(self.max_buckets + 1).count())
+            if n > self.max_buckets:
+                raise ValueError(
+                    f"bucket template {self.template!r} produced more than "
+                    f"{self.max_buckets} distinct buckets in batch {batch_id}; "
+                    "a runaway template column would create one collection "
+                    "per value — fix the template or raise max_buckets"
+                )
 
         def write_partition(rows):
             from pyspark import TaskContext
@@ -62,8 +78,9 @@ class BucketedDocumentSink:
                     segment_hint=f"b{batch_id:06d}p{pid:04d}",
                 )
 
-        # repartition by bucket so each task writes few segments
-        (with_bucket.repartition(max(1, min(len(buckets), 8)), "__bucket")
+        # hash-repartition by bucket so each task writes few segments; no
+        # driver-side bucket list — cardinality never touches the driver
+        (with_bucket.repartition(max(1, self.num_partitions), "__bucket")
          .foreachPartition(write_partition))
 
 

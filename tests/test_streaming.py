@@ -355,3 +355,32 @@ def test_stateful_user_totals_tws_across_batches(spark, events_dir, tmp_path):
     for u, (n, t) in batch.items():
         assert final[u][0] == n
         assert abs(final[u][1] - t) < 1e-6
+
+
+def test_bucketed_sink_high_cardinality_no_driver_list(spark, tmp_path):
+    """A unique-per-row template column must not blow up the driver: the
+    sink routes per-partition (no distinct-collect of bucket names)."""
+    store_path = str(tmp_path / "hcdb")
+    df = spark.range(200).select(
+        F.col("id"), F.concat(F.lit("u"), F.col("id")).alias("uid"),
+        F.lit("2024-01-02 03:04:05").cast("timestamp").alias("ts"),
+    )
+    sink = BucketedDocumentSink(store_path, "b_{uid}", num_partitions=4)
+    sink(df, batch_id=0)
+    store = DocumentStore(store_path)
+    assert len(store.list_collections()) == 200
+
+
+def test_bucketed_sink_max_buckets_cap(spark, tmp_path):
+    store_path = str(tmp_path / "capdb")
+    df = spark.range(50).select(
+        F.col("id"), F.concat(F.lit("u"), F.col("id")).alias("uid"),
+        F.lit("2024-01-02 03:04:05").cast("timestamp").alias("ts"),
+    )
+    sink = BucketedDocumentSink(store_path, "b_{uid}", max_buckets=10)
+    with pytest.raises(ValueError, match="more than 10 distinct buckets"):
+        sink(df, batch_id=0)
+    # under the cap: writes proceed
+    ok = BucketedDocumentSink(store_path, "fixed_{ts}", max_buckets=10)
+    ok(df, batch_id=1)
+    assert DocumentStore(store_path).list_collections()
