@@ -175,6 +175,34 @@ def _match_condition(value, cond) -> bool:
     return _eq(value, cond)
 
 
+_NEGATED_OPS = {"$ne", "$nin", "$not"}
+
+
+def _field_matches(values, cond) -> bool:
+    """Evaluate a field condition over every value at a path.
+
+    MongoDB array semantics are asymmetric: positive operators match if ANY
+    element satisfies them, but negated operators ($ne/$nin/$not) match only
+    if NO element satisfies the positive form — {a: {$ne: 5}} must NOT match
+    {a: [5, 6]} even though element 6 differs from 5.  Each operator in an
+    op-doc is evaluated independently over the value set (server behavior
+    for mixed docs like {$gt: 1, $ne: 5})."""
+    if _is_op_doc(cond):
+        for op, operand in cond.items():
+            if op == "$ne":
+                ok = not any(_eq(v, operand) for v in values)
+            elif op == "$nin":
+                ok = not any(any(_eq(v, o) for o in operand) for v in values)
+            elif op == "$not":
+                ok = not any(_match_condition(v, operand) for v in values)
+            else:
+                ok = any(_match_op(v, op, operand) for v in values)
+            if not ok:
+                return False
+        return True
+    return any(_match_condition(v, cond) for v in values)
+
+
 def match(doc: dict, query: dict | None) -> bool:
     """Evaluate a MongoDB query document against ``doc``."""
     if not query:
@@ -198,10 +226,10 @@ def match(doc: dict, query: dict | None) -> bool:
                 rest = {k: v for k, v in cond.items() if k != "$exists"}
                 if bool(cond["$exists"]) != present:
                     return False
-                if rest and not any(_match_condition(v, rest) for v in _values_at(doc, key)):
+                if rest and not _field_matches(_values_at(doc, key), rest):
                     return False
                 continue
-            if not any(_match_condition(v, cond) for v in _values_at(doc, key)):
+            if not _field_matches(_values_at(doc, key), cond):
                 return False
     return True
 
@@ -309,7 +337,10 @@ def translate_filters(filters) -> tuple[dict, list]:
             elif name == "Not":
                 inner = f.child
                 if type(inner).__name__ == "EqualTo":
-                    add(".".join(inner.attribute), {"$ne": inner.value})
+                    # Spark's a != v is null-rejecting; a bare {$ne: v} also
+                    # matches null/missing docs, so push $nin [v, null] —
+                    # sound regardless of whether Spark pushes IsNotNull
+                    add(".".join(inner.attribute), {"$nin": [inner.value, None]})
                 else:
                     residual.append(f)
             else:

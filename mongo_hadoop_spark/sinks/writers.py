@@ -220,7 +220,13 @@ def apply_pending_updates(
                 if match(d, m["q"]):
                     hit = True
                     matched += 1
-                    apply_update(d, m["u"] if not m.get("replace") else m["u"])
+                    if m.get("replace") and any(k.startswith("$") for k in m["u"]):
+                        # server parity: replaceOne rejects update operators
+                        raise ValueError(
+                            "replace=True update document must not contain "
+                            f"$-operators: {sorted(m['u'])}"
+                        )
+                    apply_update(d, m["u"])
                     applied += 1
                     if not m.get("multi"):
                         break

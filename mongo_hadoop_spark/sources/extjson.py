@@ -56,7 +56,14 @@ def to_extjson_value(v):
     if isinstance(v, ObjectId):
         return {"$oid": v.hex}
     if isinstance(v, _dt.datetime):
-        return {"$date": int(v.timestamp() * 1000)}
+        # exact integer millis via timedelta — float .timestamp()*1000 can
+        # truncate a millisecond (same arithmetic as bsonio._encode_value)
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        delta = v - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        millis = (delta.days * 86_400_000 + delta.seconds * 1000
+                  + delta.microseconds // 1000)
+        return {"$date": millis}
     if isinstance(v, Regex):
         return {"$regex": v.pattern, "$options": v.flags}
     if isinstance(v, Binary):

@@ -296,6 +296,9 @@ class DocumentCollection:
             os.remove(seg)
             if os.path.exists(seg + META_SUFFIX):
                 os.remove(seg + META_SUFFIX)
+            sc = bsonio.sidecar_path(seg)
+            if os.path.exists(sc):
+                os.remove(sc)
         final = os.path.join(self.path, "seg-000000.bson")
         os.rename(tmp + META_SUFFIX, final + META_SUFFIX)
         os.rename(tmp, final)
@@ -357,11 +360,18 @@ class DocumentStore:
             os.remove(seg)
             if os.path.exists(seg + META_SUFFIX):
                 os.remove(seg + META_SUFFIX)
+            sc = bsonio.sidecar_path(seg)
+            if os.path.exists(sc):
+                os.remove(sc)
         for extra in (".indexes",):
             p = os.path.join(coll.path, extra)
             if os.path.exists(p):
                 os.remove(p)
         if os.path.isdir(coll.path):
+            # leftover split sidecars of segments removed earlier (e.g. by
+            # rewrite) would make rmdir fail with 'Directory not empty'
+            for stray in glob.glob(os.path.join(coll.path, ".*.splits")):
+                os.remove(stray)
             os.rmdir(coll.path)
 
     # --- GridFS analog -----------------------------------------------------

@@ -159,3 +159,34 @@ class TestUdfHelpers:
         assert rows[1].oid is None
         assert rows[0].ref.ref == "users" and rows[0].ref.id == "42"
         assert bytes(rows[0].bin) == b"xyz"
+
+
+def test_negated_ops_on_arrays_require_all_elements():
+    """MongoDB semantics: {$ne: v} matches only when NO element equals v
+    (positive ops stay any-element)."""
+    from mongo_hadoop_spark.plans.filters import match
+
+    assert not match({"a": [5, 6]}, {"a": {"$ne": 5}})
+    assert match({"a": [6, 7]}, {"a": {"$ne": 5}})
+    assert not match({"a": [1, 9]}, {"a": {"$nin": [9]}})
+    assert match({"a": [1, 2]}, {"a": {"$nin": [9]}})
+    assert not match({"a": [3]}, {"a": {"$not": {"$gt": 2}}})
+    assert match({"a": [1, 2]}, {"a": {"$not": {"$gt": 2}}})
+    # mixed op-doc: each operator evaluated independently over the set
+    assert match({"a": [2, 9]}, {"a": {"$gt": 5, "$ne": 3}})
+    assert not match({"a": [2, 3, 9]}, {"a": {"$gt": 5, "$ne": 3}})
+
+
+def test_not_equalto_pushdown_excludes_null_and_missing():
+    from pyspark.sql.datasource import EqualTo, Not
+
+    from mongo_hadoop_spark.plans.filters import match, translate_filters
+
+    query, residual = translate_filters([Not(EqualTo(("a",), 5))])
+    assert residual == []
+    assert not match({"a": 5}, query)
+    assert match({"a": 7}, query)
+    # Spark's a != 5 drops null/missing rows; the pushed query must too,
+    # without relying on an accompanying IsNotNull being pushed
+    assert not match({"a": None}, query)
+    assert not match({"b": 1}, query)

@@ -103,7 +103,7 @@ _FIELDS = ["a", "b", "s"]
 def _mk_filters():
     from pyspark.sql.datasource import (
         EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull,
-        LessThan, LessThanOrEqual, StringStartsWith,
+        LessThan, LessThanOrEqual, Not, StringStartsWith,
     )
 
     int_val = st.integers(-5, 5)
@@ -122,6 +122,7 @@ def _mk_filters():
             st.builds(lambda fld: IsNotNull((fld,)), f),
             st.builds(lambda fld, v: StringStartsWith((fld,), v), sf,
                       st.text(string.ascii_lowercase, max_size=2)),
+            st.builds(lambda fld, v: Not(EqualTo((fld,), v)), f, int_val),
         ),
         min_size=1, max_size=5,
     )
@@ -129,6 +130,11 @@ def _mk_filters():
 
 def _eval_filter(flt, doc):
     name = type(flt).__name__
+    if name == "Not":
+        # Spark's Not(EqualTo) is null-rejecting, like every comparison
+        inner = flt.child
+        v = doc.get(inner.attribute[0])
+        return v is not None and v != inner.value
     field = flt.attribute[0]
     v = doc.get(field)
     if name == "IsNull":

@@ -152,3 +152,36 @@ def test_zone_map_mixed_and_nested_keys_not_pruned(tmp_path):
     assert len(c.find({"a": 1})) == 1
     assert len(c.find({"a": "two"})) == 1
     assert len(c.find({"m.x": 1})) == 1   # dotted path: no top-level bounds
+
+
+def test_drop_removes_splits_sidecars(tmp_path):
+    """drop() must clear .splits sidecars or rmdir fails (ADVICE r1)."""
+    import os
+
+    from mongo_hadoop_spark import bsonio
+
+    store = DocumentStore(str(tmp_path / "db"))
+    coll = store.collection("c")
+    coll.insert_many(({"i": i} for i in range(20)))
+    for seg in coll.segments():
+        bsonio.write_splits_sidecar(seg, bsonio.find_split_points(seg, 64))
+        assert os.path.exists(bsonio.sidecar_path(seg))
+    store.drop("c")
+    assert "c" not in store.list_collections()
+
+
+def test_rewrite_clears_old_splits_sidecars(tmp_path):
+    import os
+
+    from mongo_hadoop_spark import bsonio
+
+    store = DocumentStore(str(tmp_path / "db"))
+    coll = store.collection("c")
+    coll.insert_many(({"i": i} for i in range(20)))
+    old_segs = coll.segments()
+    for seg in old_segs:
+        bsonio.write_splits_sidecar(seg, bsonio.find_split_points(seg, 64))
+    coll.rewrite([{"i": 99}])
+    for seg in old_segs:
+        assert not os.path.exists(bsonio.sidecar_path(seg))
+    assert [d["i"] for d in coll.find()] == [99]

@@ -73,3 +73,30 @@ def test_init_upsert_doc():
         {"$inc": {"logs_count": 3}, "$setOnInsert": {"created": "t0"}},
     )
     assert doc == {"device_id": 42, "logs_count": 3, "created": "t0"}
+
+
+def test_replace_with_operators_rejected(tmp_path):
+    """replace=True + $-operator update doc must error, not silently apply
+    modifiers (server parity: replaceOne rejects update operators)."""
+    import pytest
+
+    from mongo_hadoop_spark.sinks.writers import UpdateSpec, apply_pending_updates
+    from mongo_hadoop_spark.store import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "db"))
+    store.collection("t").insert_many([{"_id": 1, "x": 1}])
+    journal = store.collection("t.updates")
+    journal.insert_many([{"q": {"_id": 1}, "u": {"$set": {"x": 2}},
+                          "upsert": False, "multi": False, "replace": True}])
+    with pytest.raises(ValueError, match="must not contain"):
+        apply_pending_updates(str(tmp_path / "db"), "t")
+
+
+def test_extjson_datetime_exact_millis():
+    import datetime as dt
+
+    from mongo_hadoop_spark.sources.extjson import to_extjson_value
+
+    # .432 s renders as 431.99997 ms through float timestamp arithmetic
+    v = dt.datetime(2014, 9, 5, 12, 0, 0, 432000, tzinfo=dt.timezone.utc)
+    assert to_extjson_value(v)["$date"] % 1000 == 432
