@@ -1,0 +1,137 @@
+"""Gate queries for the Mongo aggregation-pipeline compiler.
+
+Each query builds a *pipeline document* (the language a MongoDB user
+already has) and runs it through :mod:`mongo_hadoop_spark.plans.aggpipe`,
+which compiles stages onto DataFrame operations — so the oracle checks
+both the compiler's semantics and the determinism rules (decimal sums via
+``$toDecimal``/``$toDouble``, canonical ``$addToSet`` order, explicit
+sort keys).
+
+Reference provenance: the reference executes Mongo query documents
+server-side and hand-builds aggregations in the host framework (e.g.
+examples/treasury_yield/src/.../TreasuryYieldXMLConfig.java,
+examples/enron/hive/hive_enron.q); the pipeline language is the
+first-class Mongo surface its users write, compiled here Spark-first.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mongo_hadoop_spark.plans.aggpipe import aggregate
+from mongo_hadoop_spark.session import table
+
+
+def pipeline_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$match → $addFields($toDecimal) → $group → $project($toDouble) → $sort."""
+    orders = table(spark, sf_dir, "orders")
+    return aggregate(orders, [
+        {"$match": {"o_orderstatus": "F"}},
+        {"$addFields": {"pd": {"$toDecimal": "$o_totalprice"}}},
+        {"$group": {"_id": "$o_orderpriority",
+                    "n": {"$sum": 1},
+                    "total": {"$sum": "$pd"},
+                    "best": {"$max": "$o_totalprice"}}},
+        {"$project": {"_id": 1, "n": 1,
+                      "total": {"$toDouble": "$total"},
+                      "best": 1}},
+        {"$sort": {"_id": 1}},
+    ])
+
+
+PIPELINE_STATUS_SQL = """
+SELECT o_orderpriority AS _id,
+       count(*) AS n,
+       (sum(CAST(o_totalprice AS DECIMAL(38,6))))::double AS total,
+       max(o_totalprice) AS best
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def pipeline_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$project($split/$toLower) → $unwind → $match → $group → $sort/$limit.
+
+    The shakespeare word-count shape (reference:
+    examples/shakespeare) written as a pipeline instead of a MapReduce job.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return aggregate(docs, [
+        {"$project": {"w": {"$split": [{"$toLower": "$text"}, " "]}}},
+        {"$unwind": "$w"},
+        {"$match": {"w": {"$ne": ""}}},
+        {"$group": {"_id": "$w", "n": {"$sum": 1}}},
+        {"$sort": {"n": -1, "_id": 1}},
+        {"$limit": 20},
+    ])
+
+
+PIPELINE_WORDCOUNT_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+)
+SELECT w AS _id, count(*) AS n FROM toks
+WHERE w <> '' GROUP BY 1 ORDER BY n DESC, _id ASC LIMIT 20
+"""
+
+
+def pipeline_lookup_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$lookup(customer) → $unwind → $group by market segment.
+
+    The $lookup compiles to a pre-aggregated equality join (array-of-docs
+    shape); Catalyst broadcasts the aggregated customer side when small.
+    """
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return aggregate(orders, [
+        {"$lookup": {"from": "customer", "localField": "o_custkey",
+                     "foreignField": "c_custkey", "as": "cust"}},
+        {"$unwind": "$cust"},
+        {"$addFields": {"pd": {"$toDecimal": "$o_totalprice"}}},
+        {"$group": {"_id": "$cust.c_mktsegment",
+                    "n_orders": {"$sum": 1},
+                    "revenue": {"$sum": "$pd"},
+                    "custs": {"$addToSet": "$cust.c_mktsegment"}}},
+        {"$project": {"_id": 1, "n_orders": 1,
+                      "revenue": {"$toDouble": "$revenue"},
+                      "n_seg": {"$size": "$custs"}}},
+        {"$sort": {"_id": 1}},
+    ], tables={"customer": customer})
+
+
+PIPELINE_LOOKUP_SQL = """
+SELECT c_mktsegment AS _id,
+       count(*) AS n_orders,
+       (sum(CAST(o_totalprice AS DECIMAL(38,6))))::double AS revenue,
+       1 AS n_seg
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def pipeline_sortbycount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$sortByCount over event types (count desc, _id tiebreak)."""
+    events = table(spark, sf_dir, "events")
+    return aggregate(events, [{"$sortByCount": "$event_type"}])
+
+
+PIPELINE_SORTBYCOUNT_SQL = """
+SELECT event_type AS _id, count(*) AS count
+FROM events GROUP BY 1 ORDER BY count DESC, _id ASC
+"""
+
+
+QUERIES = {
+    "pipeline_status_rollup": pipeline_status_rollup,
+    "pipeline_wordcount": pipeline_wordcount,
+    "pipeline_lookup_segment": pipeline_lookup_segment,
+    "pipeline_sortbycount": pipeline_sortbycount,
+}
+
+ORACLES = {
+    "pipeline_status_rollup": PIPELINE_STATUS_SQL,
+    "pipeline_wordcount": PIPELINE_WORDCOUNT_SQL,
+    "pipeline_lookup_segment": PIPELINE_LOOKUP_SQL,
+    "pipeline_sortbycount": PIPELINE_SORTBYCOUNT_SQL,
+}

@@ -1,0 +1,449 @@
+"""MongoDB aggregation pipeline → DataFrame compiler.
+
+The reference engine executes Mongo *query documents* server-side and
+leaves aggregation to the host framework (Hive/Pig/MapReduce jobs build
+the equivalent of ``$group``/``$project`` by hand — e.g. the treasury and
+enron examples, SURVEY §2.5).  Users coming from MongoDB itself write
+aggregation *pipelines*; this module closes that gap by compiling the
+pipeline language onto DataFrame operations, so every stage rides
+Catalyst (pushdown, broadcast, whole-stage codegen) instead of a
+document-at-a-time interpreter.
+
+Supported stages: $match (query syntax + $expr), $project, $addFields /
+$set, $unset, $group, $unwind, $sort, $skip, $limit, $count, $lookup
+(equality form, needs a ``tables`` dict), $replaceRoot, $sortByCount.
+Supported expressions: field paths, $literal, arithmetic ($add $subtract
+$multiply $divide $mod $abs $ceil $floor $round $sqrt $pow $exp $ln),
+comparisons ($eq $ne $gt $gte $lt $lte $cmp), boolean ($and $or $not),
+conditionals ($cond $ifNull), strings ($concat $toUpper $toLower
+$strLenCP $substrCP $split $trim $toString), dates ($year $month
+$dayOfMonth $hour $minute $second $dayOfWeek), arrays ($size
+$arrayElemAt $concatArrays $in), conversions ($toInt $toLong $toDouble
+$toDecimal $toBool $toDate), accumulators ($sum $avg $min $max $push
+$addToSet $first $last $count $stdDevPop $stdDevSamp).
+
+Determinism deviations (documented, deliberate):
+- ``$addToSet`` emits a *sorted* array (sets are unordered in Mongo; a
+  canonical order makes results reproducible across shuffles);
+- ``$sortByCount`` breaks count ties by ``_id`` ascending.
+
+Null semantics follow the server: ``{a: {$ne: v}}`` matches null/missing,
+comparisons in query context are type-bracketed (null never satisfies
+``$gt``), ``$eq: null`` matches null.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# ---------------------------------------------------------------------------
+# Aggregation expression language → Column
+# ---------------------------------------------------------------------------
+
+
+def expr_to_col(expr) -> Column:
+    """Compile an aggregation expression (the ``$project``/``$group`` value
+    language) to a Column."""
+    if isinstance(expr, str) and expr.startswith("$"):
+        return F.col(expr[1:])
+    if isinstance(expr, dict):
+        if len(expr) != 1:
+            # document literal with several keys → struct of compiled values
+            return F.struct(*[expr_to_col(v).alias(k) for k, v in expr.items()])
+        (op, operand), = expr.items()
+        if not op.startswith("$"):
+            return F.struct(expr_to_col(operand).alias(op))
+        return _expr_op(op, operand)
+    return F.lit(expr)
+
+
+def _binary(operand) -> tuple[Column, Column]:
+    a, b = operand
+    return expr_to_col(a), expr_to_col(b)
+
+
+def _expr_op(op: str, operand) -> Column:
+    if op == "$literal":
+        return F.lit(operand)
+    # arithmetic ---------------------------------------------------------
+    if op == "$add":
+        cols = [expr_to_col(x) for x in operand]
+        out = cols[0]
+        for c in cols[1:]:
+            out = out + c
+        return out
+    if op == "$subtract":
+        a, b = _binary(operand)
+        return a - b
+    if op == "$multiply":
+        cols = [expr_to_col(x) for x in operand]
+        out = cols[0]
+        for c in cols[1:]:
+            out = out * c
+        return out
+    if op == "$divide":
+        a, b = _binary(operand)
+        return a / b
+    if op == "$mod":
+        a, b = _binary(operand)
+        return a % b
+    if op == "$abs":
+        return F.abs(expr_to_col(operand))
+    if op == "$ceil":
+        return F.ceil(expr_to_col(operand))
+    if op == "$floor":
+        return F.floor(expr_to_col(operand))
+    if op == "$round":
+        e, places = (operand if isinstance(operand, list) else (operand, 0))
+        return F.round(expr_to_col(e), places if isinstance(places, int) else 0)
+    if op == "$sqrt":
+        return F.sqrt(expr_to_col(operand))
+    if op == "$pow":
+        a, b = _binary(operand)
+        return F.pow(a, b)
+    if op == "$exp":
+        return F.exp(expr_to_col(operand))
+    if op == "$ln":
+        return F.log(expr_to_col(operand))
+    # comparison ---------------------------------------------------------
+    if op in ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte"):
+        a, b = _binary(operand)
+        return {"$eq": a == b, "$ne": a != b, "$gt": a > b,
+                "$gte": a >= b, "$lt": a < b, "$lte": a <= b}[op]
+    if op == "$cmp":
+        a, b = _binary(operand)
+        return F.when(a < b, -1).when(a > b, 1).otherwise(0)
+    # boolean ------------------------------------------------------------
+    if op == "$and":
+        cols = [expr_to_col(x) for x in operand]
+        out = cols[0]
+        for c in cols[1:]:
+            out = out & c
+        return out
+    if op == "$or":
+        cols = [expr_to_col(x) for x in operand]
+        out = cols[0]
+        for c in cols[1:]:
+            out = out | c
+        return out
+    if op == "$not":
+        inner = operand[0] if isinstance(operand, list) else operand
+        return ~expr_to_col(inner)
+    # conditional --------------------------------------------------------
+    if op == "$cond":
+        if isinstance(operand, dict):
+            cond, then, els = operand["if"], operand["then"], operand["else"]
+        else:
+            cond, then, els = operand
+        return F.when(expr_to_col(cond), expr_to_col(then)).otherwise(expr_to_col(els))
+    if op == "$ifNull":
+        return F.coalesce(*[expr_to_col(x) for x in operand])
+    # string -------------------------------------------------------------
+    if op == "$concat":
+        return F.concat(*[expr_to_col(x) for x in operand])
+    if op == "$toUpper":
+        return F.upper(expr_to_col(operand))
+    if op == "$toLower":
+        return F.lower(expr_to_col(operand))
+    if op == "$strLenCP":
+        return F.length(expr_to_col(operand))
+    if op == "$substrCP":
+        s, start, ln = operand
+        # Mongo is 0-based, Spark substring is 1-based
+        return F.substring(expr_to_col(s), (start if isinstance(start, int) else 0) + 1,
+                           ln if isinstance(ln, int) else 0)
+    if op == "$split":
+        s, delim = operand
+        # literal delimiter, not a regex (server semantics)
+        import re as _re
+        return F.split(expr_to_col(s), _re.escape(delim))
+    if op == "$trim":
+        return F.trim(expr_to_col(operand["input"] if isinstance(operand, dict) else operand))
+    if op == "$toString":
+        return expr_to_col(operand).cast("string")
+    # date ---------------------------------------------------------------
+    if op in ("$year", "$month", "$dayOfMonth", "$hour", "$minute",
+              "$second", "$dayOfWeek"):
+        fn = {"$year": F.year, "$month": F.month, "$dayOfMonth": F.dayofmonth,
+              "$hour": F.hour, "$minute": F.minute, "$second": F.second,
+              "$dayOfWeek": F.dayofweek}[op]
+        return fn(expr_to_col(operand))
+    # array --------------------------------------------------------------
+    if op == "$size":
+        return F.size(expr_to_col(operand))
+    if op == "$arrayElemAt":
+        arr, idx = operand
+        i = idx if isinstance(idx, int) else 0
+        # element_at is 1-based; negative indexes count from the end in both
+        return F.element_at(expr_to_col(arr), i + 1 if i >= 0 else i)
+    if op == "$concatArrays":
+        return F.concat(*[expr_to_col(x) for x in operand])
+    if op == "$in":
+        elem, arr = operand
+        return F.array_contains(expr_to_col(arr), expr_to_col(elem))
+    # conversion ---------------------------------------------------------
+    if op == "$toInt":
+        return expr_to_col(operand).cast("int")
+    if op == "$toLong":
+        return expr_to_col(operand).cast("long")
+    if op == "$toDouble":
+        return expr_to_col(operand).cast("double")
+    if op == "$toDecimal":
+        return expr_to_col(operand).cast("decimal(38,6)")
+    if op == "$toBool":
+        return expr_to_col(operand).cast("boolean")
+    if op == "$toDate":
+        return expr_to_col(operand).cast("timestamp")
+    raise ValueError(f"unsupported aggregation expression operator {op}")
+
+
+# ---------------------------------------------------------------------------
+# $match query syntax → boolean Column (server null semantics)
+# ---------------------------------------------------------------------------
+
+
+def match_to_col(query: dict) -> Column:
+    """Compile a query document (the ``find()``/``$match`` language) to a
+    boolean Column with MongoDB null semantics."""
+    if not query:
+        return F.lit(True)
+    conds = [_match_field(k, v) for k, v in query.items()]
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def _match_field(key: str, cond) -> Column:
+    if key == "$and":
+        return F.lit(True) if not cond else _fold_and(
+            [match_to_col(q) for q in cond])
+    if key == "$or":
+        return _fold_or([match_to_col(q) for q in cond])
+    if key == "$nor":
+        return ~_fold_or([match_to_col(q) for q in cond])
+    if key == "$expr":
+        return expr_to_col(cond)
+    if key.startswith("$"):
+        raise ValueError(f"unsupported top-level query operator {key}")
+    col = F.col(key)
+    if isinstance(cond, dict) and cond and all(k.startswith("$") for k in cond):
+        return _fold_and([_match_op_col(col, op, v) for op, v in cond.items()])
+    if cond is None:
+        return col.isNull()
+    return col == F.lit(cond)
+
+
+def _fold_and(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
+def _fold_or(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out
+
+
+def _match_op_col(col: Column, op: str, operand) -> Column:
+    if op == "$eq":
+        return col.isNull() if operand is None else col == F.lit(operand)
+    if op == "$ne":
+        # server semantics: matches docs where the field is null/missing
+        if operand is None:
+            return col.isNotNull()
+        return (col != F.lit(operand)) | col.isNull()
+    if op == "$gt":
+        return col > F.lit(operand)
+    if op == "$gte":
+        return col >= F.lit(operand)
+    if op == "$lt":
+        return col < F.lit(operand)
+    if op == "$lte":
+        return col <= F.lit(operand)
+    if op == "$in":
+        vals = [v for v in operand if v is not None]
+        out = col.isin(vals) if vals else F.lit(False)
+        if None in operand:
+            out = out | col.isNull()
+        return out
+    if op == "$nin":
+        vals = [v for v in operand if v is not None]
+        out = ~col.isin(vals) if vals else F.lit(True)
+        if None in operand:
+            return out & col.isNotNull()
+        return out | col.isNull()
+    if op == "$regex":
+        return col.rlike(operand.pattern if hasattr(operand, "pattern") else str(operand))
+    if op == "$exists":
+        # flat-column approximation: present ⇔ not null
+        return col.isNotNull() if operand else col.isNull()
+    if op == "$not":
+        return ~_fold_and([_match_op_col(col, o, v) for o, v in operand.items()])
+    raise ValueError(f"unsupported query operator {op}")
+
+
+# ---------------------------------------------------------------------------
+# Accumulators
+# ---------------------------------------------------------------------------
+
+
+def _accumulator(name: str, acc: dict) -> Column:
+    (op, operand), = acc.items()
+    if op == "$count":
+        return F.count(F.lit(1)).alias(name)
+    if op == "$sum":
+        return F.sum(expr_to_col(operand)).alias(name)
+    if op == "$avg":
+        return F.avg(expr_to_col(operand)).alias(name)
+    if op == "$min":
+        return F.min(expr_to_col(operand)).alias(name)
+    if op == "$max":
+        return F.max(expr_to_col(operand)).alias(name)
+    if op == "$push":
+        return F.collect_list(expr_to_col(operand)).alias(name)
+    if op == "$addToSet":
+        # canonical order (Mongo sets are unordered; sorting makes the
+        # result reproducible across shuffle schedules)
+        return F.array_sort(F.collect_set(expr_to_col(operand))).alias(name)
+    if op == "$first":
+        return F.first(expr_to_col(operand)).alias(name)
+    if op == "$last":
+        return F.last(expr_to_col(operand)).alias(name)
+    if op == "$stdDevPop":
+        return F.stddev_pop(expr_to_col(operand)).alias(name)
+    if op == "$stdDevSamp":
+        return F.stddev_samp(expr_to_col(operand)).alias(name)
+    raise ValueError(f"unsupported accumulator {op}")
+
+
+# ---------------------------------------------------------------------------
+# Stages
+# ---------------------------------------------------------------------------
+
+
+def _stage_group(df: DataFrame, spec: dict) -> DataFrame:
+    spec = dict(spec)
+    id_expr = spec.pop("_id")
+    aggs = [_accumulator(n, a) for n, a in spec.items()]
+    names = list(spec)
+    if id_expr is None:
+        out = df.groupBy().agg(*aggs) if aggs else df.limit(1).select()
+        return out.select(F.lit(None).alias("_id"), *names)
+    if isinstance(id_expr, dict) and not any(k.startswith("$") for k in id_expr):
+        # compound key → struct _id
+        keys = [expr_to_col(v).alias(f"__gk_{k}") for k, v in id_expr.items()]
+        out = df.groupBy(*keys).agg(*aggs)
+        id_struct = F.struct(
+            *[F.col(f"__gk_{k}").alias(k) for k in id_expr]).alias("_id")
+        return out.select(id_struct, *names)
+    out = df.groupBy(expr_to_col(id_expr).alias("_id")).agg(*aggs)
+    return out.select("_id", *names)
+
+
+def _stage_project(df: DataFrame, spec: dict) -> DataFrame:
+    plain = {k: v for k, v in spec.items() if isinstance(v, (int, bool))}
+    computed = {k: v for k, v in spec.items() if k not in plain}
+    excludes = [k for k, v in plain.items() if not v]
+    includes = [k for k, v in plain.items() if v]
+    if excludes and includes:
+        raise ValueError("cannot mix include and exclude in $project")
+    if excludes:
+        out = df.drop(*[c for c in excludes if c in df.columns])
+        for k, v in computed.items():
+            out = out.withColumn(k, expr_to_col(v))
+        return out
+    cols = [F.col(k).alias(k) for k in includes]
+    cols += [expr_to_col(v).alias(k) for k, v in computed.items()]
+    return df.select(*cols)
+
+
+def _stage_unwind(df: DataFrame, spec) -> DataFrame:
+    if isinstance(spec, str):
+        path, preserve, index_name = spec, False, None
+    else:
+        path = spec["path"]
+        preserve = bool(spec.get("preserveNullAndEmptyArrays"))
+        index_name = spec.get("includeArrayIndex")
+    field = path[1:]
+    if "." in field:
+        raise ValueError("$unwind supports top-level array fields only")
+    explode = F.explode_outer if preserve else F.explode
+    if index_name:
+        pos = F.posexplode_outer(F.col(field)) if preserve else F.posexplode(F.col(field))
+        others = [c for c in df.columns if c != field]
+        return df.select(*others, pos.alias(index_name, field))
+    return df.withColumn(field, explode(F.col(field)))
+
+
+def _stage_lookup(df: DataFrame, spec: dict,
+                  tables: dict[str, DataFrame] | None) -> DataFrame:
+    if not tables or spec["from"] not in tables:
+        raise ValueError(
+            f"$lookup from {spec['from']!r}: pass tables={{name: DataFrame}}")
+    foreign = tables[spec["from"]]
+    lf, ff, as_ = spec["localField"], spec["foreignField"], spec["as"]
+    fstruct = F.struct(*[F.col(c) for c in foreign.columns])
+    # pre-aggregate the foreign side per key: the join is then 1:1 and the
+    # matched docs arrive as one array column, exactly the $lookup shape.
+    # Catalyst broadcasts this side automatically when it is small.
+    agg = foreign.groupBy(F.col(ff).alias("__lookup_key")).agg(
+        F.collect_list(fstruct).alias(as_))
+    out = df.join(agg, F.col(lf) == F.col("__lookup_key"), "left").drop("__lookup_key")
+    arr_type = agg.schema[as_].dataType
+    return out.withColumn(
+        as_, F.coalesce(F.col(as_), F.array().cast(arr_type)))
+
+
+def _stage_sort(df: DataFrame, spec: dict) -> DataFrame:
+    order = [F.col(k).asc() if d >= 0 else F.col(k).desc() for k, d in spec.items()]
+    return df.orderBy(*order)
+
+
+def aggregate(df: DataFrame, pipeline: list[dict],
+              tables: dict[str, DataFrame] | None = None) -> DataFrame:
+    """Run an aggregation pipeline against ``df``; returns the result
+    DataFrame (lazy — Catalyst sees the whole compiled plan)."""
+    out = df
+    for stage in pipeline:
+        (op, spec), = stage.items()
+        if op == "$match":
+            out = out.where(match_to_col(spec))
+        elif op == "$project":
+            out = _stage_project(out, spec)
+        elif op in ("$addFields", "$set"):
+            for k, v in spec.items():
+                out = out.withColumn(k, expr_to_col(v))
+        elif op == "$unset":
+            fields = [spec] if isinstance(spec, str) else list(spec)
+            out = out.drop(*fields)
+        elif op == "$group":
+            out = _stage_group(out, spec)
+        elif op == "$unwind":
+            out = _stage_unwind(out, spec)
+        elif op == "$sort":
+            out = _stage_sort(out, spec)
+        elif op == "$skip":
+            out = out.offset(int(spec))
+        elif op == "$limit":
+            out = out.limit(int(spec))
+        elif op == "$count":
+            out = out.agg(F.count(F.lit(1)).alias(spec))
+        elif op == "$lookup":
+            out = _stage_lookup(out, spec, tables)
+        elif op == "$replaceRoot":
+            root = spec["newRoot"]
+            out = out.select(f"{root[1:]}.*")
+        elif op == "$sortByCount":
+            out = (out.groupBy(expr_to_col(spec).alias("_id"))
+                   .agg(F.count(F.lit(1)).alias("count"))
+                   .orderBy(F.col("count").desc(), F.col("_id").asc()))
+        else:
+            raise ValueError(f"unsupported pipeline stage {op}")
+    return out

@@ -1,0 +1,146 @@
+"""Mongo aggregation-pipeline compiler semantics (plans/aggpipe.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from mongo_hadoop_spark.plans.aggpipe import aggregate, expr_to_col, match_to_col
+
+
+@pytest.fixture()
+def people(spark):
+    return spark.createDataFrame(
+        [(1, "ann", 34, 10.5, ["a", "b"]),
+         (2, "bob", None, 20.0, []),
+         (3, "cy", 41, None, None),
+         (4, "dee", 34, 7.25, ["c"])],
+        "id long, name string, age int, bal double, tags array<string>",
+    )
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_match_null_semantics(people):
+    # $ne matches null/missing like the server
+    got = aggregate(people, [{"$match": {"age": {"$ne": 34}}},
+                             {"$sort": {"id": 1}},
+                             {"$project": {"id": 1}}])
+    assert rows(got) == [(2,), (3,)]
+    # comparisons are null-rejecting
+    got = aggregate(people, [{"$match": {"age": {"$gte": 0}}},
+                             {"$sort": {"id": 1}}, {"$project": {"id": 1}}])
+    assert rows(got) == [(1,), (3,), (4,)]
+    # {field: null} matches null
+    got = aggregate(people, [{"$match": {"bal": None}}, {"$project": {"id": 1}}])
+    assert rows(got) == [(3,)]
+    # $in/$nin with null members
+    got = aggregate(people, [{"$match": {"age": {"$in": [41, None]}}},
+                             {"$sort": {"id": 1}}, {"$project": {"id": 1}}])
+    assert rows(got) == [(2,), (3,)]
+    got = aggregate(people, [{"$match": {"age": {"$nin": [34, None]}}},
+                             {"$project": {"id": 1}}])
+    assert rows(got) == [(3,)]
+
+
+def test_match_logical_and_expr(people):
+    got = aggregate(people, [
+        {"$match": {"$or": [{"name": "ann"}, {"$expr": {"$gt": ["$bal", 15]}}]}},
+        {"$sort": {"id": 1}}, {"$project": {"id": 1}},
+    ])
+    assert rows(got) == [(1,), (2,)]
+
+
+def test_group_compound_id_and_accumulators(people):
+    got = aggregate(people, [
+        {"$group": {"_id": {"a": "$age"}, "n": {"$sum": 1},
+                    "names": {"$addToSet": "$name"}}},
+        {"$sort": {"n": -1, "names": 1}},
+    ])
+    out = [(r["_id"]["a"], r["n"], r["names"]) for r in got.collect()]
+    assert out[0] == (34, 2, ["ann", "dee"])  # addToSet is sorted
+
+
+def test_group_null_id(people):
+    got = aggregate(people, [
+        {"$group": {"_id": None, "total": {"$sum": "$id"},
+                    "avg_age": {"$avg": "$age"}}},
+    ])
+    r = got.collect()[0]
+    assert r["_id"] is None and r["total"] == 10
+    assert abs(r["avg_age"] - (34 + 41 + 34) / 3) < 1e-9
+
+
+def test_unwind_variants(people):
+    got = aggregate(people, [{"$unwind": "$tags"}, {"$sort": {"id": 1, "tags": 1}},
+                             {"$project": {"id": 1, "tags": 1}}])
+    assert rows(got) == [(1, "a"), (1, "b"), (4, "c")]
+    # preserveNullAndEmptyArrays keeps rows 2 (empty) and 3 (null)
+    got = aggregate(people, [
+        {"$unwind": {"path": "$tags", "preserveNullAndEmptyArrays": True}},
+        {"$project": {"id": 1}},
+    ])
+    assert sorted(r[0] for r in rows(got)) == [1, 1, 2, 3, 4]
+    # includeArrayIndex
+    got = aggregate(people, [
+        {"$unwind": {"path": "$tags", "includeArrayIndex": "i"}},
+        {"$match": {"tags": "b"}}, {"$project": {"id": 1, "i": 1}},
+    ])
+    assert rows(got) == [(1, 1)]
+
+
+def test_lookup_no_match_yields_empty_array(spark, people):
+    pets = spark.createDataFrame([(1, "rex"), (1, "tom"), (3, "ivy")],
+                                 "owner long, pet string")
+    got = aggregate(people, [
+        {"$lookup": {"from": "pets", "localField": "id",
+                     "foreignField": "owner", "as": "pets"}},
+        {"$addFields": {"n_pets": {"$size": "$pets"}}},
+        {"$sort": {"id": 1}}, {"$project": {"id": 1, "n_pets": 1}},
+    ], tables={"pets": pets})
+    assert rows(got) == [(1, 2), (2, 0), (3, 1), (4, 0)]
+
+
+def test_project_exclude_addfields_cond(people):
+    got = aggregate(people, [
+        {"$addFields": {"senior": {"$cond": [{"$gte": ["$age", 40]}, 1, 0]}}},
+        {"$unset": ["tags", "bal"]},
+        {"$match": {"senior": 1}},
+    ])
+    assert got.columns == ["id", "name", "age", "senior"]
+    assert rows(got.select("name")) == [("cy",)]
+
+
+def test_skip_limit_count_replaceroot(spark, people):
+    got = aggregate(people, [{"$sort": {"id": 1}}, {"$skip": 1}, {"$limit": 2},
+                             {"$project": {"id": 1}}])
+    assert rows(got) == [(2,), (3,)]
+    got = aggregate(people, [{"$match": {"age": 34}}, {"$count": "n"}])
+    assert rows(got) == [(2,)]
+    nested = spark.createDataFrame([((1, "x"),)], "doc struct<a: long, b: string>")
+    got = aggregate(nested, [{"$replaceRoot": {"newRoot": "$doc"}}])
+    assert got.columns == ["a", "b"] and rows(got) == [(1, "x")]
+
+
+def test_string_and_conversion_exprs(people):
+    got = aggregate(people, [
+        {"$match": {"id": 1}},
+        {"$project": {"u": {"$toUpper": "$name"},
+                      "l": {"$strLenCP": "$name"},
+                      "s": {"$substrCP": ["$name", 1, 2]},
+                      "c": {"$concat": ["$name", "-", {"$toString": "$id"}]},
+                      "d": {"$toLong": {"$multiply": ["$bal", 2]}}}},
+    ])
+    assert rows(got) == [("ANN", 3, "nn", "ann-1", 21)]
+
+
+def test_unsupported_stage_and_expr_raise(people):
+    with pytest.raises(ValueError, match="unsupported pipeline stage"):
+        aggregate(people, [{"$facet": {}}])
+    with pytest.raises(ValueError, match="unsupported aggregation expression"):
+        expr_to_col({"$dateFromParts": {}})
+    with pytest.raises(ValueError, match="unsupported query operator"):
+        match_to_col({"a": {"$type": "string"}})

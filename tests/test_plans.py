@@ -157,3 +157,11 @@ def test_q20_semi_join_threshold_is_broadcast_scalar(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pipeline_lookup_is_broadcast_join(spark):
+    from mongo_hadoop_spark.operators import mongoagg
+
+    plan = plan_of(mongoagg.pipeline_lookup_segment(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
