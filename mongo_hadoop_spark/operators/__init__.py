@@ -23,14 +23,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mongo_hadoop_spark.operators import (
-    asof, dedup, mongoagg, multimodal, pipeline, relational, relational2,
-    relational3, relational4, relational5, similarity, skew, textstats,
-    windows,
+    analytics, asof, dedup, mongoagg, multimodal, pipeline, relational,
+    relational2, relational3, relational4, relational5, similarity, skew,
+    textstats, windows,
 )
 
 _MODULES = [relational, relational2, relational3, relational4, relational5,
             windows, dedup, similarity, textstats,
-            multimodal, skew, pipeline, asof, mongoagg]
+            multimodal, skew, pipeline, asof, mongoagg, analytics]
 
 # Registry order is part of the verification contract: external harnesses may
 # only sample a prefix of ``queries()``, so the entries that most need a fresh
@@ -38,8 +38,8 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 # (dedup/similarity/text/multimodal/skew/pipeline/asof), the window suite,
 # recently-changed queries, then the hardest TPC-H join shapes.  The tail is
 # the long-stable simple-aggregate set.
-_PRIORITY_MODULES = [mongoagg, dedup, similarity, textstats, multimodal, skew,
-                     pipeline, asof, windows]
+_PRIORITY_MODULES = [mongoagg, analytics, dedup, similarity, textstats,
+                     multimodal, skew, pipeline, asof, windows]
 _PRIORITY_KEYS = [
     "tpch_q12", "f4_skip_pagination",
     "tpch_q2_min_cost_supplier", "tpch_q16_supplier_cnt",

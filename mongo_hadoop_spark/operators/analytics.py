@@ -1,0 +1,244 @@
+"""Event/corpus analytics: funnel, cohort retention, quantiles, sampling.
+
+The large-scale training-pipeline companions to the windows/session suite:
+distribution reporting and user-journey rollups that a 100 TB corpus job
+runs next to dedup/quality filtering.  All pure built-in column math —
+no Python in any hot path.
+
+Scale notes:
+- the funnel chains groupBy/join stages all keyed on ``user_id``: Spark
+  reuses one hash partitioning across the whole chain (no re-shuffle per
+  stage), and each stage's output is strictly smaller than its input;
+- cohort retention is |users| + |user-weeks| work, two shuffles;
+- the stratified sample is a deterministic hash-mod predicate — at any
+  scale it is a scan with a cheap filter, no sampling state, and the
+  same rows survive on every engine (md5-based, seed-free);
+- the histogram buckets by the integer bit-length of per-user counts
+  (⌊log2 n⌋+1 via ``length(bin(n))``) — integer semantics, no float
+  log rounding to diverge between engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mongo_hadoop_spark.functions import md5_long, md5_long_sql
+from mongo_hadoop_spark.session import table
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: view → click → purchase
+# ---------------------------------------------------------------------------
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users reaching each ordered funnel stage (first-touch sequencing).
+
+    Stage k counts users whose earliest stage-k event is at/after their
+    earliest stage-(k-1) completion — the standard ordered-funnel rule.
+    """
+    e = table(spark, sf_dir, "events")
+    v = (e.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (e.where(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .where(F.col("ts") >= F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (e.where(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .where(F.col("ts") >= F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    one = F.count(F.lit(1)).alias("n_users")
+    return (
+        v.agg(one).select(F.lit("1_view").alias("stage"), "n_users")
+        .unionAll(c.agg(one).select(F.lit("2_click").alias("stage"), "n_users"))
+        .unionAll(p.agg(one).select(F.lit("3_purchase").alias("stage"), "n_users"))
+    )
+
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1
+)
+SELECT '1_view' AS stage, count(*) AS n_users FROM v
+UNION ALL SELECT '2_click', count(*) FROM c
+UNION ALL SELECT '3_purchase', count(*) FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention
+# ---------------------------------------------------------------------------
+
+def _week_index(ts_col) -> F.Column:
+    """Monday-based week index from a timestamp, TZ-free.
+
+    ``date_trunc('week', ...)`` is session-timezone-sensitive in Spark but
+    naive in DuckDB, so week math goes through pure integer arithmetic on
+    the internal epoch value: day = ⌊epoch/86400⌋, week = ⌊(day+3)/7⌋
+    (1970-01-01 was a Thursday; +3 aligns breaks to Mondays)."""
+    day = F.floor(F.unix_timestamp(ts_col) / 86400)
+    return F.floor((day + 3) / 7).cast("long")
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_week, weeks_since, n_users): users active k weeks after
+    their first-activity week."""
+    e = table(spark, sf_dir, "events")
+    first = (e.groupBy("user_id")
+             .agg(_week_index(F.min("ts")).alias("cw")))
+    weekly = (e.select("user_id", _week_index(F.col("ts")).alias("w"))
+              .distinct())
+    monday = F.date_add(F.lit("1969-12-29").cast("date"),
+                        (F.col("cw") * 7).cast("int"))
+    return (
+        weekly.join(first, "user_id")
+        .select(
+            monday.cast("string").alias("cohort_week"),
+            (F.col("w") - F.col("cw")).alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+COHORT_SQL = """
+WITH first AS (
+  SELECT user_id,
+         floor((floor(epoch(min(ts)) / 86400) + 3) / 7)::bigint AS cw
+  FROM events GROUP BY 1
+),
+weekly AS (
+  SELECT DISTINCT user_id,
+         floor((floor(epoch(ts) / 86400) + 3) / 7)::bigint AS w
+  FROM events
+)
+SELECT (DATE '1969-12-29' + (cw * 7)::int)::varchar AS cohort_week,
+       (w - cw) AS weeks_since,
+       count(DISTINCT user_id) AS n_users
+FROM weekly JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact discrete quantiles per group
+# ---------------------------------------------------------------------------
+
+def orders_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order-value quartiles via ``percentile_disc`` — the
+    discrete quantile picks an actual data element (no interpolation
+    arithmetic), so the result is bit-exact across engines."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_q")
+    return spark.sql("""
+        SELECT o_orderpriority AS priority,
+               count(*) AS n,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
+        FROM __orders_q GROUP BY o_orderpriority
+    """)
+
+
+QUANTILE_SQL = """
+SELECT o_orderpriority AS priority,
+       count(*) AS n,
+       quantile_disc(o_totalprice, 0.25) AS p25,
+       quantile_disc(o_totalprice, 0.50) AS p50,
+       quantile_disc(o_totalprice, 0.75) AS p75
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_PCT = 10  # keep md5(doc_id) % 100 < SAMPLE_PCT
+
+
+def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-free ~10% sample with per-language accounting: the survivor
+    set is a pure function of doc_id (md5 mod), so it is reproducible on
+    any engine, any partitioning, any day — the property a training-data
+    pipeline needs to re-materialize a sample."""
+    d = table(spark, sf_dir, "documents")
+    kept = d.where((md5_long(F.col("doc_id").cast("string")) % 100) < SAMPLE_PCT)
+    return (
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+        .join(kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled")),
+              "lang", "left")
+        .select("lang", "n_total", F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"))
+    )
+
+
+SAMPLE_SQL = f"""
+WITH kept AS (
+  SELECT lang FROM documents
+  WHERE ({md5_long_sql('doc_id::varchar')}) % 100 < {SAMPLE_PCT}
+)
+SELECT d.lang, count(*) AS n_total,
+       coalesce(any_value(k.n), 0) AS n_sampled
+FROM documents d
+LEFT JOIN (SELECT lang, count(*) AS n FROM kept GROUP BY 1) k USING (lang)
+GROUP BY d.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Log-bucketed activity histogram
+# ---------------------------------------------------------------------------
+
+def user_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-user event counts in power-of-two buckets.
+    Bucket = bit length of the count (integer semantics — no float log)."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_user
+        .select(F.length(F.bin("n")).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .withColumn("bucket_min", (F.lit(2) ** (F.col("bucket") - 1)).cast("long"))
+    )
+
+
+HISTOGRAM_SQL = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY 1
+)
+SELECT length(bin(n))::bigint AS bucket,
+       count(*) AS n_users,
+       (2 ** (length(bin(n)) - 1))::bigint AS bucket_min
+FROM per_user GROUP BY length(bin(n))
+"""
+
+
+QUERIES = {
+    "events_funnel": events_funnel,
+    "events_cohort_retention": events_cohort_retention,
+    "orders_quantile_rollup": orders_quantile_rollup,
+    "documents_stratified_sample": documents_stratified_sample,
+    "user_activity_histogram": user_activity_histogram,
+}
+
+ORACLES = {
+    "events_funnel": FUNNEL_SQL,
+    "events_cohort_retention": COHORT_SQL,
+    "orders_quantile_rollup": QUANTILE_SQL,
+    "documents_stratified_sample": SAMPLE_SQL,
+    "user_activity_histogram": HISTOGRAM_SQL,
+}
