@@ -4,6 +4,7 @@ documents like the reference's BucketedMongoDBSink."""
 
 from __future__ import annotations
 
+import glob
 import os
 
 import pytest
@@ -16,6 +17,7 @@ from mongo_hadoop_spark.streaming import (
     BucketedDocumentSink, stream_sessionized, stream_tumbling_counts,
     streaming_events_source,
 )
+from mongo_hadoop_spark.streaming.jobs import stream_dedup_events
 from mongo_hadoop_spark.store import DocumentStore
 
 
@@ -384,3 +386,44 @@ def test_bucketed_sink_max_buckets_cap(spark, tmp_path):
     ok = BucketedDocumentSink(store_path, "fixed_{ts}", max_buckets=10)
     ok(df, batch_id=1)
     assert DocumentStore(store_path).list_collections()
+
+
+def test_stream_dedup_events_collapses_redeliveries(spark, events_dir, tmp_path):
+    """Duplicated input files (at-least-once redelivery) dedup to the
+    batch-distinct result."""
+    import shutil
+
+    dup_dir = str(tmp_path / "dup_events")
+    os.makedirs(dup_dir)
+    for i, f in enumerate(sorted(glob.glob(events_dir + "/*.parquet"))):
+        shutil.copy(f, os.path.join(dup_dir, f"a{i}.parquet"))
+        shutil.copy(f, os.path.join(dup_dir, f"b{i}.parquet"))
+
+    out = (
+        stream_dedup_events(streaming_events_source(spark, dup_dir))
+        .writeStream.format("memory").queryName("dedup_ev")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True).start()
+    )
+    out.awaitTermination(180)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_ev").collect()[0]
+    expect = spark.read.parquet(events_dir).select("event_id").distinct().count()
+    assert got.n == got.d == expect
+
+
+def test_stream_dedup_content(spark, events_dir, tmp_path):
+    from mongo_hadoop_spark.streaming.jobs import stream_dedup_content
+
+    out = (
+        stream_dedup_content(streaming_events_source(spark, events_dir))
+        .writeStream.format("memory").queryName("dedup_ct")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dc"))
+        .trigger(availableNow=True).start()
+    )
+    out.awaitTermination(180)
+    n = spark.sql("SELECT count(*) FROM dedup_ct").collect()[0][0]
+    batch = spark.read.parquet(events_dir)
+    expect = (batch.select(F.md5(F.concat_ws("\x1f", "user_id", "event_type",
+                                             "value", "props")).alias("h"))
+              .distinct().count())
+    assert n == expect
