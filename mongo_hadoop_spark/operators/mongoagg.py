@@ -122,11 +122,88 @@ FROM events GROUP BY 1 ORDER BY count DESC, _id ASC
 """
 
 
+
+def pipeline_bucket_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$bucket histogram of order values with decimal revenue per bucket."""
+    orders = table(spark, sf_dir, "orders")
+    return aggregate(orders, [
+        {"$addFields": {"pd": {"$toDecimal": "$o_totalprice"}}},
+        {"$bucket": {
+            "groupBy": "$o_totalprice",
+            "boundaries": [0, 50000, 100000, 200000, 400000, 10000000],
+            "default": -1,
+            "output": {"n": {"$sum": 1}, "revenue": {"$sum": "$pd"}},
+        }},
+        {"$project": {"_id": 1, "n": 1, "revenue": {"$toDouble": "$revenue"}}},
+        {"$sort": {"_id": 1}},
+    ])
+
+
+PIPELINE_BUCKET_SQL = """
+WITH b AS (
+  SELECT CASE
+           WHEN o_totalprice >= 0 AND o_totalprice < 50000 THEN 0
+           WHEN o_totalprice >= 50000 AND o_totalprice < 100000 THEN 50000
+           WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN 100000
+           WHEN o_totalprice >= 200000 AND o_totalprice < 400000 THEN 200000
+           WHEN o_totalprice >= 400000 AND o_totalprice < 10000000 THEN 400000
+           ELSE -1
+         END AS _id,
+         o_totalprice
+  FROM orders
+)
+SELECT _id, count(*) AS n,
+       (sum(CAST(o_totalprice AS DECIMAL(38,6))))::double AS revenue
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+def pipeline_window_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$setWindowFields: per-customer order sequence number, running
+    decimal spend, and previous order value ($shift)."""
+    orders = table(spark, sf_dir, "orders")
+    return aggregate(orders, [
+        {"$addFields": {"pd": {"$toDecimal": "$o_totalprice"}}},
+        {"$setWindowFields": {
+            "partitionBy": "$o_custkey",
+            "sortBy": {"o_orderdate": 1, "o_orderkey": 1},
+            "output": {
+                "seq": {"$documentNumber": {}},
+                "running": {"$sum": "$pd",
+                            "window": {"documents": ["unbounded", "current"]}},
+                "prev_price": {"$shift": {"output": "$o_totalprice",
+                                          "by": -1, "default": 0.0}},
+            },
+        }},
+        {"$match": {"seq": {"$lte": 3}}},
+        {"$project": {"o_custkey": 1, "o_orderkey": 1, "seq": 1,
+                      "running": {"$toDouble": "$running"},
+                      "prev_price": 1}},
+    ])
+
+
+PIPELINE_WINDOW_SQL = """
+WITH w AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER win AS seq,
+         (sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::double AS running,
+         coalesce(lag(o_totalprice, 1) OVER win, 0.0) AS prev_price
+  FROM orders
+  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_custkey, o_orderkey, seq, running, prev_price FROM w WHERE seq <= 3
+"""
+
+
 QUERIES = {
     "pipeline_status_rollup": pipeline_status_rollup,
     "pipeline_wordcount": pipeline_wordcount,
     "pipeline_lookup_segment": pipeline_lookup_segment,
     "pipeline_sortbycount": pipeline_sortbycount,
+    "pipeline_bucket_order_values": pipeline_bucket_order_values,
+    "pipeline_window_fields": pipeline_window_fields,
 }
 
 ORACLES = {
@@ -134,4 +211,6 @@ ORACLES = {
     "pipeline_wordcount": PIPELINE_WORDCOUNT_SQL,
     "pipeline_lookup_segment": PIPELINE_LOOKUP_SQL,
     "pipeline_sortbycount": PIPELINE_SORTBYCOUNT_SQL,
+    "pipeline_bucket_order_values": PIPELINE_BUCKET_SQL,
+    "pipeline_window_fields": PIPELINE_WINDOW_SQL,
 }

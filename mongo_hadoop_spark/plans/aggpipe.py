@@ -11,7 +11,9 @@ document-at-a-time interpreter.
 
 Supported stages: $match (query syntax + $expr), $project, $addFields /
 $set, $unset, $group, $unwind, $sort, $skip, $limit, $count, $lookup
-(equality form, needs a ``tables`` dict), $replaceRoot, $sortByCount.
+(equality form, needs a ``tables`` dict), $replaceRoot, $sortByCount,
+$bucket (boundary histograms), $setWindowFields (rank / documentNumber /
+shift and frame-bounded sum/avg/min/max/push/count windows).
 Supported expressions: field paths, $literal, arithmetic ($add $subtract
 $multiply $divide $mod $abs $ceil $floor $round $sqrt $pow $exp $ln),
 comparisons ($eq $ne $gt $gte $lt $lte $cmp), boolean ($and $or $not),
@@ -406,6 +408,99 @@ def _stage_sort(df: DataFrame, spec: dict) -> DataFrame:
     return df.orderBy(*order)
 
 
+def _stage_bucket(df: DataFrame, spec: dict) -> DataFrame:
+    """$bucket: group by the containing [b_i, b_{i+1}) boundary interval;
+    the bucket's inclusive lower bound is its ``_id`` (server semantics).
+    Out-of-range values go to ``default`` (error without one, like the
+    server)."""
+    gb = expr_to_col(spec["groupBy"])
+    bounds = spec["boundaries"]
+    out_spec = spec.get("output", {"count": {"$sum": 1}})
+    has_default = "default" in spec
+    bucket = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        cond = (gb >= F.lit(lo)) & (gb < F.lit(hi))
+        bucket = F.when(cond, F.lit(lo)) if bucket is None else bucket.when(cond, F.lit(lo))
+    if has_default:
+        bucket = bucket.otherwise(F.lit(spec["default"]))
+    aggs = [_accumulator(n, a) for n, a in out_spec.items()]
+    out = df.groupBy(bucket.alias("_id")).agg(*aggs)
+    if not has_default:
+        # server errors on out-of-range input; surfacing them as a null
+        # bucket would silently change results, so refuse at plan time if
+        # any row falls outside — cheap anti-filter existence check
+        outside = df.where(~((gb >= F.lit(bounds[0])) & (gb < F.lit(bounds[-1]))))
+        if outside.limit(1).count() > 0:
+            raise ValueError(
+                "$bucket input outside boundaries and no 'default' given")
+    return out
+
+
+_WINDOW_BOUND = {"unbounded": None, "current": 0}
+
+
+def _frame_bound(v, side: str) -> int:
+    from pyspark.sql import Window as W
+
+    if v == "unbounded":
+        return W.unboundedPreceding if side == "lo" else W.unboundedFollowing
+    if v == "current":
+        return W.currentRow
+    return int(v)
+
+
+def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
+    """$setWindowFields: rank/documentNumber/shift and frame-bounded
+    accumulators over a partition+sort window."""
+    from pyspark.sql import Window as W
+
+    base = (W.partitionBy(expr_to_col(spec["partitionBy"]))
+            if "partitionBy" in spec and spec["partitionBy"] is not None
+            else W.partitionBy())
+    sort = spec.get("sortBy") or {}
+    order = [F.col(k).asc() if d >= 0 else F.col(k).desc()
+             for k, d in sort.items()]
+    w_sorted = base.orderBy(*order) if order else base
+    for name, out in spec["output"].items():
+        out = dict(out)
+        frame = out.pop("window", None)
+        (op, operand), = out.items()
+        if op == "$rank":
+            col = F.rank().over(w_sorted)
+        elif op == "$denseRank":
+            col = F.dense_rank().over(w_sorted)
+        elif op == "$documentNumber":
+            col = F.row_number().over(w_sorted)
+        elif op == "$shift":
+            by = operand.get("by", 1)
+            default = operand.get("default")
+            target = expr_to_col(operand["output"])
+            fn = F.lead(target, by) if by >= 0 else F.lag(target, -by)
+            col = fn.over(w_sorted)
+            if default is not None:
+                col = F.coalesce(col, F.lit(default))
+        else:
+            w = w_sorted
+            if frame and "documents" in frame:
+                lo, hi = frame["documents"]
+                w = w_sorted.rowsBetween(_frame_bound(lo, "lo"),
+                                         _frame_bound(hi, "hi"))
+            elif order:
+                # server default with sortBy: unbounded preceding → current
+                from pyspark.sql import Window as _W
+                w = w_sorted.rowsBetween(_W.unboundedPreceding, _W.currentRow)
+            agg = {"$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
+                   "$push": F.collect_list, "$count": None}.get(op)
+            if op == "$count":
+                col = F.count(F.lit(1)).over(w)
+            elif agg is None:
+                raise ValueError(f"unsupported window accumulator {op}")
+            else:
+                col = agg(expr_to_col(operand)).over(w)
+        df = df.withColumn(name, col)
+    return df
+
+
 def aggregate(df: DataFrame, pipeline: list[dict],
               tables: dict[str, DataFrame] | None = None) -> DataFrame:
     """Run an aggregation pipeline against ``df``; returns the result
@@ -440,6 +535,10 @@ def aggregate(df: DataFrame, pipeline: list[dict],
         elif op == "$replaceRoot":
             root = spec["newRoot"]
             out = out.select(f"{root[1:]}.*")
+        elif op == "$bucket":
+            out = _stage_bucket(out, spec)
+        elif op == "$setWindowFields":
+            out = _stage_set_window_fields(out, spec)
         elif op == "$sortByCount":
             out = (out.groupBy(expr_to_col(spec).alias("_id"))
                    .agg(F.count(F.lit(1)).alias("count"))

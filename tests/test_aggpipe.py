@@ -144,3 +144,59 @@ def test_unsupported_stage_and_expr_raise(people):
         expr_to_col({"$dateFromParts": {}})
     with pytest.raises(ValueError, match="unsupported query operator"):
         match_to_col({"a": {"$type": "string"}})
+
+
+def test_bucket_default_and_error(spark):
+    df = spark.createDataFrame([(i,) for i in (1, 5, 9, 15)], "x long")
+    got = aggregate(df, [{"$bucket": {
+        "groupBy": "$x", "boundaries": [0, 5, 10], "default": -99,
+    }}, {"$sort": {"_id": 1}}])
+    assert rows(got) == [(-99, 1), (0, 1), (5, 2)]
+    with pytest.raises(ValueError, match="outside boundaries"):
+        aggregate(df, [{"$bucket": {"groupBy": "$x",
+                                    "boundaries": [0, 5, 10]}}]).collect()
+
+
+def test_set_window_fields_rank_shift(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 10.0), ("a", 3, 5.0), ("b", 4, 2.0)],
+        "grp string, seq long, v double",
+    )
+    got = aggregate(df, [
+        {"$setWindowFields": {
+            "partitionBy": "$grp",
+            "sortBy": {"v": -1, "seq": 1},
+            "output": {
+                "r": {"$rank": {}},
+                "dr": {"$denseRank": {}},
+                "rn": {"$documentNumber": {}},
+                "nxt": {"$shift": {"output": "$seq", "by": 1, "default": -1}},
+                "cum": {"$sum": "$v",
+                        "window": {"documents": ["unbounded", "current"]}},
+            },
+        }},
+        {"$sort": {"grp": 1, "rn": 1}},
+        {"$project": {"grp": 1, "seq": 1, "r": 1, "dr": 1, "rn": 1,
+                      "nxt": 1, "cum": 1}},
+    ])
+    # seq breaks the v tie in the sort, so rank == denseRank == rn here
+    assert rows(got) == [
+        ("a", 1, 1, 1, 1, 2, 10.0),
+        ("a", 2, 2, 2, 2, 3, 20.0),
+        ("a", 3, 3, 3, 3, -1, 25.0),
+        ("b", 4, 1, 1, 1, -1, 2.0),
+    ]
+
+
+def test_set_window_fields_global_window(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "x long")
+    got = aggregate(df, [
+        {"$setWindowFields": {
+            "sortBy": {"x": 1},
+            "output": {"total": {"$sum": "$x",
+                                 "window": {"documents": ["unbounded", "unbounded"]}},
+                       "rn": {"$documentNumber": {}}},
+        }},
+        {"$sort": {"x": 1}}, {"$project": {"x": 1, "total": 1, "rn": 1}},
+    ])
+    assert rows(got) == [(1, 6, 1), (2, 6, 2), (3, 6, 3)]
