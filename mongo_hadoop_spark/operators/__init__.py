@@ -24,13 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mongo_hadoop_spark.operators import (
     analytics, asof, dedup, mongoagg, multimodal, pipeline, relational,
-    relational2, relational3, relational4, relational5, similarity, skew,
-    textstats, windows,
+    relational2, relational3, relational4, relational5, similarity, sketches,
+    skew, textstats, windows,
 )
 
 _MODULES = [relational, relational2, relational3, relational4, relational5,
             windows, dedup, similarity, textstats,
-            multimodal, skew, pipeline, asof, mongoagg, analytics]
+            multimodal, skew, pipeline, asof, mongoagg, analytics,
+            sketches]
 
 # Registry order is part of the verification contract: external harnesses may
 # only sample a prefix of ``queries()``, so the entries that most need a fresh
@@ -38,7 +39,7 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 # (dedup/similarity/text/multimodal/skew/pipeline/asof), the window suite,
 # recently-changed queries, then the hardest TPC-H join shapes.  The tail is
 # the long-stable simple-aggregate set.
-_PRIORITY_MODULES = [mongoagg, analytics, dedup, similarity, textstats,
+_PRIORITY_MODULES = [mongoagg, analytics, sketches, dedup, similarity, textstats,
                      multimodal, skew, pipeline, asof, windows]
 _PRIORITY_KEYS = [
     "tpch_q12", "f4_skip_pagination",
