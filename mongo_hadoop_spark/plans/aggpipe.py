@@ -501,13 +501,58 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
     return df
 
 
+def _stage_out(df: DataFrame, spec, store_path: str | None) -> DataFrame:
+    """$out: replace the target collection with the pipeline result."""
+    if store_path is None:
+        raise ValueError("$out requires store_path=...")
+    from mongo_hadoop_spark.sinks.writers import write_documents
+    from mongo_hadoop_spark.store import DocumentStore
+
+    coll = spec if isinstance(spec, str) else spec["coll"]
+    store = DocumentStore(store_path)
+    if coll in store.list_collections():
+        store.drop(coll)
+    write_documents(df, store_path, coll, mode="insert")
+    return df
+
+
+def _stage_merge(df: DataFrame, spec, store_path: str | None) -> DataFrame:
+    """$merge (equality-``on`` form): upsert the pipeline result into the
+    target collection — whenMatched: replace, whenNotMatched: insert (the
+    server defaults).  Each row becomes a journaled mutation replayed by
+    the committer, the same path as MongoUpdateStorage."""
+    if store_path is None:
+        raise ValueError("$merge requires store_path=...")
+    from mongo_hadoop_spark.sinks.writers import apply_pending_updates, write_documents
+
+    spec = spec if isinstance(spec, dict) else {"into": spec}
+    coll = spec["into"] if isinstance(spec["into"], str) else spec["into"]["coll"]
+    on = spec.get("on", "_id")
+    on_cols = [on] if isinstance(on, str) else list(on)
+    when_matched = spec.get("whenMatched", "replace")
+    when_not = spec.get("whenNotMatched", "insert")
+    if when_matched not in ("replace", "merge") or when_not != "insert":
+        raise ValueError(
+            f"unsupported $merge mode whenMatched={when_matched!r} "
+            f"whenNotMatched={when_not!r} (supported: replace/merge + insert)")
+    mode = "replace" if when_matched == "replace" else "upsert"
+    write_documents(df, store_path, coll, mode=mode, key_cols=on_cols)
+    apply_pending_updates(store_path, coll)
+    return df
+
+
 def aggregate(df: DataFrame, pipeline: list[dict],
-              tables: dict[str, DataFrame] | None = None) -> DataFrame:
+              tables: dict[str, DataFrame] | None = None,
+              store_path: str | None = None) -> DataFrame:
     """Run an aggregation pipeline against ``df``; returns the result
-    DataFrame (lazy — Catalyst sees the whole compiled plan)."""
+    DataFrame (lazy — Catalyst sees the whole compiled plan).  ``$out`` /
+    ``$merge`` terminal stages write to the document store at
+    ``store_path`` (eager, like the server)."""
     out = df
-    for stage in pipeline:
+    for i, stage in enumerate(pipeline):
         (op, spec), = stage.items()
+        if op in ("$out", "$merge") and i != len(pipeline) - 1:
+            raise ValueError(f"{op} must be the last pipeline stage")
         if op == "$match":
             out = out.where(match_to_col(spec))
         elif op == "$project":
@@ -543,6 +588,10 @@ def aggregate(df: DataFrame, pipeline: list[dict],
             out = (out.groupBy(expr_to_col(spec).alias("_id"))
                    .agg(F.count(F.lit(1)).alias("count"))
                    .orderBy(F.col("count").desc(), F.col("_id").asc()))
+        elif op == "$out":
+            out = _stage_out(out, spec, store_path)
+        elif op == "$merge":
+            out = _stage_merge(out, spec, store_path)
         else:
             raise ValueError(f"unsupported pipeline stage {op}")
     return out

@@ -200,3 +200,44 @@ def test_set_window_fields_global_window(spark):
         {"$sort": {"x": 1}}, {"$project": {"x": 1, "total": 1, "rn": 1}},
     ])
     assert rows(got) == [(1, 6, 1), (2, 6, 2), (3, 6, 3)]
+
+
+def test_out_stage_writes_collection(spark, people, tmp_path):
+    from mongo_hadoop_spark.store import DocumentStore
+
+    store = str(tmp_path / "aggdb")
+    aggregate(people, [
+        {"$match": {"age": {"$gte": 0}}},
+        {"$project": {"id": 1, "name": 1}},
+        {"$out": "adults"},
+    ], store_path=store)
+    docs = DocumentStore(store).collection("adults").find(sort=[("id", 1)])
+    assert [d["name"] for d in docs] == ["ann", "cy", "dee"]
+    # $out replaces: running again with a narrower match shrinks the coll
+    aggregate(people, [{"$match": {"id": 1}}, {"$project": {"id": 1}},
+                       {"$out": "adults"}], store_path=store)
+    assert len(DocumentStore(store).collection("adults").find()) == 1
+
+
+def test_merge_stage_upserts(spark, people, tmp_path):
+    from mongo_hadoop_spark.store import DocumentStore
+
+    store = str(tmp_path / "mergedb")
+    base = aggregate(people, [{"$project": {"id": 1, "name": 1}},
+                              {"$out": "profiles"}], store_path=store)
+    assert base is not None
+    updates = spark.createDataFrame([(1, "ANN"), (9, "zoe")], "id long, name string")
+    aggregate(updates, [
+        {"$merge": {"into": "profiles", "on": "id",
+                    "whenMatched": "replace", "whenNotMatched": "insert"}},
+    ], store_path=store)
+    docs = {d["id"]: d["name"] for d in DocumentStore(store).collection("profiles").find()}
+    assert docs == {1: "ANN", 2: "bob", 3: "cy", 4: "dee", 9: "zoe"}
+
+
+def test_out_not_last_or_no_store_raises(people, tmp_path):
+    with pytest.raises(ValueError, match="last pipeline stage"):
+        aggregate(people, [{"$out": "x"}, {"$match": {}}],
+                  store_path=str(tmp_path))
+    with pytest.raises(ValueError, match="store_path"):
+        aggregate(people, [{"$out": "x"}])
