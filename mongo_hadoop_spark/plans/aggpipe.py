@@ -501,6 +501,68 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
     return df
 
 
+def _stage_facet(df: DataFrame, spec: dict,
+                 tables: dict[str, DataFrame] | None,
+                 store_path: str | None) -> DataFrame:
+    """$facet: run each named sub-pipeline on the same input; emit ONE row
+    whose columns are arrays of each facet's result docs.
+
+    Compiled as: per facet, collect the sub-pipeline result into a
+    single-row array (sorted canonically — structs compare field-wise —
+    so the row is deterministic across shuffles), then crossJoin the
+    1-row frames.  The crossJoin is structurally 1×1×…×1, never a real
+    product.  Each facet re-reads the shared input; persist the input
+    upstream if it is expensive."""
+    if not spec:
+        raise ValueError("$facet requires at least one named sub-pipeline")
+    faceted = []
+    for name, sub in spec.items():
+        sub_df = aggregate(df, sub, tables=tables, store_path=store_path)
+        arr = F.array_sort(F.collect_list(F.struct(
+            *[F.col(c) for c in sub_df.columns])))
+        faceted.append(sub_df.agg(arr.alias(name)))
+    out = faceted[0]
+    for f in faceted[1:]:
+        out = out.crossJoin(f)
+    return out
+
+
+def _stage_graph_lookup(df: DataFrame, spec: dict,
+                        tables: dict[str, DataFrame] | None) -> DataFrame:
+    """$graphLookup: bounded-depth BFS over a foreign collection,
+    unrolled into one lazy plan (one equi-join per level).
+
+    ``maxDepth`` is REQUIRED here (the server's unbounded traversal has
+    no lazy-plan shape; pick the bound you mean).  The result array is
+    canonically sorted (struct field order) rather than traversal-ordered
+    — deterministic across partitionings."""
+    if not tables or spec["from"] not in tables:
+        raise ValueError(
+            f"$graphLookup from {spec['from']!r}: pass tables={{name: DataFrame}}")
+    if "maxDepth" not in spec:
+        raise ValueError("$graphLookup requires maxDepth (bounded unroll)")
+    foreign = tables[spec["from"]]
+    cf, ct, as_ = (spec["connectFromField"], spec["connectToField"], spec["as"])
+    depth = int(spec["maxDepth"])
+    src = df.withColumn("__gid", F.monotonically_increasing_id())
+    fstruct = F.struct(*[F.col(c) for c in foreign.columns])
+    frontier = src.select("__gid", expr_to_col(spec["startWith"]).alias("__val"))
+    visited = None
+    for _ in range(depth + 1):
+        hits = (frontier.join(foreign, frontier["__val"] == foreign[ct])
+                .select("__gid", fstruct.alias("__doc"),
+                        F.col(cf).alias("__next")))
+        visited = hits if visited is None else visited.unionAll(hits)
+        frontier = hits.select("__gid", F.col("__next").alias("__val")).distinct()
+    matches = (visited.dropDuplicates(["__gid", "__doc"])
+               .groupBy("__gid")
+               .agg(F.array_sort(F.collect_list("__doc")).alias(as_)))
+    out = src.join(matches, "__gid", "left")
+    arr_type = matches.schema[as_].dataType
+    return (out.withColumn(as_, F.coalesce(F.col(as_), F.array().cast(arr_type)))
+            .drop("__gid"))
+
+
 def _stage_out(df: DataFrame, spec, store_path: str | None) -> DataFrame:
     """$out: replace the target collection with the pipeline result."""
     if store_path is None:
@@ -588,6 +650,10 @@ def aggregate(df: DataFrame, pipeline: list[dict],
             out = (out.groupBy(expr_to_col(spec).alias("_id"))
                    .agg(F.count(F.lit(1)).alias("count"))
                    .orderBy(F.col("count").desc(), F.col("_id").asc()))
+        elif op == "$facet":
+            out = _stage_facet(out, spec, tables, store_path)
+        elif op == "$graphLookup":
+            out = _stage_graph_lookup(out, spec, tables)
         elif op == "$out":
             out = _stage_out(out, spec, store_path)
         elif op == "$merge":

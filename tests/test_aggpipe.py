@@ -139,7 +139,7 @@ def test_string_and_conversion_exprs(people):
 
 def test_unsupported_stage_and_expr_raise(people):
     with pytest.raises(ValueError, match="unsupported pipeline stage"):
-        aggregate(people, [{"$facet": {}}])
+        aggregate(people, [{"$densify": {}}])
     with pytest.raises(ValueError, match="unsupported aggregation expression"):
         expr_to_col({"$dateFromParts": {}})
     with pytest.raises(ValueError, match="unsupported query operator"):
@@ -241,3 +241,42 @@ def test_out_not_last_or_no_store_raises(people, tmp_path):
                   store_path=str(tmp_path))
     with pytest.raises(ValueError, match="store_path"):
         aggregate(people, [{"$out": "x"}])
+
+
+def test_facet_single_row_multi_array(people):
+    got = aggregate(people, [
+        {"$facet": {
+            "by_age": [{"$match": {"age": {"$gte": 0}}},
+                       {"$group": {"_id": "$age", "n": {"$sum": 1}}}],
+            "top_bal": [{"$match": {"bal": {"$gte": 0}}},
+                        {"$sort": {"bal": -1}}, {"$limit": 2},
+                        {"$project": {"name": 1}}],
+        }},
+    ])
+    assert got.count() == 1
+    r = got.collect()[0]
+    assert sorted((x["_id"], x["n"]) for x in r["by_age"]) == [(34, 2), (41, 1)]
+    assert sorted(x["name"] for x in r["top_bal"]) == ["ann", "bob"]
+    with pytest.raises(ValueError, match="at least one"):
+        aggregate(people, [{"$facet": {}}])
+
+
+def test_graph_lookup_bfs(spark):
+    # org chart: 1 <- 2 <- 3, 1 <- 4; lookup reports-transitive-closure
+    emp = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 2), (4, 1)], "eid long, mgr long")
+    got = aggregate(emp, [
+        {"$graphLookup": {"from": "emp", "startWith": "$eid",
+                          "connectFromField": "eid",
+                          "connectToField": "mgr",
+                          "as": "reports", "maxDepth": 5}},
+        {"$addFields": {"n": {"$size": "$reports"}}},
+        {"$sort": {"eid": 1}}, {"$project": {"eid": 1, "n": 1}},
+    ], tables={"emp": emp})
+    # 1 manages {2,3,4} transitively; 2 manages {3}; 3,4 manage none
+    assert rows(got) == [(1, 3), (2, 1), (3, 0), (4, 0)]
+    with pytest.raises(ValueError, match="maxDepth"):
+        aggregate(emp, [{"$graphLookup": {"from": "emp", "startWith": "$eid",
+                                          "connectFromField": "eid",
+                                          "connectToField": "mgr",
+                                          "as": "r"}}], tables={"emp": emp})
