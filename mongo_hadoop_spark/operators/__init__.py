@@ -43,7 +43,7 @@ _PRIORITY_MODULES = [mongoagg, analytics, sketches, dedup, similarity, textstats
                      multimodal, skew, pipeline, asof, windows]
 #: queries whose implementation changed this round — absolute head of the
 #: registry so any prefix-sampling harness re-checks them first
-_CHANGED_KEYS = ["tpch_q12", "f4_skip_pagination"]
+_CHANGED_KEYS = ["tpch_q12", "events_session_windows", "f4_skip_pagination"]
 _PRIORITY_KEYS = [
     "tpch_q2_min_cost_supplier", "tpch_q16_supplier_cnt",
     "tpch_q20_excess_suppliers",
