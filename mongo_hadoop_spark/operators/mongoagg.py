@@ -197,6 +197,37 @@ SELECT o_custkey, o_orderkey, seq, running, prev_price FROM w WHERE seq <= 3
 """
 
 
+
+def pipeline_densify_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$group → $densify → $fill: gapless per-user event counts.
+
+    Densify materializes the missing user ids in [min, max] and $fill
+    zeroes their counts — the gap-filling shape every windowed
+    time-series/feature pipeline needs before a rolling computation."""
+    events = table(spark, sf_dir, "events")
+    return aggregate(events, [
+        {"$group": {"_id": "$user_id", "n": {"$sum": 1}}},
+        {"$addFields": {"user_id": "$_id"}},
+        {"$project": {"user_id": 1, "n": 1}},
+        {"$densify": {"field": "user_id", "range": {"step": 1, "bounds": "full"}}},
+        {"$fill": {"output": {"n": {"value": {"$toLong": 0}}}}},
+        {"$sort": {"user_id": 1}},
+    ])
+
+
+PIPELINE_DENSIFY_SQL = """
+WITH per AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY 1
+),
+axis AS (
+  SELECT unnest(generate_series((SELECT min(user_id) FROM per),
+                                (SELECT max(user_id) FROM per), 1)) AS user_id
+)
+SELECT axis.user_id, coalesce(per.n, 0) AS n
+FROM axis LEFT JOIN per USING (user_id)
+ORDER BY user_id
+"""
+
 QUERIES = {
     "pipeline_status_rollup": pipeline_status_rollup,
     "pipeline_wordcount": pipeline_wordcount,
@@ -204,6 +235,7 @@ QUERIES = {
     "pipeline_sortbycount": pipeline_sortbycount,
     "pipeline_bucket_order_values": pipeline_bucket_order_values,
     "pipeline_window_fields": pipeline_window_fields,
+    "pipeline_densify_user_counts": pipeline_densify_user_counts,
 }
 
 ORACLES = {
@@ -213,4 +245,5 @@ ORACLES = {
     "pipeline_sortbycount": PIPELINE_SORTBYCOUNT_SQL,
     "pipeline_bucket_order_values": PIPELINE_BUCKET_SQL,
     "pipeline_window_fields": PIPELINE_WINDOW_SQL,
+    "pipeline_densify_user_counts": PIPELINE_DENSIFY_SQL,
 }

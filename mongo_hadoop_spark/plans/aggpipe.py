@@ -13,7 +13,9 @@ Supported stages: $match (query syntax + $expr), $project, $addFields /
 $set, $unset, $group, $unwind, $sort, $skip, $limit, $count, $lookup
 (equality form, needs a ``tables`` dict), $replaceRoot, $sortByCount,
 $bucket (boundary histograms), $setWindowFields (rank / documentNumber /
-shift and frame-bounded sum/avg/min/max/push/count windows).
+shift and frame-bounded sum/avg/min/max/push/count windows), $densify /
+$fill (gap materialization + locf/constant fills), $facet, $graphLookup
+(bounded BFS), and terminal $out / $merge document-store writes.
 Supported expressions: field paths, $literal, arithmetic ($add $subtract
 $multiply $divide $mod $abs $ceil $floor $round $sqrt $pow $exp $ln),
 comparisons ($eq $ne $gt $gte $lt $lte $cmp), boolean ($and $or $not),
@@ -501,6 +503,79 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
     return df
 
 
+def _stage_densify(df: DataFrame, spec: dict) -> DataFrame:
+    """$densify: materialize missing steps of a numeric or day-stepped
+    field so downstream windows/fills see a gapless axis.
+
+    Supported: ``range.bounds`` = "full" (global min..max) or an explicit
+    ``[lo, hi)`` pair; ``range.unit`` absent (numeric) or "day";
+    ``partitionByFields`` optional.  Compiled as sequence()+explode of the
+    step axis per partition key, left-joined against the existing rows —
+    generation is O(#keys × #steps) and never shuffles the fact rows more
+    than the one join."""
+    field = spec["field"]
+    rng = spec["range"]
+    step = rng["step"]
+    unit = rng.get("unit")
+    parts = spec.get("partitionByFields", [])
+    if unit not in (None, "day"):
+        raise ValueError(f"unsupported $densify unit {unit!r}")
+
+    fcol = F.col(field)
+    if rng.get("bounds") == "full" or rng.get("bounds") is None:
+        b = df.agg(F.min(fcol).alias("__lo"), F.max(fcol).alias("__hi"))
+        axis_src = (df.select(*parts).distinct().crossJoin(F.broadcast(b))
+                    if parts else b)
+    else:
+        lo, hi = rng["bounds"]
+        axis_src = (df.select(*parts).distinct()
+                    if parts else df.limit(1).select())
+        axis_src = axis_src.withColumn("__lo", F.lit(lo)).withColumn(
+            "__hi", F.lit(hi))
+    if unit == "day":
+        seq = F.sequence(F.col("__lo").cast("date"), F.col("__hi").cast("date"),
+                         F.expr(f"interval {int(step)} day"))
+        axis_val = F.explode(seq).alias(field)
+        axis = axis_src.select(*parts, axis_val)
+        if df.schema[field].dataType.typeName() == "timestamp":
+            axis = axis.withColumn(field, F.col(field).cast("timestamp"))
+    else:
+        seq = F.sequence(F.col("__lo").cast("long"), F.col("__hi").cast("long"),
+                         F.lit(int(step)))
+        axis = axis_src.select(*parts, F.explode(seq).alias(field))
+        axis = axis.withColumn(field, F.col(field).cast(df.schema[field].dataType))
+    join_keys = parts + [field]
+    return axis.join(df, join_keys, "left")
+
+
+def _stage_fill(df: DataFrame, spec: dict) -> DataFrame:
+    """$fill: per-column gap filling — ``{value: expr}`` constant fill or
+    ``{method: "locf"}`` last-observation-carried-forward over the
+    sortBy order (one keyed window)."""
+    from pyspark.sql import Window as W
+
+    parts = spec.get("partitionBy")
+    if isinstance(parts, str):
+        parts = [parts[1:] if parts.startswith("$") else parts]
+    base = W.partitionBy(*[F.col(p) for p in parts]) if parts else W.partitionBy()
+    sort = spec.get("sortBy") or {}
+    order = [F.col(k).asc() if d >= 0 else F.col(k).desc()
+             for k, d in sort.items()]
+    w = (base.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+         if order else base)
+    for name, how in spec["output"].items():
+        if "value" in how:
+            df = df.withColumn(name, F.coalesce(F.col(name),
+                                                expr_to_col(how["value"])))
+        elif how.get("method") == "locf":
+            if not order:
+                raise ValueError("$fill method locf requires sortBy")
+            df = df.withColumn(name, F.last(F.col(name), ignorenulls=True).over(w))
+        else:
+            raise ValueError(f"unsupported $fill output {how!r}")
+    return df
+
+
 def _stage_facet(df: DataFrame, spec: dict,
                  tables: dict[str, DataFrame] | None,
                  store_path: str | None) -> DataFrame:
@@ -650,6 +725,10 @@ def aggregate(df: DataFrame, pipeline: list[dict],
             out = (out.groupBy(expr_to_col(spec).alias("_id"))
                    .agg(F.count(F.lit(1)).alias("count"))
                    .orderBy(F.col("count").desc(), F.col("_id").asc()))
+        elif op == "$densify":
+            out = _stage_densify(out, spec)
+        elif op == "$fill":
+            out = _stage_fill(out, spec)
         elif op == "$facet":
             out = _stage_facet(out, spec, tables, store_path)
         elif op == "$graphLookup":

@@ -139,7 +139,7 @@ def test_string_and_conversion_exprs(people):
 
 def test_unsupported_stage_and_expr_raise(people):
     with pytest.raises(ValueError, match="unsupported pipeline stage"):
-        aggregate(people, [{"$densify": {}}])
+        aggregate(people, [{"$collStats": {}}])
     with pytest.raises(ValueError, match="unsupported aggregation expression"):
         expr_to_col({"$dateFromParts": {}})
     with pytest.raises(ValueError, match="unsupported query operator"):
@@ -280,3 +280,41 @@ def test_graph_lookup_bfs(spark):
                                           "connectFromField": "eid",
                                           "connectToField": "mgr",
                                           "as": "r"}}], tables={"emp": emp})
+
+
+def test_densify_and_fill_numeric(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0), (5, 50.0)], "k long, v double")
+    got = aggregate(df, [
+        {"$densify": {"field": "k", "range": {"step": 1, "bounds": "full"}}},
+        {"$fill": {"sortBy": {"k": 1}, "output": {"v": {"method": "locf"}}}},
+        {"$sort": {"k": 1}},
+    ])
+    assert rows(got) == [(1, 10.0), (2, 20.0), (3, 20.0), (4, 20.0), (5, 50.0)]
+
+
+def test_densify_partitioned_explicit_bounds_value_fill(spark):
+    df = spark.createDataFrame([("a", 0, 1.0), ("a", 2, 3.0), ("b", 1, 9.0)],
+                               "g string, k long, v double")
+    got = aggregate(df, [
+        {"$densify": {"field": "k", "partitionByFields": ["g"],
+                      "range": {"step": 1, "bounds": [0, 3]}}},
+        {"$fill": {"output": {"v": {"value": -1.0}}}},
+        {"$sort": {"g": 1, "k": 1}},
+    ])
+    assert rows(got) == [
+        ("a", 0, 1.0), ("a", 1, -1.0), ("a", 2, 3.0), ("a", 3, -1.0),
+        ("b", 0, -1.0), ("b", 1, 9.0), ("b", 2, -1.0), ("b", 3, -1.0),
+    ]
+
+
+def test_densify_day_unit(spark):
+    import datetime as dt
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 1), (dt.datetime(2024, 1, 4), 4)],
+        "d timestamp, x long")
+    got = aggregate(df, [
+        {"$densify": {"field": "d", "range": {"step": 1, "unit": "day",
+                                              "bounds": "full"}}},
+        {"$sort": {"d": 1}}, {"$project": {"x": 1}},
+    ])
+    assert [r[0] for r in rows(got)] == [1, None, None, 4]
