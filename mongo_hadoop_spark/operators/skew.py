@@ -48,3 +48,17 @@ FROM events GROUP BY 1
 
 QUERIES = {"skew_salted_rollup": skew_salted_rollup}
 ORACLES = {"skew_salted_rollup": SALTED_SQL}
+
+
+def skewed_join_aqe(spark: SparkSession, left: DataFrame, right: DataFrame,
+                    key: str) -> DataFrame:
+    """Join under AQE skew handling: adaptive execution detects oversized
+    partitions at runtime and splits them across tasks, so one hot key
+    cannot pin a single reducer — the join-side complement of
+    :func:`salted_aggregate` (no manual salting, no plan change, results
+    identical).  Tests drive it with thresholds lowered so the splitting
+    is observable at test scale; at production scale the defaults
+    (skewedPartitionFactor=5, skewedPartitionThresholdInBytes=256MB)
+    apply."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    return left.join(right, key)

@@ -165,3 +165,41 @@ def test_pipeline_lookup_is_broadcast_join(spark):
     plan = plan_of(mongoagg.pipeline_lookup_segment(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """One hot key (90% of rows) must not serialize into one task: with
+    skew thresholds scaled to test data, AQE marks the sort-merge join
+    skew-split (isSkew=true) and the result matches the plain join."""
+    import pyspark.sql.functions as F
+
+    from mongo_hadoop_spark.operators.skew import skewed_join_aqe
+
+    left = spark.range(200_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(2_000).select(F.col("id").alias("k"),
+                                      (F.col("id") * 2).alias("r"))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = skewed_join_aqe(spark, left, right, "k")
+        n = len(joined.collect())  # execute THIS plan so AQE finalizes it
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "isSkew=true" in plan or "skew=true" in plan, plan[:2000]
+        # correctness unchanged: hot key 7 joins once per left row
+        assert n == left.join(right.hint("merge"), "k").count()
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
