@@ -48,33 +48,44 @@ from pyspark.sql import Column, DataFrame
 # ---------------------------------------------------------------------------
 
 
-def expr_to_col(expr) -> Column:
+def expr_to_col(expr, env: dict[str, Column] | None = None) -> Column:
     """Compile an aggregation expression (the ``$project``/``$group`` value
-    language) to a Column."""
+    language) to a Column.  ``env`` binds pipeline variables: ``$$this`` /
+    ``$$value`` inside $map/$filter/$reduce, or a named ``as`` binding."""
+    if isinstance(expr, str) and expr.startswith("$$"):
+        name, _, rest = expr[2:].partition(".")
+        if not env or name not in env:
+            raise ValueError(f"unbound pipeline variable $${name}")
+        col = env[name]
+        for seg in (rest.split(".") if rest else []):
+            col = col.getField(seg)
+        return col
     if isinstance(expr, str) and expr.startswith("$"):
         return F.col(expr[1:])
     if isinstance(expr, dict):
         if len(expr) != 1:
             # document literal with several keys → struct of compiled values
-            return F.struct(*[expr_to_col(v).alias(k) for k, v in expr.items()])
+            return F.struct(*[expr_to_col(v, env).alias(k) for k, v in expr.items()])
         (op, operand), = expr.items()
         if not op.startswith("$"):
-            return F.struct(expr_to_col(operand).alias(op))
-        return _expr_op(op, operand)
+            return F.struct(expr_to_col(operand, env).alias(op))
+        return _expr_op(op, operand, env)
     return F.lit(expr)
 
 
-def _binary(operand) -> tuple[Column, Column]:
-    a, b = operand
-    return expr_to_col(a), expr_to_col(b)
+def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
+    def E(x):
+        return expr_to_col(x, env)
 
+    def _binary(pair):
+        a, b = pair
+        return E(a), E(b)
 
-def _expr_op(op: str, operand) -> Column:
     if op == "$literal":
         return F.lit(operand)
     # arithmetic ---------------------------------------------------------
     if op == "$add":
-        cols = [expr_to_col(x) for x in operand]
+        cols = [E(x) for x in operand]
         out = cols[0]
         for c in cols[1:]:
             out = out + c
@@ -83,7 +94,7 @@ def _expr_op(op: str, operand) -> Column:
         a, b = _binary(operand)
         return a - b
     if op == "$multiply":
-        cols = [expr_to_col(x) for x in operand]
+        cols = [E(x) for x in operand]
         out = cols[0]
         for c in cols[1:]:
             out = out * c
@@ -95,23 +106,23 @@ def _expr_op(op: str, operand) -> Column:
         a, b = _binary(operand)
         return a % b
     if op == "$abs":
-        return F.abs(expr_to_col(operand))
+        return F.abs(E(operand))
     if op == "$ceil":
-        return F.ceil(expr_to_col(operand))
+        return F.ceil(E(operand))
     if op == "$floor":
-        return F.floor(expr_to_col(operand))
+        return F.floor(E(operand))
     if op == "$round":
         e, places = (operand if isinstance(operand, list) else (operand, 0))
-        return F.round(expr_to_col(e), places if isinstance(places, int) else 0)
+        return F.round(E(e), places if isinstance(places, int) else 0)
     if op == "$sqrt":
-        return F.sqrt(expr_to_col(operand))
+        return F.sqrt(E(operand))
     if op == "$pow":
         a, b = _binary(operand)
         return F.pow(a, b)
     if op == "$exp":
-        return F.exp(expr_to_col(operand))
+        return F.exp(E(operand))
     if op == "$ln":
-        return F.log(expr_to_col(operand))
+        return F.log(E(operand))
     # comparison ---------------------------------------------------------
     if op in ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte"):
         a, b = _binary(operand)
@@ -122,85 +133,197 @@ def _expr_op(op: str, operand) -> Column:
         return F.when(a < b, -1).when(a > b, 1).otherwise(0)
     # boolean ------------------------------------------------------------
     if op == "$and":
-        cols = [expr_to_col(x) for x in operand]
+        cols = [E(x) for x in operand]
         out = cols[0]
         for c in cols[1:]:
             out = out & c
         return out
     if op == "$or":
-        cols = [expr_to_col(x) for x in operand]
+        cols = [E(x) for x in operand]
         out = cols[0]
         for c in cols[1:]:
             out = out | c
         return out
     if op == "$not":
         inner = operand[0] if isinstance(operand, list) else operand
-        return ~expr_to_col(inner)
+        return ~E(inner)
     # conditional --------------------------------------------------------
     if op == "$cond":
         if isinstance(operand, dict):
             cond, then, els = operand["if"], operand["then"], operand["else"]
         else:
             cond, then, els = operand
-        return F.when(expr_to_col(cond), expr_to_col(then)).otherwise(expr_to_col(els))
+        return F.when(E(cond), E(then)).otherwise(E(els))
     if op == "$ifNull":
-        return F.coalesce(*[expr_to_col(x) for x in operand])
+        return F.coalesce(*[E(x) for x in operand])
     # string -------------------------------------------------------------
     if op == "$concat":
-        return F.concat(*[expr_to_col(x) for x in operand])
+        return F.concat(*[E(x) for x in operand])
     if op == "$toUpper":
-        return F.upper(expr_to_col(operand))
+        return F.upper(E(operand))
     if op == "$toLower":
-        return F.lower(expr_to_col(operand))
+        return F.lower(E(operand))
     if op == "$strLenCP":
-        return F.length(expr_to_col(operand))
+        return F.length(E(operand))
     if op == "$substrCP":
         s, start, ln = operand
         # Mongo is 0-based, Spark substring is 1-based
-        return F.substring(expr_to_col(s), (start if isinstance(start, int) else 0) + 1,
+        return F.substring(E(s), (start if isinstance(start, int) else 0) + 1,
                            ln if isinstance(ln, int) else 0)
     if op == "$split":
         s, delim = operand
         # literal delimiter, not a regex (server semantics)
         import re as _re
-        return F.split(expr_to_col(s), _re.escape(delim))
+        return F.split(E(s), _re.escape(delim))
     if op == "$trim":
-        return F.trim(expr_to_col(operand["input"] if isinstance(operand, dict) else operand))
+        return F.trim(E(operand["input"] if isinstance(operand, dict) else operand))
     if op == "$toString":
-        return expr_to_col(operand).cast("string")
+        return E(operand).cast("string")
     # date ---------------------------------------------------------------
     if op in ("$year", "$month", "$dayOfMonth", "$hour", "$minute",
               "$second", "$dayOfWeek"):
         fn = {"$year": F.year, "$month": F.month, "$dayOfMonth": F.dayofmonth,
               "$hour": F.hour, "$minute": F.minute, "$second": F.second,
               "$dayOfWeek": F.dayofweek}[op]
-        return fn(expr_to_col(operand))
+        return fn(E(operand))
     # array --------------------------------------------------------------
     if op == "$size":
-        return F.size(expr_to_col(operand))
+        return F.size(E(operand))
     if op == "$arrayElemAt":
         arr, idx = operand
         i = idx if isinstance(idx, int) else 0
         # element_at is 1-based; negative indexes count from the end in both
-        return F.element_at(expr_to_col(arr), i + 1 if i >= 0 else i)
+        return F.element_at(E(arr), i + 1 if i >= 0 else i)
     if op == "$concatArrays":
-        return F.concat(*[expr_to_col(x) for x in operand])
+        return F.concat(*[E(x) for x in operand])
     if op == "$in":
         elem, arr = operand
-        return F.array_contains(expr_to_col(arr), expr_to_col(elem))
+        return F.array_contains(E(arr), E(elem))
     # conversion ---------------------------------------------------------
     if op == "$toInt":
-        return expr_to_col(operand).cast("int")
+        return E(operand).cast("int")
     if op == "$toLong":
-        return expr_to_col(operand).cast("long")
+        return E(operand).cast("long")
     if op == "$toDouble":
-        return expr_to_col(operand).cast("double")
+        return E(operand).cast("double")
     if op == "$toDecimal":
-        return expr_to_col(operand).cast("decimal(38,6)")
+        return E(operand).cast("decimal(38,6)")
     if op == "$toBool":
-        return expr_to_col(operand).cast("boolean")
+        return E(operand).cast("boolean")
     if op == "$toDate":
-        return expr_to_col(operand).cast("timestamp")
+        return E(operand).cast("timestamp")
+    # array higher-order ops (compiled to Spark lambda HOFs; the bound
+    # variable enters the env as $$this / $$value / the named "as")
+    if op == "$map":
+        var = operand.get("as", "this")
+        return F.transform(
+            E(operand["input"]),
+            lambda x: expr_to_col(operand["in"], {**(env or {}), var: x, "this": x}))
+    if op == "$filter":
+        var = operand.get("as", "this")
+        return F.filter(
+            E(operand["input"]),
+            lambda x: expr_to_col(operand["cond"], {**(env or {}), var: x, "this": x}))
+    if op == "$reduce":
+        return F.aggregate(
+            E(operand["input"]), E(operand["initialValue"]),
+            lambda acc, x: expr_to_col(
+                operand["in"], {**(env or {}), "value": acc, "this": x}))
+    if op == "$switch":
+        out = None
+        for br in operand["branches"]:
+            c, t = E(br["case"]), E(br["then"])
+            out = F.when(c, t) if out is None else out.when(c, t)
+        return out.otherwise(E(operand["default"])) if "default" in operand else out
+    if op == "$range":
+        start_, end_ = E(operand[0]), E(operand[1])
+        step = operand[2] if len(operand) > 2 else 1
+        if not isinstance(step, int) or step == 0:
+            raise ValueError("$range step must be a nonzero integer literal")
+        # Mongo excludes the end bound; sequence() includes it
+        return F.when(
+            (end_ - start_) * F.lit(step) <= 0, F.array().cast("array<int>")
+        ).otherwise(
+            F.sequence(start_.cast("int"),
+                       (end_ - F.lit(1 if step > 0 else -1)).cast("int"),
+                       F.lit(step)))
+    if op == "$reverseArray":
+        return F.reverse(E(operand))
+    if op == "$indexOfArray":
+        arr, search = operand[0], operand[1]
+        # array_position is 1-based with 0 = absent; Mongo is 0-based/-1
+        return (F.array_position(E(arr), E(search)) - 1).cast("int")
+    if op == "$setUnion":
+        cols = [E(x) for x in operand]
+        out = cols[0]
+        for c in cols[1:]:
+            out = F.array_union(out, c)
+        return F.array_sort(F.array_distinct(out))
+    if op == "$setIntersection":
+        cols = [E(x) for x in operand]
+        out = cols[0]
+        for c in cols[1:]:
+            out = F.array_intersect(out, c)
+        return F.array_sort(F.array_distinct(out))
+    if op == "$setDifference":
+        a, b = _binary(operand)
+        return F.array_sort(F.array_distinct(F.array_except(a, b)))
+    if op == "$slice":
+        if len(operand) == 2:
+            arr, n = E(operand[0]), operand[1]
+            if not isinstance(n, int):
+                raise ValueError("$slice count must be an integer literal")
+            return F.slice(arr, 1, n) if n >= 0 else F.slice(arr, n, -n)
+        arr, pos, n = E(operand[0]), operand[1], operand[2]
+        if not isinstance(pos, int) or not isinstance(n, int) or n < 0:
+            raise ValueError("$slice position/count must be integer literals")
+        return F.slice(arr, pos + 1 if pos >= 0 else pos, n)
+    if op in ("$maxN", "$minN"):
+        raise ValueError(f"unsupported aggregation expression operator {op}")
+    if op == "$max" and isinstance(operand, list):
+        return F.greatest(*[E(x) for x in operand])
+    if op == "$min" and isinstance(operand, list):
+        return F.least(*[E(x) for x in operand])
+    # date arithmetic (timezone-naive caveat: Spark applies the session
+    # timezone where the server would use the `timezone` arg; keep
+    # sessions in a fixed TZ or use epoch math for cross-engine work)
+    if op == "$dateTrunc":
+        unit = operand["unit"]
+        if unit not in ("year", "quarter", "month", "week", "day", "hour",
+                        "minute", "second"):
+            raise ValueError(f"unsupported $dateTrunc unit {unit!r}")
+        return F.date_trunc(unit, E(operand["date"]))
+    if op == "$dateDiff":
+        unit = operand["unit"]
+        a, b = E(operand["startDate"]), E(operand["endDate"])
+        if unit == "day":
+            return F.datediff(b, a).cast("long")
+        if unit == "week":
+            return F.floor(F.datediff(b, a) / 7).cast("long")
+        if unit in ("hour", "minute", "second"):
+            div = {"hour": 3600, "minute": 60, "second": 1}[unit]
+            return F.floor((F.unix_timestamp(b) - F.unix_timestamp(a)) / div).cast("long")
+        raise ValueError(f"unsupported $dateDiff unit {unit!r}")
+    if op == "$dateAdd":
+        unit, amount = operand["unit"], operand["amount"]
+        if not isinstance(amount, int):
+            raise ValueError("$dateAdd amount must be an integer literal")
+        if unit not in ("day", "hour", "minute", "second"):
+            raise ValueError(f"unsupported $dateAdd unit {unit!r}")
+        kw = {"day": "days", "hour": "hours", "minute": "mins",
+              "second": "secs"}[unit]
+        return E(operand["startDate"]) + F.make_dt_interval(
+            **{kw: F.lit(amount)})
+    if op == "$dateToString":
+        fmt = operand.get("format", "%Y-%m-%dT%H:%M:%S")
+        for m, j in (("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"),
+                     ("%M", "mm"), ("%S", "ss"), ("%L", "SSS"), ("%j", "DDD")):
+            fmt = fmt.replace(m, j)
+        return F.date_format(E(operand["date"]), fmt)
+    if op == "$regexMatch":
+        return E(operand["input"]).rlike(
+            operand["regex"].pattern if hasattr(operand["regex"], "pattern")
+            else str(operand["regex"]))
     raise ValueError(f"unsupported aggregation expression operator {op}")
 
 

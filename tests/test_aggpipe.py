@@ -318,3 +318,76 @@ def test_densify_day_unit(spark):
         {"$sort": {"d": 1}}, {"$project": {"x": 1}},
     ])
     assert [r[0] for r in rows(got)] == [1, None, None, 4]
+
+
+def test_array_hof_exprs(spark):
+    df = spark.createDataFrame([([1, 2, 3, 4],)], "xs array<int>")
+    got = aggregate(df, [{"$project": {
+        "doubled": {"$map": {"input": "$xs", "as": "x",
+                             "in": {"$multiply": ["$$x", 2]}}},
+        "evens": {"$filter": {"input": "$xs",
+                              "cond": {"$eq": [{"$mod": ["$$this", 2]}, 0]}}},
+        "total": {"$reduce": {"input": "$xs", "initialValue": 0,
+                              "in": {"$add": ["$$value", "$$this"]}}},
+        "rev": {"$reverseArray": "$xs"},
+        "idx": {"$indexOfArray": ["$xs", 3]},
+        "missing": {"$indexOfArray": ["$xs", 99]},
+        "r": {"$range": [0, 4]},
+        "rneg": {"$range": [0, -3, -1]},
+        "first2": {"$slice": ["$xs", 2]},
+        "last2": {"$slice": ["$xs", -2]},
+        "mid": {"$slice": ["$xs", 1, 2]},
+    }}])
+    r = got.collect()[0]
+    assert r.doubled == [2, 4, 6, 8] and r.evens == [2, 4] and r.total == 10
+    assert r.rev == [4, 3, 2, 1] and r.idx == 2 and r.missing == -1
+    assert r.r == [0, 1, 2, 3] and r.rneg == [0, -1, -2]
+    assert r.first2 == [1, 2] and r.last2 == [3, 4] and r.mid == [2, 3]
+
+
+def test_set_ops_and_switch(spark):
+    df = spark.createDataFrame([([3, 1, 2, 2], [2, 4], 7)],
+                               "a array<int>, b array<int>, v long")
+    got = aggregate(df, [{"$project": {
+        "u": {"$setUnion": ["$a", "$b"]},
+        "i": {"$setIntersection": ["$a", "$b"]},
+        "d": {"$setDifference": ["$a", "$b"]},
+        "sw": {"$switch": {"branches": [
+            {"case": {"$gt": ["$v", 10]}, "then": "big"},
+            {"case": {"$gt": ["$v", 5]}, "then": "mid"},
+        ], "default": "small"}},
+        "mx": {"$max": ["$v", 3, 9]},
+        "mn": {"$min": ["$v", 3, 9]},
+    }}])
+    r = got.collect()[0]
+    assert r.u == [1, 2, 3, 4] and r.i == [2] and r.d == [1, 3]
+    assert r.sw == "mid" and r.mx == 9 and r.mn == 3
+
+
+def test_date_exprs(spark):
+    import datetime as dt
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 15, 10, 30, 45),
+          dt.datetime(2024, 3, 18, 22, 0, 0))], "a timestamp, b timestamp")
+    got = aggregate(df, [{"$project": {
+        "trunc_day": {"$dateToString": {
+            "date": {"$dateTrunc": {"date": "$a", "unit": "day"}},
+            "format": "%Y-%m-%d %H:%M:%S"}},
+        "dd": {"$dateDiff": {"startDate": "$a", "endDate": "$b", "unit": "day"}},
+        "dh": {"$dateDiff": {"startDate": "$a", "endDate": "$b", "unit": "hour"}},
+        "plus2d": {"$dateToString": {
+            "date": {"$dateAdd": {"startDate": "$a", "unit": "day", "amount": 2}},
+            "format": "%Y-%m-%d"}},
+        "rx": {"$regexMatch": {"input": {"$dateToString": {"date": "$a",
+                                                           "format": "%Y-%m-%d"}},
+                               "regex": "^2024-03"}},
+    }}])
+    r = got.collect()[0]
+    assert r.trunc_day == "2024-03-15 00:00:00"
+    assert r.dd == 3 and r.dh == 83
+    assert r.plus2d == "2024-03-17" and r.rx is True
+
+
+def test_unbound_variable_raises():
+    with pytest.raises(ValueError, match="unbound pipeline variable"):
+        expr_to_col({"$add": ["$$nope", 1]})
