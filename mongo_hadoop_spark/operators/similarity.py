@@ -576,6 +576,55 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization (storage/bandwidth 4× at 100 TB)
+# ---------------------------------------------------------------------------
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization manifest.
+
+    q_d = floor(x_d · 127 / max|x| + 0.5), scale = max|x| / 127 — the
+    standard symmetric scheme that shrinks embedding storage 4× (the
+    difference between 100 TB and 25 TB of vectors).  floor(·+0.5)
+    half-up rounding and IEEE double mult/div are bit-identical across
+    engines, so the quantized values are oracle-exact; the emitted
+    columns are the per-vector manifest (checksum + range + scale) a
+    loader validates against.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    q = F.transform(v, lambda x: F.floor(x * 127.0 / maxabs + 0.5).cast("long"))
+    return emb.select(
+        "vec_id",
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, b: a + b).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        (maxabs / 127.0).alias("scale"),
+    ).where(maxabs > 0)
+
+
+QUANTIZE_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_max(list_transform(v, x -> abs(x))) AS maxabs,
+         list_transform(v, x -> floor(x * 127.0 / list_max(list_transform(v, y -> abs(y))) + 0.5)::bigint) AS qv
+  FROM e
+)
+SELECT vec_id,
+       list_reduce(list_prepend(0::bigint, qv), (a, b) -> a + b) AS q_sum,
+       list_min(qv) AS q_min,
+       list_max(qv) AS q_max,
+       maxabs / 127.0 AS scale
+FROM q WHERE maxabs > 0
+"""
+
+
 QUERIES = {
     "ivf_assign": ivf_assign,
     "ivf_cell_histogram": ivf_cell_histogram,
@@ -586,6 +635,7 @@ QUERIES = {
     "embedding_norms": embedding_norms,
     "knn_bruteforce": knn_bruteforce,
     "near_dup_pairs_cosine": near_dup_pairs_cosine,
+    "embedding_quantize_int8": embedding_quantize_int8,
     "lsh_bucket_assign": lsh_bucket_assign,
     "lsh_bucket_histogram": lsh_bucket_histogram,
 }
@@ -600,6 +650,7 @@ ORACLES = {
     "embedding_norms": NORMS_SQL,
     "knn_bruteforce": KNN_SQL,
     "near_dup_pairs_cosine": NEAR_DUP_SQL,
+    "embedding_quantize_int8": QUANTIZE_SQL,
     "lsh_bucket_assign": LSH_ASSIGN_SQL,
     "lsh_bucket_histogram": LSH_HIST_SQL,
 }

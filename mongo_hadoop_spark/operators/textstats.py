@@ -10,7 +10,7 @@ projections read only (doc_id, text).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from mongo_hadoop_spark.functions import md5_long, md5_long_sql, tokenize
 from mongo_hadoop_spark.session import table
@@ -149,11 +149,73 @@ FROM documents
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: greedy fixed-budget token windows
+# ---------------------------------------------------------------------------
+
+PACK_TOKENS = 2048
+
+
+def documents_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to fixed-budget training sequences (packing).
+
+    The pre-tokenization step of every LLM training pipeline: concatenate
+    documents in a deterministic order until the token budget is reached,
+    then start the next sequence.  Formulated as one ordered window over a
+    cumulative token count — ``bin = floor((cum - n_tok) / budget)`` is
+    the sequence each document *starts* in (greedy concatenation with
+    budget-boundary splits, the standard packed-dataset layout).  One
+    sort-shuffle total, partitioned by ``source`` (the shard key): each
+    shard packs independently, so there is no global single-task sort at
+    any scale — the same layout a sharded dataset loader expects.
+
+    Output: per sequence-bin, the doc count and token sum — the packing
+    manifest a loader would consume.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", "doc_id",
+        F.size(tokenize("text")).cast("long").alias("n_tok"),
+    )
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    binned = toks.select(
+        "source", "doc_id", "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_TOKENS)
+        .alias("seq_bin"),
+    )
+    return binned.groupBy("source", "seq_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+PACK_SQL = f"""
+WITH toks AS (
+  SELECT source, doc_id, len({_WORDS_SQL})::bigint AS n_tok FROM documents
+),
+binned AS (
+  SELECT source, doc_id, n_tok,
+         floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+               / {PACK_TOKENS})::bigint AS seq_bin
+  FROM toks
+)
+SELECT source, seq_bin, count(*) AS n_docs, sum(n_tok)::bigint AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM binned GROUP BY 1, 2
+"""
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
+    "documents_pack_sequences": documents_pack_sequences,
 }
 
 ORACLES = {
@@ -161,4 +223,5 @@ ORACLES = {
     "text_quality": QUALITY_SQL,
     "text_token_count": TOKEN_COUNT_SQL,
     "text_fingerprint": FINGERPRINT_SQL,
+    "documents_pack_sequences": PACK_SQL,
 }
