@@ -848,6 +848,24 @@ def aggregate(df: DataFrame, pipeline: list[dict],
             out = (out.groupBy(expr_to_col(spec).alias("_id"))
                    .agg(F.count(F.lit(1)).alias("count"))
                    .orderBy(F.col("count").desc(), F.col("_id").asc()))
+        elif op == "$unionWith":
+            if isinstance(spec, str):
+                spec = {"coll": spec}
+            if not tables or spec["coll"] not in tables:
+                raise ValueError(
+                    f"$unionWith {spec.get('coll')!r}: pass tables={{name: DataFrame}}")
+            other = aggregate(tables[spec["coll"]], spec.get("pipeline", []),
+                              tables=tables)
+            out = out.unionByName(other, allowMissingColumns=True)
+        elif op == "$sample":
+            # deliberate determinism deviation: the server samples randomly;
+            # here the "sample" is the top-N by a uniform md5 hash of the
+            # whole row — reproducible on any engine/partitioning, and
+            # plans as TakeOrderedAndProject (no global sort materialized)
+            n = int(spec["size"])
+            ranked = out.withColumn(
+                "__smp", F.md5(F.to_json(F.struct(*[F.col(c) for c in out.columns]))))
+            out = ranked.orderBy("__smp").limit(n).drop("__smp")
         elif op == "$densify":
             out = _stage_densify(out, spec)
         elif op == "$fill":

@@ -391,3 +391,18 @@ def test_date_exprs(spark):
 def test_unbound_variable_raises():
     with pytest.raises(ValueError, match="unbound pipeline variable"):
         expr_to_col({"$add": ["$$nope", 1]})
+
+
+def test_union_with_and_sample(spark, people):
+    extra = spark.createDataFrame([(9, "zed", 50)], "id long, name string, age int")
+    got = aggregate(people, [
+        {"$project": {"id": 1, "name": 1, "age": 1}},
+        {"$unionWith": {"coll": "extra",
+                        "pipeline": [{"$match": {"age": {"$gte": 40}}}]}},
+        {"$sort": {"id": 1}}, {"$project": {"id": 1}},
+    ], tables={"extra": extra})
+    assert rows(got) == [(1,), (2,), (3,), (4,), (9,)]
+    # deterministic sample: same result every run, exactly n rows
+    s1 = aggregate(people, [{"$sample": {"size": 2}}, {"$project": {"id": 1}}])
+    s2 = aggregate(people, [{"$sample": {"size": 2}}, {"$project": {"id": 1}}])
+    assert sorted(rows(s1)) == sorted(rows(s2)) and len(rows(s1)) == 2
