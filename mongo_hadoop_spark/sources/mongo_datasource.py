@@ -357,12 +357,19 @@ class DocumentWriter(DataSourceWriter):
         from mongo_hadoop_spark import bsonio
 
         os.makedirs(self.coll_dir, exist_ok=True)
+        # optional codec (gzip/bz2): compressed segments are unsplittable
+        # downstream (one task each) — the write-side of the codec rule
+        codec = str(self.options.get("compression", "")).lower()
+        ext = {"": "", "none": "", "gzip": ".gz", "bz2": ".bz2"}.get(codec)
+        if ext is None:
+            raise ValueError(f"unsupported compression {codec!r}")
         name = uuid.uuid4().hex[:12]
-        tmp = os.path.join(self.coll_dir, f"_tmp_{name}.bson.inprogress")
-        final = os.path.join(self.coll_dir, f"{name}.bson")
+        tmp = os.path.join(self.coll_dir, f"_tmp_{name}.bson{ext}.inprogress")
+        final = os.path.join(self.coll_dir, f"{name}.bson{ext}")
         fields = [f.name for f in self.schema_.fields]
         n = 0
-        with open(tmp, "wb") as f:
+        opener = bsonio._CODEC_OPENERS.get(ext, open)
+        with opener(tmp, "wb") as f:
             for row in rows:
                 doc = _row_to_doc(row, fields)
                 f.write(bsonio.encode(doc))
@@ -375,11 +382,12 @@ class DocumentWriter(DataSourceWriter):
 
         if self.overwrite:
             import glob
-            for seg in glob.glob(os.path.join(self.coll_dir, "*.bson")):
-                os.remove(seg)
-                sc = bsonio.sidecar_path(seg)
-                if os.path.exists(sc):
-                    os.remove(sc)
+            for pat in ("*.bson", "*.bson.gz", "*.bson.bz2"):
+                for seg in glob.glob(os.path.join(self.coll_dir, pat)):
+                    os.remove(seg)
+                    sc = bsonio.sidecar_path(seg)
+                    if os.path.exists(sc):
+                        os.remove(sc)
         write_sidecar = (
             str(self.options.get("write_sidecar", "false")).lower() == "true"
         )
@@ -387,7 +395,7 @@ class DocumentWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.tmp_path):
                 os.rename(m.tmp_path, m.final_path)
-                if write_sidecar:
+                if write_sidecar and not bsonio.compression_codec(m.final_path):
                     # W4: persist the doc-boundary splits beside the segment
                     # (BSONFileRecordWriter's .splits sidecar) so later
                     # readers skip the length-header walk

@@ -246,3 +246,20 @@ def test_write_sidecar_and_reader_reuse(registered, tmp_path):
             .option("split_size", "2000").load())
     assert back.count() == 500
     assert back.rdd.getNumPartitions() > len(segs)  # sidecar ranges used
+
+
+def test_write_compressed_segments_roundtrip(registered, tmp_path):
+    """compression=gzip writes .bson.gz segments; reads are transparent
+    and each compressed segment is a single split."""
+    df = registered.createDataFrame([(i, f"n{i}") for i in range(40)],
+                                    "i long, name string")
+    (df.repartition(2).write.format("mongodoc")
+       .option("path", str(tmp_path)).option("collection", "gz")
+       .option("compression", "gzip").mode("append").save())
+    import glob as _g
+    segs = _g.glob(str(tmp_path / "gz" / "*.bson.gz"))
+    assert len(segs) == 2 and not _g.glob(str(tmp_path / "gz" / "*.bson"))
+    back = (registered.read.format("mongodoc")
+            .option("path", str(tmp_path)).option("collection", "gz").load())
+    assert back.count() == 40
+    assert back.rdd.getNumPartitions() == 2  # one split per compressed seg
