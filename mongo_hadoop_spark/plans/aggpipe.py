@@ -351,7 +351,11 @@ def _match_field(key: str, cond) -> Column:
     if key == "$or":
         return _fold_or([match_to_col(q) for q in cond])
     if key == "$nor":
-        return ~_fold_or([match_to_col(q) for q in cond])
+        # Mongo treats a null-valued comparison as "no match" (false), so
+        # its negation is TRUE — Spark's three-valued NOT(null)=null would
+        # wrongly drop the row; collapse null to false before negating
+        return ~F.coalesce(_fold_or([match_to_col(q) for q in cond]),
+                           F.lit(False))
     if key == "$expr":
         return expr_to_col(cond)
     if key.startswith("$"):
@@ -412,7 +416,11 @@ def _match_op_col(col: Column, op: str, operand) -> Column:
         # flat-column approximation: present ⇔ not null
         return col.isNotNull() if operand else col.isNull()
     if op == "$not":
-        return ~_fold_and([_match_op_col(col, o, v) for o, v in operand.items()])
+        # same three-valued-logic collapse as $nor: non-match (incl. null
+        # comparisons) negates to TRUE
+        return ~F.coalesce(
+            _fold_and([_match_op_col(col, o, v) for o, v in operand.items()]),
+            F.lit(False))
     raise ValueError(f"unsupported query operator {op}")
 
 

@@ -226,3 +226,63 @@ def test_zone_map_pruning_soundness(docs, query):
     if not segment_may_match(bounds, query):
         for d in docs:
             assert not match(d, query), (d, query, bounds)
+
+
+# ---------------------------------------------------------------------------
+# Cross-implementation equivalence: the aggregation pipeline's $match
+# column compiler (plans/aggpipe.match_to_col) vs the document-store
+# query evaluator (plans/filters.match).  Two independent implementations
+# of the same query language must agree on scalar documents.
+# ---------------------------------------------------------------------------
+
+_mq_fields = ["a", "b", "s"]
+_mq_scalar = st.one_of(st.integers(-5, 5), st.none())
+_mq_docs = st.lists(
+    st.fixed_dictionaries({
+        "a": st.one_of(st.none(), st.integers(-6, 6)),
+        "b": st.one_of(st.none(), st.integers(-6, 6)),
+        "s": st.one_of(st.none(), st.text(string.ascii_lowercase, max_size=2)),
+    }),
+    min_size=1, max_size=15,
+)
+_mq_int_cond = st.one_of(
+    st.integers(-5, 5),
+    st.none(),
+    st.fixed_dictionaries({}, optional={
+        "$eq": _mq_scalar, "$ne": _mq_scalar,
+        "$gt": st.integers(-5, 5), "$gte": st.integers(-5, 5),
+        "$lt": st.integers(-5, 5), "$lte": st.integers(-5, 5),
+        "$in": st.lists(_mq_scalar, min_size=1, max_size=3),
+        "$nin": st.lists(_mq_scalar, min_size=1, max_size=3),
+        "$exists": st.booleans(),
+    }).filter(bool),
+)
+_mq_leaf = st.dictionaries(st.sampled_from(_mq_fields[:2]), _mq_int_cond,
+                           min_size=1, max_size=2)
+_mq_query = st.one_of(
+    _mq_leaf,
+    st.builds(lambda qs: {"$or": qs}, st.lists(_mq_leaf, min_size=1, max_size=2)),
+    st.builds(lambda qs: {"$and": qs}, st.lists(_mq_leaf, min_size=1, max_size=2)),
+    st.builds(lambda qs: {"$nor": qs}, st.lists(_mq_leaf, min_size=1, max_size=2)),
+)
+
+
+@given(_mq_docs, _mq_query)
+@settings(max_examples=60, deadline=None)
+def test_match_compiler_equals_doc_evaluator(docs, query):
+    from mongo_hadoop_spark.plans.aggpipe import match_to_col
+    from mongo_hadoop_spark.plans.filters import match as doc_match
+
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4").getOrCreate())
+    df = spark.createDataFrame(
+        [(i, d["a"], d["b"], d["s"]) for i, d in enumerate(docs)],
+        "i long, a long, b long, s string",
+    )
+    got = sorted(r.i for r in df.where(match_to_col(query)).select("i").collect())
+    # the doc evaluator sees missing-vs-null identically for flat columns
+    want = sorted(i for i, d in enumerate(docs)
+                  if doc_match({k: v for k, v in d.items() if v is not None}, query))
+    assert got == want, (query, docs)
