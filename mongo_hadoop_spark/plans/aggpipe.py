@@ -73,6 +73,16 @@ def expr_to_col(expr, env: dict[str, Column] | None = None) -> Column:
     return F.lit(expr)
 
 
+
+def _truthy(col: Column) -> Column:
+    """Mongo boolean coercion for expression contexts: null and 0 are
+    falsy, other numbers/booleans truthy (``cast("boolean")`` maps numeric
+    0 → false).  Caveat vs the server: a *string* condition is truthy in
+    Mongo but casts to null → false here — strings as conditions are not
+    supported."""
+    return F.coalesce(col.cast("boolean"), F.lit(False))
+
+
 def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
     def E(x):
         return expr_to_col(x, env)
@@ -131,29 +141,29 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
     if op == "$cmp":
         a, b = _binary(operand)
         return F.when(a < b, -1).when(a > b, 1).otherwise(0)
-    # boolean ------------------------------------------------------------
+    # boolean (operands coerced with Mongo truthiness: null/0 → false) ---
     if op == "$and":
-        cols = [E(x) for x in operand]
+        cols = [_truthy(E(x)) for x in operand]
         out = cols[0]
         for c in cols[1:]:
             out = out & c
         return out
     if op == "$or":
-        cols = [E(x) for x in operand]
+        cols = [_truthy(E(x)) for x in operand]
         out = cols[0]
         for c in cols[1:]:
             out = out | c
         return out
     if op == "$not":
         inner = operand[0] if isinstance(operand, list) else operand
-        return ~E(inner)
+        return ~_truthy(E(inner))
     # conditional --------------------------------------------------------
     if op == "$cond":
         if isinstance(operand, dict):
             cond, then, els = operand["if"], operand["then"], operand["else"]
         else:
             cond, then, els = operand
-        return F.when(E(cond), E(then)).otherwise(E(els))
+        return F.when(_truthy(E(cond)), E(then)).otherwise(E(els))
     if op == "$ifNull":
         return F.coalesce(*[E(x) for x in operand])
     # string -------------------------------------------------------------
@@ -232,7 +242,7 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
     if op == "$switch":
         out = None
         for br in operand["branches"]:
-            c, t = E(br["case"]), E(br["then"])
+            c, t = _truthy(E(br["case"])), E(br["then"])
             out = F.when(c, t) if out is None else out.when(c, t)
         return out.otherwise(E(operand["default"])) if "default" in operand else out
     if op == "$range":

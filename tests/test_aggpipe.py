@@ -406,3 +406,18 @@ def test_union_with_and_sample(spark, people):
     s1 = aggregate(people, [{"$sample": {"size": 2}}, {"$project": {"id": 1}}])
     s2 = aggregate(people, [{"$sample": {"size": 2}}, {"$project": {"id": 1}}])
     assert sorted(rows(s1)) == sorted(rows(s2)) and len(rows(s1)) == 2
+
+
+def test_boolean_truthiness_coercion(spark):
+    df = spark.createDataFrame([(1, 0, None)], "a long, z long, n long")
+    got = aggregate(df, [{"$project": {
+        "c_null": {"$cond": ["$n", "t", "f"]},     # null → falsy
+        "c_zero": {"$cond": ["$z", "t", "f"]},     # 0 → falsy
+        "c_one": {"$cond": ["$a", "t", "f"]},      # 1 → truthy
+        "and_nz": {"$and": ["$a", "$z"]},
+        "or_nz": {"$or": ["$n", "$a"]},
+        "not_n": {"$not": "$n"},
+    }}])
+    r = got.collect()[0]
+    assert (r.c_null, r.c_zero, r.c_one) == ("f", "f", "t")
+    assert r.and_nz is False and r.or_nz is True and r.not_n is True
