@@ -212,6 +212,57 @@ FROM numbered GROUP BY 1, 2
 """
 
 
+
+def window_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend quartile per customer via *threshold* bucketing, not ntile.
+
+    A global ``ntile(4)`` window serializes every row through one task —
+    the same scale-killer as any unpartitioned ranking.  The distributed
+    formulation: compute the three ``percentile_disc`` cut points with an
+    ordinary (map-side-partial) aggregate, broadcast the 1-row threshold
+    frame, and assign buckets by comparison.  Boundary ties share a
+    bucket (quantile semantics) rather than splitting by remainder
+    (ntile semantics) — the distribution-correct behavior at any scale.
+    """
+    o = table(spark, sf_dir, "orders")
+    spend = (o.groupBy("o_custkey")
+             .agg(F.sum(_dec("o_totalprice")).cast("double").alias("spend")))
+    spend.createOrReplaceTempView("__spend_q")
+    cuts = spark.sql("""
+        SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY spend) AS q1,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY spend) AS q2,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY spend) AS q3
+        FROM __spend_q
+    """)
+    quartile = (
+        F.when(F.col("spend") <= F.col("q1"), 1)
+        .when(F.col("spend") <= F.col("q2"), 2)
+        .when(F.col("spend") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return (spend.crossJoin(F.broadcast(cuts))
+            .select("o_custkey", "spend", quartile.alias("quartile")))
+
+
+QUARTILES_SQL = """
+WITH spend AS (
+  SELECT o_custkey, sum(o_totalprice::decimal(12,2))::double AS spend
+  FROM orders GROUP BY 1
+),
+cuts AS (
+  SELECT quantile_disc(spend, 0.25) AS q1,
+         quantile_disc(spend, 0.50) AS q2,
+         quantile_disc(spend, 0.75) AS q3
+  FROM spend
+)
+SELECT o_custkey, spend,
+       CASE WHEN spend <= q1 THEN 1
+            WHEN spend <= q2 THEN 2
+            WHEN spend <= q3 THEN 3
+            ELSE 4 END AS quartile
+FROM spend CROSS JOIN cuts
+"""
+
 QUERIES = {
     "window_topn_per_group": window_topn_per_group,
     "window_running_sum": window_running_sum,
@@ -219,6 +270,7 @@ QUERIES = {
     "events_tumbling_window": events_tumbling_window,
     "events_sliding_window": events_sliding_window,
     "events_session_windows": events_session_windows,
+    "window_spend_quartiles": window_spend_quartiles,
 }
 
 ORACLES = {
@@ -228,4 +280,5 @@ ORACLES = {
     "events_tumbling_window": TUMBLING_SQL,
     "events_sliding_window": SLIDING_SQL,
     "events_session_windows": SESSION_SQL,
+    "window_spend_quartiles": QUARTILES_SQL,
 }

@@ -203,3 +203,12 @@ def test_aqe_splits_skewed_join_partitions(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_spend_quartiles_no_global_window(spark):
+    from mongo_hadoop_spark.operators import windows
+
+    plan = plan_of(windows.window_spend_quartiles(spark, SF_SMOKE))
+    # threshold bucketing, never an unpartitioned ntile ranking
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
