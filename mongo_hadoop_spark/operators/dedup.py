@@ -457,6 +457,56 @@ def dedup_minhash_ml_pairs(spark: SparkSession, sf_dir: str,
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (cross-corpus shingle overlap)
+# ---------------------------------------------------------------------------
+
+BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 → held-out "benchmark" corpus
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training documents sharing word-shingles with a benchmark set.
+
+    Decontamination is dedup's cross-corpus sibling: before training, any
+    document overlapping an evaluation set must be dropped, or the
+    benchmark is compromised.  Here the benchmark is the ``doc_id %
+    97 == 0`` slice (a deterministic stand-in for an external eval
+    corpus); the check is a shingle equi-join — the benchmark side is
+    distinct shingles (eval sets are tiny → broadcast), the training side
+    streams through once.  Never all-pairs; cost is |shingles| + one
+    broadcast join at any corpus size.
+
+    Output: contaminated (doc_id, n_shared_shingles), i.e. the drop list
+    with evidence counts.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles("text", SHINGLE_N))).alias("s"))
+    bench = (sh.where(F.col("doc_id") % BENCH_MOD == 0)
+             .select("s").distinct())
+    train = sh.where(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s FROM documents
+),
+bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0
+)
+SELECT doc_id, count(*) AS n_shared_shingles
+FROM sh JOIN bench USING (s)
+WHERE doc_id % {BENCH_MOD} <> 0
+GROUP BY 1
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_survivors": dedup_exact_survivors,
@@ -466,6 +516,7 @@ QUERIES = {
     "dedup_simhash_groups": dedup_simhash_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_verified": dedup_minhash_verified,
+    "corpus_decontaminate": corpus_decontaminate,
 }
 
 ORACLES = {
@@ -477,4 +528,5 @@ ORACLES = {
     "dedup_simhash_groups": SIMHASH_GROUPS_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_minhash_verified": MINHASH_VERIFIED_SQL,
+    "corpus_decontaminate": DECONTAMINATE_SQL,
 }

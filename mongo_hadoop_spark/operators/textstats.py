@@ -271,6 +271,94 @@ SELECT doc_id, term, tf, df, rank FROM (
 WHERE rank <= {TOP_TERMS}
 """
 
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (scrub pass)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub pass: redact email/phone shapes and account the removals.
+
+    The hygiene step every training corpus runs before packing.  Pure
+    ``regexp_replace``/``regexp_count`` column work — map-only, no
+    shuffle, pushdown-friendly; at 100 TB this is a streaming scan.
+    The redacted text itself is emitted (hash-checked by the oracle), so
+    the gate verifies the actual scrub output, not just the counts.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_email = F.regexp_count("text", F.lit(_EMAIL_RE))
+    cleaned1 = F.regexp_replace("text", _EMAIL_RE, "<EMAIL>")
+    n_phone = F.regexp_count(cleaned1, F.lit(_PHONE_RE))
+    cleaned = F.regexp_replace(cleaned1, _PHONE_RE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        n_email.cast("long").alias("n_emails"),
+        n_phone.cast("long").alias("n_phones"),
+        F.md5(cleaned).alias("redacted_md5"),
+    )
+
+
+REDACT_SQL = rf"""
+WITH pass1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+         regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM documents
+)
+SELECT doc_id,
+       n_emails::bigint AS n_emails,
+       len(regexp_extract_all(t1, '{_PHONE_RE}'))::bigint AS n_phones,
+       md5(regexp_replace(t1, '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM pass1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition detection (quality filter)
+# ---------------------------------------------------------------------------
+
+REP_N = 3
+
+
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent-3-gram share per document — the degenerate-text
+    detector (boilerplate, keyboard mash, template spam score high).
+
+    Integer counts only: (top 3-gram occurrences, total 3-grams); the
+    consumer divides.  One explode + one two-key aggregation, partitioned
+    by doc — no global state at any scale.
+    """
+    from mongo_hadoop_spark.functions import word_shingles
+
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(word_shingles("text", REP_N)).alias("g"))
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.max("c").alias("top_gram_count"),
+        F.sum("c").alias("total_grams"),
+    )
+
+
+REPETITION_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len({_WORDS_SQL}) - {REP_N - 1}, 0)),
+    i -> array_to_string(({_WORDS_SQL})[i:i+{REP_N - 1}], ' '))) AS g
+  FROM documents
+),
+per_gram AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+)
+SELECT doc_id, max(c) AS top_gram_count, sum(c)::bigint AS total_grams
+FROM per_gram GROUP BY 1
+"""
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -278,6 +366,8 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "documents_pack_sequences": documents_pack_sequences,
     "text_top_distinctive_terms": text_top_distinctive_terms,
+    "text_redact_pii": text_redact_pii,
+    "text_repetition_ratio": text_repetition_ratio,
 }
 
 ORACLES = {
@@ -287,4 +377,6 @@ ORACLES = {
     "text_fingerprint": FINGERPRINT_SQL,
     "documents_pack_sequences": PACK_SQL,
     "text_top_distinctive_terms": DISTINCTIVE_SQL,
+    "text_redact_pii": REDACT_SQL,
+    "text_repetition_ratio": REPETITION_SQL,
 }
