@@ -37,11 +37,18 @@ def quadratic_max_rows() -> int:
     return int(os.environ.get(_ENV_VAR, DEFAULT_QUADRATIC_MAX_ROWS))
 
 
+#: (cache_key, bound) → probed row indicator; a table's size does not
+#: change between repeated guard checks in one session, so the bounded
+#: scan runs once per (source, bound) instead of once per query build
+_PROBE_CACHE: dict[tuple[str, int], int] = {}
+
+
 def guard_quadratic(
     df: DataFrame,
     op: str,
     alternative: str,
     max_rows: int | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Raise :class:`QuadraticInputError` if ``df`` has more than the
     configured number of rows; otherwise return ``df`` unchanged.
@@ -51,7 +58,13 @@ def guard_quadratic(
     run even on an input that would be catastrophically large to join.
     """
     bound = quadratic_max_rows() if max_rows is None else max_rows
-    probe = df.limit(bound + 1).count()
+    key = (cache_key, bound) if cache_key else None
+    if key is not None and key in _PROBE_CACHE:
+        probe = _PROBE_CACHE[key]
+    else:
+        probe = df.limit(bound + 1).count()
+        if key is not None:
+            _PROBE_CACHE[key] = probe
     if probe > bound:
         raise QuadraticInputError(
             f"{op} is a quadratic exactness baseline and refuses inputs over "

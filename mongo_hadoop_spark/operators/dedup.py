@@ -327,6 +327,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard_quadratic(
         table(spark, sf_dir, "documents"),
         "dedup_ngram_jaccard", "dedup_minhash_verified",
+        cache_key=f"{sf_dir}/documents",
     )
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source",

@@ -48,7 +48,8 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ivf_knn`` (cell-scoped candidates, bounded per-query work).
     """
     emb = guard_quadratic(
-        table(spark, sf_dir, "embeddings"), "knn_bruteforce", "ivf_knn"
+        table(spark, sf_dir, "embeddings"), "knn_bruteforce", "ivf_knn",
+        cache_key=f"{sf_dir}/embeddings",
     )
     queries = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),

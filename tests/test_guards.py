@@ -47,3 +47,21 @@ def test_gates_unchanged_at_default_bound(spark):
     # the smoke tables are far under the default bound — operators build fine
     assert dedup.dedup_ngram_jaccard(spark, SF_SMOKE).count() >= 0
     assert similarity.knn_bruteforce(spark, SF_SMOKE).count() >= 0
+
+
+def test_probe_cache_reused(spark, monkeypatch):
+    from mongo_hadoop_spark import guards
+
+    guards._PROBE_CACHE.clear()
+    df = spark.range(10)
+    guards.guard_quadratic(df, "op", "alt", max_rows=50, cache_key="k1")
+    assert guards._PROBE_CACHE[("k1", 50)] == 10
+    # cached value is used even if the underlying df would now differ
+    guards._PROBE_CACHE[("k1", 50)] = 3
+    assert guards.guard_quadratic(spark.range(100), "op", "alt",
+                                  max_rows=50, cache_key="k1") is not None
+    # env-bound changes key → fresh probe trips the guard
+    import pytest as _pt
+    with _pt.raises(guards.QuadraticInputError):
+        guards.guard_quadratic(spark.range(100), "op", "alt",
+                               max_rows=20, cache_key="k1")
