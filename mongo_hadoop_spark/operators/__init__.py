@@ -54,6 +54,9 @@ _DEMOTED_KEYS = [
     # that have never had a driver row
     "window_topn_per_group", "window_running_sum", "window_event_gaps",
     "events_tumbling_window", "events_sliding_window",
+    # trivial feature-extraction variant; its vector math is exercised by
+    # every other similarity query
+    "embedding_norms",
 ]
 _PRIORITY_KEYS = [
     "tpch_q2_min_cost_supplier", "tpch_q16_supplier_cnt",

@@ -227,12 +227,71 @@ FROM per_user GROUP BY length(bin(n))
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Per-user anomaly flags from exact decimal moments
+# ---------------------------------------------------------------------------
+
+Z_THRESHOLD = 2.0
+
+
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value deviates > 2σ from the user's own distribution.
+
+    Cross-engine determinism is all in the moments: engines disagree on
+    *streaming* variance (Welford vs naive, different partial orders), so
+    both sums are accumulated as exact decimals — count, Σv, Σv² have one
+    bit-exact value regardless of partitioning — and only then converted
+    to double for the (mean, variance, z) arithmetic, which is a fixed
+    IEEE expression tree.  One groupBy + one broadcast-sized join back;
+    scales as a plain two-pass aggregate.
+    """
+    e = table(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(20,6)")
+    v2 = (F.col("value") * F.col("value")).cast("decimal(27,10)")
+    stats = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vd).alias("s1"),
+        F.sum(v2).alias("s2"),
+    ).select(
+        "user_id", "n",
+        F.col("s1").cast("double").alias("s1d"),
+        F.col("s2").cast("double").alias("s2d"),
+    )
+    mean = F.col("s1d") / F.col("n")
+    var = F.col("s2d") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        e.select("event_id", "user_id", "value")
+        .join(F.broadcast(stats), "user_id")
+        .select("event_id", "user_id", z.alias("z"))
+        .where(F.abs(F.col("z")) > Z_THRESHOLD)
+    )
+
+
+ANOMALY_SQL = f"""
+WITH stats AS (
+  SELECT user_id, count(*) AS n,
+         (sum(value::decimal(20,6)))::double AS s1d,
+         (sum((value * value)::decimal(27,10)))::double AS s2d
+  FROM events GROUP BY 1
+)
+SELECT event_id, user_id,
+       (value - s1d / n) / sqrt(s2d / n - (s1d / n) * (s1d / n)) AS z
+FROM events JOIN stats USING (user_id)
+WHERE abs((value - s1d / n) / sqrt(s2d / n - (s1d / n) * (s1d / n)))
+      > {Z_THRESHOLD}
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
     "orders_quantile_rollup": orders_quantile_rollup,
     "documents_stratified_sample": documents_stratified_sample,
     "user_activity_histogram": user_activity_histogram,
+    "events_value_anomalies": events_value_anomalies,
 }
 
 ORACLES = {
@@ -241,4 +300,5 @@ ORACLES = {
     "orders_quantile_rollup": QUANTILE_SQL,
     "documents_stratified_sample": SAMPLE_SQL,
     "user_activity_histogram": HISTOGRAM_SQL,
+    "events_value_anomalies": ANOMALY_SQL,
 }
