@@ -57,6 +57,8 @@ _DEMOTED_KEYS = [
     # trivial feature-extraction variant; its vector math is exercised by
     # every other similarity query
     "embedding_norms",
+    # one-step special case of ivf_assign_lloyd (which stays in-window)
+    "ivf_assign_refined",
 ]
 _PRIORITY_KEYS = [
     "tpch_q2_min_cost_supplier", "tpch_q16_supplier_cnt",

@@ -228,6 +228,51 @@ FROM axis LEFT JOIN per USING (user_id)
 ORDER BY user_id
 """
 
+
+GRAPH_MAX_DEPTH = 3
+
+
+def pipeline_graphlookup_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$graphLookup over a derived customer hierarchy, oracle-checked
+    against a DuckDB recursive CTE.
+
+    The hierarchy is synthesized deterministically (parent = custkey/10 —
+    an integer-division tree over the existing keys), so the bounded BFS
+    unroll and the recursive CTE must discover identical descendant sets:
+    every customer with at least one transitive report within
+    GRAPH_MAX_DEPTH+1 generations, with the distinct-descendant count.
+    """
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.floor(F.col("c_custkey") / 10).cast("long").alias("parent"),
+    )
+    return aggregate(cust, [
+        {"$graphLookup": {"from": "cust", "startWith": "$id",
+                          "connectFromField": "id",
+                          "connectToField": "parent",
+                          "as": "reports", "maxDepth": GRAPH_MAX_DEPTH}},
+        {"$addFields": {"n_reports": {"$size": "$reports"}}},
+        {"$match": {"n_reports": {"$gt": 0}}},
+        {"$project": {"id": 1, "n_reports": {"$toLong": "$n_reports"}}},
+    ], tables={"cust": cust})
+
+
+PIPELINE_GRAPH_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT c_custkey AS id, (c_custkey // 10)::bigint AS parent FROM customer
+),
+walk AS (
+  SELECT id AS root, id AS node, 0 AS depth FROM edges
+  UNION ALL
+  SELECT w.root, e.id AS node, w.depth + 1
+  FROM walk w JOIN edges e ON e.parent = w.node
+  WHERE w.depth <= {GRAPH_MAX_DEPTH}
+)
+SELECT root AS id, count(DISTINCT node) AS n_reports
+FROM walk WHERE depth >= 1
+GROUP BY 1 HAVING count(DISTINCT node) > 0
+"""
+
 QUERIES = {
     "pipeline_status_rollup": pipeline_status_rollup,
     "pipeline_wordcount": pipeline_wordcount,
@@ -236,6 +281,7 @@ QUERIES = {
     "pipeline_bucket_order_values": pipeline_bucket_order_values,
     "pipeline_window_fields": pipeline_window_fields,
     "pipeline_densify_user_counts": pipeline_densify_user_counts,
+    "pipeline_graphlookup_reports": pipeline_graphlookup_reports,
 }
 
 ORACLES = {
@@ -246,4 +292,5 @@ ORACLES = {
     "pipeline_bucket_order_values": PIPELINE_BUCKET_SQL,
     "pipeline_window_fields": PIPELINE_WINDOW_SQL,
     "pipeline_densify_user_counts": PIPELINE_DENSIFY_SQL,
+    "pipeline_graphlookup_reports": PIPELINE_GRAPH_SQL,
 }

@@ -93,6 +93,11 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
 
     if op == "$literal":
         return F.lit(operand)
+    if op == "$let":
+        bound = dict(env or {})
+        for name, vexpr in operand["vars"].items():
+            bound[name] = expr_to_col(vexpr, env)
+        return expr_to_col(operand["in"], bound)
     # arithmetic ---------------------------------------------------------
     if op == "$add":
         cols = [E(x) for x in operand]

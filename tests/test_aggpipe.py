@@ -458,3 +458,20 @@ def test_pipeline_over_mongodoc_source(spark, tmp_path):
         expect[f"u{i % 3}"][0] += 1
         expect[f"u{i % 3}"][1] += float(i)
     assert docs == {k: (v[0], v[1]) for k, v in expect.items()}
+
+
+def test_let_binds_variables(spark):
+    df = spark.createDataFrame([(3, 4)], "a long, b long")
+    got = aggregate(df, [{"$project": {
+        "hyp": {"$let": {
+            "vars": {"a2": {"$multiply": ["$a", "$a"]},
+                     "b2": {"$multiply": ["$b", "$b"]}},
+            "in": {"$sqrt": {"$add": ["$$a2", "$$b2"]}},
+        }},
+        # nested $let shadows outer bindings
+        "shadow": {"$let": {"vars": {"x": 1},
+                            "in": {"$let": {"vars": {"x": 10},
+                                            "in": {"$add": ["$$x", 1]}}}}},
+    }}])
+    r = got.collect()[0]
+    assert r.hyp == 5.0 and r.shadow == 11
