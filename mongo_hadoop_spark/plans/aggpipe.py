@@ -335,6 +335,17 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
                      ("%M", "mm"), ("%S", "ss"), ("%L", "SSS"), ("%j", "DDD")):
             fmt = fmt.replace(m, j)
         return F.date_format(E(operand["date"]), fmt)
+    if op == "$dateFromParts":
+        # session-TZ caveat as with the other date ops (documented)
+        parts = {k: E(operand[k]) if k in operand else F.lit(d)
+                 for k, d in (("year", 2000), ("month", 1), ("day", 1),
+                              ("hour", 0), ("minute", 0), ("second", 0))}
+        return F.make_timestamp(parts["year"], parts["month"], parts["day"],
+                                parts["hour"], parts["minute"], parts["second"])
+    if op == "$dayOfYear":
+        return F.dayofyear(E(operand))
+    if op == "$week":
+        return F.weekofyear(E(operand))
     if op == "$regexMatch":
         return E(operand["input"]).rlike(
             operand["regex"].pattern if hasattr(operand["regex"], "pattern")

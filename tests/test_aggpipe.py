@@ -141,7 +141,7 @@ def test_unsupported_stage_and_expr_raise(people):
     with pytest.raises(ValueError, match="unsupported pipeline stage"):
         aggregate(people, [{"$collStats": {}}])
     with pytest.raises(ValueError, match="unsupported aggregation expression"):
-        expr_to_col({"$dateFromParts": {}})
+        expr_to_col({"$meta": "textScore"})
     with pytest.raises(ValueError, match="unsupported query operator"):
         match_to_col({"a": {"$type": "string"}})
 
@@ -475,3 +475,17 @@ def test_let_binds_variables(spark):
     }}])
     r = got.collect()[0]
     assert r.hyp == 5.0 and r.shadow == 11
+
+
+def test_date_from_parts_and_day_of_year(spark):
+    df = spark.createDataFrame([(2024, 3, 15)], "y int, m int, d int")
+    got = aggregate(df, [{"$project": {
+        "ts": {"$dateToString": {
+            "date": {"$dateFromParts": {"year": "$y", "month": "$m", "day": "$d",
+                                        "hour": 6}},
+            "format": "%Y-%m-%d %H:%M:%S"}},
+        "doy": {"$dayOfYear": {"$dateFromParts": {"year": "$y", "month": "$m",
+                                                  "day": "$d"}}},
+    }}])
+    r = got.collect()[0]
+    assert r.ts == "2024-03-15 06:00:00" and r.doy == 75
