@@ -212,3 +212,10 @@ def test_spend_quartiles_no_global_window(spark):
     # threshold bucketing, never an unpartitioned ntile ranking
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_decontaminate_is_broadcast_shingle_join(spark):
+    plan = plan_of(dedup.corpus_decontaminate(spark, SF_SMOKE))
+    # benchmark shingles broadcast; training side streams — never all-pairs
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
