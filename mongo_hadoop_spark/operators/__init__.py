@@ -59,6 +59,9 @@ _DEMOTED_KEYS = [
     "embedding_norms",
     # one-step special case of ivf_assign_lloyd (which stays in-window)
     "ivf_assign_refined",
+    # trivial payload+struct projection; every other multimodal query
+    # builds on the same payload columns
+    "multimodal_metadata",
 ]
 _PRIORITY_KEYS = [
     "tpch_q2_min_cost_supplier", "tpch_q16_supplier_cnt",

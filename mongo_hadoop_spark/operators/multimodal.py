@@ -165,11 +165,74 @@ FROM documents
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Resize plumbing (stubbed transform, real Spark shape)
+# ---------------------------------------------------------------------------
+
+RESIZE_W, RESIZE_H = 64, 64
+
+_RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("out_w", IntegerType()),
+    StructField("out_h", IntegerType()),
+    StructField("resized_head", LongType()),
+])
+
+
+def resize_image_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 'resize' (mapInPandas body).
+
+    A real deployment would decode, resample to (RESIZE_W, RESIZE_H), and
+    re-encode (PIL/opencv — unavailable here); the stub derives the
+    'resized' bytes deterministically as md5(payload_hex | WxH), so the
+    batch shape, schema, and partition flow are real and oracle-checkable
+    while the pixel math is a documented fake.
+    """
+    import hashlib
+
+    tag = f"|{RESIZE_W}x{RESIZE_H}".encode()
+    for pdf in batches:
+        resized = pdf["payload"].map(
+            lambda b: hashlib.md5(b.hex().encode() + tag).digest())
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "out_w": RESIZE_W,
+            "out_h": RESIZE_H,
+            "resized_head": resized.map(lambda b: int.from_bytes(b[:4], "big")),
+        })
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline: binary payload → fixed-target 'resized' artifact
+    head.  Same repartition-then-mapInPandas shape as the decode stage —
+    at 100 TB the resize is the bandwidth/CPU hot spot, and this plumbing
+    (Arrow batches, per-core fan-out, narrow output schema) is what makes
+    it saturate a cluster."""
+    d = _with_payload(
+        table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    return d.select("doc_id", "payload").mapInPandas(resize_image_stub, _RESIZE_SCHEMA)
+
+
+RESIZE_SQL = f"""
+SELECT doc_id,
+       {RESIZE_W} AS out_w,
+       {RESIZE_H} AS out_h,
+       ('0x' || substr(md5(md5(text) || '|{RESIZE_W}x{RESIZE_H}'), 1, 8))::bigint
+         AS resized_head
+FROM documents
+"""
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_chunks": multimodal_chunks,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize": multimodal_resize,
 }
 
 ORACLES = {
@@ -177,4 +240,5 @@ ORACLES = {
     "multimodal_chunks": CHUNKS_SQL,
     "multimodal_decode_features": DECODE_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
+    "multimodal_resize": RESIZE_SQL,
 }
