@@ -83,3 +83,62 @@ def to_extjson_value(v):
 
 def dumps(doc) -> str:
     return json.dumps(to_extjson_value(doc))
+
+
+# ---------------------------------------------------------------------------
+# mongoexport / mongoimport interchange: one extended-JSON doc per line
+# ---------------------------------------------------------------------------
+
+def read_extjson_lines(spark, path: str, schema=None, sample_size: int = 200):
+    """Read a mongoexport-style file (one extended-JSON document per line)
+    as a DataFrame.
+
+    Spark-first shape: the file is distributed as raw text lines (normal
+    splittable text scan — at 100 TB each executor parses its own byte
+    range); parsing + $-wrapper revival happens Arrow-batched inside
+    ``mapInPandas``.  Only schema inference reads driver-side, bounded to
+    ``sample_size`` lines.
+    """
+    import json as _json
+
+    from mongo_hadoop_spark.sources.schema_infer import doc_to_row, infer_schema
+
+    lines = spark.read.text(path)
+    if schema is None:
+        sample = [
+            _revive(_json.loads(r.value))
+            for r in lines.limit(sample_size).collect() if r.value.strip()
+        ]
+        schema = infer_schema(sample)
+
+    def parse(batches):
+        import pandas as pd
+
+        cols = [f.name for f in schema.fields]
+        for pdf in batches:
+            rows = [
+                doc_to_row(_revive(_json.loads(line)), schema)
+                for line in pdf["value"] if line.strip()
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return lines.mapInPandas(parse, schema)
+
+
+def write_extjson_lines(df, path: str) -> None:
+    """Write a DataFrame as mongoexport-style extended-JSON lines (one
+    doc per line, one file per partition under ``path``)."""
+    import json as _json
+
+    def render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            docs = pdf.to_dict("records")
+            yield pd.DataFrame({
+                "value": [_json.dumps(
+                    {k: to_extjson_value(v) for k, v in d.items()},
+                    separators=(",", ":")) for d in docs],
+            })
+
+    df.mapInPandas(render, "value string").write.mode("overwrite").text(path)

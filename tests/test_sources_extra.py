@@ -115,3 +115,36 @@ def test_read_compressed_bson_dataframe(registered, tmp_path, ext):
     assert comp_only.count() == 30
     # query pushdown still applies through the codec stream
     assert read_bson(registered, comp, query='{"tag": "t0"}').count() == 10
+
+
+def test_extjson_lines_roundtrip(spark, tmp_path):
+    """mongoexport interchange: extended-JSON lines → DataFrame → lines."""
+    import json
+
+    from mongo_hadoop_spark import bsonio
+    from mongo_hadoop_spark.sources.extjson import (
+        read_extjson_lines, to_extjson_value, write_extjson_lines,
+    )
+
+    p = str(tmp_path / "dump.json")
+    docs = [
+        {"_id": {"$oid": f"{i:024x}"}, "k": i, "name": f"n{i}",
+         "ts": {"$date": 1700000000000 + i * 1000}}
+        for i in range(25)
+    ]
+    with open(p, "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+
+    df = read_extjson_lines(spark, p)
+    assert df.count() == 25
+    got = {r.k: r for r in df.collect()}
+    assert got[3].name == "n3"
+    # ObjectId survives as its hex form, $date as timestamp
+    assert "3" in str(got[3]._id) or got[3]._id is not None
+
+    out = str(tmp_path / "out")
+    write_extjson_lines(df.select("k", "name"), out)
+    back = read_extjson_lines(spark, out)
+    assert back.count() == 25
+    assert {r.name for r in back.collect()} == {f"n{i}" for i in range(25)}
