@@ -62,6 +62,9 @@ _DEMOTED_KEYS = [
     # trivial payload+struct projection; every other multimodal query
     # builds on the same payload columns
     "multimodal_metadata",
+    # first stage of dedup_minhash_lsh_pairs / _verified (both in-window),
+    # whose hashes would diverge if the signatures did
+    "dedup_minhash_signatures",
 ]
 _PRIORITY_KEYS = [
     "tpch_q2_min_cost_supplier", "tpch_q16_supplier_cnt",

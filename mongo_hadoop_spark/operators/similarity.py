@@ -626,6 +626,53 @@ FROM q WHERE maxabs > 0
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# ANN quality: IVF recall against the exact baseline
+# ---------------------------------------------------------------------------
+
+def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of cell-scoped IVF search vs exact brute force.
+
+    The measurement operator an ANN deployment runs on a held-out sample
+    before trusting the index: |ivf_topk ∩ exact_topk| per query.  The
+    exact side rides the guarded baseline (the sample is small by
+    construction — recall is never measured on the full corpus), the IVF
+    side is the production path; both emit (query, neighbor, rank) so
+    the intersection is a plain integer join-count.
+    """
+    exact = knn_bruteforce(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("exact_neighbor"))
+    approx = ivf_knn(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor"))
+    hits = (approx.join(
+        exact, (approx["query_id"] == exact["query_id"])
+        & (approx["ivf_neighbor"] == exact["exact_neighbor"]))
+        .groupBy(approx["query_id"].alias("query_id"))
+        .agg(F.count(F.lit(1)).alias("n_hits")))
+    return (
+        exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "query_id", "left")
+        .select("query_id", "k",
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"))
+    )
+
+
+IVF_RECALL_SQL = f"""
+WITH exact AS ({KNN_SQL}),
+approx AS ({IVF_KNN_SQL}),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hits
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+)
+SELECT k.query_id, k.k, coalesce(h.n_hits, 0)::bigint AS n_hits
+FROM (SELECT query_id, count(*) AS k FROM exact GROUP BY 1) k
+LEFT JOIN hits h USING (query_id)
+"""
+
 QUERIES = {
     "ivf_assign": ivf_assign,
     "ivf_cell_histogram": ivf_cell_histogram,
@@ -637,6 +684,7 @@ QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "near_dup_pairs_cosine": near_dup_pairs_cosine,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "ivf_recall_report": ivf_recall_report,
     "lsh_bucket_assign": lsh_bucket_assign,
     "lsh_bucket_histogram": lsh_bucket_histogram,
 }
@@ -652,6 +700,7 @@ ORACLES = {
     "knn_bruteforce": KNN_SQL,
     "near_dup_pairs_cosine": NEAR_DUP_SQL,
     "embedding_quantize_int8": QUANTIZE_SQL,
+    "ivf_recall_report": IVF_RECALL_SQL,
     "lsh_bucket_assign": LSH_ASSIGN_SQL,
     "lsh_bucket_histogram": LSH_HIST_SQL,
 }
