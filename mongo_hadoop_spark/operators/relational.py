@@ -658,6 +658,30 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+
+def groupingsets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-(flag,status),
+    per-flag, and per-status marginals in one pass — Spark expands the
+    sets into one shuffle with grouping-id, no re-scan per set."""
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__li_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus))
+    """)
+
+
+GROUPINGSETS_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       sum(l_quantity::decimal(12,2))::double AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), (l_linestatus))
+"""
+
 # ---------------------------------------------------------------------------
 # Broadcast dimension join (customer → nation → region)
 # ---------------------------------------------------------------------------
@@ -707,6 +731,7 @@ QUERIES = {
     "set_except": set_except,
     "set_intersect": set_intersect,
     "rollup_agg": rollup_agg,
+    "groupingsets_agg": groupingsets_agg,
     "broadcast_dim_join": broadcast_dim_join,
 }
 
@@ -734,5 +759,6 @@ ORACLES = {
     "set_except": EXCEPT_SQL,
     "set_intersect": INTERSECT_SQL,
     "rollup_agg": ROLLUP_SQL,
+    "groupingsets_agg": GROUPINGSETS_SQL,
     "broadcast_dim_join": BROADCAST_SQL,
 }
