@@ -257,8 +257,22 @@ _mq_int_cond = st.one_of(
         "$exists": st.booleans(),
     }).filter(bool),
 )
-_mq_leaf = st.dictionaries(st.sampled_from(_mq_fields[:2]), _mq_int_cond,
-                           min_size=1, max_size=2)
+_mq_str_cond = st.one_of(
+    st.text(string.ascii_lowercase, max_size=2),
+    st.none(),
+    st.fixed_dictionaries({}, optional={
+        "$eq": st.one_of(st.text(string.ascii_lowercase, max_size=2), st.none()),
+        "$ne": st.one_of(st.text(string.ascii_lowercase, max_size=2), st.none()),
+        "$in": st.lists(st.one_of(st.text(string.ascii_lowercase, max_size=2),
+                                  st.none()), min_size=1, max_size=3),
+        "$exists": st.booleans(),
+    }).filter(bool),
+)
+_mq_leaf = st.one_of(
+    st.dictionaries(st.sampled_from(_mq_fields[:2]), _mq_int_cond,
+                    min_size=1, max_size=2),
+    st.dictionaries(st.just("s"), _mq_str_cond, min_size=1, max_size=1),
+)
 _mq_query = st.one_of(
     _mq_leaf,
     st.builds(lambda qs: {"$or": qs}, st.lists(_mq_leaf, min_size=1, max_size=2)),
