@@ -66,28 +66,44 @@ def main() -> None:
     # that query shape; the reported number is the steady-state one a
     # long-running cluster job would see.  N=3 default also rides out
     # hypervisor steal-time spikes observed on this host.
+    # Per-query fault isolation: one failing query must never erase the
+    # round's entire bench signal — record its error and keep going.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
         best, rows = None, 0
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            rows = fn(spark, sf_dir).count()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None or elapsed < best else best
+        try:
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                rows = fn(spark, sf_dir).count()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None or elapsed < best else best
+        except Exception as exc:  # noqa: BLE001 — survive any query failure
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"  {name}: FAILED ({errors[name].splitlines()[0]})",
+                  file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+        "repeats": repeats,
+        "timing": "best_of_repeats",
+        "n_queries": len(BENCH_QUERIES),
+        "n_failed": len(errors),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -35,44 +35,39 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 
 # Registry order is part of the verification contract: external harnesses may
 # only sample a prefix of ``queries()``, so the entries that most need a fresh
-# cross-engine check come first — the LLM-pipeline extension operators
-# (dedup/similarity/text/multimodal/skew/pipeline/asof), the window suite,
-# recently-changed queries, then the hardest TPC-H join shapes.  The tail is
-# the long-stable simple-aggregate set.
-_PRIORITY_MODULES = [mongoagg, analytics, sketches, dedup, similarity, textstats,
-                     multimodal, skew, pipeline, asof, windows]
-#: queries whose implementation changed this round — absolute head of the
-#: registry so any prefix-sampling harness re-checks them first
-_CHANGED_KEYS = ["tpch_q12", "events_session_windows", "f4_skip_pagination"]
-#: near-duplicate variants of in-window siblings, moved just past the
-#: window so every operator without a prior driver-verified row fits in
-#: a 50-entry prefix (they remain covered by the local 102-query oracle)
-_DEMOTED_KEYS = [
+# cross-engine check come first.  Round-4 rotation: the two asof queries
+# repaired this round (TIMESTAMP_NTZ fix) and the ten queries that have never
+# had a driver-verified row lead; then everything whose only driver row dates
+# from round 1 — the testdata environment has changed since (events.ts is now
+# tz-less parquet → TIMESTAMP_NTZ), so r01-era verdicts deserve a re-check —
+# ordered timestamp-touching queries first.  The tail is the round-3-verified
+# set, freshly green under the current environment.
+_HEAD_KEYS = [
+    # repaired this round (NTZ root-cause fix in session.table)
+    "events_asof_last_order", "events_asof_last_order_tolerance",
+    # never driver-verified before this round
     "dedup_exact_survivors", "dedup_simhash_groups", "ivf_cell_histogram",
-    "lsh_bucket_assign", "multimodal_chunks",
-    # r1-driver-verified and unchanged since — their slots go to queries
-    # that have never had a driver row
+    "lsh_bucket_assign", "multimodal_chunks", "embedding_norms",
+    "ivf_assign_refined", "multimodal_metadata", "dedup_minhash_signatures",
+    "groupingsets_agg",
+    # r01-verified event/timestamp consumers — re-check under NTZ testdata
     "window_topn_per_group", "window_running_sum", "window_event_gaps",
     "events_tumbling_window", "events_sliding_window",
-    # trivial feature-extraction variant; its vector math is exercised by
-    # every other similarity query
-    "embedding_norms",
-    # one-step special case of ivf_assign_lloyd (which stays in-window)
-    "ivf_assign_refined",
-    # trivial payload+struct projection; every other multimodal query
-    # builds on the same payload columns
-    "multimodal_metadata",
-    # first stage of dedup_minhash_lsh_pairs / _verified (both in-window),
-    # whose hashes would diverge if the signatures did
-    "dedup_minhash_signatures",
-]
-_PRIORITY_KEYS = [
+    "grouped_reducer_stats", "a4_log_rollup", "a1_avg_by_year",
+    "u2_objectid_seconds", "a2_upsert_docs",
+    # r01-verified joins/aggregates — oldest outstanding driver verdicts
     "tpch_q2_min_cost_supplier", "tpch_q16_supplier_cnt",
     "tpch_q20_excess_suppliers",
     "tpch_q7_nation_volume", "tpch_q8_market_share", "tpch_q9_profit",
     "tpch_q21_waiting_supplier", "tpch_q11_value_share",
     "tpch_q13_distribution", "tpch_q15_top_supplier",
     "tpch_q17_small_quantity", "tpch_q19_disjunctive",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10",
+    "tpch_q14", "tpch_q18",
+    "a3_pair_counts", "a5_frequent_short_tokens",
+    "s2_dotted_key_extract", "s6_tokenize_stats", "s8_multi_union",
+    "hive_pushdown_conjunction", "f3_sort_limit",
+    "set_except", "set_intersect",
 ]
 
 
@@ -83,15 +78,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if overlap:
             raise ValueError(f"duplicate query keys: {overlap}")
         merged.update(m.QUERIES)
+    missing = [k for k in _HEAD_KEYS if k not in merged]
+    if missing:
+        raise ValueError(f"unknown head keys: {missing}")
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for k in _CHANGED_KEYS:
-        out[k] = merged[k]
-    for m in _PRIORITY_MODULES:
-        out.update({k: v for k, v in m.QUERIES.items()
-                    if k not in _DEMOTED_KEYS})
-    for k in _DEMOTED_KEYS:
-        out[k] = merged[k]
-    for k in _PRIORITY_KEYS:
+    for k in _HEAD_KEYS:
         out[k] = merged[k]
     for k, fn in merged.items():
         if k not in out:

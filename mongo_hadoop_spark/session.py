@@ -68,13 +68,30 @@ def get_spark(
 def table(spark: SparkSession, sf_dir: str, name: str):
     """Load one synthetic table (parquet) from a scale-factor directory.
 
-    Handles nanosecond-precision INT64 parquet timestamps (which Spark's
-    converter rejects): they are read as raw nanos via the legacy conf and
-    truncated to microsecond timestamps — the same ns→µs truncation DuckDB
-    applies, keeping the oracle comparison exact.
+    Normalizes timestamp physical encodings so operators never see them:
+
+    - nanosecond-precision INT64 parquet timestamps (which Spark's
+      converter rejects) are read as raw nanos via the legacy conf and
+      truncated to microsecond timestamps — the same ns→µs truncation
+      DuckDB applies, keeping the oracle comparison exact;
+    - tz-less ``timestamp[us]`` parquet (read by Spark as TIMESTAMP_NTZ)
+      is cast to ``timestamp``.  The NTZ→LTZ reinterpretation happens in
+      the session timezone, so the session timezone is pinned to UTC here
+      (not only in `get_spark` — external harnesses hand us vanilla
+      sessions in arbitrary host timezones).  Under UTC the cast is exact
+      and matches DuckDB's naive-timestamp semantics; functions like
+      ``unix_micros`` that reject NTZ input then work uniformly.
+
+    This engine declares UTC datetime semantics: every operator reads its
+    inputs through this function, so pinning here makes date/time results
+    session-TZ-independent by construction.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
