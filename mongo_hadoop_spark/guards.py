@@ -37,10 +37,29 @@ def quadratic_max_rows() -> int:
     return int(os.environ.get(_ENV_VAR, DEFAULT_QUADRATIC_MAX_ROWS))
 
 
-#: (cache_key, bound) → probed row indicator; a table's size does not
-#: change between repeated guard checks in one session, so the bounded
-#: scan runs once per (source, bound) instead of once per query build
-_PROBE_CACHE: dict[tuple[str, int], int] = {}
+#: (resolved source identity, bound) → probed row indicator; a table's size
+#: does not change between repeated guard checks in one session, so the
+#: bounded scan runs once per (source, bound) instead of once per query
+#: build.  The identity includes the file's mtime and size, so regenerating
+#: the testdata in place invalidates the cached probe automatically.
+_PROBE_CACHE: dict[tuple, int] = {}
+
+
+def _source_identity(cache_key: str) -> tuple:
+    """Resolve a caller-supplied source path to a staleness-proof identity.
+
+    ``cache_key`` is a filesystem path (a parquet file, or a directory/stem
+    like ``{sf_dir}/documents``).  Whichever of ``path`` / ``path.parquet``
+    exists contributes (realpath, mtime_ns, size); if neither resolves the
+    raw string is used alone (no staleness protection possible).
+    """
+    for candidate in (cache_key, cache_key + ".parquet"):
+        try:
+            st = os.stat(candidate)
+        except OSError:
+            continue
+        return (os.path.realpath(candidate), st.st_mtime_ns, st.st_size)
+    return (cache_key,)
 
 
 def guard_quadratic(
@@ -58,7 +77,7 @@ def guard_quadratic(
     run even on an input that would be catastrophically large to join.
     """
     bound = quadratic_max_rows() if max_rows is None else max_rows
-    key = (cache_key, bound) if cache_key else None
+    key = (_source_identity(cache_key), bound) if cache_key else None
     if key is not None and key in _PROBE_CACHE:
         probe = _PROBE_CACHE[key]
     else:

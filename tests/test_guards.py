@@ -55,9 +55,10 @@ def test_probe_cache_reused(spark, monkeypatch):
     guards._PROBE_CACHE.clear()
     df = spark.range(10)
     guards.guard_quadratic(df, "op", "alt", max_rows=50, cache_key="k1")
-    assert guards._PROBE_CACHE[("k1", 50)] == 10
+    key = (guards._source_identity("k1"), 50)
+    assert guards._PROBE_CACHE[key] == 10
     # cached value is used even if the underlying df would now differ
-    guards._PROBE_CACHE[("k1", 50)] = 3
+    guards._PROBE_CACHE[key] = 3
     assert guards.guard_quadratic(spark.range(100), "op", "alt",
                                   max_rows=50, cache_key="k1") is not None
     # env-bound changes key → fresh probe trips the guard
@@ -65,3 +66,22 @@ def test_probe_cache_reused(spark, monkeypatch):
     with _pt.raises(guards.QuadraticInputError):
         guards.guard_quadratic(spark.range(100), "op", "alt",
                                max_rows=20, cache_key="k1")
+
+
+def test_probe_cache_invalidated_on_file_change(spark, tmp_path):
+    """Regenerating a source file in place (new mtime/size) must not serve
+    a stale probe — the cache key embeds the file's stat identity."""
+    from mongo_hadoop_spark import guards
+
+    guards._PROBE_CACHE.clear()
+    p = tmp_path / "documents.parquet"
+    p.write_bytes(b"v1")
+    key = str(tmp_path / "documents")  # stem form, as operators pass it
+    guards.guard_quadratic(spark.range(10), "op", "alt",
+                           max_rows=50, cache_key=key)
+    assert len(guards._PROBE_CACHE) == 1
+    # rewrite the file: different size → different identity → fresh probe
+    p.write_bytes(b"v2-regenerated")
+    guards.guard_quadratic(spark.range(10), "op", "alt",
+                           max_rows=50, cache_key=key)
+    assert len(guards._PROBE_CACHE) == 2

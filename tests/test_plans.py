@@ -219,3 +219,15 @@ def test_decontaminate_is_broadcast_shingle_join(spark):
     # benchmark shingles broadcast; training side streams — never all-pairs
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_groupingsets_single_shuffle_expand(spark):
+    """GROUPING SETS computes all three marginals in one pass: Catalyst
+    expands the sets row-wise (Expand + grouping-id) and aggregates with
+    ONE shuffle — never one re-scan/re-shuffle per grouping set."""
+    df = relational.groupingsets_agg(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Expand" in plan                       # grouping-id expansion
+    assert plan.count("Exchange") == 1            # one shuffle total
+    assert plan.count("Scan parquet") == 1        # one scan of lineitem
+    assert plan.count("HashAggregate") >= 2       # partial + final agg

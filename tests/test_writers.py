@@ -112,3 +112,112 @@ def test_template_update_builder_dsl(spark, target):
     bad = template_update_builder({"device_id": "$nope"}, {"$set": {"x": 1}})
     with _pytest.raises(Exception):
         write_documents(df, target.path, "devices", mode="update", update_builder=bad)
+
+
+# ---------------------------------------------------------------------------
+# Live-backend committer seam (sinks.live) driven end-to-end through an
+# in-process pymongo-protocol fake server (tests/fake_mongo.py) — the spool
+# → ordered-bulk-replay protocol of MongoOutputCommitter.java:91-186.
+# ---------------------------------------------------------------------------
+
+from mongo_hadoop_spark.sinks.live import (commit_inserts_live,
+                                           commit_updates_live)
+from fake_mongo import FakeBulkWriteError, FakeCollection
+
+
+def _journal_updates(spark, store, mode, rows, schema, key_cols):
+    """Journal mutations WITHOUT applying them (the task half only)."""
+    from mongo_hadoop_spark.sinks.writers import (_default_builder,
+                                                  _UpdateJournalTask)
+
+    df = spark.createDataFrame(rows, schema)
+    df.foreachPartition(
+        _UpdateJournalTask(store.path, "devices",
+                           _default_builder(mode, key_cols)))
+
+
+def test_live_update_matches_file_store_commit(spark, target, tmp_path):
+    """Same journal, two committers: bulk_write replay on the fake server
+    must land on the identical final state as the file-store merge pass."""
+    from mongo_hadoop_spark.sinks.writers import apply_pending_updates
+
+    rows = [(1, "renamed"), (2, "other"), (9, "new-device")]
+    schema = "device_id long, name string"
+    _journal_updates(spark, target, "upsert", rows, schema, ["device_id"])
+
+    # live path: seed the fake server with the same initial docs
+    fake = FakeCollection("devices")
+    fake.docs = target.collection("devices").find()
+    stats = commit_updates_live(target.path, "devices", fake,
+                                drop_journal=False)
+    assert stats == {"matched": 2, "modified": 2, "upserted": 1, "batches": 1}
+
+    # file-store path on the identical journal
+    apply_pending_updates(target.path, "devices")
+    file_state = {d["device_id"]: d for d in target.collection("devices").find()}
+    live_state = {d["device_id"]: d for d in fake.find()}
+    assert live_state == file_state
+    assert live_state[9]["name"] == "new-device"
+
+
+def test_live_replay_batches_of_1000_ordered(spark, tmp_path):
+    """2500 mutations → 3 ordered bulk_write batches (1000/1000/500)."""
+    from mongo_hadoop_spark.store import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "db3"))
+    _journal_updates(spark, store, "upsert",
+                     [(i, f"n{i}") for i in range(2500)],
+                     "device_id long, name string", ["device_id"])
+    fake = FakeCollection("devices")
+    stats = commit_updates_live(store.path, "devices", fake)
+    assert stats["upserted"] == 2500 and stats["batches"] == 3
+    assert [c[1] for c in fake.calls] == [1000, 1000, 500]
+    assert all(ordered for _, _, ordered in fake.calls)
+    assert fake.count_documents() == 2500
+    # journal dropped after a fully-successful commit
+    assert store.collection("devices.updates").count() == 0
+
+
+def test_live_insert_commit_batches(spark, tmp_path):
+    from mongo_hadoop_spark.store import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "db4"))
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(1500)],
+                               "k long, s string")
+    write_documents(df, store.path, "staged", mode="insert")
+    fake = FakeCollection("out")
+    stats = commit_inserts_live(store.path, "staged", fake, batch_size=400)
+    assert stats == {"inserted": 1500, "batches": 4}
+    assert fake.count_documents() == 1500
+    assert {d["k"] for d in fake.find()} == set(range(1500))
+
+
+def test_live_failed_batch_leaves_journal_for_retry(spark, tmp_path):
+    """Commit-on-success: a server error mid-replay must NOT drop the
+    journal (task-retry contract of the reference committer)."""
+    import pytest as _pt
+
+    from mongo_hadoop_spark.store import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "db5"))
+    _journal_updates(spark, store, "upsert",
+                     [(i, f"n{i}") for i in range(1200)],
+                     "device_id long, name string", ["device_id"])
+    fake = FakeCollection("devices")
+    fake.fail_on_call = 2
+    with _pt.raises(FakeBulkWriteError):
+        commit_updates_live(store.path, "devices", fake)
+    assert store.collection("devices.updates").count() == 1200  # intact
+    # retry against a healthy server succeeds and then drops the journal
+    fake2 = FakeCollection("devices")
+    stats = commit_updates_live(store.path, "devices", fake2)
+    assert stats["upserted"] == 1200
+    assert store.collection("devices.updates").count() == 0
+
+
+def test_live_replace_rejects_dollar_operators(spark, target):
+    from mongo_hadoop_spark.sinks.live import mutation_to_op
+
+    with pytest.raises(ValueError, match=r"\$-operators"):
+        mutation_to_op({"q": {"device_id": 1}, "u": {"$set": {"a": 1}},
+                        "upsert": False, "multi": False, "replace": True})
