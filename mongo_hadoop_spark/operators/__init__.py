@@ -50,6 +50,9 @@ _HEAD_KEYS = [
     "lsh_bucket_assign", "multimodal_chunks", "embedding_norms",
     "ivf_assign_refined", "multimodal_metadata", "dedup_minhash_signatures",
     "groupingsets_agg",
+    # new this round — first driver check
+    "documents_train_split", "events_per_user_sample",
+    "dedup_semantic_survivors",
     # r01-verified event/timestamp consumers — re-check under NTZ testdata
     "window_topn_per_group", "window_running_sum", "window_event_gaps",
     "events_tumbling_window", "events_sliding_window",
@@ -66,8 +69,7 @@ _HEAD_KEYS = [
     "tpch_q14", "tpch_q18",
     "a3_pair_counts", "a5_frequent_short_tokens",
     "s2_dotted_key_extract", "s6_tokenize_stats", "s8_multi_union",
-    "hive_pushdown_conjunction", "f3_sort_limit",
-    "set_except", "set_intersect",
+    "hive_pushdown_conjunction",
 ]
 
 

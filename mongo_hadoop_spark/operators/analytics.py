@@ -21,7 +21,7 @@ Scale notes:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from mongo_hadoop_spark.functions import md5_long, md5_long_sql
 from mongo_hadoop_spark.session import table
@@ -285,6 +285,88 @@ WHERE abs((value - s1d / n) / sqrt(s2d / n - (s1d / n) * (s1d / n)))
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic train/valid/test split (content-keyed)
+# ---------------------------------------------------------------------------
+
+SPLIT_SALT = "split"
+TRAIN_PCT, VALID_PCT = 98, 1  # train/valid/test = 98/1/1
+
+
+def documents_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to train/valid/test by hashing its *content*.
+
+    Content-keyed (not id-keyed) on purpose: byte-identical documents land
+    in the same split regardless of which crawl shard produced them, so a
+    duplicate can never leak from train into the eval sets — the
+    train/test-contamination guarantee a training pipeline needs (the
+    cross-corpus analog of :func:`~.dedup.corpus_decontaminate`).
+
+    Map-only scan (md5 mod 100 per row, no shuffle, no state); the
+    assignment is reproducible on any engine, partitioning, or day.
+    """
+    d = table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("text"), salt=SPLIT_SALT) % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < TRAIN_PCT + VALID_PCT, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", split.alias("split"))
+
+
+TRAIN_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN ({md5_long_sql('text', salt=SPLIT_SALT)}) % 100 < {TRAIN_PCT}
+              THEN 'train'
+            WHEN ({md5_long_sql('text', salt=SPLIT_SALT)}) % 100
+                 < {TRAIN_PCT + VALID_PCT}
+              THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-key sample (reservoir-equivalent, seed-free)
+# ---------------------------------------------------------------------------
+
+PER_USER_K = 3
+EVSAMPLE_SALT = "evsample"
+
+
+def events_per_user_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep K events per user, chosen by hash rank — the distributed,
+    deterministic equivalent of per-key reservoir sampling.
+
+    Ranking by ``md5(event_id)`` instead of a random() draw makes the
+    sample a pure function of the data: reproducible across engines,
+    retries, and partitionings (random() would break all three).  One
+    hash shuffle on ``user_id`` + a bounded per-group sort; no global
+    sort, no driver state — the shape survives any corpus size, and
+    skewed users cost one partition's sort, not a cross-partition merge.
+    """
+    e = table(spark, sf_dir, "events")
+    rk = md5_long(F.col("event_id").cast("string"), salt=EVSAMPLE_SALT)
+    w = Window.partitionBy("user_id").orderBy(rk.asc(), F.col("event_id").asc())
+    return (
+        e.select("user_id", "event_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= PER_USER_K)
+    )
+
+
+PER_USER_SAMPLE_SQL = f"""
+SELECT user_id, event_id, rk FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY ({md5_long_sql('event_id::varchar', salt=EVSAMPLE_SALT)}),
+                    event_id) AS rk
+  FROM events
+) WHERE rk <= {PER_USER_K}
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
@@ -292,9 +374,13 @@ QUERIES = {
     "documents_stratified_sample": documents_stratified_sample,
     "user_activity_histogram": user_activity_histogram,
     "events_value_anomalies": events_value_anomalies,
+    "documents_train_split": documents_train_split,
+    "events_per_user_sample": events_per_user_sample,
 }
 
 ORACLES = {
+    "documents_train_split": TRAIN_SPLIT_SQL,
+    "events_per_user_sample": PER_USER_SAMPLE_SQL,
     "events_funnel": FUNNEL_SQL,
     "events_cohort_retention": COHORT_SQL,
     "orders_quantile_rollup": QUANTILE_SQL,

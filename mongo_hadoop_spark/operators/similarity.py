@@ -122,6 +122,50 @@ def near_dup_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEAR_DUP_THRESHOLD = 0.35
 
+
+def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: drop every vector that has a
+    lower-id near-duplicate neighbor, keep the rest.
+
+    Greedy min-id-wins — the standard streaming-friendly policy: within
+    each near-duplicate pair (cosine ≥ threshold, candidates blocked as
+    in :func:`near_dup_pairs_cosine`), the smaller vec_id survives.  One
+    hop only; full transitive closure would need iterative union-find
+    (out of declarative SQL's reach and rarely what pipelines run —
+    they re-dedup each crawl increment instead).
+
+    Plan: blocked pair generation (never all-pairs) → distinct dominated
+    ids → one ``left_anti`` equi-join.  Both sides partition on vec_id;
+    no broadcast needed, no driver state — |corpus| + |pairs| work at
+    any scale.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    dominated = (
+        near_dup_pairs_cosine(spark, sf_dir)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        emb.join(dominated, "vec_id", "left_anti")
+        .select("vec_id", "label")
+    )
+
+
+SEMANTIC_SURVIVORS_SQL = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+dominated AS (
+  SELECT DISTINCT b.vec_id
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {thr}
+)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
+""".format(thr=NEAR_DUP_THRESHOLD)
+
 NEAR_DUP_SQL = f"""
 WITH e AS (
   SELECT vec_id, label, list_transform(embedding, x -> x::double) AS v FROM embeddings
@@ -700,6 +744,7 @@ QUERIES = {
     "embedding_norms": embedding_norms,
     "knn_bruteforce": knn_bruteforce,
     "near_dup_pairs_cosine": near_dup_pairs_cosine,
+    "dedup_semantic_survivors": dedup_semantic_survivors,
     "embedding_quantize_int8": embedding_quantize_int8,
     "ivf_recall_report": ivf_recall_report,
     "lsh_bucket_assign": lsh_bucket_assign,
@@ -716,6 +761,7 @@ ORACLES = {
     "embedding_norms": NORMS_SQL,
     "knn_bruteforce": KNN_SQL,
     "near_dup_pairs_cosine": NEAR_DUP_SQL,
+    "dedup_semantic_survivors": SEMANTIC_SURVIVORS_SQL,
     "embedding_quantize_int8": QUANTIZE_SQL,
     "ivf_recall_report": IVF_RECALL_SQL,
     "lsh_bucket_assign": LSH_ASSIGN_SQL,

@@ -231,3 +231,28 @@ def test_groupingsets_single_shuffle_expand(spark):
     assert plan.count("Exchange") == 1            # one shuffle total
     assert plan.count("Scan parquet") == 1        # one scan of lineitem
     assert plan.count("HashAggregate") >= 2       # partial + final agg
+
+
+def test_train_split_is_map_only_scan(spark):
+    """Deterministic split assignment must stay a shuffle-free scan."""
+    from mongo_hadoop_spark.operators import analytics
+    plan = plan_of(analytics.documents_train_split(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_per_user_sample_single_keyed_window(spark):
+    """Per-key sample: one hash shuffle on user_id, never a global sort."""
+    from mongo_hadoop_spark.operators import analytics
+    plan = plan_of(analytics.events_per_user_sample(spark, SF_SMOKE))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_semantic_survivors_blocked_join_no_cartesian(spark):
+    """Pair generation stays label-blocked; survivor filter is an
+    equi-anti-join — no cross join anywhere."""
+    plan = plan_of(similarity.dedup_semantic_survivors(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
