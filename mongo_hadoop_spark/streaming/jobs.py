@@ -175,3 +175,53 @@ def stream_dedup_content(events: DataFrame,
         hashed.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def streaming_orders_source(spark: SparkSession, orders_dir: str) -> DataFrame:
+    """File-source stream over an orders landing zone (same pattern as
+    :func:`streaming_events_source`)."""
+    return (
+        spark.readStream.schema(ORDERS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(orders_dir)
+    )
+
+
+def stream_join_events_orders(
+    events: DataFrame,
+    orders: DataFrame,
+    watermark: str = "1 hour",
+    horizon_days: int = 7,
+) -> DataFrame:
+    """Stream-stream interval join: each event pairs with the same user's
+    orders placed within ``horizon_days`` before the event.
+
+    The two state-bounding requirements of a stream-stream join at scale
+    are explicit here: BOTH sides carry a watermark, and the join
+    condition contains an event-time interval — together they let Spark
+    evict buffered rows once the watermark passes the interval's reach,
+    so state is O(traffic inside the horizon), not O(history).  Without
+    the time bound the join would buffer both streams forever, which is
+    exactly the failure mode a 100 TB/day pipeline cannot have.
+
+    Batch-equivalent: the same join expression over static DataFrames
+    (asserted in tests) — one shuffle on ``user_id`` either way.
+    """
+    e = events.withWatermark("ts", watermark)
+    o = orders.withWatermark("o_orderdate", watermark)
+    cond = (
+        (e["user_id"] == o["o_custkey"])
+        & (o["o_orderdate"] <= e["ts"])
+        & (o["o_orderdate"] >= e["ts"] - F.expr(f"INTERVAL {horizon_days} DAYS"))
+    )
+    return e.join(o, cond, "inner").select(
+        "event_id", "user_id", "o_orderkey",
+        F.unix_timestamp(e["ts"]).alias("ts_s"),
+        F.unix_timestamp(o["o_orderdate"]).alias("order_s"),
+    )

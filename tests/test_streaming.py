@@ -427,3 +427,61 @@ def test_stream_dedup_content(spark, events_dir, tmp_path):
                                              "value", "props")).alias("h"))
               .distinct().count())
     assert n == expect
+
+
+@pytest.fixture(scope="module")
+def orders_dir(spark, tmp_path_factory):
+    """An order stream in the SAME time range as the event stream: the
+    synthetic orders table lives in 1995-2001 while events live in 2024,
+    so a time-interval join between them would be vacuously empty.
+    Purchases make a realistic order-stream stand-in (order placed at the
+    purchase instant)."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path_factory.mktemp("orders_stream"))
+    (table(spark, SF_SMOKE, "events")
+     .where(F.col("event_type") == "purchase")
+     .select(F.col("event_id").alias("o_orderkey"),
+             F.col("user_id").alias("o_custkey"),
+             F.lit("O").alias("o_orderstatus"),
+             F.col("value").alias("o_totalprice"),
+             F.col("ts").alias("o_orderdate"),
+             F.lit("1-URGENT").alias("o_orderpriority"))
+     .repartition(4).write.mode("overwrite").parquet(d))
+    return d
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir, orders_dir,
+                                                  tmp_path):
+    """Stream-stream interval join (watermarks both sides + event-time
+    bound) must produce exactly the batch join's rows once both streams
+    are fully consumed."""
+    from mongo_hadoop_spark.streaming.jobs import (
+        stream_join_events_orders, streaming_events_source,
+        streaming_orders_source)
+
+    stream = stream_join_events_orders(
+        streaming_events_source(spark, events_dir),
+        streaming_orders_source(spark, orders_dir))
+    got = run_to_completion(stream, "append", tmp_path)
+
+    batch = stream_join_events_orders(
+        spark.read.parquet(events_dir), spark.read.parquet(orders_dir))
+    want = batch.collect()
+    assert len(got) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_stream_stream_join_requires_watermark_state_bound(spark, events_dir,
+                                                           orders_dir):
+    """The interval join plan must carry watermarks on both inputs — the
+    state-eviction precondition (guards against someone dropping one)."""
+    from mongo_hadoop_spark.streaming.jobs import (
+        stream_join_events_orders, streaming_events_source,
+        streaming_orders_source)
+
+    stream = stream_join_events_orders(
+        streaming_events_source(spark, events_dir),
+        streaming_orders_source(spark, orders_dir))
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
