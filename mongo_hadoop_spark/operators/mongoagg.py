@@ -139,6 +139,43 @@ def pipeline_bucket_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def pipeline_bucket_auto_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$bucketAuto: 4 ~equal-count order-value buckets with decimal
+    revenue — quantile boundaries computed engine-side, no global sort."""
+    orders = table(spark, sf_dir, "orders")
+    return aggregate(orders, [
+        {"$addFields": {"pd": {"$toDecimal": "$o_totalprice"}}},
+        {"$bucketAuto": {
+            "groupBy": "$o_totalprice",
+            "buckets": 4,
+            "output": {"n": {"$sum": 1}, "revenue": {"$sum": "$pd"}},
+        }},
+        {"$project": {"_id_min": 1, "_id_max": 1, "n": 1,
+                      "revenue": {"$toDouble": "$revenue"}}},
+        {"$sort": {"_id_min": 1}},
+    ])
+
+
+PIPELINE_BUCKET_AUTO_SQL = """
+WITH t AS (SELECT o_totalprice AS v FROM orders),
+c AS (
+  SELECT [quantile_disc(v, 0.25), quantile_disc(v, 0.50),
+          quantile_disc(v, 0.75)] AS cs,
+         min(v) AS gmin, max(v) AS gmax
+  FROM t
+),
+b AS (
+  SELECT v, len(list_filter(cs, x -> v > x)) AS idx, cs, gmin, gmax
+  FROM t, c
+)
+SELECT CASE WHEN idx = 0 THEN gmin ELSE cs[idx] END AS _id_min,
+       CASE WHEN idx = 3 THEN gmax ELSE cs[idx + 1] END AS _id_max,
+       count(*) AS n,
+       (sum(CAST(v AS DECIMAL(38,6))))::double AS revenue
+FROM b GROUP BY 1, 2 ORDER BY 1
+"""
+
+
 PIPELINE_BUCKET_SQL = """
 WITH b AS (
   SELECT CASE
@@ -279,6 +316,7 @@ QUERIES = {
     "pipeline_lookup_segment": pipeline_lookup_segment,
     "pipeline_sortbycount": pipeline_sortbycount,
     "pipeline_bucket_order_values": pipeline_bucket_order_values,
+    "pipeline_bucket_auto_quartiles": pipeline_bucket_auto_quartiles,
     "pipeline_window_fields": pipeline_window_fields,
     "pipeline_densify_user_counts": pipeline_densify_user_counts,
     "pipeline_graphlookup_reports": pipeline_graphlookup_reports,
@@ -290,6 +328,7 @@ ORACLES = {
     "pipeline_lookup_segment": PIPELINE_LOOKUP_SQL,
     "pipeline_sortbycount": PIPELINE_SORTBYCOUNT_SQL,
     "pipeline_bucket_order_values": PIPELINE_BUCKET_SQL,
+    "pipeline_bucket_auto_quartiles": PIPELINE_BUCKET_AUTO_SQL,
     "pipeline_window_fields": PIPELINE_WINDOW_SQL,
     "pipeline_densify_user_counts": PIPELINE_DENSIFY_SQL,
     "pipeline_graphlookup_reports": PIPELINE_GRAPH_SQL,

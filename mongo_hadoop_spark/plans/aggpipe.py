@@ -595,6 +595,51 @@ def _stage_bucket(df: DataFrame, spec: dict) -> DataFrame:
     return out
 
 
+def _stage_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
+    """$bucketAuto: ~equal-count buckets over the groupBy value.
+
+    Deterministic formulation (a documented deviation, like $sample): the
+    n-1 interior boundaries are the exact discrete quantiles
+    (``percentile_disc`` at i/n) instead of the server's count-walk.
+    They come from ONE extra aggregate over the input, broadcast back as
+    a single-row side — so the plan is two scans + one group-by: no
+    global sort, no ntile window, no single-partition stage at any input
+    size.  ``granularity`` is not supported.  The bucket document id is
+    flattened to scalar ``_id_min``/``_id_max`` columns.
+
+    Bucket rule (identical in the DuckDB oracle via ``quantile_disc`` /
+    ``list_filter``): v falls in bucket idx = |{c_i : v > c_i}|, which
+    spans (c_idx, c_{idx+1}] with c_0 = min and c_n = max.
+    """
+    if "granularity" in spec:
+        raise ValueError("$bucketAuto granularity is not supported")
+    gb = expr_to_col(spec["groupBy"])
+    n = int(spec["buckets"])
+    out_spec = spec.get("output", {"count": {"$sum": 1}})
+    tagged = df.withColumn("__ba_v", gb)
+    qs = ", ".join(
+        f"percentile_disc({i}/{n}) WITHIN GROUP (ORDER BY __ba_v)"
+        for i in range(1, n)
+    )
+    cuts = tagged.select(
+        F.expr(f"array({qs})").alias("__ba_cuts"),
+        F.min("__ba_v").alias("__ba_min"),
+        F.max("__ba_v").alias("__ba_max"),
+    )
+    withc = tagged.join(F.broadcast(cuts))
+    idx = F.size(F.filter(F.col("__ba_cuts"), lambda c: F.col("__ba_v") > c))
+    id_min = F.when(idx == 0, F.col("__ba_min")).otherwise(
+        F.element_at(F.col("__ba_cuts"), idx))
+    id_max = F.when(idx == n - 1, F.col("__ba_max")).otherwise(
+        F.element_at(F.col("__ba_cuts"), idx + F.lit(1)))
+    aggs = [_accumulator(name, a) for name, a in out_spec.items()]
+    return (
+        withc.withColumn("_id_min", id_min).withColumn("_id_max", id_max)
+        .groupBy("_id_min", "_id_max")
+        .agg(*aggs)
+    )
+
+
 _WINDOW_BOUND = {"unbounded": None, "current": 0}
 
 
@@ -876,6 +921,8 @@ def aggregate(df: DataFrame, pipeline: list[dict],
             out = out.select(f"{root[1:]}.*")
         elif op == "$bucket":
             out = _stage_bucket(out, spec)
+        elif op == "$bucketAuto":
+            out = _stage_bucket_auto(out, spec)
         elif op == "$setWindowFields":
             out = _stage_set_window_fields(out, spec)
         elif op == "$sortByCount":

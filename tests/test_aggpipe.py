@@ -489,3 +489,25 @@ def test_date_from_parts_and_day_of_year(spark):
     }}])
     r = got.collect()[0]
     assert r.ts == "2024-03-15 06:00:00" and r.doy == 75
+
+
+def test_bucket_auto_equal_counts(spark):
+    """8 distinct values into 4 buckets → 2 per bucket, contiguous
+    (min, max] spans covering the full range."""
+    df = spark.createDataFrame([(float(i),) for i in range(1, 9)], "x double")
+    got = aggregate(df, [
+        {"$bucketAuto": {"groupBy": "$x", "buckets": 4}},
+        {"$sort": {"_id_min": 1}},
+    ])
+    out = rows(got)
+    assert [r[2] for r in out] == [2, 2, 2, 2]
+    assert out[0][0] == 1.0 and out[-1][1] == 8.0
+    # contiguous: each bucket's max is the next bucket's min
+    assert all(out[i][1] == out[i + 1][0] for i in range(len(out) - 1))
+
+
+def test_bucket_auto_granularity_unsupported(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="granularity"):
+        aggregate(df, [{"$bucketAuto": {
+            "groupBy": "$x", "buckets": 2, "granularity": "R5"}}]).collect()
