@@ -46,6 +46,17 @@ def md5_long_sql(expr: str, salt: str = "") -> str:
     return f"(('0x' || substr(md5({inner}), 1, 15))::bigint)"
 
 
+def md5_long_spark_sql(expr: str, salt: str = "") -> str:
+    """Spark-SQL string twin of :func:`md5_long` (same value bit-for-bit).
+
+    For wide expressions repeated per band/permutation, building the hash
+    as SQL text instead of Column objects avoids the py4j round-trips
+    that otherwise dominate plan-construction time (see SCALE.md).
+    """
+    inner = f"concat('{salt}', {expr})" if salt else expr
+    return f"CAST(conv(substr(md5({inner}), 1, 15), 16, 10) AS BIGINT)"
+
+
 # ---------------------------------------------------------------------------
 # ObjectId helpers (reference: pig/udf/ToObjectId.java:14-29,
 # ObjectIdToSeconds.java:17-38) — ObjectIds modeled as 24-hex strings

@@ -30,7 +30,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from mongo_hadoop_spark.functions import md5_long, md5_long_sql, tokenize, word_shingles
+from mongo_hadoop_spark.functions import (md5_long, md5_long_spark_sql,
+                                          md5_long_sql, tokenize,
+                                          word_shingles)
 from mongo_hadoop_spark.guards import guard_quadratic
 from mongo_hadoop_spark.session import table
 
@@ -114,11 +116,18 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", F.explode(word_shingles("text", SHINGLE_N)).alias("s")
     ).select("doc_id", (md5_long(F.col("s")) % MINHASH_P).alias("h"))
-    aggs = []
-    for i in range(MINHASH_K):
-        a, b = _affine_params(i)
-        aggs.append(F.min((F.col("h") * a + b) % MINHASH_P).alias(f"h{i}"))
-    return sh.groupBy("doc_id").agg(*aggs)
+    # The K min-aggregates go through one spark.sql string instead of K
+    # Column objects: same plan, but ~8 py4j round-trips per component
+    # (~0.15 s of driver time per build) collapse into one parse call —
+    # and the SQL text is character-identical to the DuckDB oracle's.
+    mins = ",\n           ".join(
+        "min((h * {a} + {b}) % {p}) AS h{i}".format(
+            a=_affine_params(i)[0], b=_affine_params(i)[1], p=MINHASH_P, i=i)
+        for i in range(MINHASH_K)
+    )
+    sh.createOrReplaceTempView("__mh_shingle_hashes")
+    return spark.sql(
+        f"SELECT doc_id, {mins} FROM __mh_shingle_hashes GROUP BY doc_id")
 
 
 def _signatures_sql() -> str:
@@ -162,14 +171,14 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _signatures(spark, sf_dir).persist()
     stack_args = []
     for b in range(LSH_BANDS):
-        cols = [f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
-        band_key = md5_long(
-            F.concat_ws(":", *[F.col(c).cast("string") for c in cols]), salt=f"band{b}|"
-        )
-        stack_args.extend([F.lit(b), band_key])
-    bands = sig.select(
+        cols = ", ".join(f"CAST(h{b * _ROWS_PER_BAND + r} AS STRING)"
+                         for r in range(_ROWS_PER_BAND))
+        band_key = md5_long_spark_sql(f"concat_ws(':', {cols})",
+                                      salt=f"band{b}|")
+        stack_args.extend([str(b), band_key])
+    bands = sig.selectExpr(
         "doc_id",
-        F.stack(F.lit(LSH_BANDS), *stack_args).alias("band_id", "band_hash"),
+        f"stack({LSH_BANDS}, {', '.join(stack_args)}) AS (band_id, band_hash)",
     )
     a = bands.alias("a")
     b_ = bands.alias("b")
@@ -185,17 +194,15 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sig.alias("sa")
     sb = sig.alias("sb")
-    matches = sum(
-        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+    match_sum = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
         for i in range(MINHASH_K)
     )
+    est = F.expr(f"CAST(({match_sum}) AS DOUBLE) / {MINHASH_K}")
     return (
         pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
         .join(sb, pairs.doc_b == F.col("sb.doc_id"))
-        .select(
-            "doc_a", "doc_b",
-            (matches.cast("double") / MINHASH_K).alias("est_jaccard"),
-        )
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= 0.5)
     )
 

@@ -65,6 +65,15 @@ def get_spark(
     return builder.getOrCreate()
 
 
+#: (applicationId, realpath, mtime_ns, size) → loaded DataFrame.  A
+#: DataFrame is an immutable logical plan, so reuse is safe; keying on the
+#: file's stat identity invalidates on regeneration, and on applicationId
+#: across session restarts.  This is the catalog role: without it every
+#: query rebuild re-lists and re-footers the same parquet (~0.1 s per
+#: table per build — measured at 0.3-0.9 s per multi-table query).
+_TABLE_CACHE: dict[tuple, "object"] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str):
     """Load one synthetic table (parquet) from a scale-factor directory.
 
@@ -88,10 +97,22 @@ def table(spark: SparkSession, sf_dir: str, name: str):
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = None
+    try:
+        st = os.stat(path)
+        key = (spark.sparkContext.applicationId, os.path.realpath(path),
+               st.st_mtime_ns, st.st_size)
+    except OSError:
+        pass
+    if key is not None and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
+    if key is not None:
+        _TABLE_CACHE[key] = df
     return df

@@ -80,3 +80,23 @@ def test_events_query_ntz_ltz_equivalent(spark, ntz_ltz_dirs, name):
     b = sorted(map(tuple, fn(spark, ltz).collect()))
     assert len(a) > 0, f"{name} returned no rows on the NTZ variant"
     assert a == b, f"{name} diverges between NTZ and LTZ parquet encodings"
+
+
+def test_table_cache_invalidates_on_regeneration(spark, tmp_path):
+    """session.table() memoizes DataFrames per file identity; rewriting
+    the file in place (new mtime/size) must serve the new contents."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mongo_hadoop_spark.session import table
+
+    p = tmp_path / "events.parquet"
+    pq.write_table(pa.table({"event_id": [1, 2, 3]}), p)
+    assert table(spark, str(tmp_path), "events").count() == 3
+    # same path, regenerated contents
+    pq.write_table(pa.table({"event_id": [1, 2, 3, 4, 5]}), p)
+    assert table(spark, str(tmp_path), "events").count() == 5
+    # repeated load of unchanged file returns the identical plan object
+    d1 = table(spark, str(tmp_path), "events")
+    d2 = table(spark, str(tmp_path), "events")
+    assert d1 is d2
