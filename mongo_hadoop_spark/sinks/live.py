@@ -157,3 +157,25 @@ def commit_updates_live(
         store.drop(f"{collection}.updates")
     return {"matched": matched, "modified": modified,
             "upserted": upserted, "batches": batches}
+
+
+def target_from_uri(uri: str, client_factory=None):
+    """Resolve a pymongo-protocol collection from a connection string.
+
+    The URI must carry a ``db.collection`` namespace (the output-URI
+    contract, MongoConfigUtil.getOutputURI).  ``client_factory`` maps the
+    normalized URI string to a client object exposing ``client[db][coll]``
+    — defaults to ``pymongo.MongoClient`` where pymongo is installed, and
+    lets tests (or mongomock users) inject an in-process server.
+    """
+    from mongo_hadoop_spark.sources.uri import InvalidMongoURI, MongoURI
+
+    parsed = MongoURI.parse(uri)
+    if not (parsed.database and parsed.collection):
+        raise InvalidMongoURI(
+            f"output URI needs a db.collection namespace: {uri!r}")
+    if client_factory is None:  # pragma: no cover - needs pymongo
+        from pymongo import MongoClient
+        client_factory = MongoClient
+    client = client_factory(parsed.build())
+    return client[parsed.database][parsed.collection]

@@ -221,3 +221,31 @@ def test_live_replace_rejects_dollar_operators(spark, target):
     with pytest.raises(ValueError, match=r"\$-operators"):
         mutation_to_op({"q": {"device_id": 1}, "u": {"$set": {"a": 1}},
                         "upsert": False, "multi": False, "replace": True})
+
+
+def test_target_from_uri_resolves_namespace(spark, tmp_path):
+    """URI → live collection resolution + commit through the fake server."""
+    from mongo_hadoop_spark.sinks.live import target_from_uri
+    from mongo_hadoop_spark.sources.uri import InvalidMongoURI
+    from mongo_hadoop_spark.store import DocumentStore
+
+    server = {"outdb": {"outcoll": FakeCollection("outcoll")}}
+
+    class FakeClient(dict):
+        def __init__(self, uri):
+            super().__init__(server)
+            self.uri = uri
+
+    coll = target_from_uri(
+        "mongodb://u:p@h1:27017/outdb.outcoll?replicaSet=rs0",
+        client_factory=FakeClient)
+    assert coll is server["outdb"]["outcoll"]
+
+    store = DocumentStore(str(tmp_path / "db6"))
+    df = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    write_documents(df, store.path, "staged", mode="insert")
+    commit_inserts_live(store.path, "staged", coll)
+    assert coll.count_documents() == 10
+
+    with pytest.raises(InvalidMongoURI, match="namespace"):
+        target_from_uri("mongodb://h1:27017/outdb", client_factory=FakeClient)
