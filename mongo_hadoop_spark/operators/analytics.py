@@ -367,6 +367,78 @@ SELECT user_id, event_id, rk FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# RFM (recency / frequency / monetary) customer segmentation
+# ---------------------------------------------------------------------------
+
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer RFM segmentation: per-customer recency (days since last
+    order, vs the corpus max date), frequency (order count), monetary
+    (decimal-exact spend), each cut at the median into H/L, composed into
+    an 8-way segment label.
+
+    Scale shape: one groupBy on ``o_custkey`` (map-side partial), one
+    1-row global aggregate for the max date and the three
+    ``percentile_disc`` medians, broadcast back as scalars — no window
+    over customers, no second shuffle.  Integer day math (epoch // 86400)
+    keeps recency TZ-free and engine-exact; the median cut uses
+    ``percentile_disc`` ↔ ``quantile_disc`` (the proven exact pairing).
+    """
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.unix_timestamp("o_orderdate") / F.lit(86400))
+         .cast("long").alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("spend_dec"),
+    ).select(
+        "o_custkey", "last_day", "frequency",
+        F.col("spend_dec").cast("double").alias("monetary"),
+    )
+    per_cust.createOrReplaceTempView("__rfm_cust")
+    return spark.sql("""
+        WITH cuts AS (
+          SELECT max(last_day) AS max_day,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY last_day) AS md_day,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY frequency) AS md_freq,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY monetary) AS md_mon
+          FROM __rfm_cust
+        )
+        SELECT o_custkey,
+               (max_day - last_day) AS recency_days,
+               frequency, monetary,
+               concat(CASE WHEN last_day >= md_day THEN 'R+' ELSE 'R-' END,
+                      CASE WHEN frequency > md_freq THEN 'F+' ELSE 'F-' END,
+                      CASE WHEN monetary > md_mon THEN 'M+' ELSE 'M-' END)
+                 AS segment
+        FROM __rfm_cust CROSS JOIN cuts
+    """)
+
+
+RFM_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         max(epoch(o_orderdate)::bigint // 86400) AS last_day,
+         count(*) AS frequency,
+         (sum(o_totalprice::decimal(38,6)))::double AS monetary
+  FROM orders GROUP BY 1
+),
+cuts AS (
+  SELECT max(last_day) AS max_day,
+         quantile_disc(last_day, 0.5) AS md_day,
+         quantile_disc(frequency, 0.5) AS md_freq,
+         quantile_disc(monetary, 0.5) AS md_mon
+  FROM cust
+)
+SELECT o_custkey,
+       (max_day - last_day) AS recency_days,
+       frequency, monetary,
+       (CASE WHEN last_day >= md_day THEN 'R+' ELSE 'R-' END) ||
+       (CASE WHEN frequency > md_freq THEN 'F+' ELSE 'F-' END) ||
+       (CASE WHEN monetary > md_mon THEN 'M+' ELSE 'M-' END) AS segment
+FROM cust CROSS JOIN cuts
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
@@ -376,11 +448,13 @@ QUERIES = {
     "events_value_anomalies": events_value_anomalies,
     "documents_train_split": documents_train_split,
     "events_per_user_sample": events_per_user_sample,
+    "orders_rfm_segments": orders_rfm_segments,
 }
 
 ORACLES = {
     "documents_train_split": TRAIN_SPLIT_SQL,
     "events_per_user_sample": PER_USER_SAMPLE_SQL,
+    "orders_rfm_segments": RFM_SQL,
     "events_funnel": FUNNEL_SQL,
     "events_cohort_retention": COHORT_SQL,
     "orders_quantile_rollup": QUANTILE_SQL,

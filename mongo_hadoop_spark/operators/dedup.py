@@ -515,8 +515,91 @@ WHERE doc_id % {BENCH_MOD} <> 0
 GROUP BY 1
 """
 
+# ---------------------------------------------------------------------------
+# Near-containment via rare-shingle inverted index
+# ---------------------------------------------------------------------------
+
+CONTAIN_MAX_DF = 20      # a shingle appearing in more docs is not a candidate key
+CONTAIN_THRESHOLD = 0.8  # |A∩B| / min(|A|,|B|)
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment pairs: catches a small document embedded
+    in a larger one, which symmetric Jaccard (MinHash) under-scores.
+
+    Candidate generation is a RARE-shingle inverted index — a different
+    scale-safe generator than LSH banding: only shingles appearing in at
+    most CONTAIN_MAX_DF documents key the self-join, so candidate volume
+    is bounded by Σ df² over rare shingles (stop-shingle rows are dropped
+    before the join, the same reason search engines drop stopwords from
+    posting intersections).  Verification computes exact containment
+    |A∩B| / min(|A|,|B|) over distinct-shingle sets, only for candidates.
+    """
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sets = d.select(
+        "doc_id",
+        F.array_distinct(word_shingles("text", SHINGLE_N)).alias("sh"),
+    ).persist()
+    inv = sets.select("doc_id", F.explode("sh").alias("s"))
+    rare = (inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= CONTAIN_MAX_DF))
+    keyed = inv.join(rare, "s")
+    pairs = (
+        keyed.alias("a").join(
+            keyed.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    containment = inter.cast("double") / F.least(
+        F.size("sha"), F.size("shb")).cast("double")
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .where((F.size("sha") > 0) & (F.size("shb") > 0))
+        .select("doc_a", "doc_b", containment.alias("containment"))
+        .where(F.col("containment") >= CONTAIN_THRESHOLD)
+    )
+
+
+CONTAINMENT_SQL = f"""
+WITH sets AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM documents
+),
+inv AS (
+  SELECT doc_id, unnest(sh) AS s FROM sets
+),
+rare AS (
+  SELECT s FROM inv GROUP BY s HAVING count(*) <= {CONTAIN_MAX_DF}
+),
+keyed AS (
+  SELECT doc_id, s FROM inv JOIN rare USING (s)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keyed a JOIN keyed b ON a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       len(list_intersect(sa.sh, sb.sh))::double
+         / least(len(sa.sh), len(sb.sh))::double AS containment
+FROM pairs
+JOIN sets sa ON doc_a = sa.doc_id
+JOIN sets sb ON doc_b = sb.doc_id
+WHERE len(sa.sh) > 0 AND len(sb.sh) > 0
+  AND len(list_intersect(sa.sh, sb.sh))::double
+        / least(len(sa.sh), len(sb.sh))::double >= {CONTAIN_THRESHOLD}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_containment": dedup_containment,
     "dedup_exact_survivors": dedup_exact_survivors,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
@@ -529,6 +612,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": EXACT_SQL,
+    "dedup_containment": CONTAINMENT_SQL,
     "dedup_exact_survivors": EXACT_SURVIVORS_SQL,
     "dedup_minhash_signatures": MINHASH_SIG_SQL,
     "dedup_minhash_lsh_pairs": MINHASH_PAIRS_SQL,

@@ -256,3 +256,20 @@ def test_semantic_survivors_blocked_join_no_cartesian(spark):
     plan = plan_of(similarity.dedup_semantic_survivors(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
+
+
+def test_containment_inverted_index_no_cartesian(spark):
+    """Rare-shingle candidate join must be an equi-join on the shingle,
+    never a cross join; verification joins are equi on doc ids."""
+    plan = plan_of(dedup.dedup_containment(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rfm_single_customer_shuffle(spark):
+    """RFM: one keyed aggregation over customers; the median cuts arrive
+    as a broadcast 1-row side, not a window over all customers."""
+    from mongo_hadoop_spark.operators import analytics
+    plan = plan_of(analytics.orders_rfm_segments(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
