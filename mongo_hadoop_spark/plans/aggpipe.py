@@ -264,6 +264,51 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
                        F.lit(step)))
     if op == "$reverseArray":
         return F.reverse(E(operand))
+    if op == "$sortArray":
+        by = operand.get("sortBy", 1)
+        if not isinstance(by, int):
+            raise ValueError(
+                "$sortArray supports scalar sortBy 1/-1 only (document "
+                "sort keys need per-field struct ordering)")
+        return F.sort_array(E(operand["input"]), asc=by >= 0)
+    if op == "$zip":
+        inputs = [E(x) for x in operand["inputs"]]
+        if operand.get("useLongestLength"):
+            raise ValueError("$zip useLongestLength is not supported")
+        # Mongo yields array-of-arrays truncated to the shortest input;
+        # Spark arrays are homogeneous, so inputs must share element type
+        shortest = (F.size(inputs[0]) if len(inputs) == 1
+                    else F.least(*[F.size(c) for c in inputs]))
+        return F.transform(
+            F.sequence(F.lit(1), shortest),
+            lambda i: F.array(*[F.element_at(c, i) for c in inputs]))
+    if op == "$firstN":
+        return F.slice(E(operand["input"]), 1, int(operand["n"]))
+    if op == "$lastN":
+        return F.reverse(
+            F.slice(F.reverse(E(operand["input"])), 1, int(operand["n"])))
+    if op == "$trunc":
+        e, places = (operand if isinstance(operand, list) else (operand, 0))
+        p = places if isinstance(places, int) else 0
+        scale = F.lit(float(10 ** p))
+        x = E(e)
+        return (F.when(x >= 0, F.floor(x * scale))
+                .otherwise(F.ceil(x * scale)) / scale)
+    if op == "$log10":
+        return F.log10(E(operand))
+    if op == "$log":
+        num, base = operand
+        return F.log(E(num)) / F.log(E(base))
+    if op == "$dateSubtract":
+        unit, amount = operand["unit"], operand["amount"]
+        if not isinstance(amount, int):
+            raise ValueError("$dateSubtract amount must be an integer literal")
+        if unit not in ("day", "hour", "minute", "second"):
+            raise ValueError(f"unsupported $dateSubtract unit {unit!r}")
+        kw = {"day": "days", "hour": "hours", "minute": "mins",
+              "second": "secs"}[unit]
+        return E(operand["startDate"]) - F.make_dt_interval(
+            **{kw: F.lit(amount)})
     if op == "$indexOfArray":
         arr, search = operand[0], operand[1]
         # array_position is 1-based with 0 = absent; Mongo is 0-based/-1

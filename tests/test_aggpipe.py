@@ -511,3 +511,45 @@ def test_bucket_auto_granularity_unsupported(spark):
     with pytest.raises(ValueError, match="granularity"):
         aggregate(df, [{"$bucketAuto": {
             "groupBy": "$x", "buckets": 2, "granularity": "R5"}}]).collect()
+
+
+def test_array_expression_ops_round2(spark):
+    df = spark.createDataFrame(
+        [([3.0, 1.0, 2.0], [10.0, 20.0, 30.0, 40.0])], "a array<double>, b array<double>")
+    got = aggregate(df, [{"$project": {
+        "sorted_desc": {"$sortArray": {"input": "$a", "sortBy": -1}},
+        "zipped": {"$zip": {"inputs": ["$a", "$b"]}},
+        "first2": {"$firstN": {"input": "$b", "n": 2}},
+        "last2": {"$lastN": {"input": "$b", "n": 2}},
+    }}])
+    r = got.collect()[0]
+    assert r.sorted_desc == [3.0, 2.0, 1.0]
+    assert r.zipped == [[3.0, 10.0], [1.0, 20.0], [2.0, 30.0]]  # truncated
+    assert r.first2 == [10.0, 20.0]
+    assert r.last2 == [30.0, 40.0]
+
+
+def test_numeric_and_date_ops_round2(spark):
+    import datetime as dt
+    df = spark.createDataFrame(
+        [(-2.567, 1000.0, dt.datetime(2024, 1, 10, 12, 0, 0))],
+        "x double, y double, ts timestamp")
+    got = aggregate(df, [{"$project": {
+        "t0": {"$trunc": "$x"},
+        "t2": {"$trunc": ["$x", 2]},
+        "lg": {"$log10": "$y"},
+        "lb": {"$log": ["$y", 10.0]},
+        "back": {"$dateSubtract": {"startDate": "$ts", "unit": "day",
+                                   "amount": 7}},
+    }}])
+    r = got.collect()[0]
+    assert r.t0 == -2.0 and r.t2 == -2.56  # truncation toward zero
+    assert abs(r.lg - 3.0) < 1e-12 and abs(r.lb - 3.0) < 1e-12
+    assert r.back == dt.datetime(2024, 1, 3, 12, 0, 0)
+
+
+def test_sort_array_document_keys_rejected(spark):
+    df = spark.createDataFrame([([1.0],)], "a array<double>")
+    with pytest.raises(ValueError, match="sortBy"):
+        aggregate(df, [{"$project": {
+            "s": {"$sortArray": {"input": "$a", "sortBy": {"f": 1}}}}}]).collect()
