@@ -73,3 +73,36 @@ def test_port_requires_single_host():
 def test_invalid_uris_rejected(bad):
     with pytest.raises(InvalidMongoURI):
         MongoURI.parse(bad)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_host = st.from_regex(r"[a-z][a-z0-9.-]{0,15}", fullmatch=True)
+_port = st.one_of(st.none(), st.integers(min_value=1, max_value=65535))
+_name = st.from_regex(r"[a-zA-Z0-9_-]{1,12}", fullmatch=True)
+_cred = st.text(min_size=1, max_size=12).filter(lambda s: s.strip())
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    hosts=st.lists(st.tuples(_host, _port), min_size=1, max_size=3),
+    db=st.one_of(st.none(), _name),
+    coll=st.one_of(st.none(), _name),
+    user=st.one_of(st.none(), _cred),
+    pwd=st.one_of(st.none(), _cred),
+    params=st.lists(st.tuples(_name, _name), max_size=3,
+                    unique_by=lambda kv: kv[0]),
+)
+def test_uri_build_parse_roundtrip(hosts, db, coll, user, pwd, params):
+    """parse(build(u)) == u for every representable URI — credentials
+    with arbitrary unicode survive percent-escaping."""
+    u = MongoURI(
+        hosts=tuple(hosts),
+        database=db if (db or coll is None) else "d",
+        collection=coll if db or coll is None else None,
+        username=user,
+        password=pwd if user is not None else None,
+        params=tuple(params),
+    )
+    assert MongoURI.parse(u.build()) == u
