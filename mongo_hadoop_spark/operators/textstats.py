@@ -359,7 +359,83 @@ SELECT doc_id, max(c) AS top_gram_count, sum(c)::bigint AS total_grams
 FROM per_gram GROUP BY 1
 """
 
+# ---------------------------------------------------------------------------
+# Exact distributed heavy hitters (Misra–Gries candidate pruning)
+# ---------------------------------------------------------------------------
+
+HH_PHI = 0.002   # heavy hitter = token with frequency >= 0.2% of all tokens
+HH_M = 1000      # per-partition Misra–Gries counters; must exceed 1/HH_PHI
+
+
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens with corpus frequency ≥ HH_PHI, computed EXACTLY without a
+    full-vocabulary groupBy.
+
+    Two passes, the shape that survives a key domain of billions:
+
+    1. Per-partition Misra–Gries summaries (``mapInPandas``: per-Arrow-
+       batch ``value_counts`` merged under the MG truncation rule, state
+       bounded at HH_M counters regardless of vocabulary size).  MG
+       undercounts by at most n_p/(HH_M+1); any token with global share
+       ≥ φ has, by weighted-average pigeonhole, some partition where its
+       share is ≥ φ > 1/(HH_M+1) — so the candidate UNION is a superset
+       of every true heavy hitter.  False positives are fine; false
+       negatives are impossible, which is what makes the result exact.
+    2. Exact counts for candidates only: semi-join the token stream to
+       the (tiny, broadcast) candidate set, one groupBy over candidate
+       rows, threshold against the broadcast total.
+
+    The final shuffle carries only candidate tokens — at 100 TB the
+    full-vocabulary groupBy this replaces would shuffle the entire token
+    stream's distinct domain.  The oracle is the straightforward
+    HAVING-threshold query: exactness of the pruning IS the property
+    under test.
+    """
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    words = d.select(F.explode(tokenize("text")).alias("w"))
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for w, c in pdf["w"].value_counts().items():
+                counts[w] = counts.get(w, 0) + int(c)
+            if len(counts) > HH_M:
+                # MG truncation: subtract the (HH_M+1)-th largest count,
+                # drop non-positive — classic mergeable-summary step
+                kth = sorted(counts.values(), reverse=True)[HH_M]
+                counts = {w: c - kth for w, c in counts.items() if c > kth}
+        yield pd.DataFrame({"w": list(counts.keys())})
+
+    candidates = words.mapInPandas(mg_partition, "w string").distinct()
+    totals = words.agg(F.count(F.lit(1)).alias("n_total"))
+    exact = (
+        words.join(F.broadcast(candidates), "w")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.join(F.broadcast(totals))
+        .where(F.col("cnt").cast("double")
+               >= F.col("n_total").cast("double") * HH_PHI)
+        .select("w", "cnt")
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH w AS (SELECT unnest({_WORDS_SQL}) AS w FROM documents),
+tot AS (SELECT count(*) AS n_total FROM w)
+SELECT w, count(*) AS cnt
+FROM w CROSS JOIN tot
+GROUP BY w, n_total
+HAVING count(*)::double >= n_total::double * {HH_PHI}
+"""
+
+
 QUERIES = {
+    "text_heavy_hitters": text_heavy_hitters,
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_token_count": text_token_count,
@@ -371,6 +447,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_heavy_hitters": HEAVY_HITTERS_SQL,
     "text_langid": LANGID_SQL,
     "text_quality": QUALITY_SQL,
     "text_token_count": TOKEN_COUNT_SQL,

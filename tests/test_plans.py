@@ -273,3 +273,13 @@ def test_rfm_single_customer_shuffle(spark):
     plan = plan_of(analytics.orders_rfm_segments(spark, SF_SMOKE))
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_heavy_hitters_candidates_broadcast(spark):
+    """MG candidate set and the total-count scalar both arrive broadcast;
+    the exact-count groupBy shuffles only candidate rows."""
+    from mongo_hadoop_spark.operators import textstats
+    plan = plan_of(textstats.text_heavy_hitters(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 1   # candidate semi-join
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
