@@ -24,10 +24,12 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: TPC-H Q3-style join+agg+top-k on sf0.001."""
-    from mongo_hadoop_spark.operators.relational import tpch_q3
+    """Flagship query: the full corpus-preparation pipeline (quality gate
+    → exact dedup → benchmark decontamination → content-hash train/valid/
+    test split → manifest) as ONE Catalyst plan on sf0.001."""
+    from mongo_hadoop_spark.operators.pipeline import corpus_training_manifest
 
-    return tpch_q3(spark, SF0001)
+    return corpus_training_manifest(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

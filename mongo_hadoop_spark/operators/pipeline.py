@@ -81,5 +81,114 @@ FROM survivors GROUP BY 1, 2
 """
 
 
-QUERIES = {"corpus_yield_report": corpus_yield_report}
-ORACLES = {"corpus_yield_report": YIELD_SQL}
+def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE corpus-preparation flow as one declarative plan:
+
+        documents
+          → quality gate      (token count + chars/token, as above)
+          → exact dedup       (keep lowest doc_id per text)
+          → decontaminate     (drop anything sharing a word-shingle with
+                               the benchmark slice — broadcast join,
+                               dedup.corpus_decontaminate semantics)
+          → train/valid/test  (content-hash 98/1/1, leak-proof —
+                               analytics.documents_train_split rule)
+          → manifest          (per split × lang: docs, tokens)
+
+    One Catalyst plan end to end; wide ops are the dedup shuffle, the
+    broadcast contamination join, and the final keyed aggregation —
+    the quality gate, split assignment, and shingle explode are all
+    map-side.  This is the "would it run the real 100 TB job" flagship:
+    every stage is the oracle-verified operator, composed.
+    """
+    from mongo_hadoop_spark.operators.analytics import (SPLIT_SALT,
+                                                        TRAIN_PCT, VALID_PCT)
+    from mongo_hadoop_spark.operators.dedup import BENCH_MOD, SHINGLE_N
+    from mongo_hadoop_spark.functions import md5_long, word_shingles
+
+    d = table(spark, sf_dir, "documents")
+    words = tokenize("text")
+    feats = d.select(
+        "doc_id", "lang", "text",
+        F.size(words).alias("n_tokens"),
+        (F.col("n_chars").cast("double")
+         / F.size(words).cast("double")).alias("cpt"),
+    )
+    passed = feats.where(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("cpt") <= MAX_CHARS_PER_TOKEN)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (passed.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).drop("rn"))
+
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", SHINGLE_N))).alias("s"))
+    bench_shingles = (sh.where(F.col("doc_id") % BENCH_MOD == 0)
+                      .select("s").distinct())
+    contaminated = (sh.where(F.col("doc_id") % BENCH_MOD != 0)
+                    .join(F.broadcast(bench_shingles), "s")
+                    .select("doc_id").distinct())
+    clean = (kept.where(F.col("doc_id") % BENCH_MOD != 0)
+             .join(contaminated, "doc_id", "left_anti"))
+
+    bucket = md5_long(F.col("text"), salt=SPLIT_SALT) % 100
+    split = (F.when(bucket < TRAIN_PCT, F.lit("train"))
+             .when(bucket < TRAIN_PCT + VALID_PCT, F.lit("valid"))
+             .otherwise(F.lit("test")))
+    return (
+        clean.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("docs"),
+             F.sum("n_tokens").alias("tokens"))
+    )
+
+
+def _manifest_sql() -> str:
+    from mongo_hadoop_spark.functions import md5_long_sql
+    from mongo_hadoop_spark.operators.analytics import (SPLIT_SALT,
+                                                        TRAIN_PCT, VALID_PCT)
+    from mongo_hadoop_spark.operators.dedup import (_SHINGLES_SQL, BENCH_MOD)
+
+    return rf"""
+WITH feats AS (
+  SELECT doc_id, lang, text,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+         n_chars::double
+           / len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::double
+           AS cpt
+  FROM documents
+), passed AS (
+  SELECT * FROM feats
+  WHERE n_tokens >= {MIN_TOKENS} AND cpt <= {MAX_CHARS_PER_TOKEN}
+), kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM passed) WHERE rn = 1
+), sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s FROM documents
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM sh JOIN bench USING (s)
+  WHERE doc_id % {BENCH_MOD} <> 0
+), clean AS (
+  SELECT k.* FROM kept k
+  WHERE k.doc_id % {BENCH_MOD} <> 0
+    AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT CASE WHEN ({md5_long_sql('text', salt=SPLIT_SALT)}) % 100 < {TRAIN_PCT}
+              THEN 'train'
+            WHEN ({md5_long_sql('text', salt=SPLIT_SALT)}) % 100
+                 < {TRAIN_PCT + VALID_PCT}
+              THEN 'valid'
+            ELSE 'test' END AS split,
+       lang, count(*) AS docs, sum(n_tokens)::bigint AS tokens
+FROM clean GROUP BY 1, 2
+"""
+
+
+QUERIES = {"corpus_yield_report": corpus_yield_report,
+           "corpus_training_manifest": corpus_training_manifest}
+ORACLES = {"corpus_yield_report": YIELD_SQL,
+           "corpus_training_manifest": _manifest_sql()}

@@ -283,3 +283,13 @@ def test_heavy_hitters_candidates_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 1   # candidate semi-join
     assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_training_manifest_one_plan_broadcast_decontamination(spark):
+    """Flagship composition stays one Catalyst plan: dedup shuffle +
+    broadcast shingle join + final keyed agg; no cartesian anywhere."""
+    from mongo_hadoop_spark.operators import pipeline
+    plan = plan_of(pipeline.corpus_training_manifest(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan          # bench shingles broadcast
+    assert "Window" in plan                     # keep-first dedup rank
