@@ -225,3 +225,64 @@ def stream_join_events_orders(
         F.unix_timestamp(e["ts"]).alias("ts_s"),
         F.unix_timestamp(o["o_orderdate"]).alias("order_s"),
     )
+
+
+HH_STREAM_SHARDS = 8
+HH_STREAM_M = 500
+
+
+def stream_heavy_hitter_candidates(tokens: DataFrame,
+                                   n_shards: int = HH_STREAM_SHARDS,
+                                   m: int = HH_STREAM_M) -> DataFrame:
+    """Streaming Misra–Gries heavy-hitter candidates, maintained across
+    micro-batches — the streaming half of the batch
+    ``text_heavy_hitters`` operator.
+
+    Tokens hash into ``n_shards`` key groups; each group's state is one
+    bounded MG summary (≤ ``m`` counters serialized as JSON in the
+    checkpoint), merged per micro-batch under the standard truncation
+    rule.  A token always routes to the same shard, so the per-shard MG
+    guarantee carries over: any token whose within-shard share exceeds
+    1/(m+1) is present in that shard's candidates — size the shard count
+    so m ≫ shards/φ and the streaming candidate union is a superset of
+    the true heavy hitters at every point in the stream.  Each batch
+    emits every live shard's current candidates (update mode); the
+    latest emission per shard is the current summary.
+
+    State is O(n_shards · m) regardless of stream length or vocabulary —
+    the property that makes corpus-frequency tracking viable on an
+    unbounded ingest feed.
+    """
+    import json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        counts: dict[str, int] = (
+            json.loads(state.get[0]) if state.exists else {})
+        for pdf in pdfs:
+            for w, c in pdf["w"].value_counts().items():
+                counts[w] = counts.get(w, 0) + int(c)
+            if len(counts) > m:
+                kth = sorted(counts.values(), reverse=True)[m]
+                counts = {w: c - kth for w, c in counts.items() if c > kth}
+        state.update((json.dumps(counts),))
+        yield pd.DataFrame({
+            "shard": [key[0]] * len(counts),
+            "w": list(counts.keys()),
+            "mg_count": list(counts.values()),
+        })
+
+    sharded = tokens.withColumn(
+        "shard", F.pmod(F.xxhash64("w"), F.lit(n_shards)))
+    return (
+        sharded.groupBy("shard")
+        .applyInPandasWithState(
+            update,
+            outputStructType="shard long, w string, mg_count long",
+            stateStructType="counts string",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

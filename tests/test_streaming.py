@@ -534,3 +534,41 @@ def test_stream_foreachbatch_upserts_into_live_collection(spark, events_dir,
     assert got == want
     # multiple micro-batches actually exercised the $inc accumulation
     assert sum(1 for c in live.calls if c[0] == "bulk_write") >= 2
+
+
+def test_stream_heavy_hitter_candidates_superset_of_batch(spark, tmp_path):
+    """The streaming MG candidate union (after the whole stream) must
+    contain every exact batch heavy hitter — the no-false-negatives
+    guarantee that makes the batch operator's pruning lossless."""
+    from mongo_hadoop_spark.operators.textstats import (HH_PHI,
+                                                        text_heavy_hitters)
+    from mongo_hadoop_spark.streaming.jobs import \
+        stream_heavy_hitter_candidates
+
+    docs_dir = str(tmp_path / "docs_stream")
+    (table(spark, SF_SMOKE, "documents").repartition(4)
+     .write.mode("overwrite").parquet(docs_dir))
+    src = (spark.readStream.schema(
+               "doc_id long, text string, lang string, source string, "
+               "n_chars long")
+           .option("maxFilesPerTrigger", 1)  # several micro-batches
+           .parquet(docs_dir))
+    from mongo_hadoop_spark.functions import tokenize
+    tokens = src.select(F.explode(tokenize("text")).alias("w"))
+
+    q = (stream_heavy_hitter_candidates(tokens)
+         .writeStream.format("memory").queryName("t_hh")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_hh"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    # latest emission per shard = final summaries; union their tokens
+    streamed = {
+        r.w for r in spark.sql(
+            "select w from (select *, row_number() over "
+            " (partition by shard, w order by mg_count desc) rn from t_hh)"
+            " where rn = 1").collect()
+    }
+    exact = {r.w for r in text_heavy_hitters(spark, SF_SMOKE).collect()}
+    assert exact, "batch heavy hitters unexpectedly empty"
+    assert exact <= streamed, sorted(exact - streamed)[:10]
