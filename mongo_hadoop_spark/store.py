@@ -304,6 +304,83 @@ class DocumentCollection:
         os.rename(tmp, final)
         return n
 
+    def compact(self, target_bytes: int = 8 * 1024 * 1024) -> dict:
+        """Merge committed segments into ~``target_bytes`` packed segments.
+
+        One segment per writer task per job piles up small segments, and
+        scan planning is O(#segments) — periodic compaction is the
+        maintenance op every segment store runs (the analog of the
+        reference's 8 MB `mongo.input.split_size` working best when
+        chunks are near-uniform).  Zone-map ``.meta.json`` sidecars are
+        rebuilt per packed segment, so count/stats stay metadata-only
+        and pruning keeps working.
+
+        Crash semantics match :meth:`rewrite`: new segments commit
+        (rename) before old ones are removed, so a crash in the cleanup
+        window leaves transiently duplicated documents; re-running
+        ``compact`` converges.  Single-writer assumption, like the rest
+        of the file store.
+        """
+        from mongo_hadoop_spark import bsonio as _b
+
+        old = self.segments()
+        if len(old) <= 1:
+            return {"before": len(old), "after": len(old), "rewritten": 0}
+
+        new_tmp: list[tuple[str, str]] = []  # (tmp_path, final_path)
+        fh = None
+        size = 0
+        n_docs = 0
+        bounds: dict = {}
+
+        def _open():
+            nonlocal fh, size, n_docs, bounds
+            name = uuid.uuid4().hex[:12]
+            tmp = os.path.join(self.path, f"_tmp_{name}.bson.inprogress")
+            final = os.path.join(self.path, f"{name}.bson")
+            new_tmp.append((tmp, final))
+            fh = open(tmp, "wb")
+            size = 0
+            n_docs = 0
+            bounds = {}
+
+        def _close():
+            nonlocal fh
+            if fh is None:
+                return
+            fh.close()
+            tmp = new_tmp[-1][0]
+            _write_segment_meta(tmp, n_docs, bounds)
+            fh = None
+
+        _open()
+        rewritten = 0
+        for seg in old:
+            with _b.open_bson(seg) as src:
+                for doc in _b.decode_file_iter(src):
+                    data = _b.encode(doc)
+                    if size and size + len(data) > target_bytes:
+                        _close()
+                        _open()
+                    fh.write(data)
+                    size += len(data)
+                    n_docs += 1
+                    _track_bounds(bounds, doc)
+                    rewritten += 1
+        _close()
+
+        # commit all new segments, then remove the old ones
+        for tmp, final in new_tmp:
+            os.rename(tmp + META_SUFFIX, final + META_SUFFIX)
+            os.rename(tmp, final)
+        for seg in old:
+            os.remove(seg)
+            for extra in (seg + META_SUFFIX, bsonio.sidecar_path(seg)):
+                if os.path.exists(extra):
+                    os.remove(extra)
+        return {"before": len(old), "after": len(new_tmp),
+                "rewritten": rewritten}
+
     def create_index(self, keys, **options) -> str:
         """ensureIndex analog (pig/.../MongoStorage.java:237-238, W7/W10):
         the file store has no indexes; record the intent in a sidecar so

@@ -185,3 +185,41 @@ def test_rewrite_clears_old_splits_sidecars(tmp_path):
     for seg in old_segs:
         assert not os.path.exists(bsonio.sidecar_path(seg))
     assert [d["i"] for d in coll.find()] == [99]
+
+
+def test_compact_merges_small_segments(tmp_path):
+    """Many per-task segments → few packed ones; contents, counts, and
+    zone-map pruning all preserved."""
+    from mongo_hadoop_spark.store import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "cdb"))
+    coll = store.collection("c")
+    for i in range(10):
+        coll.insert_many([{"k": i * 100 + j, "s": f"v{i}-{j}"}
+                          for j in range(50)])
+    assert len(coll.segments()) == 10
+    before_docs = sorted(coll.find(), key=lambda d: d["k"])
+    before_count = coll.count()
+
+    stats = coll.compact(target_bytes=1 << 20)  # everything fits in one
+    assert stats["before"] == 10 and stats["rewritten"] == 500
+    assert len(coll.segments()) == stats["after"] <= 2
+    assert coll.count() == before_count
+    assert sorted(coll.find(), key=lambda d: d["k"]) == before_docs
+    # zone-map sidecars rebuilt: a range query still prunes/answers
+    assert coll.count({"k": {"$gte": 900}}) == len(
+        [d for d in before_docs if d["k"] >= 900])
+
+
+def test_compact_respects_target_size(tmp_path):
+    from mongo_hadoop_spark.store import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "cdb2"))
+    coll = store.collection("c")
+    for i in range(8):
+        coll.insert_many([{"k": i, "pad": "x" * 1000}] * 20)
+    stats = coll.compact(target_bytes=8000)  # ~8 docs per segment
+    assert stats["after"] > 1               # split across several
+    assert coll.count() == 160
+    sizes = [__import__("os").path.getsize(s) for s in coll.segments()]
+    assert max(sizes) <= 8000 + 1100        # one doc overshoot at most
