@@ -687,6 +687,92 @@ FROM q WHERE maxabs > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) codes
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 8                      # 64 dims → 8 subvectors of 8
+_PQ_SUBDIM = EMB_DIM // PQ_SUBSPACES
+
+
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook assignment: each vector compresses
+    to PQ_SUBSPACES small codes (nearest per-subspace centroid), the
+    memory layout real billion-vector ANN serves from (8 bytes/vector
+    here vs 256 for raw float32).
+
+    Codebooks are the seed vectors' subvectors (vec_id % CENTROID_MOD —
+    the deterministic stand-in this suite uses for trained centroids,
+    as in :func:`ivf_assign`).  Distances use the
+    |a|² + |c|² − 2a·c decomposition so every term is a sequential-fold
+    dot product — bit-identical in DuckDB, which makes even float
+    argmin ties (broken by centroid id) engine-exact.
+
+    Plan: subvectors come from one generator expression (no join),
+    codebooks broadcast, argmin is a (vec_id, subspace)-keyed window,
+    and the code columns pivot back with one groupBy — shuffle volume
+    is rows × subspaces ids, never the float payload.
+    """
+    emb = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {PQ_SUBSPACES - 1}), "
+            f"j -> slice(embedding, j * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}))"
+        )).alias("j", "sv"),
+    )
+    cent = (sub.where(F.col("vec_id") % CENTROID_MOD == 0)
+            .select(F.col("vec_id").alias("cid"), F.col("j").alias("cj"),
+                    F.col("sv").alias("cv")))
+    d = (norm2(F.col("sv")) + norm2(F.col("cv"))
+         - 2 * dot(F.col("sv"), F.col("cv")))
+    w = Window.partitionBy("vec_id", "j").orderBy(F.col("d").asc(),
+                                                  F.col("cid").asc())
+    best = (
+        sub.join(F.broadcast(cent), F.col("j") == F.col("cj"))
+        .select("vec_id", "j", "cid", d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return best.groupBy("vec_id").agg(*[
+        F.max(F.when(F.col("j") == j, F.col("cid"))).alias(f"code_{j}")
+        for j in range(PQ_SUBSPACES)
+    ])
+
+
+_PQ_CODE_COLS = ",\n       ".join(
+    f"max(CASE WHEN j = {j} THEN cid END) AS code_{j}"
+    for j in range(PQ_SUBSPACES))
+
+PQ_CODES_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+sub AS (
+  SELECT vec_id, j, v[j * {_PQ_SUBDIM} + 1 : j * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
+  FROM e CROSS JOIN generate_series(0, {PQ_SUBSPACES - 1}) AS t(j)
+),
+cent AS (
+  SELECT vec_id AS cid, j AS cj, sv AS cv FROM sub
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+best AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT s.vec_id, s.j, c.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY list_dot_product(s.sv, s.sv)
+                      + list_dot_product(c.cv, c.cv)
+                      - 2 * list_dot_product(s.sv, c.cv), c.cid) AS rn
+    FROM sub s JOIN cent c ON s.j = c.cj)
+  WHERE rn = 1
+)
+SELECT vec_id,
+       {_PQ_CODE_COLS}
+FROM best GROUP BY vec_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -746,6 +832,7 @@ QUERIES = {
     "near_dup_pairs_cosine": near_dup_pairs_cosine,
     "dedup_semantic_survivors": dedup_semantic_survivors,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "embedding_pq_codes": embedding_pq_codes,
     "ivf_recall_report": ivf_recall_report,
     "lsh_bucket_assign": lsh_bucket_assign,
     "lsh_bucket_histogram": lsh_bucket_histogram,
@@ -763,6 +850,7 @@ ORACLES = {
     "near_dup_pairs_cosine": NEAR_DUP_SQL,
     "dedup_semantic_survivors": SEMANTIC_SURVIVORS_SQL,
     "embedding_quantize_int8": QUANTIZE_SQL,
+    "embedding_pq_codes": PQ_CODES_SQL,
     "ivf_recall_report": IVF_RECALL_SQL,
     "lsh_bucket_assign": LSH_ASSIGN_SQL,
     "lsh_bucket_histogram": LSH_HIST_SQL,

@@ -293,3 +293,12 @@ def test_training_manifest_one_plan_broadcast_decontamination(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan          # bench shingles broadcast
     assert "Window" in plan                     # keep-first dedup rank
+
+
+def test_pq_codes_broadcast_codebooks_no_cartesian(spark):
+    """PQ assignment: codebooks broadcast, argmin windowed per
+    (vec_id, subspace), no cross join of vectors x centroids rows."""
+    plan = plan_of(similarity.embedding_pq_codes(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
