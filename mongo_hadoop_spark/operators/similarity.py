@@ -775,6 +775,110 @@ FROM best GROUP BY vec_id
 """
 
 
+PQ_ADC_K = 5
+
+
+def pq_knn_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance k-NN over PQ codes: the compressed-domain scan.
+
+    For each sampled query, distances to every corpus vector are
+    reconstructed from the 8 codes alone: a per-query distance TABLE
+    (query-subvector → each centroid, PQ_SUBSPACES × |codebook| doubles,
+    tiny → broadcast) is summed via 8 lookups per vector.  The scan
+    never touches the original float vectors — the memory-bandwidth win
+    that makes billion-scale ANN serve from RAM.
+
+    Cross-engine exactness: per-cell table values are the
+    |a|²+|c|²−2a·c folds (bit-exact, see :func:`embedding_pq_codes`);
+    the 8-way total is an ORDERED fold over subspace index (collect →
+    sort by j → left fold) because a plain SUM() would add the doubles
+    in engine-dependent order and flip near-equal rankings.
+    """
+    codes = embedding_pq_codes(spark, sf_dir)
+    stack_args = ", ".join(f"{j}, code_{j}" for j in range(PQ_SUBSPACES))
+    codes_long = codes.selectExpr(
+        "vec_id", f"stack({PQ_SUBSPACES}, {stack_args}) AS (j, cid)")
+
+    emb = table(spark, sf_dir, "embeddings")
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {PQ_SUBSPACES - 1}), "
+            f"j -> slice(embedding, j * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}))"
+        )).alias("j", "sv"),
+    )
+    qsub = (sub.where(F.col("vec_id") % QUERY_MOD == 0)
+            .select(F.col("vec_id").alias("qid"), F.col("j").alias("qj"),
+                    F.col("sv").alias("qv")))
+    cent = (sub.where(F.col("vec_id") % CENTROID_MOD == 0)
+            .select(F.col("vec_id").alias("cid"), F.col("j").alias("cj"),
+                    F.col("sv").alias("cv")))
+    cell = (norm2(F.col("qv")) + norm2(F.col("cv"))
+            - 2 * dot(F.col("qv"), F.col("cv")))
+    tables = (qsub.join(F.broadcast(cent), F.col("qj") == F.col("cj"))
+              .select("qid", F.col("qj").alias("j"), "cid",
+                      cell.alias("d")))
+
+    scored = (
+        codes_long.join(F.broadcast(tables), ["j", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.expr(
+            "aggregate(array_sort(collect_list(struct(j, d))), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.d)").alias("adc_d"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_d").asc(),
+                                          F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= PQ_ADC_K)
+            .select("qid", F.col("vec_id").alias("neighbor_id"), "rank"))
+
+
+PQ_ADC_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+sub AS (
+  SELECT vec_id, j, v[j * {_PQ_SUBDIM} + 1 : j * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
+  FROM e CROSS JOIN generate_series(0, {PQ_SUBSPACES - 1}) AS t(j)
+),
+cent AS (
+  SELECT vec_id AS cid, j AS cj, sv AS cv FROM sub
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+codes AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT s.vec_id, s.j, c.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY list_dot_product(s.sv, s.sv)
+                      + list_dot_product(c.cv, c.cv)
+                      - 2 * list_dot_product(s.sv, c.cv), c.cid) AS rn
+    FROM sub s JOIN cent c ON s.j = c.cj)
+  WHERE rn = 1
+),
+tables AS (
+  SELECT q.vec_id AS qid, q.j, c.cid,
+         list_dot_product(q.sv, q.sv) + list_dot_product(c.cv, c.cv)
+         - 2 * list_dot_product(q.sv, c.cv) AS d
+  FROM sub q JOIN cent c ON q.j = c.cj
+  WHERE q.vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT t.qid, codes.vec_id,
+         list_reduce(
+           list_prepend(0.0::double, array_agg(t.d ORDER BY codes.j)),
+           (a, b) -> a + b) AS adc_d
+  FROM codes JOIN tables t ON codes.j = t.j AND codes.cid = t.cid
+  GROUP BY 1, 2
+)
+SELECT qid, vec_id AS neighbor_id, rank FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_d, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {PQ_ADC_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # ANN quality: IVF recall against the exact baseline
 # ---------------------------------------------------------------------------
@@ -833,6 +937,7 @@ QUERIES = {
     "dedup_semantic_survivors": dedup_semantic_survivors,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_pq_codes": embedding_pq_codes,
+    "pq_knn_adc": pq_knn_adc,
     "ivf_recall_report": ivf_recall_report,
     "lsh_bucket_assign": lsh_bucket_assign,
     "lsh_bucket_histogram": lsh_bucket_histogram,
@@ -851,6 +956,7 @@ ORACLES = {
     "dedup_semantic_survivors": SEMANTIC_SURVIVORS_SQL,
     "embedding_quantize_int8": QUANTIZE_SQL,
     "embedding_pq_codes": PQ_CODES_SQL,
+    "pq_knn_adc": PQ_ADC_SQL,
     "ivf_recall_report": IVF_RECALL_SQL,
     "lsh_bucket_assign": LSH_ASSIGN_SQL,
     "lsh_bucket_histogram": LSH_HIST_SQL,

@@ -302,3 +302,11 @@ def test_pq_codes_broadcast_codebooks_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_pq_adc_tables_broadcast_scan_in_code_domain(spark):
+    """ADC: the per-query distance tables broadcast; the scan joins code
+    ids only — no float payload in the wide side, no cartesian."""
+    plan = plan_of(similarity.pq_knn_adc(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2  # codebooks + tables
+    assert "CartesianProduct" not in plan
