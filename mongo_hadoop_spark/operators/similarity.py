@@ -100,10 +100,20 @@ SELECT query_id, neighbor_id, rank FROM (
 def near_dup_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ NEAR_DUP_THRESHOLD within a label block (threshold tuned so the synthetic corpus yields a non-empty result to verify).
 
-    Label blocking stands in for the LSH bucket at scale — pairs are only
-    scored inside a block, never across the whole corpus.
+    Label blocking bounds the candidate space to within-block pairs, but
+    block populations grow with the corpus, so this is a guarded
+    quadratic exactness baseline (measured: 8× vectors → 49× runtime in
+    the composed survivors op).  The scale path is LSH-bucketed candidate
+    generation (`lsh_bucket_assign` with multi-band OR-construction) —
+    at 100 TB, near-dup candidates must come from hash buckets whose
+    density stays bounded, never from data-proportional blocks.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = guard_quadratic(
+        table(spark, sf_dir, "embeddings"),
+        "near_dup_pairs_cosine",
+        "lsh_bucket_assign + within-bucket verification",
+        cache_key=f"{sf_dir}/embeddings",
+    )
     a = emb.repartition(spark.sparkContext.defaultParallelism, "label").select(
         F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
         F.col("embedding").alias("va"),
@@ -133,6 +143,10 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop only; full transitive closure would need iterative union-find
     (out of declarative SQL's reach and rarely what pipelines run —
     they re-dedup each crawl increment instead).
+
+    Inherits :func:`near_dup_pairs_cosine`'s quadratic-baseline guard
+    (blocked all-pairs; 8× vectors measured at 49× runtime) — the
+    production survivor set would come from LSH-bucketed candidates.
 
     Plan: blocked pair generation (never all-pairs) → distinct dominated
     ids → one ``left_anti`` equi-join.  Both sides partition on vec_id;
