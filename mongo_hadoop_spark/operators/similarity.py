@@ -350,6 +350,71 @@ SELECT vec_id, centroid_id FROM (
 """
 
 
+def dedup_semantic_survivors_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path semantic dedup (the SemDeDup shape proper): cluster
+    via IVF assignment, score pairs ONLY within a cell, keep min-id.
+
+    Why this survives 100 TB where the label-blocked baseline
+    (:func:`dedup_semantic_survivors`, 8× data → 49× runtime) does not:
+    the codebook here is a fixed FRACTION of the corpus (the
+    ``vec_id % CENTROID_MOD`` slice), so cell count grows linearly with
+    N and mean cell density stays ≈ CENTROID_MOD — pair volume is
+    Σ|cell|² ≈ N · CENTROID_MOD, linear in the corpus.  Near-duplicates
+    at high cosine share a nearest centroid with high probability, the
+    recall argument SemDeDup itself relies on (one-hop misses across a
+    cell boundary are the accepted trade of every clustered dedup).
+
+    Same exact verification (cosine ≥ threshold) and min-id-wins policy
+    as the baseline, so at small SF the two mostly agree; the oracle is
+    fully expressible either way.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    cells = ivf_assign(spark, sf_dir)  # (vec_id, centroid_id)
+    v = emb.select("vec_id", "embedding",
+                   F.sqrt(norm2(F.col("embedding"))).alias("nrm"))
+    tagged = (v.join(cells, "vec_id")
+              .repartition(spark.sparkContext.defaultParallelism,
+                           "centroid_id"))
+    a = tagged.select(F.col("centroid_id").alias("ca"),
+                      F.col("vec_id").alias("id_a"),
+                      F.col("embedding").alias("va"), F.col("nrm").alias("na"))
+    b = tagged.select(F.col("centroid_id").alias("cb"),
+                      F.col("vec_id").alias("id_b"),
+                      F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dominated = (
+        a.join(b, (F.col("ca") == F.col("cb"))
+               & (F.col("id_a") < F.col("id_b")))
+        .where(sim >= NEAR_DUP_THRESHOLD)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (emb.join(dominated, "vec_id", "left_anti")
+            .select("vec_id", "label"))
+
+
+SEMANTIC_SURVIVORS_IVF_SQL = f"""
+WITH assign AS ({IVF_ASSIGN_SQL.strip()}),
+e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::double) AS v
+  FROM embeddings
+),
+tagged AS (
+  SELECT e.vec_id, e.v, assign.centroid_id FROM e JOIN assign USING (vec_id)
+),
+dominated AS (
+  SELECT DISTINCT b.vec_id
+  FROM tagged a JOIN tagged b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {NEAR_DUP_THRESHOLD}
+)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
+"""
+
+
 def ivf_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-list sizes — the balance diagnostic (a fat cell = slow
     probes; at scale you re-seed or split it)."""
@@ -949,6 +1014,7 @@ QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "near_dup_pairs_cosine": near_dup_pairs_cosine,
     "dedup_semantic_survivors": dedup_semantic_survivors,
+    "dedup_semantic_survivors_ivf": dedup_semantic_survivors_ivf,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_pq_codes": embedding_pq_codes,
     "pq_knn_adc": pq_knn_adc,
@@ -968,6 +1034,7 @@ ORACLES = {
     "knn_bruteforce": KNN_SQL,
     "near_dup_pairs_cosine": NEAR_DUP_SQL,
     "dedup_semantic_survivors": SEMANTIC_SURVIVORS_SQL,
+    "dedup_semantic_survivors_ivf": SEMANTIC_SURVIVORS_IVF_SQL,
     "embedding_quantize_int8": QUANTIZE_SQL,
     "embedding_pq_codes": PQ_CODES_SQL,
     "pq_knn_adc": PQ_ADC_SQL,

@@ -310,3 +310,11 @@ def test_pq_adc_tables_broadcast_scan_in_code_domain(spark):
     plan = plan_of(similarity.pq_knn_adc(spark, SF_SMOKE))
     assert plan.count("BroadcastHashJoin") >= 2  # codebooks + tables
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_survivors_ivf_cell_equijoin(spark):
+    """The scale-path survivors op joins within IVF cells (equi-join on
+    centroid_id) — no cartesian, no label-sized blocks."""
+    plan = plan_of(similarity.dedup_semantic_survivors_ivf(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
