@@ -55,7 +55,7 @@ _HEAD_KEYS = [
     "dedup_semantic_survivors", "pipeline_bucket_auto_quartiles",
     "dedup_containment", "orders_rfm_segments", "text_heavy_hitters",
     "corpus_training_manifest", "embedding_pq_codes", "pq_knn_adc",
-    "dedup_semantic_survivors_ivf",
+    "dedup_semantic_survivors_ivf", "embedding_pq_codes_trained",
     # r01-verified event/timestamp consumers — re-check under NTZ testdata
     "window_topn_per_group", "window_running_sum", "window_event_gaps",
     "events_tumbling_window", "events_sliding_window",
@@ -68,7 +68,7 @@ _HEAD_KEYS = [
     "tpch_q21_waiting_supplier", "tpch_q11_value_share",
     "tpch_q13_distribution", "tpch_q15_top_supplier",
     "tpch_q17_small_quantity", "tpch_q19_disjunctive",
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
 ]
 
 

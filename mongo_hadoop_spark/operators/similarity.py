@@ -854,6 +854,113 @@ FROM best GROUP BY vec_id
 """
 
 
+def embedding_pq_codes_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with one Lloyd training round per subspace: refine each
+    codebook entry to the exact mean of its assigned subvectors, then
+    re-assign codes against the refined codebooks.
+
+    Same determinism trick as :func:`ivf_assign_refined`: per-dimension
+    sums through exact ``decimal(27,10)`` (order-independent), one
+    double conversion, so refined codebooks are bit-identical across
+    engines and partitionings — which is what lets an *iterative float
+    training step* carry a DuckDB oracle at all.  Shape: one
+    (subspace, code, dim)-keyed mean shuffle (map-side partial), then
+    the broadcast argmin re-assignment of :func:`embedding_pq_codes`.
+    More rounds = loop this plan (the `ivf_assign_lloyd` pattern).
+    """
+    emb = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {PQ_SUBSPACES - 1}), "
+            f"j -> slice(embedding, j * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}))"
+        )).alias("j", "sv"),
+    )
+    init = embedding_pq_codes(spark, sf_dir)
+    stack_args = ", ".join(f"{j}, code_{j}" for j in range(PQ_SUBSPACES))
+    codes_long = init.selectExpr(
+        "vec_id", f"stack({PQ_SUBSPACES}, {stack_args}) AS (j, cid)")
+    vals = (sub.join(codes_long, ["vec_id", "j"])
+            .select("j", "cid", F.posexplode("sv").alias("d", "x")))
+    means = vals.groupBy("j", "cid", "d").agg(
+        (F.sum(F.col("x").cast("decimal(27,10)")).cast("double")
+         / F.count(F.lit(1))).alias("m"))
+    refined = (
+        means.groupBy("j", "cid")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("pairs"))
+        .select(F.col("j").alias("cj"), "cid",
+                F.transform("pairs", lambda p: p["m"]).alias("cv"))
+    )
+    dist = (norm2(F.col("sv")) + norm2(F.col("cv"))
+            - 2 * dot(F.col("sv"), F.col("cv")))
+    w = Window.partitionBy("vec_id", "j").orderBy(F.col("d").asc(),
+                                                  F.col("cid").asc())
+    best = (
+        sub.join(F.broadcast(refined), F.col("j") == F.col("cj"))
+        .select("vec_id", "j", "cid", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return best.groupBy("vec_id").agg(*[
+        F.max(F.when(F.col("j") == j, F.col("cid"))).alias(f"code_{j}")
+        for j in range(PQ_SUBSPACES)
+    ])
+
+
+PQ_TRAINED_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+sub AS (
+  SELECT vec_id, j, v[j * {_PQ_SUBDIM} + 1 : j * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
+  FROM e CROSS JOIN generate_series(0, {PQ_SUBSPACES - 1}) AS t(j)
+),
+cent AS (
+  SELECT vec_id AS cid, j AS cj, sv AS cv FROM sub
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+codes AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT s.vec_id, s.j, c.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY list_dot_product(s.sv, s.sv)
+                      + list_dot_product(c.cv, c.cv)
+                      - 2 * list_dot_product(s.sv, c.cv), c.cid) AS rn
+    FROM sub s JOIN cent c ON s.j = c.cj)
+  WHERE rn = 1
+),
+vals AS (
+  SELECT codes.j, codes.cid, dd.d, sub.sv[dd.d] AS x
+  FROM sub JOIN codes ON sub.vec_id = codes.vec_id AND sub.j = codes.j
+  CROSS JOIN generate_series(1, {_PQ_SUBDIM}) AS dd(d)
+),
+refined AS (
+  SELECT j AS cj, cid, array_agg(m ORDER BY d) AS cv FROM (
+    SELECT j, cid, d,
+           (sum(x::decimal(27,10)))::double / count(*) AS m
+    FROM vals GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT s.vec_id, s.j, r.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY list_dot_product(s.sv, s.sv)
+                      + list_dot_product(r.cv, r.cv)
+                      - 2 * list_dot_product(s.sv, r.cv), r.cid) AS rn
+    FROM sub s JOIN refined r ON s.j = r.cj)
+  WHERE rn = 1
+)
+SELECT vec_id,
+       {_PQ_CODE_COLS}
+FROM best GROUP BY vec_id
+"""
+
+
 PQ_ADC_K = 5
 
 
@@ -1018,6 +1125,7 @@ QUERIES = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_pq_codes": embedding_pq_codes,
     "pq_knn_adc": pq_knn_adc,
+    "embedding_pq_codes_trained": embedding_pq_codes_trained,
     "ivf_recall_report": ivf_recall_report,
     "lsh_bucket_assign": lsh_bucket_assign,
     "lsh_bucket_histogram": lsh_bucket_histogram,
@@ -1038,6 +1146,7 @@ ORACLES = {
     "embedding_quantize_int8": QUANTIZE_SQL,
     "embedding_pq_codes": PQ_CODES_SQL,
     "pq_knn_adc": PQ_ADC_SQL,
+    "embedding_pq_codes_trained": PQ_TRAINED_SQL,
     "ivf_recall_report": IVF_RECALL_SQL,
     "lsh_bucket_assign": LSH_ASSIGN_SQL,
     "lsh_bucket_histogram": LSH_HIST_SQL,
