@@ -47,6 +47,8 @@ DEFAULT_QUERIES = [
     "grouped_reducer_stats", "events_asof_last_order",
     "dedup_minhash_lsh_pairs", "dedup_minhash_verified",
     "knn_bruteforce", "ivf_knn", "ivf_knn_nprobe", "lsh_bucket_histogram",
+    "dedup_containment", "corpus_training_manifest", "text_heavy_hitters",
+    "dedup_semantic_survivors_ivf", "embedding_pq_codes",
 ]
 
 
