@@ -279,8 +279,13 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         # Spark arrays are homogeneous, so inputs must share element type
         shortest = (F.size(inputs[0]) if len(inputs) == 1
                     else F.least(*[F.size(c) for c in inputs]))
+        # shortest == 0 must yield [] — sequence(1, 0) would count DOWN
+        # ([1, 0]) and element_at(col, 0) raises at runtime.  Clamp the
+        # sequence end to ≥1 and filter out-of-range indexes so the
+        # transform lambda never sees an invalid index.
         return F.transform(
-            F.sequence(F.lit(1), shortest),
+            F.filter(F.sequence(F.lit(1), F.greatest(shortest, F.lit(1))),
+                     lambda i: i <= shortest),
             lambda i: F.array(*[F.element_at(c, i) for c in inputs]))
     if op == "$firstN":
         return F.slice(E(operand["input"]), 1, int(operand["n"]))
@@ -289,7 +294,11 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
             F.slice(F.reverse(E(operand["input"])), 1, int(operand["n"])))
     if op == "$trunc":
         e, places = (operand if isinstance(operand, list) else (operand, 0))
-        p = places if isinstance(places, int) else 0
+        if not isinstance(places, int) or isinstance(places, bool):
+            raise ValueError(
+                "$trunc places must be an integer literal (field-path "
+                f"operands are not supported): {places!r}")
+        p = places
         scale = F.lit(float(10 ** p))
         x = E(e)
         return (F.when(x >= 0, F.floor(x * scale))

@@ -101,8 +101,11 @@ def table(spark: SparkSession, sf_dir: str, name: str):
     key = None
     try:
         st = os.stat(path)
-        key = (spark.sparkContext.applicationId, os.path.realpath(path),
-               st.st_mtime_ns, st.st_size)
+        # id(spark) distinguishes newSession() siblings, which share an
+        # applicationId but not temp views/confs; a DataFrame is bound to
+        # the exact session that created it.
+        key = (spark.sparkContext.applicationId, id(spark),
+               os.path.realpath(path), st.st_mtime_ns, st.st_size)
     except OSError:
         pass
     if key is not None and key in _TABLE_CACHE:

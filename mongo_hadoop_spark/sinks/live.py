@@ -52,7 +52,9 @@ except ImportError:
         def __init__(self, filter: dict, update: dict, upsert: bool = False):
             self._filter, self._doc, self._upsert = filter, update, upsert
 
-    @dataclass
+    # Plain subclass on purpose: re-applying @dataclass would regenerate
+    # __init__ from the field list (positional ``_filter``/``_doc``) and
+    # shadow UpdateOne's keyword signature, breaking ``upsert=`` callers.
     class UpdateMany(UpdateOne):  # noqa: D101
         pass
 

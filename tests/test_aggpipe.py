@@ -529,6 +529,23 @@ def test_array_expression_ops_round2(spark):
     assert r.last2 == [30.0, 40.0]
 
 
+def test_zip_empty_input_yields_empty(spark):
+    """Mongo's $zip returns [] when any input is empty — the naive
+    sequence(1, 0) would count DOWN and element_at(col, 0) would raise."""
+    df = spark.createDataFrame(
+        [([], [10.0]), ([1.0], []), ([], [])],
+        "a array<double>, b array<double>")
+    got = aggregate(df, [{"$project": {
+        "zipped": {"$zip": {"inputs": ["$a", "$b"]}}}}])
+    assert [r.zipped for r in got.collect()] == [[], [], []]
+
+
+def test_trunc_rejects_non_integer_places(spark):
+    df = spark.createDataFrame([(1.234, 2)], "x double, p int")
+    with pytest.raises(ValueError, match=r"\$trunc places"):
+        aggregate(df, [{"$project": {"t": {"$trunc": ["$x", "$p"]}}}])
+
+
 def test_numeric_and_date_ops_round2(spark):
     import datetime as dt
     df = spark.createDataFrame(

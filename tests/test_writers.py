@@ -215,6 +215,27 @@ def test_live_failed_batch_leaves_journal_for_retry(spark, tmp_path):
     assert store.collection("devices.updates").count() == 0
 
 
+def test_live_multi_update_builds_updatemany(spark, target):
+    """multi=True journals must replay as UpdateMany (regression: the
+    no-pymongo UpdateMany fallback once regenerated __init__ via @dataclass
+    and rejected the upsert= keyword)."""
+    from mongo_hadoop_spark.sinks.live import UpdateMany, mutation_to_op
+
+    op = mutation_to_op({"q": {"name": "other"}, "u": {"$set": {"flag": 1}},
+                         "upsert": True, "multi": True, "replace": False})
+    assert isinstance(op, UpdateMany)
+
+    fake = FakeCollection("devices")
+    fake.docs = [{"device_id": 1, "name": "other"},
+                 {"device_id": 2, "name": "other"},
+                 {"device_id": 3, "name": "third"}]
+    result = fake.bulk_write([op], ordered=True)
+    assert result.matched_count == 2 and result.modified_count == 2
+    assert all(d.get("flag") == 1 for d in fake.find()
+               if d["name"] == "other")
+    assert "flag" not in {d["device_id"]: d for d in fake.find()}[3]
+
+
 def test_live_replace_rejects_dollar_operators(spark, target):
     from mongo_hadoop_spark.sinks.live import mutation_to_op
 
