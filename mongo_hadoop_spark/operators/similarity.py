@@ -961,7 +961,214 @@ FROM best GROUP BY vec_id
 """
 
 
+# --- fixed-size trained codebooks (the linear-at-scale PQ formulation) ---
+
+PQ_K = 16        # codebook entries per subspace — FIXED, corpus-independent
+PQ_TRAIN_N = 256  # training sample: vectors with vec_id < PQ_TRAIN_N
+PQ_FIXED_Q = 5    # fixed ADC query set: vec_id < PQ_FIXED_Q
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, j, sv): each vector split into PQ_SUBSPACES subvectors
+    via one generator expression (no join, no Python)."""
+    return emb.select(
+        "vec_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {PQ_SUBSPACES - 1}), "
+            f"j -> slice(embedding, j * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}))"
+        )).alias("j", "sv"),
+    )
+
+
+def _pq_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the fixed-size codebook: K seed subvectors (vec_id < PQ_K)
+    refined by one decimal-exact Lloyd round over a FIXED-SIZE sample
+    (vec_id < PQ_TRAIN_N).
+
+    This is the corpus-size decoupling the corpus-slice convention
+    (``CENTROID_MOD``) lacks: training cost is O(PQ_TRAIN_N · K) —
+    constant — and the resulting codebook is ≤ K entries per subspace
+    regardless of N, so downstream assignment is linear in the corpus
+    and the ADC distance table is constant-size.  Real PQ trains
+    exactly this way (k-means on a held-out sample); the sample and
+    seeds are deterministic id prefixes so DuckDB reproduces the
+    training bit-for-bit (decimal(27,10) sums, argmin ties by cid).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    tsub = _pq_subvectors(emb.where(F.col("vec_id") < PQ_TRAIN_N))
+    seed = (tsub.where(F.col("vec_id") < PQ_K)
+            .select(F.col("vec_id").alias("cid"), F.col("j").alias("cj"),
+                    F.col("sv").alias("cv")))
+    d = (norm2(F.col("sv")) + norm2(F.col("cv"))
+         - 2 * dot(F.col("sv"), F.col("cv")))
+    # argmin as min(struct(d, cid)) — struct ordering IS (distance,
+    # tie-break-by-cid), and min() partial-aggregates map-side, unlike a
+    # row_number window
+    assign = (tsub.join(F.broadcast(seed), F.col("j") == F.col("cj"))
+              .select("vec_id", "j", "cid", d.alias("d"))
+              .groupBy("vec_id", "j")
+              .agg(F.min(F.struct("d", "cid")).getField("cid").alias("cid")))
+    vals = (tsub.join(assign, ["vec_id", "j"])
+            .select("j", "cid", F.posexplode("sv").alias("d", "x")))
+    means = vals.groupBy("j", "cid", "d").agg(
+        (F.sum(F.col("x").cast("decimal(27,10)")).cast("double")
+         / F.count(F.lit(1))).alias("m"))
+    return (means.groupBy("j", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m")))
+                 .alias("pairs"))
+            .select(F.col("j").alias("cj"), "cid",
+                    F.transform("pairs", lambda p: p["m"]).alias("cv")))
+
+
+def embedding_pq_codes_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code assignment against the fixed trained codebook — the
+    linear-at-scale variant of :func:`embedding_pq_codes`.
+
+    Scale shape: the codebook (≤ PQ_K × PQ_SUBSPACES rows) broadcasts;
+    each corpus vector expands to PQ_SUBSPACES × K candidate rows
+    *locally* (broadcast join, no shuffle), and the per-subspace argmin
+    AND the code pivot fuse into ONE vec_id-keyed aggregation —
+    ``min(struct(d, cid))`` filtered per subspace — so total shuffle
+    volume is N rows of 8 small structs, map-side combined.  At 100 TB
+    this is a single pass over the vectors with constant per-row work;
+    nothing grows with the corpus except the scan itself.
+    """
+    emb = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sub = _pq_subvectors(emb)
+    refined = _pq_fixed_codebook(spark, sf_dir)
+    d = (norm2(F.col("sv")) + norm2(F.col("cv"))
+         - 2 * dot(F.col("sv"), F.col("cv")))
+    best = (sub.join(F.broadcast(refined), F.col("j") == F.col("cj"))
+            .select("vec_id", "j", "cid", d.alias("d")))
+    return best.groupBy("vec_id").agg(*[
+        F.min(F.when(F.col("j") == j, F.struct("d", "cid")))
+        .getField("cid").alias(f"code_{j}")
+        for j in range(PQ_SUBSPACES)
+    ])
+
+
+_PQ_FIXED_PRELUDE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+sub AS (
+  SELECT vec_id, j, v[j * {_PQ_SUBDIM} + 1 : j * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sv
+  FROM e CROSS JOIN generate_series(0, {PQ_SUBSPACES - 1}) AS t(j)
+),
+seed AS (
+  SELECT vec_id AS cid, j AS cj, sv AS cv FROM sub WHERE vec_id < {PQ_K}
+),
+assign0 AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT s.vec_id, s.j, c.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY list_dot_product(s.sv, s.sv)
+                      + list_dot_product(c.cv, c.cv)
+                      - 2 * list_dot_product(s.sv, c.cv), c.cid) AS rn
+    FROM sub s JOIN seed c ON s.j = c.cj
+    WHERE s.vec_id < {PQ_TRAIN_N})
+  WHERE rn = 1
+),
+vals AS (
+  SELECT a.j, a.cid, dd.d, s.sv[dd.d] AS x
+  FROM sub s JOIN assign0 a ON s.vec_id = a.vec_id AND s.j = a.j
+  CROSS JOIN generate_series(1, {_PQ_SUBDIM}) AS dd(d)
+),
+refined AS (
+  SELECT j AS cj, cid, array_agg(m ORDER BY d) AS cv FROM (
+    SELECT j, cid, d,
+           (sum(x::decimal(27,10)))::double / count(*) AS m
+    FROM vals GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT s.vec_id, s.j, r.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY list_dot_product(s.sv, s.sv)
+                      + list_dot_product(r.cv, r.cv)
+                      - 2 * list_dot_product(s.sv, r.cv), r.cid) AS rn
+    FROM sub s JOIN refined r ON s.j = r.cj)
+  WHERE rn = 1
+)"""
+
+PQ_FIXED_CODES_SQL = f"""{_PQ_FIXED_PRELUDE}
+SELECT vec_id,
+       {_PQ_CODE_COLS}
+FROM best GROUP BY vec_id
+"""
+
+
 PQ_ADC_K = 5
+
+
+def pq_knn_adc_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC k-NN over the fixed trained codebook — the linear-at-scale
+    variant of :func:`pq_knn_adc`.
+
+    The per-query distance table is PQ_SUBSPACES × PQ_K cells —
+    CONSTANT-size (vs. growing with the corpus under the corpus-slice
+    convention) — and the query set is a fixed id prefix, so the whole
+    scan is O(N) 8-lookup sums: the compressed-domain serving shape a
+    billion-vector deployment actually runs.  Same ordered-fold total
+    as :func:`pq_knn_adc` for cross-engine exactness.
+    """
+    codes = embedding_pq_codes_fixed(spark, sf_dir)
+    stack_args = ", ".join(f"{j}, code_{j}" for j in range(PQ_SUBSPACES))
+    codes_long = codes.selectExpr(
+        "vec_id", f"stack({PQ_SUBSPACES}, {stack_args}) AS (j, cid)")
+
+    emb = table(spark, sf_dir, "embeddings")
+    qsub = (_pq_subvectors(emb.where(F.col("vec_id") < PQ_FIXED_Q))
+            .select(F.col("vec_id").alias("qid"), F.col("j").alias("qj"),
+                    F.col("sv").alias("qv")))
+    refined = _pq_fixed_codebook(spark, sf_dir)
+    cell = (norm2(F.col("qv")) + norm2(F.col("cv"))
+            - 2 * dot(F.col("qv"), F.col("cv")))
+    tables = (qsub.join(F.broadcast(refined), F.col("qj") == F.col("cj"))
+              .select("qid", F.col("qj").alias("j"), "cid",
+                      cell.alias("d")))
+
+    scored = (
+        codes_long.join(F.broadcast(tables), ["j", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.expr(
+            "aggregate(array_sort(collect_list(struct(j, d))), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.d)").alias("adc_d"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_d").asc(),
+                                          F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= PQ_ADC_K)
+            .select("qid", F.col("vec_id").alias("neighbor_id"), "rank"))
+
+
+PQ_ADC_FIXED_SQL = f"""{_PQ_FIXED_PRELUDE},
+tables AS (
+  SELECT q.vec_id AS qid, q.j, r.cid,
+         list_dot_product(q.sv, q.sv) + list_dot_product(r.cv, r.cv)
+         - 2 * list_dot_product(q.sv, r.cv) AS d
+  FROM sub q JOIN refined r ON q.j = r.cj
+  WHERE q.vec_id < {PQ_FIXED_Q}
+),
+scored AS (
+  SELECT t.qid, b.vec_id,
+         list_reduce(
+           list_prepend(0.0::double, array_agg(t.d ORDER BY b.j)),
+           (a, x) -> a + x) AS adc_d
+  FROM best b JOIN tables t ON b.j = t.j AND b.cid = t.cid
+  GROUP BY 1, 2
+)
+SELECT qid, vec_id AS neighbor_id, rank FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_d, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {PQ_ADC_K}
+"""
 
 
 def pq_knn_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1126,6 +1333,8 @@ QUERIES = {
     "embedding_pq_codes": embedding_pq_codes,
     "pq_knn_adc": pq_knn_adc,
     "embedding_pq_codes_trained": embedding_pq_codes_trained,
+    "embedding_pq_codes_fixed": embedding_pq_codes_fixed,
+    "pq_knn_adc_fixed": pq_knn_adc_fixed,
     "ivf_recall_report": ivf_recall_report,
     "lsh_bucket_assign": lsh_bucket_assign,
     "lsh_bucket_histogram": lsh_bucket_histogram,
@@ -1147,6 +1356,8 @@ ORACLES = {
     "embedding_pq_codes": PQ_CODES_SQL,
     "pq_knn_adc": PQ_ADC_SQL,
     "embedding_pq_codes_trained": PQ_TRAINED_SQL,
+    "embedding_pq_codes_fixed": PQ_FIXED_CODES_SQL,
+    "pq_knn_adc_fixed": PQ_ADC_FIXED_SQL,
     "ivf_recall_report": IVF_RECALL_SQL,
     "lsh_bucket_assign": LSH_ASSIGN_SQL,
     "lsh_bucket_histogram": LSH_HIST_SQL,

@@ -312,6 +312,33 @@ def test_pq_adc_tables_broadcast_scan_in_code_domain(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_pq_fixed_codebook_size_corpus_independent(spark):
+    """The trained codebook is ≤ PQ_K entries per subspace regardless of
+    corpus size (the linearity invariant: assignment cost per vector is
+    constant), and assignment fuses argmin+pivot into one aggregation —
+    no per-(vec_id, subspace) window shuffle."""
+    import pyspark.sql.functions as F
+
+    cb = similarity._pq_fixed_codebook(spark, SF_SMOKE)
+    sizes = {r["cj"]: r["n"] for r in
+             cb.groupBy("cj").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == set(range(similarity.PQ_SUBSPACES))
+    assert all(1 <= n <= similarity.PQ_K for n in sizes.values())
+
+    plan = plan_of(similarity.embedding_pq_codes_fixed(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the corpus-wide assignment must NOT pay a row_number window —
+    # min(struct) aggregates map-side instead
+    assert "row_number" not in plan
+
+
+def test_pq_adc_fixed_constant_tables_no_cartesian(spark):
+    plan = plan_of(similarity.pq_knn_adc_fixed(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2  # codebook + ADC tables
+    assert "CartesianProduct" not in plan
+
+
 def test_semantic_survivors_ivf_cell_equijoin(spark):
     """The scale-path survivors op joins within IVF cells (equi-join on
     centroid_id) — no cartesian, no label-sized blocks."""
