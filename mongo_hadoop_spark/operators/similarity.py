@@ -268,6 +268,120 @@ SELECT bucket, count(*) AS n_vectors FROM assigned GROUP BY 1
 """
 
 
+# --- multi-band OR-construction: the recall-controlled near-dup path ---
+
+SEM_LSH_BANDS = 16
+SEM_LSH_BITS = 8
+
+
+def _band_expr(b: int, bits: int) -> str:
+    """Band ``b`` of the banded signature as ONE Spark-SQL string (the
+    `_lsh_sig_expr` py4j-avoidance pattern): ``bits`` hyperplane sign
+    bits from the deterministic family ``_hyperplane(b*bits + r)``."""
+    terms = []
+    for r in range(bits):
+        plane = ", ".join(f"{float(v)!r}D" for v in _hyperplane(b * bits + r))
+        dotj = (
+            f"aggregate(zip_with(embedding, array({plane}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dotj} > 0 THEN {1 << r}L ELSE 0L END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def dedup_semantic_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup via banded random-hyperplane LSH — the
+    recall-controlled scale path for the (quadratic-guarded) label-blocked
+    baseline :func:`dedup_semantic_survivors`.
+
+    OR-construction over SEM_LSH_BANDS bands of SEM_LSH_BITS hyperplane
+    sign bits: two vectors are candidates iff they agree on ALL bits of
+    at least one band, so a pair at angle θ survives with
+    1 − (1 − p^R)^B for p = 1 − θ/π — near-1 for true near-duplicates,
+    2^−R per band for unrelated vectors.  Candidates are verified with
+    the exact cosine before any vector is dropped (min-id survives, as
+    in the baseline), so precision is exact; bands only control recall.
+
+    Scale shape: signatures are per-row JVM folds; candidate generation
+    is an equi-join on (band, value) — never all-pairs, never
+    data-proportional label blocks.  Expected candidate volume is
+    N·(near-dup degree) + N²·B·2^−R from random collisions: the classic
+    LSH sizing law — R grows with log₂N (bits, not bytes) to hold
+    bucket density constant.  R is pinned here for the cross-engine
+    oracle; a deployment sizes it once per corpus epoch.
+    """
+    emb = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    band_cols = [F.expr(_band_expr(b, SEM_LSH_BITS)).alias(f"band_{b}")
+                 for b in range(SEM_LSH_BANDS)]
+    lf = (emb.select("vec_id", *band_cols)
+          .select("vec_id", F.posexplode(F.array(
+              *[f"band_{b}" for b in range(SEM_LSH_BANDS)]))
+              .alias("band", "val")))
+    a = lf.select(F.col("vec_id").alias("id_a"), "band", "val")
+    b = lf.select(F.col("vec_id").alias("id_b"), "band", "val")
+    cand = (a.join(b, ["band", "val"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    va = emb.select(F.col("vec_id").alias("id_a"),
+                    F.col("embedding").alias("va"),
+                    F.sqrt(norm2(F.col("embedding"))).alias("na"))
+    vb = emb.select(F.col("vec_id").alias("id_b"),
+                    F.col("embedding").alias("vb"),
+                    F.sqrt(norm2(F.col("embedding"))).alias("nb"))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dominated = (cand.join(va, "id_a").join(vb, "id_b")
+                 .where(sim >= NEAR_DUP_THRESHOLD)
+                 .select(F.col("id_b").alias("vec_id")).distinct())
+    return (emb.join(dominated, "vec_id", "left_anti")
+            .select("vec_id", "label"))
+
+
+def _sem_lsh_sql() -> str:
+    band_selects = []
+    for b in range(SEM_LSH_BANDS):
+        terms = []
+        for r in range(SEM_LSH_BITS):
+            plane = ", ".join(
+                f"{float(v)!r}" for v in _hyperplane(b * SEM_LSH_BITS + r))
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, [{plane}]) > 0 "
+                f"THEN {1 << r} ELSE 0 END)")
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, ({' + '.join(terms)})::bigint AS val"
+            " FROM e")
+    lf = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::double) AS v
+  FROM embeddings
+),
+lf AS (
+{lf}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM lf a JOIN lf b ON a.band = b.band AND a.val = b.val
+  WHERE a.vec_id < b.vec_id
+),
+dominated AS (
+  SELECT DISTINCT cand.id_b AS vec_id
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.id_a
+  JOIN e eb ON eb.vec_id = cand.id_b
+  WHERE list_dot_product(ea.v, eb.v)
+        / (sqrt(list_dot_product(ea.v, ea.v))
+           * sqrt(list_dot_product(eb.v, eb.v))) >= {NEAR_DUP_THRESHOLD}
+)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
+"""
+
+
+SEMANTIC_SURVIVORS_LSH_SQL = _sem_lsh_sql()
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-wise vector feature extraction: squared L2 norm + max component
     per embedding.  Per-row (not grouped) so the float arithmetic is a
@@ -1329,6 +1443,7 @@ QUERIES = {
     "near_dup_pairs_cosine": near_dup_pairs_cosine,
     "dedup_semantic_survivors": dedup_semantic_survivors,
     "dedup_semantic_survivors_ivf": dedup_semantic_survivors_ivf,
+    "dedup_semantic_survivors_lsh": dedup_semantic_survivors_lsh,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_pq_codes": embedding_pq_codes,
     "pq_knn_adc": pq_knn_adc,
@@ -1352,6 +1467,7 @@ ORACLES = {
     "near_dup_pairs_cosine": NEAR_DUP_SQL,
     "dedup_semantic_survivors": SEMANTIC_SURVIVORS_SQL,
     "dedup_semantic_survivors_ivf": SEMANTIC_SURVIVORS_IVF_SQL,
+    "dedup_semantic_survivors_lsh": SEMANTIC_SURVIVORS_LSH_SQL,
     "embedding_quantize_int8": QUANTIZE_SQL,
     "embedding_pq_codes": PQ_CODES_SQL,
     "pq_knn_adc": PQ_ADC_SQL,

@@ -339,6 +339,15 @@ def test_pq_adc_fixed_constant_tables_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_semantic_survivors_lsh_band_equijoin(spark):
+    """The LSH survivors path generates candidates from a (band, value)
+    equi-join — no cartesian, no label-sized blocks — and drops
+    dominated ids with one left-anti join."""
+    plan = plan_of(similarity.dedup_semantic_survivors_lsh(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
 def test_semantic_survivors_ivf_cell_equijoin(spark):
     """The scale-path survivors op joins within IVF cells (equi-join on
     centroid_id) — no cartesian, no label-sized blocks."""
