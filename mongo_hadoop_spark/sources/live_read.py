@@ -1,0 +1,153 @@
+"""Live-backend *read* half: per-split cursors against a pymongo-protocol
+server.
+
+Mirrors the reference's MongoRecordReader cursor setup
+(core/src/main/java/com/mongodb/hadoop/input/MongoInputSplit.java:272-299):
+each split opens its own ``find`` cursor with the split's query ∧ range
+bounds, projection (fields), sort, skip and limit — limit/skip/sort are
+PER-SPLIT options, exactly as in the reference (a global orderBy/limit
+belongs to Spark, above the scan).
+
+This completes the connector loop that ``sinks/live.py`` opened for the
+write half: the datasource reads with ``option("backend", "live")`` and a
+``mongodb://`` URI, resolving the client on each executor from the URI
+alone.  The client factory is an importable ``module:callable`` string
+(``option("client_factory", ...)``) so tests — and driverless
+environments — can serve the protocol without a mongod; the default is
+``pymongo.MongoClient`` where pymongo is installed.
+
+``store_client`` is the built-in factory: a read-only pymongo-protocol
+adapter over the file-backed :class:`~mongo_hadoop_spark.store.DocumentStore`
+(directory named by the URI's ``?storePath=`` option).  It is both the
+test double and a legitimate local backend — every live-path component
+can be driven end-to-end against it with no server.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+from mongo_hadoop_spark.sources.uri import InvalidMongoURI, MongoURI
+
+
+def resolve_client_factory(spec: str | None):
+    """``"module:callable"`` → the callable; default pymongo.MongoClient."""
+    if not spec:  # pragma: no cover - needs pymongo
+        from pymongo import MongoClient
+
+        return MongoClient
+    mod, sep, attr = spec.partition(":")
+    if not sep or not attr:
+        raise ValueError(
+            f"client_factory must be 'module:callable', got {spec!r}")
+    return getattr(importlib.import_module(mod), attr)
+
+
+def collection_from_uri(uri: str, factory_spec: str | None = None):
+    """Resolve the pymongo-protocol collection a ``mongodb://`` URI names.
+
+    The read-side twin of ``sinks.live.target_from_uri`` — same
+    db.collection namespace contract (MongoConfigUtil.getInputURI).
+    """
+    parsed = MongoURI.parse(uri)
+    if not (parsed.database and parsed.collection):
+        raise InvalidMongoURI(
+            f"input URI needs a db.collection namespace: {uri!r}")
+    client = resolve_client_factory(factory_spec)(parsed.build())
+    return client[parsed.database][parsed.collection]
+
+
+def split_cursor(coll, spec):
+    """Open one split's cursor with the reference's option order
+    (MongoInputSplit.java:272-299): find(query, fields) → sort → skip →
+    limit.  ``coll`` is any pymongo-protocol collection; ``spec`` a
+    :class:`~mongo_hadoop_spark.plans.splitters.SplitSpec`.
+    """
+    cur = coll.find(spec.query or {}, spec.projection)
+    if spec.sort:
+        cur = cur.sort(list(spec.sort))
+    if spec.skip:
+        cur = cur.skip(spec.skip)
+    if spec.limit is not None:
+        cur = cur.limit(spec.limit)
+    return cur
+
+
+# ---------------------------------------------------------------------------
+# Store-backed pymongo-protocol client (read surface)
+# ---------------------------------------------------------------------------
+
+class StoreCursor:
+    """Lazy cursor over a DocumentStore collection: accumulates
+    sort/skip/limit (pymongo chaining protocol), executes on iteration
+    via the store's own cursor-option engine."""
+
+    def __init__(self, coll, query, projection):
+        self._coll = coll
+        self._query = query or {}
+        self._projection = projection
+        self._sort = None
+        self._skip = 0
+        self._limit = None
+
+    def sort(self, keys):
+        self._sort = [(keys, 1)] if isinstance(keys, str) else list(keys)
+        return self
+
+    def skip(self, n: int):
+        self._skip = n
+        return self
+
+    def limit(self, n: int):
+        self._limit = n
+        return self
+
+    def __iter__(self):
+        return iter(self._coll.find(
+            self._query, projection=self._projection, sort=self._sort,
+            skip=self._skip, limit=self._limit))
+
+
+class StoreBackedCollection:
+    def __init__(self, store_path: str, name: str):
+        from mongo_hadoop_spark.store import DocumentStore
+
+        self.name = name
+        self._coll = DocumentStore(store_path).collection(name)
+
+    def find(self, filter: dict | None = None, projection=None) -> StoreCursor:
+        return StoreCursor(self._coll, filter, projection)
+
+    def count_documents(self, filter: dict | None = None) -> int:
+        return self._coll.count(filter)
+
+
+class StoreBackedClient:
+    """``client[db][coll]`` over a DocumentStore directory.  The db level
+    is a namespace formality (the store is flat), kept so the object is
+    drop-in for pymongo's MongoClient in every live-path callsite."""
+
+    def __init__(self, store_path: str):
+        self.store_path = store_path
+
+    def __getitem__(self, db: str) -> "_StoreBackedDatabase":
+        return _StoreBackedDatabase(self.store_path)
+
+
+class _StoreBackedDatabase:
+    def __init__(self, store_path: str):
+        self.store_path = store_path
+
+    def __getitem__(self, coll: str) -> StoreBackedCollection:
+        return StoreBackedCollection(self.store_path, coll)
+
+
+def store_client(uri: str) -> StoreBackedClient:
+    """Client factory serving collections from the DocumentStore directory
+    named by the URI's ``?storePath=`` option — executors 'connect' with
+    nothing but the URI string, exactly like a real driver would."""
+    path = MongoURI.parse(uri).param("storePath")
+    if not path:
+        raise InvalidMongoURI(
+            f"store_client needs a ?storePath= option in the URI: {uri!r}")
+    return StoreBackedClient(path)

@@ -84,14 +84,23 @@ class DocumentDataSource(DataSource):
             from pyspark.sql.types import StringType, StructField
 
             return StructType([StructField("doc", StringType(), True)])
-        store = self._store()
         sample_n = int(self.options.get("samplesize", 100))
-        docs = []
-        for name in self._collections():
-            docs.extend(store.collection(name).find(
-                query=extjson.parse_query(self.options.get("query")),
-                limit=sample_n,
-            ))
+        if self.options.get("backend") == "live":
+            from mongo_hadoop_spark.sources.live_read import collection_from_uri
+
+            coll = collection_from_uri(self.options["uri"],
+                                       self.options.get("client_factory"))
+            docs = list(coll.find(
+                extjson.parse_query(self.options.get("query")) or {}
+            ).limit(sample_n))
+        else:
+            store = self._store()
+            docs = []
+            for name in self._collections():
+                docs.extend(store.collection(name).find(
+                    query=extjson.parse_query(self.options.get("query")),
+                    limit=sample_n,
+                ))
         if not docs:
             raise ValueError("cannot infer schema from an empty collection; "
                              "provide .schema(...) explicitly")
@@ -136,6 +145,8 @@ class DocumentDataSource(DataSource):
         return json.loads(raw) if raw else {}
 
     def reader(self, schema: StructType) -> "DocumentReader":
+        if self.options.get("backend") == "live":
+            return LiveDocumentReader(self.options, schema)
         if str(self.options.get("pushdown", "false")).lower() == "true":
             return PushdownDocumentReader(self.options, schema)
         return DocumentReader(self.options, schema)
@@ -323,6 +334,76 @@ class DocumentReader(DataSourceReader):
 
             return convert
         return lambda doc: doc_to_row(doc, schema)
+
+
+class LiveDocumentReader(DocumentReader):
+    """Read path against a live pymongo-protocol backend
+    (``option("backend", "live")`` + ``option("uri", "mongodb://...")``).
+
+    The reference analog is MongoInputSplit's cursor setup
+    (core/.../input/MongoInputSplit.java:272-299): every partition opens
+    its own server cursor with the split's query ∧ range bounds,
+    projection, sort, skip and limit.  Partition planning runs on the
+    driver through the same live protocol (P7 paginating splitter, or a
+    single split); executors re-resolve the client from the URI string —
+    no connection objects cross the serialization boundary, exactly the
+    reference's per-task ``MongoConfigUtil.getCollection`` pattern.
+    """
+
+    def _collection_name(self) -> str:
+        from mongo_hadoop_spark.sources.uri import MongoURI
+
+        return MongoURI.parse(self.options["uri"]).collection
+
+    def _target(self):
+        from mongo_hadoop_spark.sources.live_read import collection_from_uri
+
+        return collection_from_uri(self.options["uri"],
+                                   self.options.get("client_factory"))
+
+    def partitions(self):
+        import dataclasses
+
+        name = self._collection_name()
+        strategy = self.options.get("splitter", "single")
+        key = self.options.get("key", "_id")
+        query = self._effective_query()
+        if strategy == "paginating":
+            coll = self._target()
+            min_docs = int(self.options.get("min_docs", DEFAULT_MIN_DOCS))
+
+            def nth(lower, n, _c=coll, _k=key, _q=query):
+                rq = {_k: {"$gte": lower}} if lower is not None else {}
+                found = list(_c.find(and_queries(_q, rq), {_k: 1})
+                             .sort([(_k, 1)]).skip(n).limit(1))
+                return found[0].get(_k) if found else None
+
+            splits = paginating_splitter(nth, name, key=key,
+                                         min_docs=min_docs, query=query)
+        elif strategy == "single":
+            splits = single_splitter(name, query)
+        else:
+            raise ValueError(
+                f"live backend supports splitter=single|paginating, "
+                f"got {strategy!r}")
+        cur = self._cursor_options()
+        merged = [
+            dataclasses.replace(
+                s, projection=cur["projection"], sort=cur["sort"],
+                limit=cur["limit"], skip=cur["skip"],
+            )
+            for s in splits
+        ]
+        return [_DocPartition(s) for s in merged]
+
+    def read(self, partition: _DocPartition):
+        from mongo_hadoop_spark.sources.live_read import split_cursor
+
+        if partition is None:
+            return
+        convert = self._converter()
+        for doc in split_cursor(self._target(), partition.spec):
+            yield convert(doc)
 
 
 class PushdownDocumentReader(DocumentReader):

@@ -39,6 +39,36 @@ class _BulkResult:
         self.inserted_count = inserted
 
 
+class FakeCursor(list):
+    """pymongo read-cursor protocol (sort/skip/limit chaining) over an
+    eager result list.  Subclasses list so legacy call sites that index
+    or iterate ``find()`` results keep working."""
+
+    def sort(self, keys) -> "FakeCursor":
+        from functools import cmp_to_key
+
+        from mongo_hadoop_spark.plans.filters import bson_compare
+        from mongo_hadoop_spark.plans.paths import get_path
+
+        pairs = [(keys, 1)] if isinstance(keys, str) else list(keys)
+        docs = list(self)
+        for key, direction in reversed(pairs):
+            docs = sorted(
+                docs,
+                key=cmp_to_key(
+                    lambda a, b, k=key: bson_compare(get_path(a, k),
+                                                     get_path(b, k))),
+                reverse=direction < 0,
+            )
+        return FakeCursor(docs)
+
+    def skip(self, n: int) -> "FakeCursor":
+        return FakeCursor(list(self)[n:])
+
+    def limit(self, n: int) -> "FakeCursor":
+        return FakeCursor(list(self)[:n]) if n else self
+
+
 class FakeCollection:
     """One collection on the fake server."""
 
@@ -92,9 +122,14 @@ class FakeCollection:
                 upserted += 1
         return _BulkResult(matched, modified, upserted, inserted)
 
-    def find(self, filter: dict | None = None):
-        return [copy.deepcopy(d) for d in self.docs
+    def find(self, filter: dict | None = None, projection=None):
+        docs = [copy.deepcopy(d) for d in self.docs
                 if match(d, filter or {})]
+        if projection:
+            from mongo_hadoop_spark.plans.filters import project
+
+            docs = [project(d, projection) for d in docs]
+        return FakeCursor(docs)
 
     def count_documents(self, filter: dict | None = None) -> int:
         return len(self.find(filter))

@@ -263,3 +263,89 @@ def test_write_compressed_segments_roundtrip(registered, tmp_path):
             .option("path", str(tmp_path)).option("collection", "gz").load())
     assert back.count() == 40
     assert back.rdd.getNumPartitions() == 2  # one split per compressed seg
+
+
+# ---------------------------------------------------------------------------
+# Live-backend read path (MongoInputSplit.java:272-299 cursor semantics)
+# ---------------------------------------------------------------------------
+
+def _live_uri(store):
+    return f"mongodb://localhost/testdb.orders?storePath={store.path}"
+
+FACTORY = "mongo_hadoop_spark.sources.live_read:store_client"
+
+
+def read_live(spark, store, **options):
+    r = (spark.read.format("mongodoc")
+         .option("backend", "live").option("uri", _live_uri(store))
+         .option("client_factory", FACTORY))
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_live_read_equals_store_scan(registered, store):
+    """backend=live through the store-backed client must produce the same
+    rows as the file-store scan on the same data."""
+    live = read_live(registered, store)
+    filebased = read_orders(registered, store)
+    assert sorted(live.collect()) == sorted(filebased.collect())
+    assert live.count() == 200
+
+
+def test_live_read_query_and_fields(registered, store):
+    """Server-side query + projection (F1/F2 over the live protocol)."""
+    df = read_live(registered, store, query='{"status": "A"}',
+                   fields='{"_id": 1, "qty": 1}')
+    rows = df.collect()
+    assert len(rows) == 100
+    assert all(r["status"] is None for r in rows)  # projected out server-side
+    assert all(r["qty"] is not None for r in rows)
+
+
+def test_live_paginating_splits_and_ranges(registered, store):
+    """P7 paginating splitter drives range discovery through live
+    cursors; split range queries must partition the id space exactly."""
+    from mongo_hadoop_spark.sources.mongo_datasource import LiveDocumentReader
+
+    opts = {"backend": "live", "uri": _live_uri(store),
+            "client_factory": FACTORY, "splitter": "paginating",
+            "min_docs": "64"}
+    reader = LiveDocumentReader(opts, None)
+    parts = reader.partitions()
+    assert len(parts) >= 3  # 200 docs / 64 per split
+    # ranges tile [min, max] without overlap: lower bound of split k+1 ==
+    # upper bound of split k
+    bounds = [p.spec.query.get("_id", {}) for p in parts]
+    for prev, nxt in zip(bounds, bounds[1:]):
+        assert prev.get("$lt") == nxt.get("$gte")
+    # and the union of splits re-reads the full collection
+    df = read_live(registered, store, splitter="paginating", min_docs="64")
+    assert df.count() == 200
+
+
+def test_live_per_split_cursor_options(registered, store):
+    """sort/skip/limit are PER-SPLIT cursor options, as in the reference
+    (limit is effectively limit x numSplits)."""
+    from fake_mongo import FakeCollection
+    from mongo_hadoop_spark.plans.splitters import SplitSpec
+    from mongo_hadoop_spark.sources.live_read import split_cursor
+
+    fake = FakeCollection("orders")
+    fake.docs = [{"_id": i, "qty": 100 - i} for i in range(10)]
+    spec = SplitSpec(collection="orders", query={"_id": {"$lt": 8}},
+                     projection={"_id": 1, "qty": 1},
+                     sort=(("qty", 1),), skip=2, limit=3)
+    got = list(split_cursor(fake, spec))
+    # query -> sort by qty asc -> skip 2 -> limit 3
+    assert [d["_id"] for d in got] == [5, 4, 3]
+    # single-split datasource read applies the same options end-to-end
+    df = read_live(registered, store, sort='{"qty": -1}', limit="5")
+    assert df.count() == 5
+    assert [r["qty"] for r in df.collect()] == [199, 198, 197, 196, 195]
+
+
+def test_live_schema_inference_matches_file_backend(registered, store):
+    live = read_live(registered, store)
+    filebased = read_orders(registered, store)
+    assert live.schema == filebased.schema
