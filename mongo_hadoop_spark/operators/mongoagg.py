@@ -310,7 +310,47 @@ FROM walk WHERE depth >= 1
 GROUP BY 1 HAVING count(DISTINCT node) > 0
 """
 
+def pipeline_object_to_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$arrayToObject → $objectToArray round-trip: the schemaless
+    document-reshaping pair (SURVEY §1.3 mode 1 — dynamic keys as data).
+
+    Builds a per-event dynamic document from scalar fields, explodes it
+    back to (k, v) entries, and aggregates per key — the canonical
+    "pivot an object into rows" pattern Mongo users write with this
+    stage family.  Dynamic documents compile to MAP columns, entries to
+    `map_entries` transforms — all JVM-side, no Python.
+    """
+    events = table(spark, sf_dir, "events")
+    return aggregate(events, [
+        {"$project": {
+            "event_id": 1,
+            "m": {"$arrayToObject": [[
+                {"k": "type", "v": "$event_type"},
+                {"k": "uid", "v": {"$toString": "$user_id"}},
+            ]]},
+        }},
+        {"$project": {"event_id": 1, "kv": {"$objectToArray": "$m"}}},
+        {"$unwind": "$kv"},
+        {"$group": {"_id": "$kv.k", "n": {"$sum": 1},
+                    "vals": {"$addToSet": "$kv.v"}}},
+        {"$project": {"_id": 1, "n": 1, "n_values": {"$size": "$vals"}}},
+        {"$sort": {"_id": 1}},
+    ])
+
+
+PIPELINE_OBJ_ARRAY_SQL = """
+WITH kv AS (
+  SELECT 'type' AS k, event_type AS v FROM events
+  UNION ALL
+  SELECT 'uid' AS k, user_id::varchar AS v FROM events
+)
+SELECT k AS _id, count(*) AS n, count(DISTINCT v) AS n_values
+FROM kv GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "pipeline_object_to_array": pipeline_object_to_array,
     "pipeline_status_rollup": pipeline_status_rollup,
     "pipeline_wordcount": pipeline_wordcount,
     "pipeline_lookup_segment": pipeline_lookup_segment,
@@ -323,6 +363,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_object_to_array": PIPELINE_OBJ_ARRAY_SQL,
     "pipeline_status_rollup": PIPELINE_STATUS_SQL,
     "pipeline_wordcount": PIPELINE_WORDCOUNT_SQL,
     "pipeline_lookup_segment": PIPELINE_LOOKUP_SQL,

@@ -20,7 +20,8 @@ Supported expressions: field paths, $literal, arithmetic ($add $subtract
 $multiply $divide $mod $abs $ceil $floor $round $sqrt $pow $exp $ln),
 comparisons ($eq $ne $gt $gte $lt $lte $cmp), boolean ($and $or $not),
 conditionals ($cond $ifNull), strings ($concat $toUpper $toLower
-$strLenCP $substrCP $split $trim $toString), dates ($year $month
+$strLenCP $substrCP $split $trim $toString), objects ($objectToArray /
+$arrayToObject over MAP-typed dynamic documents), dates ($year $month
 $dayOfMonth $hour $minute $second $dayOfWeek), arrays ($size
 $arrayElemAt $concatArrays $in), conversions ($toInt $toLong $toDouble
 $toDecimal $toBool $toDate), accumulators ($sum $avg $min $max $push
@@ -214,6 +215,34 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
     if op == "$in":
         elem, arr = operand
         return F.array_contains(E(arr), E(elem))
+    # object/map reshaping ------------------------------------------------
+    if op == "$objectToArray":
+        # Dynamic documents are modeled as MAP columns (the only Spark
+        # type whose keys are data, matching Mongo's schemaless objects);
+        # emits the server's [{k, v}, ...] shape in key order.
+        return F.transform(
+            F.map_entries(E(operand)),
+            lambda e: F.struct(e["key"].alias("k"), e["value"].alias("v")))
+    if op == "$arrayToObject":
+        # Accepts the {k, v}-struct element form (exactly what
+        # $objectToArray emits, so round-trips compose).  Mongo's
+        # [[k, v], ...] pair form needs runtime element-type dispatch a
+        # compile-time Column can't do — fail loud instead of guessing.
+        arr = operand
+        if isinstance(arr, list):
+            if not (len(arr) == 1 and isinstance(arr[0], list)):
+                raise ValueError(
+                    "$arrayToObject literal form must be [[{k,v}, ...]]; "
+                    "the [[key, value], ...] pair form is not supported")
+            if any(isinstance(e, list) for e in arr[0]):
+                raise ValueError(
+                    "$arrayToObject [[key, value], ...] pair elements are "
+                    "not supported — use {k: ..., v: ...} documents")
+            entries = F.array(*[E(e) for e in arr[0]])
+        else:
+            entries = E(arr)
+        return F.map_from_entries(
+            F.transform(entries, lambda x: F.struct(x["k"], x["v"])))
     # conversion ---------------------------------------------------------
     if op == "$toInt":
         return E(operand).cast("int")

@@ -529,6 +529,42 @@ def test_array_expression_ops_round2(spark):
     assert r.last2 == [30.0, 40.0]
 
 
+def test_object_to_array_round_trip(spark):
+    """$arrayToObject builds a MAP document; $objectToArray explodes it
+    back to the server's [{k, v}, ...] shape in key order."""
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "name string, x int")
+    got = aggregate(df, [{"$project": {
+        "kv": {"$objectToArray": {"$arrayToObject": [[
+            {"k": "n", "v": "$name"},
+            {"k": "xs", "v": {"$toString": "$x"}},
+        ]]}},
+    }}])
+    rows = sorted(got.collect(), key=lambda r: r.kv[0].v)
+    assert [(e.k, e.v) for e in rows[0].kv] == [("n", "a"), ("xs", "1")]
+    assert [(e.k, e.v) for e in rows[1].kv] == [("n", "b"), ("xs", "2")]
+
+
+def test_object_to_array_field_path_operand(spark):
+    """$objectToArray on a MAP column; $arrayToObject on the resulting
+    entry array (field-path form)."""
+    df = spark.createDataFrame([({"p": 1.5, "q": 2.5},)],
+                               "m map<string,double>")
+    got = aggregate(df, [
+        {"$project": {"kv": {"$objectToArray": "$m"}}},
+        {"$project": {"m2": {"$arrayToObject": "$kv"},
+                      "ks": {"$map": {"input": "$kv", "in": "$$this.k"}}}},
+    ])
+    r = got.collect()[0]
+    assert r.m2 == {"p": 1.5, "q": 2.5} and r.ks == ["p", "q"]
+
+
+def test_array_to_object_rejects_pair_form(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(ValueError, match="pair"):
+        aggregate(df, [{"$project": {
+            "m": {"$arrayToObject": [[["k1", 1], ["k2", 2]]]}}}])
+
+
 def test_zip_empty_input_yields_empty(spark):
     """Mongo's $zip returns [] when any input is empty — the naive
     sequence(1, 0) would count DOWN and element_at(col, 0) would raise."""
