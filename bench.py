@@ -70,6 +70,7 @@ def main() -> None:
     # round's entire bench signal — record its error and keep going.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
+    row_counts: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
@@ -86,6 +87,7 @@ def main() -> None:
                   file=sys.stderr)
             continue
         timings[name] = round(best, 3)
+        row_counts[name] = rows
         print(f"  {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -95,6 +97,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # plan-output sanity across rounds: a timing shift that comes with
+        # a row-count shift is a semantics change, not a perf change
+        "rows": row_counts,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "repeats": repeats,
         "timing": "best_of_repeats",

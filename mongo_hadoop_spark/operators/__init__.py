@@ -35,40 +35,33 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 
 # Registry order is part of the verification contract: external harnesses may
 # only sample a prefix of ``queries()``, so the entries that most need a fresh
-# cross-engine check come first.  Round-4 rotation: the two asof queries
-# repaired this round (TIMESTAMP_NTZ fix) and the ten queries that have never
-# had a driver-verified row lead; then everything whose only driver row dates
-# from round 1 — the testdata environment has changed since (events.ts is now
-# tz-less parquet → TIMESTAMP_NTZ), so r01-era verdicts deserve a re-check —
-# ordered timestamp-touching queries first.  The tail is the round-3-verified
-# set, freshly green under the current environment.
+# cross-engine check come first.  Round-5 rotation (tools/coverage_report.py):
+# the four queries new this round lead (never driver-verified); then every
+# query whose only driver rows date from round 1 — the oldest outstanding
+# verdicts; the rest of the 50-entry prefix is the round-3-verified set in
+# report order.  Everything in last round's window (all driver-green in
+# CORRECTNESS_r04) rotates to the tail.
 _HEAD_KEYS = [
-    # repaired this round (NTZ root-cause fix in session.table)
-    "events_asof_last_order", "events_asof_last_order_tolerance",
-    # never driver-verified before this round
-    "dedup_exact_survivors", "dedup_simhash_groups", "ivf_cell_histogram",
-    "lsh_bucket_assign", "multimodal_chunks", "embedding_norms",
-    "ivf_assign_refined", "multimodal_metadata", "dedup_minhash_signatures",
-    "groupingsets_agg",
     # new this round — first driver check
-    "documents_train_split", "events_per_user_sample",
-    "dedup_semantic_survivors", "pipeline_bucket_auto_quartiles",
-    "dedup_containment", "orders_rfm_segments", "text_heavy_hitters",
-    "corpus_training_manifest", "embedding_pq_codes", "pq_knn_adc",
-    "dedup_semantic_survivors_ivf", "embedding_pq_codes_trained",
-    # r01-verified event/timestamp consumers — re-check under NTZ testdata
-    "window_topn_per_group", "window_running_sum", "window_event_gaps",
-    "events_tumbling_window", "events_sliding_window",
-    "grouped_reducer_stats", "a4_log_rollup", "a1_avg_by_year",
-    "u2_objectid_seconds", "a2_upsert_docs",
-    # r01-verified joins/aggregates — oldest outstanding driver verdicts
-    "tpch_q2_min_cost_supplier", "tpch_q16_supplier_cnt",
-    "tpch_q20_excess_suppliers",
-    "tpch_q7_nation_volume", "tpch_q8_market_share", "tpch_q9_profit",
-    "tpch_q21_waiting_supplier", "tpch_q11_value_share",
-    "tpch_q13_distribution", "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity", "tpch_q19_disjunctive",
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+    "dedup_semantic_survivors_lsh", "embedding_pq_codes_fixed",
+    "pq_knn_adc_fixed", "pipeline_object_to_array",
+    # r01-verified — oldest outstanding driver verdicts
+    "a3_pair_counts", "a5_frequent_short_tokens", "s6_tokenize_stats",
+    "s8_multi_union", "hive_pushdown_conjunction", "f3_sort_limit",
+    "s2_dotted_key_extract", "tpch_q10", "tpch_q14", "tpch_q18",
+    "set_except", "set_intersect", "rollup_agg", "broadcast_dim_join",
+    "json_roundtrip", "custom_sort_comparator", "tpch_q4_semijoin",
+    "tpch_q22_antijoin", "cube_agg", "count_distinct_suppliers",
+    "treasury_doubled",
+    # r03-verified — next-oldest, fills the 50-entry prefix
+    "f4_skip_pagination", "tpch_q12", "events_session_windows",
+    "window_spend_quartiles", "dedup_exact", "dedup_minhash_lsh_pairs",
+    "dedup_simhash", "dedup_ngram_jaccard", "dedup_minhash_verified",
+    "corpus_decontaminate", "ivf_assign", "ivf_knn", "ivf_knn_nprobe",
+    "ivf_assign_lloyd", "knn_bruteforce", "near_dup_pairs_cosine",
+    "embedding_quantize_int8", "ivf_recall_report", "lsh_bucket_histogram",
+    "text_langid", "text_quality", "text_token_count", "text_fingerprint",
+    "documents_pack_sequences", "text_top_distinctive_terms",
 ]
 
 

@@ -177,6 +177,45 @@ def stream_dedup_content(events: DataFrame,
     )
 
 
+DOCUMENTS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def streaming_documents_source(spark: SparkSession, documents_dir: str) -> DataFrame:
+    """File-source stream over a documents landing zone — the crawl-shard
+    arrival pattern a training-data pipeline ingests from."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(documents_dir)
+    )
+
+
+def stream_train_split(documents: DataFrame) -> DataFrame:
+    """Streaming form of :func:`~.operators.analytics.documents_train_split`:
+    assign train/valid/test by hashing document CONTENT, per micro-batch.
+
+    Stateless map — the split of a document depends on its bytes alone,
+    never on arrival order or batch boundaries, so backfill ≡ live holds
+    by construction and a duplicate can never leak from train into eval
+    no matter which crawl increment delivers it.  Route the output with
+    ``BucketedDocumentSink(store, "corpus_{split}")`` to land each split
+    in its own collection incrementally (the foreachBatch half).
+    """
+    from mongo_hadoop_spark.operators.analytics import (SPLIT_SALT, TRAIN_PCT,
+                                                        VALID_PCT)
+    from mongo_hadoop_spark.functions import md5_long
+
+    bucket = md5_long(F.col("text"), salt=SPLIT_SALT) % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < TRAIN_PCT + VALID_PCT, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return documents.select("doc_id", split.alias("split"))
+
+
 ORDERS_SCHEMA = (
     "o_orderkey long, o_custkey long, o_orderstatus string, "
     "o_totalprice double, o_orderdate timestamp, o_orderpriority string"

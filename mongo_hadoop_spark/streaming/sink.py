@@ -36,7 +36,11 @@ class BucketedDocumentSink:
         """Render the template into a bucket-name column (JVM-side)."""
         out = F.lit(self.template)
         for name, fmt in (("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH")):
-            out = F.replace(out, F.lit(name), F.date_format(self.time_col, fmt))
+            # only touch the time column when the template asks for it —
+            # time-free templates must work on frames with no event time
+            if name in self.template:
+                out = F.replace(out, F.lit(name),
+                                F.date_format(self.time_col, fmt))
         for c in df.columns:
             out = F.replace(out, F.lit("{" + c + "}"), F.col(c).cast("string"))
         return out

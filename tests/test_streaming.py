@@ -572,3 +572,41 @@ def test_stream_heavy_hitter_candidates_superset_of_batch(spark, tmp_path):
     exact = {r.w for r in text_heavy_hitters(spark, SF_SMOKE).collect()}
     assert exact, "batch heavy hitters unexpectedly empty"
     assert exact <= streamed, sorted(exact - streamed)[:10]
+
+
+@pytest.fixture(scope="module")
+def documents_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("documents_stream"))
+    (table(spark, SF_SMOKE, "documents").repartition(4)
+     .write.mode("overwrite").parquet(d))
+    return d
+
+
+def test_stream_train_split_routes_equal_batch(spark, documents_dir, tmp_path):
+    """The corpus pipeline runs incrementally: the streaming train/valid/
+    test router (content-keyed, foreachBatch via BucketedDocumentSink)
+    must land every document in the same split collection the batch
+    operator assigns it to."""
+    from mongo_hadoop_spark.operators.analytics import documents_train_split
+    from mongo_hadoop_spark.streaming.jobs import (stream_train_split,
+                                                   streaming_documents_source)
+
+    store_path = str(tmp_path / "routed")
+    sink = BucketedDocumentSink(store_path, "corpus_{split}",
+                                num_partitions=2, max_buckets=3)
+    q = (stream_train_split(streaming_documents_source(spark, documents_dir))
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    batch = {r["doc_id"]: r["split"]
+             for r in documents_train_split(spark, SF_SMOKE).collect()}
+    store = DocumentStore(store_path)
+    routed = {}
+    for split in ("train", "valid", "test"):
+        for d in store.collection(f"corpus_{split}").find():
+            assert d["doc_id"] not in routed  # routed exactly once
+            routed[d["doc_id"]] = split
+    assert routed == batch
+    assert set(batch.values()) == {"train", "valid", "test"}

@@ -6,6 +6,11 @@
 Accepts either the raw bench.py output line or the driver's wrapper
 ({"parsed": {...}}).  Prints per-query ratios sorted worst-first and the
 total ratio — the number the round verdict grades.
+
+CI contract: exits 1 when any shared query regressed by more than
+``--threshold`` (default 1.5×) or changed its row count (a semantics
+shift masquerading as a perf shift), so a perf regression fails a
+pipeline instead of waiting for the next verdict to notice.
 """
 
 from __future__ import annotations
@@ -21,25 +26,40 @@ def load(path: str) -> dict:
 
 
 def main(argv: list[str]) -> int:
+    threshold = 1.5
+    if "--threshold" in argv:
+        i = argv.index("--threshold")
+        threshold = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     if len(argv) != 2:
         print(__doc__)
         return 2
     base, new = load(argv[0]), load(argv[1])
     bq, nq = base["queries"], new["queries"]
     shared = sorted(set(bq) & set(nq), key=lambda k: -(nq[k] / bq[k]))
+    regressed = [k for k in shared if nq[k] / bq[k] > threshold]
     print(f"{'query':38s} {'base':>8s} {'new':>8s} {'ratio':>7s}")
     for k in shared:
-        print(f"{k:38s} {bq[k]:8.3f} {nq[k]:8.3f} {nq[k] / bq[k]:6.2f}x")
+        flag = "  << REGRESSED" if k in regressed else ""
+        print(f"{k:38s} {bq[k]:8.3f} {nq[k]:8.3f} {nq[k] / bq[k]:6.2f}x{flag}")
     only_b = set(bq) - set(nq)
     only_n = set(nq) - set(bq)
     if only_b:
         print(f"only in base: {sorted(only_b)}")
     if only_n:
         print(f"only in new:  {sorted(only_n)}")
+    br, nr = base.get("rows") or {}, new.get("rows") or {}
+    row_drift = [k for k in set(br) & set(nr) if br[k] != nr[k]]
+    if row_drift:
+        print("ROW-COUNT DRIFT (semantics change, not perf): "
+              + ", ".join(f"{k} {br[k]}->{nr[k]}" for k in sorted(row_drift)))
     print(f"\nTOTAL {base['value']:.3f} -> {new['value']:.3f} "
           f"({new['value'] / base['value']:.3f}x)"
           + (f"  [new: {new.get('n_failed', 0)} failed]"))
-    return 0
+    if regressed:
+        print(f"FAIL: {len(regressed)} queries over {threshold}x: "
+              f"{regressed}")
+    return 1 if (regressed or row_drift) else 0
 
 
 if __name__ == "__main__":
