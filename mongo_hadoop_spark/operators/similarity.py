@@ -1285,6 +1285,122 @@ WHERE rank <= {PQ_ADC_K}
 """
 
 
+IVF_PQ_NPROBE = 2
+
+
+def ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse probe + compressed-domain ADC ranking — the composed
+    IVF-PQ serving shape (FAISS ``IVFPQ`` with ``by_residual=false``;
+    the PQ/IVFADC design is Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011 — public literature).
+
+    The two scale bounds compose: the probe list bounds WHICH vectors
+    are scored (nprobe inverted cells per query, cell density held
+    ≈CENTROID_MOD by the growing coarse codebook), and the fixed PQ
+    codebook bounds WHAT each score costs (8 table lookups from a
+    constant-size broadcast table, no float payload in the scan).  This
+    is the memory-bandwidth shape a billion-vector index actually
+    serves: candidates ∝ nprobe · cell-density per query, per-candidate
+    cost O(PQ_SUBSPACES).
+
+    Exactness: probe ranking reuses :func:`ivf_assign`'s cosine
+    (ties → centroid id), ADC totals the ordered fold of
+    :func:`pq_knn_adc` — every float op is a sequential fold shared
+    bit-for-bit with DuckDB.
+    """
+    emb = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cells = ivf_assign(spark, sf_dir)
+    codes = embedding_pq_codes_fixed(spark, sf_dir)
+    stack_args = ", ".join(f"{j}, code_{j}" for j in range(PQ_SUBSPACES))
+    codes_long = codes.selectExpr(
+        "vec_id", f"stack({PQ_SUBSPACES}, {stack_args}) AS (j, cid)")
+
+    # probe list: top-nprobe coarse cells per query, ivf_assign's metric
+    q = emb.where(F.col("vec_id") < PQ_FIXED_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+        F.sqrt(norm2(F.col("embedding"))).alias("qn"))
+    sim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cvn"))
+    wp = Window.partitionBy("qid").orderBy(F.col("sim").desc(),
+                                           F.col("centroid_id"))
+    probes = (q.join(F.broadcast(_centroids(emb)))
+              .select("qid", "centroid_id", sim.alias("sim"))
+              .withColumn("rn", F.row_number().over(wp))
+              .where(F.col("rn") <= IVF_PQ_NPROBE)
+              .select("qid", "centroid_id"))
+
+    # constant ADC tables: query subvectors x fixed codebook
+    qsub = (_pq_subvectors(emb.where(F.col("vec_id") < PQ_FIXED_Q))
+            .select(F.col("vec_id").alias("qid"), F.col("j").alias("qj"),
+                    F.col("sv").alias("qv")))
+    refined = _pq_fixed_codebook(spark, sf_dir)
+    cell_d = (norm2(F.col("qv")) + norm2(F.col("cv"))
+              - 2 * dot(F.col("qv"), F.col("cv")))
+    tables = (qsub.join(F.broadcast(refined), F.col("qj") == F.col("cj"))
+              .select("qid", F.col("qj").alias("j"), "cid",
+                      cell_d.alias("d")))
+
+    scored = (
+        codes_long.join(cells, "vec_id")
+        .join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(tables), ["qid", "j", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.expr(
+            "aggregate(array_sort(collect_list(struct(j, d))), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.d)").alias("adc_d"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_d").asc(),
+                                          F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= PQ_ADC_K)
+            .select("qid", F.col("vec_id").alias("neighbor_id"), "rank"))
+
+
+IVF_PQ_KNN_SQL = f"""{_PQ_FIXED_PRELUDE},
+cells AS ({IVF_ASSIGN_SQL}),
+ccents AS (
+  SELECT vec_id AS centroid_id, v AS ccv FROM e WHERE vec_id % {CENTROID_MOD} = 0
+),
+probes AS (
+  SELECT qid, centroid_id FROM (
+    SELECT q.vec_id AS qid, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.ccv)
+                      / (sqrt(list_dot_product(q.v, q.v))
+                         * sqrt(list_dot_product(c.ccv, c.ccv))) DESC,
+             c.centroid_id) AS rn
+    FROM e q CROSS JOIN ccents c
+    WHERE q.vec_id < {PQ_FIXED_Q})
+  WHERE rn <= {IVF_PQ_NPROBE}
+),
+tables AS (
+  SELECT q.vec_id AS qid, q.j, r.cid,
+         list_dot_product(q.sv, q.sv) + list_dot_product(r.cv, r.cv)
+         - 2 * list_dot_product(q.sv, r.cv) AS d
+  FROM sub q JOIN refined r ON q.j = r.cj
+  WHERE q.vec_id < {PQ_FIXED_Q}
+),
+scored AS (
+  SELECT t.qid, b.vec_id,
+         list_reduce(
+           list_prepend(0.0::double, array_agg(t.d ORDER BY b.j)),
+           (a, x) -> a + x) AS adc_d
+  FROM best b
+  JOIN cells ON cells.vec_id = b.vec_id
+  JOIN probes p ON p.centroid_id = cells.centroid_id
+  JOIN tables t ON t.qid = p.qid AND t.j = b.j AND t.cid = b.cid
+  GROUP BY 1, 2
+)
+SELECT qid, vec_id AS neighbor_id, rank FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_d, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {PQ_ADC_K}
+"""
+
+
 def pq_knn_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance k-NN over PQ codes: the compressed-domain scan.
 
@@ -1450,6 +1566,7 @@ QUERIES = {
     "embedding_pq_codes_trained": embedding_pq_codes_trained,
     "embedding_pq_codes_fixed": embedding_pq_codes_fixed,
     "pq_knn_adc_fixed": pq_knn_adc_fixed,
+    "ivf_pq_knn": ivf_pq_knn,
     "ivf_recall_report": ivf_recall_report,
     "lsh_bucket_assign": lsh_bucket_assign,
     "lsh_bucket_histogram": lsh_bucket_histogram,
@@ -1474,6 +1591,7 @@ ORACLES = {
     "embedding_pq_codes_trained": PQ_TRAINED_SQL,
     "embedding_pq_codes_fixed": PQ_FIXED_CODES_SQL,
     "pq_knn_adc_fixed": PQ_ADC_FIXED_SQL,
+    "ivf_pq_knn": IVF_PQ_KNN_SQL,
     "ivf_recall_report": IVF_RECALL_SQL,
     "lsh_bucket_assign": LSH_ASSIGN_SQL,
     "lsh_bucket_histogram": LSH_HIST_SQL,

@@ -339,6 +339,15 @@ def test_pq_adc_fixed_constant_tables_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_pq_knn_probe_and_tables_broadcast(spark):
+    """IVF-PQ compose: probe lists and ADC tables broadcast into the
+    code-domain scan; candidates restricted by cell equi-join, no
+    cartesian anywhere."""
+    plan = plan_of(similarity.ivf_pq_knn(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3  # probes + tables + codebook
+    assert "CartesianProduct" not in plan
+
+
 def test_semantic_survivors_lsh_band_equijoin(spark):
     """The LSH survivors path generates candidates from a (band, value)
     equi-join — no cartesian, no label-sized blocks — and drops
