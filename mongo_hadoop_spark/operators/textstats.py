@@ -99,6 +99,94 @@ FROM w
 """
 
 
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (the published rule set of
+    Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1 —
+    public literature): per-document rule flags + the composite keep
+    decision.
+
+    Rules: word count ∈ [50, 100k]; mean word length ∈ [3, 10];
+    symbol-to-word ratio (# and ellipsis) ≤ 0.1; ≥80% of words contain
+    an alphabetic character; ≥2 distinct stopwords present (inventory
+    corpus-adapted to the synthetic vocabulary — the rule's spirit is
+    "has common function words").
+
+    Emitting the individual flags (not just the verdict) is deliberate:
+    at 100 TB the per-rule failure histogram is the dataset diagnostic a
+    pipeline owner actually reads.  Map-only scan — every rule is a
+    JVM-side expression over one tokenize; no shuffle, no Python.
+    """
+    d = table(spark, sf_dir, "documents")
+    d = d.select("doc_id", "text", tokenize("text").alias("ws"))
+    n_words = F.size("ws")
+    mean_len = (
+        F.aggregate("ws", F.lit(0).cast("long"),
+                    lambda a, w: a + F.length(w)).cast("double")
+        / n_words.cast("double")
+    )
+    n_symbols = (
+        (F.length("text") - F.length(F.replace("text", F.lit("#"), F.lit(""))))
+        + (F.length("text")
+           - F.length(F.replace("text", F.lit("..."), F.lit("")))) / 3
+    )
+    alpha_frac = (
+        F.size(F.filter(F.col("ws"), lambda w: w.rlike("[a-zA-Z]")))
+        .cast("double") / n_words.cast("double")
+    )
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stops = F.size(F.array_intersect(F.array_distinct("ws"), stop_arr))
+    wc_ok = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    len_ok = (mean_len >= GOPHER_MEAN_LEN_LO) & (mean_len <= GOPHER_MEAN_LEN_HI)
+    sym_ok = (n_symbols / n_words.cast("double")) <= GOPHER_MAX_SYMBOL_RATIO
+    alpha_ok = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    stop_ok = n_stops >= GOPHER_MIN_STOPWORDS
+    return d.select(
+        "doc_id", n_words.alias("n_words"),
+        wc_ok.alias("wc_ok"), len_ok.alias("len_ok"), sym_ok.alias("sym_ok"),
+        alpha_ok.alias("alpha_ok"), stop_ok.alias("stop_ok"),
+        (wc_ok & len_ok & sym_ok & alpha_ok & stop_ok).alias("keep"),
+    )
+
+
+_GOPHER_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+GOPHER_SQL = f"""
+WITH w AS (SELECT doc_id, text, {_WORDS_SQL} AS ws FROM documents),
+m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         list_reduce(list_prepend(0::bigint,
+                     list_transform(ws, x -> length(x)::bigint)),
+                     (a, b) -> a + b)::double / len(ws)::double AS mean_len,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3 AS n_symbols,
+         len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::double
+           / len(ws)::double AS alpha_frac,
+         len(list_intersect(list_distinct(ws), [{_GOPHER_STOPS}])) AS n_stops
+  FROM w
+)
+SELECT doc_id, n_words,
+       n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} AS wc_ok,
+       mean_len >= {GOPHER_MEAN_LEN_LO} AND mean_len <= {GOPHER_MEAN_LEN_HI} AS len_ok,
+       n_symbols / n_words::double <= {GOPHER_MAX_SYMBOL_RATIO} AS sym_ok,
+       alpha_frac >= {GOPHER_MIN_ALPHA_FRAC} AS alpha_ok,
+       n_stops >= {GOPHER_MIN_STOPWORDS} AS stop_ok,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+         AND (mean_len >= {GOPHER_MEAN_LEN_LO} AND mean_len <= {GOPHER_MEAN_LEN_HI})
+         AND (n_symbols / n_words::double <= {GOPHER_MAX_SYMBOL_RATIO})
+         AND (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC})
+         AND (n_stops >= {GOPHER_MIN_STOPWORDS}) AS keep
+FROM m
+"""
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens + BPE-ish sub-token count (letter runs / digit runs /
     single other chars) per document, and corpus totals per source."""
@@ -438,6 +526,7 @@ QUERIES = {
     "text_heavy_hitters": text_heavy_hitters,
     "text_langid": text_langid,
     "text_quality": text_quality,
+    "text_gopher_quality": text_gopher_quality,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
     "documents_pack_sequences": documents_pack_sequences,
@@ -450,6 +539,7 @@ ORACLES = {
     "text_heavy_hitters": HEAVY_HITTERS_SQL,
     "text_langid": LANGID_SQL,
     "text_quality": QUALITY_SQL,
+    "text_gopher_quality": GOPHER_SQL,
     "text_token_count": TOKEN_COUNT_SQL,
     "text_fingerprint": FINGERPRINT_SQL,
     "documents_pack_sequences": PACK_SQL,
