@@ -20,8 +20,11 @@ Supported expressions: field paths, $literal, arithmetic ($add $subtract
 $multiply $divide $mod $abs $ceil $floor $round $sqrt $pow $exp $ln),
 comparisons ($eq $ne $gt $gte $lt $lte $cmp), boolean ($and $or $not),
 conditionals ($cond $ifNull), strings ($concat $toUpper $toLower
-$strLenCP $substrCP $split $trim $toString), objects ($objectToArray /
-$arrayToObject over MAP-typed dynamic documents), dates ($year $month
+$strLenCP $substrCP $split $trim $ltrim $rtrim $indexOfCP $replaceAll
+$replaceOne $strcasecmp $toString), objects ($objectToArray /
+$arrayToObject over MAP-typed dynamic documents, $getField $setField),
+sets ($setUnion $setIntersection $setDifference $setIsSubset $setEquals),
+dates ($year $month $dateToParts
 $dayOfMonth $hour $minute $second $dayOfWeek), arrays ($size
 $arrayElemAt $concatArrays $in), conversions ($toInt $toLong $toDouble
 $toDecimal $toBool $toDate), accumulators ($sum $avg $min $max $push
@@ -191,10 +194,54 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         # literal delimiter, not a regex (server semantics)
         import re as _re
         return F.split(E(s), _re.escape(delim))
-    if op == "$trim":
-        return F.trim(E(operand["input"] if isinstance(operand, dict) else operand))
+    if op in ("$trim", "$ltrim", "$rtrim"):
+        inp = E(operand["input"] if isinstance(operand, dict) else operand)
+        chars = operand.get("chars") if isinstance(operand, dict) else None
+        fn = {"$trim": F.trim, "$ltrim": F.ltrim, "$rtrim": F.rtrim}[op]
+        if chars is None:
+            return fn(inp)
+        if not isinstance(chars, str):
+            raise ValueError(f"{op} chars must be a string literal")
+        import re as _re
+        cls = "[" + "".join(_re.escape(c) for c in chars) + "]+"
+        pat = {"$trim": f"^{cls}|{cls}$", "$ltrim": f"^{cls}",
+               "$rtrim": f"{cls}$"}[op]
+        return F.regexp_replace(inp, pat, "")
+    if op == "$indexOfCP":
+        s, sub = operand[0], operand[1]
+        if len(operand) > 2:
+            raise ValueError("$indexOfCP start/end range is not supported")
+        if not isinstance(sub, str) or sub.startswith("$"):
+            raise ValueError("$indexOfCP substring must be a string literal")
+        # instr is 1-based and 0 on miss; Mongo is 0-based and -1 on miss
+        return F.instr(E(s), sub) - 1
+    if op == "$replaceAll":
+        return F.replace(E(operand["input"]), E(operand["find"]),
+                         E(operand["replacement"]))
+    if op == "$replaceOne":
+        inp, find = E(operand["input"]), E(operand["find"])
+        repl = E(operand["replacement"])
+        pos = F.instr(inp, find)
+        return F.when(pos == 0, inp).otherwise(F.concat(
+            F.substr(inp, F.lit(1), pos - 1), repl,
+            F.substr(inp, pos + F.length(find), F.length(inp))))
+    if op == "$strcasecmp":
+        a, b = F.lower(E(operand[0])), F.lower(E(operand[1]))
+        return (F.when(a < b, -1).when(a > b, 1).otherwise(0))
     if op == "$toString":
         return E(operand).cast("string")
+    # object field access -------------------------------------------------
+    if op == "$getField":
+        # literal field name (server contract); [] works for struct
+        # fields and MAP keys alike
+        if isinstance(operand, str):
+            raise ValueError(
+                "$getField shorthand on the root document is not supported"
+                " — use {field, input}")
+        return E(operand["input"])[operand["field"]]
+    if op == "$setField":
+        return E(operand["input"]).withField(
+            operand["field"], E(operand["value"]))
     # date ---------------------------------------------------------------
     if op in ("$year", "$month", "$dayOfMonth", "$hour", "$minute",
               "$second", "$dayOfWeek"):
@@ -366,6 +413,13 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
     if op == "$setDifference":
         a, b = _binary(operand)
         return F.array_sort(F.array_distinct(F.array_except(a, b)))
+    if op == "$setIsSubset":
+        a, b = _binary(operand)
+        return F.size(F.array_except(F.array_distinct(a), b)) == 0
+    if op == "$setEquals":
+        a, b = _binary(operand)
+        return (F.size(F.array_except(a, b)) == 0) \
+            & (F.size(F.array_except(b, a)) == 0)
     if op == "$slice":
         if len(operand) == 2:
             arr, n = E(operand[0]), operand[1]
@@ -418,6 +472,13 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
                      ("%M", "mm"), ("%S", "ss"), ("%L", "SSS"), ("%j", "DDD")):
             fmt = fmt.replace(m, j)
         return F.date_format(E(operand["date"]), fmt)
+    if op == "$dateToParts":
+        d = E(operand["date"] if isinstance(operand, dict) else operand)
+        return F.struct(
+            F.year(d).alias("year"), F.month(d).alias("month"),
+            F.dayofmonth(d).alias("day"), F.hour(d).alias("hour"),
+            F.minute(d).alias("minute"), F.second(d).alias("second"),
+            (F.unix_micros(d) / 1000 % 1000).cast("int").alias("millisecond"))
     if op == "$dateFromParts":
         # session-TZ caveat as with the other date ops (documented)
         parts = {k: E(operand[k]) if k in operand else F.lit(d)

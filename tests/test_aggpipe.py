@@ -606,3 +606,57 @@ def test_sort_array_document_keys_rejected(spark):
     with pytest.raises(ValueError, match="sortBy"):
         aggregate(df, [{"$project": {
             "s": {"$sortArray": {"input": "$a", "sortBy": {"f": 1}}}}}]).collect()
+
+
+def test_string_ops_round5(spark):
+    df = spark.createDataFrame([("  ab#ab  ", "xAy")], "s string, t string")
+    got = aggregate(df, [{"$project": {
+        "lt": {"$ltrim": {"input": "$s"}},
+        "rt": {"$rtrim": {"input": "$s"}},
+        "trim_chars": {"$trim": {"input": "$s", "chars": " b"}},
+        "idx": {"$indexOfCP": ["$t", "A"]},
+        "idx_miss": {"$indexOfCP": ["$t", "z"]},
+        "rall": {"$replaceAll": {"input": "$s", "find": "ab",
+                                 "replacement": "X"}},
+        "rone": {"$replaceOne": {"input": "$s", "find": "ab",
+                                 "replacement": "X"}},
+        "cmp": {"$strcasecmp": ["$t", "XAY"]},
+    }}])
+    r = got.collect()[0]
+    assert r.lt == "ab#ab  " and r.rt == "  ab#ab"
+    assert r.trim_chars == "ab#a"
+    assert r.idx == 1 and r.idx_miss == -1
+    assert r.rall == "  X#X  " and r.rone == "  X#ab  "
+    assert r.cmp == 0
+
+
+def test_set_and_field_ops_round5(spark):
+    import datetime as dt
+    df = spark.createDataFrame(
+        [([1, 2, 2], [2, 1, 3], dt.datetime(2024, 3, 5, 7, 8, 9))],
+        "a array<int>, b array<int>, ts timestamp")
+    got = aggregate(df, [{"$project": {
+        "subset": {"$setIsSubset": ["$a", "$b"]},
+        "not_subset": {"$setIsSubset": ["$b", "$a"]},
+        "eq": {"$setEquals": ["$a", [2, 1]]},
+        "doc": {"$setField": {"field": "z", "value": 9,
+                              "input": {"x": "$a", "y": 1}}},
+        "parts": {"$dateToParts": {"date": "$ts"}},
+    }}])
+    r = got.collect()[0]
+    assert r.subset is True and r.not_subset is False
+    assert r.eq is True  # {1,2} == {2,1} as sets
+    assert r.doc.z == 9 and r.doc.y == 1
+    assert (r.parts.year, r.parts.month, r.parts.day,
+            r.parts.hour, r.parts.minute, r.parts.second) == (2024, 3, 5, 7, 8, 9)
+
+
+def test_get_field_on_map_and_struct(spark):
+    df = spark.createDataFrame([({"k1": 5}, )], "m map<string,int>")
+    got = aggregate(df, [{"$project": {
+        "v": {"$getField": {"field": "k1", "input": "$m"}},
+        "s": {"$getField": {"field": "a",
+                            "input": {"a": {"$literal": 7}, "b": 1}}},
+    }}])
+    r = got.collect()[0]
+    assert r.v == 5 and r.s == 7
