@@ -144,12 +144,72 @@ FROM events ASOF LEFT JOIN o1
 """
 
 
+def events_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every event, the user's EARLIEST order at
+    or after the event — the label-attachment direction ("did the user
+    convert after this event?") of the same operator family.
+
+    Identical union + single-window shape and cost as the backward join;
+    only the frame flips: ``first(o_orderkey, ignorenulls)`` over
+    current-row→unbounded-following, events sorting before same-instant
+    orders so an equal-timestamp order counts as "at or after".
+    """
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    order_rows = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_order"),
+        "o_orderkey",
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    event_rows = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("is_order").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        order_rows.unionByName(event_rows)
+        .withColumn("next_orderkey",
+                    F.first("o_orderkey", ignorenulls=True).over(w))
+        .where(F.col("is_order") == 0)
+        .select("event_id", "user_id",
+                F.unix_micros(F.col("t")).alias("ts_us"),
+                "next_orderkey")
+    )
+
+
+ASOF_NEXT_SQL = """
+WITH o1 AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       o1.o_orderkey AS next_orderkey
+FROM events ASOF LEFT JOIN o1
+  ON events.user_id = o1.o_custkey AND events.ts <= o1.o_orderdate
+"""
+
+
 QUERIES = {
     "events_asof_last_order": events_asof_last_order,
     "events_asof_last_order_tolerance": events_asof_last_order_tolerance,
+    "events_asof_next_order": events_asof_next_order,
 }
 
 ORACLES = {
     "events_asof_last_order": ASOF_SQL,
     "events_asof_last_order_tolerance": ASOF_TOL_SQL,
+    "events_asof_next_order": ASOF_NEXT_SQL,
 }
