@@ -45,7 +45,7 @@ _HEAD_KEYS = [
     # new this round — first driver check
     "dedup_semantic_survivors_lsh", "embedding_pq_codes_fixed",
     "pq_knn_adc_fixed", "pipeline_object_to_array", "ivf_pq_knn",
-    "text_gopher_quality", "events_asof_next_order",
+    "text_gopher_quality", "events_asof_next_order", "corpus_gopher_yield",
     # r01-verified — oldest outstanding driver verdicts
     "a3_pair_counts", "a5_frequent_short_tokens", "s6_tokenize_stats",
     "s8_multi_union", "hive_pushdown_conjunction", "f3_sort_limit",

@@ -155,6 +155,53 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_gopher_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher yield report: documents scanned, per-rule pass
+    counts, and keep rate — the dataset diagnostic a pipeline owner
+    reads before deciding which crawl sources to keep ingesting.
+
+    One map-only rule scan (:func:`text_gopher_quality`) joined back to
+    its source column, then a single source-keyed aggregation; keep
+    rate goes through an exact decimal ratio for cross-engine hashes.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    flags = text_gopher_quality(spark, sf_dir)
+    j = d.join(flags, "doc_id")
+    cnt = F.count(F.lit(1))
+    return (
+        j.groupBy("source").agg(
+            cnt.alias("n_docs"),
+            F.sum(F.col("wc_ok").cast("long")).alias("n_wc_ok"),
+            F.sum(F.col("len_ok").cast("long")).alias("n_len_ok"),
+            F.sum(F.col("sym_ok").cast("long")).alias("n_sym_ok"),
+            F.sum(F.col("alpha_ok").cast("long")).alias("n_alpha_ok"),
+            F.sum(F.col("stop_ok").cast("long")).alias("n_stop_ok"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            (F.sum(F.col("keep").cast("decimal(27,10)"))
+             / cnt).cast("double").alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+GOPHER_YIELD_SQL = f"""
+WITH flags AS ({{GOPHER}}),
+j AS (
+  SELECT d.source, f.* FROM documents d JOIN flags f ON d.doc_id = f.doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(wc_ok::bigint)::bigint AS n_wc_ok,
+       sum(len_ok::bigint)::bigint AS n_len_ok,
+       sum(sym_ok::bigint)::bigint AS n_sym_ok,
+       sum(alpha_ok::bigint)::bigint AS n_alpha_ok,
+       sum(stop_ok::bigint)::bigint AS n_stop_ok,
+       sum(keep::bigint)::bigint AS n_keep,
+       (sum(keep::int::decimal(27,10)) / count(*))::double AS keep_rate
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 _GOPHER_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
 GOPHER_SQL = f"""
@@ -185,6 +232,9 @@ SELECT doc_id, n_words,
          AND (n_stops >= {GOPHER_MIN_STOPWORDS}) AS keep
 FROM m
 """
+
+GOPHER_YIELD_SQL = GOPHER_YIELD_SQL.format(GOPHER=GOPHER_SQL)
+
 
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,6 +577,7 @@ QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_gopher_quality": text_gopher_quality,
+    "corpus_gopher_yield": corpus_gopher_yield,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
     "documents_pack_sequences": documents_pack_sequences,
@@ -540,6 +591,7 @@ ORACLES = {
     "text_langid": LANGID_SQL,
     "text_quality": QUALITY_SQL,
     "text_gopher_quality": GOPHER_SQL,
+    "corpus_gopher_yield": GOPHER_YIELD_SQL,
     "text_token_count": TOKEN_COUNT_SQL,
     "text_fingerprint": FINGERPRINT_SQL,
     "documents_pack_sequences": PACK_SQL,
