@@ -145,9 +145,11 @@ class DocumentDataSource(DataSource):
         return json.loads(raw) if raw else {}
 
     def reader(self, schema: StructType) -> "DocumentReader":
+        pushdown = str(self.options.get("pushdown", "false")).lower() == "true"
         if self.options.get("backend") == "live":
-            return LiveDocumentReader(self.options, schema)
-        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return (LivePushdownDocumentReader if pushdown
+                    else LiveDocumentReader)(self.options, schema)
+        if pushdown:
             return PushdownDocumentReader(self.options, schema)
         return DocumentReader(self.options, schema)
 
@@ -415,6 +417,15 @@ class PushdownDocumentReader(DocumentReader):
         query, residual = translate_filters(filters)
         self.pushed_query = query
         return iter(residual)
+
+
+class LivePushdownDocumentReader(LiveDocumentReader):
+    """Live backend + Catalyst pushdown: pushed filters reach the server
+    cursor (the HiveMongoInputFormat.java:129-182 analog, but against a
+    real connection).  Same opt-in + fresh-load-per-query contract as
+    :class:`PushdownDocumentReader`."""
+
+    pushFilters = PushdownDocumentReader.pushFilters
 
 
 @dataclass

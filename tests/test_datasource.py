@@ -349,3 +349,50 @@ def test_live_schema_inference_matches_file_backend(registered, store):
     live = read_live(registered, store)
     filebased = read_orders(registered, store)
     assert live.schema == filebased.schema
+
+
+def test_live_pushdown_reaches_server_cursor(registered, store):
+    """backend=live + pushdown=true: the Catalyst filter lands in the
+    split's server-side query, not just above the scan."""
+    from mongo_hadoop_spark.sources.mongo_datasource import (
+        LivePushdownDocumentReader)
+
+    df = read_live(registered, store, pushdown="true")
+    got = df.where((F.col("status") == "A") & (F.col("qty") > 150)).count()
+    assert got == sum(1 for i in range(200) if i % 2 and i > 150)
+
+    reader = LivePushdownDocumentReader(
+        {"backend": "live", "uri": _live_uri(store),
+         "client_factory": FACTORY}, None)
+    residual = list(reader.pushFilters([]))
+    assert residual == [] and reader.pushed_query == {}
+
+
+def test_live_full_loop_read_transform_commit(registered, store, tmp_path):
+    """The complete connector loop with no mongod: live READ from one
+    'server' -> DataFrame transform -> spooled journal -> live COMMIT
+    into another 'server', final state checked."""
+    from fake_mongo import FakeCollection
+    from mongo_hadoop_spark.sinks.live import commit_updates_live
+    from mongo_hadoop_spark.sinks.writers import (_default_builder,
+                                                  _UpdateJournalTask)
+    from mongo_hadoop_spark.store import DocumentStore
+
+    # read from the live backend, aggregate per status
+    src = read_live(registered, store)
+    agg = (src.groupBy("status")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("qty").alias("total_qty")))
+
+    # journal the aggregate as upserts (the task half), then replay into
+    # a destination fake server (the commit half)
+    spool = DocumentStore(str(tmp_path / "spool"))
+    agg.foreachPartition(
+        _UpdateJournalTask(spool.path, "status_rollup",
+                           _default_builder("upsert", ["status"])))
+    dest = FakeCollection("status_rollup")
+    stats = commit_updates_live(spool.path, "status_rollup", dest)
+    assert stats["upserted"] == 2
+    final = {d["status"]: d for d in dest.find()}
+    assert final["A"]["n"] == 100 and final["B"]["n"] == 100
+    assert final["A"]["total_qty"] == sum(i for i in range(200) if i % 2)
