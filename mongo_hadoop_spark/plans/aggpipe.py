@@ -1060,8 +1060,8 @@ def aggregate(df: DataFrame, pipeline: list[dict],
             out = out.agg(F.count(F.lit(1)).alias(spec))
         elif op == "$lookup":
             out = _stage_lookup(out, spec, tables)
-        elif op == "$replaceRoot":
-            root = spec["newRoot"]
+        elif op in ("$replaceRoot", "$replaceWith"):
+            root = spec["newRoot"] if isinstance(spec, dict) else spec
             out = out.select(f"{root[1:]}.*")
         elif op == "$bucket":
             out = _stage_bucket(out, spec)

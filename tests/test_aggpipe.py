@@ -660,3 +660,9 @@ def test_get_field_on_map_and_struct(spark):
     }}])
     r = got.collect()[0]
     assert r.v == 5 and r.s == 7
+
+
+def test_replace_with_alias(spark):
+    nested = spark.createDataFrame([((2, "y"),)], "doc struct<a: long, b: string>")
+    got = aggregate(nested, [{"$replaceWith": "$doc"}])
+    assert got.columns == ["a", "b"] and rows(got) == [(2, "y")]

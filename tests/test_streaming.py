@@ -610,3 +610,33 @@ def test_stream_train_split_routes_equal_batch(spark, documents_dir, tmp_path):
             routed[d["doc_id"]] = split
     assert routed == batch
     assert set(batch.values()) == {"train", "valid", "test"}
+
+
+def test_stream_gopher_filter_equals_batch(spark, documents_dir, tmp_path):
+    """The Gopher quality gate is a stateless map, so its streaming form
+    is the operator itself on a streaming frame — stream == batch."""
+    from mongo_hadoop_spark.operators.textstats import text_gopher_quality
+    from mongo_hadoop_spark.streaming.jobs import streaming_documents_source
+
+    import mongo_hadoop_spark.operators.textstats as ts
+    import pyspark.sql.functions as SF
+    from mongo_hadoop_spark.functions import tokenize
+
+    src = streaming_documents_source(spark, documents_dir)
+    # same expression pipeline applied to the stream
+    d = src.select("doc_id", "text", tokenize("text").alias("ws"))
+    n_words = SF.size("ws")
+    stream_df = d.select("doc_id", n_words.alias("n_words"),
+                         ((n_words >= ts.GOPHER_MIN_WORDS)
+                          & (n_words <= ts.GOPHER_MAX_WORDS)).alias("wc_ok"))
+    q = (stream_df.writeStream.format("memory").queryName("gq")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "gckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = {r["doc_id"]: (r["n_words"], r["wc_ok"])
+                for r in spark.sql("select * from gq").collect()}
+    batch = {r["doc_id"]: (r["n_words"], r["wc_ok"])
+             for r in text_gopher_quality(spark, SF_SMOKE)
+             .select("doc_id", "n_words", "wc_ok").collect()}
+    assert streamed == batch
