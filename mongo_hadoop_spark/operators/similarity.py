@@ -204,26 +204,45 @@ def _hyperplane(j: int) -> list[int]:
     return out
 
 
-def _lsh_sig_expr() -> str:
-    """The 16-bit signature as ONE Spark-SQL expression string.
+def _sig_expr(start: int, bits: int) -> str:
+    """``bits`` hyperplane sign bits from plane family index ``start`` as
+    ONE Spark-SQL expression string (bit r weighs 1<<r).
 
     Semantics are identical to composing ``functions.dot`` per plane
     (zip_with → left-to-right aggregate, so the float accumulation order
     is the array order, bit-matching DuckDB's ``list_dot_product``), but
-    built as a single string: constructing it via 16×64 ``F.lit`` Column
-    objects costs ~1600 py4j round-trips (~1.5 s of driver time per plan
-    build — measured), which dwarfed the actual 2k-row execution.  The
-    string parses in milliseconds and the executed plan is unchanged.
+    built as a single string: constructing it via N×64 ``F.lit`` Column
+    objects costs ~100 py4j round-trips per plane (~1.5 s of driver time
+    per plan build at 16 planes — measured), which dwarfed the actual
+    2k-row execution.  The string parses in milliseconds and the
+    executed plan is unchanged.  The single ONE builder serves both the
+    16-bit bucket signature and the banded OR-construction — any fix to
+    the fold shape lands everywhere at once.
     """
     terms = []
-    for j in range(LSH_PLANES):
-        plane = ", ".join(f"{float(v)!r}D" for v in _hyperplane(j))
+    for r in range(bits):
+        plane = ", ".join(f"{float(v)!r}D" for v in _hyperplane(start + r))
         dotj = (
             f"aggregate(zip_with(embedding, array({plane}), "
             f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
         )
-        terms.append(f"(CASE WHEN {dotj} > 0 THEN {1 << j}L ELSE 0L END)")
+        terms.append(f"(CASE WHEN {dotj} > 0 THEN {1 << r}L ELSE 0L END)")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _sig_sql(start: int, bits: int) -> str:
+    """DuckDB twin of :func:`_sig_expr` (same planes, same weights)."""
+    terms = []
+    for r in range(bits):
+        plane = ", ".join(f"{float(v)!r}" for v in _hyperplane(start + r))
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, [{plane}]) > 0 "
+            f"THEN {1 << r} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::bigint"
+
+
+def _lsh_sig_expr() -> str:
+    return _sig_expr(0, LSH_PLANES)
 
 
 def lsh_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,18 +254,11 @@ def lsh_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_sql() -> str:
-    terms = []
-    for j in range(LSH_PLANES):
-        plane = ", ".join(f"{float(v)!r}" for v in _hyperplane(j))
-        terms.append(
-            f"(CASE WHEN list_dot_product(v, [{plane}]) > 0 THEN {1 << j} ELSE 0 END)"
-        )
-    sig = " + ".join(terms)
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
 )
-SELECT vec_id, ({sig})::bigint AS bucket FROM e
+SELECT vec_id, {_sig_sql(0, LSH_PLANES)} AS bucket FROM e
 """
 
 
@@ -275,18 +287,10 @@ SEM_LSH_BITS = 8
 
 
 def _band_expr(b: int, bits: int) -> str:
-    """Band ``b`` of the banded signature as ONE Spark-SQL string (the
-    `_lsh_sig_expr` py4j-avoidance pattern): ``bits`` hyperplane sign
-    bits from the deterministic family ``_hyperplane(b*bits + r)``."""
-    terms = []
-    for r in range(bits):
-        plane = ", ".join(f"{float(v)!r}D" for v in _hyperplane(b * bits + r))
-        dotj = (
-            f"aggregate(zip_with(embedding, array({plane}), "
-            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
-        )
-        terms.append(f"(CASE WHEN {dotj} > 0 THEN {1 << r}L ELSE 0L END)")
-    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+    """Band ``b`` of the banded signature: ``bits`` sign bits from the
+    plane family slice ``_hyperplane(b*bits ...)`` via the shared
+    :func:`_sig_expr` builder."""
+    return _sig_expr(b * bits, bits)
 
 
 def dedup_semantic_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,18 +343,11 @@ def dedup_semantic_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sem_lsh_sql() -> str:
-    band_selects = []
-    for b in range(SEM_LSH_BANDS):
-        terms = []
-        for r in range(SEM_LSH_BITS):
-            plane = ", ".join(
-                f"{float(v)!r}" for v in _hyperplane(b * SEM_LSH_BITS + r))
-            terms.append(
-                f"(CASE WHEN list_dot_product(v, [{plane}]) > 0 "
-                f"THEN {1 << r} ELSE 0 END)")
-        band_selects.append(
-            f"SELECT vec_id, {b} AS band, ({' + '.join(terms)})::bigint AS val"
-            " FROM e")
+    band_selects = [
+        f"SELECT vec_id, {b} AS band, "
+        f"{_sig_sql(b * SEM_LSH_BITS, SEM_LSH_BITS)} AS val FROM e"
+        for b in range(SEM_LSH_BANDS)
+    ]
     lf = "\nUNION ALL\n".join(band_selects)
     return f"""
 WITH e AS (
@@ -1219,6 +1216,37 @@ FROM best GROUP BY vec_id
 
 PQ_ADC_K = 5
 
+#: 8-way ADC total as an ORDERED fold over subspace index (collect →
+#: sort by j → left fold): a plain SUM() would add the doubles in
+#: engine-dependent order and flip near-equal rankings.  Shared by every
+#: compressed-domain scorer.
+_ADC_FOLD = ("aggregate(array_sort(collect_list(struct(j, d))), "
+             "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.d)")
+
+
+def _pq_fixed_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query ADC distance tables against the fixed codebook:
+    (qid, j, cid, d), constant size PQ_FIXED_Q × PQ_SUBSPACES × ≤PQ_K —
+    the broadcast side of every fixed-codebook compressed-domain scan."""
+    emb = table(spark, sf_dir, "embeddings")
+    qsub = (_pq_subvectors(emb.where(F.col("vec_id") < PQ_FIXED_Q))
+            .select(F.col("vec_id").alias("qid"), F.col("j").alias("qj"),
+                    F.col("sv").alias("qv")))
+    refined = _pq_fixed_codebook(spark, sf_dir)
+    cell = (norm2(F.col("qv")) + norm2(F.col("cv"))
+            - 2 * dot(F.col("qv"), F.col("cv")))
+    return (qsub.join(F.broadcast(refined), F.col("qj") == F.col("cj"))
+            .select("qid", F.col("qj").alias("j"), "cid", cell.alias("d")))
+
+
+_PQ_FIXED_TABLES_SQL = f"""tables AS (
+  SELECT q.vec_id AS qid, q.j, r.cid,
+         list_dot_product(q.sv, q.sv) + list_dot_product(r.cv, r.cv)
+         - 2 * list_dot_product(q.sv, r.cv) AS d
+  FROM sub q JOIN refined r ON q.j = r.cj
+  WHERE q.vec_id < {PQ_FIXED_Q}
+)"""
+
 
 def pq_knn_adc_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC k-NN over the fixed trained codebook — the linear-at-scale
@@ -1235,24 +1263,12 @@ def pq_knn_adc_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack_args = ", ".join(f"{j}, code_{j}" for j in range(PQ_SUBSPACES))
     codes_long = codes.selectExpr(
         "vec_id", f"stack({PQ_SUBSPACES}, {stack_args}) AS (j, cid)")
-
-    emb = table(spark, sf_dir, "embeddings")
-    qsub = (_pq_subvectors(emb.where(F.col("vec_id") < PQ_FIXED_Q))
-            .select(F.col("vec_id").alias("qid"), F.col("j").alias("qj"),
-                    F.col("sv").alias("qv")))
-    refined = _pq_fixed_codebook(spark, sf_dir)
-    cell = (norm2(F.col("qv")) + norm2(F.col("cv"))
-            - 2 * dot(F.col("qv"), F.col("cv")))
-    tables = (qsub.join(F.broadcast(refined), F.col("qj") == F.col("cj"))
-              .select("qid", F.col("qj").alias("j"), "cid",
-                      cell.alias("d")))
+    tables = _pq_fixed_tables(spark, sf_dir)
 
     scored = (
         codes_long.join(F.broadcast(tables), ["j", "cid"])
         .groupBy("qid", "vec_id")
-        .agg(F.expr(
-            "aggregate(array_sort(collect_list(struct(j, d))), "
-            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.d)").alias("adc_d"))
+        .agg(F.expr(_ADC_FOLD).alias("adc_d"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("adc_d").asc(),
                                           F.col("vec_id").asc())
@@ -1262,13 +1278,7 @@ def pq_knn_adc_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PQ_ADC_FIXED_SQL = f"""{_PQ_FIXED_PRELUDE},
-tables AS (
-  SELECT q.vec_id AS qid, q.j, r.cid,
-         list_dot_product(q.sv, q.sv) + list_dot_product(r.cv, r.cv)
-         - 2 * list_dot_product(q.sv, r.cv) AS d
-  FROM sub q JOIN refined r ON q.j = r.cj
-  WHERE q.vec_id < {PQ_FIXED_Q}
-),
+{_PQ_FIXED_TABLES_SQL},
 scored AS (
   SELECT t.qid, b.vec_id,
          list_reduce(
@@ -1330,25 +1340,13 @@ def ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
               .where(F.col("rn") <= IVF_PQ_NPROBE)
               .select("qid", "centroid_id"))
 
-    # constant ADC tables: query subvectors x fixed codebook
-    qsub = (_pq_subvectors(emb.where(F.col("vec_id") < PQ_FIXED_Q))
-            .select(F.col("vec_id").alias("qid"), F.col("j").alias("qj"),
-                    F.col("sv").alias("qv")))
-    refined = _pq_fixed_codebook(spark, sf_dir)
-    cell_d = (norm2(F.col("qv")) + norm2(F.col("cv"))
-              - 2 * dot(F.col("qv"), F.col("cv")))
-    tables = (qsub.join(F.broadcast(refined), F.col("qj") == F.col("cj"))
-              .select("qid", F.col("qj").alias("j"), "cid",
-                      cell_d.alias("d")))
-
+    tables = _pq_fixed_tables(spark, sf_dir)
     scored = (
         codes_long.join(cells, "vec_id")
         .join(F.broadcast(probes), "centroid_id")
         .join(F.broadcast(tables), ["qid", "j", "cid"])
         .groupBy("qid", "vec_id")
-        .agg(F.expr(
-            "aggregate(array_sort(collect_list(struct(j, d))), "
-            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.d)").alias("adc_d"))
+        .agg(F.expr(_ADC_FOLD).alias("adc_d"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("adc_d").asc(),
                                           F.col("vec_id").asc())
@@ -1375,13 +1373,7 @@ probes AS (
     WHERE q.vec_id < {PQ_FIXED_Q})
   WHERE rn <= {IVF_PQ_NPROBE}
 ),
-tables AS (
-  SELECT q.vec_id AS qid, q.j, r.cid,
-         list_dot_product(q.sv, q.sv) + list_dot_product(r.cv, r.cv)
-         - 2 * list_dot_product(q.sv, r.cv) AS d
-  FROM sub q JOIN refined r ON q.j = r.cj
-  WHERE q.vec_id < {PQ_FIXED_Q}
-),
+{_PQ_FIXED_TABLES_SQL},
 scored AS (
   SELECT t.qid, b.vec_id,
          list_reduce(

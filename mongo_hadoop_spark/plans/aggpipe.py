@@ -226,7 +226,9 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
             F.substr(inp, F.lit(1), pos - 1), repl,
             F.substr(inp, pos + F.length(find), F.length(inp))))
     if op == "$strcasecmp":
-        a, b = F.lower(E(operand[0])), F.lower(E(operand[1]))
+        # server semantics: internally UPPERcases (sign differs from
+        # lowercasing for chars in ASCII 91-96, e.g. '_')
+        a, b = F.upper(E(operand[0])), F.upper(E(operand[1]))
         return (F.when(a < b, -1).when(a > b, 1).otherwise(0))
     if op == "$toString":
         return E(operand).cast("string")
@@ -478,7 +480,10 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
             F.year(d).alias("year"), F.month(d).alias("month"),
             F.dayofmonth(d).alias("day"), F.hour(d).alias("hour"),
             F.minute(d).alias("minute"), F.second(d).alias("second"),
-            (F.unix_micros(d) / 1000 % 1000).cast("int").alias("millisecond"))
+            # pmod over floor-div: pre-epoch timestamps must yield 0-999
+            # (Spark's % keeps the dividend sign)
+            F.pmod(F.floor(F.unix_micros(d) / 1000), F.lit(1000))
+            .cast("int").alias("millisecond"))
     if op == "$dateFromParts":
         # session-TZ caveat as with the other date ops (documented)
         parts = {k: E(operand[k]) if k in operand else F.lit(d)
@@ -1061,8 +1066,19 @@ def aggregate(df: DataFrame, pipeline: list[dict],
         elif op == "$lookup":
             out = _stage_lookup(out, spec, tables)
         elif op in ("$replaceRoot", "$replaceWith"):
-            root = spec["newRoot"] if isinstance(spec, dict) else spec
-            out = out.select(f"{root[1:]}.*")
+            if op == "$replaceRoot":
+                if not isinstance(spec, dict) or "newRoot" not in spec:
+                    raise ValueError("$replaceRoot needs {newRoot: ...}")
+                root = spec["newRoot"]
+            else:  # $replaceWith takes the expression directly
+                root = spec
+            if isinstance(root, str) and root.startswith("$"):
+                out = out.select(f"{root[1:]}.*")
+            else:
+                # document expression (e.g. {$mergeObjects: ...} or a
+                # literal doc) → compile to a struct and explode it
+                out = (out.select(expr_to_col(root).alias("__root"))
+                       .select("__root.*"))
         elif op == "$bucket":
             out = _stage_bucket(out, spec)
         elif op == "$bucketAuto":

@@ -65,13 +65,19 @@ def get_spark(
     return builder.getOrCreate()
 
 
-#: (applicationId, realpath, mtime_ns, size) → loaded DataFrame.  A
+#: session → {(realpath, mtime_ns, size) → loaded DataFrame}.  A
 #: DataFrame is an immutable logical plan, so reuse is safe; keying on the
-#: file's stat identity invalidates on regeneration, and on applicationId
-#: across session restarts.  This is the catalog role: without it every
+#: file's stat identity invalidates on regeneration.  The outer map is a
+#: WeakKeyDictionary on the SparkSession itself: a DataFrame is bound to
+#: the exact session that created it (newSession() siblings share an
+#: applicationId but not temp views/confs), and weak keys mean a dead
+#: session's entries vanish with it — no id()-reuse collisions, no leak
+#: from short-lived sessions.  This is the catalog role: without it every
 #: query rebuild re-lists and re-footers the same parquet (~0.1 s per
 #: table per build — measured at 0.3-0.9 s per multi-table query).
-_TABLE_CACHE: dict[tuple, "object"] = {}
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def table(spark: SparkSession, sf_dir: str, name: str):
@@ -98,24 +104,24 @@ def table(spark: SparkSession, sf_dir: str, name: str):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = None
+    key = per_session = None
     try:
         st = os.stat(path)
-        # id(spark) distinguishes newSession() siblings, which share an
-        # applicationId but not temp views/confs; a DataFrame is bound to
-        # the exact session that created it.
-        key = (spark.sparkContext.applicationId, id(spark),
-               os.path.realpath(path), st.st_mtime_ns, st.st_size)
-    except OSError:
-        pass
-    if key is not None and key in _TABLE_CACHE:
-        return _TABLE_CACHE[key]
+        # abspath, NOT realpath: the DataFrame binds to the path it was
+        # read from, and collapsing a symlink with its target would serve
+        # a DataFrame bound to the other access path (which may be gone)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+        per_session = _TABLE_CACHE.setdefault(spark, {})
+    except (OSError, TypeError):
+        pass  # missing file, or a session object that can't be weakly keyed
+    if per_session is not None and key in per_session:
+        return per_session[key]
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
-    if key is not None:
-        _TABLE_CACHE[key] = df
+    if per_session is not None:
+        per_session[key] = df
     return df

@@ -99,7 +99,8 @@ class StoreCursor:
         return self
 
     def limit(self, n: int):
-        self._limit = n
+        # pymongo protocol: limit(0) means "no limit"
+        self._limit = n or None
         return self
 
     def __iter__(self):

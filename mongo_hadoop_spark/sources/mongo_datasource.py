@@ -202,6 +202,20 @@ class DocumentReader(DataSourceReader):
                            if "fields" in self.options else None),
         }
 
+    def _with_cursor_options(self, splits) -> list[_DocPartition]:
+        """Stamp the per-split cursor options (F3/F4) onto every split —
+        the one place the option→SplitSpec merge happens for all readers."""
+        import dataclasses
+
+        cur = self._cursor_options()
+        return [
+            _DocPartition(dataclasses.replace(
+                s, projection=cur["projection"], sort=cur["sort"],
+                limit=cur["limit"], skip=cur["skip"],
+            ))
+            for s in splits
+        ]
+
     def partitions(self):
         from mongo_hadoop_spark.store import DocumentStore
 
@@ -254,17 +268,7 @@ class DocumentReader(DataSourceReader):
                 if not splits and not path_filter:
                     splits = single_splitter(name, query)
             all_splits.append(splits)
-        import dataclasses
-
-        cur = self._cursor_options()
-        merged = [
-            dataclasses.replace(
-                s, projection=cur["projection"], sort=cur["sort"],
-                limit=cur["limit"], skip=cur["skip"],
-            )
-            for s in multi_collection_splits(all_splits)
-        ]
-        return [_DocPartition(s) for s in merged]
+        return self._with_cursor_options(multi_collection_splits(all_splits))
 
     # --- per-partition scan (MongoRecordReader analog) --------------------
 
@@ -364,8 +368,6 @@ class LiveDocumentReader(DocumentReader):
                                    self.options.get("client_factory"))
 
     def partitions(self):
-        import dataclasses
-
         name = self._collection_name()
         strategy = self.options.get("splitter", "single")
         key = self.options.get("key", "_id")
@@ -388,15 +390,7 @@ class LiveDocumentReader(DocumentReader):
             raise ValueError(
                 f"live backend supports splitter=single|paginating, "
                 f"got {strategy!r}")
-        cur = self._cursor_options()
-        merged = [
-            dataclasses.replace(
-                s, projection=cur["projection"], sort=cur["sort"],
-                limit=cur["limit"], skip=cur["skip"],
-            )
-            for s in splits
-        ]
-        return [_DocPartition(s) for s in merged]
+        return self._with_cursor_options(splits)
 
     def read(self, partition: _DocPartition):
         from mongo_hadoop_spark.sources.live_read import split_cursor

@@ -666,3 +666,28 @@ def test_replace_with_alias(spark):
     nested = spark.createDataFrame([((2, "y"),)], "doc struct<a: long, b: string>")
     got = aggregate(nested, [{"$replaceWith": "$doc"}])
     assert got.columns == ["a", "b"] and rows(got) == [(2, "y")]
+
+
+def test_replace_with_document_expression(spark):
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    got = aggregate(df, [{"$replaceWith": {"s": {"$add": ["$a", "$b"]},
+                                           "a": "$a"}}])
+    r = got.collect()[0]
+    assert got.columns == ["s", "a"] and (r.s, r.a) == (3, 1)
+
+
+def test_date_to_parts_pre_epoch_millisecond(spark):
+    import datetime as dt
+    df = spark.createDataFrame(
+        [(dt.datetime(1969, 12, 31, 23, 59, 59, 123000),)], "ts timestamp")
+    got = aggregate(df, [{"$project": {
+        "p": {"$dateToParts": {"date": "$ts"}}}}])
+    p = got.collect()[0].p
+    assert p.millisecond == 123 and p.year == 1969 and p.second == 59
+
+
+def test_strcasecmp_uppercases_like_server(spark):
+    df = spark.createDataFrame([("a", "_")], "x string, y string")
+    got = aggregate(df, [{"$project": {"c": {"$strcasecmp": ["$x", "$y"]}}}])
+    # server uppercases: 'A'(65) < '_'(95) -> -1 (lowercasing would flip it)
+    assert got.collect()[0].c == -1

@@ -396,3 +396,13 @@ def test_live_full_loop_read_transform_commit(registered, store, tmp_path):
     final = {d["status"]: d for d in dest.find()}
     assert final["A"]["n"] == 100 and final["B"]["n"] == 100
     assert final["A"]["total_qty"] == sum(i for i in range(200) if i % 2)
+
+
+def test_store_cursor_limit_zero_means_no_limit(store):
+    """pymongo protocol: limit(0) is 'no limit' — the store-backed cursor
+    must agree with FakeCursor and real pymongo."""
+    from mongo_hadoop_spark.sources.live_read import StoreBackedCollection
+
+    coll = StoreBackedCollection(store.path, "orders")
+    assert len(list(coll.find({}).limit(0))) == 200
+    assert len(list(coll.find({}).limit(5))) == 5

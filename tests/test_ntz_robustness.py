@@ -100,3 +100,25 @@ def test_table_cache_invalidates_on_regeneration(spark, tmp_path):
     d1 = table(spark, str(tmp_path), "events")
     d2 = table(spark, str(tmp_path), "events")
     assert d1 is d2
+
+
+def test_table_cache_does_not_collapse_symlinked_paths(spark, tmp_path):
+    """A symlinked sf dir must get its own cache entry: collapsing it
+    with its target (realpath) would serve a DataFrame bound to
+    whichever access path populated the cache first — which may since
+    have been deleted (regression: ntz test fixtures symlink the small
+    tables and rmtree the fixture dir at teardown)."""
+    from mongo_hadoop_spark.session import table
+
+    d = tmp_path / "real"
+    d.mkdir()
+    pq.write_table(pa.table({"event_id": [1, 2, 3]}), d / "events.parquet")
+    link_dir = tmp_path / "alias"
+    link_dir.mkdir()
+    os.symlink(d / "events.parquet", link_dir / "events.parquet")
+
+    via_link = table(spark, str(link_dir), "events")
+    assert via_link.count() == 3
+    # delete the symlink; the real path must still be readable afresh
+    os.remove(link_dir / "events.parquet")
+    assert table(spark, str(d), "events").count() == 3

@@ -29,19 +29,29 @@ def main(argv: list[str]) -> int:
     threshold = 1.5
     if "--threshold" in argv:
         i = argv.index("--threshold")
-        threshold = float(argv[i + 1])
+        try:
+            threshold = float(argv[i + 1])
+        except (IndexError, ValueError):
+            print(__doc__)
+            print("--threshold needs a numeric value")
+            return 2
         argv = argv[:i] + argv[i + 2:]
     if len(argv) != 2:
         print(__doc__)
         return 2
     base, new = load(argv[0]), load(argv[1])
     bq, nq = base["queries"], new["queries"]
-    shared = sorted(set(bq) & set(nq), key=lambda k: -(nq[k] / bq[k]))
-    regressed = [k for k in shared if nq[k] / bq[k] > threshold]
+
+    def ratio(k: str) -> float:
+        # bench.py rounds to 3 decimals: a sub-ms base would divide by 0
+        return nq[k] / max(bq[k], 1e-3)
+
+    shared = sorted(set(bq) & set(nq), key=lambda k: -ratio(k))
+    regressed = [k for k in shared if ratio(k) > threshold]
     print(f"{'query':38s} {'base':>8s} {'new':>8s} {'ratio':>7s}")
     for k in shared:
         flag = "  << REGRESSED" if k in regressed else ""
-        print(f"{k:38s} {bq[k]:8.3f} {nq[k]:8.3f} {nq[k] / bq[k]:6.2f}x{flag}")
+        print(f"{k:38s} {bq[k]:8.3f} {nq[k]:8.3f} {ratio(k):6.2f}x{flag}")
     only_b = set(bq) - set(nq)
     only_n = set(nq) - set(bq)
     if only_b:
