@@ -22,7 +22,8 @@ comparisons ($eq $ne $gt $gte $lt $lte $cmp), boolean ($and $or $not),
 conditionals ($cond $ifNull), strings ($concat $toUpper $toLower
 $strLenCP $substrCP $split $trim $ltrim $rtrim $indexOfCP $replaceAll
 $replaceOne $strcasecmp $toString), objects ($objectToArray /
-$arrayToObject over MAP-typed dynamic documents, $getField $setField),
+$arrayToObject over MAP-typed dynamic documents, $getField $setField
+$mergeObjects),
 sets ($setUnion $setIntersection $setDifference $setIsSubset $setEquals),
 dates ($year $month $dateToParts
 $dayOfMonth $hour $minute $second $dayOfWeek), arrays ($size
@@ -244,6 +245,20 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
     if op == "$setField":
         return E(operand["input"]).withField(
             operand["field"], E(operand["value"]))
+    if op == "$mergeObjects":
+        # MAP-typed dynamic documents; later operands overwrite earlier
+        # keys (server semantics).  map_concat can't express later-wins
+        # portably (dup-key policy is a session conf), so earlier entries
+        # whose key reappears later are filtered before the merge.
+        ops = operand if isinstance(operand, list) else [operand]
+        out = E(ops[0])
+        for nxt in ops[1:]:
+            m2 = E(nxt)
+            kept = F.filter(
+                F.map_entries(out),
+                lambda e: ~F.array_contains(F.map_keys(m2), e["key"]))
+            out = F.map_from_entries(F.concat(kept, F.map_entries(m2)))
+        return out
     # date ---------------------------------------------------------------
     if op in ("$year", "$month", "$dayOfMonth", "$hour", "$minute",
               "$second", "$dayOfWeek"):

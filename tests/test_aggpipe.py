@@ -691,3 +691,16 @@ def test_strcasecmp_uppercases_like_server(spark):
     got = aggregate(df, [{"$project": {"c": {"$strcasecmp": ["$x", "$y"]}}}])
     # server uppercases: 'A'(65) < '_'(95) -> -1 (lowercasing would flip it)
     assert got.collect()[0].c == -1
+
+
+def test_merge_objects_later_wins(spark):
+    df = spark.createDataFrame(
+        [({"a": 1, "b": 2}, {"b": 9, "c": 3})],
+        "m1 map<string,int>, m2 map<string,int>")
+    got = aggregate(df, [{"$project": {
+        "m": {"$mergeObjects": ["$m1", "$m2"]},
+        "kv": {"$objectToArray": {"$mergeObjects": ["$m1", "$m2"]}},
+    }}])
+    r = got.collect()[0]
+    assert r.m == {"a": 1, "b": 9, "c": 3}
+    assert sorted((e.k, e.v) for e in r.kv) == [("a", 1), ("b", 9), ("c", 3)]
