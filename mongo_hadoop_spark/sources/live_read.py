@@ -122,6 +122,15 @@ class StoreBackedCollection:
     def count_documents(self, filter: dict | None = None) -> int:
         return self._coll.count(filter)
 
+    def insert_many(self, docs, ordered: bool = True):
+        """pymongo write surface (segment-per-call, concurrency-safe)."""
+        n = self._coll.insert_many(list(docs))
+
+        class _Result:  # structural stand-in for pymongo's InsertManyResult
+            inserted_ids = list(range(n))
+
+        return _Result()
+
 
 class StoreBackedClient:
     """``client[db][coll]`` over a DocumentStore directory.  The db level

@@ -153,7 +153,13 @@ class DocumentDataSource(DataSource):
             return PushdownDocumentReader(self.options, schema)
         return DocumentReader(self.options, schema)
 
-    def writer(self, schema: StructType, overwrite: bool) -> "DocumentWriter":
+    def writer(self, schema: StructType, overwrite: bool):
+        if self.options.get("backend") == "live":
+            if overwrite:
+                raise ValueError(
+                    "backend=live supports append mode only (the reference "
+                    "writer inserts; use sinks.live for update replay)")
+            return LiveDocumentWriter(self.options, schema)
         return DocumentWriter(self.options, schema, overwrite)
 
 
@@ -492,6 +498,60 @@ class DocumentWriter(DataSourceWriter):
         for m in messages or []:
             if m is not None and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
+
+
+@dataclass
+class _LiveCommit(WriterCommitMessage):
+    rows: int
+    batches: int
+
+
+class LiveDocumentWriter(DataSourceWriter):
+    """Insert writer against a live pymongo-protocol collection — the
+    MongoRecordWriter shape (core/src/main/java/com/mongodb/hadoop/
+    output/MongoRecordWriter.java:41-130): each task streams its rows as
+    ordered ``insert_many`` batches of ``mongo.output.batch.size``
+    (default 1000, MongoConfigUtil.java:635-647).
+
+    Matches the reference's delivery contract exactly: batches commit on
+    the server as the task runs, so a retried task re-inserts its rows —
+    at-least-once, the documented MongoOutputFormat semantics (no
+    job-level fence exists against a live server; the file-backed
+    :class:`DocumentWriter` upgrades this to exactly-once via
+    temp-segment renames when the destination is a store directory).
+    """
+
+    def __init__(self, options, schema: StructType):
+        self.options = options
+        self.schema_ = schema
+        self.batch_size = int(options.get("batch_size", 1000))
+
+    def write(self, rows) -> _LiveCommit:
+        from mongo_hadoop_spark.sources.live_read import collection_from_uri
+
+        coll = collection_from_uri(self.options["uri"],
+                                   self.options.get("client_factory"))
+        fields = [f.name for f in self.schema_.fields]
+        batch: list = []
+        n = batches = 0
+        for row in rows:
+            batch.append(_row_to_doc(row, fields))
+            if len(batch) >= self.batch_size:
+                coll.insert_many(batch, ordered=True)
+                n += len(batch)
+                batches += 1
+                batch = []
+        if batch:
+            coll.insert_many(batch, ordered=True)
+            n += len(batch)
+            batches += 1
+        return _LiveCommit(n, batches)
+
+    def commit(self, messages) -> None:
+        pass  # batches already landed per task (reference semantics)
+
+    def abort(self, messages) -> None:
+        pass  # at-least-once: no server-side undo exists
 
 
 def _apply_cursor_options(docs: list, spec) -> list:

@@ -406,3 +406,31 @@ def test_store_cursor_limit_zero_means_no_limit(store):
     coll = StoreBackedCollection(store.path, "orders")
     assert len(list(coll.find({}).limit(0))) == 200
     assert len(list(coll.find({}).limit(5))) == 5
+
+
+def test_live_write_append_and_read_back(registered, store, tmp_path):
+    """df.write backend=live: per-task ordered insert_many batches (the
+    MongoRecordWriter shape), read back through the live read path."""
+    dest = str(tmp_path / "livedb")
+    uri = f"mongodb://localhost/testdb.sink?storePath={dest}"
+    df = registered.range(2500).selectExpr("id AS k", "id * 2 AS v")
+    (df.repartition(2).write.format("mongodoc")
+     .option("backend", "live").option("uri", uri)
+     .option("client_factory", FACTORY)
+     .option("batch_size", "1000").mode("append").save())
+
+    back = (registered.read.format("mongodoc")
+            .option("backend", "live").option("uri", uri)
+            .option("client_factory", FACTORY).load())
+    assert back.count() == 2500
+    assert {r["k"] for r in back.collect()} == set(range(2500))
+    # one store segment per insert_many call -> >= ceil-per-partition batches
+    import glob as _g
+    import os as _os
+    segs = _g.glob(_os.path.join(dest, "sink", "*.bson*"))
+    assert len(segs) >= 3  # 2500 rows / 1000 per batch across 2 tasks
+
+    with pytest.raises(Exception, match="append"):
+        (df.write.format("mongodoc").option("backend", "live")
+         .option("uri", uri).option("client_factory", FACTORY)
+         .mode("overwrite").save())
