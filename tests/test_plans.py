@@ -363,3 +363,42 @@ def test_semantic_survivors_ivf_cell_equijoin(spark):
     plan = plan_of(similarity.dedup_semantic_survivors_ivf(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketing is the 100 TB co-location lever: two tables bucketed by
+    the join key join with ZERO Exchange — the shuffle was paid once at
+    write time and amortizes over every later join.  This pins the
+    engine-level contract the big fact-fact joins rely on."""
+    import pyspark.sql.functions as F
+    from mongo_hadoop_spark.session import table
+
+    li = table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS b_li")
+    spark.sql("DROP TABLE IF EXISTS b_o")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a shuffle-family join so bucketing is what's under test
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .mode("overwrite").saveAsTable("b_li"))
+        (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").saveAsTable("b_o"))
+        joined = (spark.table("b_li")
+                  .join(spark.table("b_o"),
+                        F.col("l_orderkey") == F.col("o_orderkey"))
+                  .groupBy("l_orderkey")
+                  .agg(F.sum("l_quantity").alias("q")))
+        assert joined.count() > 0  # finalize the adaptive plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # neither join input shuffles: the buckets ARE the partitioning
+        # (and the groupBy on the same key rides it too)
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS b_li")
+        spark.sql("DROP TABLE IF EXISTS b_o")
