@@ -1,0 +1,248 @@
+"""Exact-substring (duplicated-span) deduplication via winnowed fingerprints.
+
+The ExactSubstr method of Lee et al. 2022 ("Deduplicating Training Data
+Makes Language Models Better") finds verbatim text reuse *across*
+documents at sub-document granularity — the duplication mode that
+document-level exact/MinHash dedup misses (boilerplate headers, licence
+blocks, quoted passages).  The paper builds a corpus-wide suffix array;
+that is a fundamentally sequential, memory-resident structure.  The
+distributed re-expression here is **winnowing** (Schleimer, Wilkerson &
+Aiken 2003 — the MOSS fingerprinting algorithm):
+
+- hash every ``SPAN_W``-token window at every position (stride 1);
+- slide a selection window of ``WINNOW_K`` consecutive hashes and keep
+  each selection window's *minimum* hash as a fingerprint.
+
+Because selection depends only on content, the classic winnowing
+guarantee holds position-independently: any verbatim run of at least
+``SPAN_W + WINNOW_K - 1`` tokens shared by two documents contains a full
+selection window of identical hashes in both, whose minimum is therefore
+fingerprinted in both.  (A naive strided sampling has no such guarantee
+— copies aligned differently modulo the stride share zero windows.)
+Expected fingerprint density is 2/(WINNOW_K+1) per token, so the
+fingerprint table is a constant fraction of corpus size.
+
+A fingerprint seen in >= 2 distinct documents marks a *duplicated span*;
+per document, the fraction of its fingerprints that are duplicated is
+its cross-corpus duplication score, and documents above
+``SPAN_DROP_FRAC`` are dropped (RefinedWeb's drop-don't-trim policy for
+heavily duplicated pages).
+
+Scale shape (100 TB): window hashing is linear per token and row-local;
+fingerprint selection is one per-doc window function (one shuffle on
+doc_id); the duplicate-fingerprint table is one groupBy on 32-byte md5
+keys with map-side partial aggregation, and it grows with *duplicated*
+content, not corpus size.  No all-pairs comparison anywhere.
+
+Everything is built-in JVM expressions (split/slice/md5/window) — no
+Python UDFs — and md5-deterministic, so every query has a full DuckDB
+oracle (lexicographic min over hex digests agrees across engines).
+
+Reference context: the connector has no sub-document dedup surface; this
+is a driver-mandated training-data-pipeline extension (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mongo_hadoop_spark.functions import tokenize
+from mongo_hadoop_spark.session import table
+
+SPAN_W = 10          # token-window (shingle) width
+WINNOW_K = 4         # selection window: guarantee = W + K - 1 = 13 tokens
+SPAN_DROP_FRAC = 0.5  # drop docs with > half their fingerprints duplicated
+
+_WORDS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+_SHINGLE_HASHES_SQL = (
+    f"list_transform(generate_series(1, greatest(len({_WORDS_SQL})"
+    f" - {SPAN_W - 1}, 0)),"
+    f" i -> md5(array_to_string(({_WORDS_SQL})[i:i+{SPAN_W - 1}], ' ')))"
+)
+
+
+def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) — distinct winnowed fingerprints per document.
+
+    Shape: tokenize ONCE per doc (materialized column — putting the
+    tokenizer inside a per-window lambda re-splits the document for every
+    window, a measured 10× slowdown), explode 1-based start positions,
+    hash each window post-explode (one slice+concat+md5 per window, all
+    in one codegen stage before any exchange), then one per-doc window
+    function (sliding min over WINNOW_K hashes) → distinct.  Short docs
+    (fewer than K windows) keep their global-min hash so any doc with
+    >= SPAN_W tokens has at least one fingerprint; the position-1 row's
+    frame covers the whole hash list in that case.
+    """
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    base = d.select("doc_id", tokenize("text").alias("w")).select(
+        "doc_id", "w",
+        F.greatest(F.size("w") - F.lit(SPAN_W - 1), F.lit(0)).alias("n_h"),
+    )
+    hashed = base.select(
+        "doc_id", "n_h",
+        F.explode(
+            F.when(F.col("n_h") <= 0, F.array().cast("array<int>"))
+            .otherwise(F.sequence(F.lit(1), F.col("n_h")))
+        ).alias("i"),
+        "w",
+    ).select(
+        "doc_id", "n_h", "i",
+        F.md5(F.concat_ws(" ", F.slice("w", F.col("i"), SPAN_W))).alias("h"),
+    )
+    hashed.createOrReplaceTempView("__span_hashes")
+    # One SQL string: identical text to the oracle's window query.
+    return spark.sql(f"""
+        SELECT DISTINCT doc_id, fp FROM (
+          SELECT doc_id, i, n_h,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW
+                              AND {WINNOW_K - 1} FOLLOWING) AS fp
+          FROM __span_hashes
+        ) WHERE i + {WINNOW_K} <= n_h + 1 OR i = 1
+    """)
+
+
+_FINGERPRINTS_SQL = f"""
+  hashes AS (
+    SELECT doc_id, len({_SHINGLE_HASHES_SQL}) AS n_h,
+           generate_subscripts({_SHINGLE_HASHES_SQL}, 1) AS i,
+           unnest({_SHINGLE_HASHES_SQL}) AS h
+    FROM documents
+  ),
+  fps AS (
+    SELECT DISTINCT doc_id, fp FROM (
+      SELECT doc_id, i, n_h,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {WINNOW_K - 1} FOLLOWING) AS fp
+      FROM hashes
+    ) WHERE i + {WINNOW_K} <= n_h + 1 OR i = 1
+  )"""
+
+
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprints that occur in >= 2 distinct documents.
+
+    One groupBy on the fingerprint digest (fingerprints are already
+    distinct per doc, so count(*) = distinct doc count).  Output size is
+    proportional to duplicated content only.
+    """
+    return (
+        _fingerprints(spark, sf_dir)
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+DUPLICATE_SPANS_SQL = f"""
+WITH {_FINGERPRINTS_SQL.lstrip()}
+SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM fps GROUP BY fp HAVING count(*) >= 2
+"""
+
+
+def documents_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-fingerprint fraction.
+
+    Fingerprints are flagged by an equi-join against the duplicated set
+    (broadcast when small), then one groupBy doc_id.  Documents shorter
+    than ``SPAN_W`` tokens have zero fingerprints and a 0.0 fraction
+    (re-attached by a left join so every document appears).
+    """
+    # Persist: fingerprints feed both the duplicate-set aggregation and
+    # the per-doc flag join; without persist the explode+window pipeline
+    # runs twice.  The fingerprint table is a constant fraction of token
+    # count (2/(K+1) rows of 32-byte digests) — small relative to text.
+    fps = _fingerprints(spark, sf_dir).persist()
+    dup = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("fp", F.lit(1).alias("is_dup"))
+    )
+    per_doc = (
+        fps.join(dup, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_fps"),
+        )
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return d.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_fps", F.lit(0)).alias("n_fps"),
+        F.coalesce("n_dup_fps", F.lit(0)).alias("n_dup_fps"),
+        F.when(F.coalesce("n_fps", F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(
+            F.col("n_dup_fps").cast("double") / F.col("n_fps").cast("double")
+        )
+        .alias("dup_frac"),
+    )
+
+
+_SPAN_STATS_BODY = """
+  dup AS (
+    SELECT fp FROM fps GROUP BY fp HAVING count(*) >= 2
+  ),
+  per_doc AS (
+    SELECT f.doc_id, count(*) AS n_fps,
+           sum(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END)::bigint
+             AS n_dup_fps
+    FROM fps f LEFT JOIN dup d USING (fp)
+    GROUP BY f.doc_id
+  ),
+  stats AS (
+    SELECT doc_id,
+           coalesce(n_fps, 0) AS n_fps,
+           coalesce(n_dup_fps, 0) AS n_dup_fps,
+           CASE WHEN coalesce(n_fps, 0) = 0 THEN 0.0
+                ELSE n_dup_fps::double / n_fps::double
+           END AS dup_frac
+    FROM documents LEFT JOIN per_doc USING (doc_id)
+  )"""
+
+SPAN_STATS_SQL = f"""
+WITH {_FINGERPRINTS_SQL.lstrip()},
+{_SPAN_STATS_BODY.lstrip()}
+SELECT * FROM stats
+"""
+
+
+def documents_span_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents whose duplicated-fingerprint fraction is <= SPAN_DROP_FRAC.
+
+    The drop-don't-trim policy: heavily cross-duplicated documents are
+    removed outright; canonical-copy selection for *whole*-document
+    duplicates stays with dedup_exact / dedup_minhash_verified.
+    """
+    stats = documents_span_stats(spark, sf_dir)
+    return stats.where(F.col("dup_frac") <= SPAN_DROP_FRAC).select("doc_id")
+
+
+SPAN_SURVIVORS_SQL = f"""
+WITH {_FINGERPRINTS_SQL.lstrip()},
+{_SPAN_STATS_BODY.lstrip()}
+SELECT doc_id FROM stats WHERE dup_frac <= {SPAN_DROP_FRAC}
+"""
+
+
+QUERIES = {
+    "dedup_duplicate_spans": dedup_duplicate_spans,
+    "documents_span_stats": documents_span_stats,
+    "documents_span_dedup_survivors": documents_span_dedup_survivors,
+}
+
+ORACLES = {
+    "dedup_duplicate_spans": DUPLICATE_SPANS_SQL,
+    "documents_span_stats": SPAN_STATS_SQL,
+    "documents_span_dedup_survivors": SPAN_SURVIVORS_SQL,
+}

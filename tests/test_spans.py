@@ -1,0 +1,99 @@
+"""Winnowed exact-substring (duplicated-span) dedup: semantics and plans."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from conftest import SF_SMOKE
+
+from mongo_hadoop_spark.operators import spans
+
+
+def _write_docs(spark, tmp_path, texts):
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    return str(tmp_path)
+
+
+def _tokens(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+GUARANTEE = spans.SPAN_W + spans.WINNOW_K - 1
+
+
+def test_winnowing_guarantee_any_alignment(spark, tmp_path):
+    """The winnowing guarantee: a shared verbatim run of W + K - 1 tokens
+    yields a shared fingerprint regardless of where the run sits in each
+    document — the property naive strided sampling lacks."""
+    shared = _tokens("dup", GUARANTEE)
+    for off_a, off_b in [(0, 0), (0, 3), (1, 7), (5, 2), (11, 4)]:
+        texts = [
+            (_tokens(f"a{off_a}_", off_a) + " " + shared).strip(),
+            (_tokens(f"b{off_b}_", off_b) + " " + shared).strip(),
+        ]
+        sf = _write_docs(spark, tmp_path / f"{off_a}_{off_b}", texts)
+        dup = spans.dedup_duplicate_spans(spark, sf)
+        assert dup.count() >= 1, (off_a, off_b)
+
+
+def test_span_stats_fractions(spark, tmp_path):
+    """A verbatim copy scores 1.0; an original with a shared tail scores
+    in (0, 1); an unrelated doc scores 0."""
+    base = _tokens("x", 40)
+    texts = [
+        base,                       # doc 0: original
+        base,                       # doc 1: verbatim copy → frac 1.0
+        _tokens("z", 40),           # doc 2: unrelated → frac 0.0
+        _tokens("w", 30) + " " + _tokens("x", 20),  # doc 3: shares a tail
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    stats = {r["doc_id"]: r.asDict()
+             for r in spans.documents_span_stats(spark, sf).collect()}
+    assert stats[0]["dup_frac"] == 1.0
+    assert stats[1]["dup_frac"] == 1.0
+    assert stats[2]["dup_frac"] == 0.0
+    assert 0.0 < stats[3]["dup_frac"] < 1.0
+    for r in stats.values():
+        assert r["n_dup_fps"] <= r["n_fps"]
+
+    survivors = {r["doc_id"] for r in
+                 spans.documents_span_dedup_survivors(spark, sf).collect()}
+    assert 2 in survivors          # unrelated doc survives
+    assert 0 not in survivors and 1 not in survivors  # full dups dropped
+
+
+def test_short_docs_have_zero_fingerprints(spark, tmp_path):
+    """Docs shorter than SPAN_W tokens appear in stats with 0 fingerprints
+    and survive (nothing to judge them on); docs with fewer than K windows
+    still get their global-min fingerprint."""
+    sf = _write_docs(spark, tmp_path, [_tokens("s", spans.SPAN_W - 1)])
+    row = spans.documents_span_stats(spark, sf).collect()[0]
+    assert row["n_fps"] == 0 and row["dup_frac"] == 0.0
+    assert spans.documents_span_dedup_survivors(spark, sf).count() == 1
+
+    sf2 = _write_docs(spark, tmp_path / "k", [_tokens("t", spans.SPAN_W)])
+    row2 = spans.documents_span_stats(spark, sf2).collect()[0]
+    assert row2["n_fps"] == 1
+
+
+def test_fingerprint_density_sublinear(spark, tmp_path):
+    """Winnowing selects far fewer fingerprints than positions — the whole
+    point of the selection window (expected density 2/(K+1))."""
+    sf = _write_docs(spark, tmp_path, [_tokens("d", 200)])
+    n_windows = 200 - spans.SPAN_W + 1
+    n_fps = spans._fingerprints(spark, sf).count()
+    assert 0 < n_fps < n_windows / 2
+
+
+def test_span_plans_no_cartesian(spark):
+    """Span queries: hash-equi joins only; the dup-fingerprint side is
+    broadcast or shuffled-equi, never a nested loop."""
+    for fn in (spans.dedup_duplicate_spans, spans.documents_span_stats,
+               spans.documents_span_dedup_survivors):
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
