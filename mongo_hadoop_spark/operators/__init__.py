@@ -25,11 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from mongo_hadoop_spark.operators import (
     analytics, asof, dedup, mongoagg, multimodal, pipeline, relational,
     relational2, relational3, relational4, relational5, similarity, sketches,
-    skew, spans, textstats, windows,
+    skew, spans, textstats, windows, lm,
 )
 
 _MODULES = [relational, relational2, relational3, relational4, relational5,
-            windows, dedup, spans, similarity, textstats,
+            windows, dedup, spans, lm, similarity, textstats,
             multimodal, skew, pipeline, asof, mongoagg, analytics,
             sketches]
 
@@ -47,7 +47,8 @@ _HEAD_KEYS = [
     "pq_knn_adc_fixed", "pipeline_object_to_array", "ivf_pq_knn",
     "text_gopher_quality", "events_asof_next_order", "corpus_gopher_yield",
     "dedup_duplicate_spans", "documents_span_stats",
-    "documents_span_dedup_survivors",
+    "documents_span_dedup_survivors", "text_unigram_surprisal",
+    "corpus_perplexity_buckets",
     # r01-verified — oldest outstanding driver verdicts
     "a3_pair_counts", "a5_frequent_short_tokens", "s6_tokenize_stats",
     "s8_multi_union", "hive_pushdown_conjunction", "f3_sort_limit",

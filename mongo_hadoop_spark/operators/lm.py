@@ -1,0 +1,163 @@
+"""Unigram language-model scoring — the CCNet-style perplexity filter.
+
+CCNet (Wenzek et al. 2020) scores every crawled document with a language
+model and keeps the low-perplexity "head" of the distribution; this is
+the standard quality gate in front of LLM pretraining corpora.  The
+re-expression here trains the unigram model *on the corpus itself* (one
+vocabulary aggregation) and scores each document by its average token
+surprisal.
+
+Cross-engine exactness forces one deliberate quantization: IEEE ``ln()``
+is NOT bit-identical between the JVM and DuckDB (measured ~1% of inputs
+differ in the last ulp), so the surprisal of a token with count ``c``
+out of ``N`` total is taken in *whole bits* via integer bit-lengths:
+
+    surprisal_bits(token) = bitlen(N) - bitlen(c)
+    bitlen(x) = floor(log2(x)) + 1   — exact in both engines
+                (Spark ``length(bin(x))``, DuckDB ``length(format('{:b}',x))``)
+
+This is ``-log2 p(token)`` quantized to <1 bit per token, preserving the
+head/middle/tail ordering CCNet actually uses while keeping every
+compared value integer-derived (the only double is one integer/integer
+IEEE division, which is deterministic everywhere).
+
+Scale shape (100 TB): the vocabulary table is the only global state —
+token-count rows, broadcast to the scoring join.  Two shuffles total
+(vocab aggregation, per-doc aggregation); everything else is row-local.
+The bucket split adds one global sort of *doc-level* rows (ntile) — at
+extreme scale swap ntile for approx-quantile cutoffs; the exact tertile
+is kept here because it is the oracle-checkable formulation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mongo_hadoop_spark.functions import tokenize
+from mongo_hadoop_spark.session import table
+
+_WORDS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+
+def _doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, sum_bits, surprisal_bits) per document."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = d.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.length(F.bin("n_total")) - F.length(F.bin("c"))).alias("bits"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").alias("sum_bits"),
+        )
+        .select(
+            "doc_id", "n_tokens", "sum_bits",
+            (F.col("sum_bits").cast("double")
+             / F.col("n_tokens").cast("double")).alias("surprisal_bits"),
+        )
+    )
+
+
+_DOC_SCORES_SQL = f"""
+  toks AS (
+    SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents
+  ),
+  vocab AS (
+    SELECT term, count(*) AS c FROM toks GROUP BY term
+  ),
+  total AS (
+    SELECT sum(c)::bigint AS n_total FROM vocab
+  ),
+  scores AS (
+    SELECT doc_id, count(*) AS n_tokens,
+           sum(length(format('{{:b}}', n_total))
+               - length(format('{{:b}}', c)))::bigint AS sum_bits,
+           sum(length(format('{{:b}}', n_total))
+               - length(format('{{:b}}', c)))::bigint::double
+             / count(*)::double AS surprisal_bits
+    FROM toks JOIN vocab USING (term), total
+    GROUP BY doc_id
+  )"""
+
+
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram surprisal in whole bits."""
+    return _doc_scores(spark, sf_dir)
+
+
+UNIGRAM_SURPRISAL_SQL = f"""
+WITH {_DOC_SCORES_SQL.lstrip()}
+SELECT * FROM scores
+"""
+
+
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail tertiles of the surprisal distribution.
+
+    Bucket boundaries are exact tertile ranks (ntile over a total order
+    with doc_id tiebreak — deterministic in both engines).  Per-bucket
+    aggregates stay integer-exact: the average recomputes from the
+    summed integer numerators, never by averaging doubles.
+    """
+    scores = _doc_scores(spark, sf_dir)
+    w = Window.orderBy(F.col("surprisal_bits").asc(), F.col("doc_id").asc())
+    bucketed = scores.select(
+        "doc_id", "n_tokens", "sum_bits",
+        F.ntile(3).over(w).alias("tile"),
+    )
+    return (
+        bucketed.groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("sum_bits").alias("total_bits"),
+        )
+        .select(
+            F.when(F.col("tile") == 1, F.lit("head"))
+            .when(F.col("tile") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail")).alias("bucket"),
+            "n_docs", "total_tokens",
+            (F.col("total_bits").cast("double")
+             / F.col("total_tokens").cast("double")).alias("avg_surprisal_bits"),
+        )
+    )
+
+
+PERPLEXITY_BUCKETS_SQL = f"""
+WITH {_DOC_SCORES_SQL.lstrip()},
+  bucketed AS (
+    SELECT doc_id, n_tokens, sum_bits,
+           ntile(3) OVER (ORDER BY surprisal_bits ASC, doc_id ASC) AS tile
+    FROM scores
+  )
+SELECT CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket,
+       count(*) AS n_docs,
+       sum(n_tokens)::bigint AS total_tokens,
+       sum(sum_bits)::bigint::double / sum(n_tokens)::bigint::double
+         AS avg_surprisal_bits
+FROM bucketed GROUP BY tile
+"""
+
+
+QUERIES = {
+    "text_unigram_surprisal": text_unigram_surprisal,
+    "corpus_perplexity_buckets": corpus_perplexity_buckets,
+}
+
+ORACLES = {
+    "text_unigram_surprisal": UNIGRAM_SURPRISAL_SQL,
+    "corpus_perplexity_buckets": PERPLEXITY_BUCKETS_SQL,
+}

@@ -1,0 +1,68 @@
+"""Unigram surprisal scoring (CCNet-style perplexity filter) semantics."""
+
+import pyspark.sql.functions as F
+
+from conftest import SF_SMOKE
+
+from mongo_hadoop_spark.operators import lm
+
+
+def _write_docs(spark, tmp_path, texts):
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_rare_tokens_score_higher(spark, tmp_path):
+    """A doc of corpus-rare tokens must out-surprise a doc of the
+    corpus-dominant token: the ordering CCNet's filter relies on."""
+    texts = [
+        "the the the the the the the the the the",   # doc 0: dominant token
+        "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10",  # doc 1: ten singletons
+        "the the the the the zq11 zq12 zq13 zq14 zq15",  # doc 2: mixed
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    rows = {r["doc_id"]: r for r in
+            lm.text_unigram_surprisal(spark, sf).collect()}
+    assert rows[0]["surprisal_bits"] < rows[2]["surprisal_bits"] \
+        < rows[1]["surprisal_bits"]
+    # exactness: sum_bits/n_tokens reproduces the double
+    for r in rows.values():
+        assert r["surprisal_bits"] == r["sum_bits"] / r["n_tokens"]
+
+
+def test_surprisal_is_bitlen_exact(spark, tmp_path):
+    """Hand-check the whole-bits quantization: N=4 total tokens,
+    c('a')=3, c('b')=1 → bits are bitlen(4)-bitlen(3)=1 and
+    bitlen(4)-bitlen(1)=2."""
+    sf = _write_docs(spark, tmp_path, ["a a a b"])
+    r = lm.text_unigram_surprisal(spark, sf).collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["sum_bits"] == 3 * 1 + 1 * 2
+    assert r["surprisal_bits"] == 5 / 4
+
+
+def test_buckets_partition_corpus(spark):
+    """head/middle/tail cover every doc exactly once and head has the
+    lowest average surprisal."""
+    b = {r["bucket"]: r for r in
+         lm.corpus_perplexity_buckets(spark, SF_SMOKE).collect()}
+    assert set(b) == {"head", "middle", "tail"}
+    total = sum(r["n_docs"] for r in b.values())
+    n_docs = lm.text_unigram_surprisal(spark, SF_SMOKE).count()
+    assert total == n_docs
+    assert b["head"]["avg_surprisal_bits"] <= b["middle"]["avg_surprisal_bits"]
+    assert b["middle"]["avg_surprisal_bits"] <= b["tail"]["avg_surprisal_bits"]
+
+
+def test_lm_plan_vocab_broadcast(spark):
+    """The vocabulary and total-count sides arrive broadcast; no
+    cartesian beyond the broadcast 1-row scalar."""
+    plan = lm.text_unigram_surprisal(spark, SF_SMOKE)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
