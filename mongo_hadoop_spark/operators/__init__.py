@@ -48,7 +48,8 @@ _HEAD_KEYS = [
     "text_gopher_quality", "events_asof_next_order", "corpus_gopher_yield",
     "dedup_duplicate_spans", "documents_span_stats",
     "documents_span_dedup_survivors", "text_unigram_surprisal",
-    "corpus_perplexity_buckets",
+    "corpus_perplexity_buckets", "corpus_source_mixture",
+    "corpus_source_mixture_docs", "embeddings_cluster_sample",
     # r01-verified — oldest outstanding driver verdicts
     "a3_pair_counts", "a5_frequent_short_tokens", "s6_tokenize_stats",
     "s8_multi_union", "hive_pushdown_conjunction", "f3_sort_limit",

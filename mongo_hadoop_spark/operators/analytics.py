@@ -439,8 +439,104 @@ FROM cust CROSS JOIN cuts
 """
 
 
+# ---------------------------------------------------------------------------
+# Temperature-weighted source mixing (sqrt-temperature corpus sampling)
+# ---------------------------------------------------------------------------
+
+MIX_CAP = 10          # per-source target scale: keep ≈ sqrt(MIX_CAP · n_s) docs
+MIX_MOD = 1_000_000   # hash-threshold resolution
+MIX_SALT = "mix"
+
+
+def _mix_threshold_sql(n_col: str) -> str:
+    """Integer keep-threshold for a source with ``n_col`` documents.
+
+    rate_s = min(1, sqrt(MIX_CAP / n_s)) — α=1/2 temperature sampling.
+    α is fixed at 1/2 deliberately: IEEE ``sqrt`` is correctly rounded
+    (bit-identical everywhere), whereas ``pow(x, 0.7)`` is libm-dependent
+    like ``ln`` (see operators/lm.py).  The expression below is division
+    → sqrt → multiply → floor: four exact-or-correctly-rounded IEEE ops,
+    so the threshold is deterministic cross-engine.
+    """
+    return (f"least({MIX_MOD}, floor(sqrt({float(MIX_CAP)} / {n_col})"
+            f" * {MIX_MOD}))")
+
+
+def corpus_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture report under sqrt-temperature sampling.
+
+    Multilingual / multi-source LLM corpora are not sampled
+    proportionally — big sources are downweighted by n^α (α<1) so small
+    sources keep representation (the mBERT/XLM-R exponential-smoothing
+    recipe).  With α=1/2 each source keeps ≈ sqrt(MIX_CAP·n_s) documents:
+    a 100× larger source contributes only 10× more.
+
+    Scale shape: one tiny per-source count aggregate broadcast back to
+    the scan; the keep decision is a row-local md5-threshold test — no
+    sampling state, reproducible on any engine or partitioning.
+    """
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    thr = F.expr(_mix_threshold_sql("n_docs")).cast("long")
+    keep = (md5_long(F.col("doc_id").cast("string"), salt=MIX_SALT)
+            % MIX_MOD) < F.col("keep_threshold")
+    return (
+        d.join(F.broadcast(counts.select(
+            "source", F.col("n_docs").alias("n_docs"),
+            thr.alias("keep_threshold"))), "source")
+        .select("source", "n_docs", "keep_threshold", "doc_id",
+                keep.cast("int").alias("kept"))
+        .groupBy("source", "n_docs", "keep_threshold")
+        .agg(F.sum("kept").alias("n_kept"))
+    )
+
+
+SOURCE_MIXTURE_SQL = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs,
+         ({_mix_threshold_sql('count(*)')})::bigint AS keep_threshold
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, keep_threshold,
+       sum(CASE WHEN ({md5_long_sql('doc_id::varchar', salt=MIX_SALT)})
+                     % {MIX_MOD} < keep_threshold
+                THEN 1 ELSE 0 END)::bigint AS n_kept
+FROM documents JOIN counts USING (source)
+GROUP BY source, n_docs, keep_threshold
+"""
+
+
+def corpus_source_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampled document set itself: (doc_id, source) surviving the
+    sqrt-temperature mixture — the input manifest for a training run."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    thr = F.expr(_mix_threshold_sql("n_docs")).cast("long")
+    return (
+        d.join(F.broadcast(counts.select(
+            "source", thr.alias("keep_threshold"))), "source")
+        .where((md5_long(F.col("doc_id").cast("string"), salt=MIX_SALT)
+                % MIX_MOD) < F.col("keep_threshold"))
+        .select("doc_id", "source")
+    )
+
+
+SOURCE_MIXTURE_DOCS_SQL = f"""
+WITH counts AS (
+  SELECT source, ({_mix_threshold_sql('count(*)')})::bigint AS keep_threshold
+  FROM documents GROUP BY source
+)
+SELECT doc_id, source
+FROM documents JOIN counts USING (source)
+WHERE ({md5_long_sql('doc_id::varchar', salt=MIX_SALT)}) % {MIX_MOD}
+      < keep_threshold
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
+    "corpus_source_mixture": corpus_source_mixture,
+    "corpus_source_mixture_docs": corpus_source_mixture_docs,
     "events_cohort_retention": events_cohort_retention,
     "orders_quantile_rollup": orders_quantile_rollup,
     "documents_stratified_sample": documents_stratified_sample,
@@ -452,6 +548,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_source_mixture": SOURCE_MIXTURE_SQL,
+    "corpus_source_mixture_docs": SOURCE_MIXTURE_DOCS_SQL,
     "documents_train_split": TRAIN_SPLIT_SQL,
     "events_per_user_sample": PER_USER_SAMPLE_SQL,
     "orders_rfm_segments": RFM_SQL,

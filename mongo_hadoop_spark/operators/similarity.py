@@ -1539,7 +1539,62 @@ FROM (SELECT query_id, count(*) AS k FROM exact GROUP BY 1) k
 LEFT JOIN hits h USING (query_id)
 """
 
+# ---------------------------------------------------------------------------
+# Cluster-stratified diversity sample
+# ---------------------------------------------------------------------------
+
+CLUSTER_SAMPLE_K = 5
+CSAMPLE_SALT = "csample"
+
+
+def embeddings_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K vectors per IVF cell, chosen by hash rank — a diversity-
+    stratified subset of the embedding space.
+
+    Uniform corpus sampling over-represents dense regions; sampling a
+    fixed K per quantizer cell instead covers every region of the
+    embedding space (the cluster-balanced selection step used by
+    prototypicality/SemDeDup-style data-pruning pipelines).  Ranking by
+    ``md5(vec_id)`` rather than random() keeps the subset a pure function
+    of the data (reproducible across engines, retries, partitionings).
+
+    Scale shape: IVF assignment is a broadcast-centroid argmin; the
+    per-cell pick is one keyed window (hash shuffle on the cell id,
+    bounded per-group sort).  No global sort, no driver state.
+    """
+    from mongo_hadoop_spark.functions import md5_long
+
+    assign = ivf_assign(spark, sf_dir)
+    rk = md5_long(F.col("vec_id").cast("string"), salt=CSAMPLE_SALT)
+    w = Window.partitionBy("centroid_id").orderBy(rk.asc(), F.col("vec_id").asc())
+    return (
+        assign.select("vec_id", "centroid_id",
+                      F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= CLUSTER_SAMPLE_K)
+    )
+
+
+def _cluster_sample_sql() -> str:
+    from mongo_hadoop_spark.functions import md5_long_sql
+
+    return f"""
+WITH assigned AS ({IVF_ASSIGN_SQL})
+SELECT vec_id, centroid_id, rk FROM (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (
+           PARTITION BY centroid_id
+           ORDER BY ({md5_long_sql('vec_id::varchar', salt=CSAMPLE_SALT)}),
+                    vec_id) AS rk
+  FROM assigned
+) WHERE rk <= {CLUSTER_SAMPLE_K}
+"""
+
+
+CLUSTER_SAMPLE_SQL = _cluster_sample_sql()
+
+
 QUERIES = {
+    "embeddings_cluster_sample": embeddings_cluster_sample,
     "ivf_assign": ivf_assign,
     "ivf_cell_histogram": ivf_cell_histogram,
     "ivf_knn": ivf_knn,
@@ -1565,6 +1620,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embeddings_cluster_sample": CLUSTER_SAMPLE_SQL,
     "ivf_assign": IVF_ASSIGN_SQL,
     "ivf_cell_histogram": IVF_HIST_SQL,
     "ivf_knn": IVF_KNN_SQL,
