@@ -24,12 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mongo_hadoop_spark.operators import (
     analytics, asof, dedup, mongoagg, multimodal, pipeline, relational,
-    relational2, relational3, relational4, relational5, similarity, sketches,
-    skew, spans, textstats, windows, lm,
+    relational2, relational3, relational4, relational5, selection,
+    similarity, sketches, skew, spans, textstats, windows, lm,
 )
 
 _MODULES = [relational, relational2, relational3, relational4, relational5,
-            windows, dedup, spans, lm, similarity, textstats,
+            windows, dedup, spans, lm, selection, similarity, textstats,
             multimodal, skew, pipeline, asof, mongoagg, analytics,
             sketches]
 
@@ -43,6 +43,8 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 # CORRECTNESS_r04) rotates to the tail.
 _HEAD_KEYS = [
     # new this round — first driver check
+    "corpus_dsir_weights", "corpus_dsir_selected",
+    "documents_priority_sample",
     "dedup_semantic_survivors_lsh", "embedding_pq_codes_fixed",
     "pq_knn_adc_fixed", "pipeline_object_to_array", "ivf_pq_knn",
     "text_gopher_quality", "events_asof_next_order", "corpus_gopher_yield",

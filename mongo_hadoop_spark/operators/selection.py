@@ -1,0 +1,319 @@
+"""Data-selection operators for pretraining corpora: DSIR importance
+weights and Duffield–Lund–Thorup priority sampling.
+
+Two published selection primitives a 100 TB corpus pipeline needs between
+"dedup" and "train":
+
+**DSIR** (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling"): score every raw document by the log-likelihood
+ratio of a *target*-domain bag-of-hashed-ngrams model vs the *raw*-corpus
+model, then resample proportionally.  Here the target slice is the
+English (``lang = 'en'``) partition of the corpus itself and features are
+unigrams hashed into ``DSIR_BUCKETS`` buckets — exactly the paper's
+hashed-ngram generative model.
+
+Cross-engine exactness: transcendental ``ln``/``log2`` drift a ulp
+between engines, and the whole-bit quantization of
+:mod:`mongo_hadoop_spark.operators.lm` is too coarse here (per-bucket
+log-ratios are ≪ 1 bit when target and raw share a vocabulary).  The
+per-token score is therefore the **first-order expansion of the
+log-ratio in Q20 fixed point**:
+
+    r(b)        = p̂_t(b) / p̂_r(b)
+                = (c_t(b)+1)(N_r+B) / ((c_r(b)+1)(N_t+B))   (add-one)
+    score_q20(b) = floor(2^20 · r(b)) - 2^20    ≈ 2^20 · ln r(b)  for r≈1
+
+``ln r = (r-1) + O((r-1)²)``, and DSIR only needs a monotone per-token
+score, so the deviation ``r-1`` preserves the selection while keeping
+every compared value integer: the two products are exact in binary64
+(< 2^53 at test scale; correctly rounded, hence bit-identical, beyond),
+the single division and power-of-two scale are correctly rounded IEEE
+ops evaluated in the *same expression shape* in both engines, and the
+floor lands on the identical integer.  Document weights are then exact
+integer sums of Q20 scores — no float aggregation order anywhere.
+
+**Priority sampling** (Duffield, Lund & Thorup, JACM 2007): a fixed-size
+weighted sample with *unbiased subset-sum estimates*.  Each item gets
+priority ``q_i = w_i / u_i`` (``u_i`` uniform); keep the ``k`` largest
+priorities; with τ = the (k+1)-th priority, the estimator
+``ŵ_i = max(w_i, τ)`` satisfies ``E[Σ ŵ] = Σ w`` — near-optimal variance
+for a fixed sample size (the paper's main theorem).  Token-weighted
+document sampling with this estimator lets a 1000-executor job keep a
+100-document audit sample whose token mass provably estimates the corpus
+total.  ``u_i`` is the repo's 60-bit md5 hash (+1, never zero) so the
+sample is deterministic and cross-engine; ``w/u`` is one IEEE division.
+
+Scale shape (100 TB): DSIR's model state is two ``DSIR_BUCKETS``-row
+tables (broadcast); two shuffles (bucket counts, per-doc sum) — identical
+to the unigram-LM plan.  Priority sampling is one linear scan plus a
+global top-(k+1) (TakeOrderedAndProject — no full sort); the threshold τ
+is a 1-row broadcast join.
+
+Reference context: the connector has no selection surface; these are
+driver-mandated training-data-pipeline extensions (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mongo_hadoop_spark.functions import tokenize
+from mongo_hadoop_spark.session import table
+
+DSIR_BUCKETS = 1024       # hashed-ngram feature space (B)
+DSIR_SALT = "dsir"        # feature-hash salt (decorrelates from dedup hashes)
+PRIORITY_K = 100          # priority-sample size
+PRIORITY_SALT = "psamp"   # u_i hash salt
+
+_WORDS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+# md5_long with salt, as SQL text (both engines) — see functions.md5_long.
+_BUCKET_DUCK = (
+    f"(('0x' || substr(md5('{DSIR_SALT}' || term), 1, 15))::bigint"
+    f" % {DSIR_BUCKETS})"
+)
+_BUCKET_SPARK = (
+    f"CAST(conv(substr(md5(concat('{DSIR_SALT}', term)), 1, 15), 16, 10)"
+    f" AS BIGINT) % {DSIR_BUCKETS}"
+)
+# Q20 likelihood-ratio deviation — IDENTICAL expression shape in both
+# engines (every op is an exact int product < 2^53 or a correctly-rounded
+# IEEE binary64 op, so the floored integer matches bit-for-bit).
+_SCORE_EXPR = (
+    "CAST(floor((CAST(c_t + 1 AS DOUBLE) * CAST(n_r + {B} AS DOUBLE))"
+    " / (CAST(c_r + 1 AS DOUBLE) * CAST(n_t + {B} AS DOUBLE))"
+    " * 1048576.0) AS BIGINT) - 1048576"
+)
+_SCORE_SPARK = _SCORE_EXPR.format(B=DSIR_BUCKETS)
+_SCORE_DUCK = (
+    f"(floor((c_t + 1)::double * (n_r + {DSIR_BUCKETS})::double"
+    f" / ((c_r + 1)::double * (n_t + {DSIR_BUCKETS})::double)"
+    f" * 1048576.0)::bigint - 1048576)"
+)
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight in Q20 fixed point.
+
+    Columns: doc_id, lang, n_tokens, weight_q20 (integer Σ of per-token
+    target-vs-raw likelihood-ratio deviations, ≈ 2^20·log-weight for
+    near-1 ratios), avg_q20_per_token.
+    """
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = d.select(
+        "doc_id", "lang", F.explode(tokenize("text")).alias("term")
+    ).select(
+        "doc_id", "lang", F.expr(_BUCKET_SPARK).alias("bucket")
+    )
+    raw = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    tgt = (
+        toks.where(F.col("lang") == "en")
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    # Dense B-row model: raw covers every observed bucket; target may not.
+    model = raw.join(tgt, "bucket", "left").select(
+        "bucket", "c_r", F.coalesce("c_t", F.lit(0)).alias("c_t")
+    )
+    totals = model.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
+    )
+    scored_model = model.crossJoin(F.broadcast(totals)).select(
+        "bucket", F.expr(_SCORE_SPARK).alias("score_q20")
+    )
+    return (
+        toks.join(F.broadcast(scored_model), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("score_q20").alias("weight_q20"),
+        )
+        .select(
+            "doc_id", "lang", "n_tokens", "weight_q20",
+            (F.col("weight_q20").cast("double")
+             / F.col("n_tokens").cast("double")).alias("avg_q20_per_token"),
+        )
+    )
+
+
+_DSIR_CORE_SQL = f"""
+  toks AS (
+    SELECT doc_id, lang, {_BUCKET_DUCK} AS bucket
+    FROM (SELECT doc_id, lang, unnest({_WORDS_SQL}) AS term FROM documents)
+  ),
+  raw AS (SELECT bucket, count(*) AS c_r FROM toks GROUP BY bucket),
+  tgt AS (SELECT bucket, count(*) AS c_t FROM toks WHERE lang = 'en'
+          GROUP BY bucket),
+  model AS (
+    SELECT raw.bucket, c_r, coalesce(c_t, 0) AS c_t
+    FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket
+  ),
+  totals AS (
+    SELECT sum(c_r)::bigint AS n_r, sum(c_t)::bigint AS n_t FROM model
+  ),
+  scored_model AS (
+    SELECT bucket, {_SCORE_DUCK} AS score_q20
+    FROM model, totals
+  ),
+  weights AS (
+    SELECT doc_id, lang, count(*) AS n_tokens,
+           sum(score_q20)::bigint AS weight_q20,
+           sum(score_q20)::bigint::double / count(*)::double
+             AS avg_q20_per_token
+    FROM toks JOIN scored_model USING (bucket)
+    GROUP BY doc_id, lang
+  )"""
+
+DSIR_WEIGHTS_SQL = f"""
+WITH {_DSIR_CORE_SQL.lstrip()}
+SELECT * FROM weights
+"""
+
+
+def corpus_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR selection step: per-language yield of the top-quartile
+    documents by importance weight.
+
+    DSIR resamples ∝ weight; the deterministic, oracle-checkable
+    formulation here keeps the top 25% by ``avg_q20_per_token`` (ntile
+    with doc_id tiebreak, like corpus_perplexity_buckets) and reports how
+    the selected set tilts toward the target domain vs the raw corpus —
+    columns: lang, n_docs_raw, n_docs_selected, selected_tokens.
+    """
+    from pyspark.sql import Window
+
+    w = corpus_dsir_weights(spark, sf_dir)
+    order = Window.orderBy(
+        F.col("avg_q20_per_token").desc(), F.col("doc_id").asc()
+    )
+    tiled = w.select(
+        "doc_id", "lang", "n_tokens", F.ntile(4).over(order).alias("tile")
+    )
+    return (
+        tiled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_raw"),
+            F.sum(F.when(F.col("tile") == 1, 1).otherwise(0)).alias(
+                "n_docs_selected"
+            ),
+            F.sum(
+                F.when(F.col("tile") == 1, F.col("n_tokens")).otherwise(0)
+            ).alias("selected_tokens"),
+        )
+    )
+
+
+DSIR_SELECTED_SQL = f"""
+WITH {_DSIR_CORE_SQL.lstrip()},
+  tiled AS (
+    SELECT doc_id, lang, n_tokens,
+           ntile(4) OVER (ORDER BY avg_q20_per_token DESC, doc_id ASC)
+             AS tile
+    FROM weights
+  )
+SELECT lang, count(*) AS n_docs_raw,
+       sum(CASE WHEN tile = 1 THEN 1 ELSE 0 END)::bigint AS n_docs_selected,
+       sum(CASE WHEN tile = 1 THEN n_tokens ELSE 0 END)::bigint
+         AS selected_tokens
+FROM tiled GROUP BY lang
+"""
+
+
+def _doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, w, u, priority) — token-count weight, 60-bit
+    uniform, and DLT priority w/u (one IEEE division)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "source",
+        F.size(tokenize("text")).cast("long").alias("w"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('"
+            + PRIORITY_SALT
+            + "', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) + 1"
+        ).alias("u"),
+    ).select(
+        "doc_id", "source", "w", "u",
+        (F.col("w").cast("double") / F.col("u").cast("double")).alias(
+            "priority"
+        ),
+    )
+
+
+def documents_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duffield–Lund–Thorup priority sample of PRIORITY_K documents,
+    weighted by token count, with the unbiased DLT weight estimator.
+
+    Columns: doc_id, source, n_tokens (= w_i), est_tokens
+    (= max(w_i, τ), τ the (k+1)-th priority in weight units) —
+    Σ est_tokens over the sample is an unbiased estimate of corpus token
+    mass (DLT 2007, Theorem 1).
+
+    Plan: linear scan → global top-(k+1) (TakeOrderedAndProject) → 1-row
+    broadcast of τ.  No full sort, no all-pairs anything.
+    """
+    from pyspark.sql import Window
+
+    ranked = _doc_weights(spark, sf_dir).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+        ),
+    )
+    topk1 = ranked.where(F.col("rn") <= PRIORITY_K + 1)
+    tau = topk1.where(F.col("rn") == PRIORITY_K + 1).select(
+        F.col("priority").alias("tau")
+    )
+    return (
+        topk1.where(F.col("rn") <= PRIORITY_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id", "source",
+            F.col("w").alias("n_tokens"),
+            F.greatest(
+                F.col("w").cast("double"),
+                F.col("tau") * F.lit(float(2**60)),
+            ).alias("est_tokens"),
+        )
+    )
+
+
+# est_tokens: the stored priority is w/u with u the *integer* 60-bit hash,
+# i.e. 2^-60 × the true priority w/(u/2^60); multiplying τ back by 2^60 is
+# an exact power-of-two float op, so both engines land on the identical
+# double before greatest().
+PRIORITY_SAMPLE_SQL = f"""
+WITH weights AS (
+  SELECT doc_id, source,
+         len({_WORDS_SQL})::bigint AS w,
+         (('0x' || substr(md5('{PRIORITY_SALT}' || doc_id::varchar), 1, 15))
+            ::bigint + 1) AS u
+  FROM documents
+),
+ranked AS (
+  SELECT *, w::double / u::double AS priority,
+         row_number() OVER (ORDER BY w::double / u::double DESC, doc_id ASC)
+           AS rn
+  FROM weights
+),
+tau AS (
+  SELECT priority AS tau FROM ranked WHERE rn = {PRIORITY_K + 1}
+)
+SELECT doc_id, source, w AS n_tokens,
+       greatest(w::double, tau * 1152921504606846976.0) AS est_tokens
+FROM ranked, tau
+WHERE rn <= {PRIORITY_K}
+"""
+
+
+QUERIES = {
+    "corpus_dsir_weights": corpus_dsir_weights,
+    "corpus_dsir_selected": corpus_dsir_selected,
+    "documents_priority_sample": documents_priority_sample,
+}
+
+ORACLES = {
+    "corpus_dsir_weights": DSIR_WEIGHTS_SQL,
+    "corpus_dsir_selected": DSIR_SELECTED_SQL,
+    "documents_priority_sample": PRIORITY_SAMPLE_SQL,
+}

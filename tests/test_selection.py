@@ -1,0 +1,84 @@
+"""Semantic properties of the data-selection operators (oracle parity is
+covered for every query by test_oracle_parity.py; these tests pin the
+*statistical* contracts the oracle can't express)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from conftest import SF_SMOKE
+from mongo_hadoop_spark.operators import selection
+
+
+def test_dsir_weights_tilt_toward_target_language(spark):
+    """The importance model is trained on the 'en' slice, so the mean
+    per-token log-weight of 'en' documents must exceed the mean of every
+    other language (that is the whole point of DSIR)."""
+    w = selection.corpus_dsir_weights(spark, SF_SMOKE)
+    rows = (
+        w.groupBy("lang")
+        .agg(
+            (
+                F.sum("weight_q20") / F.sum("n_tokens")
+            ).alias("mean_bits")
+        )
+        .collect()
+    )
+    means = {r["lang"]: r["mean_bits"] for r in rows}
+    assert "en" in means and len(means) > 1
+    for lang, m in means.items():
+        if lang != "en":
+            assert means["en"] > m, (lang, means)
+
+
+def test_dsir_selected_partitions_raw_counts(spark):
+    sel = selection.corpus_dsir_selected(spark, SF_SMOKE).collect()
+    total_raw = sum(r["n_docs_raw"] for r in sel)
+    total_sel = sum(r["n_docs_selected"] for r in sel)
+    assert total_raw == 500
+    # ntile(4) tile 1 holds ceil(n/4) rows
+    assert total_sel == 125
+    for r in sel:
+        assert 0 <= r["n_docs_selected"] <= r["n_docs_raw"]
+
+
+def test_priority_sample_size_and_estimator_bounds(spark):
+    samp = selection.documents_priority_sample(spark, SF_SMOKE)
+    rows = samp.collect()
+    assert len(rows) == selection.PRIORITY_K
+    # DLT: ŵ_i = max(w_i, τ) ≥ w_i, and the subset-sum estimate must be
+    # in the right ballpark of the true corpus token mass (unbiased over
+    # the hash draw; for this fixed hash assert within 3x both ways).
+    for r in rows:
+        assert r["est_tokens"] >= r["n_tokens"]
+    est_total = sum(r["est_tokens"] for r in rows)
+    from mongo_hadoop_spark.functions import tokenize
+    from mongo_hadoop_spark.session import table
+
+    true_total = (
+        table(spark, SF_SMOKE, "documents")
+        .select(F.size(tokenize("text")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert true_total / 3 <= est_total <= true_total * 3, (
+        est_total,
+        true_total,
+    )
+
+
+def test_priority_sample_is_weight_biased(spark):
+    """Token-weighted sampling must over-represent long documents: the
+    sample's mean token count should exceed the corpus mean."""
+    samp = selection.documents_priority_sample(spark, SF_SMOKE)
+    sample_mean = samp.agg(F.avg("n_tokens")).collect()[0][0]
+    from mongo_hadoop_spark.functions import tokenize
+    from mongo_hadoop_spark.session import table
+
+    corpus_mean = (
+        table(spark, SF_SMOKE, "documents")
+        .select(F.size(tokenize("text")).alias("n"))
+        .agg(F.avg("n"))
+        .collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
