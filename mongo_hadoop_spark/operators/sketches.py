@@ -120,12 +120,143 @@ def merge_registers(*register_dfs: DataFrame) -> DataFrame:
     return out.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
 
 
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — the frequency analog
+# of the HLL register table above.  d=CMS_D salted md5 hash rows × w=CMS_W
+# columns; cell(r, c) = Σ counts of tokens hashing to column c under salt
+# r.  The sketch is a *linear* projection of the count vector, so it is
+# mergeable by cell-wise addition (1000 executors each sketch their
+# partition, one (d·w)-row shuffle merges the corpus sketch), and the
+# point estimate min_r cell(r, h_r(x)) always over-counts — never under —
+# which is the guarantee tests pin.  Like the HLL, the register table IS
+# the query result: deterministic integers, hashed by the driver gate.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4    # hash rows
+CMS_W = 64   # columns per row
+
+_CMS_COL_SPARK = (
+    "CAST(conv(substr(md5(concat('cms{r}', term)), 1, 15), 16, 10) AS BIGINT)"
+    f" % {CMS_W}"
+)
+_CMS_COL_DUCK = (
+    "(('0x' || substr(md5('cms{r}' || term), 1, 15))::bigint % " f"{CMS_W})"
+)
+_WORDS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+
+def _cms_cells(toks: DataFrame) -> DataFrame:
+    """(row, col, cnt) Count-Min cells for a ``term`` string column."""
+    pairs = ", ".join(
+        f"{r}L, {_CMS_COL_SPARK.format(r=r)}" for r in range(CMS_D)
+    )
+    return (
+        toks.select(
+            F.expr(f"stack({CMS_D}, {pairs}) AS (row, col)")
+        )
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min cell table over all document tokens (d·w rows of state
+    for a 100 TB token stream; map-side partial aggregation makes the
+    shuffle d·w rows per executor)."""
+    from mongo_hadoop_spark.functions import tokenize
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokenize("text")).alias("term"))
+    return _cms_cells(toks)
+
+
+SKETCH_CMS_TOKENS_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_WORDS_SQL}) AS term FROM documents
+),
+cells AS (
+  {" UNION ALL ".join(
+      f"SELECT {r} AS row, {_CMS_COL_DUCK.format(r=r)} AS col FROM toks"
+      for r in range(CMS_D)
+  )}
+)
+SELECT row::bigint AS row, col, count(*) AS cnt
+FROM cells GROUP BY 1, 2
+"""
+
+
+def sketch_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-estimate audit: the 20 most frequent tokens (term tiebreak)
+    with their true counts and CMS estimates min_r cell(r, h_r(term)).
+
+    The estimate join touches d rows per probe term against the d·w-cell
+    table (broadcast) — probing is O(1) per term regardless of corpus
+    size, which is why CMS is the 100 TB heavy-hitter pre-filter.
+    """
+    from mongo_hadoop_spark.functions import tokenize
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokenize("text")).alias("term"))
+    cells = _cms_cells(toks)
+    truth = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("term").asc())
+        .limit(20)
+    )
+    pairs = ", ".join(
+        f"{r}L, {_CMS_COL_SPARK.format(r=r)}" for r in range(CMS_D)
+    )
+    probes = truth.select(
+        "term", "true_cnt",
+        F.expr(f"stack({CMS_D}, {pairs}) AS (row, col)"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["row", "col"])
+        .groupBy("term", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+
+
+SKETCH_CMS_ESTIMATES_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_WORDS_SQL}) AS term FROM documents
+),
+cells AS (
+  SELECT row::bigint AS row, col, count(*) AS cnt FROM (
+    {" UNION ALL ".join(
+        f"SELECT {r} AS row, {_CMS_COL_DUCK.format(r=r)} AS col FROM toks"
+        for r in range(CMS_D)
+    )}
+  ) GROUP BY 1, 2
+),
+truth AS (
+  SELECT term, count(*) AS true_cnt FROM toks GROUP BY term
+  ORDER BY true_cnt DESC, term ASC LIMIT 20
+),
+probes AS (
+  {" UNION ALL ".join(
+      f"SELECT term, true_cnt, {r}::bigint AS row,"
+      f" {_CMS_COL_DUCK.format(r=r)} AS col FROM truth"
+      for r in range(CMS_D)
+  )}
+)
+SELECT term, true_cnt, min(cnt) AS est_cnt
+FROM probes JOIN cells USING (row, col)
+GROUP BY term, true_cnt
+"""
+
+
 QUERIES = {
     "sketch_hll_users": sketch_hll_users,
     "sketch_hll_documents": sketch_hll_documents,
+    "sketch_cms_tokens": sketch_cms_tokens,
+    "sketch_cms_estimates": sketch_cms_estimates,
 }
 
 ORACLES = {
     "sketch_hll_users": SKETCH_HLL_USERS_SQL,
     "sketch_hll_documents": SKETCH_HLL_DOCS_SQL,
+    "sketch_cms_tokens": SKETCH_CMS_TOKENS_SQL,
+    "sketch_cms_estimates": SKETCH_CMS_ESTIMATES_SQL,
 }

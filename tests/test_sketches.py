@@ -46,3 +46,51 @@ def test_registers_deterministic_across_partitionings(spark):
     r1 = sorted(_regs(_hll_registers(d.repartition(1))))
     r32 = sorted(_regs(_hll_registers(d.repartition(32))))
     assert r1 == r32
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+from mongo_hadoop_spark.operators.sketches import (  # noqa: E402
+    CMS_D, CMS_W, _cms_cells, sketch_cms_estimates, sketch_cms_tokens,
+)
+
+
+def _cells(df):
+    return {(r.row, r.col): r.cnt for r in df.collect()}
+
+
+def test_cms_never_underestimates(spark):
+    est = sketch_cms_estimates(spark, SF_SMOKE).collect()
+    assert len(est) == 20
+    for r in est:
+        assert r.est_cnt >= r.true_cnt, (r.term, r.true_cnt, r.est_cnt)
+
+
+def test_cms_cells_conserve_total_count(spark):
+    """Each hash row partitions the token stream, so every row's cells
+    sum to the total token count (linearity of the sketch)."""
+    from mongo_hadoop_spark.functions import tokenize
+
+    d = table(spark, SF_SMOKE, "documents")
+    n_tokens = (
+        d.select(F.size(tokenize("text")).alias("n")).agg(F.sum("n")).collect()[0][0]
+    )
+    cells = _cells(sketch_cms_tokens(spark, SF_SMOKE))
+    for row in range(CMS_D):
+        assert sum(v for (r, _), v in cells.items() if r == row) == n_tokens
+    assert all(c < CMS_W for (_, c) in cells)
+
+
+def test_cms_merge_is_cellwise_sum(spark):
+    """sketch(A ∪ B) == cell-wise sum of sketch(A) and sketch(B) — the
+    property that lets every executor sketch its partition independently."""
+    a = spark.range(0, 3000).select(
+        F.concat(F.lit("t"), (F.col("id") % 100)).alias("term"))
+    b = spark.range(0, 5000).select(
+        F.concat(F.lit("t"), (F.col("id") % 37)).alias("term"))
+    ca, cb = _cells(_cms_cells(a)), _cells(_cms_cells(b))
+    summed = {k: ca.get(k, 0) + cb.get(k, 0) for k in set(ca) | set(cb)}
+    whole = _cells(_cms_cells(a.unionAll(b)))
+    assert summed == whole
