@@ -45,7 +45,7 @@ _HEAD_KEYS = [
     # new this round — first driver check
     "corpus_dsir_weights", "corpus_dsir_selected",
     "documents_priority_sample", "sketch_cms_tokens",
-    "sketch_cms_estimates",
+    "sketch_cms_estimates", "text_bigram_surprisal",
     "dedup_semantic_survivors_lsh", "embedding_pq_codes_fixed",
     "pq_knn_adc_fixed", "pipeline_object_to_array", "ivf_pq_knn",
     "text_gopher_quality", "events_asof_next_order", "corpus_gopher_yield",

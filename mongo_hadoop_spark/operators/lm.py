@@ -152,12 +152,95 @@ FROM bucketed GROUP BY tile
 """
 
 
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average *bigram* surprisal in whole bits — the
+    second-order CCNet filter (context-conditioned perplexity separates
+    shuffled-word salad from fluent text where unigrams cannot).
+
+    Model: P(w₂|w₁) = c(w₁w₂)/c(w₁·), both counts from the corpus itself
+    (c(w₁·) counts w₁ as a bigram prefix, so probabilities normalize).
+    Surprisal in whole bits via the same integer bit-length quantization
+    as the unigram model: bits = bitlen(c(w₁·)) - bitlen(c(w₁w₂)) ≥ 0.
+
+    Documents with fewer than two tokens have no bigrams and drop out
+    (explode of an empty pair list), matching the oracle's unnest.
+
+    Scale shape: bigram extraction is row-local (zip_with over the token
+    array, no positional self-join); the bigram and prefix vocabularies
+    are two shuffles with map-side combine; scoring joins are broadcast.
+    Bigram vocabulary grows sub-quadratically in practice, but if it
+    outgrows broadcast at extreme scale both joins degrade gracefully to
+    shuffled hash joins on (w1, w2) — no plan rewrite needed.
+    """
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    bi = (
+        d.select("doc_id", tokenize("text").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", "z.w1", "z.w2")
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        bi.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .select(
+            "doc_id",
+            (F.length(F.bin("c1")) - F.length(F.bin("c12"))).alias("bits"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bits").alias("sum_bits"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "sum_bits",
+            (F.col("sum_bits").cast("double")
+             / F.col("n_bigrams").cast("double")).alias("surprisal_bits"),
+        )
+    )
+
+
+BIGRAM_SURPRISAL_SQL = f"""
+WITH toklists AS (
+  SELECT doc_id, {_WORDS_SQL} AS l FROM documents
+),
+bi AS (
+  SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM (
+    SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+    FROM toklists
+  )
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1)
+SELECT doc_id, count(*) AS n_bigrams,
+       sum(length(format('{{:b}}', c1))
+           - length(format('{{:b}}', c12)))::bigint AS sum_bits,
+       sum(length(format('{{:b}}', c1))
+           - length(format('{{:b}}', c12)))::bigint::double
+         / count(*)::double AS surprisal_bits
+FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_unigram_surprisal": text_unigram_surprisal,
     "corpus_perplexity_buckets": corpus_perplexity_buckets,
+    "text_bigram_surprisal": text_bigram_surprisal,
 }
 
 ORACLES = {
     "text_unigram_surprisal": UNIGRAM_SURPRISAL_SQL,
     "corpus_perplexity_buckets": PERPLEXITY_BUCKETS_SQL,
+    "text_bigram_surprisal": BIGRAM_SURPRISAL_SQL,
 }

@@ -66,3 +66,39 @@ def test_lm_plan_vocab_broadcast(spark):
         .queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_bigram_surprisal_bits_nonnegative_and_bounded(spark):
+    """bits = bitlen(c1) - bitlen(c12) with c12 <= c1, so 0 <= bits and
+    per-doc average is bounded by bitlen(total bigrams)."""
+    from mongo_hadoop_spark.operators.lm import text_bigram_surprisal
+
+    rows = text_bigram_surprisal(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bigrams >= 1
+        assert 0 <= r.sum_bits
+        assert 0 <= r.surprisal_bits < 64
+
+
+def test_bigram_mean_surprisal_in_information_range(spark):
+    """Corpus-level sanity: mean bigram surprisal is strictly positive
+    (bigrams are not all unique-prefix) and below log2 of the bigram
+    vocabulary size — the information-theoretic ceiling."""
+    import pyspark.sql.functions as F
+    from mongo_hadoop_spark.operators.lm import text_bigram_surprisal
+    from mongo_hadoop_spark.functions import tokenize
+    from mongo_hadoop_spark.session import table
+
+    d = table(spark, SF_SMOKE, "documents")
+    scores = {r.doc_id: r.surprisal_bits
+              for r in text_bigram_surprisal(spark, SF_SMOKE).collect()}
+    n_bi = (
+        d.select("doc_id", tokenize("text").alias("t"))
+        .select(F.explode(F.expr(
+            "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),"
+            " (a, b) -> struct(a, b))")).alias("z"))
+        .distinct().count()
+    )
+    mean = sum(scores.values()) / len(scores)
+    assert 0 < mean < n_bi.bit_length() + 1
