@@ -349,8 +349,136 @@ FROM kv GROUP BY 1 ORDER BY 1
 """
 
 
+def pipeline_top_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo 5.2/7.0 ranked-accumulator family in one $group: $topN
+    (3 priciest order keys), $bottom (cheapest), $median (discrete).
+
+    Tie semantics are pinned: the collected struct sorts by (negated
+    sort key, output), so price ties break by output ascending for the
+    front of the array and descending at the back — replicated exactly
+    in the oracle's window ranks.
+    """
+    import pyspark.sql.functions as F
+
+    orders = table(spark, sf_dir, "orders")
+    out = aggregate(orders, [
+        {"$group": {
+            "_id": "$o_orderstatus",
+            "top3": {"$topN": {"output": "$o_orderkey",
+                               "sortBy": {"o_totalprice": -1}, "n": 3}},
+            "cheapest": {"$bottom": {"output": "$o_orderkey",
+                                     "sortBy": {"o_totalprice": -1}}},
+            "median_price": {"$median": {"input": "$o_totalprice",
+                                         "method": "approximate"}},
+        }},
+        {"$sort": {"_id": 1}},
+    ])
+    # gate outputs are scalar-only (driver value-hash): join the id array
+    return out.select(
+        "_id",
+        F.array_join(
+            F.transform("top3", lambda x: x.cast("string")), ","
+        ).alias("top3"),
+        "cheapest", "median_price",
+    )
+
+
+PIPELINE_TOP_ORDERS_SQL = """
+WITH ranked AS (
+  SELECT o_orderstatus AS _id, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rn_top,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice ASC, o_orderkey DESC)
+           AS rn_bot
+  FROM orders
+),
+top3 AS (
+  SELECT _id, string_agg(o_orderkey::varchar, ',' ORDER BY rn_top) AS top3
+  FROM ranked WHERE rn_top <= 3 GROUP BY _id
+),
+bott AS (
+  SELECT _id, o_orderkey AS cheapest FROM ranked WHERE rn_bot = 1
+),
+medi AS (
+  SELECT _id, o_totalprice AS median_price FROM (
+    SELECT _id, o_totalprice,
+           row_number() OVER (PARTITION BY _id ORDER BY o_totalprice ASC)
+             AS rp,
+           count(*) OVER (PARTITION BY _id) AS n
+    FROM ranked
+  ) WHERE rp = greatest(ceil(n * 0.5), 1)
+)
+SELECT _id, top3, cheapest, median_price
+FROM top3 JOIN bott USING (_id) JOIN medi USING (_id)
+ORDER BY _id
+"""
+
+
+def pipeline_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$percentile (discrete quartiles) + $bottomN per order priority."""
+    import pyspark.sql.functions as F
+
+    orders = table(spark, sf_dir, "orders")
+    out = aggregate(orders, [
+        {"$group": {
+            "_id": "$o_orderpriority",
+            "price_q": {"$percentile": {"input": "$o_totalprice",
+                                        "p": [0.25, 0.5, 0.75],
+                                        "method": "approximate"}},
+            "cheap2": {"$bottomN": {"output": "$o_custkey",
+                                    "sortBy": {"o_totalprice": -1},
+                                    "n": 2}},
+        }},
+        {"$sort": {"_id": 1}},
+    ])
+    # scalar-only gate output: quartile array → columns, clerk list → csv
+    return out.select(
+        "_id",
+        F.element_at("price_q", 1).alias("p25"),
+        F.element_at("price_q", 2).alias("p50"),
+        F.element_at("price_q", 3).alias("p75"),
+        F.array_join(
+            F.transform("cheap2", lambda x: x.cast("string")), ","
+        ).alias("cheap2"),
+    )
+
+
+PIPELINE_PRICE_PCT_SQL = """
+WITH sorted AS (
+  SELECT o_orderpriority AS _id,
+         list(o_totalprice ORDER BY o_totalprice ASC) AS l,
+         count(*) AS n
+  FROM orders GROUP BY 1
+),
+pct AS (
+  SELECT _id,
+         l[greatest(ceil(n * 0.25), 1)::int] AS p25,
+         l[greatest(ceil(n * 0.5), 1)::int] AS p50,
+         l[greatest(ceil(n * 0.75), 1)::int] AS p75
+  FROM sorted
+),
+ranked AS (
+  SELECT o_orderpriority AS _id, o_custkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_custkey ASC) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+cheap AS (
+  SELECT _id, string_agg(o_custkey::varchar, ',' ORDER BY rn) AS cheap2
+  FROM ranked WHERE rn > n - 2 GROUP BY _id
+)
+SELECT _id, p25, p50, p75, cheap2
+FROM pct JOIN cheap USING (_id) ORDER BY _id
+"""
+
+
 QUERIES = {
     "pipeline_object_to_array": pipeline_object_to_array,
+    "pipeline_top_orders_per_status": pipeline_top_orders_per_status,
+    "pipeline_price_percentiles": pipeline_price_percentiles,
     "pipeline_status_rollup": pipeline_status_rollup,
     "pipeline_wordcount": pipeline_wordcount,
     "pipeline_lookup_segment": pipeline_lookup_segment,
@@ -364,6 +492,8 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_object_to_array": PIPELINE_OBJ_ARRAY_SQL,
+    "pipeline_top_orders_per_status": PIPELINE_TOP_ORDERS_SQL,
+    "pipeline_price_percentiles": PIPELINE_PRICE_PCT_SQL,
     "pipeline_status_rollup": PIPELINE_STATUS_SQL,
     "pipeline_wordcount": PIPELINE_WORDCOUNT_SQL,
     "pipeline_lookup_segment": PIPELINE_LOOKUP_SQL,

@@ -645,7 +645,71 @@ def _accumulator(name: str, acc: dict) -> Column:
         return F.stddev_pop(expr_to_col(operand)).alias(name)
     if op == "$stdDevSamp":
         return F.stddev_samp(expr_to_col(operand)).alias(name)
+    if op in ("$top", "$bottom", "$topN", "$bottomN"):
+        return _ranked_accumulator(name, op, operand)
+    if op in ("$median", "$percentile"):
+        return _percentile_accumulator(name, op, operand)
     raise ValueError(f"unsupported accumulator {op}")
+
+
+def _ranked_accumulator(name: str, op: str, operand: dict) -> Column:
+    """$top/$bottom/$topN/$bottomN (Mongo 5.2, group-top-N accumulators).
+
+    Compiled as one sorted struct array per group: collect (sortBy keys,
+    output), array_sort, slice from the front ($top*) or back ($bottom*),
+    then project the output field.  Descending sort keys are negated, so
+    they must be numeric — non-numeric descending keys raise at plan time
+    in Spark (fail-loud, matching the $sortArray convention).  State per
+    group is the collected array; Mongo holds the same O(group) state for
+    these accumulators, and Spark's objHashAggregate spills it.
+    """
+    out_expr = expr_to_col(operand["output"])
+    sort_by = operand["sortBy"]
+    n = operand.get("n", 1)
+    keys = []
+    for i, (fld, direction) in enumerate(sort_by.items()):
+        c = expr_to_col(f"${fld}")
+        if direction == -1:
+            c = -c
+        elif direction != 1:
+            raise ValueError(f"{op}: sortBy direction must be 1 or -1")
+        keys.append(c.alias(f"k{i}"))
+    arr = F.array_sort(
+        F.collect_list(F.struct(*keys, out_expr.alias("v")))
+    )
+    if op == "$top":
+        return F.element_at(arr, 1)["v"].alias(name)
+    if op == "$bottom":
+        return F.element_at(arr, -1)["v"].alias(name)
+    if op == "$topN":
+        picked = F.slice(arr, 1, n)
+    else:  # $bottomN — clamp the negative start so n > group size works
+        picked = F.slice(arr, -F.least(F.lit(n), F.size(arr)), n)
+    return F.transform(picked, lambda s: s["v"]).alias(name)
+
+
+def _percentile_accumulator(name: str, op: str, operand: dict) -> Column:
+    """$median/$percentile (Mongo 7.0) with *discrete* (exact) semantics:
+    the value at index ceil(p·n) of the sorted inputs (1-based), i.e. the
+    smallest input with cumulative proportion ≥ p.  Mongo ships
+    method='approximate' (t-digest); the discrete definition is the
+    deterministic, cross-engine-checkable superset (the operand's
+    ``method`` is accepted and ignored).  Nulls are excluded like Mongo.
+    """
+    inp = expr_to_col(operand["input"])
+    arr = F.array_sort(F.collect_list(inp))  # collect_list drops nulls
+    sz = F.size(arr)
+
+    def pick(p: float) -> Column:
+        idx = F.greatest(F.ceil(sz.cast("double") * F.lit(float(p))), F.lit(1))
+        return F.element_at(arr, idx.cast("int"))
+
+    if op == "$median":
+        return pick(0.5).alias(name)
+    ps = operand["p"]
+    if not isinstance(ps, list) or not ps:
+        raise ValueError("$percentile: p must be a non-empty list")
+    return F.array(*[pick(p) for p in ps]).alias(name)
 
 
 # ---------------------------------------------------------------------------

@@ -704,3 +704,76 @@ def test_merge_objects_later_wins(spark):
     r = got.collect()[0]
     assert r.m == {"a": 1, "b": 9, "c": 3}
     assert sorted((e.k, e.v) for e in r.kv) == [("a", 1), ("b", 9), ("c", 3)]
+
+
+# ---------------------------------------------------------------------------
+# Ranked accumulators ($top/$bottom/$topN/$bottomN) and $median/$percentile
+# ---------------------------------------------------------------------------
+
+
+def _scores_df(spark):
+    return spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("a", 4, 30.0),
+         ("b", 5, 5.0)],
+        "grp string, id int, score double")
+
+
+def test_topn_bottomn_with_ties(spark):
+    got = aggregate(_scores_df(spark), [
+        {"$group": {"_id": "$grp",
+                    "top2": {"$topN": {"output": "$id",
+                                       "sortBy": {"score": -1}, "n": 2}},
+                    "bot2": {"$bottomN": {"output": "$id",
+                                          "sortBy": {"score": -1}, "n": 2}},
+                    "best": {"$top": {"output": "$id",
+                                      "sortBy": {"score": -1}}},
+                    "worst": {"$bottom": {"output": "$id",
+                                          "sortBy": {"score": -1}}}}},
+        {"$sort": {"_id": 1}},
+    ]).collect()
+    a = {r._id: r for r in got}["a"]
+    # score desc, id asc on ties: 30.0@2, 30.0@4, 20.0@3, 10.0@1
+    assert a.top2 == [2, 4]
+    assert a.bot2 == [3, 1]
+    assert a.best == 2
+    assert a.worst == 1
+    b = {r._id: r for r in got}["b"]
+    # group smaller than n: whole group, no error
+    assert b.top2 == [5] and b.bot2 == [5]
+
+
+def test_median_and_percentile_discrete(spark):
+    got = aggregate(_scores_df(spark), [
+        {"$group": {"_id": "$grp",
+                    "med": {"$median": {"input": "$score",
+                                        "method": "approximate"}},
+                    "pq": {"$percentile": {"input": "$score",
+                                           "p": [0.25, 0.5, 1.0],
+                                           "method": "approximate"}}}},
+        {"$sort": {"_id": 1}},
+    ]).collect()
+    a = {r._id: r for r in got}["a"]
+    # sorted scores: [10, 20, 30, 30]; ceil(4*.5)=2 -> 20; ceil(4*.25)=1 -> 10
+    assert a.med == 20.0
+    assert a.pq == [10.0, 20.0, 30.0]
+    b = {r._id: r for r in got}["b"]
+    assert b.med == 5.0 and b.pq == [5.0, 5.0, 5.0]
+
+
+def test_ranked_accumulator_rejects_bad_direction(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        aggregate(_scores_df(spark), [
+            {"$group": {"_id": "$grp",
+                        "t": {"$topN": {"output": "$id",
+                                        "sortBy": {"score": 2}, "n": 1}}}}])
+
+
+def test_percentile_rejects_empty_p(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        aggregate(_scores_df(spark), [
+            {"$group": {"_id": "$grp",
+                        "t": {"$percentile": {"input": "$score", "p": []}}}}])
