@@ -475,10 +475,72 @@ FROM pct JOIN cheap USING (_id) ORDER BY _id
 """
 
 
+def pipeline_event_calculus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$setWindowFields $derivative + $integral (Mongo 5.0 time-series).
+
+    Per user, ordered by ts: velocity = Δvalue/Δseconds since the user's
+    first event, and the cumulative trapezoidal integral of the
+    (decimal-cast) value series in unit-seconds.  The integral's running
+    sum is decimal-exact by construction (Δms · (y+lag y) summed as
+    DECIMAL(38,6), one double division by 2·unit at the end); both
+    first-row results are null (no Δt yet) in engine and oracle alike.
+    """
+    events = table(spark, sf_dir, "events")
+    out = aggregate(events, [
+        {"$addFields": {"vd": {"$toDecimal": "$value"}}},
+        {"$setWindowFields": {
+            "partitionBy": "$user_id",
+            "sortBy": {"ts": 1},
+            "output": {
+                "vel": {"$derivative": {"input": "$value",
+                                        "unit": "second"},
+                        "window": {"documents": ["unbounded", "current"]}},
+                "cum_integral": {"$integral": {"input": "$vd",
+                                               "unit": "second"},
+                                 "window": {"documents": ["unbounded",
+                                                          "current"]}},
+            },
+        }},
+    ])
+    return out.select("user_id", "event_id", "vel", "cum_integral")
+
+
+PIPELINE_CALCULUS_SQL = """
+WITH t AS (
+  SELECT user_id, event_id, ts, value,
+         epoch_ms(ts) AS ms,
+         CAST(value AS DECIMAL(38,6)) AS vd
+  FROM events
+),
+l AS (
+  SELECT user_id, event_id, value, ms, ts,
+         ms - lag(ms) OVER w AS dt,
+         (vd + lag(vd) OVER w) AS ysum,
+         first_value(value) OVER wf AS v0,
+         first_value(ms) OVER wf AS ms0
+  FROM t
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts),
+         wf AS (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       CASE WHEN ms - ms0 <> 0
+            THEN (value - v0)::double / ((ms - ms0)::double / 1000.0)
+       END AS vel,
+       ((sum((dt * ysum)::decimal(38,6))
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         * 1000000)::decimal(38,0))::double / 2000000000.0
+         AS cum_integral
+FROM l
+"""
+
+
 QUERIES = {
     "pipeline_object_to_array": pipeline_object_to_array,
     "pipeline_top_orders_per_status": pipeline_top_orders_per_status,
     "pipeline_price_percentiles": pipeline_price_percentiles,
+    "pipeline_event_calculus": pipeline_event_calculus,
     "pipeline_status_rollup": pipeline_status_rollup,
     "pipeline_wordcount": pipeline_wordcount,
     "pipeline_lookup_segment": pipeline_lookup_segment,
@@ -494,6 +556,7 @@ ORACLES = {
     "pipeline_object_to_array": PIPELINE_OBJ_ARRAY_SQL,
     "pipeline_top_orders_per_status": PIPELINE_TOP_ORDERS_SQL,
     "pipeline_price_percentiles": PIPELINE_PRICE_PCT_SQL,
+    "pipeline_event_calculus": PIPELINE_CALCULUS_SQL,
     "pipeline_status_rollup": PIPELINE_STATUS_SQL,
     "pipeline_wordcount": PIPELINE_WORDCOUNT_SQL,
     "pipeline_lookup_segment": PIPELINE_LOOKUP_SQL,

@@ -881,6 +881,69 @@ def _frame_bound(v, side: str) -> int:
     return int(v)
 
 
+_UNIT_MS = {"week": 604_800_000, "day": 86_400_000, "hour": 3_600_000,
+            "minute": 60_000, "second": 1000, "millisecond": 1}
+
+
+def _calculus_window(op: str, operand: dict, sort: dict, w_sorted, frame):
+    """$derivative / $integral (Mongo 5.0 time-series window operators).
+
+    Both require exactly one sortBy field (the server's rule).  When
+    ``unit`` is given the sort field must be a timestamp and Δt is taken
+    in exact integer milliseconds, scaled by one final division — so
+    $integral over decimal inputs keeps an exact decimal running sum
+    (dt_ms · (y + lag y) summed, ÷ 2·unit_ms once at the end) and no
+    float enters an aggregation.  $derivative is (last y − first y) /
+    (Δt in unit) over the frame — first/last only, no summation.
+    $integral supports frames starting at "unbounded" (cumulative
+    integral, the server's dominant use); bounded starts would need
+    pair-exclusion bookkeeping and raise instead.
+    """
+    from pyspark.sql import Window as W
+
+    if len(sort) != 1:
+        raise ValueError(f"{op} requires exactly one sortBy field")
+    (sk, _sd), = sort.items()
+    unit = operand.get("unit")
+    if unit is not None and unit not in _UNIT_MS:
+        raise ValueError(f"{op}: unsupported unit {unit!r}")
+    tcol = F.unix_millis(F.col(sk)) if unit else F.col(sk)
+    unit_ms = _UNIT_MS[unit] if unit else 1
+    y = expr_to_col(operand["input"])
+
+    w = w_sorted
+    if frame and "documents" in frame:
+        lo, hi = frame["documents"]
+        if op == "$integral" and lo != "unbounded":
+            raise ValueError(
+                "$integral: only frames starting at 'unbounded' are"
+                " supported (cumulative integral)")
+        w = w_sorted.rowsBetween(_frame_bound(lo, "lo"),
+                                 _frame_bound(hi, "hi"))
+    else:
+        w = w_sorted.rowsBetween(W.unboundedPreceding, W.currentRow)
+
+    if op == "$derivative":
+        num = F.last(y).over(w) - F.first(y).over(w)
+        den = (F.last(tcol).over(w) - F.first(tcol).over(w))
+        out = num.cast("double") / (den.cast("double")
+                                    / F.lit(float(unit_ms)))
+        return F.when(den != 0, out)
+    # $integral: per-row trapezoid numerator over the *partition* order,
+    # summed over the frame; one division at the very end keeps decimal
+    # inputs exact through the cumulative sum.  The result is quantized
+    # at 1e-6 of the ms-scaled numerator: each term is cast to
+    # DECIMAL(38,6) (a no-op for decimal inputs), and the final decimal →
+    # double conversion goes through an *integer-valued* decimal so both
+    # engines perform the identical single rounding (a >2^53 decimal with
+    # a fractional part converts with engine-dependent last-ulp results;
+    # an integer-valued one is correctly rounded everywhere).
+    dt = tcol - F.lag(tcol).over(w_sorted)
+    numer = (dt * (y + F.lag(y).over(w_sorted))).cast("decimal(38,6)")
+    scaled = (F.sum(numer).over(w) * F.lit(1_000_000)).cast("decimal(38,0)")
+    return scaled.cast("double") / F.lit(2.0 * unit_ms * 1_000_000.0)
+
+
 def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
     """$setWindowFields: rank/documentNumber/shift and frame-bounded
     accumulators over a partition+sort window."""
@@ -911,6 +974,19 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             col = fn.over(w_sorted)
             if default is not None:
                 col = F.coalesce(col, F.lit(default))
+        elif op in ("$derivative", "$integral"):
+            col = _calculus_window(op, operand, sort, w_sorted, frame)
+        elif op in ("$covariancePop", "$covarianceSamp"):
+            xs, ys = (expr_to_col(e) for e in operand)
+            w = w_sorted
+            if frame and "documents" in frame:
+                lo, hi = frame["documents"]
+                w = w_sorted.rowsBetween(_frame_bound(lo, "lo"),
+                                         _frame_bound(hi, "hi"))
+            elif order:
+                w = w_sorted.rowsBetween(W.unboundedPreceding, W.currentRow)
+            fn = F.covar_pop if op == "$covariancePop" else F.covar_samp
+            col = fn(xs, ys).over(w)
         else:
             w = w_sorted
             if frame and "documents" in frame:

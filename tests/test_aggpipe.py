@@ -777,3 +777,86 @@ def test_percentile_rejects_empty_p(spark):
         aggregate(_scores_df(spark), [
             {"$group": {"_id": "$grp",
                         "t": {"$percentile": {"input": "$score", "p": []}}}}])
+
+
+# ---------------------------------------------------------------------------
+# $derivative / $integral / $covariance window operators
+# ---------------------------------------------------------------------------
+
+
+def _ts_df(spark):
+    import datetime as dt
+
+    rows = [("u", dt.datetime(2024, 1, 1, 0, 0, s), float(v))
+            for s, v in [(0, 0.0), (10, 10.0), (20, 40.0), (30, 40.0)]]
+    return spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+
+def test_derivative_and_integral_values(spark):
+    got = aggregate(_ts_df(spark), [
+        {"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"ts": 1},
+            "output": {
+                "vel": {"$derivative": {"input": "$v", "unit": "second"},
+                        "window": {"documents": ["unbounded", "current"]}},
+                "integ": {"$integral": {"input": "$v", "unit": "second"},
+                          "window": {"documents": ["unbounded",
+                                                   "current"]}},
+            }}},
+    ]).orderBy("ts").collect()
+    # vel from the partition's first row: None, 1.0, 2.0, 40/30
+    assert got[0].vel is None and got[0].integ is None
+    assert got[1].vel == 1.0
+    assert got[2].vel == 2.0
+    assert abs(got[3].vel - 40.0 / 30.0) < 1e-12
+    # trapezoids: (0+10)/2*10=50, +(10+40)/2*10=250 -> 300, +400 -> 700
+    assert got[1].integ == 50.0
+    assert got[2].integ == 300.0
+    assert got[3].integ == 700.0
+
+
+def test_derivative_numeric_sort_no_unit(spark):
+    df = spark.createDataFrame(
+        [("k", 0, 0.0), ("k", 4, 8.0)], "k string, x long, v double")
+    got = aggregate(df, [
+        {"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"x": 1},
+            "output": {"d": {"$derivative": {"input": "$v"},
+                             "window": {"documents": ["unbounded",
+                                                      "current"]}}}}},
+    ]).orderBy("x").collect()
+    assert got[1].d == 2.0
+
+
+def test_covariance_window(spark):
+    df = spark.createDataFrame(
+        [("k", 1.0, 2.0), ("k", 2.0, 4.0), ("k", 3.0, 6.0)],
+        "k string, x double, y double")
+    got = aggregate(df, [
+        {"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"x": 1},
+            "output": {"cp": {"$covariancePop": ["$x", "$y"]},
+                       "cs": {"$covarianceSamp": ["$x", "$y"]}}}},
+    ]).orderBy("x").collect()
+    # cumulative frames: last row sees all three points, cov_pop = 4/3
+    assert abs(got[2].cp - 4.0 / 3.0) < 1e-12
+    assert abs(got[2].cs - 2.0) < 1e-12
+    assert got[0].cs is None  # single point: sample covariance undefined
+
+
+def test_integral_rejects_bounded_start_and_two_sort_keys(spark):
+    import pytest
+
+    df = _ts_df(spark)
+    with pytest.raises(ValueError, match="unbounded"):
+        aggregate(df, [
+            {"$setWindowFields": {
+                "partitionBy": "$k", "sortBy": {"ts": 1},
+                "output": {"i": {"$integral": {"input": "$v",
+                                               "unit": "second"},
+                                 "window": {"documents": [-1, 0]}}}}}])
+    with pytest.raises(ValueError, match="exactly one sortBy"):
+        aggregate(df, [
+            {"$setWindowFields": {
+                "partitionBy": "$k", "sortBy": {"ts": 1, "v": 1},
+                "output": {"i": {"$derivative": {"input": "$v"}}}}}])
