@@ -29,7 +29,11 @@ dates ($year $month $dateToParts
 $dayOfMonth $hour $minute $second $dayOfWeek), arrays ($size
 $arrayElemAt $concatArrays $in), conversions ($toInt $toLong $toDouble
 $toDecimal $toBool $toDate), accumulators ($sum $avg $min $max $push
-$addToSet $first $last $count $stdDevPop $stdDevSamp).
+$addToSet $first $last $count $stdDevPop $stdDevSamp, ranked $top
+$bottom $topN $bottomN, discrete-exact $median $percentile), window
+operators in $setWindowFields ($rank $denseRank $documentNumber $shift
+$derivative $integral $covariancePop $covarianceSamp + frame-bounded
+aggregates).
 
 Determinism deviations (documented, deliberate):
 - ``$addToSet`` emits a *sorted* array (sets are unordered in Mongo; a

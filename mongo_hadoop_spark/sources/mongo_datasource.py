@@ -38,8 +38,8 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
-    DataSource, DataSourceReader, DataSourceWriter, InputPartition,
-    WriterCommitMessage,
+    DataSource, DataSourceReader, DataSourceStreamReader, DataSourceWriter,
+    InputPartition, WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -152,6 +152,13 @@ class DocumentDataSource(DataSource):
         if pushdown:
             return PushdownDocumentReader(self.options, schema)
         return DocumentReader(self.options, schema)
+
+    def streamReader(self, schema: StructType):  # noqa: N802 (Spark API)
+        if self.options.get("backend") == "live":
+            raise ValueError(
+                "streaming tail reads the file-backed store; the live "
+                "backend has no change-stream surface here")
+        return DocumentStreamReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool):
         if self.options.get("backend") == "live":
@@ -426,6 +433,78 @@ class LivePushdownDocumentReader(LiveDocumentReader):
     :class:`PushdownDocumentReader`."""
 
     pushFilters = PushdownDocumentReader.pushFilters
+
+
+class DocumentStreamReader(DataSourceStreamReader):
+    """Structured-Streaming tail of a store collection — the engine's
+    tailable-cursor/change-stream analog (the reference consumes live
+    inserts through Flume's MongoDBSink, flume/src/.../MongoDBSink.java;
+    here the read side is Spark-native: ``spark.readStream.format(
+    "mongodoc")``).
+
+    Offsets are the *sorted list of committed segment basenames* — the
+    segment files are immutable once the writer's atomic rename commits
+    them, so (a) a micro-batch is exactly the segments present in ``end``
+    but not in ``start``, (b) replay after failure re-reads identical
+    bytes (exactly-once with a checkpointed sink), and (c) discovering
+    new data is one directory listing, independent of collection size.
+    Each new segment becomes one input partition read on executors with
+    the same decode → match(query) → project path as the batch reader.
+
+    Contract: do not compact a collection while tailing it — compaction
+    rewrites history into new segment names, which a tail would re-read
+    (the same rule as Mongo's oplog: tailing assumes append-only).
+    ``option("startingOffsets", "latest")`` skips existing segments.
+    """
+
+    def __init__(self, options, schema: StructType):
+        self._delegate = DocumentReader(options, schema)
+        self.options = options
+        colls = [c.strip() for c in options["collection"].split(",")
+                 if c.strip()]
+        if len(colls) != 1:
+            raise ValueError("streaming tail supports exactly one collection")
+        self.collection = colls[0]
+
+    def _segment_names(self) -> list[str]:
+        import os as _os
+
+        from mongo_hadoop_spark.store import DocumentStore
+
+        coll = DocumentStore(self.options["path"]).collection(self.collection)
+        if not coll.exists():
+            return []
+        return sorted(_os.path.basename(s) for s in coll.segments())
+
+    def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
+        if self.options.get("startingOffsets") == "latest":
+            return {"seen": self._segment_names()}
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        return {"seen": self._segment_names()}
+
+    def partitions(self, start: dict, end: dict):
+        import os as _os
+
+        new = sorted(set(end["seen"]) - set(start["seen"]))
+        coll_dir = _os.path.join(self.options["path"], self.collection)
+        specs = [
+            SplitSpec(collection=self.collection,
+                      query=self._delegate.static_query,
+                      segment_path=_os.path.join(coll_dir, name))
+            for name in new
+        ]
+        return self._delegate._with_cursor_options(specs)
+
+    def read(self, partition):
+        return self._delegate.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; segments are immutable
+
+    def stop(self) -> None:
+        pass
 
 
 @dataclass

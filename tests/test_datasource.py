@@ -434,3 +434,79 @@ def test_live_write_append_and_read_back(registered, store, tmp_path):
         (df.write.format("mongodoc").option("backend", "live")
          .option("uri", uri).option("client_factory", FACTORY)
          .mode("overwrite").save())
+
+
+# ---------------------------------------------------------------------------
+# Streaming tail (DocumentStreamReader): segments become micro-batches
+# ---------------------------------------------------------------------------
+
+
+def _tail_stream(spark, store, out_dir, **options):
+    r = (spark.readStream.format("mongodoc")
+         .option("path", store.path).option("collection", "orders"))
+    for k, v in options.items():
+        r = r.option(k, v)
+    df = r.load()
+    return (df.writeStream.format("parquet")
+            .option("path", f"{out_dir}/data")
+            .option("checkpointLocation", f"{out_dir}/ckpt")
+            .trigger(availableNow=True))
+
+
+def test_stream_tail_reads_existing_then_new_segments(
+        registered, store, tmp_path):
+    spark = registered
+    out = str(tmp_path / "out")
+    q = _tail_stream(spark, store, out).start()
+    q.awaitTermination(120)
+    got = spark.read.parquet(f"{out}/data")
+    assert got.count() == 200
+    # append a new segment; a second availableNow run picks up ONLY it
+    store.collection("orders").insert_many(
+        [{"_id": 1000 + i, "status": "C", "qty": i,
+          "nested": {"tag": "t9"}, "price": 1.0} for i in range(7)],
+        segment_hint="seg2")
+    q2 = _tail_stream(spark, store, out).start()
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(f"{out}/data")
+    assert got2.count() == 207
+    assert got2.where(F.col("status") == "C").count() == 7
+
+
+def test_stream_tail_starting_offsets_latest_and_query(
+        registered, store, tmp_path):
+    spark = registered
+    out = str(tmp_path / "out2")
+    # latest: existing segments are skipped entirely
+    q = _tail_stream(spark, store, out,
+                     startingOffsets="latest",
+                     query='{"qty": {"$gte": 3}}').start()
+    q.awaitTermination(120)
+    import os
+
+    datadir = f"{out}/data"
+    n0 = (spark.read.parquet(datadir).count()
+          if os.path.exists(datadir) and os.listdir(datadir) else 0)
+    assert n0 == 0
+    store.collection("orders").insert_many(
+        [{"_id": 2000 + i, "status": "D", "qty": i,
+          "nested": {"tag": "t8"}, "price": 2.0} for i in range(10)],
+        segment_hint="seg3")
+    q2 = _tail_stream(spark, store, out,
+                      startingOffsets="latest",
+                      query='{"qty": {"$gte": 3}}').start()
+    q2.awaitTermination(120)
+    got = spark.read.parquet(datadir)
+    # only the 7 new docs with qty >= 3 (server-side query on the tail)
+    assert got.count() == 7
+    assert got.agg(F.min("qty")).collect()[0][0] == 3
+
+
+def test_stream_tail_rejects_multi_collection(store):
+    from mongo_hadoop_spark.sources.mongo_datasource import (
+        DocumentStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="exactly one collection"):
+        DocumentStreamReader(
+            {"path": store.path, "collection": "orders,other"}, None)
