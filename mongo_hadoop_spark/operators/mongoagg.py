@@ -536,11 +536,60 @@ FROM l
 """
 
 
+def pipeline_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$fill method:"linear" — interpolate nulls between surrounding
+    observations on the time axis (Mongo 5.3 time-series gap filling).
+
+    Every 5th event's value is nulled via $cond, then linearly refilled
+    per user over ts; leading/trailing nulls stay null.  Interpolation is
+    the fixed IEEE shape pv + (nv-pv)·Δ/Δ on epoch-ms — deterministic
+    across engines, oracle-replicated with IGNORE NULLS windows.
+    """
+    events = table(spark, sf_dir, "events")
+    out = aggregate(events, [
+        {"$addFields": {"v": {"$cond": [
+            {"$eq": [{"$mod": ["$event_id", 5]}, 0]}, None, "$value"]}}},
+        {"$fill": {"partitionBy": "$user_id", "sortBy": {"ts": 1},
+                   "output": {"v": {"method": "linear"}}}},
+    ])
+    return out.select("user_id", "event_id", "v")
+
+
+PIPELINE_FILL_LINEAR_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, ts, epoch_ms(ts) AS k,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+  FROM events
+),
+w AS (
+  SELECT user_id, event_id, v, k,
+         last_value(v IGNORE NULLS) OVER wb AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN k END IGNORE NULLS)
+           OVER wb AS pk,
+         first_value(v IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN k END IGNORE NULLS)
+           OVER wf AS nk
+  FROM base
+  WINDOW wb AS (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NULL OR nv IS NULL THEN NULL
+            ELSE pv + (nv - pv) * ((k - pk)::double / (nk - pk)::double)
+       END AS v
+FROM w
+"""
+
+
 QUERIES = {
     "pipeline_object_to_array": pipeline_object_to_array,
     "pipeline_top_orders_per_status": pipeline_top_orders_per_status,
     "pipeline_price_percentiles": pipeline_price_percentiles,
     "pipeline_event_calculus": pipeline_event_calculus,
+    "pipeline_fill_linear": pipeline_fill_linear,
     "pipeline_status_rollup": pipeline_status_rollup,
     "pipeline_wordcount": pipeline_wordcount,
     "pipeline_lookup_segment": pipeline_lookup_segment,
@@ -557,6 +606,7 @@ ORACLES = {
     "pipeline_top_orders_per_status": PIPELINE_TOP_ORDERS_SQL,
     "pipeline_price_percentiles": PIPELINE_PRICE_PCT_SQL,
     "pipeline_event_calculus": PIPELINE_CALCULUS_SQL,
+    "pipeline_fill_linear": PIPELINE_FILL_LINEAR_SQL,
     "pipeline_status_rollup": PIPELINE_STATUS_SQL,
     "pipeline_wordcount": PIPELINE_WORDCOUNT_SQL,
     "pipeline_lookup_segment": PIPELINE_LOOKUP_SQL,

@@ -1081,6 +1081,41 @@ def _stage_fill(df: DataFrame, spec: dict) -> DataFrame:
             if not order:
                 raise ValueError("$fill method locf requires sortBy")
             df = df.withColumn(name, F.last(F.col(name), ignorenulls=True).over(w))
+        elif how.get("method") == "linear":
+            # linear interpolation between surrounding non-nulls over the
+            # sortBy axis (dates interpolate on epoch-ms, like the server);
+            # leading/trailing nulls stay null.  The arithmetic is one
+            # fixed IEEE shape (pv + (nv-pv) * Δ/Δ) so results are
+            # deterministic across engines.
+            if len(sort) != 1:
+                raise ValueError(
+                    "$fill method linear requires exactly one sortBy field")
+            (sk, _d), = sort.items()
+            from pyspark.sql.types import TimestampNTZType, TimestampType
+
+            kcol = F.col(sk)
+            if isinstance(df.schema[sk].dataType,
+                          (TimestampType, TimestampNTZType)):
+                kcol = F.unix_millis(F.col(sk))
+            wb = base.orderBy(*order).rowsBetween(W.unboundedPreceding,
+                                                  W.currentRow)
+            wf = base.orderBy(*order).rowsBetween(W.currentRow,
+                                                  W.unboundedFollowing)
+            v = F.col(name)
+            pv = F.last(v, ignorenulls=True).over(wb)
+            pk = F.last(F.when(v.isNotNull(), kcol),
+                        ignorenulls=True).over(wb)
+            nv = F.first(v, ignorenulls=True).over(wf)
+            nk = F.first(F.when(v.isNotNull(), kcol),
+                         ignorenulls=True).over(wf)
+            interp = pv + (nv - pv) * ((kcol - pk).cast("double")
+                                       / (nk - pk).cast("double"))
+            df = df.withColumn(
+                name,
+                F.when(v.isNotNull(), v)
+                .when(pv.isNull() | nv.isNull(), F.lit(None))
+                .otherwise(interp),
+            )
         else:
             raise ValueError(f"unsupported $fill output {how!r}")
     return df

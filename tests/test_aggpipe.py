@@ -860,3 +860,28 @@ def test_integral_rejects_bounded_start_and_two_sort_keys(spark):
             {"$setWindowFields": {
                 "partitionBy": "$k", "sortBy": {"ts": 1, "v": 1},
                 "output": {"i": {"$derivative": {"input": "$v"}}}}}])
+
+
+def test_fill_linear_interpolates_and_keeps_edges_null(spark):
+    df = spark.createDataFrame(
+        [("k", 0, None), ("k", 10, 10.0), ("k", 20, None), ("k", 40, 40.0),
+         ("k", 50, None)],
+        "k string, x long, v double")
+    got = aggregate(df, [
+        {"$fill": {"partitionBy": "$k", "sortBy": {"x": 1},
+                   "output": {"v": {"method": "linear"}}}},
+    ]).orderBy("x").collect()
+    vals = [r.v for r in got]
+    # leading null stays; x=20 interpolates 10 + 30*(10/30) = 20;
+    # trailing null stays
+    assert vals == [None, 10.0, 20.0, 40.0, None]
+
+
+def test_fill_linear_requires_single_sort_key(spark):
+    import pytest
+
+    df = spark.createDataFrame([("k", 1, 1.0)], "k string, x long, v double")
+    with pytest.raises(ValueError, match="exactly one sortBy"):
+        aggregate(df, [
+            {"$fill": {"partitionBy": "$k", "sortBy": {"x": 1, "v": 1},
+                       "output": {"v": {"method": "linear"}}}}])
