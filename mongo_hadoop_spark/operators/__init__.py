@@ -48,6 +48,7 @@ _HEAD_KEYS = [
     "sketch_cms_estimates", "text_bigram_surprisal",
     "pipeline_top_orders_per_status", "pipeline_price_percentiles",
     "pipeline_event_calculus", "pipeline_fill_linear",
+    "sketch_bloom_tokens", "sketch_bloom_audit",
     "dedup_semantic_survivors_lsh", "embedding_pq_codes_fixed",
     "pq_knn_adc_fixed", "pipeline_object_to_array", "ivf_pq_knn",
     "text_gopher_quality", "events_asof_next_order", "corpus_gopher_yield",

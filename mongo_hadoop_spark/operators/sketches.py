@@ -247,11 +247,146 @@ GROUP BY term, true_cnt
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — set membership with one-sided error.  The
+# bit table (sorted distinct positions) is the query result: k=BLOOM_K
+# salted md5 positions per distinct token over m=BLOOM_M bits.  Mergeable
+# by union-distinct (bitwise OR); membership claims never false-negative
+# — the property the audit query and tests pin.  Spark ships an opaque
+# engine-internal Bloom (DataFrameStatFunctions/runtime join filters);
+# this one is a portable, cross-engine-checkable artifact, the same
+# rationale as the HLL register table above.
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 4    # hash functions
+BLOOM_M = 512  # bits
+
+_BLOOM_BIT_SPARK = (
+    "CAST(conv(substr(md5(concat('bloom{r}', term)), 1, 15), 16, 10)"
+    f" AS BIGINT) % {BLOOM_M}"
+)
+_BLOOM_BIT_DUCK = (
+    "(('0x' || substr(md5('bloom{r}' || term), 1, 15))::bigint % "
+    f"{BLOOM_M})"
+)
+
+
+def _bloom_bits(terms: DataFrame) -> DataFrame:
+    """(bit) table — distinct positions set by a ``term`` column."""
+    pairs = ", ".join(_BLOOM_BIT_SPARK.format(r=r) for r in range(BLOOM_K))
+    return (
+        terms.distinct()
+        .select(F.expr(f"stack({BLOOM_K}, {pairs}) AS (bit)"))
+        .distinct()
+    )
+
+
+def sketch_bloom_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom bit table over the distinct document-token vocabulary
+    (≤ BLOOM_M rows of state however large the corpus; the distinct is
+    the only shuffle and is vocabulary-, not corpus-, sized)."""
+    from mongo_hadoop_spark.functions import tokenize
+
+    d = table(spark, sf_dir, "documents")
+    return _bloom_bits(d.select(F.explode(tokenize("text")).alias("term")))
+
+
+SKETCH_BLOOM_TOKENS_SQL = f"""
+WITH terms AS (
+  SELECT DISTINCT unnest({_WORDS_SQL}) AS term FROM documents
+)
+SELECT DISTINCT bit FROM (
+  {" UNION ALL ".join(
+      f"SELECT {_BLOOM_BIT_DUCK.format(r=r)} AS bit FROM terms"
+      for r in range(BLOOM_K)
+  )}
+)
+"""
+
+
+def sketch_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership audit: the 10 most frequent tokens plus 10 known-absent
+    probes, with ground truth and the Bloom claim side by side.
+
+    Guarantee surfaced: ``in_corpus ⇒ in_bloom`` (no false negatives);
+    absent probes may show ``in_bloom = true`` — that's the measured
+    false-positive rate.  Probing is BLOOM_K lookups against the
+    broadcast bit table per probe, O(1) in corpus size.
+    """
+    from mongo_hadoop_spark.functions import tokenize
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokenize("text")).alias("term"))
+    bits = _bloom_bits(toks)
+    present = (
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(10)
+        .select("term", F.lit(True).alias("in_corpus"))
+    )
+    absent = (
+        d.sparkSession.range(10)
+        .select(F.concat(F.lit("__absent_probe_"), F.col("id"))
+                .alias("term"),
+                F.lit(False).alias("in_corpus"))
+    )
+    probes = present.unionAll(absent)
+    pairs = ", ".join(_BLOOM_BIT_SPARK.format(r=r) for r in range(BLOOM_K))
+    probe_bits = probes.select(
+        "term", "in_corpus", F.expr(f"stack({BLOOM_K}, {pairs}) AS (bit)")
+    )
+    return (
+        probe_bits.join(F.broadcast(bits.withColumn("hit", F.lit(1))),
+                        "bit", "left")
+        .groupBy("term", "in_corpus")
+        .agg((F.count("hit") == BLOOM_K).alias("in_bloom"))
+    )
+
+
+SKETCH_BLOOM_AUDIT_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_WORDS_SQL}) AS term FROM documents
+),
+terms AS (SELECT DISTINCT term FROM toks),
+bits AS (
+  SELECT DISTINCT bit FROM (
+    {" UNION ALL ".join(
+        f"SELECT {_BLOOM_BIT_DUCK.format(r=r)} AS bit FROM terms"
+        for r in range(BLOOM_K)
+    )}
+  )
+),
+present AS (
+  SELECT term, TRUE AS in_corpus FROM (
+    SELECT term, count(*) AS c FROM toks GROUP BY term
+    ORDER BY c DESC, term ASC LIMIT 10
+  )
+),
+absent AS (
+  SELECT '__absent_probe_' || i::varchar AS term, FALSE AS in_corpus
+  FROM generate_series(0, 9) t(i)
+),
+probes AS (SELECT * FROM present UNION ALL SELECT * FROM absent),
+probe_bits AS (
+  {" UNION ALL ".join(
+      f"SELECT term, in_corpus, {_BLOOM_BIT_DUCK.format(r=r)} AS bit"
+      " FROM probes"
+      for r in range(BLOOM_K)
+  )}
+)
+SELECT term, in_corpus, count(bits.bit) = {BLOOM_K} AS in_bloom
+FROM probe_bits LEFT JOIN bits ON probe_bits.bit = bits.bit
+GROUP BY term, in_corpus
+"""
+
+
 QUERIES = {
     "sketch_hll_users": sketch_hll_users,
     "sketch_hll_documents": sketch_hll_documents,
     "sketch_cms_tokens": sketch_cms_tokens,
     "sketch_cms_estimates": sketch_cms_estimates,
+    "sketch_bloom_tokens": sketch_bloom_tokens,
+    "sketch_bloom_audit": sketch_bloom_audit,
 }
 
 ORACLES = {
@@ -259,4 +394,6 @@ ORACLES = {
     "sketch_hll_documents": SKETCH_HLL_DOCS_SQL,
     "sketch_cms_tokens": SKETCH_CMS_TOKENS_SQL,
     "sketch_cms_estimates": SKETCH_CMS_ESTIMATES_SQL,
+    "sketch_bloom_tokens": SKETCH_BLOOM_TOKENS_SQL,
+    "sketch_bloom_audit": SKETCH_BLOOM_AUDIT_SQL,
 }

@@ -325,3 +325,22 @@ def stream_heavy_hitter_candidates(tokens: DataFrame,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_cms_cells(documents: DataFrame) -> DataFrame:
+    """Streaming Count-Min sketch over arriving document shards.
+
+    The sketch is a *linear* projection of the token-count vector, so the
+    engine's incremental aggregation state IS the sketch: after any prefix
+    of micro-batches, the complete-mode output equals the batch sketch of
+    the data seen so far (asserted in tests), and two independently
+    sketched streams merge by cell-wise addition.  State is bounded at
+    d·w rows regardless of stream length — the property that makes CMS
+    the streaming frequency monitor at any scale.
+    """
+    from mongo_hadoop_spark.functions import tokenize
+    from mongo_hadoop_spark.operators.sketches import _cms_cells
+
+    return _cms_cells(
+        documents.select(F.explode(tokenize("text")).alias("term"))
+    )

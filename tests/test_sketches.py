@@ -94,3 +94,33 @@ def test_cms_merge_is_cellwise_sum(spark):
     summed = {k: ca.get(k, 0) + cb.get(k, 0) for k in set(ca) | set(cb)}
     whole = _cells(_cms_cells(a.unionAll(b)))
     assert summed == whole
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+from mongo_hadoop_spark.operators.sketches import (  # noqa: E402
+    BLOOM_M, _bloom_bits, sketch_bloom_audit,
+)
+
+
+def test_bloom_no_false_negatives_and_measured_fp(spark):
+    rows = sketch_bloom_audit(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        if r.in_corpus:
+            assert r.in_bloom, r.term  # Bloom guarantee: no false negative
+    # absent probes may be claimed present (false positives) but ground
+    # truth columns must disagree only in that one direction
+    assert all(r.in_bloom or not r.in_corpus for r in rows)
+
+
+def test_bloom_merge_is_bit_union(spark):
+    a = spark.range(0, 200).select(
+        F.concat(F.lit("x"), F.col("id")).alias("term"))
+    b = spark.range(150, 400).select(
+        F.concat(F.lit("x"), F.col("id")).alias("term"))
+    bits = lambda df: {r.bit for r in _bloom_bits(df).collect()}
+    assert bits(a) | bits(b) == bits(a.unionAll(b))
+    assert max(bits(a.unionAll(b))) < BLOOM_M

@@ -640,3 +640,28 @@ def test_stream_gopher_filter_equals_batch(spark, documents_dir, tmp_path):
              for r in text_gopher_quality(spark, SF_SMOKE)
              .select("doc_id", "n_words", "wc_ok").collect()}
     assert streamed == batch
+
+
+def test_stream_cms_cells_equal_batch(spark, documents_dir, tmp_path):
+    """Linearity in-stream: the cumulative CMS cell table after consuming
+    all micro-batches equals the batch sketch of the same documents."""
+    from mongo_hadoop_spark.functions import tokenize
+    from mongo_hadoop_spark.operators.sketches import _cms_cells
+    from mongo_hadoop_spark.streaming.jobs import (
+        stream_cms_cells, streaming_documents_source,
+    )
+
+    stream = stream_cms_cells(streaming_documents_source(spark, documents_dir))
+    q = (stream.writeStream.format("memory").queryName("cms_out")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.row, r.col): r.cnt
+           for r in spark.sql("select * from cms_out").collect()}
+    docs = spark.read.parquet(documents_dir)
+    want = {(r.row, r.col): r.cnt
+            for r in _cms_cells(
+                docs.select(F.explode(tokenize("text")).alias("term"))
+            ).collect()}
+    assert got == want and len(got) > 0
