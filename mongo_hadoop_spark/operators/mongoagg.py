@@ -349,6 +349,63 @@ FROM kv GROUP BY 1 ORDER BY 1
 """
 
 
+def pipeline_regex_type_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo 4.2 regex/type expression family on the hot text path:
+    $regexFindAll (match + 0-based code-point idx), $type, $isNumber,
+    $strLenBytes, plus the ANSI-safe $arrayElemAt (out-of-range → missing,
+    like the server — Spark 4 defaults ANSI on, so this compiles to
+    try_element_at).
+
+    Scale: every expression is a per-row JVM builtin (regexp_extract_all +
+    an `aggregate` fold for offsets) — map-only, whole-stage codegen, the
+    one shuffle is the final sort.
+    """
+    documents = table(spark, sf_dir, "documents")
+    return aggregate(documents, [
+        {"$project": {
+            "doc_id": 1,
+            "finds": {"$regexFindAll": {"input": "$text", "regex": "s[a-z]+"}},
+            "lang_ty": {"$type": "$lang"},
+            "id_is_num": {"$isNumber": "$doc_id"},
+            "lang_bytes": {"$strLenBytes": "$lang"},
+        }},
+        {"$project": {
+            "doc_id": 1, "lang_ty": 1, "id_is_num": 1, "lang_bytes": 1,
+            "n_hits": {"$size": "$finds"},
+            "first_hit": {"$getField": {
+                "field": "match",
+                "input": {"$arrayElemAt": ["$finds", 0]}}},
+            "first_idx": {"$getField": {
+                "field": "idx",
+                "input": {"$arrayElemAt": ["$finds", 0]}}},
+        }},
+        {"$match": {"n_hits": {"$gt": 0}}},
+        {"$sort": {"doc_id": 1}},
+    ])
+
+
+# first_idx oracle: instr(text, first_hit) is sound for this pattern —
+# any earlier literal occurrence of the matched string would itself start
+# a valid match, contradicting it being the regex scan's first hit.
+PIPELINE_REGEX_TYPE_SQL = """
+WITH f AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, 's[a-z]+') AS hits,
+         CASE WHEN lang IS NULL THEN 'null' ELSE 'string' END AS lang_ty,
+         doc_id IS NOT NULL AS id_is_num,
+         strlen(lang) AS lang_bytes
+  FROM documents
+)
+SELECT doc_id, lang_ty, id_is_num, lang_bytes,
+       len(hits) AS n_hits,
+       hits[1] AS first_hit,
+       instr(text, hits[1]) - 1 AS first_idx
+FROM f
+WHERE len(hits) > 0
+ORDER BY doc_id
+"""
+
+
 def pipeline_top_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mongo 5.2/7.0 ranked-accumulator family in one $group: $topN
     (3 priciest order keys), $bottom (cheapest), $median (discrete).
@@ -585,6 +642,7 @@ FROM w
 
 
 QUERIES = {
+    "pipeline_regex_type_report": pipeline_regex_type_report,
     "pipeline_object_to_array": pipeline_object_to_array,
     "pipeline_top_orders_per_status": pipeline_top_orders_per_status,
     "pipeline_price_percentiles": pipeline_price_percentiles,
@@ -602,6 +660,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_regex_type_report": PIPELINE_REGEX_TYPE_SQL,
     "pipeline_object_to_array": PIPELINE_OBJ_ARRAY_SQL,
     "pipeline_top_orders_per_status": PIPELINE_TOP_ORDERS_SQL,
     "pipeline_price_percentiles": PIPELINE_PRICE_PCT_SQL,

@@ -276,8 +276,10 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
     if op == "$arrayElemAt":
         arr, idx = operand
         i = idx if isinstance(idx, int) else 0
-        # element_at is 1-based; negative indexes count from the end in both
-        return F.element_at(E(arr), i + 1 if i >= 0 else i)
+        # element_at is 1-based; negative indexes count from the end in both.
+        # try_element_at: Mongo returns *missing* for an out-of-range index
+        # (plain element_at raises under ANSI mode, which Spark 4 defaults on)
+        return F.try_element_at(E(arr), F.lit(i + 1 if i >= 0 else i))
     if op == "$concatArrays":
         return F.concat(*[E(x) for x in operand])
     if op == "$in":
@@ -518,7 +520,131 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         return E(operand["input"]).rlike(
             operand["regex"].pattern if hasattr(operand["regex"], "pattern")
             else str(operand["regex"]))
+    if op in ("$regexFind", "$regexFindAll"):
+        return _regex_find(op, operand, E)
+    # trigonometry (Mongo 4.2 family) ------------------------------------
+    _TRIG = {"$sin": F.sin, "$cos": F.cos, "$tan": F.tan,
+             "$asin": F.asin, "$acos": F.acos, "$atan": F.atan,
+             "$sinh": F.sinh, "$cosh": F.cosh, "$tanh": F.tanh,
+             "$asinh": F.asinh, "$acosh": F.acosh, "$atanh": F.atanh,
+             "$degreesToRadians": F.radians, "$radiansToDegrees": F.degrees}
+    if op in _TRIG:
+        return _TRIG[op](E(operand))
+    if op == "$atan2":
+        a, b = _binary(operand)
+        return F.atan2(a, b)
+    # type introspection -------------------------------------------------
+    # Spark column types are static, but $type/$isNumber are about the
+    # *runtime* value, which matters for untyped/variant-ish columns; the
+    # runtime `typeof()` answers both and collapses to a constant after
+    # Catalyst constant-folding when the input type is fixed.
+    if op == "$type":
+        t = F.call_function("typeof", E(operand))
+        return (F.when(E(operand).isNull(), "null")
+                 .when(t == "string", "string")
+                 .when(t.isin("int", "smallint", "tinyint"), "int")
+                 .when(t == "bigint", "long")
+                 .when(t.isin("double", "float"), "double")
+                 .when(t.startswith("decimal"), "decimal")
+                 .when(t == "boolean", "bool")
+                 .when(t.isin("timestamp", "timestamp_ntz", "date"), "date")
+                 .when(t.startswith("array"), "array")
+                 .when(t.startswith("struct") | t.startswith("map"), "object")
+                 .when(t == "binary", "binData")
+                 .otherwise(t))
+    if op == "$isNumber":
+        t = F.call_function("typeof", E(operand))
+        return (E(operand).isNotNull()
+                & (t.isin("int", "smallint", "tinyint", "bigint",
+                          "double", "float") | t.startswith("decimal")))
+    if op == "$isArray":
+        inner = operand[0] if isinstance(operand, list) else operand
+        t = F.call_function("typeof", E(inner))
+        return E(inner).isNotNull() & t.startswith("array")
+    # set/array predicates -----------------------------------------------
+    if op == "$allElementsTrue":
+        arr = operand[0] if isinstance(operand, list) else operand
+        return F.forall(E(arr), _truthy)
+    if op == "$anyElementTrue":
+        arr = operand[0] if isinstance(operand, list) else operand
+        return F.exists(E(arr), _truthy)
+    # byte-level string/binary sizing ------------------------------------
+    if op == "$strLenBytes":
+        return F.octet_length(E(operand))
+    if op == "$binarySize":
+        return F.octet_length(E(operand))
     raise ValueError(f"unsupported aggregation expression operator {op}")
+
+
+def _regex_find(op: str, operand: dict, E) -> Column:
+    """``$regexFind`` / ``$regexFindAll`` (Mongo 4.2).
+
+    Returns the server's document shape ``{match, idx, captures}`` — ``idx``
+    is the 0-based code-point offset of the match and ``captures`` holds the
+    capture groups (null for non-participating groups is approximated as
+    null when the group matched empty; Spark's regexp_extract cannot tell
+    the two apart — documented deviation).
+
+    Scale: pure per-row expressions (regexp_substr / regexp_instr /
+    regexp_extract_all + an ``aggregate`` fold for per-match offsets); no
+    shuffle, stays inside whole-stage codegen.
+    """
+    import re as _re
+
+    pat = operand["regex"]
+    pat = pat.pattern if hasattr(pat, "pattern") else str(pat)
+    ngroups = _re.compile(pat).groups
+    s = E(operand["input"])
+    lit = F.lit(pat)
+    if op == "$regexFind":
+        m = F.call_function("regexp_substr", s, lit)  # NULL when no match
+        idx = (F.call_function("regexp_instr", s, lit) - 1).cast("int")
+        caps = F.array(*[
+            F.when(m.isNotNull(),
+                   F.regexp_extract(s, pat, g + 1)).otherwise(F.lit(None))
+            for g in range(ngroups)])
+        return F.when(m.isNotNull(),
+                      F.struct(m.alias("match"), idx.alias("idx"),
+                               caps.alias("captures")))
+    # $regexFindAll: all non-overlapping matches.  regexp_extract_all gives
+    # the match strings; offsets come from a left-to-right fold that scans
+    # for each match after the previous one ended (regex scan semantics).
+    matches = F.call_function("regexp_extract_all", s, lit, F.lit(0))
+    caps_per_group = [F.call_function("regexp_extract_all", s, lit,
+                                      F.lit(g + 1)) for g in range(ngroups)]
+    def _tail(pos):
+        return F.call_function("substring", s, pos + 1, F.lit(2147483647))
+
+    def _hit(pos, m):
+        # 0-based offset of m scanned from pos (instr is 1-based)
+        return (pos + F.call_function("instr", _tail(pos), m) - 1).cast("int")
+
+    zero = F.struct(
+        F.array().cast("array<struct<match:string,idx:int>>").alias("acc"),
+        F.lit(0).alias("pos"))
+    folded = F.aggregate(
+        matches, zero,
+        lambda acc, m: F.struct(
+            F.concat(
+                acc["acc"],
+                F.array(F.struct(m.alias("match"),
+                                 _hit(acc["pos"], m).alias("idx")))
+            ).alias("acc"),
+            (_hit(acc["pos"], m)
+             + F.greatest(F.length(m), F.lit(1))).alias("pos")))
+    entries = folded["acc"]
+    if ngroups:
+        names = [f"g{i}" for i in range(1, ngroups + 1)]
+        zipped = F.arrays_zip(entries.alias("m"),
+                              *[c.alias(n)
+                                for c, n in zip(caps_per_group, names)])
+        return F.transform(zipped, lambda row: F.struct(
+            row["m"]["match"].alias("match"),
+            row["m"]["idx"].alias("idx"),
+            F.array(*[row[n] for n in names]).alias("captures")))
+    return F.transform(entries, lambda e: F.struct(
+        e["match"].alias("match"), e["idx"].alias("idx"),
+        F.array().cast("array<string>").alias("captures")))
 
 
 # ---------------------------------------------------------------------------

@@ -885,3 +885,106 @@ def test_fill_linear_requires_single_sort_key(spark):
         aggregate(df, [
             {"$fill": {"partitionBy": "$k", "sortBy": {"x": 1, "v": 1},
                        "output": {"v": {"method": "linear"}}}}])
+
+
+# ---------------------------------------------------------------------------
+# Mongo 4.2 regex/type/trig expression family
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def strings(spark):
+    return spark.createDataFrame(
+        [(1, "abc12de3f", [1, 0, 2]), (2, "nodigits", []), (3, None, None)],
+        "id long, s string, nums array<int>")
+
+
+def test_regex_find_shape(strings):
+    got = {r.id: r.rf for r in strings.select(
+        "id",
+        expr_to_col({"$regexFind": {"input": "$s",
+                                    "regex": r"(\d+)([a-z]+)"}}).alias("rf"),
+    ).collect()}
+    assert got[1].match == "12de" and got[1].idx == 3
+    assert got[1].captures == ["12", "de"]
+    # no match and null input both yield null (server: missing)
+    assert got[2] is None and got[3] is None
+
+
+def test_regex_find_all_offsets_are_scan_positions(strings):
+    got = {r.id: r.rfa for r in strings.select(
+        "id",
+        expr_to_col({"$regexFindAll": {"input": "$s",
+                                       "regex": r"\d"}}).alias("rfa"),
+    ).collect()}
+    # repeated identical matches must advance the scan: "1","2","3" at
+    # their true offsets, not three hits of the first occurrence
+    assert [(m.match, m.idx) for m in got[1]] == [("1", 3), ("2", 4), ("3", 7)]
+    assert got[2] == []
+
+
+def test_regex_find_all_captures_empty_groups(strings):
+    got = {r.id: r.v for r in strings.select(
+        "id",
+        expr_to_col({"$regexFindAll": {"input": "$s",
+                                       "regex": r"(\d)(\d*)"}}).alias("v"),
+    ).collect()}
+    assert [(m.match, m.captures) for m in got[1]] == [
+        ("12", ["1", "2"]), ("3", ["3", ""])]
+
+
+def test_type_isnumber_isarray(strings):
+    r = strings.select(
+        expr_to_col({"$type": "$s"}).alias("ts"),
+        expr_to_col({"$type": "$id"}).alias("ti"),
+        expr_to_col({"$type": "$nums"}).alias("ta"),
+        expr_to_col({"$isNumber": "$id"}).alias("isn"),
+        expr_to_col({"$isNumber": "$s"}).alias("isn_s"),
+        expr_to_col({"$isArray": "$nums"}).alias("isa"),
+    ).where("ts = 'string'").first()
+    assert (r.ts, r.ti, r.ta) == ("string", "long", "array")
+    assert r.isn is True and r.isn_s is False and r.isa is True
+    nulls = strings.where("s IS NULL").select(
+        expr_to_col({"$type": "$s"}).alias("t"),
+        expr_to_col({"$isNumber": "$s"}).alias("n")).first()
+    assert nulls.t == "null" and nulls.n is False
+
+
+def test_all_any_elements_true(strings):
+    r = {x.id: (x.a, x.b) for x in strings.select(
+        "id",
+        expr_to_col({"$allElementsTrue": ["$nums"]}).alias("a"),
+        expr_to_col({"$anyElementTrue": ["$nums"]}).alias("b"),
+    ).collect()}
+    assert r[1] == (False, True)   # contains a 0
+    assert r[2] == (True, False)   # vacuous truth on empty array
+
+
+def test_trig_and_strlenbytes(spark):
+    import math
+
+    df = spark.createDataFrame([(0.5, "héllo")], "x double, s string")
+    r = df.select(
+        expr_to_col({"$sin": "$x"}).alias("sin"),
+        expr_to_col({"$atan2": ["$x", 1]}).alias("at2"),
+        expr_to_col({"$radiansToDegrees": "$x"}).alias("deg"),
+        expr_to_col({"$degreesToRadians": 180}).alias("rad"),
+        expr_to_col({"$strLenBytes": "$s"}).alias("b"),
+        expr_to_col({"$strLenCP": "$s"}).alias("cp"),
+    ).first()
+    assert r.sin == math.sin(0.5) and r.at2 == math.atan2(0.5, 1.0)
+    assert r.deg == math.degrees(0.5) and r.rad == math.pi
+    assert (r.b, r.cp) == (6, 5)   # é is 2 UTF-8 bytes, 1 code point
+
+
+def test_array_elem_at_out_of_range_is_missing(spark):
+    # server: $arrayElemAt past either end returns missing, never errors —
+    # must hold under Spark 4's default ANSI mode
+    df = spark.createDataFrame([([1, 2],), ([],)], "a array<int>")
+    got = df.select(
+        expr_to_col({"$arrayElemAt": ["$a", 5]}).alias("hi"),
+        expr_to_col({"$arrayElemAt": ["$a", -5]}).alias("lo"),
+        expr_to_col({"$arrayElemAt": ["$a", 0]}).alias("first"),
+    ).collect()
+    assert all(r.hi is None and r.lo is None for r in got)
+    assert sorted([r.first for r in got], key=lambda v: (v is None, v)) == [1, None]
