@@ -406,6 +406,84 @@ ORDER BY doc_id
 """
 
 
+# deterministic 64-dim query vector in exact-decimal steps; the SAME
+# Python-built literal is embedded in the Spark plan and the oracle SQL,
+# so both engines parse identical double constants
+_VS_QUERY = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+
+
+def pipeline_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$vectorSearch (Atlas Vector Search) as a pipeline stage: filtered
+    cosine top-10 with the score surfaced via {$meta: "vectorSearchScore"}.
+
+    Plan shape: pre-filter reaches the parquet scan, scoring is one
+    per-row fold, and orderBy+limit plans as TakeOrderedAndProject —
+    per-partition top-k, k-row merge, no global sort.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    return aggregate(emb, [
+        {"$vectorSearch": {
+            "index": "emb_index", "path": "embedding",
+            "queryVector": _VS_QUERY, "numCandidates": 100, "limit": 10,
+            "filter": {"label": {"$gte": 1}}}},
+        {"$project": {"vec_id": 1, "label": 1,
+                      "score": {"$meta": "vectorSearchScore"}}},
+    ])
+
+
+_VS_QV_SQL = "[" + ", ".join(repr(v) for v in _VS_QUERY) + "]::double[]"
+
+# score mirrors the stage exactly: (1 + dot/(qn*cn)) / 2 with
+# left-to-right double folds on both engines
+PIPELINE_VECTOR_SEARCH_SQL = f"""
+WITH c AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::double) AS cd
+  FROM embeddings WHERE label >= 1
+)
+SELECT vec_id, label,
+       (1 + list_dot_product({_VS_QV_SQL}, cd)
+            / (sqrt(list_dot_product({_VS_QV_SQL}, {_VS_QV_SQL}))
+               * sqrt(list_dot_product(cd, cd)))) / 2 AS score
+FROM c
+ORDER BY score DESC LIMIT 10
+"""
+
+
+def pipeline_geo_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$geoNear (planar 2d): filtered nearest-events with a bounded
+    radius and the distance reported in a named field.
+
+    The coordinate pair is projected from scalar columns first (the
+    server would read it off a 2d index); $geoNear then pre-filters,
+    computes one per-row planar distance, range-bounds it BEFORE the
+    ascending sort, and emits `dist`.
+    """
+    events = table(spark, sf_dir, "events")
+    with_loc = events.select(
+        "event_id", "event_type",
+        F.expr("array(value, cast(user_id % 97 AS double))").alias("loc"))
+    return aggregate(with_loc, [
+        {"$geoNear": {"near": [50.0, 48.0], "key": "loc",
+                      "distanceField": "dist",
+                      "query": {"event_type": "click"},
+                      "maxDistance": 30.0, "spherical": False}},
+        {"$project": {"event_id": 1, "dist": 1}},
+    ])
+
+
+PIPELINE_GEO_NEAR_SQL = """
+WITH d AS (
+  SELECT event_id,
+         sqrt((value - 50.0) * (value - 50.0)
+              + ((user_id % 97)::double - 48.0)
+                * ((user_id % 97)::double - 48.0)) AS dist
+  FROM events
+  WHERE event_type = 'click'
+)
+SELECT event_id, dist FROM d WHERE dist <= 30.0 ORDER BY dist
+"""
+
+
 def pipeline_top_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mongo 5.2/7.0 ranked-accumulator family in one $group: $topN
     (3 priciest order keys), $bottom (cheapest), $median (discrete).
@@ -642,6 +720,8 @@ FROM w
 
 
 QUERIES = {
+    "pipeline_vector_search": pipeline_vector_search,
+    "pipeline_geo_near": pipeline_geo_near,
     "pipeline_regex_type_report": pipeline_regex_type_report,
     "pipeline_object_to_array": pipeline_object_to_array,
     "pipeline_top_orders_per_status": pipeline_top_orders_per_status,
@@ -660,6 +740,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_vector_search": PIPELINE_VECTOR_SEARCH_SQL,
+    "pipeline_geo_near": PIPELINE_GEO_NEAR_SQL,
     "pipeline_regex_type_report": PIPELINE_REGEX_TYPE_SQL,
     "pipeline_object_to_array": PIPELINE_OBJ_ARRAY_SQL,
     "pipeline_top_orders_per_status": PIPELINE_TOP_ORDERS_SQL,

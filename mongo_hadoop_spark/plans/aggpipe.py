@@ -522,6 +522,15 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
             else str(operand["regex"]))
     if op in ("$regexFind", "$regexFindAll"):
         return _regex_find(op, operand, E)
+    if op == "$meta":
+        # search-stage metadata: resolved from the hidden columns the
+        # $vectorSearch / $geoNear stages attach (server: index metadata)
+        meta_cols = {"vectorSearchScore": _VS_SCORE_COL,
+                     "geoNearDistance": _GEO_DIST_COL}
+        if operand not in meta_cols:
+            raise ValueError(
+                f"unsupported aggregation expression $meta kind {operand!r}")
+        return F.col(meta_cols[operand])
     # trigonometry (Mongo 4.2 family) ------------------------------------
     _TRIG = {"$sin": F.sin, "$cos": F.cos, "$tan": F.tan,
              "$asin": F.asin, "$acos": F.acos, "$atan": F.atan,
@@ -1349,6 +1358,102 @@ def _stage_merge(df: DataFrame, spec, store_path: str | None) -> DataFrame:
     return df
 
 
+#: hidden metadata columns attached by the search stages; resolved by
+#: {$meta: ...} in later $project stages and stripped from the final result
+_VS_SCORE_COL = "__vs_score__"
+_GEO_DIST_COL = "__geo_dist__"
+
+
+def _array_literal(values) -> Column:
+    """Numeric array literal as ONE SQL expression string — per-element
+    F.lit Columns cost a py4j round-trip each (SCALE.md round-4 finding)."""
+    return F.expr("array(" + ", ".join(repr(float(v)) for v in values) + ")")
+
+
+def _stage_vector_search(df: DataFrame, spec: dict) -> DataFrame:
+    """``$vectorSearch`` (Atlas Vector Search) — the server's ANN stage
+    compiled onto an exact top-k scoring plan.
+
+    Supported: ``path``, ``queryVector``, ``limit``, ``filter`` (Atlas
+    pre-filter → ``match_to_col``), ``similarity`` (cosine | dotProduct |
+    euclidean — an explicit option here because the Atlas *index*
+    definition that normally carries it is out of scope), ``index`` and
+    ``numCandidates`` (accepted, ignored), ``exact`` (we always rank
+    exactly).  Scores use Atlas's normalizations: cosine/dotProduct →
+    (1 + s) / 2, euclidean → 1 / (1 + d).
+
+    Honest ANN note: Atlas trades recall for latency via numCandidates;
+    here ordering by score + limit plans as TakeOrderedAndProject —
+    per-partition top-k then a k-sized merge, no global sort, recall 1.0.
+    The bucketed sub-linear paths live in operators/similarity.py
+    (ivf_knn / pq_knn_adc); this stage is the pipeline-language surface.
+    The score is reachable downstream via {$meta: "vectorSearchScore"}.
+    """
+    from mongo_hadoop_spark.functions import dot, norm2
+
+    path, qv = spec["path"], spec["queryVector"]
+    limit = int(spec["limit"])
+    sim_kind = spec.get("similarity", "cosine")
+    out = df.where(match_to_col(spec["filter"])) if spec.get("filter") else df
+    q = _array_literal(qv)
+    v = F.col(path)
+    if sim_kind == "cosine":
+        score = (F.lit(1.0)
+                 + dot(q, v) / (F.sqrt(norm2(q)) * F.sqrt(norm2(v)))) / 2
+    elif sim_kind == "dotProduct":
+        score = (F.lit(1.0) + dot(q, v)) / 2
+    elif sim_kind == "euclidean":
+        d2 = F.aggregate(
+            F.zip_with(q, v, lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0), lambda acc, x: acc + x)
+        score = F.lit(1.0) / (F.lit(1.0) + F.sqrt(d2))
+    else:
+        raise ValueError(f"unsupported $vectorSearch similarity {sim_kind!r}")
+    return (out.withColumn(_VS_SCORE_COL, score)
+            .orderBy(F.col(_VS_SCORE_COL).desc())
+            .limit(limit))
+
+
+def _stage_geo_near(df: DataFrame, spec: dict) -> DataFrame:
+    """``$geoNear`` with legacy planar (2d) coordinates.
+
+    ``key`` names an ``array<double>`` [x, y] column (the server reads it
+    off the 2d index; a pipeline gate can project one first).  ``query``
+    pre-filters, ``minDistance``/``maxDistance`` bound the planar
+    distance, ``distanceMultiplier`` scales the reported value, and docs
+    come back distance-ascending with ``distanceField`` set.
+    ``spherical: true`` (haversine on an earth radius) is refused loudly
+    rather than approximated.
+
+    Scale: distance is a per-row expression; the one shuffle is the
+    ascending range sort, and min/max bounds filter *before* it.
+    """
+    near = spec["near"]
+    if spec.get("spherical"):
+        raise ValueError("$geoNear spherical:true is not supported "
+                         "(planar 2d only)")
+    if not (isinstance(near, (list, tuple)) and len(near) == 2):
+        raise ValueError("$geoNear near must be a [x, y] point")
+    key = spec.get("key")
+    if not key:
+        raise ValueError("$geoNear needs key: the [x, y] coordinate field")
+    dist_field = spec["distanceField"]
+    out = df.where(match_to_col(spec["query"])) if spec.get("query") else df
+    x, y = F.element_at(F.col(key), 1), F.element_at(F.col(key), 2)
+    qx, qy = F.lit(float(near[0])), F.lit(float(near[1]))
+    dist = F.sqrt((x - qx) * (x - qx) + (y - qy) * (y - qy))
+    out = out.withColumn(_GEO_DIST_COL, dist)
+    if "maxDistance" in spec:
+        out = out.where(F.col(_GEO_DIST_COL) <= float(spec["maxDistance"]))
+    if "minDistance" in spec:
+        out = out.where(F.col(_GEO_DIST_COL) >= float(spec["minDistance"]))
+    reported = F.col(_GEO_DIST_COL) * float(spec["distanceMultiplier"]) \
+        if "distanceMultiplier" in spec else F.col(_GEO_DIST_COL)
+    return (out.withColumn(dist_field, reported)
+            .orderBy(F.col(_GEO_DIST_COL).asc()))
+
+
 def aggregate(df: DataFrame, pipeline: list[dict],
               tables: dict[str, DataFrame] | None = None,
               store_path: str | None = None) -> DataFrame:
@@ -1361,7 +1466,13 @@ def aggregate(df: DataFrame, pipeline: list[dict],
         (op, spec), = stage.items()
         if op in ("$out", "$merge") and i != len(pipeline) - 1:
             raise ValueError(f"{op} must be the last pipeline stage")
-        if op == "$match":
+        if op in ("$vectorSearch", "$geoNear") and i != 0:
+            raise ValueError(f"{op} must be the first pipeline stage")
+        if op == "$vectorSearch":
+            out = _stage_vector_search(out, spec)
+        elif op == "$geoNear":
+            out = _stage_geo_near(out, spec)
+        elif op == "$match":
             out = out.where(match_to_col(spec))
         elif op == "$project":
             out = _stage_project(out, spec)
@@ -1441,4 +1552,7 @@ def aggregate(df: DataFrame, pipeline: list[dict],
             out = _stage_merge(out, spec, store_path)
         else:
             raise ValueError(f"unsupported pipeline stage {op}")
+    for hidden in (_VS_SCORE_COL, _GEO_DIST_COL):
+        if hidden in out.columns:
+            out = out.drop(hidden)
     return out

@@ -988,3 +988,97 @@ def test_array_elem_at_out_of_range_is_missing(spark):
     ).collect()
     assert all(r.hi is None and r.lo is None for r in got)
     assert sorted([r.first for r in got], key=lambda v: (v is None, v)) == [1, None]
+
+
+# ---------------------------------------------------------------------------
+# $vectorSearch / $geoNear search stages
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def vectors(spark):
+    return spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [0.0, 1.0], "a"),
+         (3, [0.6, 0.8], "b"), (4, [-1.0, 0.0], "a")],
+        "vec_id long, v array<double>, grp string")
+
+
+def test_vector_search_cosine_scores_and_meta(vectors):
+    got = aggregate(vectors, [
+        {"$vectorSearch": {"path": "v", "queryVector": [1.0, 0.0],
+                           "limit": 3}},
+        {"$project": {"vec_id": 1,
+                      "score": {"$meta": "vectorSearchScore"}}},
+    ]).collect()
+    assert [r.vec_id for r in got] == [1, 3, 2]
+    # Atlas cosine normalization (1 + cos)/2
+    assert got[0].score == 1.0 and got[1].score == pytest.approx(0.8)
+    assert got[2].score == pytest.approx(0.5)
+
+
+def test_vector_search_filter_and_euclidean(vectors):
+    got = aggregate(vectors, [
+        {"$vectorSearch": {"path": "v", "queryVector": [1.0, 0.0],
+                           "limit": 2, "similarity": "euclidean",
+                           "filter": {"grp": "a"}}},
+        {"$project": {"vec_id": 1,
+                      "score": {"$meta": "vectorSearchScore"}}},
+    ]).collect()
+    assert [r.vec_id for r in got] == [1, 2]
+    assert got[0].score == 1.0                       # d=0 → 1/(1+0)
+    assert got[1].score == pytest.approx(1 / (1 + 2 ** 0.5))
+
+
+def test_vector_search_hidden_score_is_stripped(vectors):
+    out = aggregate(vectors, [
+        {"$vectorSearch": {"path": "v", "queryVector": [1.0, 0.0],
+                           "limit": 2}},
+    ])
+    assert "__vs_score__" not in out.columns
+
+
+def test_vector_search_must_be_first_stage(vectors):
+    with pytest.raises(ValueError, match="first pipeline stage"):
+        aggregate(vectors, [
+            {"$match": {"grp": "a"}},
+            {"$vectorSearch": {"path": "v", "queryVector": [1.0, 0.0],
+                               "limit": 1}}])
+
+
+def test_vector_search_plan_is_take_ordered(vectors):
+    out = aggregate(vectors, [
+        {"$vectorSearch": {"path": "v", "queryVector": [1.0, 0.0],
+                           "limit": 2}}])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_geo_near_distance_bounds_and_multiplier(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 3.0], "x"), (2, [4.0, 0.0], "x"),
+         (3, [10.0, 10.0], "x"), (4, [0.0, 1.0], "y")],
+        "id long, loc array<double>, t string")
+    got = aggregate(df, [
+        {"$geoNear": {"near": [0.0, 0.0], "key": "loc",
+                      "distanceField": "d", "query": {"t": "x"},
+                      "minDistance": 3.5, "maxDistance": 9.0,
+                      "distanceMultiplier": 2.0}},
+        {"$project": {"id": 1, "d": 1}},
+    ]).collect()
+    # id=1 (d=3) below min, id=3 (d≈14.1) above max, id=4 filtered by query
+    assert [(r.id, r.d) for r in got] == [(2, 8.0)]
+
+
+def test_geo_near_sorts_ascending_and_refuses_spherical(spark):
+    df = spark.createDataFrame(
+        [(1, [5.0, 0.0]), (2, [1.0, 0.0]), (3, [3.0, 0.0])],
+        "id long, loc array<double>")
+    got = aggregate(df, [
+        {"$geoNear": {"near": [0.0, 0.0], "key": "loc",
+                      "distanceField": "d"}}]).collect()
+    assert [r.id for r in got] == [2, 3, 1]
+    assert "__geo_dist__" not in got[0].asDict()
+    with pytest.raises(ValueError, match="spherical"):
+        aggregate(df, [{"$geoNear": {"near": [0.0, 0.0], "key": "loc",
+                                     "distanceField": "d",
+                                     "spherical": True}}])
