@@ -23,15 +23,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mongo_hadoop_spark.operators import (
-    analytics, asof, dedup, mongoagg, multimodal, pipeline, relational,
-    relational2, relational3, relational4, relational5, selection,
-    similarity, sketches, skew, spans, textstats, windows, lm,
+    analytics, asof, dedup, linalg, mongoagg, multimodal, pipeline,
+    relational, relational2, relational3, relational4, relational5,
+    selection, similarity, sketches, skew, spans, textstats, windows, lm,
 )
 
 _MODULES = [relational, relational2, relational3, relational4, relational5,
-            windows, dedup, spans, lm, selection, similarity, textstats,
-            multimodal, skew, pipeline, asof, mongoagg, analytics,
-            sketches]
+            windows, dedup, spans, lm, selection, similarity, linalg,
+            textstats, multimodal, skew, pipeline, asof, mongoagg,
+            analytics, sketches]
 
 # Registry order is part of the verification contract: external harnesses may
 # only sample a prefix of ``queries()``, so the entries that most need a fresh
@@ -45,6 +45,7 @@ _HEAD_KEYS = [
     # new this round — first driver check
     "pipeline_vector_search", "pipeline_geo_near",
     "pipeline_regex_type_report",
+    "embedding_gram_matrix", "embedding_random_projection",
     "corpus_dsir_weights", "corpus_dsir_selected",
     "documents_priority_sample", "sketch_cms_tokens",
     "sketch_cms_estimates", "text_bigram_surprisal",

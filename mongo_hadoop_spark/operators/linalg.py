@@ -1,0 +1,133 @@
+"""Distributed embedding linear algebra: exact Gram matrix and
+Johnson-Lindenstrauss random projection.
+
+Why these two: at training-data scale the embedding table is the widest
+asset in the corpus, and the two standard global operations over it are
+(a) second-moment statistics (the Gram / covariance matrix — the input
+to PCA whitening, spectral diagnostics, and data-attribution methods)
+and (b) dimensionality reduction before ANN indexing (random projection
+— the JL lemma guarantees pairwise-distance preservation with an
+oblivious, data-independent matrix, which is why production pipelines
+run it *before* IVF/PQ training rather than PCA when the corpus is too
+big to look at twice).
+
+Scale shapes (100 TB):
+- Gram: the d(d+1)/2 upper-triangle products are generated row-locally
+  (CPU, not shuffle) and partially aggregated map-side, so the one
+  shuffle carries at most d(d+1)/2 rows *per map partition* (2,080 for
+  d=64) regardless of corpus size.  Sums go through exact
+  ``decimal(27,10)`` so the result is bit-identical across engines and
+  partitionings (the same order-independence trick as the Lloyd rounds
+  in operators/similarity.py).
+- JL projection: entirely row-local — one fold per output dimension
+  against a *literal* sign matrix, no shuffle at all.  The sign matrix
+  is derived from md5 at plan-build time (Achlioptas ±1 construction),
+  so the projection is reproducible everywhere without a stored model,
+  and the identical literals are embedded in the DuckDB oracle.
+
+Reference context: the connector has no linear-algebra surface; these
+are driver-mandated training-data-pipeline extensions (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mongo_hadoop_spark.session import table
+
+EMB_DIM = 64      # embeddings.parquet vector width
+JL_DIMS = 8       # projected dimensionality
+
+
+def _jl_sign(k: int, i: int) -> int:
+    """Deterministic ±1 from md5("jl:k:i") — computed at plan-build time
+    so both engines see the same literal matrix (an oblivious seeded
+    projection, as in practice)."""
+    h = hashlib.md5(f"jl:{k}:{i}".encode()).hexdigest()
+    return 1 if int(h[:8], 16) % 2 == 0 else -1
+
+
+_JL_SIGNS = [[_jl_sign(k, i) for i in range(EMB_DIM)] for k in range(JL_DIMS)]
+
+
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram matrix G[i][j] = Σ_rows v_i · v_j, exact.
+
+    Two nested posexplodes generate the per-row products (row-local);
+    the groupBy on (i, j) partial-aggregates map-side to ≤ d(d+1)/2
+    rows per partition before the shuffle.  Products are computed in
+    double (IEEE-identical on both engines) and summed as
+    ``decimal(27,10)`` (order-independent), converted to double once.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "embedding", F.posexplode("embedding").alias("i", "xi"))
+    pairs = flat.select(
+        "i", "xi", F.posexplode("embedding").alias("j", "xj"),
+    ).where(F.col("j") >= F.col("i"))
+    prod = (F.col("xi").cast("double") * F.col("xj").cast("double")
+            ).cast("decimal(27,10)")
+    return (pairs.groupBy("i", "j")
+            .agg(F.sum(prod).cast("double").alias("g"))
+            .orderBy("i", "j"))
+
+
+GRAM_SQL = f"""
+WITH flat AS (
+  SELECT gi.i AS i, gj.j AS j,
+         (embedding[i + 1]::double * embedding[j + 1]::double)::decimal(27,10) AS p
+  FROM embeddings,
+       generate_series(0, {EMB_DIM - 1}) AS gi(i),
+       generate_series(0, {EMB_DIM - 1}) AS gj(j)
+  WHERE j >= i
+)
+SELECT i, j, sum(p)::double AS g
+FROM flat GROUP BY i, j ORDER BY i, j
+"""
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection to ``JL_DIMS`` dims: y_k = (s_k · v) / sqrt(k).
+
+    Each output dimension is one left-to-right double fold against a ±1
+    literal row of the sign matrix — identical accumulation order to
+    DuckDB's ``list_dot_product``, so values are bit-equal.  No shuffle;
+    the plan is a pure map over the scan.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    cols = [F.col("vec_id")]
+    for k in range(JL_DIMS):
+        signs = "array(" + ", ".join(
+            f"{s}.0" for s in _JL_SIGNS[k]) + ")"
+        # one SQL expression per output dim (not 64 F.lit py4j calls)
+        fold = (f"aggregate(zip_with(embedding, {signs},"
+                f" (x, y) -> cast(x AS double) * y),"
+                f" cast(0.0 AS double), (acc, x) -> acc + x)")
+        cols.append(
+            (F.expr(fold) / F.lit(float(JL_DIMS) ** 0.5)).alias(f"p{k}"))
+    return emb.select(*cols).orderBy("vec_id")
+
+
+def _jl_sql() -> str:
+    exprs = []
+    for k in range(JL_DIMS):
+        signs = "[" + ", ".join(f"{s}.0" for s in _JL_SIGNS[k]) + "]"
+        exprs.append(
+            f"list_dot_product(list_transform(embedding, x -> x::double),"
+            f" {signs}::double[]) / sqrt({float(JL_DIMS)!r}) AS p{k}")
+    return ("SELECT vec_id, " + ", ".join(exprs)
+            + " FROM embeddings ORDER BY vec_id")
+
+
+QUERIES = {
+    "embedding_gram_matrix": embedding_gram_matrix,
+    "embedding_random_projection": embedding_random_projection,
+}
+
+ORACLES = {
+    "embedding_gram_matrix": GRAM_SQL,
+    "embedding_random_projection": _jl_sql(),
+}
