@@ -1159,3 +1159,25 @@ def test_redact_keep_stops_descent_and_arrays(spark):
     assert [e.level for e in got[1]["items"]] == [5, 1]
     # $$DESCEND recurses into array elements and prunes level>=5 docs
     assert [e.tag for e in got[2]["items"]] == ["b"]
+
+
+def test_regex_find_all_matches_python_re_on_random_strings(spark):
+    """Cross-implementation pin: the fold-computed offsets must equal
+    Python re's non-overlapping scan on a few hundred adversarial strings
+    (repeats, overlaps, empty-capable tails) in ONE Spark job."""
+    import random
+    import re
+
+    rng = random.Random(20260814)
+    alphabet = "aab0 1."
+    cases = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+             for _ in range(300)]
+    pattern = r"a+b|[0-9]+"
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)],
+                               "i long, s string")
+    got = {r.i: r.v for r in df.select("i", expr_to_col(
+        {"$regexFindAll": {"input": "$s", "regex": pattern}}).alias("v"),
+    ).collect()}
+    for i, s in enumerate(cases):
+        expected = [(m.group(0), m.start()) for m in re.finditer(pattern, s)]
+        assert [(m.match, m.idx) for m in got[i]] == expected, (i, s)
