@@ -46,6 +46,7 @@ _HEAD_KEYS = [
     "pipeline_vector_search", "pipeline_geo_near",
     "pipeline_regex_type_report", "pipeline_redact_levels",
     "embedding_gram_matrix", "embedding_random_projection",
+    "embedding_pca_whitened",
     "corpus_dsir_weights", "corpus_dsir_selected",
     "documents_priority_sample", "sketch_cms_tokens",
     "sketch_cms_estimates", "text_bigram_surprisal",

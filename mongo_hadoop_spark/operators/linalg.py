@@ -122,12 +122,95 @@ def _jl_sql() -> str:
             + " FROM embeddings ORDER BY vec_id")
 
 
+PCA_DIMS = 8      # whitened output dimensionality
+PCA_EPS = 1e-9    # variance floor before the inverse square root
+
+
+def pca_model(spark: SparkSession, sf_dir: str):
+    """Fit the PCA whitening model: exact first/second moments from two
+    tiny aggregations (decimal(27,10) sums — order-independent), then an
+    eigendecomposition of the d×d covariance on the driver.
+
+    Returns (mean, components, eigenvalues) as Python lists; components
+    are rows of eigvectors for the top ``PCA_DIMS`` variances.  The
+    driver-side work is O(d²) collect + O(d³) eigh on a 64×64 matrix —
+    constant in corpus size, the legitimate "small model on the driver"
+    pattern (same class as the broadcast IVF centroids).
+    """
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select("embedding",
+                      F.posexplode("embedding").alias("i", "xi"))
+    mean_rows = (flat.groupBy("i")
+                 .agg((F.sum(F.col("xi").cast("decimal(27,10)"))
+                       .cast("double") / F.count(F.lit(1))).alias("m"))
+                 .collect())
+    mu = [0.0] * EMB_DIM
+    for r in mean_rows:
+        mu[r["i"]] = r["m"]
+    pairs = flat.select(
+        "i", "xi", F.posexplode("embedding").alias("j", "xj"),
+    ).where(F.col("j") >= F.col("i"))
+    prod = (F.col("xi").cast("double") * F.col("xj").cast("double")
+            ).cast("decimal(27,10)")
+    gram_rows = (pairs.groupBy("i", "j")
+                 .agg(F.sum(prod).cast("double").alias("g"),
+                      F.count(F.lit(1)).alias("n"))
+                 .collect())
+    n = gram_rows[0]["n"] if gram_rows else 1
+    cov = np.zeros((EMB_DIM, EMB_DIM))
+    for r in gram_rows:
+        v = r["g"] / n - mu[r["i"]] * mu[r["j"]]
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = v
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:PCA_DIMS]
+    comps = eigvecs[:, order].T          # (PCA_DIMS, d)
+    # sign convention: make the largest-|w| coefficient positive so the
+    # model is unique (eigh's sign is arbitrary)
+    for k in range(comps.shape[0]):
+        if comps[k][np.argmax(np.abs(comps[k]))] < 0:
+            comps[k] = -comps[k]
+    return mu, comps.tolist(), eigvals[order].tolist()
+
+
+def embedding_pca_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitened embeddings: y_k = (w_k · (v − μ)) / sqrt(λ_k + ε).
+
+    Second pass: the fitted model is embedded as literal arrays (the
+    broadcast-small-model pattern), so the projection is a pure map —
+    one mean-subtraction zip and ``PCA_DIMS`` folds per row, no shuffle.
+
+    No DuckDB oracle: the eigendecomposition has no SQL equivalent —
+    the rows-only driver check applies; the whitening *property*
+    (diagonal unit covariance of the output) is pinned by pytest
+    computing the output second moments in Spark itself.
+    """
+    mu, comps, eigvals = pca_model(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    mu_sql = "array(" + ", ".join(repr(m) for m in mu) + ")"
+    centered = F.expr(
+        f"zip_with(embedding, {mu_sql}, (x, y) -> cast(x AS double) - y)")
+    out = emb.select("vec_id", centered.alias("c"))
+    cols = [F.col("vec_id")]
+    for k in range(PCA_DIMS):
+        w_sql = "array(" + ", ".join(repr(w) for w in comps[k]) + ")"
+        fold = (f"aggregate(zip_with(c, {w_sql}, (x, y) -> x * y),"
+                f" cast(0.0 AS double), (acc, x) -> acc + x)")
+        scale = (eigvals[k] + PCA_EPS) ** 0.5
+        cols.append((F.expr(fold) / F.lit(scale)).alias(f"w{k}"))
+    return out.select(*cols).orderBy("vec_id")
+
+
 QUERIES = {
     "embedding_gram_matrix": embedding_gram_matrix,
     "embedding_random_projection": embedding_random_projection,
+    "embedding_pca_whitened": embedding_pca_whitened,
 }
 
 ORACLES = {
     "embedding_gram_matrix": GRAM_SQL,
     "embedding_random_projection": _jl_sql(),
+    # embedding_pca_whitened: genuinely non-SQL-expressible (eigh) —
+    # rows-only driver check; whitening property pinned in pytest
 }

@@ -1370,11 +1370,36 @@ def _stage_out(df: DataFrame, spec, store_path: str | None) -> DataFrame:
     return df
 
 
+def _merge_builder(when_matched: str, upsert: bool, key_cols: list[str]):
+    from mongo_hadoop_spark.sinks.writers import UpdateSpec
+
+    def build(doc: dict) -> UpdateSpec:
+        q = {k: doc[k] for k in key_cols}
+        rest = {k: v for k, v in doc.items() if k not in key_cols}
+        if when_matched == "replace":
+            return UpdateSpec(q, dict(doc), upsert=upsert, replace=True)
+        if when_matched == "merge":
+            return UpdateSpec(q, {"$set": rest}, upsert=upsert)
+        # keepExisting: only takes effect on insert ($setOnInsert no-ops
+        # against a matched document)
+        return UpdateSpec(q, {"$setOnInsert": dict(doc)}, upsert=True)
+
+    return build
+
+
 def _stage_merge(df: DataFrame, spec, store_path: str | None) -> DataFrame:
-    """$merge (equality-``on`` form): upsert the pipeline result into the
-    target collection — whenMatched: replace, whenNotMatched: insert (the
-    server defaults).  Each row becomes a journaled mutation replayed by
-    the committer, the same path as MongoUpdateStorage."""
+    """$merge (equality-``on`` form): merge the pipeline result into the
+    target collection.  whenMatched: replace | merge | keepExisting |
+    fail; whenNotMatched: insert | discard.  Each row becomes a journaled
+    mutation replayed by the committer, the same path as
+    MongoUpdateStorage.
+
+    ``whenMatched: fail`` deviation (documented): the server aborts
+    mid-merge at the first match, leaving an unspecified partial state;
+    here matches are detected by insert-count accounting after a
+    keepExisting-style replay — existing documents are never modified,
+    all non-matching documents land, and the stage then raises.
+    """
     if store_path is None:
         raise ValueError("$merge requires store_path=...")
     from mongo_hadoop_spark.sinks.writers import apply_pending_updates, write_documents
@@ -1385,12 +1410,33 @@ def _stage_merge(df: DataFrame, spec, store_path: str | None) -> DataFrame:
     on_cols = [on] if isinstance(on, str) else list(on)
     when_matched = spec.get("whenMatched", "replace")
     when_not = spec.get("whenNotMatched", "insert")
-    if when_matched not in ("replace", "merge") or when_not != "insert":
+    if (when_matched not in ("replace", "merge", "keepExisting", "fail")
+            or when_not not in ("insert", "discard")
+            or (when_matched == "fail" and when_not == "discard")):
         raise ValueError(
             f"unsupported $merge mode whenMatched={when_matched!r} "
-            f"whenNotMatched={when_not!r} (supported: replace/merge + insert)")
-    mode = "replace" if when_matched == "replace" else "upsert"
-    write_documents(df, store_path, coll, mode=mode, key_cols=on_cols)
+            f"whenNotMatched={when_not!r}")
+    if when_matched == "keepExisting" and when_not == "discard":
+        return df  # neither side can change anything
+    if when_matched == "fail":
+        from mongo_hadoop_spark.store import DocumentStore
+
+        n_incoming = df.count()
+        before = DocumentStore(store_path).collection(coll).count()
+        write_documents(df, store_path, coll, mode="update",
+                        update_builder=_merge_builder("keepExisting", True,
+                                                      on_cols))
+        apply_pending_updates(store_path, coll)
+        inserted = DocumentStore(store_path).collection(coll).count() - before
+        if inserted < n_incoming:
+            raise ValueError(
+                f"$merge whenMatched:fail — {n_incoming - inserted} incoming "
+                f"documents matched existing ones (existing docs unchanged)")
+        return df
+    write_documents(df, store_path, coll, mode="update",
+                    update_builder=_merge_builder(when_matched,
+                                                  when_not == "insert",
+                                                  on_cols))
     apply_pending_updates(store_path, coll)
     return df
 

@@ -1181,3 +1181,45 @@ def test_regex_find_all_matches_python_re_on_random_strings(spark):
     for i, s in enumerate(cases):
         expected = [(m.group(0), m.start()) for m in re.finditer(pattern, s)]
         assert [(m.match, m.idx) for m in got[i]] == expected, (i, s)
+
+
+def test_merge_keep_existing_discard_and_fail(spark, people, tmp_path):
+    from mongo_hadoop_spark.store import DocumentStore
+
+    store = str(tmp_path / "mergemodes")
+    aggregate(people, [{"$project": {"id": 1, "name": 1}},
+                       {"$out": "profiles"}], store_path=store)
+    updates = spark.createDataFrame([(1, "ANN"), (9, "zoe")],
+                                    "id long, name string")
+    # keepExisting: matched doc untouched, new doc inserted
+    aggregate(updates, [
+        {"$merge": {"into": "profiles", "on": "id",
+                    "whenMatched": "keepExisting"}}], store_path=store)
+    docs = {d["id"]: d["name"]
+            for d in DocumentStore(store).collection("profiles").find()}
+    assert docs[1] == "ann" and docs[9] == "zoe"
+    # whenNotMatched discard: only matched docs change
+    upd2 = spark.createDataFrame([(2, "BOB"), (77, "nope")],
+                                 "id long, name string")
+    aggregate(upd2, [
+        {"$merge": {"into": "profiles", "on": "id", "whenMatched": "merge",
+                    "whenNotMatched": "discard"}}], store_path=store)
+    docs = {d["id"]: d["name"]
+            for d in DocumentStore(store).collection("profiles").find()}
+    assert docs[2] == "BOB" and 77 not in docs
+    # fail: raises when any incoming doc matches; non-matching still land
+    upd3 = spark.createDataFrame([(3, "CY"), (88, "new")],
+                                 "id long, name string")
+    with pytest.raises(ValueError, match="whenMatched:fail"):
+        aggregate(upd3, [
+            {"$merge": {"into": "profiles", "on": "id",
+                        "whenMatched": "fail"}}], store_path=store)
+    docs = {d["id"]: d["name"]
+            for d in DocumentStore(store).collection("profiles").find()}
+    assert docs[3] == "cy" and docs[88] == "new"
+    # keepExisting + discard is a no-op combination
+    out = aggregate(upd3, [
+        {"$merge": {"into": "profiles", "on": "id",
+                    "whenMatched": "keepExisting",
+                    "whenNotMatched": "discard"}}], store_path=store)
+    assert out is not None

@@ -1,0 +1,61 @@
+"""Embedding linear-algebra operators (operators/linalg.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mongo_hadoop_spark.operators.linalg import (
+    JL_DIMS, PCA_DIMS, embedding_pca_whitened, embedding_random_projection,
+    pca_model,
+)
+
+from conftest import SF_SMOKE
+
+
+def test_jl_projection_preserves_scaled_norms(spark):
+    # E[|y|^2] = |v|^2 for the Achlioptas ±1/sqrt(k) construction; on a
+    # real corpus the mean ratio must land near 1 (distance preservation)
+    from mongo_hadoop_spark.functions import norm2
+    from mongo_hadoop_spark.session import table
+
+    proj = embedding_random_projection(spark, SF_SMOKE)
+    pn = proj.select(
+        "vec_id",
+        sum((F.col(f"p{k}") * F.col(f"p{k}") for k in range(JL_DIMS)),
+            F.lit(0.0)).alias("py2"))
+    orig = table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", norm2(F.col("embedding")).alias("x2"))
+    r = (pn.join(orig, "vec_id")
+         .agg(F.avg(F.col("py2") / F.col("x2")).alias("ratio"))
+         .first())
+    assert 0.5 < r["ratio"] < 2.0
+
+
+def test_pca_model_shapes_and_order(spark):
+    mu, comps, eigvals = pca_model(spark, SF_SMOKE)
+    assert len(mu) == 64
+    assert len(comps) == PCA_DIMS and all(len(w) == 64 for w in comps)
+    # descending variance order
+    assert eigvals == sorted(eigvals, reverse=True)
+    assert eigvals[-1] > 0
+
+
+def test_whitened_output_has_identity_covariance(spark):
+    got = embedding_pca_whitened(spark, SF_SMOKE)
+    n = got.count()
+    aggs = []
+    for a in range(PCA_DIMS):
+        aggs.append(F.avg(F.col(f"w{a}")).alias(f"m{a}"))
+        for b in range(a, PCA_DIMS):
+            aggs.append(
+                F.avg(F.col(f"w{a}") * F.col(f"w{b}")).alias(f"c{a}_{b}"))
+    r = got.agg(*aggs).first().asDict()
+    assert n > 0
+    for a in range(PCA_DIMS):
+        # centered: projection of (v - mu) has zero mean
+        assert abs(r[f"m{a}"]) < 1e-6
+        # unit variance on the diagonal
+        assert abs(r[f"c{a}_{a}"] - 1.0) < 1e-6
+        for b in range(a + 1, PCA_DIMS):
+            # decorrelated off the diagonal
+            assert abs(r[f"c{a}_{b}"]) < 1e-6
