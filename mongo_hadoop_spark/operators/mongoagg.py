@@ -484,6 +484,56 @@ SELECT event_id, dist FROM d WHERE dist <= 30.0 ORDER BY dist
 """
 
 
+def pipeline_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$search (Atlas Search surface): compound query — must-match text
+    with a range filter and a mustNot exclusion — with the relevance
+    score surfaced via {$meta: "searchScore"}.
+
+    Score = raw term frequency (documented constant-IDF deviation; no
+    Lucene index object exists here), so the oracle is exact token
+    counting.  Plan: per-row token expressions, one relevance sort.
+    """
+    documents = table(spark, sf_dir, "documents")
+    return aggregate(documents, [
+        {"$search": {
+            "index": "default",
+            "compound": {
+                "must": [{"text": {"query": "scan window", "path": "text"}}],
+                "filter": [{"range": {"path": "n_chars",
+                                      "gte": 100, "lte": 400}}],
+                "mustNot": [{"phrase": {"query": "slow merge",
+                                        "path": "text"}}],
+            }}},
+        {"$project": {"doc_id": 1, "lang": 1,
+                      "score": {"$meta": "searchScore"}}},
+        {"$sort": {"doc_id": 1}},
+    ])
+
+
+PIPELINE_TEXT_SEARCH_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ws,
+         array_to_string(list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> x <> ''), ' ') AS stream
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, n_chars,
+         (len(list_filter(ws, x -> x = 'scan'))
+          + len(list_filter(ws, x -> x = 'window')))::double AS score,
+         (length(stream) - length(replace(stream, 'slow merge', '')))
+           / length('slow merge') AS phrase_hits
+  FROM t
+)
+SELECT doc_id, lang, score
+FROM scored
+WHERE score > 0 AND n_chars >= 100 AND n_chars <= 400 AND phrase_hits = 0
+ORDER BY doc_id
+"""
+
+
 def pipeline_redact_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$redact field-level access control: one condition evaluated at the
     root AND at every embedded document (schema-driven recursion).
@@ -757,6 +807,7 @@ QUERIES = {
     "pipeline_geo_near": pipeline_geo_near,
     "pipeline_regex_type_report": pipeline_regex_type_report,
     "pipeline_redact_levels": pipeline_redact_levels,
+    "pipeline_text_search": pipeline_text_search,
     "pipeline_object_to_array": pipeline_object_to_array,
     "pipeline_top_orders_per_status": pipeline_top_orders_per_status,
     "pipeline_price_percentiles": pipeline_price_percentiles,
@@ -778,6 +829,7 @@ ORACLES = {
     "pipeline_geo_near": PIPELINE_GEO_NEAR_SQL,
     "pipeline_regex_type_report": PIPELINE_REGEX_TYPE_SQL,
     "pipeline_redact_levels": PIPELINE_REDACT_SQL,
+    "pipeline_text_search": PIPELINE_TEXT_SEARCH_SQL,
     "pipeline_object_to_array": PIPELINE_OBJ_ARRAY_SQL,
     "pipeline_top_orders_per_status": PIPELINE_TOP_ORDERS_SQL,
     "pipeline_price_percentiles": PIPELINE_PRICE_PCT_SQL,

@@ -526,7 +526,8 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         # search-stage metadata: resolved from the hidden columns the
         # $vectorSearch / $geoNear stages attach (server: index metadata)
         meta_cols = {"vectorSearchScore": _VS_SCORE_COL,
-                     "geoNearDistance": _GEO_DIST_COL}
+                     "geoNearDistance": _GEO_DIST_COL,
+                     "searchScore": _SEARCH_SCORE_COL}
         if operand not in meta_cols:
             raise ValueError(
                 f"unsupported aggregation expression $meta kind {operand!r}")
@@ -1557,6 +1558,113 @@ def _array_literal(values) -> Column:
     return F.expr("array(" + ", ".join(repr(float(v)) for v in values) + ")")
 
 
+_SEARCH_SCORE_COL = "__search_score__"
+
+
+def _search_clause(op: str, spec: dict):
+    """Compile one $search operator to (match Column, score Column).
+
+    Scoring deviation (documented): Atlas scores with BM25 off a Lucene
+    index; with no index object here, the score is the raw term
+    frequency (constant IDF).  Match semantics are the server's; order
+    by {$meta: "searchScore"} remains meaningful (more hits > fewer).
+    """
+    from mongo_hadoop_spark.functions import tokenize
+
+    def paths(p):
+        return p if isinstance(p, list) else [p]
+
+    if op == "text":
+        # standard-analyzer-ish: lowercase whitespace tokens; any query
+        # token matching contributes its tf to the score
+        toks = [t for t in str(spec["query"]).lower().split() if t]
+        score = F.lit(0)
+
+        def _eq(tok):
+            # 1-arg closure — pyspark passes (element, index) to 2-arg
+            # lambdas, so a default-arg capture would become the index
+            return lambda w: w == F.lit(tok)
+
+        for p in paths(spec["path"]):
+            words = tokenize(F.lower(F.col(p)))
+            for t in toks:
+                score = score + F.size(F.filter(words, _eq(t)))
+        return score > 0, score
+    if op == "phrase":
+        # consecutive-token match on the normalized token stream
+        needle = " ".join(str(spec["query"]).lower().split())
+        score = F.lit(0)
+        for p in paths(spec["path"]):
+            stream = F.concat_ws(" ", tokenize(F.lower(F.col(p))))
+            # occurrences of the phrase in the token stream
+            occ = ((F.length(stream)
+                    - F.length(F.replace(stream, F.lit(needle), F.lit(""))))
+                   / F.lit(len(needle))).cast("int")
+            score = score + occ
+        return score > 0, score
+    if op == "exists":
+        return F.col(spec["path"]).isNotNull(), F.lit(1)
+    if op == "equals":
+        return F.col(spec["path"]) == F.lit(spec["value"]), F.lit(1)
+    if op == "range":
+        col = F.col(spec["path"])
+        cond = F.lit(True)
+        for k, fn in (("gte", col.__ge__), ("gt", col.__gt__),
+                      ("lte", col.__le__), ("lt", col.__lt__)):
+            if k in spec:
+                cond = cond & fn(F.lit(spec[k]))
+        return cond, F.lit(1)
+    if op == "compound":
+        must = [next(iter(c.items())) for c in spec.get("must", [])]
+        should = [next(iter(c.items())) for c in spec.get("should", [])]
+        must_not = [next(iter(c.items())) for c in spec.get("mustNot", [])]
+        filters = [next(iter(c.items())) for c in spec.get("filter", [])]
+        cond, score = F.lit(True), F.lit(0)
+        for o, s in must:
+            m, sc = _search_clause(o, s)
+            cond, score = cond & m, score + sc
+        for o, s in filters:       # matches without contributing score
+            m, _sc = _search_clause(o, s)
+            cond = cond & m
+        for o, s in must_not:
+            m, _sc = _search_clause(o, s)
+            cond = cond & ~F.coalesce(m, F.lit(False))
+        if should:
+            sh = [(m, sc) for m, sc in (_search_clause(o, s)
+                                        for o, s in should)]
+            any_should = sh[0][0]
+            for m, _ in sh[1:]:
+                any_should = any_should | m
+            for m, sc in sh:
+                score = score + F.when(m, sc).otherwise(F.lit(0))
+            if not (must or filters):
+                # server rule: with no must/filter, ≥1 should must match
+                cond = cond & any_should
+        return cond, score
+    raise ValueError(f"unsupported $search operator {op!r}")
+
+
+def _stage_search(df: DataFrame, spec: dict) -> DataFrame:
+    """``$search`` (Atlas Search): text / phrase / exists / equals /
+    range / compound(must, should, mustNot, filter), relevance-ordered,
+    score reachable via ``{$meta: "searchScore"}``.
+
+    Scale: every operator compiles to per-row token expressions (no
+    inverted index, no Python); the one shuffle is the relevance sort.
+    At a true 100 TB text corpus the Lucene-index role is played by the
+    store's zone-map segment pruning plus this residual match.
+    """
+    spec = {k: v for k, v in spec.items() if k != "index"}
+    if len(spec) != 1:
+        raise ValueError("$search takes exactly one operator "
+                         "(text/phrase/compound/exists/equals/range)")
+    (op, opspec), = spec.items()
+    cond, score = _search_clause(op, opspec)
+    return (df.where(F.coalesce(cond, F.lit(False)))
+            .withColumn(_SEARCH_SCORE_COL, score.cast("double"))
+            .orderBy(F.col(_SEARCH_SCORE_COL).desc()))
+
+
 def _stage_vector_search(df: DataFrame, spec: dict) -> DataFrame:
     """``$vectorSearch`` (Atlas Vector Search) — the server's ANN stage
     compiled onto an exact top-k scoring plan.
@@ -1653,9 +1761,11 @@ def aggregate(df: DataFrame, pipeline: list[dict],
         (op, spec), = stage.items()
         if op in ("$out", "$merge") and i != len(pipeline) - 1:
             raise ValueError(f"{op} must be the last pipeline stage")
-        if op in ("$vectorSearch", "$geoNear") and i != 0:
+        if op in ("$vectorSearch", "$geoNear", "$search") and i != 0:
             raise ValueError(f"{op} must be the first pipeline stage")
-        if op == "$vectorSearch":
+        if op == "$search":
+            out = _stage_search(out, spec)
+        elif op == "$vectorSearch":
             out = _stage_vector_search(out, spec)
         elif op == "$geoNear":
             out = _stage_geo_near(out, spec)
@@ -1741,7 +1851,7 @@ def aggregate(df: DataFrame, pipeline: list[dict],
             out = _stage_merge(out, spec, store_path)
         else:
             raise ValueError(f"unsupported pipeline stage {op}")
-    for hidden in (_VS_SCORE_COL, _GEO_DIST_COL):
+    for hidden in (_VS_SCORE_COL, _GEO_DIST_COL, _SEARCH_SCORE_COL):
         if hidden in out.columns:
             out = out.drop(hidden)
     return out

@@ -1223,3 +1223,68 @@ def test_merge_keep_existing_discard_and_fail(spark, people, tmp_path):
                     "whenMatched": "keepExisting",
                     "whenNotMatched": "discard"}}], store_path=store)
     assert out is not None
+
+
+# ---------------------------------------------------------------------------
+# $search (Atlas Search surface)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def articles(spark):
+    return spark.createDataFrame(
+        [(1, "Fast scan beats slow scan", 10),
+         (2, "window functions window window", 20),
+         (3, "nothing relevant here", 30),
+         (4, None, 40)],
+        "id long, body string, size int")
+
+
+def test_search_text_scores_by_term_frequency(articles):
+    got = aggregate(articles, [
+        {"$search": {"text": {"query": "scan window", "path": "body"}}},
+        {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+    ]).collect()
+    scores = {r.id: r.score for r in got}
+    # doc 2 has 3 "window" hits and ranks first
+    assert [r.id for r in got][0] == 2
+    assert scores == {1: 2.0, 2: 3.0}
+
+
+def test_search_phrase_and_compound(articles):
+    got = aggregate(articles, [
+        {"$search": {"phrase": {"query": "slow scan", "path": "body"}}},
+        {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [1]
+    got = aggregate(articles, [
+        {"$search": {"compound": {
+            "must": [{"text": {"query": "scan window", "path": "body"}}],
+            "filter": [{"range": {"path": "size", "lte": 15}}],
+        }}},
+        {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [1]
+    # should-only: at least one must match; mustNot excludes
+    got = aggregate(articles, [
+        {"$search": {"compound": {
+            "should": [{"text": {"query": "scan", "path": "body"}},
+                       {"text": {"query": "window", "path": "body"}}],
+            "mustNot": [{"phrase": {"query": "fast scan", "path": "body"}}],
+        }}},
+        {"$project": {"id": 1}}]).collect()
+    assert sorted(r.id for r in got) == [2]
+
+
+def test_search_exists_equals_first_stage_rule(articles):
+    got = aggregate(articles, [
+        {"$search": {"exists": {"path": "body"}}},
+        {"$project": {"id": 1}}]).collect()
+    assert sorted(r.id for r in got) == [1, 2, 3]
+    got = aggregate(articles, [
+        {"$search": {"equals": {"path": "size", "value": 30}}},
+        {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [3]
+    with pytest.raises(ValueError, match="first pipeline stage"):
+        aggregate(articles, [{"$limit": 2}, {"$search": {
+            "exists": {"path": "body"}}}])
+    out = aggregate(articles, [{"$search": {"exists": {"path": "body"}}}])
+    assert "__search_score__" not in out.columns
