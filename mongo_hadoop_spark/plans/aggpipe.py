@@ -1763,7 +1763,25 @@ def aggregate(df: DataFrame, pipeline: list[dict],
             raise ValueError(f"{op} must be the last pipeline stage")
         if op in ("$vectorSearch", "$geoNear", "$search") and i != 0:
             raise ValueError(f"{op} must be the first pipeline stage")
-        if op == "$search":
+        if op == "$documents":
+            # literal-documents source (Mongo 5.1): replaces the input
+            if i != 0:
+                raise ValueError("$documents must be the first pipeline stage")
+            if not isinstance(spec, list) or not spec:
+                raise ValueError("$documents takes a non-empty document list")
+            out = df.sparkSession.createDataFrame(spec)
+        elif op == "$collStats":
+            # count form only: {"count": {}} → one {count: n} document.
+            # storageStats/latencyStats describe a mongod process — the
+            # store's stats sidecars answer size questions instead
+            # (sources/mongo_datasource.py aggregate pushdown).
+            if "count" not in spec or set(spec) - {"count"}:
+                raise ValueError(
+                    "unsupported pipeline stage form: $collStats supports"
+                    " the {count: {}} form only (storageStats/latencyStats"
+                    " describe a mongod process)")
+            out = out.agg(F.count(F.lit(1)).alias("count"))
+        elif op == "$search":
             out = _stage_search(out, spec)
         elif op == "$vectorSearch":
             out = _stage_vector_search(out, spec)

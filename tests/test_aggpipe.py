@@ -1288,3 +1288,18 @@ def test_search_exists_equals_first_stage_rule(articles):
             "exists": {"path": "body"}}}])
     out = aggregate(articles, [{"$search": {"exists": {"path": "body"}}}])
     assert "__search_score__" not in out.columns
+
+
+def test_documents_and_collstats_stages(spark, people):
+    got = aggregate(spark.range(0).toDF("x"), [
+        {"$documents": [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]},
+        {"$match": {"a": {"$gte": 2}}},
+    ]).collect()
+    assert [(r.a, r.b) for r in got] == [(2, "y")]
+    got = aggregate(people, [{"$match": {"age": 34}},
+                             {"$collStats": {"count": {}}}])
+    assert got.collect()[0]["count"] == 2
+    with pytest.raises(ValueError, match="first pipeline stage"):
+        aggregate(people, [{"$limit": 1}, {"$documents": [{"a": 1}]}])
+    with pytest.raises(ValueError, match="count"):
+        aggregate(people, [{"$collStats": {"storageStats": {}}}])
