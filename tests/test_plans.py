@@ -402,3 +402,39 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS b_li")
         spark.sql("DROP TABLE IF EXISTS b_o")
+
+
+def test_vector_search_stage_take_ordered_and_pushdown(spark):
+    """$vectorSearch plans as filter-pushed scan → score map →
+    TakeOrderedAndProject: no global sort, no exchange, recall 1.0."""
+    from mongo_hadoop_spark.operators import mongoagg
+
+    df = mongoagg.pipeline_vector_search(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    full = full_plan_of(df)
+    assert "GreaterThanOrEqual(label,1)" in full.split("PushedFilters:")[1][:300]
+
+
+def test_gram_matrix_partial_aggregation(spark):
+    """The d²/2 product explosion aggregates map-side: the plan must show
+    a partial HashAggregate below the (i,j)-keyed Exchange, so the
+    shuffle carries ≤ d(d+1)/2 rows per partition at any corpus size."""
+    from mongo_hadoop_spark.operators import linalg
+
+    df = linalg.embedding_gram_matrix(spark, SF_SMOKE)
+    plan = plan_of(df)
+    before_exchange = plan.split("Exchange")[-1]  # below the last Exchange
+    assert "HashAggregate" in before_exchange
+    assert "partial_sum" in plan or "merge_sum" in plan
+
+
+def test_random_projection_no_shuffle(spark):
+    """JL projection is a pure map — orderBy aside, no aggregation or
+    join exchange appears anywhere in the plan."""
+    from mongo_hadoop_spark.operators import linalg
+
+    df = linalg.embedding_random_projection(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Join" not in plan and "HashAggregate" not in plan
