@@ -534,6 +534,41 @@ ORDER BY doc_id
 """
 
 
+def pipeline_jsonschema_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$jsonSchema as a data-quality gate: the server's collection-
+    validator language used inside $match — required fields, bsonType
+    (runtime typeof, constant-folded on static columns), enum, pattern,
+    and numeric/length bounds — then a per-language yield rollup.
+
+    JSON Schema presence semantics: a missing (null) property passes
+    everything except `required`.
+    """
+    documents = table(spark, sf_dir, "documents")
+    return aggregate(documents, [
+        {"$match": {"$jsonSchema": {
+            "required": ["doc_id", "text"],
+            "properties": {
+                "lang": {"bsonType": "string", "enum": ["en", "de", "fr"]},
+                "n_chars": {"bsonType": "long",
+                            "minimum": 120, "maximum": 420},
+                "text": {"pattern": "scan", "minLength": 100},
+            }}}},
+        {"$group": {"_id": "$lang", "n": {"$sum": 1}}},
+        {"$sort": {"_id": 1}},
+    ])
+
+
+PIPELINE_JSONSCHEMA_SQL = """
+SELECT lang AS _id, count(*) AS n
+FROM documents
+WHERE doc_id IS NOT NULL AND text IS NOT NULL
+  AND (lang IS NULL OR lang IN ('en', 'de', 'fr'))
+  AND (n_chars IS NULL OR (n_chars >= 120 AND n_chars <= 420))
+  AND regexp_matches(text, 'scan') AND length(text) >= 100
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def pipeline_redact_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$redact field-level access control: one condition evaluated at the
     root AND at every embedded document (schema-driven recursion).
@@ -808,6 +843,7 @@ QUERIES = {
     "pipeline_regex_type_report": pipeline_regex_type_report,
     "pipeline_redact_levels": pipeline_redact_levels,
     "pipeline_text_search": pipeline_text_search,
+    "pipeline_jsonschema_gate": pipeline_jsonschema_gate,
     "pipeline_object_to_array": pipeline_object_to_array,
     "pipeline_top_orders_per_status": pipeline_top_orders_per_status,
     "pipeline_price_percentiles": pipeline_price_percentiles,
@@ -830,6 +866,7 @@ ORACLES = {
     "pipeline_regex_type_report": PIPELINE_REGEX_TYPE_SQL,
     "pipeline_redact_levels": PIPELINE_REDACT_SQL,
     "pipeline_text_search": PIPELINE_TEXT_SEARCH_SQL,
+    "pipeline_jsonschema_gate": PIPELINE_JSONSCHEMA_SQL,
     "pipeline_object_to_array": PIPELINE_OBJ_ARRAY_SQL,
     "pipeline_top_orders_per_status": PIPELINE_TOP_ORDERS_SQL,
     "pipeline_price_percentiles": PIPELINE_PRICE_PCT_SQL,

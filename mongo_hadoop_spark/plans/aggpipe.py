@@ -688,6 +688,8 @@ def _match_field(key: str, cond) -> Column:
                            F.lit(False))
     if key == "$expr":
         return expr_to_col(cond)
+    if key == "$jsonSchema":
+        return _json_schema_col(cond)
     if key.startswith("$"):
         raise ValueError(f"unsupported top-level query operator {key}")
     col = F.col(key)
@@ -696,6 +698,85 @@ def _match_field(key: str, cond) -> Column:
     if cond is None:
         return col.isNull()
     return col == F.lit(cond)
+
+
+_BSON_TYPE_CHECKS = {
+    "string": lambda t: t == "string",
+    "int": lambda t: t.isin("int", "smallint", "tinyint"),
+    "long": lambda t: t == "bigint",
+    "double": lambda t: t.isin("double", "float"),
+    "decimal": lambda t: t.startswith("decimal"),
+    "bool": lambda t: t == "boolean",
+    "date": lambda t: t.isin("timestamp", "timestamp_ntz", "date"),
+    "array": lambda t: t.startswith("array"),
+    "object": lambda t: t.startswith("struct") | t.startswith("map"),
+    "binData": lambda t: t == "binary",
+    "number": lambda t: (t.isin("int", "smallint", "tinyint", "bigint",
+                                "double", "float") | t.startswith("decimal")),
+}
+
+
+def _json_schema_col(schema: dict) -> Column:
+    """``$jsonSchema`` validation (the server's collection-validator
+    language, usable in any query): ``required`` + per-property
+    ``bsonType``/``enum``/``pattern``/``minimum``/``maximum``/
+    ``minLength``/``maxLength``/``minItems``/``maxItems``.
+
+    JSON Schema semantics: a property constraint applies only when the
+    property is present — a missing (null) field passes everything except
+    ``required``.  ``bsonType`` answers from runtime ``typeof()`` (folds
+    to a constant under Catalyst when the column type is static).
+    Unsupported keywords raise, fail-loud like the rest of the compiler.
+    """
+    supported_top = {"bsonType", "type", "required", "properties",
+                     "additionalProperties"}
+    unknown = set(schema) - supported_top
+    if unknown:
+        raise ValueError(f"unsupported $jsonSchema keywords {sorted(unknown)}")
+    conds: list[Column] = []
+    for req in schema.get("required", []):
+        conds.append(F.col(req).isNotNull())
+    for fname, rules in (schema.get("properties") or {}).items():
+        col = F.col(fname)
+        sub: list[Column] = []
+        supported = {"bsonType", "type", "enum", "pattern", "minimum",
+                     "maximum", "minLength", "maxLength", "minItems",
+                     "maxItems", "description"}
+        bad = set(rules) - supported
+        if bad:
+            raise ValueError(
+                f"unsupported $jsonSchema property keywords {sorted(bad)}"
+                f" for {fname!r}")
+        btype = rules.get("bsonType", rules.get("type"))
+        if btype is not None:
+            btypes = btype if isinstance(btype, list) else [btype]
+            t = F.call_function("typeof", col)
+            checks = []
+            for b in btypes:
+                if b not in _BSON_TYPE_CHECKS:
+                    raise ValueError(f"unsupported bsonType {b!r}")
+                checks.append(_BSON_TYPE_CHECKS[b](t))
+            sub.append(_fold_or(checks))
+        if "enum" in rules:
+            sub.append(col.isin(*rules["enum"]))
+        if "pattern" in rules:
+            sub.append(col.rlike(rules["pattern"]))
+        if "minimum" in rules:
+            sub.append(col >= F.lit(rules["minimum"]))
+        if "maximum" in rules:
+            sub.append(col <= F.lit(rules["maximum"]))
+        if "minLength" in rules:
+            sub.append(F.length(col) >= F.lit(rules["minLength"]))
+        if "maxLength" in rules:
+            sub.append(F.length(col) <= F.lit(rules["maxLength"]))
+        if "minItems" in rules:
+            sub.append(F.size(col) >= F.lit(rules["minItems"]))
+        if "maxItems" in rules:
+            sub.append(F.size(col) <= F.lit(rules["maxItems"]))
+        if sub:
+            conds.append(F.when(col.isNull(), F.lit(True))
+                         .otherwise(_fold_and(sub)))
+    return _fold_and(conds) if conds else F.lit(True)
 
 
 def _fold_and(cols: list[Column]) -> Column:

@@ -1303,3 +1303,33 @@ def test_documents_and_collstats_stages(spark, people):
         aggregate(people, [{"$limit": 1}, {"$documents": [{"a": 1}]}])
     with pytest.raises(ValueError, match="count"):
         aggregate(people, [{"$collStats": {"storageStats": {}}}])
+
+
+def test_jsonschema_match_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "en", 10, ["a"]), (2, None, 5, []), (3, "xx", 10, None),
+         (4, "en", None, ["a", "b", "c"])],
+        "id long, lang string, n int, tags array<string>")
+    got = aggregate(df, [
+        {"$match": {"$jsonSchema": {
+            "required": ["id"],
+            "properties": {
+                "lang": {"bsonType": "string", "enum": ["en", "de"]},
+                "n": {"bsonType": "int", "minimum": 8},
+                "tags": {"bsonType": "array", "maxItems": 2},
+            }}}},
+        {"$project": {"id": 1}}, {"$sort": {"id": 1}},
+    ]).collect()
+    # 2: lang null passes (presence semantics) but n=5 < 8 fails
+    # 3: lang 'xx' fails enum; 4: n null passes, but 3 tags > maxItems
+    assert [r.id for r in got] == [1]
+    # missing property passes; required rejects null
+    got = aggregate(df, [
+        {"$match": {"$jsonSchema": {"required": ["lang"]}}},
+        {"$project": {"id": 1}}, {"$sort": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [1, 3, 4]
+    with pytest.raises(ValueError, match="unsupported \\$jsonSchema"):
+        aggregate(df, [{"$match": {"$jsonSchema": {"allOf": []}}}])
+    with pytest.raises(ValueError, match="unsupported bsonType"):
+        aggregate(df, [{"$match": {"$jsonSchema": {
+            "properties": {"id": {"bsonType": "objectId"}}}}}])
