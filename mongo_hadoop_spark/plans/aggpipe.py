@@ -1437,14 +1437,49 @@ def _stage_graph_lookup(df: DataFrame, spec: dict,
             .drop("__gid"))
 
 
-def _stage_out(df: DataFrame, spec, store_path: str | None) -> DataFrame:
-    """$out: replace the target collection with the pipeline result."""
+def _is_live_target(store_path: str | None) -> bool:
+    return bool(store_path) and store_path.startswith("mongodb://")
+
+
+def _live_parts(store_path: str, coll: str, client_factory: str | None):
+    """(collection URI, resolved collection object) for a live target."""
+    from mongo_hadoop_spark.sources.live_read import resolve_client_factory
+    from mongo_hadoop_spark.sources.uri import MongoURI
+
+    parsed = MongoURI.parse(store_path)
+    uri = parsed.with_collection(parsed.database or "test", coll).build()
+    client = resolve_client_factory(client_factory)(uri)
+    db = MongoURI.parse(uri).database
+    return uri, client[db][coll]
+
+
+def _stage_out(df: DataFrame, spec, store_path: str | None,
+               client_factory: str | None = None) -> DataFrame:
+    """$out: replace the target collection with the pipeline result.
+
+    ``store_path`` may be a file-backed store directory or a
+    ``mongodb://`` URI — the live form drops the target collection and
+    streams per-task ordered insert batches through the datasource's
+    live writer (MongoRecordWriter shape), completing the
+    pipeline→live-cluster loop."""
     if store_path is None:
         raise ValueError("$out requires store_path=...")
+    coll = spec if isinstance(spec, str) else spec["coll"]
+    if _is_live_target(store_path):
+        from mongo_hadoop_spark.sources import register
+
+        register(df.sparkSession)  # idempotent "mongodoc" registration
+        uri, target = _live_parts(store_path, coll, client_factory)
+        target.drop()
+        writer = (df.write.format("mongodoc")
+                  .option("backend", "live").option("uri", uri))
+        if client_factory:
+            writer = writer.option("client_factory", client_factory)
+        writer.mode("append").save()
+        return df
     from mongo_hadoop_spark.sinks.writers import write_documents
     from mongo_hadoop_spark.store import DocumentStore
 
-    coll = spec if isinstance(spec, str) else spec["coll"]
     store = DocumentStore(store_path)
     if coll in store.list_collections():
         store.drop(coll)
@@ -1469,7 +1504,9 @@ def _merge_builder(when_matched: str, upsert: bool, key_cols: list[str]):
     return build
 
 
-def _stage_merge(df: DataFrame, spec, store_path: str | None) -> DataFrame:
+def _stage_merge(df: DataFrame, spec, store_path: str | None,
+                 client_factory: str | None = None,
+                 spool_path: str | None = None) -> DataFrame:
     """$merge (equality-``on`` form): merge the pipeline result into the
     target collection.  whenMatched: replace | merge | keepExisting |
     fail; whenNotMatched: insert | discard.  Each row becomes a journaled
@@ -1481,6 +1518,11 @@ def _stage_merge(df: DataFrame, spec, store_path: str | None) -> DataFrame:
     here matches are detected by insert-count accounting after a
     keepExisting-style replay — existing documents are never modified,
     all non-matching documents land, and the stage then raises.
+
+    ``store_path`` may be a ``mongodb://`` URI: mutations are journaled
+    distributed into a spool store (``spool_path`` — the MongoRecordWriter
+    temp-spool contract), then bulk-replayed through the live collection
+    by ``commit_updates_live`` (ordered batches of 1000).
     """
     if store_path is None:
         raise ValueError("$merge requires store_path=...")
@@ -1500,6 +1542,23 @@ def _stage_merge(df: DataFrame, spec, store_path: str | None) -> DataFrame:
             f"whenNotMatched={when_not!r}")
     if when_matched == "keepExisting" and when_not == "discard":
         return df  # neither side can change anything
+    if _is_live_target(store_path):
+        if when_matched == "fail":
+            raise ValueError(
+                "$merge whenMatched:fail is not supported against a live "
+                "target (needs a portable count API); use keepExisting")
+        import tempfile
+
+        from mongo_hadoop_spark.sinks.live import commit_updates_live
+        from mongo_hadoop_spark.sinks.writers import _UpdateJournalTask
+
+        _uri, target = _live_parts(store_path, coll, client_factory)
+        spool = spool_path or tempfile.mkdtemp(prefix="mongo_merge_spool_")
+        df.foreachPartition(_UpdateJournalTask(
+            spool, coll,
+            _merge_builder(when_matched, when_not == "insert", on_cols)))
+        commit_updates_live(spool, coll, target)
+        return df
     if when_matched == "fail":
         from mongo_hadoop_spark.store import DocumentStore
 
@@ -1832,11 +1891,18 @@ def _stage_geo_near(df: DataFrame, spec: dict) -> DataFrame:
 
 def aggregate(df: DataFrame, pipeline: list[dict],
               tables: dict[str, DataFrame] | None = None,
-              store_path: str | None = None) -> DataFrame:
+              store_path: str | None = None,
+              client_factory: str | None = None,
+              spool_path: str | None = None) -> DataFrame:
     """Run an aggregation pipeline against ``df``; returns the result
     DataFrame (lazy — Catalyst sees the whole compiled plan).  ``$out`` /
     ``$merge`` terminal stages write to the document store at
-    ``store_path`` (eager, like the server)."""
+    ``store_path`` (eager, like the server).  ``store_path`` may also be
+    a ``mongodb://`` URI — then $out streams per-task insert batches
+    through the live datasource writer and $merge bulk-replays a
+    journaled mutation spool (``spool_path``) via the live committer;
+    ``client_factory`` is the importable ``module:callable`` executors
+    use to resolve a client from the URI."""
     out = df
     for i, stage in enumerate(pipeline):
         (op, spec), = stage.items()
@@ -1945,9 +2011,10 @@ def aggregate(df: DataFrame, pipeline: list[dict],
         elif op == "$graphLookup":
             out = _stage_graph_lookup(out, spec, tables)
         elif op == "$out":
-            out = _stage_out(out, spec, store_path)
+            out = _stage_out(out, spec, store_path, client_factory)
         elif op == "$merge":
-            out = _stage_merge(out, spec, store_path)
+            out = _stage_merge(out, spec, store_path, client_factory,
+                               spool_path)
         else:
             raise ValueError(f"unsupported pipeline stage {op}")
     for hidden in (_VS_SCORE_COL, _GEO_DIST_COL, _SEARCH_SCORE_COL):

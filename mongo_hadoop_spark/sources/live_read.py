@@ -114,6 +114,7 @@ class StoreBackedCollection:
         from mongo_hadoop_spark.store import DocumentStore
 
         self.name = name
+        self._store_path = store_path
         self._coll = DocumentStore(store_path).collection(name)
 
     def find(self, filter: dict | None = None, projection=None) -> StoreCursor:
@@ -128,6 +129,59 @@ class StoreBackedCollection:
 
         class _Result:  # structural stand-in for pymongo's InsertManyResult
             inserted_ids = list(range(n))
+
+        return _Result()
+
+    def drop(self) -> None:
+        from mongo_hadoop_spark.store import DocumentStore
+
+        DocumentStore(self._store_path).drop(self.name)
+
+    def bulk_write(self, ops, ordered: bool = True):
+        """pymongo bulk surface: replay Insert/Update/Replace ops with
+        server update-operator semantics against the store (single-writer
+        read-modify-rewrite — the committer's merge pass, not concurrent)."""
+        from mongo_hadoop_spark.plans.filters import match
+        from mongo_hadoop_spark.plans.updates import apply_update, init_upsert_doc
+        from mongo_hadoop_spark.sinks.live import InsertOne, ReplaceOne, UpdateMany
+
+        docs = list(self._coll.find())
+        matched = modified = upserted = 0
+        for op in ops:
+            if isinstance(op, InsertOne):
+                docs.append(dict(op._doc))
+                continue
+            hits = [d for d in docs if match(d, op._filter)]
+            if not isinstance(op, UpdateMany):
+                hits = hits[:1]
+            if hits:
+                for d in hits:
+                    matched += 1
+                    if isinstance(op, ReplaceOne):
+                        kept = d.get("_id")
+                        d.clear()
+                        d.update(dict(op._doc))
+                        if kept is not None and "_id" not in d:
+                            d["_id"] = kept
+                    else:
+                        apply_update(d, op._doc)
+                    modified += 1
+            elif op._upsert:
+                if isinstance(op, ReplaceOne):
+                    nd = dict(op._doc)
+                    for k, v in (op._filter or {}).items():
+                        if not k.startswith("$") and k not in nd:
+                            nd[k] = v
+                else:
+                    nd = init_upsert_doc(op._filter, op._doc)
+                docs.append(nd)
+                upserted += 1
+        self._coll.rewrite(docs)
+
+        class _Result:  # structural stand-in for pymongo's BulkWriteResult
+            matched_count = matched
+            modified_count = modified
+            upserted_count = upserted
 
         return _Result()
 

@@ -1333,3 +1333,40 @@ def test_jsonschema_match_semantics(spark):
     with pytest.raises(ValueError, match="unsupported bsonType"):
         aggregate(df, [{"$match": {"$jsonSchema": {
             "properties": {"id": {"bsonType": "objectId"}}}}}])
+
+
+def test_out_and_merge_into_live_target(spark, people, tmp_path):
+    """$out / $merge with a mongodb:// store_path complete the
+    pipeline→live-cluster loop: $out drops + streams per-task insert
+    batches through the live datasource writer; $merge journals
+    mutations to a spool and bulk-replays them via the live committer."""
+    from mongo_hadoop_spark.sources.live_read import StoreBackedCollection
+
+    dest = str(tmp_path / "livedb")
+    uri = f"mongodb://localhost/testdb.any?storePath={dest}"
+    factory = "mongo_hadoop_spark.sources.live_read:store_client"
+
+    aggregate(people, [{"$match": {"age": {"$gte": 0}}},
+                       {"$project": {"id": 1, "name": 1}},
+                       {"$out": "profiles"}],
+              store_path=uri, client_factory=factory)
+    docs = {d["id"]: d["name"]
+            for d in StoreBackedCollection(dest, "profiles").find({})}
+    assert docs == {1: "ann", 3: "cy", 4: "dee"}
+
+    updates = spark.createDataFrame([(1, "ANN"), (9, "zoe")],
+                                    "id long, name string")
+    aggregate(updates, [
+        {"$merge": {"into": "profiles", "on": "id",
+                    "whenMatched": "replace"}}],
+        store_path=uri, client_factory=factory,
+        spool_path=str(tmp_path / "spool"))
+    docs = {d["id"]: d["name"]
+            for d in StoreBackedCollection(dest, "profiles").find({})}
+    assert docs == {1: "ANN", 3: "cy", 4: "dee", 9: "zoe"}
+
+    # $out replaces: a second $out shrinks the live collection
+    aggregate(people, [{"$match": {"id": 1}}, {"$project": {"id": 1}},
+                       {"$out": "profiles"}],
+              store_path=uri, client_factory=factory)
+    assert len(list(StoreBackedCollection(dest, "profiles").find({}))) == 1
