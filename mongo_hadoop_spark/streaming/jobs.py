@@ -344,3 +344,38 @@ def stream_cms_cells(documents: DataFrame) -> DataFrame:
     return _cms_cells(
         documents.select(F.explode(tokenize("text")).alias("term"))
     )
+
+
+#: pipeline stages that are pure per-row transformations — no global
+#: sort, no unbounded state — and therefore legal on an unbounded stream
+#: ($sample is NOT here: its deterministic top-N-by-hash needs a global
+#: ordering over the corpus, which a stream never has)
+STREAM_SAFE_STAGES = frozenset({
+    "$match", "$project", "$addFields", "$set", "$unset", "$unwind",
+    "$replaceRoot", "$replaceWith", "$redact",
+})
+
+
+def aggregate_stream(sdf: DataFrame, pipeline: list[dict]) -> DataFrame:
+    """Run the *stateless* subset of the Mongo pipeline language on a
+    streaming DataFrame — the incremental form of ``plans.aggpipe``.
+
+    Every stage in ``STREAM_SAFE_STAGES`` is a pure per-row
+    transformation ($match incl. $jsonSchema validation, projections,
+    $unwind, $redact …), so micro-batch boundaries cannot change the
+    result: stream ≡ batch by construction (pinned in
+    test_streaming.py).  Stages that need a global view ($sort, $group,
+    $limit, $lookup, $setWindowFields, …) raise — express those as
+    event-time windows / stateful operators, or run them per-batch in
+    ``foreachBatch`` where batch-local semantics are what you want.
+    """
+    from mongo_hadoop_spark.plans.aggpipe import aggregate
+
+    for stage in pipeline:
+        (op, _spec), = stage.items()
+        if op not in STREAM_SAFE_STAGES:
+            raise ValueError(
+                f"stage {op} is not streaming-safe (needs a global view); "
+                f"streaming-safe stages: {sorted(STREAM_SAFE_STAGES)} — "
+                f"use event-time windows or foreachBatch for the rest")
+    return aggregate(sdf, pipeline)

@@ -665,3 +665,40 @@ def test_stream_cms_cells_equal_batch(spark, documents_dir, tmp_path):
                 docs.select(F.explode(tokenize("text")).alias("term"))
             ).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_pipeline_quality_gate_equals_batch(spark, documents_dir,
+                                                   tmp_path):
+    """The Mongo pipeline language runs incrementally for its stateless
+    subset: a $jsonSchema quality gate + $addFields + $project applied
+    via aggregate_stream must equal the batch compiler on the same data."""
+    from mongo_hadoop_spark.plans.aggpipe import aggregate
+    from mongo_hadoop_spark.session import table
+    from mongo_hadoop_spark.streaming.jobs import (aggregate_stream,
+                                                   streaming_documents_source)
+
+    pipeline = [
+        {"$match": {"$jsonSchema": {
+            "required": ["doc_id", "text"],
+            "properties": {"n_chars": {"minimum": 120, "maximum": 420},
+                           "lang": {"enum": ["en", "de", "fr"]}}}}},
+        {"$addFields": {"flag": {"$cond": [
+            {"$gte": ["$n_chars", 300]}, "long", "short"]}}},
+        {"$project": {"doc_id": 1, "lang": 1, "flag": 1}},
+    ]
+    src = streaming_documents_source(spark, documents_dir)
+    q = (aggregate_stream(src, pipeline)
+         .writeStream.format("memory").queryName("pq").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "pq_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = {r["doc_id"]: (r["lang"], r["flag"])
+                for r in spark.sql("select * from pq").collect()}
+    batch = {r["doc_id"]: (r["lang"], r["flag"])
+             for r in aggregate(table(spark, SF_SMOKE, "documents"),
+                                pipeline).collect()}
+    assert streamed == batch and len(batch) > 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not streaming-safe"):
+        aggregate_stream(src, [{"$sort": {"doc_id": 1}}])
