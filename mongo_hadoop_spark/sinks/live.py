@@ -48,9 +48,12 @@ except ImportError:
         _filter: dict
         _doc: dict
         _upsert: bool = False
+        _array_filters: list | None = None
 
-        def __init__(self, filter: dict, update: dict, upsert: bool = False):
-            self._filter, self._doc, self._upsert = filter, update, upsert
+        def __init__(self, filter: dict, update: dict, upsert: bool = False,
+                     array_filters: list | None = None):
+            self._filter, self._doc = filter, update
+            self._upsert, self._array_filters = upsert, array_filters
 
     # Plain subclass on purpose: re-applying @dataclass would regenerate
     # __init__ from the field list (positional ``_filter``/``_doc``) and
@@ -87,7 +90,8 @@ def mutation_to_op(m: dict):
             )
         return ReplaceOne(m["q"], m["u"], upsert=bool(m.get("upsert")))
     cls = UpdateMany if m.get("multi") else UpdateOne
-    return cls(m["q"], m["u"], upsert=bool(m.get("upsert")))
+    return cls(m["q"], m["u"], upsert=bool(m.get("upsert")),
+               array_filters=m.get("af"))
 
 
 def _batches(items: Iterable[Any], size: int) -> Iterator[list]:

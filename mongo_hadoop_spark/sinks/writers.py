@@ -37,12 +37,13 @@ DEFAULT_BATCH_SIZE = 1000  # mongo.output.batch.size
 
 @dataclass
 class UpdateSpec:
-    """MongoUpdateWritable analog."""
+    """MongoUpdateWritable analog (+ arrayFilters for $[ident] paths)."""
     query: dict
     update: dict
     upsert: bool = True
     multi: bool = False
     replace: bool = False
+    array_filters: list | None = None
 
 
 def _to_bson_value(v):
@@ -181,6 +182,7 @@ class _UpdateJournalTask:
                     "q": spec.query, "u": spec.update,
                     "upsert": spec.upsert, "multi": spec.multi,
                     "replace": spec.replace,
+                    "af": spec.array_filters,
                 }
 
         journal = DocumentStore(self.store_path).collection(
@@ -226,7 +228,7 @@ def apply_pending_updates(
                             "replace=True update document must not contain "
                             f"$-operators: {sorted(m['u'])}"
                         )
-                    apply_update(d, m["u"])
+                    apply_update(d, m["u"], m.get("af"))
                     applied += 1
                     if not m.get("multi"):
                         break

@@ -164,7 +164,8 @@ class StoreBackedCollection:
                         if kept is not None and "_id" not in d:
                             d["_id"] = kept
                     else:
-                        apply_update(d, op._doc)
+                        apply_update(d, op._doc,
+                                     getattr(op, "_array_filters", None))
                     modified += 1
             elif op._upsert:
                 if isinstance(op, ReplaceOne):

@@ -109,7 +109,8 @@ class FakeCollection:
                         d.clear()
                         d.update(copy.deepcopy(op._doc))
                     else:
-                        apply_update(d, op._doc)
+                        apply_update(d, op._doc,
+                                     getattr(op, "_array_filters", None))
                     modified += 1
             elif op._upsert:
                 if isinstance(op, ReplaceOne):

@@ -100,3 +100,65 @@ def test_extjson_datetime_exact_millis():
     # .432 s renders as 431.99997 ms through float timestamp arithmetic
     v = dt.datetime(2014, 9, 5, 12, 0, 0, 432000, tzinfo=dt.timezone.utc)
     assert to_extjson_value(v)["$date"] % 1000 == 432
+
+
+def test_bit_operator():
+    from mongo_hadoop_spark.plans.updates import apply_update
+
+    d = {"flags": 0b1010, "missing_ok": None}
+    apply_update(d, {"$bit": {"flags": {"and": 0b0110}}})
+    assert d["flags"] == 0b0010
+    apply_update(d, {"$bit": {"flags": {"or": 0b1000}}})
+    assert d["flags"] == 0b1010
+    apply_update(d, {"$bit": {"flags": {"xor": 0b1111}}})
+    assert d["flags"] == 0b0101
+    apply_update(d, {"$bit": {"fresh": {"or": 7}}})  # missing → 0
+    assert d["fresh"] == 7
+    with pytest.raises(ValueError, match="exactly one"):
+        apply_update(d, {"$bit": {"flags": {"and": 1, "or": 2}}})
+    with pytest.raises(ValueError, match="not an integer"):
+        apply_update({"s": "x"}, {"$bit": {"s": {"or": 1}}})
+
+
+def test_positional_all_and_filtered():
+    from mongo_hadoop_spark.plans.updates import apply_update
+
+    d = {"grades": [{"g": 85, "mean": 90}, {"g": 50, "mean": 90},
+                    {"g": 55, "mean": 90}],
+         "scores": [1, 2, 3]}
+    # $[] touches every element
+    apply_update(d, {"$set": {"grades.$[].mean": 100}})
+    assert [x["mean"] for x in d["grades"]] == [100, 100, 100]
+    # $[ident] + arrayFilters touches matching elements only (the
+    # canonical "bump failing grades" server example)
+    apply_update(d, {"$inc": {"grades.$[elem].g": 10}},
+                 array_filters=[{"elem.g": {"$lt": 60}}])
+    assert [x["g"] for x in d["grades"]] == [85, 60, 65]
+    # scalar arrays: ident filter applies to the element itself
+    apply_update(d, {"$mul": {"scores.$[s]": 10}},
+                 array_filters=[{"s": {"$gte": 2}}])
+    assert d["scores"] == [1, 20, 30]
+    apply_update(d, {"$inc": {"scores.$[]": 1}})
+    assert d["scores"] == [2, 21, 31]
+    with pytest.raises(ValueError, match="no arrayFilters entry"):
+        apply_update(d, {"$set": {"grades.$[nope].g": 0}})
+    with pytest.raises(ValueError, match="not an array"):
+        apply_update(d, {"$set": {"missing.$[].x": 1}})
+    with pytest.raises(ValueError, match="single positional"):
+        apply_update(d, {"$set": {"grades.$.g": 0}})
+
+
+def test_positional_through_journal_replay(tmp_path):
+    from mongo_hadoop_spark.sinks.writers import UpdateSpec, apply_pending_updates
+    from mongo_hadoop_spark.store import DocumentStore
+
+    store = DocumentStore(str(tmp_path / "db"))
+    store.collection("t").insert_many(
+        [{"_id": 1, "items": [{"q": 1}, {"q": 9}]}])
+    store.collection("t.updates").insert_many([
+        {"q": {"_id": 1}, "u": {"$inc": {"items.$[big].q": 100}},
+         "upsert": False, "multi": False, "replace": False,
+         "af": [{"big.q": {"$gte": 5}}]}])
+    apply_pending_updates(str(tmp_path / "db"), "t")
+    (doc,) = store.collection("t").find()
+    assert [x["q"] for x in doc["items"]] == [1, 109]
