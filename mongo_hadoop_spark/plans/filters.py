@@ -253,24 +253,61 @@ def _path_present(doc, path: str) -> bool:
 
 # --- projection -------------------------------------------------------------
 
+def _project_operator(doc: dict, path: str, spec: dict):
+    """``$slice`` / ``$elemMatch`` projection operators (find language).
+    Returns (present, value): absent fields stay absent, like the server."""
+    arr = get_path(doc, path)
+    if not isinstance(arr, list):
+        return False, None
+    if "$slice" in spec:
+        s = spec["$slice"]
+        if isinstance(s, list):
+            skip, limit = s
+            if limit <= 0:
+                raise ValueError("$slice limit must be positive")
+            start = skip if skip >= 0 else max(len(arr) + skip, 0)
+            return True, arr[start:start + limit]
+        return True, (arr[:s] if s >= 0 else arr[s:])
+    cond = spec["$elemMatch"]
+    for el in arr:
+        if isinstance(el, dict) and match(el, cond):
+            return True, [el]
+    return False, None  # server: no match → field omitted entirely
+
+
 def project(doc: dict, fields: dict | None) -> dict:
     """Apply a Mongo projection document ({f:1,...} include / {f:0,...}
-    exclude).  `_id` included by default in include-mode unless `_id: 0`."""
+    exclude, plus the $slice / $elemMatch projection operators).  `_id`
+    included by default in include-mode unless `_id: 0`."""
     if not fields:
         return doc
-    non_id = {k: v for k, v in fields.items() if k != "_id"}
-    include = any(non_id.values()) if non_id else bool(fields.get("_id"))
-    if include:
+    ops = {k: v for k, v in fields.items()
+           if isinstance(v, dict) and ("$slice" in v or "$elemMatch" in v)}
+    plain = {k: v for k, v in fields.items() if k not in ops}
+    non_id = {k: v for k, v in plain.items() if k != "_id"}
+    include = (any(non_id.values()) if non_id
+               else bool(plain.get("_id", not ops)))
+    if include or ops:
         out = {}
-        if fields.get("_id", 1) and "_id" in doc:
+        if plain.get("_id", 1) and "_id" in doc:
             out["_id"] = doc["_id"]
-        for k, v in fields.items():
+        if not include:
+            # $slice-only projection keeps the rest of the document
+            # (server semantics); $elemMatch-only does not
+            if all("$slice" in v for v in ops.values()):
+                out = {k: v for k, v in doc.items()
+                       if k not in ops and plain.get(k, 1)}
+        for k, v in plain.items():
             if v and k != "_id":
                 val = get_path(doc, k)
                 if val is not None or _path_present(doc, k):
                     _assign_path(out, k, val)
+        for k, spec in ops.items():
+            present, val = _project_operator(doc, k, spec)
+            if present:
+                _assign_path(out, k, val)
         return out
-    return {k: v for k, v in doc.items() if fields.get(k, 1)}
+    return {k: v for k, v in doc.items() if plain.get(k, 1)}
 
 
 def _assign_path(out: dict, path: str, value) -> None:

@@ -190,3 +190,30 @@ def test_not_equalto_pushdown_excludes_null_and_missing():
     # without relying on an accompanying IsNotNull being pushed
     assert not match({"a": None}, query)
     assert not match({"b": 1}, query)
+
+
+def test_projection_slice_and_elem_match():
+    from mongo_hadoop_spark.plans.filters import project
+
+    doc = {"_id": 7, "tags": [1, 2, 3, 4, 5],
+           "items": [{"q": 1}, {"q": 9}, {"q": 12}], "other": "keep"}
+    # $slice forms: first-n, last-n, [skip, limit], negative skip
+    assert project(doc, {"tags": {"$slice": 2}})["tags"] == [1, 2]
+    assert project(doc, {"tags": {"$slice": -2}})["tags"] == [4, 5]
+    assert project(doc, {"tags": {"$slice": [1, 2]}})["tags"] == [2, 3]
+    assert project(doc, {"tags": {"$slice": [-3, 2]}})["tags"] == [3, 4]
+    # $slice alone keeps the rest of the document (server semantics)
+    out = project(doc, {"tags": {"$slice": 1}})
+    assert out["other"] == "keep" and out["_id"] == 7
+    # $elemMatch: first matching element only; include-mode
+    out = project(doc, {"items": {"$elemMatch": {"q": {"$gte": 9}}}})
+    assert out["items"] == [{"q": 9}] and "other" not in out
+    # no matching element → field omitted
+    out = project(doc, {"items": {"$elemMatch": {"q": {"$gt": 99}}}})
+    assert "items" not in out and out["_id"] == 7
+    # operators compose with plain includes
+    out = project(doc, {"other": 1, "tags": {"$slice": 1}})
+    assert out == {"_id": 7, "other": "keep", "tags": [1]}
+    import pytest as _p
+    with _p.raises(ValueError, match="limit must be positive"):
+        project(doc, {"tags": {"$slice": [1, 0]}})
