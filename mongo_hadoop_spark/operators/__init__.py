@@ -46,6 +46,7 @@ _HEAD_KEYS = [
     "pipeline_vector_search", "pipeline_geo_near",
     "pipeline_regex_type_report", "pipeline_redact_levels",
     "pipeline_text_search", "pipeline_jsonschema_gate",
+    "corpus_contamination_report",
     "embedding_gram_matrix", "embedding_random_projection",
     "embedding_pca_whitened",
     "corpus_dsir_weights", "corpus_dsir_selected",

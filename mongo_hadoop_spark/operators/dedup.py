@@ -515,6 +515,76 @@ WHERE doc_id % {BENCH_MOD} <> 0
 GROUP BY 1
 """
 
+
+def corpus_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination *fraction* against the benchmark set —
+    the audit view behind :func:`corpus_decontaminate`'s drop list.
+
+    The GPT-3/PaLM-style report: for every training document, the share
+    of its distinct shingles that also occur in the eval corpus
+    (|doc ∩ bench| / |doc|), bucketed so a reviewer can pick the drop
+    threshold from the distribution instead of guessing.  Plan shape is
+    the decontaminate join (benchmark side broadcast) plus one per-doc
+    distinct count — two keyed aggregations, no all-pairs anywhere.
+    Exactness: the fraction is a ratio of integers computed identically
+    in both engines (one double division at the end).
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", SHINGLE_N))).alias("s"))
+    bench = (sh.where(F.col("doc_id") % BENCH_MOD == 0)
+             .select("s").distinct())
+    train = sh.where(F.col("doc_id") % BENCH_MOD != 0)
+    totals = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (train.join(F.broadcast(bench), "s")
+              .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared")))
+    frac = (F.col("n_shared").cast("double")
+            / F.col("n_shingles").cast("double"))
+    per_doc = (totals.join(shared, "doc_id", "left")
+               .select("doc_id", "n_shingles",
+                       F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+                       F.coalesce(frac, F.lit(0.0)).alias("frac")))
+    bucket = (F.when(F.col("frac") >= 0.5, "high")
+              .when(F.col("frac") >= 0.1, "medium")
+              .when(F.col("frac") > 0.0, "low")
+              .otherwise("clean"))
+    return (per_doc.groupBy(bucket.alias("contamination"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_shared").alias("total_shared"))
+            .orderBy("contamination"))
+
+
+CONTAMINATION_REPORT_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s FROM documents
+),
+bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0
+),
+totals AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh
+  WHERE doc_id % {BENCH_MOD} <> 0 GROUP BY 1
+),
+shared AS (
+  SELECT doc_id, count(*) AS n_shared
+  FROM sh JOIN bench USING (s)
+  WHERE doc_id % {BENCH_MOD} <> 0 GROUP BY 1
+),
+per_doc AS (
+  SELECT t.doc_id, t.n_shingles,
+         coalesce(s.n_shared, 0) AS n_shared,
+         coalesce(s.n_shared::double / t.n_shingles::double, 0.0) AS frac
+  FROM totals t LEFT JOIN shared s USING (doc_id)
+)
+SELECT CASE WHEN frac >= 0.5 THEN 'high'
+            WHEN frac >= 0.1 THEN 'medium'
+            WHEN frac > 0.0 THEN 'low'
+            ELSE 'clean' END AS contamination,
+       count(*) AS n_docs, sum(n_shared)::bigint AS total_shared
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
 # ---------------------------------------------------------------------------
 # Near-containment via rare-shingle inverted index
 # ---------------------------------------------------------------------------
@@ -608,6 +678,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_verified": dedup_minhash_verified,
     "corpus_decontaminate": corpus_decontaminate,
+    "corpus_contamination_report": corpus_contamination_report,
 }
 
 ORACLES = {
@@ -621,4 +692,5 @@ ORACLES = {
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_minhash_verified": MINHASH_VERIFIED_SQL,
     "corpus_decontaminate": DECONTAMINATE_SQL,
+    "corpus_contamination_report": CONTAMINATION_REPORT_SQL,
 }
