@@ -43,6 +43,8 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 # CORRECTNESS_r04) rotates to the tail.
 _HEAD_KEYS = [
     # new this round — first driver check
+    "pipeline_search_bm25", "pipeline_rank_fusion",
+    "pipeline_score_fusion", "pipeline_bitwise_flags",
     "pipeline_vector_search", "pipeline_geo_near",
     "pipeline_regex_type_report", "pipeline_redact_levels",
     "pipeline_text_search", "pipeline_jsonschema_gate",

@@ -534,6 +534,270 @@ ORDER BY doc_id
 """
 
 
+def pipeline_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$search text clause with real BM25 scoring (the Atlas/Lucene
+    model): corpus stats (N, Σdl, per-term df) come from ONE broadcast
+    1-row aggregation — the role the Lucene index plays server-side.
+
+    Exactness: k1=6/5, b=3/4 integer-scale the tf part into one
+    bigint/bigint division; idf uses the rational surrogate
+    u = (2N−2df+1)/(2df+1) for ln(1+u) — every double compared is
+    reproducible cross-engine (see _stage_search_text_bm25).
+    """
+    documents = table(spark, sf_dir, "documents")
+    return aggregate(documents, [
+        {"$search": {"index": "default",
+                     "text": {"query": "scan window merge", "path": "text",
+                              "bm25": True}}},
+        {"$project": {"doc_id": 1, "lang": 1,
+                      "score": {"$meta": "searchScore"}}},
+        {"$sort": {"score": -1, "doc_id": 1}},
+        {"$limit": 20},
+    ])
+
+
+# the BM25-scored document set (terms: scan / window / merge), shared by
+# the bm25 / rankFusion / scoreFusion oracles.  Mirrors the stage exactly:
+# whole-bit idf, 20·TL-integer-scaled tf part, left-to-right double adds.
+_BM25_DOCS_SQL = r"""
+  bm_t AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS ws
+    FROM documents
+  ),
+  bm_d AS (
+    SELECT doc_id, lang, len(ws)::bigint AS dl,
+           len(list_filter(ws, x -> x = 'scan'))::bigint AS tf0,
+           len(list_filter(ws, x -> x = 'window'))::bigint AS tf1,
+           len(list_filter(ws, x -> x = 'merge'))::bigint AS tf2
+    FROM bm_t
+  ),
+  bm_s AS (
+    SELECT count(*)::bigint AS n, sum(dl)::bigint AS tl,
+           sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::bigint AS df0,
+           sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::bigint AS df1,
+           sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::bigint AS df2
+    FROM bm_d
+  ),
+  bm25 AS (
+    SELECT doc_id, lang,
+           (((2 * n - 2 * df0 + 1)::double / (2 * df0 + 1)::double)
+              * ((44 * tf0 * tl)::double
+                 / (20 * tf0 * tl + 6 * tl + 18 * dl * n)::double)
+            + ((2 * n - 2 * df1 + 1)::double / (2 * df1 + 1)::double)
+              * ((44 * tf1 * tl)::double
+                 / (20 * tf1 * tl + 6 * tl + 18 * dl * n)::double)
+            + ((2 * n - 2 * df2 + 1)::double / (2 * df2 + 1)::double)
+              * ((44 * tf2 * tl)::double
+                 / (20 * tf2 * tl + 6 * tl + 18 * dl * n)::double)
+           ) AS score
+    FROM bm_d, bm_s
+    WHERE tf0 + tf1 + tf2 > 0
+  )
+"""
+
+PIPELINE_SEARCH_BM25_SQL = f"""
+WITH {_BM25_DOCS_SQL}
+SELECT doc_id, lang, score
+FROM bm25
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def _hybrid_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ⋈ embeddings on doc_id = vec_id — a corpus with both a
+    text and an embedding column, the shape hybrid search runs on."""
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    return docs.join(F.broadcast(emb), docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "lang", "source", "n_chars", "embedding")
+
+
+def pipeline_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$rankFusion (Mongo 8.0) — hybrid search: an exact-cosine
+    $vectorSearch pipeline and a BM25 $search pipeline fused by
+    reciprocal rank,  score = Σ_p w_p / (60 + rank_p).
+
+    Plan shape: both candidate sets are limit-bounded (enforced by the
+    stage), rank windows sort ≤ 40 rows, the fused 40-row score table
+    broadcast-joins back to the corpus.  Tie determinism: tied scores
+    share a rank (rank(), documented deviation from the server's
+    internal-order tiebreak).
+    """
+    corpus = _hybrid_corpus(spark, sf_dir)
+    return aggregate(corpus, [
+        {"$rankFusion": {
+            "key": "doc_id",
+            "input": {"pipelines": {
+                "vector": [{"$vectorSearch": {
+                    "index": "emb", "path": "embedding",
+                    "queryVector": _VS_QUERY, "numCandidates": 100,
+                    "limit": 40}}],
+                "text": [{"$search": {"text": {"query": "scan window merge",
+                                               "path": "text",
+                                               "bm25": True}}},
+                         {"$limit": 40}],
+            }},
+            "combination": {"weights": {"vector": 2, "text": 1}},
+        }},
+        {"$project": {"doc_id": 1, "lang": 1, "score": {"$meta": "score"}}},
+        {"$sort": {"score": -1, "doc_id": 1}},
+        {"$limit": 15},
+    ])
+
+
+# the two ranked candidate sets shared by the fusion oracles: exact-cosine
+# top-40 (Atlas normalization (1+cos)/2) and BM25 top-40.  LIMIT cuts are
+# tie-free at the gate scale factors (asserted in tests): the kept row
+# set is engine-independent.
+_FUSION_CANDS_SQL = f"""
+  {_BM25_DOCS_SQL},
+  vec_scored AS (
+    SELECT vec_id AS doc_id,
+           (1 + list_dot_product({{qv}},
+                                 list_transform(embedding, x -> x::double))
+                / (sqrt(list_dot_product({{qv}}, {{qv}}))
+                   * sqrt(list_dot_product(
+                         list_transform(embedding, x -> x::double),
+                         list_transform(embedding, x -> x::double))))) / 2
+             AS vscore
+    FROM embeddings
+  ),
+  vec_top AS (
+    SELECT doc_id, vscore FROM vec_scored ORDER BY vscore DESC LIMIT 40
+  ),
+  txt_top AS (
+    SELECT doc_id, score AS tscore FROM bm25 ORDER BY score DESC LIMIT 40
+  )
+"""
+
+
+def _fusion_cands_sql() -> str:
+    # str.replace, not .format — the BM25 fragment contains format('{:b}')
+    return _FUSION_CANDS_SQL.replace("{qv}", _VS_QV_SQL)
+
+
+PIPELINE_RANK_FUSION_SQL = f"""
+WITH {_fusion_cands_sql()},
+  vec_rank AS (
+    SELECT doc_id, rank() OVER (ORDER BY vscore DESC) AS r FROM vec_top
+  ),
+  txt_rank AS (
+    SELECT doc_id, rank() OVER (ORDER BY tscore DESC) AS r FROM txt_top
+  ),
+  fused AS (
+    SELECT coalesce(v.doc_id, t.doc_id) AS doc_id,
+           (CASE WHEN v.r IS NULL THEN 0.0::double
+                 ELSE 2.0::double / (60 + v.r)::double END
+            + CASE WHEN t.r IS NULL THEN 0.0::double
+                   ELSE 1.0::double / (60 + t.r)::double END) AS score
+    FROM vec_rank v FULL OUTER JOIN txt_rank t USING (doc_id)
+  )
+SELECT d.doc_id, d.lang, f.score
+FROM fused f JOIN documents d USING (doc_id)
+ORDER BY f.score DESC, d.doc_id LIMIT 15
+"""
+
+
+def pipeline_score_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$scoreFusion (Mongo 8.1) — hybrid search on normalized scores:
+    each pipeline's relevance scores minMaxScaler-normalize to [0, 1]
+    over its own candidate set (1-row broadcast min/max stats), then a
+    weighted average over ALL input pipelines (missing ⇒ 0).
+
+    minMaxScaler + weighted average are pure IEEE arithmetic on already
+    cross-engine-exact scores, so this stays oracle-gateable (sigmoid
+    normalization exists too but goes through exp() — pytest-checked
+    with tolerance instead).
+    """
+    corpus = _hybrid_corpus(spark, sf_dir)
+    return aggregate(corpus, [
+        {"$scoreFusion": {
+            "key": "doc_id",
+            "input": {
+                "pipelines": {
+                    "vector": [{"$vectorSearch": {
+                        "index": "emb", "path": "embedding",
+                        "queryVector": _VS_QUERY, "numCandidates": 100,
+                        "limit": 40}}],
+                    "text": [{"$search": {"text": {
+                        "query": "scan window merge", "path": "text",
+                        "bm25": True}}},
+                        {"$limit": 40}],
+                },
+                "normalization": "minMaxScaler",
+            },
+            "combination": {"method": "avg",
+                            "weights": {"vector": 2, "text": 1}},
+        }},
+        {"$project": {"doc_id": 1, "lang": 1, "score": {"$meta": "score"}}},
+        {"$sort": {"score": -1, "doc_id": 1}},
+        {"$limit": 15},
+    ])
+
+
+PIPELINE_SCORE_FUSION_SQL = f"""
+WITH {_fusion_cands_sql()},
+  vec_stats AS (
+    SELECT min(vscore) AS lo, max(vscore) AS hi FROM vec_top
+  ),
+  vec_norm AS (
+    SELECT doc_id,
+           CASE WHEN s.hi = s.lo THEN 0.0::double
+                ELSE (vscore - s.lo) / (s.hi - s.lo) END AS nv
+    FROM vec_top, vec_stats s
+  ),
+  txt_stats AS (
+    SELECT min(tscore) AS lo, max(tscore) AS hi FROM txt_top
+  ),
+  txt_norm AS (
+    SELECT doc_id,
+           CASE WHEN s.hi = s.lo THEN 0.0::double
+                ELSE (tscore - s.lo) / (s.hi - s.lo) END AS nt
+    FROM txt_top, txt_stats s
+  ),
+  fused AS (
+    SELECT coalesce(v.doc_id, t.doc_id) AS doc_id,
+           (2.0::double * coalesce(v.nv, 0.0::double)
+            + 1.0::double * coalesce(t.nt, 0.0::double)) / 2.0::double
+             AS score
+    FROM vec_norm v FULL OUTER JOIN txt_norm t USING (doc_id)
+  )
+SELECT d.doc_id, d.lang, f.score
+FROM fused f JOIN documents d USING (doc_id)
+ORDER BY f.score DESC, d.doc_id LIMIT 15
+"""
+
+
+def pipeline_bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$bitAnd / $bitOr / $bitXor / $bitNot (Mongo 6.3 bitwise integer
+    family) — per-row flag math rolled up per event type."""
+    events = table(spark, sf_dir, "events")
+    return aggregate(events, [
+        {"$project": {
+            "event_type": 1,
+            "ax": {"$bitAnd": ["$event_id", "$user_id"]},
+            "ox": {"$bitOr": ["$event_id", "$user_id"]},
+            "xx": {"$bitXor": ["$event_id", "$user_id",
+                               {"$bitNot": "$event_id"}]}}},
+        {"$group": {"_id": "$event_type",
+                    "sum_and": {"$sum": "$ax"},
+                    "sum_or": {"$sum": "$ox"},
+                    "sum_xor": {"$sum": "$xx"}}},
+        {"$sort": {"_id": 1}},
+    ])
+
+
+PIPELINE_BITWISE_SQL = """
+SELECT event_type AS _id,
+       sum(event_id & user_id)::bigint AS sum_and,
+       sum(event_id | user_id)::bigint AS sum_or,
+       sum(xor(xor(event_id, user_id), ~event_id))::bigint AS sum_xor
+FROM events GROUP BY event_type ORDER BY _id
+"""
+
+
 def pipeline_jsonschema_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$jsonSchema as a data-quality gate: the server's collection-
     validator language used inside $match — required fields, bsonType
@@ -843,6 +1107,10 @@ QUERIES = {
     "pipeline_regex_type_report": pipeline_regex_type_report,
     "pipeline_redact_levels": pipeline_redact_levels,
     "pipeline_text_search": pipeline_text_search,
+    "pipeline_search_bm25": pipeline_search_bm25,
+    "pipeline_rank_fusion": pipeline_rank_fusion,
+    "pipeline_score_fusion": pipeline_score_fusion,
+    "pipeline_bitwise_flags": pipeline_bitwise_flags,
     "pipeline_jsonschema_gate": pipeline_jsonschema_gate,
     "pipeline_object_to_array": pipeline_object_to_array,
     "pipeline_top_orders_per_status": pipeline_top_orders_per_status,
@@ -866,6 +1134,10 @@ ORACLES = {
     "pipeline_regex_type_report": PIPELINE_REGEX_TYPE_SQL,
     "pipeline_redact_levels": PIPELINE_REDACT_SQL,
     "pipeline_text_search": PIPELINE_TEXT_SEARCH_SQL,
+    "pipeline_search_bm25": PIPELINE_SEARCH_BM25_SQL,
+    "pipeline_rank_fusion": PIPELINE_RANK_FUSION_SQL,
+    "pipeline_score_fusion": PIPELINE_SCORE_FUSION_SQL,
+    "pipeline_bitwise_flags": PIPELINE_BITWISE_SQL,
     "pipeline_jsonschema_gate": PIPELINE_JSONSCHEMA_SQL,
     "pipeline_object_to_array": PIPELINE_OBJ_ARRAY_SQL,
     "pipeline_top_orders_per_status": PIPELINE_TOP_ORDERS_SQL,

@@ -527,7 +527,8 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         # $vectorSearch / $geoNear stages attach (server: index metadata)
         meta_cols = {"vectorSearchScore": _VS_SCORE_COL,
                      "geoNearDistance": _GEO_DIST_COL,
-                     "searchScore": _SEARCH_SCORE_COL}
+                     "searchScore": _SEARCH_SCORE_COL,
+                     "score": _FUSION_SCORE_COL}
         if operand not in meta_cols:
             raise ValueError(
                 f"unsupported aggregation expression $meta kind {operand!r}")
@@ -543,6 +544,22 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
     if op == "$atan2":
         a, b = _binary(operand)
         return F.atan2(a, b)
+    # bitwise integer family (Mongo 6.3) ---------------------------------
+    if op in ("$bitAnd", "$bitOr", "$bitXor"):
+        if not isinstance(operand, list) or not operand:
+            raise ValueError(f"{op} takes a non-empty operand array")
+        cols = [E(x) for x in operand]
+        out = cols[0]
+        for c in cols[1:]:
+            if op == "$bitAnd":
+                out = out.bitwiseAND(c)
+            elif op == "$bitOr":
+                out = out.bitwiseOR(c)
+            else:
+                out = out.bitwiseXOR(c)
+        return out
+    if op == "$bitNot":
+        return F.bitwise_not(E(operand))
     # type introspection -------------------------------------------------
     # Spark column types are static, but $type/$isNumber are about the
     # *runtime* value, which matters for untyped/variant-ish columns; the
@@ -1690,6 +1707,7 @@ def _stage_redact(df: DataFrame, spec) -> DataFrame:
 #: {$meta: ...} in later $project stages and stripped from the final result
 _VS_SCORE_COL = "__vs_score__"
 _GEO_DIST_COL = "__geo_dist__"
+_FUSION_SCORE_COL = "__fusion_score__"
 
 
 def _array_literal(values) -> Column:
@@ -1715,6 +1733,10 @@ def _search_clause(op: str, spec: dict):
         return p if isinstance(p, list) else [p]
 
     if op == "text":
+        if spec.get("bm25"):
+            raise ValueError(
+                "bm25 text scoring is supported on a top-level text "
+                "clause only (not inside compound)")
         # standard-analyzer-ish: lowercase whitespace tokens; any query
         # token matching contributes its tf to the score
         toks = [t for t in str(spec["query"]).lower().split() if t]
@@ -1799,9 +1821,87 @@ def _stage_search(df: DataFrame, spec: dict) -> DataFrame:
         raise ValueError("$search takes exactly one operator "
                          "(text/phrase/compound/exists/equals/range)")
     (op, opspec), = spec.items()
+    if op == "text" and opspec.get("bm25"):
+        return _stage_search_text_bm25(df, opspec)
     cond, score = _search_clause(op, opspec)
     return (df.where(F.coalesce(cond, F.lit(False)))
             .withColumn(_SEARCH_SCORE_COL, score.cast("double"))
+            .orderBy(F.col(_SEARCH_SCORE_COL).desc()))
+
+
+def _stage_search_text_bm25(df: DataFrame, spec: dict) -> DataFrame:
+    """BM25-scored ``$search`` text clause — the Atlas/Lucene scoring
+    model, opted into with ``{"text": {..., "bm25": true}}`` (the plain
+    clause keeps the raw-tf scoring its oracles pin).
+
+    Corpus statistics (N, Σdl, per-query-term df) play the role of the
+    Lucene index: ONE map-side-partial aggregation over the input,
+    broadcast back as a 1-row scalar join (the PQ-codebook pattern) — the
+    stage is two scans and zero extra shuffles at any corpus size.
+
+    Cross-engine exactness (the oracle gate hashes doubles bit-for-bit):
+    with the default k1 = 6/5 and b = 3/4 the per-term weight
+        tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),  avgdl = TL/N
+    integer-scales by 20·TL into
+        44·tf·TL / (20·tf·TL + 6·TL + 18·dl·N)
+    — ONE bigint/bigint IEEE division per term (exact in any engine).
+    Lucene's idf  ln(1 + u),  u = (N − df + ½)/(df + ½) = (2N−2df+1)/(2df+1)
+    is replaced by the rational surrogate  u  itself — IEEE ln() is not
+    bit-identical across engines (operators/lm.py:10-24), and whole-bit
+    quantization (the lm.py fix) floors common-term idf to 0; u is ONE
+    bigint/bigint division, strictly monotone in the true idf (identical
+    per-term ranking; multi-term sums weight rare terms up vs ln —
+    documented deviation).  Custom k1/b are refused (the integer scaling
+    is derived for the defaults).  Safe up to ~10^12 total tokens before
+    20·tf·TL nears bigint range.
+    """
+    if spec.get("bm25") is not True and spec.get("bm25") != {}:
+        raise ValueError(
+            "bm25 takes no parameters (k1=1.2, b=0.75 fixed — the "
+            "integer-exact scaling is derived for the defaults)")
+    path = spec["path"]
+    if isinstance(path, list):
+        raise ValueError("bm25 text scoring supports a single path")
+    from mongo_hadoop_spark.functions import tokenize
+
+    terms = list(dict.fromkeys(
+        t for t in str(spec["query"]).lower().split() if t))
+    if not terms:
+        raise ValueError("bm25 text clause needs a non-empty query")
+    words = tokenize(F.lower(F.col(path)))
+    dl = F.size(words).cast("long")
+
+    def _eq(tok):
+        return lambda w: w == F.lit(tok)
+
+    def _tf(tok):
+        return F.size(F.filter(words, _eq(tok))).cast("long")
+
+    stats_aggs = [F.count(F.lit(1)).cast("long").alias("__bm25_n"),
+                  F.sum(dl).alias("__bm25_tl")]
+    for i, t in enumerate(terms):
+        stats_aggs.append(
+            F.sum((_tf(t) > 0).cast("long")).alias(f"__bm25_df_{i}"))
+    stats = df.agg(*stats_aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    n, tl = F.col("__bm25_n"), F.col("__bm25_tl")
+    score, any_tf = None, None
+    for i, t in enumerate(terms):
+        tf = _tf(t)
+        dfreq = F.col(f"__bm25_df_{i}")
+        idf = ((n * 2 - dfreq * 2 + 1).cast("double")
+               / (dfreq * 2 + 1).cast("double"))
+        num = (F.lit(44).cast("long") * tf * tl).cast("double")
+        den = (F.lit(20).cast("long") * tf * tl + F.lit(6).cast("long") * tl
+               + F.lit(18).cast("long") * dl * n).cast("double")
+        term_score = idf * (num / den)
+        score = term_score if score is None else score + term_score
+        any_tf = tf if any_tf is None else any_tf + tf
+    helper = ["__bm25_n", "__bm25_tl"] + [
+        f"__bm25_df_{i}" for i in range(len(terms))]
+    return (out.where(any_tf > 0)
+            .withColumn(_SEARCH_SCORE_COL, score.cast("double"))
+            .drop(*helper)
             .orderBy(F.col(_SEARCH_SCORE_COL).desc()))
 
 
@@ -1889,6 +1989,185 @@ def _stage_geo_near(df: DataFrame, spec: dict) -> DataFrame:
             .orderBy(F.col(_GEO_DIST_COL).asc()))
 
 
+#: fixed RRF rank constant — the server's value (not a $rankFusion knob)
+_RRF_K = 60
+
+
+def _ranked_subpipeline(df: DataFrame, name: str, stages: list[dict],
+                        tables) -> tuple[DataFrame, list, bool]:
+    """Run one fusion input pipeline; returns (result incl. hidden score
+    columns, ranking order, candidate-bounded?).
+
+    The server restricts fusion inputs to *ranked pipelines* — $search /
+    $vectorSearch / $geoNear heads or a pipeline ending in $sort — and so
+    do we: those are the only shapes whose ordering is recoverable for
+    rank assignment.  ``bounded`` reports whether a $limit (or
+    $vectorSearch's mandatory limit) caps the candidate set — the rank
+    window is a single-partition top-k sort, so unbounded inputs are
+    refused by $rankFusion/$scoreFusion at plan time rather than melting
+    an executor at corpus scale.
+    """
+    if not stages:
+        raise ValueError(f"fusion input pipeline {name!r} is empty")
+    (first, _), = stages[0].items()
+    out = _aggregate_impl(df, stages, tables=tables)
+    has_limit = any("$limit" in s for s in stages)
+    if first == "$vectorSearch":
+        return out, [F.col(_VS_SCORE_COL).desc()], True
+    if first == "$search":
+        return out, [F.col(_SEARCH_SCORE_COL).desc()], has_limit
+    if first == "$geoNear":
+        return out, [F.col(_GEO_DIST_COL).asc()], has_limit
+    # generic ranked pipeline: trailing $sort (optionally + $limit)
+    sort_stage = None
+    for s in stages:
+        if "$sort" in s:
+            sort_stage = s["$sort"]
+    if sort_stage is None:
+        raise ValueError(
+            f"fusion input pipeline {name!r} must be a ranked pipeline "
+            "($search/$vectorSearch/$geoNear head, or contain $sort)")
+    order = [F.col(k).desc() if v == -1 else F.col(k).asc()
+             for k, v in sort_stage.items()]
+    return out, order, has_limit
+
+
+def _fusion_inputs(df: DataFrame, spec: dict, tables, stage: str,
+                   ) -> tuple[dict, dict, list[str], list]:
+    """Shared $rankFusion/$scoreFusion plumbing: validate the spec and
+    run every input pipeline.  Returns (pipelines, weights, keys, runs)
+    with runs = [(name, result_df, order, score_col)].
+
+    ``key`` is an engine extension: the column(s) that identify a
+    document (the server fuses on internal document identity; our
+    DataFrames are schemaful, so identity must be named).
+    """
+    pipes = (spec.get("input") or {}).get("pipelines")
+    if not isinstance(pipes, dict) or not pipes:
+        raise ValueError(f"{stage} needs input.pipelines: {{name: [...]}}")
+    keys = spec.get("key")
+    if not keys:
+        raise ValueError(
+            f"{stage} needs key: the document-identity column(s) "
+            "(engine extension — the server uses internal doc identity)")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    weights = (spec.get("combination") or {}).get("weights") or {}
+    unknown = set(weights) - set(pipes)
+    if unknown:
+        raise ValueError(f"{stage} weights for unknown pipelines: "
+                         f"{sorted(unknown)}")
+    score_cols = {"$vectorSearch": _VS_SCORE_COL, "$search": _SEARCH_SCORE_COL,
+                  "$geoNear": _GEO_DIST_COL}
+    runs = []
+    for name, stages in pipes.items():
+        sub, order, bounded = _ranked_subpipeline(df, name, stages, tables)
+        if not bounded:
+            raise ValueError(
+                f"{stage} input pipeline {name!r} is not candidate-bounded"
+                " — add a $limit (the rank window is a single-partition"
+                " top-k; unbounded inputs do not scale)")
+        (first, _), = stages[0].items()
+        runs.append((name, sub, order, score_cols.get(first)))
+    return pipes, weights, keys, runs
+
+
+def _stage_rank_fusion(df: DataFrame, spec: dict, tables) -> DataFrame:
+    """``$rankFusion`` (Mongo 8.0) — reciprocal-rank-fusion hybrid
+    search: each input pipeline ranks documents its own way and a
+    document's fused score is  Σ_p weight_p / (60 + rank_p)  over the
+    pipelines that returned it; the fused score is reachable downstream
+    via ``{$meta: "score"}``.
+
+    Plan shape: every input pipeline is already candidate-bounded
+    (enforced), so each rank window is a single-partition sort of ≤ k
+    rows; the per-pipeline rank sets full-outer-join on the document
+    key (k-row inputs), and the fused k-row score table broadcast-joins
+    back to the source — no corpus-sized shuffle anywhere.
+
+    Determinism deviation (documented): the server breaks rank ties by
+    internal document order, which no engine can reproduce; here tied
+    scores share a rank (SQL ``rank()``), identical on any engine and
+    partitioning.
+    """
+    from pyspark.sql import Window
+
+    _, weights, keys, runs = _fusion_inputs(df, spec, tables, "$rankFusion")
+    fused = None
+    for i, (name, sub, order, _score_col) in enumerate(runs):
+        w = Window.orderBy(*order)
+        r = sub.select(*keys, F.rank().over(w).alias(f"__rank_{i}"))
+        fused = r if fused is None else fused.join(r, keys, "full_outer")
+    score = None
+    for i, (name, *_rest) in enumerate(runs):
+        wgt = float(weights.get(name, 1))
+        contrib = F.when(F.col(f"__rank_{i}").isNull(), F.lit(0.0)).otherwise(
+            F.lit(wgt) / (F.lit(_RRF_K) + F.col(f"__rank_{i}")).cast("double"))
+        score = contrib if score is None else score + contrib
+    scores = fused.select(*keys, score.alias(_FUSION_SCORE_COL))
+    return (df.join(F.broadcast(scores), keys, "inner")
+            .orderBy(F.col(_FUSION_SCORE_COL).desc()))
+
+
+def _stage_score_fusion(df: DataFrame, spec: dict, tables) -> DataFrame:
+    """``$scoreFusion`` (Mongo 8.1) — score-based hybrid search: each
+    input pipeline's raw relevance score is normalized
+    (``minMaxScaler`` | ``sigmoid`` | ``none``), weighted, and averaged
+    over ALL input pipelines (a document missing from a pipeline
+    contributes 0); reachable downstream via ``{$meta: "score"}``.
+
+    Input pipelines must be *scored* ($search or $vectorSearch heads —
+    $geoNear/$sort pipelines rank but carry no relevance score).
+    minMaxScaler's constant-score edge (max == min) maps to 0.
+    Exactness note: minMaxScaler and the weighted average are pure IEEE
+    arithmetic on already-deterministic scores (oracle-gateable);
+    sigmoid goes through ``exp()``, which is NOT bit-identical across
+    engines — fine for ranking, checked with tolerance in pytest.
+
+    Plan shape mirrors $rankFusion: bounded candidate sets, 1-row
+    broadcast min/max stats per pipeline, k-row full-outer fuse, one
+    broadcast join back to the source.
+    """
+    norm = (spec.get("input") or {}).get("normalization", "none")
+    if norm not in ("none", "sigmoid", "minMaxScaler"):
+        raise ValueError(f"unsupported $scoreFusion normalization {norm!r}")
+    method = (spec.get("combination") or {}).get("method", "avg")
+    if method != "avg":
+        raise ValueError("$scoreFusion supports combination.method 'avg'")
+    _, weights, keys, runs = _fusion_inputs(df, spec, tables, "$scoreFusion")
+    fused = None
+    for i, (name, sub, _order, score_col) in enumerate(runs):
+        if score_col is None or score_col == _GEO_DIST_COL:
+            raise ValueError(
+                f"$scoreFusion input pipeline {name!r} must be scored "
+                "($search or $vectorSearch head)")
+        s = sub.select(*keys, F.col(score_col).alias(f"__s_{i}"))
+        if norm == "minMaxScaler":
+            stats = s.agg(F.min(f"__s_{i}").alias(f"__lo_{i}"),
+                          F.max(f"__s_{i}").alias(f"__hi_{i}"))
+            s = (s.crossJoin(F.broadcast(stats))
+                 .select(*keys,
+                         F.when(F.col(f"__hi_{i}") == F.col(f"__lo_{i}"),
+                                F.lit(0.0))
+                         .otherwise((F.col(f"__s_{i}") - F.col(f"__lo_{i}"))
+                                    / (F.col(f"__hi_{i}")
+                                       - F.col(f"__lo_{i}")))
+                         .alias(f"__s_{i}")))
+        elif norm == "sigmoid":
+            s = s.select(*keys, (F.lit(1.0)
+                                 / (F.lit(1.0) + F.exp(-F.col(f"__s_{i}"))))
+                         .alias(f"__s_{i}"))
+        fused = s if fused is None else fused.join(s, keys, "full_outer")
+    score = None
+    for i, (name, *_rest) in enumerate(runs):
+        wgt = float(weights.get(name, 1))
+        contrib = F.lit(wgt) * F.coalesce(F.col(f"__s_{i}"), F.lit(0.0))
+        score = contrib if score is None else score + contrib
+    score = score / F.lit(float(len(runs)))
+    scores = fused.select(*keys, score.alias(_FUSION_SCORE_COL))
+    return (df.join(F.broadcast(scores), keys, "inner")
+            .orderBy(F.col(_FUSION_SCORE_COL).desc()))
+
+
 def aggregate(df: DataFrame, pipeline: list[dict],
               tables: dict[str, DataFrame] | None = None,
               store_path: str | None = None,
@@ -1903,12 +2182,32 @@ def aggregate(df: DataFrame, pipeline: list[dict],
     journaled mutation spool (``spool_path``) via the live committer;
     ``client_factory`` is the importable ``module:callable`` executors
     use to resolve a client from the URI."""
+    out = _aggregate_impl(df, pipeline, tables=tables, store_path=store_path,
+                          client_factory=client_factory,
+                          spool_path=spool_path)
+    for hidden in (_VS_SCORE_COL, _GEO_DIST_COL, _SEARCH_SCORE_COL,
+                   _FUSION_SCORE_COL):
+        if hidden in out.columns:
+            out = out.drop(hidden)
+    return out
+
+
+def _aggregate_impl(df: DataFrame, pipeline: list[dict],
+                    tables: dict[str, DataFrame] | None = None,
+                    store_path: str | None = None,
+                    client_factory: str | None = None,
+                    spool_path: str | None = None) -> DataFrame:
+    """``aggregate`` minus the final hidden-column strip — the fusion
+    stages run their input pipelines through this so the ranking
+    metadata ($search/$vectorSearch/$geoNear score columns) survives
+    for rank assignment."""
     out = df
     for i, stage in enumerate(pipeline):
         (op, spec), = stage.items()
         if op in ("$out", "$merge") and i != len(pipeline) - 1:
             raise ValueError(f"{op} must be the last pipeline stage")
-        if op in ("$vectorSearch", "$geoNear", "$search") and i != 0:
+        if op in ("$vectorSearch", "$geoNear", "$search",
+                  "$rankFusion", "$scoreFusion") and i != 0:
             raise ValueError(f"{op} must be the first pipeline stage")
         if op == "$documents":
             # literal-documents source (Mongo 5.1): replaces the input
@@ -1932,6 +2231,10 @@ def aggregate(df: DataFrame, pipeline: list[dict],
             out = _stage_search(out, spec)
         elif op == "$vectorSearch":
             out = _stage_vector_search(out, spec)
+        elif op == "$rankFusion":
+            out = _stage_rank_fusion(out, spec, tables)
+        elif op == "$scoreFusion":
+            out = _stage_score_fusion(out, spec, tables)
         elif op == "$geoNear":
             out = _stage_geo_near(out, spec)
         elif op == "$match":
@@ -2017,7 +2320,4 @@ def aggregate(df: DataFrame, pipeline: list[dict],
                                spool_path)
         else:
             raise ValueError(f"unsupported pipeline stage {op}")
-    for hidden in (_VS_SCORE_COL, _GEO_DIST_COL, _SEARCH_SCORE_COL):
-        if hidden in out.columns:
-            out = out.drop(hidden)
     return out

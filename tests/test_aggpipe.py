@@ -1370,3 +1370,200 @@ def test_out_and_merge_into_live_target(spark, people, tmp_path):
                        {"$out": "profiles"}],
               store_path=uri, client_factory=factory)
     assert len(list(StoreBackedCollection(dest, "profiles").find({}))) == 1
+
+
+# ---------------------------------------------------------------------------
+# $search BM25 scoring / $rankFusion / $scoreFusion / bitwise family
+# ---------------------------------------------------------------------------
+
+
+def _bm25_expected(bodies: dict[int, str], terms: list[str]) -> dict[int, float]:
+    """Python replica of the stage's integer-exact BM25 (rational idf)."""
+    toks = {i: b.lower().split() for i, b in bodies.items() if b is not None}
+    n = len(bodies)                       # count(*) includes null-text docs
+    tl = sum(len(w) for w in toks.values())
+    df = {t: sum(1 for w in toks.values() if t in w) for t in terms}
+    out = {}
+    for i, w in toks.items():
+        dl = len(w)
+        score, any_tf = 0.0, 0
+        for t in terms:
+            tf = w.count(t)
+            idf = float(2 * n - 2 * df[t] + 1) / float(2 * df[t] + 1)
+            num = float(44 * tf * tl)
+            den = float(20 * tf * tl + 6 * tl + 18 * dl * n)
+            score = score + idf * (num / den)
+            any_tf += tf
+        if any_tf > 0:
+            out[i] = score
+    return out
+
+
+def test_search_bm25_scores(articles):
+    got = aggregate(articles, [
+        {"$search": {"text": {"query": "scan window", "path": "body",
+                              "bm25": True}}},
+        {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+    ]).collect()
+    bodies = {1: "Fast scan beats slow scan",
+              2: "window functions window window",
+              3: "nothing relevant here", 4: None}
+    exp = _bm25_expected(bodies, ["scan", "window"])
+    assert {r.id: r.score for r in got} == exp
+    # rarer term (equal tf/dl elsewhere) outranks: both matched docs have
+    # distinct scores — the degenerate all-equal-scores regression
+    assert len({r.score for r in got}) == len(got) == 2
+
+
+def test_search_bm25_rejects_bad_specs(articles):
+    with pytest.raises(ValueError, match="top-level text clause"):
+        aggregate(articles, [{"$search": {"compound": {"must": [
+            {"text": {"query": "scan", "path": "body", "bm25": True}}]}}}])
+    with pytest.raises(ValueError, match="no parameters"):
+        aggregate(articles, [{"$search": {"text": {
+            "query": "scan", "path": "body", "bm25": {"k1": 2.0}}}}])
+    with pytest.raises(ValueError, match="single path"):
+        aggregate(articles, [{"$search": {"text": {
+            "query": "scan", "path": ["body", "body"], "bm25": True}}}])
+    with pytest.raises(ValueError, match="non-empty query"):
+        aggregate(articles, [{"$search": {"text": {
+            "query": "   ", "path": "body", "bm25": True}}}])
+
+
+def test_rank_fusion_rrf_scores_and_tied_ranks(people):
+    got = aggregate(people, [
+        {"$rankFusion": {
+            "key": "id",
+            "input": {"pipelines": {
+                "by_bal": [{"$sort": {"bal": -1}}, {"$limit": 3}],
+                "by_age": [{"$sort": {"age": -1}}, {"$limit": 3}],
+            }},
+        }},
+        {"$project": {"id": 1, "score": {"$meta": "score"}}},
+    ]).collect()
+    scores = {r.id: r.score for r in got}
+    # by_bal ranks: id2=1, id1=2, id4=3 (null bal last, cut)
+    # by_age ranks: id3=1, id1=2, id4=2 (34-tie SHARES rank), null cut
+    exp = {1: 1 / 62 + 1 / 62, 2: 1 / 61, 3: 1 / 61, 4: 1 / 63 + 1 / 62}
+    assert scores.keys() == exp.keys()
+    for i, v in exp.items():
+        assert scores[i] == pytest.approx(v, abs=1e-15)
+    # fused order: id1 first (two strong ranks)
+    assert max(scores, key=scores.get) == 1
+    assert "__fusion_score__" not in aggregate(people, [
+        {"$rankFusion": {"key": "id", "input": {"pipelines": {
+            "b": [{"$sort": {"bal": -1}}, {"$limit": 2}]}}}}]).columns
+
+
+def test_rank_fusion_weights_and_validation(people):
+    got = aggregate(people, [
+        {"$rankFusion": {
+            "key": "id",
+            "input": {"pipelines": {
+                "b": [{"$sort": {"bal": -1}}, {"$limit": 2}]}},
+            "combination": {"weights": {"b": 3}},
+        }},
+        {"$project": {"id": 1, "score": {"$meta": "score"}}},
+    ]).collect()
+    assert {r.id: r.score for r in got} == {2: 3 / 61, 1: 3 / 62}
+    with pytest.raises(ValueError, match="candidate-bounded"):
+        aggregate(people, [{"$rankFusion": {"key": "id", "input": {
+            "pipelines": {"b": [{"$sort": {"bal": -1}}]}}}}])
+    with pytest.raises(ValueError, match="needs key"):
+        aggregate(people, [{"$rankFusion": {"input": {
+            "pipelines": {"b": [{"$sort": {"bal": -1}}, {"$limit": 2}]}}}}])
+    with pytest.raises(ValueError, match="unknown pipelines"):
+        aggregate(people, [{"$rankFusion": {"key": "id", "input": {
+            "pipelines": {"b": [{"$sort": {"bal": -1}}, {"$limit": 2}]}},
+            "combination": {"weights": {"nope": 1}}}}])
+    with pytest.raises(ValueError, match="ranked pipeline"):
+        aggregate(people, [{"$rankFusion": {"key": "id", "input": {
+            "pipelines": {"b": [{"$match": {"age": 34}}, {"$limit": 2}]}}}}])
+    with pytest.raises(ValueError, match="first pipeline stage"):
+        aggregate(people, [{"$limit": 4}, {"$rankFusion": {
+            "key": "id", "input": {"pipelines": {
+                "b": [{"$sort": {"bal": -1}}, {"$limit": 2}]}}}}])
+
+
+def test_score_fusion_minmax_and_sigmoid(articles):
+    base = {"key": "id", "input": {
+        "pipelines": {
+            "sw": [{"$search": {"text": {"query": "scan window",
+                                         "path": "body"}}}, {"$limit": 5}],
+            "nr": [{"$search": {"text": {"query": "nothing",
+                                         "path": "body"}}}, {"$limit": 5}],
+        },
+        "normalization": "minMaxScaler"}}
+    got = aggregate(articles, [
+        {"$scoreFusion": dict(base)},
+        {"$project": {"id": 1, "score": {"$meta": "score"}}},
+    ]).collect()
+    # sw raw scores: doc1=2, doc2=3 → minMax: doc1=0, doc2=1
+    # nr raw scores: doc3=1 → hi==lo edge → 0
+    assert {r.id: r.score for r in got} == {1: 0.0, 2: 0.5, 3: 0.0}
+    import math
+    sig = dict(base);  sig["input"] = dict(base["input"])
+    sig["input"]["normalization"] = "sigmoid"
+    got = aggregate(articles, [
+        {"$scoreFusion": sig},
+        {"$project": {"id": 1, "score": {"$meta": "score"}}},
+    ]).collect()
+    exp = {1: (1 / (1 + math.exp(-2.0))) / 2,
+           2: (1 / (1 + math.exp(-3.0))) / 2,
+           3: (1 / (1 + math.exp(-1.0))) / 2}
+    for r in got:
+        assert r.score == pytest.approx(exp[r.id], rel=1e-12)
+
+
+def test_score_fusion_validation(people, articles):
+    with pytest.raises(ValueError, match="must be scored"):
+        aggregate(people, [{"$scoreFusion": {"key": "id", "input": {
+            "pipelines": {"b": [{"$sort": {"bal": -1}}, {"$limit": 2}]}}}}])
+    with pytest.raises(ValueError, match="normalization"):
+        aggregate(articles, [{"$scoreFusion": {"key": "id", "input": {
+            "pipelines": {"s": [{"$search": {"text": {
+                "query": "scan", "path": "body"}}}, {"$limit": 5}]},
+            "normalization": "zscore"}}}])
+    with pytest.raises(ValueError, match="method"):
+        aggregate(articles, [{"$scoreFusion": {"key": "id", "input": {
+            "pipelines": {"s": [{"$search": {"text": {
+                "query": "scan", "path": "body"}}}, {"$limit": 5}]}},
+            "combination": {"method": "expression"}}}])
+
+
+def test_bitwise_expression_family(spark):
+    got = aggregate(spark.range(0).toDF("x"), [
+        {"$documents": [{"a": 12, "b": 10}]},
+        {"$project": {"ax": {"$bitAnd": ["$a", "$b"]},
+                      "ox": {"$bitOr": ["$a", "$b"]},
+                      "xx": {"$bitXor": ["$a", "$b", {"$bitNot": "$a"}]},
+                      "nx": {"$bitNot": "$b"}}},
+    ]).collect()
+    (r,) = got
+    assert (r.ax, r.ox, r.xx, r.nx) == (
+        12 & 10, 12 | 10, 12 ^ 10 ^ ~12, ~10)
+    with pytest.raises(ValueError, match="non-empty operand"):
+        expr_to_col({"$bitAnd": []})
+
+
+def test_fusion_candidate_cuts_are_strict_at_gate_scale():
+    """Engine-independence pin: the limit-40 cuts inside the hybrid gate
+    queries must be tie-free (exactly 40 docs at-or-above the boundary
+    score) — a tied cut would make the kept row SET engine-dependent
+    even though ranks of ties are shared."""
+    import duckdb
+    from conftest import SF_SMOKE
+    from mongo_hadoop_spark.operators.mongoagg import _fusion_cands_sql
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_SMOKE}/{t}.parquet')")
+    vec, txt = con.execute(
+        "WITH " + _fusion_cands_sql() + """
+        SELECT
+          (SELECT count(*) FROM vec_scored WHERE vscore >=
+             (SELECT min(vscore) FROM vec_top)),
+          (SELECT count(*) FROM bm25 WHERE score >=
+             (SELECT min(tscore) FROM txt_top))
+        """).fetchone()
+    assert (vec, txt) == (40, 40)
