@@ -534,6 +534,69 @@ ORDER BY doc_id
 """
 
 
+def pipeline_lookup_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$lookup pipeline form (Mongo 3.6+) with let/$$variables: for each
+    F-status order, its ≥10-quantity lineitems priced at or under the
+    order's total, top-2 by price — a correlated top-k sub-pipeline.
+
+    Decorrelated plan (plans/aggpipe.py _stage_lookup_pipeline): the
+    $eq[$l_orderkey, $$okey] term is the equi-join key (foreign side
+    pre-aggregated per key → 1:1 join), the $lte[$l_extendedprice,
+    $$cap] term filters array ELEMENTS with a correlated lambda, and
+    $project/$sort/$limit run inside the array — per-order top-k with
+    no extra shuffle and no nested loop.
+    """
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    return aggregate(orders, [
+        {"$match": {"o_orderstatus": "F"}},
+        {"$lookup": {
+            "from": "lineitem",
+            "let": {"okey": "$o_orderkey", "cap": "$o_totalprice"},
+            "pipeline": [
+                {"$match": {"l_quantity": {"$gte": 10},
+                            "$expr": {"$and": [
+                                {"$eq": ["$l_orderkey", "$$okey"]},
+                                {"$lte": ["$l_extendedprice", "$$cap"]}]}}},
+                {"$project": {"l_linenumber": 1, "l_extendedprice": 1}},
+                {"$sort": {"l_extendedprice": -1, "l_linenumber": 1}},
+                {"$limit": 2},
+            ],
+            "as": "top_items"}},
+        {"$project": {"o_orderkey": 1,
+                      "n_top": {"$size": "$top_items"},
+                      "best": {"$arrayElemAt": ["$top_items.l_extendedprice",
+                                                0]}}},
+        {"$sort": {"o_orderkey": 1}},
+        {"$limit": 100},
+    ], tables={"lineitem": lineitem})
+
+
+PIPELINE_LOOKUP_CORRELATED_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+),
+j AS (
+  SELECT o.o_orderkey, l.l_extendedprice,
+         row_number() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY l.l_extendedprice DESC, l.l_linenumber)
+           AS rn
+  FROM o JOIN lineitem l
+    ON l.l_orderkey = o.o_orderkey
+   AND l.l_quantity >= 10
+   AND l.l_extendedprice <= o.o_totalprice
+),
+g AS (
+  SELECT o_orderkey, count(*) AS n_top,
+         max(CASE WHEN rn = 1 THEN l_extendedprice END) AS best
+  FROM j WHERE rn <= 2 GROUP BY o_orderkey
+)
+SELECT o.o_orderkey, coalesce(g.n_top, 0)::int AS n_top, g.best
+FROM o LEFT JOIN g USING (o_orderkey)
+ORDER BY o.o_orderkey LIMIT 100
+"""
+
+
 def pipeline_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$search text clause with real BM25 scoring (the Atlas/Lucene
     model): corpus stats (N, Σdl, per-term df) come from ONE broadcast
@@ -1107,6 +1170,7 @@ QUERIES = {
     "pipeline_regex_type_report": pipeline_regex_type_report,
     "pipeline_redact_levels": pipeline_redact_levels,
     "pipeline_text_search": pipeline_text_search,
+    "pipeline_lookup_correlated": pipeline_lookup_correlated,
     "pipeline_search_bm25": pipeline_search_bm25,
     "pipeline_rank_fusion": pipeline_rank_fusion,
     "pipeline_score_fusion": pipeline_score_fusion,
@@ -1134,6 +1198,7 @@ ORACLES = {
     "pipeline_regex_type_report": PIPELINE_REGEX_TYPE_SQL,
     "pipeline_redact_levels": PIPELINE_REDACT_SQL,
     "pipeline_text_search": PIPELINE_TEXT_SEARCH_SQL,
+    "pipeline_lookup_correlated": PIPELINE_LOOKUP_CORRELATED_SQL,
     "pipeline_search_bm25": PIPELINE_SEARCH_BM25_SQL,
     "pipeline_rank_fusion": PIPELINE_RANK_FUSION_SQL,
     "pipeline_score_fusion": PIPELINE_SCORE_FUSION_SQL,

@@ -1014,6 +1014,8 @@ def _stage_lookup(df: DataFrame, spec: dict,
     if not tables or spec["from"] not in tables:
         raise ValueError(
             f"$lookup from {spec['from']!r}: pass tables={{name: DataFrame}}")
+    if "pipeline" in spec:
+        return _stage_lookup_pipeline(df, spec, tables)
     foreign = tables[spec["from"]]
     lf, ff, as_ = spec["localField"], spec["foreignField"], spec["as"]
     fstruct = F.struct(*[F.col(c) for c in foreign.columns])
@@ -1024,6 +1026,190 @@ def _stage_lookup(df: DataFrame, spec: dict,
         F.collect_list(fstruct).alias(as_))
     out = df.join(agg, F.col(lf) == F.col("__lookup_key"), "left").drop("__lookup_key")
     arr_type = agg.schema[as_].dataType
+    return out.withColumn(
+        as_, F.coalesce(F.col(as_), F.array().cast(arr_type)))
+
+
+_CMP_OPS = {"$eq": "==", "$ne": "!=", "$lt": "<", "$lte": "<=",
+            "$gt": ">", "$gte": ">="}
+
+
+def _flatten_expr_and(expr) -> list:
+    """$and-tree of an $expr → flat list of comparison docs."""
+    if isinstance(expr, dict) and "$and" in expr:
+        out = []
+        for e in expr["$and"]:
+            out.extend(_flatten_expr_and(e))
+        return out
+    return [expr]
+
+
+def _apply_cmp(op: str, a: Column, b: Column) -> Column:
+    return {"$eq": a == b, "$ne": a != b, "$lt": a < b, "$lte": a <= b,
+            "$gt": a > b, "$gte": a >= b}[op]
+
+
+def _array_sort_comparator(sort_spec: dict):
+    """Multi-key struct comparator for F.array_sort: -1/0/1 with nulls
+    first ascending (server sort order for missing values)."""
+    def cmp(lhs: Column, rhs: Column) -> Column:
+        result = F.lit(0)
+        for key, direction in reversed(list(sort_spec.items())):
+            lv, rv = lhs[key], rhs[key]
+            lo, hi = (F.lit(-1), F.lit(1)) if direction >= 0 \
+                else (F.lit(1), F.lit(-1))
+            result = (F.when(lv.isNull() & rv.isNull(), result)
+                      .when(lv.isNull(), lo)
+                      .when(rv.isNull(), hi)
+                      .when(lv < rv, lo)
+                      .when(lv > rv, hi)
+                      .otherwise(result))
+        return result
+    return cmp
+
+
+def _stage_lookup_pipeline(df: DataFrame, spec: dict,
+                           tables: dict[str, DataFrame]) -> DataFrame:
+    """``$lookup`` pipeline form (Mongo 3.6+): ``let`` binds local-doc
+    expressions to ``$$variables``; the sub-pipeline runs against
+    ``from`` per input document and the matches land in ``as``.
+
+    Spark-first decorrelation — NEVER a per-document nested loop:
+
+    - a leading ``$match``'s plain (non-$expr) predicates pre-filter the
+      foreign scan (pushdown-eligible);
+    - ``$expr`` decomposes over its $and-tree: every
+      ``$eq[$foreign, $$var]`` becomes an EQUI-JOIN key (the foreign
+      side pre-aggregates per key into one array column, so the join is
+      1:1 and Catalyst broadcasts it when small); every other
+      comparison — correlated range predicates like
+      ``$lte[$price, $$cap]``, or foreign-field-to-foreign-field /
+      foreign-to-literal — becomes an ELEMENT-level ``F.filter`` lambda
+      over the joined array (higher-order functions may reference outer
+      columns, which is exactly what a correlated predicate is);
+    - trailing ``$project`` / ``$sort`` / ``$limit`` sub-stages compile
+      to ``transform`` / ``array_sort`` (multi-key comparator, nulls
+      first) / ``slice`` on the array — per-document top-k with no extra
+      shuffle.
+
+    With no equi-key the whole (pre-filtered) foreign side collapses to
+    a single-row array broadcast — the server's uncorrelated-subquery
+    cache, acceptable only for small foreign sets (same contract).
+
+    Determinism note: comparison semantics are SQL null-rejecting, not
+    the server's total BSON order across types ($expr comparisons on
+    mixed-type/missing fields deviate — documented).
+    """
+    foreign = tables[spec["from"]]
+    as_ = spec["as"]
+    let = spec.get("let") or {}
+    local_vars = {name: expr_to_col(val) for name, val in let.items()}
+    stages = list(spec["pipeline"])
+
+    def _classify_side(operand):
+        """→ ('foreign', path) | ('var', name) | ('lit', value)."""
+        if isinstance(operand, str) and operand.startswith("$$"):
+            name = operand[2:]
+            if name not in local_vars:
+                raise ValueError(f"$lookup pipeline references undefined "
+                                 f"variable $${name} (let: {sorted(let)})")
+            return ("var", name)
+        if isinstance(operand, str) and operand.startswith("$"):
+            return ("foreign", operand[1:])
+        if isinstance(operand, (dict, list)):
+            raise ValueError(
+                "$lookup pipeline $expr supports comparisons between "
+                "foreign field paths, $$variables, and literals only")
+        return ("lit", operand)
+
+    equi: list[tuple[str, Column]] = []      # (foreign field, local col)
+    residual: list[tuple[str, tuple, tuple]] = []
+    if stages and "$match" in stages[0]:
+        match_spec = dict(stages.pop(0)["$match"])
+        expr = match_spec.pop("$expr", None)
+        if match_spec:
+            foreign = foreign.where(match_to_col(match_spec))
+        if expr is not None:
+            for comp in _flatten_expr_and(expr):
+                if not (isinstance(comp, dict) and len(comp) == 1):
+                    raise ValueError(
+                        f"unsupported $lookup pipeline $expr term {comp!r}")
+                (op, operands), = comp.items()
+                if op not in _CMP_OPS or not isinstance(operands, list) \
+                        or len(operands) != 2:
+                    raise ValueError(
+                        f"unsupported $lookup pipeline $expr operator {op!r}"
+                        " (binary comparisons only)")
+                a, b = (_classify_side(x) for x in operands)
+                # normalize: put a foreign field first when present
+                flipped = {"$lt": "$gt", "$lte": "$gte", "$gt": "$lt",
+                           "$gte": "$lte", "$eq": "$eq", "$ne": "$ne"}
+                if a[0] != "foreign" and b[0] == "foreign":
+                    a, b, op = b, a, flipped[op]
+                if op == "$eq" and a[0] == "foreign" and b[0] == "var":
+                    equi.append((a[1], local_vars[b[1]]))
+                else:
+                    residual.append((op, a, b))
+
+    # foreign docs as structs (pipeline $project applies inside the array)
+    fstruct = F.struct(*[F.col(c) for c in foreign.columns])
+    if equi:
+        keys = [f for f, _ in equi]
+        agg = foreign.groupBy(
+            *[F.col(f).alias(f"__lk_{i}") for i, f in enumerate(keys)]
+        ).agg(F.collect_list(fstruct).alias(as_))
+        cond = None
+        for i, (_f, local_col) in enumerate(equi):
+            c = local_col == F.col(f"__lk_{i}")
+            cond = c if cond is None else cond & c
+        out = df.join(agg, cond, "left").drop(
+            *[f"__lk_{i}" for i in range(len(keys))])
+    else:
+        # uncorrelated (or range-only): one-row array broadcast
+        agg = foreign.agg(F.collect_list(fstruct).alias(as_))
+        out = df.crossJoin(F.broadcast(agg))
+    arr = F.col(as_)
+
+    if residual:
+        def elem_ref(e, side):
+            kind, val = side
+            if kind == "foreign":
+                ref = e
+                for part in val.split("."):
+                    ref = ref[part]
+                return ref
+            if kind == "var":
+                return local_vars[val]
+            return F.lit(val)
+
+        def keep(e):
+            cond = None
+            for op, a, b in residual:
+                c = _apply_cmp(op, elem_ref(e, a), elem_ref(e, b))
+                cond = c if cond is None else cond & c
+            return cond
+        arr = F.filter(arr, keep)
+
+    for stage in stages:
+        (op, sspec), = stage.items()
+        if op == "$project":
+            keep_fields = [k for k, v in sspec.items() if v in (1, True)]
+            if len(keep_fields) != len(sspec):
+                raise ValueError("$lookup pipeline $project supports "
+                                 "{field: 1} inclusion form only")
+            arr = F.transform(arr, lambda e: F.struct(
+                *[e[f].alias(f) for f in keep_fields]))
+        elif op == "$sort":
+            arr = F.array_sort(arr, _array_sort_comparator(sspec))
+        elif op == "$limit":
+            arr = F.slice(arr, 1, int(sspec))
+        else:
+            raise ValueError(
+                f"unsupported $lookup pipeline sub-stage {op} (a leading "
+                "$match then $project/$sort/$limit are supported)")
+
+    out = out.withColumn(as_, arr)
+    arr_type = out.schema[as_].dataType
     return out.withColumn(
         as_, F.coalesce(F.col(as_), F.array().cast(arr_type)))
 

@@ -1567,3 +1567,109 @@ def test_fusion_candidate_cuts_are_strict_at_gate_scale():
              (SELECT min(tscore) FROM txt_top))
         """).fetchone()
     assert (vec, txt) == (40, 40)
+
+
+# ---------------------------------------------------------------------------
+# $lookup pipeline form (let / $$variables, correlated sub-pipeline)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def lk_orders(spark):
+    return spark.createDataFrame(
+        [(1, 100.0), (2, 50.0), (3, 10.0)], "okey long, cap double")
+
+
+@pytest.fixture()
+def lk_items(spark):
+    return spark.createDataFrame(
+        [(1, 1, 30.0), (1, 2, 120.0), (1, 3, 80.0),
+         (2, 1, 45.0), (2, 2, 60.0)],
+        "ikey long, line long, price double")
+
+
+def test_lookup_pipeline_correlated_topk(lk_orders, lk_items):
+    got = aggregate(lk_orders, [
+        {"$lookup": {
+            "from": "items",
+            "let": {"k": "$okey", "cap": "$cap"},
+            "pipeline": [
+                {"$match": {"$expr": {"$and": [
+                    {"$eq": ["$ikey", "$$k"]},
+                    {"$lte": ["$price", "$$cap"]}]}}},
+                {"$project": {"line": 1, "price": 1}},
+                {"$sort": {"price": -1, "line": 1}},
+                {"$limit": 2}],
+            "as": "top"}},
+        {"$project": {"okey": 1, "n": {"$size": "$top"},
+                      "best": {"$arrayElemAt": ["$top.price", 0]}}},
+        {"$sort": {"okey": 1}},
+    ], tables={"items": lk_items})
+    assert rows(got) == [(1, 2, 80.0), (2, 1, 45.0), (3, 0, None)]
+
+
+def test_lookup_pipeline_array_order_preserved(lk_orders, lk_items):
+    # without $limit the array keeps ALL matches in sub-pipeline sort order
+    got = aggregate(lk_orders, [
+        {"$match": {"okey": 1}},
+        {"$lookup": {
+            "from": "items", "let": {"k": "$okey"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$ikey", "$$k"]}}},
+                {"$sort": {"price": 1}},
+                {"$project": {"price": 1}}],
+            "as": "asc"}},
+    ], tables={"items": lk_items}).collect()
+    assert [e.price for e in got[0].asc] == [30.0, 80.0, 120.0]
+
+
+def test_lookup_pipeline_uncorrelated_and_plain_match(lk_orders, lk_items):
+    # no let/equi key: one-row broadcast of the pre-filtered foreign set
+    got = aggregate(lk_orders, [
+        {"$lookup": {"from": "items", "pipeline": [
+            {"$match": {"price": {"$gte": 60}}},
+            {"$sort": {"price": -1}}, {"$limit": 1},
+            {"$project": {"price": 1}}],
+            "as": "pricey"}},
+        {"$project": {"okey": 1, "p": {"$arrayElemAt": ["$pricey.price", 0]}}},
+        {"$sort": {"okey": 1}},
+    ], tables={"items": lk_items})
+    assert rows(got) == [(1, 120.0), (2, 120.0), (3, 120.0)]
+
+
+def test_lookup_pipeline_validation(lk_orders, lk_items):
+    t = {"items": lk_items}
+    with pytest.raises(ValueError, match="undefined variable"):
+        aggregate(lk_orders, [{"$lookup": {
+            "from": "items", "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$ikey", "$$nope"]}}}],
+            "as": "x"}}], tables=t)
+    with pytest.raises(ValueError, match="binary comparisons only"):
+        aggregate(lk_orders, [{"$lookup": {
+            "from": "items", "let": {"k": "$okey"}, "pipeline": [
+                {"$match": {"$expr": {"$in": ["$ikey", [1, 2]]}}}],
+            "as": "x"}}], tables=t)
+    with pytest.raises(ValueError, match="sub-stage"):
+        aggregate(lk_orders, [{"$lookup": {
+            "from": "items", "pipeline": [{"$group": {"_id": None}}],
+            "as": "x"}}], tables=t)
+    with pytest.raises(ValueError, match="inclusion form"):
+        aggregate(lk_orders, [{"$lookup": {
+            "from": "items", "pipeline": [{"$project": {"price": 0}}],
+            "as": "x"}}], tables=t)
+
+
+def test_lookup_pipeline_foreign_to_foreign_residual(lk_orders, lk_items):
+    # $gt between two foreign fields is an element-level predicate
+    got = aggregate(lk_orders, [
+        {"$match": {"okey": 1}},
+        {"$lookup": {
+            "from": "items", "let": {"k": "$okey"},
+            "pipeline": [
+                {"$match": {"$expr": {"$and": [
+                    {"$eq": ["$ikey", "$$k"]},
+                    {"$gt": ["$price", "$line"]}]}}},
+                {"$sort": {"line": 1}}, {"$project": {"line": 1}}],
+            "as": "m"}},
+    ], tables={"items": lk_items}).collect()
+    assert [e.line for e in got[0].m] == [1, 2, 3]
