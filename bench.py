@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard", "dedup_minhash_verified", "knn_bruteforce", "lsh_bucket_histogram", "ivf_knn", "ivf_knn_nprobe",
     "text_langid", "text_token_count", "text_fingerprint",
     "multimodal_decode_features", "corpus_yield_report",
+    # hybrid-search surface (round 5)
+    "pipeline_search_bm25", "pipeline_rank_fusion",
+    "pipeline_lookup_correlated",
 ]
 
 

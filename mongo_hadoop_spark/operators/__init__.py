@@ -43,7 +43,7 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 # CORRECTNESS_r04) rotates to the tail.
 _HEAD_KEYS = [
     # new this round — first driver check
-    "pipeline_lookup_correlated",
+    "pipeline_lookup_correlated", "pipeline_search_wildcard",
     "pipeline_search_bm25", "pipeline_rank_fusion",
     "pipeline_score_fusion", "pipeline_bitwise_flags",
     "pipeline_vector_search", "pipeline_geo_near",

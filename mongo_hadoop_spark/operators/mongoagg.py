@@ -534,6 +534,34 @@ ORDER BY doc_id
 """
 
 
+def pipeline_search_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$search wildcard / regex / in operators (Atlas term-level
+    queries) composed under compound: wildcard-filtered sources, a
+    regex must, and an `in` language filter — constant-score matches,
+    anchored whole-value semantics (no analyzed index here)."""
+    documents = table(spark, sf_dir, "documents")
+    return aggregate(documents, [
+        {"$search": {"compound": {
+            "must": [{"regex": {"query": ".*stream.*batch.*",
+                                "path": "text"}}],
+            "filter": [{"wildcard": {"query": "src*", "path": "source"}},
+                       {"in": {"path": "lang", "value": ["en", "es"]}}],
+        }}},
+        {"$project": {"doc_id": 1, "lang": 1, "source": 1}},
+        {"$sort": {"doc_id": 1}},
+    ])
+
+
+PIPELINE_SEARCH_WILDCARD_SQL = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE regexp_matches(text, '^(?:.*stream.*batch.*)$')
+  AND regexp_matches(source, '^src.*$')
+  AND lang IN ('en', 'es')
+ORDER BY doc_id
+"""
+
+
 def pipeline_lookup_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$lookup pipeline form (Mongo 3.6+) with let/$$variables: for each
     F-status order, its ≥10-quantity lineitems priced at or under the
@@ -1171,6 +1199,7 @@ QUERIES = {
     "pipeline_redact_levels": pipeline_redact_levels,
     "pipeline_text_search": pipeline_text_search,
     "pipeline_lookup_correlated": pipeline_lookup_correlated,
+    "pipeline_search_wildcard": pipeline_search_wildcard,
     "pipeline_search_bm25": pipeline_search_bm25,
     "pipeline_rank_fusion": pipeline_rank_fusion,
     "pipeline_score_fusion": pipeline_score_fusion,
@@ -1199,6 +1228,7 @@ ORACLES = {
     "pipeline_redact_levels": PIPELINE_REDACT_SQL,
     "pipeline_text_search": PIPELINE_TEXT_SEARCH_SQL,
     "pipeline_lookup_correlated": PIPELINE_LOOKUP_CORRELATED_SQL,
+    "pipeline_search_wildcard": PIPELINE_SEARCH_WILDCARD_SQL,
     "pipeline_search_bm25": PIPELINE_SEARCH_BM25_SQL,
     "pipeline_rank_fusion": PIPELINE_RANK_FUSION_SQL,
     "pipeline_score_fusion": PIPELINE_SCORE_FUSION_SQL,

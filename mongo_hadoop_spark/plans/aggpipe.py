@@ -1954,6 +1954,29 @@ def _search_clause(op: str, spec: dict):
         return F.col(spec["path"]).isNotNull(), F.lit(1)
     if op == "equals":
         return F.col(spec["path"]) == F.lit(spec["value"]), F.lit(1)
+    if op in ("wildcard", "regex"):
+        # Lucene term-level queries; with no index the whole (un-analyzed)
+        # field value is matched, anchored — Atlas's default
+        # allowAnalyzedField:false posture.  Constant score 1.
+        if op == "wildcard":
+            import re as _re
+            pat = "".join(".*" if ch == "*" else "." if ch == "?"
+                          else _re.escape(ch) for ch in str(spec["query"]))
+        else:
+            pat = "(?:" + str(spec["query"]) + ")"
+        cond = None
+        for p in paths(spec["path"]):
+            m = F.col(p).rlike("^" + pat + "$")
+            cond = m if cond is None else cond | m
+        return cond, F.lit(1)
+    if op == "in":
+        vals = spec["value"] if isinstance(spec["value"], list) \
+            else [spec["value"]]
+        cond = None
+        for p in paths(spec["path"]):
+            m = F.col(p).isin(vals)
+            cond = m if cond is None else cond | m
+        return cond, F.lit(1)
     if op == "range":
         col = F.col(spec["path"])
         cond = F.lit(True)
@@ -2004,8 +2027,9 @@ def _stage_search(df: DataFrame, spec: dict) -> DataFrame:
     """
     spec = {k: v for k, v in spec.items() if k != "index"}
     if len(spec) != 1:
-        raise ValueError("$search takes exactly one operator "
-                         "(text/phrase/compound/exists/equals/range)")
+        raise ValueError(
+            "$search takes exactly one operator (text/phrase/compound/"
+            "exists/equals/range/wildcard/regex/in)")
     (op, opspec), = spec.items()
     if op == "text" and opspec.get("bm25"):
         return _stage_search_text_bm25(df, opspec)

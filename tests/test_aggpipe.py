@@ -1673,3 +1673,32 @@ def test_lookup_pipeline_foreign_to_foreign_residual(lk_orders, lk_items):
             "as": "m"}},
     ], tables={"items": lk_items}).collect()
     assert [e.line for e in got[0].m] == [1, 2, 3]
+
+
+def test_search_wildcard_regex_in(articles):
+    got = aggregate(articles, [
+        {"$search": {"wildcard": {"query": "Fast*", "path": "body"}}},
+        {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [1]
+    # ? matches exactly one char; anchored whole-value semantics
+    got = aggregate(articles, [
+        {"$search": {"wildcard": {"query": "Fast scan beats slow sca?",
+                                  "path": "body"}}},
+        {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [1]
+    got = aggregate(articles, [
+        {"$search": {"regex": {"query": ".*window.*", "path": "body"}}},
+        {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [2]
+    got = aggregate(articles, [
+        {"$search": {"in": {"path": "size", "value": [10, 30]}}},
+        {"$project": {"id": 1}}, {"$sort": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [1, 3]
+    # composes under compound as a filter clause
+    got = aggregate(articles, [
+        {"$search": {"compound": {
+            "must": [{"text": {"query": "scan", "path": "body"}}],
+            "filter": [{"wildcard": {"query": "*slow*", "path": "body"}}],
+        }}},
+        {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [1]

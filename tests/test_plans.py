@@ -438,3 +438,46 @@ def test_random_projection_no_shuffle(spark):
     df = linalg.embedding_random_projection(spark, SF_SMOKE)
     plan = plan_of(df)
     assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_search_bm25_broadcast_stats_no_cartesian_product(spark):
+    """BM25's corpus-stats table joins as a 1-row broadcast (the Lucene-
+    index role): the plan must show a broadcast nested-loop over the
+    single-row stats side and no CartesianProduct."""
+    from mongo_hadoop_spark.operators import mongoagg
+
+    plan = plan_of(mongoagg.pipeline_search_bm25(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rank_fusion_broadcast_score_table(spark):
+    """$rankFusion's fused k-row score table must broadcast back to the
+    corpus — a shuffled join there would shuffle the whole corpus for a
+    ≤k-row dimension."""
+    from mongo_hadoop_spark.operators import mongoagg
+
+    plan = plan_of(mongoagg.pipeline_rank_fusion(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_score_fusion_broadcast_stats_and_scores(spark):
+    from mongo_hadoop_spark.operators import mongoagg
+
+    plan = plan_of(mongoagg.pipeline_score_fusion(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lookup_pipeline_single_join_no_nested_loop(spark):
+    """The correlated $lookup decorrelates to ONE equi-join against
+    per-key foreign arrays; correlated range predicates live in array
+    lambdas, not a nested-loop join."""
+    from mongo_hadoop_spark.operators import mongoagg
+
+    plan = plan_of(mongoagg.pipeline_lookup_correlated(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+            or "ShuffledHashJoin" in plan)
