@@ -534,6 +534,61 @@ ORDER BY doc_id
 """
 
 
+#: planar test polygon for $geoWithin (non-convex quad)
+_GEO_POLY = [(50.0, 10.0), (90.0, 30.0), (60.0, 55.0), (40.0, 25.0)]
+
+
+def _polygon_sql(x: str, y: str, verts: list[tuple[float, float]]) -> str:
+    """Even-odd ray-cast SQL for a literal polygon — the SAME Python
+    computes the edge constants embedded in the Spark plan
+    (plans/aggpipe.py _geo_within) and this oracle, so every compared
+    double is identical."""
+    expr = None
+    for (xi, yi), (xj, yj) in zip(verts, verts[-1:] + verts[:-1]):
+        if yj == yi:
+            continue
+        t = (f"(({yi!r}::double > {y}) <> ({yj!r}::double > {y})"
+             f" AND {x} < ({xj - xi!r}::double * ({y} - {yi!r}::double)"
+             f" / {yj - yi!r}::double + {xi!r}::double))")
+        expr = t if expr is None else f"({expr} <> {t})"
+    return expr or "FALSE"
+
+
+def pipeline_geo_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$geoWithin (planar 2d) in the match language: $box, $center and
+    $polygon shapes OR-combined over an [x, y] coordinate pair, rolled
+    up per event type.  Every shape is a per-row arithmetic predicate —
+    no shuffle beyond the final keyed count."""
+    events = table(spark, sf_dir, "events")
+    with_loc = events.select(
+        "event_id", "event_type",
+        F.expr("array(value, cast(user_id % 97 AS double))").alias("loc"))
+    return aggregate(with_loc, [
+        {"$match": {"$or": [
+            {"loc": {"$geoWithin": {"$box": [[10.0, 5.0], [45.0, 40.0]]}}},
+            {"loc": {"$geoWithin": {"$center": [[70.0, 70.0], 12.0]}}},
+            {"loc": {"$geoWithin": {"$polygon": _GEO_POLY}}},
+        ]}},
+        {"$group": {"_id": "$event_type", "n": {"$sum": 1}}},
+        {"$sort": {"_id": 1}},
+    ])
+
+
+_GEO_Y = "((user_id % 97)::double)"
+
+PIPELINE_GEO_WITHIN_SQL = f"""
+SELECT event_type AS _id, count(*)::bigint AS n
+FROM events
+WHERE (value >= 10.0::double AND value <= 45.0::double
+       AND {_GEO_Y} >= 5.0::double AND {_GEO_Y} <= 40.0::double)
+   OR ((value - 70.0::double) * (value - 70.0::double)
+       + ({_GEO_Y} - 70.0::double) * ({_GEO_Y} - 70.0::double)
+       <= 12.0::double * 12.0::double)
+   OR {_polygon_sql("value", _GEO_Y, _GEO_POLY)}
+GROUP BY event_type ORDER BY _id
+"""
+
+
 def pipeline_search_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$search wildcard / regex / in operators (Atlas term-level
     queries) composed under compound: wildcard-filtered sources, a
@@ -1199,6 +1254,7 @@ QUERIES = {
     "pipeline_redact_levels": pipeline_redact_levels,
     "pipeline_text_search": pipeline_text_search,
     "pipeline_lookup_correlated": pipeline_lookup_correlated,
+    "pipeline_geo_within": pipeline_geo_within,
     "pipeline_search_wildcard": pipeline_search_wildcard,
     "pipeline_search_bm25": pipeline_search_bm25,
     "pipeline_rank_fusion": pipeline_rank_fusion,
@@ -1228,6 +1284,7 @@ ORACLES = {
     "pipeline_redact_levels": PIPELINE_REDACT_SQL,
     "pipeline_text_search": PIPELINE_TEXT_SEARCH_SQL,
     "pipeline_lookup_correlated": PIPELINE_LOOKUP_CORRELATED_SQL,
+    "pipeline_geo_within": PIPELINE_GEO_WITHIN_SQL,
     "pipeline_search_wildcard": PIPELINE_SEARCH_WILDCARD_SQL,
     "pipeline_search_bm25": PIPELINE_SEARCH_BM25_SQL,
     "pipeline_rank_fusion": PIPELINE_RANK_FUSION_SQL,

@@ -810,6 +810,58 @@ def _fold_or(cols: list[Column]) -> Column:
     return out
 
 
+def _geo_within(col: Column, spec) -> Column:
+    """``$geoWithin`` with legacy planar (2d) shapes: ``$box``,
+    ``$center``, ``$polygon`` — the query-language side of the planar
+    geometry $geoNear already speaks.  The field is an ``array<double>``
+    [x, y] pair; every shape compiles to a per-row arithmetic predicate
+    (pushdown-eligible, zero shuffles).
+
+    $polygon is even-odd ray casting unrolled over the literal vertex
+    list — one (xor-folded) edge test per vertex, exact IEEE arithmetic,
+    boundary behavior follows the strict/non-strict inequalities of the
+    classic crossing test.  ``$centerSphere``/GeoJSON ``$geometry`` are
+    refused loudly (spherical geometry is out of scope, like $geoNear
+    spherical).
+
+    Reference analog: Mongo 2.x-era query documents passed through
+    ``mongo.input.query`` (core/.../util/MongoConfigUtil.java:674-702)
+    could carry any server query operator, $geoWithin included; here the
+    operator executes engine-side.
+    """
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise ValueError("$geoWithin takes exactly one shape "
+                         "($box/$center/$polygon)")
+    (shape, arg), = spec.items()
+    x, y = F.element_at(col, 1), F.element_at(col, 2)
+    if shape == "$box":
+        (x1, y1), (x2, y2) = arg
+        lox, hix = min(x1, x2), max(x1, x2)
+        loy, hiy = min(y1, y2), max(y1, y2)
+        return ((x >= F.lit(float(lox))) & (x <= F.lit(float(hix)))
+                & (y >= F.lit(float(loy))) & (y <= F.lit(float(hiy))))
+    if shape == "$center":
+        (cx, cy), r = arg
+        dx, dy = x - F.lit(float(cx)), y - F.lit(float(cy))
+        return dx * dx + dy * dy <= F.lit(float(r)) * F.lit(float(r))
+    if shape == "$polygon":
+        verts = [(float(px), float(py)) for px, py in arg]
+        if len(verts) < 3:
+            raise ValueError("$polygon needs at least 3 vertices")
+        inside = None
+        for (xi, yi), (xj, yj) in zip(verts, verts[-1:] + verts[:-1]):
+            if yj == yi:
+                continue   # horizontal edge never straddles; avoids /0
+            straddles = (F.lit(yi) > y) != (F.lit(yj) > y)
+            crossing = x < (F.lit(xj - xi) * (y - F.lit(yi))
+                            / F.lit(yj - yi) + F.lit(xi))
+            edge = straddles & crossing
+            inside = edge if inside is None else inside != edge
+        return F.lit(False) if inside is None else inside
+    raise ValueError(f"unsupported $geoWithin shape {shape!r} "
+                     "(planar $box/$center/$polygon only)")
+
+
 def _match_op_col(col: Column, op: str, operand) -> Column:
     if op == "$eq":
         return col.isNull() if operand is None else col == F.lit(operand)
@@ -840,6 +892,8 @@ def _match_op_col(col: Column, op: str, operand) -> Column:
         return out | col.isNull()
     if op == "$regex":
         return col.rlike(operand.pattern if hasattr(operand, "pattern") else str(operand))
+    if op == "$geoWithin":
+        return _geo_within(col, operand)
     if op == "$exists":
         # flat-column approximation: present ⇔ not null
         return col.isNotNull() if operand else col.isNull()

@@ -1702,3 +1702,45 @@ def test_search_wildcard_regex_in(articles):
         }}},
         {"$project": {"id": 1}}]).collect()
     assert [r.id for r in got] == [1]
+
+
+def test_geo_within_box_center_polygon(spark):
+    pts = spark.createDataFrame(
+        [(1, [5.0, 5.0]), (2, [15.0, 5.0]), (3, [10.0, 10.0]),
+         (4, [0.0, 0.0]), (5, [60.0, 28.0]), (6, [95.0, 30.0])],
+        "id long, loc array<double>")
+    # $box normalizes corners (either order)
+    got = aggregate(pts, [
+        {"$match": {"loc": {"$geoWithin": {"$box": [[12.0, 8.0], [2.0, 2.0]]}}}},
+        {"$project": {"id": 1}}]).collect()
+    assert sorted(r.id for r in got) == [1]
+    # $center includes the boundary (<= r)
+    got = aggregate(pts, [
+        {"$match": {"loc": {"$geoWithin": {"$center": [[10.0, 5.0], 5.0]}}}},
+        {"$sort": {"id": 1}}, {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [1, 2, 3]
+    # non-convex polygon: id5 is inside, id6 outside past the far edge
+    poly = [(50.0, 10.0), (90.0, 30.0), (60.0, 55.0), (40.0, 25.0)]
+    got = aggregate(pts, [
+        {"$match": {"loc": {"$geoWithin": {"$polygon": poly}}}},
+        {"$project": {"id": 1}}]).collect()
+    assert sorted(r.id for r in got) == [5]
+    # polygon with a horizontal edge is handled (no div-by-zero); the
+    # (0,0) vertex point lands inside under the classic crossing test
+    tri = [(0.0, 0.0), (10.0, 0.0), (5.0, 10.0)]
+    got = aggregate(pts, [
+        {"$match": {"loc": {"$geoWithin": {"$polygon": tri}}}},
+        {"$project": {"id": 1}}]).collect()
+    assert sorted(r.id for r in got) == [1, 4]
+
+
+def test_geo_within_validation(spark):
+    pts = spark.createDataFrame([(1, [0.0, 0.0])], "id long, loc array<double>")
+    with pytest.raises(ValueError, match="exactly one shape"):
+        aggregate(pts, [{"$match": {"loc": {"$geoWithin": {}}}}])
+    with pytest.raises(ValueError, match="planar"):
+        aggregate(pts, [{"$match": {"loc": {"$geoWithin": {
+            "$centerSphere": [[0.0, 0.0], 0.1]}}}}])
+    with pytest.raises(ValueError, match="at least 3"):
+        aggregate(pts, [{"$match": {"loc": {"$geoWithin": {
+            "$polygon": [(0.0, 0.0), (1.0, 1.0)]}}}}])
