@@ -2375,9 +2375,11 @@ def _stage_rank_fusion(df: DataFrame, spec: dict, tables) -> DataFrame:
 def _stage_score_fusion(df: DataFrame, spec: dict, tables) -> DataFrame:
     """``$scoreFusion`` (Mongo 8.1) — score-based hybrid search: each
     input pipeline's raw relevance score is normalized
-    (``minMaxScaler`` | ``sigmoid`` | ``none``), weighted, and averaged
-    over ALL input pipelines (a document missing from a pipeline
-    contributes 0); reachable downstream via ``{$meta: "score"}``.
+    (``minMaxScaler`` | ``sigmoid`` | ``none``), then combined — the
+    default weighted average over ALL input pipelines, or an arbitrary
+    ``combination.expression`` with the pipeline names bound as
+    ``$$variables`` (a document missing from a pipeline contributes 0
+    either way); reachable downstream via ``{$meta: "score"}``.
 
     Input pipelines must be *scored* ($search or $vectorSearch heads —
     $geoNear/$sort pipelines rank but carry no relevance score).
@@ -2394,9 +2396,17 @@ def _stage_score_fusion(df: DataFrame, spec: dict, tables) -> DataFrame:
     norm = (spec.get("input") or {}).get("normalization", "none")
     if norm not in ("none", "sigmoid", "minMaxScaler"):
         raise ValueError(f"unsupported $scoreFusion normalization {norm!r}")
-    method = (spec.get("combination") or {}).get("method", "avg")
-    if method != "avg":
-        raise ValueError("$scoreFusion supports combination.method 'avg'")
+    comb = spec.get("combination") or {}
+    method = comb.get("method", "avg")
+    if method not in ("avg", "expression"):
+        raise ValueError("$scoreFusion supports combination.method "
+                         "'avg' | 'expression'")
+    if method == "expression" and "expression" not in comb:
+        raise ValueError("combination.method 'expression' needs "
+                         "combination.expression")
+    if method == "expression" and comb.get("weights"):
+        raise ValueError("combination.weights and combination.expression "
+                         "are mutually exclusive (server rule)")
     _, weights, keys, runs = _fusion_inputs(df, spec, tables, "$scoreFusion")
     fused = None
     for i, (name, sub, _order, score_col) in enumerate(runs):
@@ -2421,12 +2431,20 @@ def _stage_score_fusion(df: DataFrame, spec: dict, tables) -> DataFrame:
                                  / (F.lit(1.0) + F.exp(-F.col(f"__s_{i}"))))
                          .alias(f"__s_{i}"))
         fused = s if fused is None else fused.join(s, keys, "full_outer")
-    score = None
-    for i, (name, *_rest) in enumerate(runs):
-        wgt = float(weights.get(name, 1))
-        contrib = F.lit(wgt) * F.coalesce(F.col(f"__s_{i}"), F.lit(0.0))
-        score = contrib if score is None else score + contrib
-    score = score / F.lit(float(len(runs)))
+    if method == "expression":
+        # pipeline names bind as $$variables over the normalized scores
+        # (missing ⇒ 0, like avg), e.g.
+        # {$add: [{$multiply: ["$$vector", 10]}, "$$text"]}
+        env = {name: F.coalesce(F.col(f"__s_{i}"), F.lit(0.0))
+               for i, (name, *_rest) in enumerate(runs)}
+        score = expr_to_col(comb["expression"], env).cast("double")
+    else:
+        score = None
+        for i, (name, *_rest) in enumerate(runs):
+            wgt = float(weights.get(name, 1))
+            contrib = F.lit(wgt) * F.coalesce(F.col(f"__s_{i}"), F.lit(0.0))
+            score = contrib if score is None else score + contrib
+        score = score / F.lit(float(len(runs)))
     scores = fused.select(*keys, score.alias(_FUSION_SCORE_COL))
     return (df.join(F.broadcast(scores), keys, "inner")
             .orderBy(F.col(_FUSION_SCORE_COL).desc()))

@@ -1744,3 +1744,43 @@ def test_geo_within_validation(spark):
     with pytest.raises(ValueError, match="at least 3"):
         aggregate(pts, [{"$match": {"loc": {"$geoWithin": {
             "$polygon": [(0.0, 0.0), (1.0, 1.0)]}}}}])
+
+
+def test_score_fusion_expression_combination(articles):
+    got = aggregate(articles, [
+        {"$scoreFusion": {
+            "key": "id",
+            "input": {
+                "pipelines": {
+                    "sw": [{"$search": {"text": {"query": "scan window",
+                                                 "path": "body"}}},
+                           {"$limit": 5}],
+                    "nr": [{"$search": {"text": {"query": "nothing",
+                                                 "path": "body"}}},
+                           {"$limit": 5}],
+                },
+                "normalization": "minMaxScaler"},
+            "combination": {"method": "expression",
+                            "expression": {"$add": [
+                                {"$multiply": ["$$sw", 10]}, "$$nr"]}},
+        }},
+        {"$project": {"id": 1, "score": {"$meta": "score"}}},
+    ]).collect()
+    # sw minMax: doc1=0, doc2=1; nr: doc3 → hi==lo → 0
+    assert {r.id: r.score for r in got} == {1: 0.0, 2: 10.0, 3: 0.0}
+    with pytest.raises(ValueError, match="needs combination.expression"):
+        aggregate(articles, [{"$scoreFusion": {
+            "key": "id", "input": {"pipelines": {
+                "s": [{"$search": {"text": {"query": "scan",
+                                            "path": "body"}}},
+                      {"$limit": 5}]}},
+            "combination": {"method": "expression"}}}])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        aggregate(articles, [{"$scoreFusion": {
+            "key": "id", "input": {"pipelines": {
+                "s": [{"$search": {"text": {"query": "scan",
+                                            "path": "body"}}},
+                      {"$limit": 5}]}},
+            "combination": {"method": "expression",
+                            "expression": "$$s",
+                            "weights": {"s": 2}}}}])
