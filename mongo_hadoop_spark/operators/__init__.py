@@ -44,7 +44,8 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 _HEAD_KEYS = [
     # new this round — first driver check
     "pipeline_lookup_correlated", "pipeline_search_wildcard",
-    "pipeline_geo_within",
+    "pipeline_geo_within", "pipeline_search_fuzzy",
+    "sketch_ddq_buckets", "sketch_ddq_quantiles",
     "pipeline_search_bm25", "pipeline_rank_fusion",
     "pipeline_score_fusion", "pipeline_bitwise_flags",
     "pipeline_vector_search", "pipeline_geo_near",

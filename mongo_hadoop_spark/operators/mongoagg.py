@@ -534,6 +534,41 @@ ORDER BY doc_id
 """
 
 
+def pipeline_search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$search text with `fuzzy` (Atlas typo tolerance): query tokens
+    match any word within maxEdits=1 Levenshtein distance; the score is
+    the count of fuzzy-matched words.  Edit distance is integer-exact in
+    every engine, so fuzzy search stays oracle-gateable (unlike Atlas's
+    index-dependent fuzzy scoring)."""
+    documents = table(spark, sf_dir, "documents")
+    return aggregate(documents, [
+        {"$search": {"text": {"query": "stre4m bath", "path": "text",
+                              "fuzzy": {"maxEdits": 1}}}},
+        {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}},
+        {"$sort": {"score": -1, "doc_id": 1}},
+        {"$limit": 25},
+    ])
+
+
+PIPELINE_SEARCH_FUZZY_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         (len(list_filter(ws, x -> levenshtein(x, 'stre4m') <= 1))
+          + len(list_filter(ws, x -> levenshtein(x, 'bath') <= 1)))
+           AS score
+  FROM t
+)
+SELECT doc_id, score::double AS score FROM s WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 25
+"""
+
+
 #: planar test polygon for $geoWithin (non-convex quad)
 _GEO_POLY = [(50.0, 10.0), (90.0, 30.0), (60.0, 55.0), (40.0, 25.0)]
 
@@ -1256,6 +1291,7 @@ QUERIES = {
     "pipeline_lookup_correlated": pipeline_lookup_correlated,
     "pipeline_geo_within": pipeline_geo_within,
     "pipeline_search_wildcard": pipeline_search_wildcard,
+    "pipeline_search_fuzzy": pipeline_search_fuzzy,
     "pipeline_search_bm25": pipeline_search_bm25,
     "pipeline_rank_fusion": pipeline_rank_fusion,
     "pipeline_score_fusion": pipeline_score_fusion,
@@ -1286,6 +1322,7 @@ ORACLES = {
     "pipeline_lookup_correlated": PIPELINE_LOOKUP_CORRELATED_SQL,
     "pipeline_geo_within": PIPELINE_GEO_WITHIN_SQL,
     "pipeline_search_wildcard": PIPELINE_SEARCH_WILDCARD_SQL,
+    "pipeline_search_fuzzy": PIPELINE_SEARCH_FUZZY_SQL,
     "pipeline_search_bm25": PIPELINE_SEARCH_BM25_SQL,
     "pipeline_rank_fusion": PIPELINE_RANK_FUSION_SQL,
     "pipeline_score_fusion": PIPELINE_SCORE_FUSION_SQL,

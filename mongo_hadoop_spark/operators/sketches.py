@@ -380,6 +380,130 @@ GROUP BY term, in_corpus
 """
 
 
+# ---------------------------------------------------------------------------
+# Relative-error quantile sketch (DDSketch re-derivation, integer-exact)
+# ---------------------------------------------------------------------------
+
+#: mantissa bits kept after the leading 1 — relative bucket width ≤ 1/8
+DDQ_MBITS = 3
+DDQ_PROBS = [0.5, 0.9, 0.99]
+
+
+def _ddq_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket_id, lo_cents, cnt) bucket table for events.value.
+
+    DDSketch (Masson, Rim & Lee, VLDB 2019) buckets values by
+    ``floor(log_γ v)`` for a relative-error guarantee — but ``log()`` is
+    not bit-identical across engines, so the bucket index is re-derived
+    with pure integer math on cents ``n = floor(100·v)``:
+
+        e  = bitlen(n) − 1                  (the power-of-two exponent)
+        k  = floor(n / 2^max(e−3, 0))       (leading 1 + 3 mantissa bits,
+                                             k ∈ [8, 15] for e ≥ 3)
+        id = e·16 + k,   bucket = [k·2^max(e−3,0), (k+1)·2^max(e−3,0))
+
+    γ = 2^(1/8): relative bucket width ≤ 1/k ≤ 1/8 (exact below 8
+    cents).  The whole sketch is ≤ 16·64 buckets for the full int64
+    cents range — constant-size, mergeable by summing counts, one
+    map-side-combined shuffle at any corpus size.  The only doubles are
+    ``100·v`` (same IEEE product both engines) and the final /100
+    readback.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ddq_sketch(ev, F.col("value"))
+
+
+def ddq_sketch(df: DataFrame, value: "F.Column") -> DataFrame:
+    """Bucket any positive numeric column into the DDQ grid —
+    (bucket_id, lo_cents, cnt); merge two sketches by unioning and
+    re-summing cnt per (bucket_id, lo_cents)."""
+    n = F.floor(value * F.lit(100)).cast("long")
+    n = F.greatest(n, F.lit(1))          # clamp: sketch domain is ≥ 1 cent
+    e = (F.length(F.bin(n)) - 1).cast("long")
+    shift = F.greatest(e - DDQ_MBITS, F.lit(0))
+    p2 = F.pow(F.lit(2.0), shift)        # exact power of two in double
+    k = F.floor(n / p2).cast("long")
+    return (
+        df.select((e * 16 + k).alias("bucket_id"),
+                  (k * p2).cast("long").alias("lo_cents"))
+        .groupBy("bucket_id", "lo_cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def sketch_ddq_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile-sketch state itself — (bucket_id, lo_cents, cnt)
+    rows, deterministic integers (the correctness gate hashes them)."""
+    return _ddq_bucketed(spark, sf_dir).orderBy("bucket_id")
+
+
+def sketch_ddq_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 estimates read off the bucket table: for each p the
+    answer is the lower bound of the first bucket whose cumulative count
+    reaches ``ceil(p·N)`` — within γ = 1/8 relative error of the exact
+    rank statistic (pytest-pinned).  The cumulative window runs over the
+    ≤ 16·64-row bucket table, not the data."""
+    from pyspark.sql import Window
+
+    b = _ddq_bucketed(spark, sf_dir)
+    cum = b.withColumn(
+        "cum", F.sum("cnt").over(
+            Window.orderBy("bucket_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    total = b.agg(F.sum("cnt").alias("n_total"))
+    probs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in DDQ_PROBS])).alias("p"))
+    hits = (probs.crossJoin(F.broadcast(total))
+            .join(F.broadcast(cum),
+                  F.col("cum") >= F.ceil(F.col("p") * F.col("n_total")))
+            .groupBy("p").agg(F.min("lo_cents").alias("lo_cents")))
+    return (hits.select("p", (F.col("lo_cents") / F.lit(100))
+                        .alias("est"))
+            .orderBy("p"))
+
+
+_DDQ_BUCKETS_SQL = """
+  ddq AS (
+    SELECT (e * 16 + k)::bigint AS bucket_id, (k * p2)::bigint AS lo_cents,
+           count(*) AS cnt
+    FROM (
+      SELECT e, floor(n / p2)::bigint AS k, p2
+      FROM (
+        SELECT n, (length(format('{:b}', n)) - 1) AS e,
+               power(2.0, greatest(length(format('{:b}', n)) - 1 - 3, 0))
+                 AS p2
+        FROM (SELECT greatest(floor(value * 100)::bigint, 1) AS n
+              FROM events) t0
+      ) t1
+    ) t2
+    GROUP BY 1, 2
+  )
+"""
+
+SKETCH_DDQ_BUCKETS_SQL = f"""
+WITH {_DDQ_BUCKETS_SQL}
+SELECT bucket_id, lo_cents, cnt::bigint AS cnt FROM ddq ORDER BY bucket_id
+"""
+
+SKETCH_DDQ_QUANTILES_SQL = f"""
+WITH {_DDQ_BUCKETS_SQL},
+cum AS (
+  SELECT bucket_id, lo_cents, cnt,
+         sum(cnt) OVER (ORDER BY bucket_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM ddq
+),
+total AS (SELECT sum(cnt) AS n_total FROM ddq),
+probs AS (SELECT unnest([0.5, 0.9, 0.99]::double[]) AS p)
+SELECT p, (min(lo_cents) / 100) AS est
+FROM probs, total, cum
+WHERE cum >= ceil(p * n_total)
+GROUP BY p
+ORDER BY p
+"""
+
+
 QUERIES = {
     "sketch_hll_users": sketch_hll_users,
     "sketch_hll_documents": sketch_hll_documents,
@@ -387,6 +511,8 @@ QUERIES = {
     "sketch_cms_estimates": sketch_cms_estimates,
     "sketch_bloom_tokens": sketch_bloom_tokens,
     "sketch_bloom_audit": sketch_bloom_audit,
+    "sketch_ddq_buckets": sketch_ddq_buckets,
+    "sketch_ddq_quantiles": sketch_ddq_quantiles,
 }
 
 ORACLES = {
@@ -396,4 +522,6 @@ ORACLES = {
     "sketch_cms_estimates": SKETCH_CMS_ESTIMATES_SQL,
     "sketch_bloom_tokens": SKETCH_BLOOM_TOKENS_SQL,
     "sketch_bloom_audit": SKETCH_BLOOM_AUDIT_SQL,
+    "sketch_ddq_buckets": SKETCH_DDQ_BUCKETS_SQL,
+    "sketch_ddq_quantiles": SKETCH_DDQ_QUANTILES_SQL,
 }

@@ -1978,8 +1978,22 @@ def _search_clause(op: str, spec: dict):
                 "bm25 text scoring is supported on a top-level text "
                 "clause only (not inside compound)")
         # standard-analyzer-ish: lowercase whitespace tokens; any query
-        # token matching contributes its tf to the score
+        # token matching contributes its tf to the score.  Atlas `fuzzy`
+        # widens a token's matches to words within maxEdits Levenshtein
+        # distance (default 2, like the server) — edit distance is
+        # integer-exact in any engine, so fuzzy matching stays
+        # oracle-gateable.
         toks = [t for t in str(spec["query"]).lower().split() if t]
+        fuzzy = spec.get("fuzzy")
+        max_edits = None
+        if fuzzy is not None:
+            if fuzzy is not True and not isinstance(fuzzy, dict):
+                raise ValueError("text fuzzy takes {} or {maxEdits: 1|2}")
+            max_edits = int((fuzzy or {}).get("maxEdits", 2)) \
+                if isinstance(fuzzy, dict) else 2
+            if max_edits not in (1, 2):
+                raise ValueError("fuzzy maxEdits must be 1 or 2 "
+                                 "(server rule)")
         score = F.lit(0)
 
         def _eq(tok):
@@ -1987,10 +2001,14 @@ def _search_clause(op: str, spec: dict):
             # lambdas, so a default-arg capture would become the index
             return lambda w: w == F.lit(tok)
 
+        def _near(tok, k):
+            return lambda w: F.levenshtein(w, F.lit(tok)) <= F.lit(k)
+
         for p in paths(spec["path"]):
             words = tokenize(F.lower(F.col(p)))
             for t in toks:
-                score = score + F.size(F.filter(words, _eq(t)))
+                pred = _eq(t) if max_edits is None else _near(t, max_edits)
+                score = score + F.size(F.filter(words, pred))
         return score > 0, score
     if op == "phrase":
         # consecutive-token match on the normalized token stream

@@ -1784,3 +1784,29 @@ def test_score_fusion_expression_combination(articles):
             "combination": {"method": "expression",
                             "expression": "$$s",
                             "weights": {"s": 2}}}}])
+
+
+def test_search_text_fuzzy_levenshtein(articles):
+    # "windoo" is 1 edit from "window": fuzzy matches doc 2's 3 windows
+    got = aggregate(articles, [
+        {"$search": {"text": {"query": "windoo", "path": "body",
+                              "fuzzy": {"maxEdits": 1}}}},
+        {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+    ]).collect()
+    assert {r.id: r.score for r in got} == {2: 3.0}
+    # without fuzzy there is no match
+    got = aggregate(articles, [
+        {"$search": {"text": {"query": "windoo", "path": "body"}}},
+        {"$project": {"id": 1}}]).collect()
+    assert got == []
+    # default maxEdits is 2 (server default): "windo" ≤2 edits from both
+    # "window" and "windows"? here matches "window" tokens only
+    got = aggregate(articles, [
+        {"$search": {"text": {"query": "wind", "path": "body",
+                              "fuzzy": True}}},
+        {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+    ]).collect()
+    assert {r.id: r.score for r in got} == {2: 3.0}
+    with pytest.raises(ValueError, match="maxEdits must be 1 or 2"):
+        aggregate(articles, [{"$search": {"text": {
+            "query": "x", "path": "body", "fuzzy": {"maxEdits": 3}}}}])

@@ -124,3 +124,59 @@ def test_bloom_merge_is_bit_union(spark):
     bits = lambda df: {r.bit for r in _bloom_bits(df).collect()}
     assert bits(a) | bits(b) == bits(a.unionAll(b))
     assert max(bits(a.unionAll(b))) < BLOOM_M
+
+
+# ---------------------------------------------------------------------------
+# DDQ relative-error quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_ddq_sketch_mergeable(spark):
+    import pyspark.sql.functions as F
+    from mongo_hadoop_spark.operators.sketches import ddq_sketch
+
+    a = spark.range(1, 400).select((F.col("id") * 0.37).alias("v"))
+    b = spark.range(400, 900).select((F.col("id") * 0.91).alias("v"))
+    whole = ddq_sketch(a.unionAll(b), F.col("v"))
+    merged = (ddq_sketch(a, F.col("v")).unionAll(ddq_sketch(b, F.col("v")))
+              .groupBy("bucket_id", "lo_cents")
+              .agg(F.sum("cnt").alias("cnt")))
+    lhs = {(r.bucket_id, r.lo_cents): r.cnt for r in whole.collect()}
+    rhs = {(r.bucket_id, r.lo_cents): r.cnt for r in merged.collect()}
+    assert lhs == rhs
+
+
+def test_ddq_sketch_partitioning_invariant(spark):
+    import pyspark.sql.functions as F
+    from mongo_hadoop_spark.operators.sketches import ddq_sketch
+
+    df = spark.range(1, 2000).select((F.col("id") * 0.137).alias("v"))
+    one = {(r.bucket_id, r.lo_cents): r.cnt
+           for r in ddq_sketch(df.coalesce(1), F.col("v")).collect()}
+    many = {(r.bucket_id, r.lo_cents): r.cnt
+            for r in ddq_sketch(df.repartition(7), F.col("v")).collect()}
+    assert one == many
+
+
+def test_ddq_quantile_estimates_within_relative_error(spark):
+    """For each probed p: the estimate is the lower bound of the bucket
+    holding the ceil(p·N)-ranked value — so est ≤ v_rank and
+    v_rank < est·(1 + 1/8) + 0.02 (bucket relative width ≤ 1/k ≤ 1/8,
+    plus sub-cent truncation)."""
+    import math
+    from mongo_hadoop_spark.operators.sketches import (
+        sketch_ddq_quantiles, DDQ_PROBS)
+    from conftest import SF_SMOKE
+
+    ests = {r.p: r.est for r in sketch_ddq_quantiles(spark, SF_SMOKE).collect()}
+    values = sorted(
+        r.value for r in
+        __import__("mongo_hadoop_spark.session", fromlist=["table"])
+        .table(spark, SF_SMOKE, "events").select("value").collect())
+    n = len(values)
+    for p in DDQ_PROBS:
+        rank = math.ceil(p * n)
+        v = values[rank - 1]
+        est = ests[p]
+        assert est <= v + 0.01
+        assert v < est * (1 + 1 / 8) + 0.02
