@@ -46,6 +46,7 @@ _HEAD_KEYS = [
     "pipeline_lookup_correlated", "pipeline_search_wildcard",
     "pipeline_geo_within", "pipeline_search_fuzzy",
     "sketch_ddq_buckets", "sketch_ddq_quantiles",
+    "pipeline_match_operators",
     "pipeline_search_bm25", "pipeline_rank_fusion",
     "pipeline_score_fusion", "pipeline_bitwise_flags",
     "pipeline_vector_search", "pipeline_geo_near",

@@ -534,6 +534,32 @@ ORDER BY doc_id
 """
 
 
+def pipeline_match_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find-language operators beyond comparisons: match-side
+    $elemMatch (scalar-element form), $mod, $bitsAllSet and $size —
+    all per-row predicates compiled onto the scan (exists() higher-order
+    lambda for $elemMatch — no explode, no shuffle)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return aggregate(emb, [
+        {"$match": {"embedding": {"$elemMatch": {"$gt": 0.3}, "$size": 64},
+                    "label": {"$mod": [3, 1]},
+                    "vec_id": {"$bitsAllSet": 5}}},
+        {"$project": {"vec_id": 1, "label": 1}},
+        {"$sort": {"vec_id": 1}},
+    ])
+
+
+PIPELINE_MATCH_OPS_SQL = """
+SELECT vec_id, label
+FROM embeddings
+WHERE len(list_filter(embedding, x -> x > 0.3)) > 0
+  AND len(embedding) = 64
+  AND label % 3 = 1
+  AND (vec_id & 5) = 5
+ORDER BY vec_id
+"""
+
+
 def pipeline_search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$search text with `fuzzy` (Atlas typo tolerance): query tokens
     match any word within maxEdits=1 Levenshtein distance; the score is
@@ -1292,6 +1318,7 @@ QUERIES = {
     "pipeline_geo_within": pipeline_geo_within,
     "pipeline_search_wildcard": pipeline_search_wildcard,
     "pipeline_search_fuzzy": pipeline_search_fuzzy,
+    "pipeline_match_operators": pipeline_match_operators,
     "pipeline_search_bm25": pipeline_search_bm25,
     "pipeline_rank_fusion": pipeline_rank_fusion,
     "pipeline_score_fusion": pipeline_score_fusion,
@@ -1323,6 +1350,7 @@ ORACLES = {
     "pipeline_geo_within": PIPELINE_GEO_WITHIN_SQL,
     "pipeline_search_wildcard": PIPELINE_SEARCH_WILDCARD_SQL,
     "pipeline_search_fuzzy": PIPELINE_SEARCH_FUZZY_SQL,
+    "pipeline_match_operators": PIPELINE_MATCH_OPS_SQL,
     "pipeline_search_bm25": PIPELINE_SEARCH_BM25_SQL,
     "pipeline_rank_fusion": PIPELINE_RANK_FUSION_SQL,
     "pipeline_score_fusion": PIPELINE_SCORE_FUSION_SQL,

@@ -862,6 +862,42 @@ def _geo_within(col: Column, spec) -> Column:
                      "(planar $box/$center/$polygon only)")
 
 
+def _elem_match(col: Column, crit) -> Column:
+    """Match-side ``$elemMatch``: true when at least one array element
+    satisfies ALL criteria.  Scalar-element form ({$gte: 10, $lt: 20})
+    applies the operators to the element itself; document form
+    ({a: 1, b: {$gt: 2}}) applies field criteria to struct elements.
+    Compiles to ``exists(col, λ)`` — a per-row higher-order predicate,
+    no explode, no shuffle."""
+    if not isinstance(crit, dict) or not crit:
+        raise ValueError("$elemMatch takes a non-empty criteria document")
+    scalar_form = all(k.startswith("$") for k in crit)
+
+    def pred(e):
+        conds = []
+        if scalar_form:
+            for o, v in crit.items():
+                conds.append(_match_op_col(e, o, v))
+        else:
+            for fname, fcond in crit.items():
+                if fname.startswith("$"):
+                    raise ValueError(
+                        "$elemMatch cannot mix element operators with "
+                        "field criteria")
+                sub = e[fname]
+                if isinstance(fcond, dict) and fcond and \
+                        all(k.startswith("$") for k in fcond):
+                    for o, v in fcond.items():
+                        conds.append(_match_op_col(sub, o, v))
+                elif fcond is None:
+                    conds.append(sub.isNull())
+                else:
+                    conds.append(sub == F.lit(fcond))
+        return _fold_and(conds)
+
+    return F.exists(col, pred)
+
+
 def _match_op_col(col: Column, op: str, operand) -> Column:
     if op == "$eq":
         return col.isNull() if operand is None else col == F.lit(operand)
@@ -894,6 +930,46 @@ def _match_op_col(col: Column, op: str, operand) -> Column:
         return col.rlike(operand.pattern if hasattr(operand, "pattern") else str(operand))
     if op == "$geoWithin":
         return _geo_within(col, operand)
+    if op == "$all":
+        # array field contains every listed value
+        out = None
+        for v in operand:
+            c = F.array_contains(col, F.lit(v))
+            out = c if out is None else out & c
+        return F.lit(True) if out is None else out
+    if op == "$size":
+        return F.size(col) == F.lit(int(operand))
+    if op == "$mod":
+        d, r = operand
+        # truncated remainder in Mongo, Spark and DuckDB alike
+        return col % F.lit(d) == F.lit(r)
+    if op == "$elemMatch":
+        return _elem_match(col, operand)
+    if op in ("$bitsAllSet", "$bitsAnySet", "$bitsAllClear", "$bitsAnyClear"):
+        mask = sum(1 << int(b) for b in operand) \
+            if isinstance(operand, list) else int(operand)
+        anded = col.bitwiseAND(F.lit(mask))
+        if op == "$bitsAllSet":
+            return anded == F.lit(mask)
+        if op == "$bitsAnySet":
+            return anded != F.lit(0)
+        if op == "$bitsAllClear":
+            return anded == F.lit(0)
+        return anded != F.lit(mask)   # $bitsAnyClear
+    if op == "$type":
+        aliases = operand if isinstance(operand, list) else [operand]
+        # numeric BSON type codes → string aliases
+        codes = {1: "double", 2: "string", 3: "object", 4: "array",
+                 5: "binData", 8: "bool", 9: "date", 16: "int",
+                 18: "long", 19: "decimal"}
+        t = F.call_function("typeof", col)
+        checks = []
+        for a in aliases:
+            a = codes.get(a, a) if isinstance(a, int) else a
+            if a not in _BSON_TYPE_CHECKS:
+                raise ValueError(f"unsupported $type alias {a!r}")
+            checks.append(_BSON_TYPE_CHECKS[a](t))
+        return col.isNotNull() & _fold_or(checks)
     if op == "$exists":
         # flat-column approximation: present ⇔ not null
         return col.isNotNull() if operand else col.isNull()

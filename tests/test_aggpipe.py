@@ -1810,3 +1810,75 @@ def test_search_text_fuzzy_levenshtein(articles):
     with pytest.raises(ValueError, match="maxEdits must be 1 or 2"):
         aggregate(articles, [{"$search": {"text": {
             "query": "x", "path": "body", "fuzzy": {"maxEdits": 3}}}}])
+
+
+def test_match_all_size_mod_bits(people):
+    got = aggregate(people, [
+        {"$match": {"tags": {"$all": ["a", "b"]}}},
+        {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [1]
+    got = aggregate(people, [
+        {"$match": {"tags": {"$size": 1}}}, {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [4]
+    got = aggregate(people, [
+        {"$match": {"id": {"$mod": [2, 0]}}},
+        {"$sort": {"id": 1}}, {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [2, 4]
+    # id=3 is 0b11: bits {0,1} set
+    got = aggregate(people, [
+        {"$match": {"id": {"$bitsAllSet": [0, 1]}}},
+        {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [3]
+    got = aggregate(people, [
+        {"$match": {"id": {"$bitsAnySet": 2}}},
+        {"$sort": {"id": 1}}, {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [2, 3]
+    got = aggregate(people, [
+        {"$match": {"id": {"$bitsAllClear": 1}}},
+        {"$sort": {"id": 1}}, {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [2, 4]
+    got = aggregate(people, [
+        {"$match": {"id": {"$bitsAnyClear": [0, 1]}}},
+        {"$sort": {"id": 1}}, {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [1, 2, 4]
+
+
+def test_match_elem_match_scalar_and_document(spark):
+    docs = spark.createDataFrame(
+        [(1, [5, 15, 30], [{"a": 1, "b": 5}, {"a": 2, "b": 1}]),
+         (2, [1, 2], [{"a": 1, "b": 1}]),
+         (3, None, None)],
+        "id long, xs array<int>, "
+        "objs array<struct<a:int, b:int>>")
+    # scalar-element form: one element in [10, 20)
+    got = aggregate(docs, [
+        {"$match": {"xs": {"$elemMatch": {"$gte": 10, "$lt": 20}}}},
+        {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [1]
+    # document form: an element with a=1 AND b>2
+    got = aggregate(docs, [
+        {"$match": {"objs": {"$elemMatch": {"a": 1, "b": {"$gt": 2}}}}},
+        {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [1]
+    with pytest.raises(ValueError, match="non-empty criteria"):
+        aggregate(docs, [{"$match": {"xs": {"$elemMatch": {}}}}])
+    with pytest.raises(ValueError, match="cannot mix"):
+        aggregate(docs, [{"$match": {"objs": {"$elemMatch": {
+            "a": 1, "$gt": 2}}}}])
+
+
+def test_match_type_operator(people):
+    got = aggregate(people, [
+        {"$match": {"age": {"$type": "int"}}},
+        {"$sort": {"id": 1}}, {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [1, 3, 4]   # null age (id 2) excluded
+    got = aggregate(people, [
+        {"$match": {"bal": {"$type": ["number"]}}},
+        {"$sort": {"id": 1}}, {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [1, 2, 4]
+    got = aggregate(people, [
+        {"$match": {"name": {"$type": 2}}},   # numeric alias: string
+        {"$sort": {"id": 1}}, {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [1, 2, 3, 4]
+    with pytest.raises(ValueError, match="type alias"):
+        aggregate(people, [{"$match": {"name": {"$type": "javascript"}}}])
