@@ -1820,12 +1820,39 @@ def _stage_out(df: DataFrame, spec, store_path: str | None,
     return df
 
 
-def _merge_builder(when_matched: str, upsert: bool, key_cols: list[str]):
+def _subst_new_var(expr, doc: dict):
+    """Replace ``$$new`` / ``$$new.path`` references with literal values
+    from the incoming document.  $merge's $$new is only defined during
+    merge execution — binding it at journal-build time makes the
+    journaled pipeline a legal standalone update command (replayable by
+    pymongo against a real server, which would reject $$new)."""
+    if isinstance(expr, str) and expr == "$$new":
+        return {"$literal": doc}
+    if isinstance(expr, str) and expr.startswith("$$new."):
+        from mongo_hadoop_spark.plans.paths import get_path
+        return {"$literal": get_path(doc, expr[len("$$new."):])}
+    if isinstance(expr, list):
+        return [_subst_new_var(e, doc) for e in expr]
+    if isinstance(expr, dict):
+        return {k: _subst_new_var(v, doc) for k, v in expr.items()}
+    return expr
+
+
+def _merge_builder(when_matched, upsert: bool, key_cols: list[str]):
     from mongo_hadoop_spark.sinks.writers import UpdateSpec
 
     def build(doc: dict) -> UpdateSpec:
         q = {k: doc[k] for k in key_cols}
         rest = {k: v for k, v in doc.items() if k not in key_cols}
+        if isinstance(when_matched, list):
+            # whenMatched update pipeline ($$new bound per incoming doc);
+            # on an upsert miss the pipeline runs over the key seed — the
+            # update command's pipeline-upsert semantics (documented
+            # deviation from the server's insert-the-source-doc $merge
+            # behavior, chosen so the journal replays identically through
+            # pymongo's update path)
+            return UpdateSpec(q, _subst_new_var(when_matched, doc),
+                              upsert=upsert)
         if when_matched == "replace":
             return UpdateSpec(q, dict(doc), upsert=upsert, replace=True)
         if when_matched == "merge":
@@ -1842,8 +1869,10 @@ def _stage_merge(df: DataFrame, spec, store_path: str | None,
                  spool_path: str | None = None) -> DataFrame:
     """$merge (equality-``on`` form): merge the pipeline result into the
     target collection.  whenMatched: replace | merge | keepExisting |
-    fail; whenNotMatched: insert | discard.  Each row becomes a journaled
-    mutation replayed by the committer, the same path as
+    fail | an UPDATE PIPELINE ([$set/$unset/$project/$replaceWith...]
+    with ``$$new`` bound to the incoming document at journal-build
+    time); whenNotMatched: insert | discard.  Each row becomes a
+    journaled mutation replayed by the committer, the same path as
     MongoUpdateStorage.
 
     ``whenMatched: fail`` deviation (documented): the server aborts
@@ -1867,7 +1896,11 @@ def _stage_merge(df: DataFrame, spec, store_path: str | None,
     on_cols = [on] if isinstance(on, str) else list(on)
     when_matched = spec.get("whenMatched", "replace")
     when_not = spec.get("whenNotMatched", "insert")
-    if (when_matched not in ("replace", "merge", "keepExisting", "fail")
+    pipeline_matched = isinstance(when_matched, list)
+    if pipeline_matched and not when_matched:
+        raise ValueError("$merge whenMatched pipeline must be non-empty")
+    if ((not pipeline_matched and when_matched not in
+         ("replace", "merge", "keepExisting", "fail"))
             or when_not not in ("insert", "discard")
             or (when_matched == "fail" and when_not == "discard")):
         raise ValueError(

@@ -14,6 +14,8 @@ file-store writers to implement update/upsert modes without a server.
 
 from __future__ import annotations
 
+import copy
+
 from mongo_hadoop_spark.plans.paths import get_path, set_path, unset_path
 
 _NUM = (int, float)
@@ -101,6 +103,153 @@ def _t_set(container, key, v) -> None:
         set_path(container, key, v)
 
 
+_PIPELINE_NUM = (int, float)
+
+
+def eval_update_expr(expr, doc: dict):
+    """Dict-level aggregation-expression evaluator for pipeline-form
+    updates (Mongo 4.2): field paths, literals, and the operator subset
+    that update pipelines actually use ($literal, arithmetic, $min/$max,
+    $cond, $ifNull, $concat, comparisons, $and/$or/$not).  Runs at
+    mutation-replay time against the stored document — the counterpart
+    of plans.aggpipe.expr_to_col for the store's Python side.
+    Unsupported operators raise (fail-loud, like the column compiler).
+    """
+    if isinstance(expr, str) and expr.startswith("$$"):
+        raise ValueError(
+            f"unbound pipeline variable {expr} (merge binds $$new at "
+            "build time; no other variables exist at replay time)")
+    if isinstance(expr, str) and expr.startswith("$"):
+        return get_path(doc, expr[1:])
+    if isinstance(expr, list):
+        return [eval_update_expr(e, doc) for e in expr]
+    if not isinstance(expr, dict):
+        return expr
+    if len(expr) != 1 or not next(iter(expr)).startswith("$"):
+        return {k: eval_update_expr(v, doc) for k, v in expr.items()}
+    (op, operand), = expr.items()
+    if op == "$literal":
+        return operand
+
+    def ev(x):
+        return eval_update_expr(x, doc)
+
+    if op in ("$add", "$subtract", "$multiply", "$divide"):
+        vals = [ev(x) for x in operand]
+        if any(v is None for v in vals):
+            return None
+        for v in vals:
+            if not isinstance(v, _PIPELINE_NUM) or isinstance(v, bool):
+                raise ValueError(f"{op} operand is not numeric: {v!r}")
+        out = vals[0]
+        for v in vals[1:]:
+            out = (out + v if op == "$add" else out - v
+                   if op == "$subtract" else out * v
+                   if op == "$multiply" else out / v)
+        return out
+    if op in ("$min", "$max"):
+        vals = [v for v in (ev(x) for x in operand) if v is not None]
+        if not vals:
+            return None
+        return min(vals) if op == "$min" else max(vals)
+    if op == "$cond":
+        if isinstance(operand, dict):
+            c, t, f = operand["if"], operand["then"], operand["else"]
+        else:
+            c, t, f = operand
+        cv = ev(c)
+        return ev(t) if (cv is not None and cv is not False and cv != 0) \
+            else ev(f)
+    if op == "$ifNull":
+        for x in operand:
+            v = ev(x)
+            if v is not None:
+                return v
+        return None
+    if op == "$concat":
+        vals = [ev(x) for x in operand]
+        if any(v is None for v in vals):
+            return None
+        return "".join(str(v) for v in vals)
+    if op in ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte"):
+        a, b = ev(operand[0]), ev(operand[1])
+        if op == "$eq":
+            return a == b
+        if op == "$ne":
+            return a != b
+        if a is None or b is None:
+            # aggregation comparisons order null lowest (total BSON order)
+            an, bn = a is None, b is None
+            return {"$gt": bn and not an, "$gte": bn,
+                    "$lt": an and not bn, "$lte": an}[op]
+        return {"$gt": a > b, "$gte": a >= b,
+                "$lt": a < b, "$lte": a <= b}[op]
+    if op == "$and":
+        return all(ev(x) not in (None, False, 0) for x in operand)
+    if op == "$or":
+        return any(ev(x) not in (None, False, 0) for x in operand)
+    if op == "$not":
+        x = operand[0] if isinstance(operand, list) else operand
+        return ev(x) in (None, False, 0)
+    raise ValueError(f"unsupported pipeline-update expression {op}")
+
+
+def apply_update_pipeline(doc: dict, stages: list) -> dict:
+    """Pipeline-form update (Mongo 4.2; also $merge whenMatched
+    pipelines): $set/$addFields, $unset, $project (inclusion/computed),
+    $replaceRoot/$replaceWith applied in order to ONE stored document.
+    Each stage evaluates its expressions against the pre-stage document
+    (server semantics), then mutates it."""
+    for stage in stages:
+        if not isinstance(stage, dict) or len(stage) != 1:
+            raise ValueError(f"bad pipeline-update stage {stage!r}")
+        (op, spec), = stage.items()
+        if op in ("$set", "$addFields"):
+            snapshot = copy.deepcopy(doc)
+            for path, expr in spec.items():
+                set_path(doc, path, eval_update_expr(expr, snapshot))
+        elif op == "$unset":
+            for path in ([spec] if isinstance(spec, str) else spec):
+                unset_path(doc, path)
+        elif op == "$project":
+            snapshot = copy.deepcopy(doc)
+            keep_id = spec.get("_id", 1) not in (0, False)
+            out: dict = {}
+            if keep_id and "_id" in snapshot:
+                out["_id"] = snapshot["_id"]
+            for path, v in spec.items():
+                if path == "_id":
+                    continue
+                if v in (1, True):
+                    val = get_path(snapshot, path)
+                    if val is not None:
+                        set_path(out, path, val)
+                elif v in (0, False):
+                    raise ValueError(
+                        "$project exclusion form is not supported in "
+                        "pipeline updates (use $unset)")
+                else:
+                    set_path(out, path, eval_update_expr(v, snapshot))
+            doc.clear()
+            doc.update(out)
+        elif op in ("$replaceRoot", "$replaceWith"):
+            root = spec["newRoot"] if op == "$replaceRoot" else spec
+            new_doc = eval_update_expr(root, doc)
+            if not isinstance(new_doc, dict):
+                raise ValueError(f"{op} must evaluate to a document")
+            preserved = doc.get("_id")
+            doc.clear()
+            doc.update(new_doc)
+            if preserved is not None and "_id" not in doc:
+                doc["_id"] = preserved
+        else:
+            raise ValueError(
+                f"unsupported pipeline-update stage {op} (supported: "
+                "$set/$addFields, $unset, $project, "
+                "$replaceRoot/$replaceWith)")
+    return doc
+
+
 def apply_update(doc: dict, spec: dict, array_filters=None) -> dict:
     """Apply an update document; returns the (mutated) doc.
 
@@ -112,8 +261,11 @@ def apply_update(doc: dict, spec: dict, array_filters=None) -> dict:
     ``$[ident]`` segments (``array_filters`` carries the server's
     arrayFilters list).
     If ``spec`` has no $-operators it is a full-document replacement
-    (Mongo replace semantics: _id preserved).
+    (Mongo replace semantics: _id preserved).  A LIST spec is the Mongo
+    4.2 pipeline form → :func:`apply_update_pipeline`.
     """
+    if isinstance(spec, list):
+        return apply_update_pipeline(doc, spec)
     if not any(k.startswith("$") for k in spec):
         new_doc = dict(spec)
         if "_id" in doc and "_id" not in new_doc:
@@ -215,7 +367,10 @@ def apply_update(doc: dict, spec: dict, array_filters=None) -> dict:
 
 def init_upsert_doc(query: dict, spec: dict) -> dict:
     """Seed document for an upsert miss: equality fields from the query
-    (Mongo semantics) + $setOnInsert, then the update applied."""
+    (Mongo semantics) + $setOnInsert, then the update applied.  Pipeline
+    (list) specs run the pipeline over the equality seed — the update
+    command's pipeline-upsert semantics, which a pymongo replay of the
+    same journal reproduces on a real server."""
     doc: dict = {}
     for k, v in (query or {}).items():
         if k.startswith("$"):
@@ -225,6 +380,8 @@ def init_upsert_doc(query: dict, spec: dict) -> dict:
                 set_path(doc, k, v["$eq"])
             continue
         set_path(doc, k, v)
+    if isinstance(spec, list):
+        return apply_update_pipeline(doc, spec)
     for path, v in spec.get("$setOnInsert", {}).items():
         set_path(doc, path, v)
     return apply_update(doc, spec)

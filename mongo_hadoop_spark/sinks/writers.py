@@ -222,7 +222,8 @@ def apply_pending_updates(
                 if match(d, m["q"]):
                     hit = True
                     matched += 1
-                    if m.get("replace") and any(k.startswith("$") for k in m["u"]):
+                    if m.get("replace") and (isinstance(m["u"], list) or any(
+                            k.startswith("$") for k in m["u"])):
                         # server parity: replaceOne rejects update operators
                         raise ValueError(
                             "replace=True update document must not contain "

@@ -1882,3 +1882,61 @@ def test_match_type_operator(people):
     assert [r.id for r in got] == [1, 2, 3, 4]
     with pytest.raises(ValueError, match="type alias"):
         aggregate(people, [{"$match": {"name": {"$type": "javascript"}}}])
+
+
+def test_merge_when_matched_pipeline(spark, tmp_path):
+    """$merge whenMatched as an update pipeline with $$new: matched docs
+    accumulate via {$add: ["$total", "$$new.total"]}; an upsert miss
+    runs the pipeline over the key seed (documented pipeline-upsert
+    semantics — the journal replays identically through pymongo)."""
+    from mongo_hadoop_spark.store import DocumentStore
+
+    store = str(tmp_path / "mergepipe")
+    base = spark.createDataFrame([(1, 100.0), (2, 50.0)],
+                                 "id long, total double")
+    aggregate(base, [{"$out": "acc"}], store_path=store)
+    incoming = spark.createDataFrame([(1, 7.0), (3, 5.0)],
+                                     "id long, total double")
+    aggregate(incoming, [
+        {"$merge": {"into": "acc", "on": "id",
+                    "whenMatched": [
+                        {"$set": {"total": {"$add": [
+                            {"$ifNull": ["$total", 0]},
+                            "$$new.total"]},
+                            "merged": True}}],
+                    "whenNotMatched": "insert"}}], store_path=store)
+    docs = {d["id"]: (d.get("total"), d.get("merged"))
+            for d in DocumentStore(store).collection("acc").find()}
+    assert docs[1] == (107.0, True)       # matched: accumulated
+    assert docs[2] == (50.0, None)        # untouched
+    assert docs[3] == (5.0, True)         # miss: seed {id:3} + pipeline
+    with pytest.raises(ValueError, match="non-empty"):
+        aggregate(incoming, [
+            {"$merge": {"into": "acc", "on": "id", "whenMatched": []}}],
+            store_path=store)
+
+
+def test_merge_pipeline_into_live_target(spark, tmp_path):
+    """whenMatched pipelines replay through the live committer too: the
+    journaled update is a plain (literal-bound) pipeline, legal for any
+    pymongo-protocol bulk_write."""
+    from mongo_hadoop_spark.sources.live_read import StoreBackedCollection
+
+    dest = str(tmp_path / "livepipe")
+    uri = f"mongodb://localhost/testdb.any?storePath={dest}"
+    factory = "mongo_hadoop_spark.sources.live_read:store_client"
+
+    base = spark.createDataFrame([(1, 10.0)], "id long, total double")
+    aggregate(base, [{"$out": "acc"}], store_path=uri,
+              client_factory=factory)
+    incoming = spark.createDataFrame([(1, 2.5), (2, 1.0)],
+                                     "id long, total double")
+    aggregate(incoming, [
+        {"$merge": {"into": "acc", "on": "id",
+                    "whenMatched": [{"$set": {"total": {"$add": [
+                        {"$ifNull": ["$total", 0]}, "$$new.total"]}}}]}}],
+        store_path=uri, client_factory=factory,
+        spool_path=str(tmp_path / "spool"))
+    docs = {d["id"]: d["total"]
+            for d in StoreBackedCollection(dest, "acc").find({})}
+    assert docs == {1: 12.5, 2: 1.0}

@@ -702,3 +702,32 @@ def test_stream_pipeline_quality_gate_equals_batch(spark, documents_dir,
     import pytest as _pytest
     with _pytest.raises(ValueError, match="not streaming-safe"):
         aggregate_stream(src, [{"$sort": {"doc_id": 1}}])
+
+
+def test_stream_match_operators_equal_batch(spark, documents_dir, tmp_path):
+    """Round-5 find-language operators ($mod, $bits*, $type) are per-row
+    predicates, hence streaming-safe through aggregate_stream: the
+    streamed result must equal the batch compiler's."""
+    from mongo_hadoop_spark.plans.aggpipe import aggregate
+    from mongo_hadoop_spark.session import table
+    from mongo_hadoop_spark.streaming.jobs import (aggregate_stream,
+                                                   streaming_documents_source)
+
+    pipeline = [
+        {"$match": {"doc_id": {"$mod": [7, 2]},
+                    "n_chars": {"$bitsAnySet": 3},
+                    "lang": {"$type": "string"}}},
+        {"$project": {"doc_id": 1, "lang": 1}},
+    ]
+    src = streaming_documents_source(spark, documents_dir)
+    q = (aggregate_stream(src, pipeline)
+         .writeStream.format("memory").queryName("mq").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "mq_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = {r["doc_id"]: r["lang"]
+                for r in spark.sql("select * from mq").collect()}
+    batch = {r["doc_id"]: r["lang"]
+             for r in aggregate(table(spark, SF_SMOKE, "documents"),
+                                pipeline).collect()}
+    assert streamed == batch and len(batch) > 0

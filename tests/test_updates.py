@@ -162,3 +162,78 @@ def test_positional_through_journal_replay(tmp_path):
     apply_pending_updates(str(tmp_path / "db"), "t")
     (doc,) = store.collection("t").find()
     assert [x["q"] for x in doc["items"]] == [1, 109]
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-form updates (Mongo 4.2)
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_update_set_and_unset():
+    from mongo_hadoop_spark.plans.updates import apply_update
+
+    doc = {"_id": 1, "a": 10, "b": 3}
+    apply_update(doc, [
+        {"$set": {"total": {"$add": ["$a", "$b"]},
+                  "big": {"$gt": ["$a", 5]}}},
+        {"$unset": "b"},
+    ])
+    assert doc == {"_id": 1, "a": 10, "total": 13, "big": True}
+
+
+def test_pipeline_update_stage_snapshot_semantics():
+    from mongo_hadoop_spark.plans.updates import apply_update_pipeline
+
+    # within ONE $set, expressions see the PRE-stage doc: swap works
+    doc = {"x": 1, "y": 2}
+    apply_update_pipeline(doc, [{"$set": {"x": "$y", "y": "$x"}}])
+    assert doc == {"x": 2, "y": 1}
+    # across stages, each sees the previous stage's output
+    doc = {"x": 1}
+    apply_update_pipeline(doc, [{"$set": {"x": {"$add": ["$x", 1]}}},
+                               {"$set": {"x": {"$multiply": ["$x", 10]}}}])
+    assert doc == {"x": 20}
+
+
+def test_pipeline_update_project_and_replace():
+    from mongo_hadoop_spark.plans.updates import apply_update_pipeline
+
+    doc = {"_id": 7, "a": 1, "b": 2, "c": 3}
+    apply_update_pipeline(doc, [
+        {"$project": {"a": 1, "s": {"$add": ["$b", "$c"]}}}])
+    assert doc == {"_id": 7, "a": 1, "s": 5}
+    apply_update_pipeline(doc, [{"$replaceWith": {"k": "$s"}}])
+    assert doc == {"k": 5, "_id": 7}
+
+
+def test_pipeline_update_expression_evaluator():
+    from mongo_hadoop_spark.plans.updates import eval_update_expr
+    import pytest as _pytest
+
+    d = {"a": 4, "b": None, "s": "x", "n": {"v": 9}}
+    assert eval_update_expr({"$add": ["$a", 1]}, d) == 5
+    assert eval_update_expr({"$add": ["$a", "$b"]}, d) is None
+    assert eval_update_expr({"$ifNull": ["$b", "$a"]}, d) == 4
+    assert eval_update_expr({"$cond": ["$b", 1, 2]}, d) == 2
+    assert eval_update_expr({"$cond": {"if": {"$gte": ["$a", 4]},
+                                       "then": "hi", "else": "lo"}}, d) == "hi"
+    assert eval_update_expr({"$concat": ["$s", "!"]}, d) == "x!"
+    assert eval_update_expr("$n.v", d) == 9
+    assert eval_update_expr({"$max": ["$a", "$b", 2]}, d) == 4
+    # null orders lowest in aggregation comparisons
+    assert eval_update_expr({"$lt": ["$b", 0]}, d) is True
+    assert eval_update_expr({"$eq": ["$b", None]}, d) is True
+    with _pytest.raises(ValueError, match="unsupported"):
+        eval_update_expr({"$zip": {"inputs": []}}, d)
+    with _pytest.raises(ValueError, match="unbound pipeline variable"):
+        eval_update_expr("$$new.a", d)
+    with _pytest.raises(ValueError, match="not numeric"):
+        eval_update_expr({"$add": ["$s", 1]}, d)
+
+
+def test_pipeline_update_upsert_seed():
+    from mongo_hadoop_spark.plans.updates import init_upsert_doc
+
+    doc = init_upsert_doc({"id": 5}, [{"$set": {"n": {"$ifNull": ["$n", 0]},
+                                                "tag": "fresh"}}])
+    assert doc == {"id": 5, "n": 0, "tag": "fresh"}
