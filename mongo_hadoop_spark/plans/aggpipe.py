@@ -270,6 +270,14 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
               "$hour": F.hour, "$minute": F.minute, "$second": F.second,
               "$dayOfWeek": F.dayofweek}[op]
         return fn(E(operand))
+    if op == "$isoWeek":
+        return F.weekofyear(E(operand))     # Spark weekofyear IS ISO 8601
+    if op == "$isoDayOfWeek":
+        # dayofweek: 1=Sunday..7=Saturday → ISO 1=Monday..7=Sunday
+        return F.pmod(F.dayofweek(E(operand)) + F.lit(5), F.lit(7)) + F.lit(1)
+    if op == "$millisecond":
+        return F.pmod(F.floor(F.unix_micros(E(operand)) / 1000),
+                      F.lit(1000)).cast("int")
     # array --------------------------------------------------------------
     if op == "$size":
         return F.size(E(operand))
@@ -326,6 +334,40 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         return E(operand).cast("boolean")
     if op == "$toDate":
         return E(operand).cast("timestamp")
+    if op == "$convert":
+        # the general conversion op: try_cast semantics with onError /
+        # onNull; string/numeric `to` aliases (same table as $type)
+        to = operand["to"]
+        codes = {1: "double", 2: "string", 8: "bool", 9: "date",
+                 16: "int", 18: "long", 19: "decimal"}
+        to = codes.get(to, to) if isinstance(to, int) else to
+        spark_t = {"double": "double", "string": "string",
+                   "bool": "boolean", "date": "timestamp", "int": "int",
+                   "long": "long", "decimal": "decimal(38,6)"}.get(to)
+        if spark_t is None:
+            raise ValueError(f"unsupported $convert target type {to!r}")
+        inp = E(operand["input"])
+        converted = inp.try_cast(spark_t)
+        if "onError" in operand:
+            converted = F.coalesce(converted, E(operand["onError"]))
+        if "onNull" in operand:
+            return F.when(inp.isNull(), E(operand["onNull"])) \
+                .otherwise(converted)
+        return F.when(inp.isNull(), F.lit(None)).otherwise(converted)
+    if op == "$dateFromString":
+        fmt = operand.get("format", "%Y-%m-%dT%H:%M:%S")
+        for m, j in (("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"),
+                     ("%H", "HH"), ("%M", "mm"), ("%S", "ss"),
+                     ("%L", "SSS"), ("%j", "DDD")):
+            fmt = fmt.replace(m, j)
+        ds = E(operand["dateString"])
+        parsed = F.try_to_timestamp(ds, F.lit(fmt))
+        if "onError" in operand:
+            parsed = F.coalesce(parsed, E(operand["onError"]))
+        if "onNull" in operand:
+            return F.when(ds.isNull(), E(operand["onNull"])) \
+                .otherwise(parsed)
+        return parsed
     # array higher-order ops (compiled to Spark lambda HOFs; the bound
     # variable enters the env as $$this / $$value / the named "as")
     if op == "$map":

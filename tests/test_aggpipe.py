@@ -1940,3 +1940,47 @@ def test_merge_pipeline_into_live_target(spark, tmp_path):
     docs = {d["id"]: d["total"]
             for d in StoreBackedCollection(dest, "acc").find({})}
     assert docs == {1: 12.5, 2: 1.0}
+
+
+def test_convert_and_date_from_string(spark):
+    src = spark.createDataFrame(
+        [("42", "nope", None, "2021-03-04 05:06:07")],
+        "s string, bad string, missing string, d string")
+    got = aggregate(src, [
+        {"$project": {
+            "n": {"$convert": {"input": "$s", "to": "int"}},
+            "nerr": {"$convert": {"input": "$bad", "to": "int",
+                                  "onError": -1}},
+            "nnull": {"$convert": {"input": "$missing", "to": "long",
+                                   "onNull": 0}},
+            "code": {"$convert": {"input": "$s", "to": 1}},
+            "ts": {"$dateFromString": {"dateString": "$d",
+                                       "format": "%Y-%m-%d %H:%M:%S"}},
+            "tserr": {"$dateFromString": {"dateString": "$bad",
+                                          "format": "%Y-%m-%d",
+                                          "onError": None}},
+        }},
+    ]).collect()
+    (r,) = got
+    assert (r.n, r.nerr, r.nnull, r.code) == (42, -1, 0, 42.0)
+    assert r.ts.year == 2021 and r.ts.second == 7
+    assert r.tserr is None
+    with pytest.raises(ValueError, match="convert target"):
+        expr_to_col({"$convert": {"input": "$s", "to": "objectId"}})
+
+
+def test_iso_date_parts(spark):
+    got = aggregate(spark.range(0).toDF("x"), [
+        {"$documents": [{"d": "2024-01-01 12:00:00.250"}]},   # a Monday
+        {"$project": {
+            "ts": {"$toDate": "$d"},
+        }},
+        {"$project": {
+            "iw": {"$isoWeek": "$ts"},
+            "idow": {"$isoDayOfWeek": "$ts"},
+            "ms": {"$millisecond": "$ts"},
+            "dow": {"$dayOfWeek": "$ts"},
+        }},
+    ]).collect()
+    (r,) = got
+    assert (r.iw, r.idow, r.ms, r.dow) == (1, 1, 250, 2)
