@@ -2124,7 +2124,7 @@ def _search_clause(op: str, spec: dict):
         return p if isinstance(p, list) else [p]
 
     if op == "text":
-        if spec.get("bm25"):
+        if spec.get("bm25") not in (None, False):
             raise ValueError(
                 "bm25 text scoring is supported on a top-level text "
                 "clause only (not inside compound)")
@@ -2254,7 +2254,7 @@ def _stage_search(df: DataFrame, spec: dict) -> DataFrame:
             "$search takes exactly one operator (text/phrase/compound/"
             "exists/equals/range/wildcard/regex/in)")
     (op, opspec), = spec.items()
-    if op == "text" and opspec.get("bm25"):
+    if op == "text" and opspec.get("bm25") not in (None, False):
         return _stage_search_text_bm25(df, opspec)
     cond, score = _search_clause(op, opspec)
     return (df.where(F.coalesce(cond, F.lit(False)))
