@@ -143,7 +143,7 @@ def test_unsupported_stage_and_expr_raise(people):
     with pytest.raises(ValueError, match="unsupported aggregation expression"):
         expr_to_col({"$meta": "textScore"})
     with pytest.raises(ValueError, match="unsupported query operator"):
-        match_to_col({"a": {"$type": "string"}})
+        match_to_col({"a": {"$where": "this.a > 1"}})
 
 
 def test_bucket_default_and_error(spark):
