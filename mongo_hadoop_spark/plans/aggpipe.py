@@ -2117,12 +2117,36 @@ def _search_clause(op: str, spec: dict):
     index; with no index object here, the score is the raw term
     frequency (constant IDF).  Match semantics are the server's; order
     by {$meta: "searchScore"} remains meaningful (more hits > fewer).
+
+    Every clause accepts Atlas's ``score`` option in its ``boost``
+    (multiply) and ``constant`` (replace) forms.
     """
+    score_opt = spec.get("score") if isinstance(spec, dict) else None
+    if score_opt is not None:
+        spec = {k: v for k, v in spec.items() if k != "score"}
+        cond, score = _search_clause(op, spec)
+        if "boost" in score_opt:
+            return cond, score * F.lit(float(score_opt["boost"]["value"]))
+        if "constant" in score_opt:
+            return cond, F.lit(float(score_opt["constant"]["value"]))
+        raise ValueError(
+            f"unsupported $search score option {sorted(score_opt)} "
+            "(boost/constant)")
     from mongo_hadoop_spark.functions import tokenize
 
     def paths(p):
         return p if isinstance(p, list) else [p]
 
+    if op == "autocomplete":
+        # token-prefix matching (the analyzer's edgeGram role); score =
+        # number of prefix-matching tokens
+        needle = str(spec["query"]).lower()
+        score = F.lit(0)
+        for p in paths(spec["path"]):
+            words = tokenize(F.lower(F.col(p)))
+            score = score + F.size(F.filter(
+                words, lambda w: w.startswith(needle)))
+        return score > 0, score
     if op == "text":
         if spec.get("bm25") not in (None, False):
             raise ValueError(
@@ -2252,7 +2276,7 @@ def _stage_search(df: DataFrame, spec: dict) -> DataFrame:
     if len(spec) != 1:
         raise ValueError(
             "$search takes exactly one operator (text/phrase/compound/"
-            "exists/equals/range/wildcard/regex/in)")
+            "exists/equals/range/wildcard/regex/in/autocomplete)")
     (op, opspec), = spec.items()
     if op == "text" and opspec.get("bm25") not in (None, False):
         return _stage_search_text_bm25(df, opspec)

@@ -1984,3 +1984,26 @@ def test_iso_date_parts(spark):
     ]).collect()
     (r,) = got
     assert (r.iw, r.idow, r.ms, r.dow) == (1, 1, 250, 2)
+
+
+def test_search_autocomplete_and_score_options(articles):
+    got = aggregate(articles, [
+        {"$search": {"autocomplete": {"query": "win", "path": "body"}}},
+        {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+    ]).collect()
+    assert {r.id: r.score for r in got} == {2: 3.0}
+    # boost multiplies, constant replaces; both compose under compound
+    got = aggregate(articles, [
+        {"$search": {"compound": {"should": [
+            {"text": {"query": "scan", "path": "body",
+                      "score": {"boost": {"value": 10}}}},
+            {"phrase": {"query": "slow scan", "path": "body",
+                        "score": {"constant": {"value": 0.5}}}},
+        ]}}},
+        {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+    ]).collect()
+    assert {r.id: r.score for r in got} == {1: 20.5}
+    with pytest.raises(ValueError, match="score option"):
+        aggregate(articles, [{"$search": {"text": {
+            "query": "scan", "path": "body",
+            "score": {"function": {}}}}}])
