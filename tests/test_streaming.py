@@ -731,3 +731,36 @@ def test_stream_match_operators_equal_batch(spark, documents_dir, tmp_path):
              for r in aggregate(table(spark, SF_SMOKE, "documents"),
                                 pipeline).collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_ddq_sketch_merge_equals_batch(spark, tmp_path):
+    """The DDQ quantile sketch is mergeable by summing bucket counts —
+    so per-micro-batch sketches folded in foreachBatch equal the batch
+    sketch of the whole stream (the 1000-executor / 100 TB merge story
+    in miniature)."""
+    import pyspark.sql.functions as F
+    from mongo_hadoop_spark.operators.sketches import ddq_sketch
+    from mongo_hadoop_spark.session import table
+
+    events_dir = str(tmp_path / "ev_stream")
+    (table(spark, SF_SMOKE, "events").select("event_id", "value")
+     .repartition(5).write.mode("overwrite").parquet(events_dir))
+    src = (spark.readStream.schema("event_id long, value double")
+           .option("maxFilesPerTrigger", 2).parquet(events_dir))
+
+    merged: dict = {}
+
+    def fold(batch_df, _bid):
+        for r in ddq_sketch(batch_df, F.col("value")).collect():
+            key = (r.bucket_id, r.lo_cents)
+            merged[key] = merged.get(key, 0) + r.cnt
+
+    q = (src.writeStream.foreachBatch(fold)
+         .option("checkpointLocation", str(tmp_path / "ddq_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    batch = {(r.bucket_id, r.lo_cents): r.cnt
+             for r in ddq_sketch(table(spark, SF_SMOKE, "events"),
+                                 F.col("value")).collect()}
+    assert merged == batch and len(batch) > 0
