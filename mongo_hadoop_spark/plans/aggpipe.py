@@ -2137,6 +2137,31 @@ def _search_clause(op: str, spec: dict):
     def paths(p):
         return p if isinstance(p, list) else [p]
 
+    if op == "moreLikeThis":
+        # Atlas extracts representative terms from the like documents'
+        # fields (via the index); here every string field of every like
+        # doc contributes its tokens, scored by tf against that same
+        # field — no term selection (no df stats without an index)
+        like = spec["like"]
+        like = like if isinstance(like, list) else [like]
+
+        def _is(tok):
+            # 1-arg closure (a default-arg capture would make pyspark
+            # pass the element INDEX as the second lambda arg)
+            return lambda w: w == F.lit(tok)
+
+        score = F.lit(0)
+        for doc in like:
+            if not isinstance(doc, dict) or not doc:
+                raise ValueError("moreLikeThis like entries must be "
+                                 "non-empty documents")
+            for field, value in doc.items():
+                if not isinstance(value, str):
+                    continue
+                words = tokenize(F.lower(F.col(field)))
+                for t in dict.fromkeys(value.lower().split()):
+                    score = score + F.size(F.filter(words, _is(t)))
+        return score > 0, score
     if op == "autocomplete":
         # token-prefix matching (the analyzer's edgeGram role); score =
         # number of prefix-matching tokens

@@ -2007,3 +2007,58 @@ def test_search_autocomplete_and_score_options(articles):
         aggregate(articles, [{"$search": {"text": {
             "query": "scan", "path": "body",
             "score": {"function": {}}}}}])
+
+
+def test_geo_within_polygon_matches_python_raycast(spark):
+    """Property pin: the compiled even-odd crossing test must agree with
+    a reference Python ray caster on random polygons × random points
+    (excluding points that fall exactly on an edge — boundary behavior
+    is tie-breaking noise both implementations share anyway since they
+    evaluate the SAME IEEE expressions)."""
+    import random
+
+    from mongo_hadoop_spark.plans.aggpipe import aggregate
+
+    rng = random.Random(7)
+
+    def py_inside(x, y, verts):
+        inside = False
+        for (xi, yi), (xj, yj) in zip(verts, verts[-1:] + verts[:-1]):
+            if yj == yi:
+                continue
+            if (yi > y) != (yj > y) and \
+                    x < (xj - xi) * (y - yi) / (yj - yi) + xi:
+                inside = not inside
+        return inside
+
+    for trial in range(6):
+        n = rng.randint(3, 7)
+        verts = [(round(rng.uniform(0, 20), 2), round(rng.uniform(0, 20), 2))
+                 for _ in range(n)]
+        pts = [(i, [round(rng.uniform(-2, 22), 3),
+                    round(rng.uniform(-2, 22), 3)])
+               for i in range(40)]
+        df = spark.createDataFrame(pts, "id long, loc array<double>")
+        got = {r.id for r in aggregate(df, [
+            {"$match": {"loc": {"$geoWithin": {"$polygon": verts}}}},
+            {"$project": {"id": 1}}]).collect()}
+        want = {i for i, (x, y) in pts if py_inside(x, y, verts)}
+        assert got == want, (trial, verts, sorted(got ^ want))
+
+
+def test_search_more_like_this(articles):
+    got = aggregate(articles, [
+        {"$search": {"moreLikeThis": {"like": {"body": "scan window"}}}},
+        {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+    ]).collect()
+    assert {r.id: r.score for r in got} == {1: 2.0, 2: 3.0}
+    # non-string like fields are skipped; several like docs accumulate
+    got = aggregate(articles, [
+        {"$search": {"moreLikeThis": {"like": [
+            {"body": "scan", "size": 10},
+            {"body": "window"}]}}},
+        {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+    ]).collect()
+    assert {r.id: r.score for r in got} == {1: 2.0, 2: 3.0}
+    with pytest.raises(ValueError, match="non-empty documents"):
+        aggregate(articles, [{"$search": {"moreLikeThis": {"like": [{}]}}}])
