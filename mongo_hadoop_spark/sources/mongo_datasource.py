@@ -397,13 +397,62 @@ class LiveDocumentReader(DocumentReader):
 
             splits = paginating_splitter(nth, name, key=key,
                                          min_docs=min_docs, query=query)
+        elif strategy == "shard_chunk":
+            splits = self._shard_chunk_splits(name, key, query)
         elif strategy == "single":
             splits = single_splitter(name, query)
         else:
             raise ValueError(
-                f"live backend supports splitter=single|paginating, "
-                f"got {strategy!r}")
+                f"live backend supports splitter=single|paginating|"
+                f"shard_chunk, got {strategy!r}")
         return self._with_cursor_options(splits)
+
+    def _shard_chunk_splits(self, name: str, key: str, query):
+        """P4 against a live topology: one split per config.chunks entry
+        for the namespace, preferred locations from config.shards
+        (ShardChunkMongoSplitter.java:59-148 reads the same two
+        collections through mongos).  Chunk min/max may be the server's
+        document form ({key: value}) or bare values; MinKey/MaxKey edges
+        become unbounded ranges."""
+        from mongo_hadoop_spark.plans.splitters import shard_chunk_splitter
+        from mongo_hadoop_spark.sources.live_read import (
+            resolve_client_factory,
+        )
+        from mongo_hadoop_spark.sources.uri import MongoURI
+
+        uri = self.options["uri"]
+        parsed = MongoURI.parse(uri)
+        client = resolve_client_factory(
+            self.options.get("client_factory"))(uri)
+        ns = f"{parsed.database}.{parsed.collection}"
+        chunks = list(client["config"]["chunks"].find({"ns": ns}))
+        if not chunks:
+            raise ValueError(
+                f"splitter=shard_chunk: no config.chunks entries for "
+                f"{ns} (collection not sharded?)")
+
+        from mongo_hadoop_spark import bsonio
+
+        def bound(v):
+            if isinstance(v, dict):
+                v = v.get(key)
+            if isinstance(v, (bsonio.MinKey, bsonio.MaxKey)):
+                return None
+            return v
+
+        norm = [{"min": bound(c.get("min")), "max": bound(c.get("max")),
+                 "shard": c.get("shard", "")} for c in chunks]
+        # deterministic order: by the chunk's lower bound (None first)
+        norm.sort(key=lambda c: (c["min"] is not None, c["min"], c["shard"]))
+        shard_hosts = {}
+        for s in client["config"]["shards"].find({}):
+            # "rs0/h1:27017,h2:27017" or "h1:27017" host strings
+            hosts = str(s.get("host", "")).split("/", 1)[-1]
+            shard_hosts[s["_id"]] = [h.strip() for h in hosts.split(",")
+                                     if h.strip()]
+        return shard_chunk_splitter(norm, name, key=key,
+                                    shard_locations=shard_hosts,
+                                    query=query)
 
     def read(self, partition: _DocPartition):
         from mongo_hadoop_spark.sources.live_read import split_cursor

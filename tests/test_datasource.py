@@ -510,3 +510,57 @@ def test_stream_tail_rejects_multi_collection(store):
     with pytest.raises(ValueError, match="exactly one collection"):
         DocumentStreamReader(
             {"path": store.path, "collection": "orders,other"}, None)
+
+
+def test_live_shard_chunk_splitter(spark, tmp_path):
+    """splitter=shard_chunk against a live topology: partition planning
+    reads config.chunks/config.shards through the client (the mongos
+    route of ShardChunkMongoSplitter.java:59-148), one partition per
+    chunk, disjoint range cover — the read equals the single-split scan
+    with no duplicated or dropped documents."""
+    from mongo_hadoop_spark.sources import register
+    from mongo_hadoop_spark.sources.live_read import StoreBackedCollection
+
+    register(spark)
+    store = str(tmp_path / "shardeddb")
+    data = [{"_id": i, "k": i, "v": f"r{i}"} for i in range(100)]
+    StoreBackedCollection(store, "c").insert_many(data)
+    StoreBackedCollection(store, "chunks").insert_many([
+        {"_id": "c-0", "ns": "db.c", "min": None, "max": {"k": 30},
+         "shard": "s0"},
+        {"_id": "c-1", "ns": "db.c", "min": {"k": 30}, "max": {"k": 60},
+         "shard": "s1"},
+        {"_id": "c-2", "ns": "db.c", "min": {"k": 60}, "max": None,
+         "shard": "s0"},
+        {"_id": "other", "ns": "db.other", "min": None, "max": None,
+         "shard": "s1"},
+    ])
+    StoreBackedCollection(store, "shards").insert_many([
+        {"_id": "s0", "host": "rs0/h1:27017,h2:27017"},
+        {"_id": "s1", "host": "h3:27017"},
+    ])
+    uri = f"mongodb://localhost/db.c?storePath={store}"
+    factory = "mongo_hadoop_spark.sources.live_read:store_client"
+    df = (spark.read.format("mongodoc")
+          .option("backend", "live").option("uri", uri)
+          .option("client_factory", factory)
+          .option("splitter", "shard_chunk").option("key", "k")
+          .load())
+    rows = df.collect()
+    assert df.rdd.getNumPartitions() == 3          # one per db.c chunk
+    assert sorted(r["k"] for r in rows) == list(range(100))  # disjoint cover
+    # chunk ranges compose with a user query
+    df2 = (spark.read.format("mongodoc")
+           .option("backend", "live").option("uri", uri)
+           .option("client_factory", factory)
+           .option("splitter", "shard_chunk").option("key", "k")
+           .option("query", '{"k": {"$gte": 25, "$lt": 65}}')
+           .load())
+    assert sorted(r["k"] for r in df2.collect()) == list(range(25, 65))
+    # unsharded namespace fails loudly at split planning
+    bad = f"mongodb://localhost/db.shards?storePath={store}"
+    with pytest.raises(Exception, match="config.chunks"):
+        (spark.read.format("mongodoc")
+         .option("backend", "live").option("uri", bad)
+         .option("client_factory", factory)
+         .option("splitter", "shard_chunk").load()).collect()
