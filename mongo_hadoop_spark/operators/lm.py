@@ -265,14 +265,31 @@ def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     features, and the oracle pins it either way.  On a real corpus the
     seed label correlates with vocabulary and the same plan separates.
     """
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism)
-    labeled = d.select(
+    toks, _per_term, weights = _nb_model(spark, sf_dir)
+    # Σ tf·w ≡ summing w once per token OCCURRENCE — joining occurrences
+    # straight to the broadcast weight table drops the (doc, term)
+    # pre-shuffle entirely (probe: 4.5× → ~linear at 8×)
+    return (toks.join(F.broadcast(weights), "term")
+            .groupBy("doc_id", "label")
+            .agg(F.sum("w_bits").alias("score_bits")))
+
+
+def _nb_label(d: DataFrame) -> DataFrame:
+    """The deterministic seed label (length band ∧ language set)."""
+    return d.select(
         "doc_id", "text",
         F.when((F.col("n_chars") >= 150) & (F.col("n_chars") <= 450)
                & F.col("lang").isin("en", "de", "fr"), 1)
         .otherwise(0).cast("long").alias("label"))
-    toks = labeled.select(
+
+
+def _nb_model(spark: SparkSession, sf_dir: str):
+    """(toks, per_term, weights) — the shared training plan; ONE source
+    of truth for the seed label and the w_bits formula (the model that
+    scores documents IS the model whose weights are published)."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    toks = _nb_label(d).select(
         "doc_id", "label", F.explode(tokenize("text")).alias("term"))
     per_term = toks.groupBy("term").agg(
         F.sum("label").alias("c_pos"),
@@ -293,12 +310,7 @@ def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
           - bitlen(F.col("c_neg") + 1))
          - (bitlen(F.col("t_pos") + F.col("v"))
             - bitlen(F.col("c_pos") + 1))).cast("long").alias("w_bits"))
-    # Σ tf·w ≡ summing w once per token OCCURRENCE — joining occurrences
-    # straight to the broadcast weight table drops the (doc, term)
-    # pre-shuffle entirely (probe: 4.5× → ~linear at 8×)
-    return (toks.join(F.broadcast(weights), "term")
-            .groupBy("doc_id", "label")
-            .agg(F.sum("w_bits").alias("score_bits")))
+    return toks, per_term, weights
 
 
 _NB_SQL = r"""
@@ -346,33 +358,11 @@ _NB_SQL = r"""
 
 def corpus_nb_token_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained model itself: the 20 most positive-class-indicative
-    token weights (ties broken by term)."""
-    # reuse the scored plan's weight construction via a direct rebuild
-    d = table(spark, sf_dir, "documents")
-    labeled = d.select(
-        "doc_id", "text",
-        F.when((F.col("n_chars") >= 150) & (F.col("n_chars") <= 450)
-               & F.col("lang").isin("en", "de", "fr"), 1)
-        .otherwise(0).cast("long").alias("label"))
-    toks = labeled.select("label", F.explode(tokenize("text")).alias("term"))
-    per_term = toks.groupBy("term").agg(
-        F.sum("label").alias("c_pos"),
-        F.sum(F.lit(1) - F.col("label")).alias("c_neg"))
-    totals = per_term.agg(
-        F.sum("c_pos").alias("t_pos"),
-        F.sum("c_neg").alias("t_neg"),
-        F.count(F.lit(1)).alias("v"))
-
-    def bitlen(c):
-        return F.length(F.bin(c))
-
-    return (per_term.crossJoin(F.broadcast(totals))
-            .select("term",
-                    ((bitlen(F.col("t_neg") + F.col("v"))
-                      - bitlen(F.col("c_neg") + 1))
-                     - (bitlen(F.col("t_pos") + F.col("v"))
-                        - bitlen(F.col("c_pos") + 1))).cast("long")
-                    .alias("w_bits"),
+    token weights (ties broken by term) — read off the SAME _nb_model
+    plan that scores documents."""
+    _toks, per_term, weights = _nb_model(spark, sf_dir)
+    return (per_term.join(weights, "term")
+            .select("term", "w_bits",
                     (F.col("c_pos") + F.col("c_neg")).alias("n_occurrences"))
             .orderBy(F.col("w_bits").desc(), F.col("term").asc())
             .limit(20))

@@ -363,11 +363,12 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         ds = E(operand["dateString"])
         parsed = F.try_to_timestamp(ds, F.lit(fmt))
         if "onError" in operand:
+            # onError covers PARSE failures only — null input yields
+            # null (or onNull), exactly like $convert above
             parsed = F.coalesce(parsed, E(operand["onError"]))
-        if "onNull" in operand:
-            return F.when(ds.isNull(), E(operand["onNull"])) \
-                .otherwise(parsed)
-        return parsed
+        on_null = E(operand["onNull"]) if "onNull" in operand \
+            else F.lit(None)
+        return F.when(ds.isNull(), on_null).otherwise(parsed)
     # array higher-order ops (compiled to Spark lambda HOFs; the bound
     # variable enters the env as $$this / $$value / the named "as")
     if op == "$map":
@@ -973,12 +974,13 @@ def _match_op_col(col: Column, op: str, operand) -> Column:
     if op == "$geoWithin":
         return _geo_within(col, operand)
     if op == "$all":
-        # array field contains every listed value
+        # array field contains every listed value; {$all: []} matches
+        # NO documents (server semantics)
         out = None
         for v in operand:
             c = F.array_contains(col, F.lit(v))
             out = c if out is None else out & c
-        return F.lit(True) if out is None else out
+        return F.lit(False) if out is None else out
     if op == "$size":
         return F.size(col) == F.lit(int(operand))
     if op == "$mod":
@@ -1296,6 +1298,13 @@ def _stage_lookup_pipeline(df: DataFrame, spec: dict,
 
     equi: list[tuple[str, Column]] = []      # (foreign field, local col)
     residual: list[tuple[str, tuple, tuple]] = []
+    # concise correlated form (Mongo 5.0): localField/foreignField may
+    # accompany pipeline — the field equality is one more equi-join key
+    if ("localField" in spec) != ("foreignField" in spec):
+        raise ValueError("$lookup needs BOTH localField and foreignField "
+                         "(or neither)")
+    if "localField" in spec:
+        equi.append((spec["foreignField"], F.col(spec["localField"])))
     if stages and "$match" in stages[0]:
         match_spec = dict(stages.pop(0)["$match"])
         expr = match_spec.pop("$expr", None)
@@ -2493,7 +2502,14 @@ def _ranked_subpipeline(df: DataFrame, name: str, stages: list[dict],
         raise ValueError(f"fusion input pipeline {name!r} is empty")
     (first, _), = stages[0].items()
     out = _aggregate_impl(df, stages, tables=tables)
-    has_limit = any("$limit" in s for s in stages)
+    # a $limit bounds the candidate set only if no row-multiplying stage
+    # follows it — [{$limit: 100}, {$unwind: ...}] is NOT bounded
+    multipliers = {"$unwind", "$graphLookup", "$unionWith", "$lookup",
+                   "$facet", "$densify"}
+    last_limit = max((i for i, s in enumerate(stages) if "$limit" in s),
+                     default=None)
+    has_limit = last_limit is not None and not any(
+        set(s) & multipliers for s in stages[last_limit + 1:])
     if first == "$vectorSearch":
         return out, [F.col(_VS_SCORE_COL).desc()], True
     if first == "$search":

@@ -194,6 +194,18 @@ def eval_update_expr(expr, doc: dict):
     raise ValueError(f"unsupported pipeline-update expression {op}")
 
 
+def _has_path(doc, path: str) -> bool:
+    """Presence test along a dotted path (a field holding null IS
+    present — get_path cannot distinguish the two)."""
+    cur = doc
+    parts = path.split(".")
+    for p in parts[:-1]:
+        if not isinstance(cur, dict) or p not in cur:
+            return False
+        cur = cur[p]
+    return isinstance(cur, dict) and parts[-1] in cur
+
+
 def apply_update_pipeline(doc: dict, stages: list) -> dict:
     """Pipeline-form update (Mongo 4.2; also $merge whenMatched
     pipelines): $set/$addFields, $unset, $project (inclusion/computed),
@@ -221,9 +233,10 @@ def apply_update_pipeline(doc: dict, stages: list) -> dict:
                 if path == "_id":
                     continue
                 if v in (1, True):
-                    val = get_path(snapshot, path)
-                    if val is not None:
-                        set_path(out, path, val)
+                    # a PRESENT field is kept even when its value is
+                    # null (server semantics) — presence, not value
+                    if _has_path(snapshot, path):
+                        set_path(out, path, get_path(snapshot, path))
                 elif v in (0, False):
                     raise ValueError(
                         "$project exclusion form is not supported in "

@@ -435,7 +435,13 @@ class LiveDocumentReader(DocumentReader):
 
         def bound(v):
             if isinstance(v, dict):
-                v = v.get(key)
+                if key not in v:
+                    # silent None here would make every chunk an
+                    # unbounded full scan → K-fold row duplication
+                    raise ValueError(
+                        f"splitter=shard_chunk: chunk bound {v!r} has no "
+                        f"field {key!r} — set option('key', <shard key>)")
+                v = v[key]
             if isinstance(v, (bsonio.MinKey, bsonio.MaxKey)):
                 return None
             return v

@@ -2062,3 +2062,49 @@ def test_search_more_like_this(articles):
     assert {r.id: r.score for r in got} == {1: 2.0, 2: 3.0}
     with pytest.raises(ValueError, match="non-empty documents"):
         aggregate(articles, [{"$search": {"moreLikeThis": {"like": [{}]}}}])
+
+
+def test_review_fixes_round5(spark, people, lk_orders, lk_items, articles):
+    # {$all: []} matches NO documents (server semantics)
+    got = aggregate(people, [{"$match": {"tags": {"$all": []}}}]).collect()
+    assert got == []
+    # $dateFromString: null input yields null even with onError set
+    src = spark.createDataFrame([("x", None)], "bad string, d string")
+    (r,) = aggregate(src, [{"$project": {
+        "t": {"$dateFromString": {"dateString": "$d", "format": "%Y-%m-%d",
+                                  "onError": "$bad"}}}}]).collect()
+    assert r.t is None
+    # $lookup concise correlated form: localField/foreignField + pipeline
+    got = aggregate(lk_orders, [
+        {"$lookup": {"from": "items",
+                     "localField": "okey", "foreignField": "ikey",
+                     "pipeline": [{"$match": {"price": {"$gte": 60}}},
+                                  {"$project": {"price": 1}},
+                                  {"$sort": {"price": 1}}],
+                     "as": "m"}},
+        {"$project": {"okey": 1, "n": {"$size": "$m"}}},
+        {"$sort": {"okey": 1}},
+    ], tables={"items": lk_items})
+    assert rows(got) == [(1, 2), (2, 1), (3, 0)]
+    with pytest.raises(ValueError, match="BOTH localField"):
+        aggregate(lk_orders, [{"$lookup": {
+            "from": "items", "localField": "okey",
+            "pipeline": [], "as": "m"}}], tables={"items": lk_items})
+    # fusion boundedness: $limit before a row-multiplying stage is NOT
+    # a bound
+    with pytest.raises(ValueError, match="candidate-bounded"):
+        aggregate(people, [{"$rankFusion": {"key": "id", "input": {
+            "pipelines": {"b": [{"$limit": 3}, {"$unwind": "$tags"},
+                                {"$sort": {"tags": 1}}]}}}}])
+
+
+def test_pipeline_update_project_keeps_present_nulls():
+    from mongo_hadoop_spark.plans.updates import apply_update_pipeline
+
+    doc = {"_id": 1, "a": None, "b": 2}
+    apply_update_pipeline(doc, [{"$project": {"a": 1, "b": 1}}])
+    assert doc == {"_id": 1, "a": None, "b": 2}
+    # a genuinely MISSING field stays missing
+    doc = {"_id": 1, "b": 2}
+    apply_update_pipeline(doc, [{"$project": {"a": 1, "b": 1}}])
+    assert doc == {"_id": 1, "b": 2}

@@ -564,3 +564,27 @@ def test_live_shard_chunk_splitter(spark, tmp_path):
          .option("backend", "live").option("uri", bad)
          .option("client_factory", factory)
          .option("splitter", "shard_chunk").load()).collect()
+
+
+def test_live_shard_chunk_wrong_key_fails_loudly(spark, tmp_path):
+    """A doc-form chunk bound without the configured key must raise —
+    silently unbounded ranges would duplicate every row per chunk."""
+    from mongo_hadoop_spark.sources import register
+    from mongo_hadoop_spark.sources.live_read import StoreBackedCollection
+
+    register(spark)
+    store = str(tmp_path / "wrongkey")
+    StoreBackedCollection(store, "c").insert_many(
+        [{"_id": i, "user_id": i} for i in range(5)])
+    StoreBackedCollection(store, "chunks").insert_many([
+        {"_id": "c-0", "ns": "db.c", "min": {"user_id": 0},
+         "max": {"user_id": 5}, "shard": "s0"}])
+    StoreBackedCollection(store, "shards").insert_many(
+        [{"_id": "s0", "host": "h:27017"}])
+    uri = f"mongodb://localhost/db.c?storePath={store}"
+    with pytest.raises(Exception, match="has no ..?field '_id'|no\\s+field"):
+        (spark.read.format("mongodoc")
+         .option("backend", "live").option("uri", uri)
+         .option("client_factory",
+                 "mongo_hadoop_spark.sources.live_read:store_client")
+         .option("splitter", "shard_chunk").load()).collect()

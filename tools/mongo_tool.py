@@ -111,9 +111,6 @@ def run(props: dict[str, str], show: int, spark=None) -> int:
                           props.get("mongo.client.factory", STORE_FACTORY)))
         writer.mode(mode).save()
     elif out_path:
-        if "mongo.output.collection" not in props:
-            raise SystemExit("mongo.output.path needs "
-                             "mongo.output.collection")
         (df.write.format("mongodoc").option("path", out_path)
          .option("collection", props["mongo.output.collection"])
          .mode(mode).save())
