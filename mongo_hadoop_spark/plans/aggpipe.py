@@ -1871,38 +1871,53 @@ def _stage_out(df: DataFrame, spec, store_path: str | None,
     return df
 
 
-def _subst_new_var(expr, doc: dict):
-    """Replace ``$$new`` / ``$$new.path`` references with literal values
-    from the incoming document.  $merge's $$new is only defined during
-    merge execution — binding it at journal-build time makes the
-    journaled pipeline a legal standalone update command (replayable by
-    pymongo against a real server, which would reject $$new)."""
-    if isinstance(expr, str) and expr == "$$new":
-        return {"$literal": doc}
-    if isinstance(expr, str) and expr.startswith("$$new."):
-        from mongo_hadoop_spark.plans.paths import get_path
-        return {"$literal": get_path(doc, expr[len("$$new."):])}
+def _subst_new_var(expr, doc: dict, let: dict | None = None):
+    """Replace ``$$new`` / ``$$new.path`` / ``$$<letVar>`` references
+    with literal values from the incoming document.  $merge's variables
+    are only defined during merge execution — binding them at
+    journal-build time makes the journaled pipeline a legal standalone
+    update command (replayable by pymongo against a real server, which
+    would reject the variables).  ``let`` expressions (Mongo 5.3
+    $merge.let) evaluate against the SOURCE document via the dict-level
+    evaluator — the same engine that later applies the pipeline."""
+    from mongo_hadoop_spark.plans.paths import get_path
+
+    if isinstance(expr, str) and expr.startswith("$$"):
+        name, _, rest = expr[2:].partition(".")
+        if name == "new":
+            value = doc if not rest else get_path(doc, rest)
+            return {"$literal": value}
+        if let and name in let:
+            from mongo_hadoop_spark.plans.updates import eval_update_expr
+            value = eval_update_expr(let[name], doc)
+            if rest:
+                value = get_path(value, rest) \
+                    if isinstance(value, dict) else None
+            return {"$literal": value}
+        raise ValueError(f"$merge pipeline references undefined variable "
+                         f"$${name} (let: {sorted(let or {})} + new)")
     if isinstance(expr, list):
-        return [_subst_new_var(e, doc) for e in expr]
+        return [_subst_new_var(e, doc, let) for e in expr]
     if isinstance(expr, dict):
-        return {k: _subst_new_var(v, doc) for k, v in expr.items()}
+        return {k: _subst_new_var(v, doc, let) for k, v in expr.items()}
     return expr
 
 
-def _merge_builder(when_matched, upsert: bool, key_cols: list[str]):
+def _merge_builder(when_matched, upsert: bool, key_cols: list[str],
+                   let: dict | None = None):
     from mongo_hadoop_spark.sinks.writers import UpdateSpec
 
     def build(doc: dict) -> UpdateSpec:
         q = {k: doc[k] for k in key_cols}
         rest = {k: v for k, v in doc.items() if k not in key_cols}
         if isinstance(when_matched, list):
-            # whenMatched update pipeline ($$new bound per incoming doc);
-            # on an upsert miss the pipeline runs over the key seed — the
-            # update command's pipeline-upsert semantics (documented
-            # deviation from the server's insert-the-source-doc $merge
-            # behavior, chosen so the journal replays identically through
-            # pymongo's update path)
-            return UpdateSpec(q, _subst_new_var(when_matched, doc),
+            # whenMatched update pipeline ($$new and $$let-vars bound per
+            # incoming doc); on an upsert miss the pipeline runs over the
+            # key seed — the update command's pipeline-upsert semantics
+            # (documented deviation from the server's
+            # insert-the-source-doc $merge behavior, chosen so the
+            # journal replays identically through pymongo's update path)
+            return UpdateSpec(q, _subst_new_var(when_matched, doc, let),
                               upsert=upsert)
         if when_matched == "replace":
             return UpdateSpec(q, dict(doc), upsert=upsert, replace=True)
@@ -1973,7 +1988,8 @@ def _stage_merge(df: DataFrame, spec, store_path: str | None,
         spool = spool_path or tempfile.mkdtemp(prefix="mongo_merge_spool_")
         df.foreachPartition(_UpdateJournalTask(
             spool, coll,
-            _merge_builder(when_matched, when_not == "insert", on_cols)))
+            _merge_builder(when_matched, when_not == "insert", on_cols,
+                           let=spec.get("let"))))
         commit_updates_live(spool, coll, target)
         return df
     if when_matched == "fail":
@@ -1994,7 +2010,8 @@ def _stage_merge(df: DataFrame, spec, store_path: str | None,
     write_documents(df, store_path, coll, mode="update",
                     update_builder=_merge_builder(when_matched,
                                                   when_not == "insert",
-                                                  on_cols))
+                                                  on_cols,
+                                                  let=spec.get("let")))
     apply_pending_updates(store_path, coll)
     return df
 
@@ -2271,6 +2288,7 @@ def _search_clause(op: str, spec: dict):
         should = [next(iter(c.items())) for c in spec.get("should", [])]
         must_not = [next(iter(c.items())) for c in spec.get("mustNot", [])]
         filters = [next(iter(c.items())) for c in spec.get("filter", [])]
+        min_should = int(spec.get("minimumShouldMatch", 0))
         cond, score = F.lit(True), F.lit(0)
         for o, s in must:
             m, sc = _search_clause(o, s)
@@ -2284,14 +2302,21 @@ def _search_clause(op: str, spec: dict):
         if should:
             sh = [(m, sc) for m, sc in (_search_clause(o, s)
                                         for o, s in should)]
-            any_should = sh[0][0]
-            for m, _ in sh[1:]:
-                any_should = any_should | m
+            n_matched = None
+            for m, _ in sh:
+                hit = F.coalesce(m, F.lit(False)).cast("int")
+                n_matched = hit if n_matched is None else n_matched + hit
             for m, sc in sh:
                 score = score + F.when(m, sc).otherwise(F.lit(0))
-            if not (must or filters):
-                # server rule: with no must/filter, ≥1 should must match
-                cond = cond & any_should
+            # server rules: minimumShouldMatch clauses must match; with
+            # no must/filter at least ONE should must match regardless
+            floor_n = max(min_should,
+                          0 if (must or filters) else 1)
+            if floor_n:
+                cond = cond & (n_matched >= F.lit(floor_n))
+        elif min_should:
+            raise ValueError(
+                "minimumShouldMatch needs should clauses")
         return cond, score
     raise ValueError(f"unsupported $search operator {op!r}")
 

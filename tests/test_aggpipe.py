@@ -2108,3 +2108,49 @@ def test_pipeline_update_project_keeps_present_nulls():
     doc = {"_id": 1, "b": 2}
     apply_update_pipeline(doc, [{"$project": {"a": 1, "b": 1}}])
     assert doc == {"_id": 1, "b": 2}
+
+
+def test_compound_minimum_should_match(articles):
+    shoulds = [{"text": {"query": "scan", "path": "body"}},
+               {"text": {"query": "window", "path": "body"}},
+               {"text": {"query": "fast", "path": "body"}}]
+    # doc1 matches scan+fast (2), doc2 matches window (1)
+    got = aggregate(articles, [
+        {"$search": {"compound": {"should": shoulds,
+                                  "minimumShouldMatch": 2}}},
+        {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [1]
+    # with a filter present, minimumShouldMatch still applies
+    got = aggregate(articles, [
+        {"$search": {"compound": {
+            "filter": [{"exists": {"path": "body"}}],
+            "should": shoulds, "minimumShouldMatch": 2}}},
+        {"$project": {"id": 1}}]).collect()
+    assert [r.id for r in got] == [1]
+    with pytest.raises(ValueError, match="needs should"):
+        aggregate(articles, [{"$search": {"compound": {
+            "must": [{"text": {"query": "scan", "path": "body"}}],
+            "minimumShouldMatch": 1}}}])
+
+
+def test_merge_let_variables(spark, tmp_path):
+    from mongo_hadoop_spark.store import DocumentStore
+
+    store = str(tmp_path / "mergelet")
+    base = spark.createDataFrame([(1, 100.0)], "id long, total double")
+    aggregate(base, [{"$out": "acc"}], store_path=store)
+    incoming = spark.createDataFrame([(1, 6.0, 2.0)],
+                                     "id long, total double, w double")
+    aggregate(incoming, [
+        {"$merge": {"into": "acc", "on": "id",
+                    "let": {"wt": {"$multiply": ["$total", "$w"]}},
+                    "whenMatched": [{"$set": {"total": {"$add": [
+                        "$total", "$$wt"]}}}]}}], store_path=store)
+    docs = {d["id"]: d["total"]
+            for d in DocumentStore(store).collection("acc").find()}
+    assert docs == {1: 112.0}
+    with pytest.raises(Exception, match="undefined variable"):
+        aggregate(incoming, [
+            {"$merge": {"into": "acc", "on": "id",
+                        "whenMatched": [{"$set": {
+                            "total": "$$nope"}}]}}], store_path=store)
