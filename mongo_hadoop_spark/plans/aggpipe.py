@@ -1655,12 +1655,13 @@ def _stage_densify(df: DataFrame, spec: dict) -> DataFrame:
     """$densify: materialize missing steps of a numeric or day-stepped
     field so downstream windows/fills see a gapless axis.
 
-    Supported: ``range.bounds`` = "full" (global min..max) or an explicit
-    ``[lo, hi)`` pair; ``range.unit`` absent (numeric) or "day";
-    ``partitionByFields`` optional.  Compiled as sequence()+explode of the
-    step axis per partition key, left-joined against the existing rows —
-    generation is O(#keys × #steps) and never shuffles the fact rows more
-    than the one join."""
+    Supported: ``range.bounds`` = "full" (global min..max), "partition"
+    (each partition's own min..max — one keyed aggregation) or an
+    explicit ``[lo, hi)`` pair; ``range.unit`` absent (numeric) or
+    "day"; ``partitionByFields`` optional.  Compiled as
+    sequence()+explode of the step axis per partition key, left-joined
+    against the existing rows — generation is O(#keys × #steps) and
+    never shuffles the fact rows more than the one join."""
     field = spec["field"]
     rng = spec["range"]
     step = rng["step"]
@@ -1670,7 +1671,14 @@ def _stage_densify(df: DataFrame, spec: dict) -> DataFrame:
         raise ValueError(f"unsupported $densify unit {unit!r}")
 
     fcol = F.col(field)
-    if rng.get("bounds") == "full" or rng.get("bounds") is None:
+    bounds = rng.get("bounds", "full")
+    if bounds == "partition":
+        if not parts:
+            raise ValueError(
+                '$densify bounds:"partition" requires partitionByFields')
+        axis_src = df.groupBy(*parts).agg(F.min(fcol).alias("__lo"),
+                                          F.max(fcol).alias("__hi"))
+    elif bounds == "full" or bounds is None:
         b = df.agg(F.min(fcol).alias("__lo"), F.max(fcol).alias("__hi"))
         axis_src = (df.select(*parts).distinct().crossJoin(F.broadcast(b))
                     if parts else b)

@@ -2154,3 +2154,22 @@ def test_merge_let_variables(spark, tmp_path):
             {"$merge": {"into": "acc", "on": "id",
                         "whenMatched": [{"$set": {
                             "total": "$$nope"}}]}}], store_path=store)
+
+
+def test_densify_partition_bounds(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 4, 40.0), ("b", 7, 70.0), ("b", 8, 80.0)],
+        "grp string, x long, v double")
+    got = aggregate(df, [
+        {"$densify": {"field": "x",
+                      "partitionByFields": ["grp"],
+                      "range": {"step": 1, "bounds": "partition"}}},
+        {"$sort": {"grp": 1, "x": 1}},
+    ]).collect()
+    # each partition densifies over ITS OWN min..max: a → 1..4, b → 7..8
+    assert [(r.grp, r.x, r.v) for r in got] == [
+        ("a", 1, 10.0), ("a", 2, None), ("a", 3, None), ("a", 4, 40.0),
+        ("b", 7, 70.0), ("b", 8, 80.0)]
+    with pytest.raises(ValueError, match="partitionByFields"):
+        aggregate(df, [{"$densify": {
+            "field": "x", "range": {"step": 1, "bounds": "partition"}}}])
