@@ -1932,8 +1932,9 @@ def _merge_builder(when_matched, upsert: bool, key_cols: list[str],
         if when_matched == "merge":
             return UpdateSpec(q, {"$set": rest}, upsert=upsert)
         # keepExisting: only takes effect on insert ($setOnInsert no-ops
-        # against a matched document)
-        return UpdateSpec(q, {"$setOnInsert": dict(doc)}, upsert=True)
+        # against a matched document); upsert follows whenNotMatched
+        # (False under whenNotMatched:fail)
+        return UpdateSpec(q, {"$setOnInsert": dict(doc)}, upsert=upsert)
 
     return build
 
@@ -1975,18 +1976,19 @@ def _stage_merge(df: DataFrame, spec, store_path: str | None,
         raise ValueError("$merge whenMatched pipeline must be non-empty")
     if ((not pipeline_matched and when_matched not in
          ("replace", "merge", "keepExisting", "fail"))
-            or when_not not in ("insert", "discard")
-            or (when_matched == "fail" and when_not == "discard")):
+            or when_not not in ("insert", "discard", "fail")
+            or (when_matched == "fail" and when_not != "insert")
+            or (when_not == "fail" and when_matched == "fail")):
         raise ValueError(
             f"unsupported $merge mode whenMatched={when_matched!r} "
             f"whenNotMatched={when_not!r}")
     if when_matched == "keepExisting" and when_not == "discard":
         return df  # neither side can change anything
     if _is_live_target(store_path):
-        if when_matched == "fail":
+        if when_matched == "fail" or when_not == "fail":
             raise ValueError(
-                "$merge whenMatched:fail is not supported against a live "
-                "target (needs a portable count API); use keepExisting")
+                "$merge whenMatched/whenNotMatched:fail is not supported "
+                "against a live target (needs a portable count API)")
         import tempfile
 
         from mongo_hadoop_spark.sinks.live import commit_updates_live
@@ -2014,6 +2016,30 @@ def _stage_merge(df: DataFrame, spec, store_path: str | None,
             raise ValueError(
                 f"$merge whenMatched:fail — {n_incoming - inserted} incoming "
                 f"documents matched existing ones (existing docs unchanged)")
+        return df
+    if when_not == "fail":
+        # server semantics: error when an incoming doc matches NOTHING;
+        # matched docs are merged first (count-based detection like the
+        # whenMatched:fail path — the upsert half never runs)
+        from mongo_hadoop_spark.store import DocumentStore
+
+        from mongo_hadoop_spark.sinks.writers import _UpdateJournalTask
+
+        n_incoming = df.count()
+        before = DocumentStore(store_path).collection(coll).count()
+        # journal + replay explicitly: write_documents applies the
+        # journal itself, which would leave no stats to read
+        df.foreachPartition(_UpdateJournalTask(
+            store_path, coll,
+            _merge_builder(when_matched, False, on_cols,
+                           let=spec.get("let"))))
+        stats = apply_pending_updates(store_path, coll)
+        if stats["matched"] < n_incoming:
+            raise ValueError(
+                f"$merge whenNotMatched:fail — "
+                f"{n_incoming - stats['matched']} incoming documents "
+                "matched no existing document (matched docs were merged)")
+        assert before == DocumentStore(store_path).collection(coll).count()
         return df
     write_documents(df, store_path, coll, mode="update",
                     update_builder=_merge_builder(when_matched,

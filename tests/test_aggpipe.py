@@ -2173,3 +2173,34 @@ def test_densify_partition_bounds(spark):
     with pytest.raises(ValueError, match="partitionByFields"):
         aggregate(df, [{"$densify": {
             "field": "x", "range": {"step": 1, "bounds": "partition"}}}])
+
+
+def test_merge_when_not_matched_fail(spark, tmp_path):
+    from mongo_hadoop_spark.store import DocumentStore
+
+    store = str(tmp_path / "mergenotfail")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    aggregate(base, [{"$out": "t"}], store_path=store)
+    # all incoming match → merge applies normally
+    ok = spark.createDataFrame([(1, "A")], "id long, v string")
+    aggregate(ok, [{"$merge": {"into": "t", "on": "id",
+                               "whenMatched": "merge",
+                               "whenNotMatched": "fail"}}],
+              store_path=store)
+    docs = {d["id"]: d["v"] for d in DocumentStore(store).collection("t").find()}
+    assert docs == {1: "A", 2: "b"}
+    # a miss raises; nothing is inserted
+    bad = spark.createDataFrame([(2, "B"), (9, "z")], "id long, v string")
+    with pytest.raises(ValueError, match="whenNotMatched:fail"):
+        aggregate(bad, [{"$merge": {"into": "t", "on": "id",
+                                    "whenMatched": "merge",
+                                    "whenNotMatched": "fail"}}],
+                  store_path=store)
+    docs = {d["id"]: d["v"] for d in DocumentStore(store).collection("t").find()}
+    assert docs == {1: "A", 2: "B"} and 9 not in docs
+    # fail × fail is rejected up front
+    with pytest.raises(ValueError, match="unsupported \\$merge mode"):
+        aggregate(bad, [{"$merge": {"into": "t", "on": "id",
+                                    "whenMatched": "fail",
+                                    "whenNotMatched": "fail"}}],
+                  store_path=store)
