@@ -1892,15 +1892,22 @@ def _subst_new_var(expr, doc: dict, let: dict | None = None):
 
     if isinstance(expr, str) and expr.startswith("$$"):
         name, _, rest = expr[2:].partition(".")
-        if name == "new":
-            value = doc if not rest else get_path(doc, rest)
-            return {"$literal": value}
+        if name in ("ROOT", "CURRENT", "REMOVE"):
+            # system variables resolve per TARGET document at replay time
+            # (plans/updates.py eval_update_expr), not per source doc
+            return expr
         if let and name in let:
+            # a user let binding wins — the server's default let is
+            # {new: "$$ROOT"} and an explicit let REPLACES it, so a let
+            # variable named "new" shadows the builtin
             from mongo_hadoop_spark.plans.updates import eval_update_expr
             value = eval_update_expr(let[name], doc)
             if rest:
                 value = get_path(value, rest) \
                     if isinstance(value, dict) else None
+            return {"$literal": value}
+        if name == "new":
+            value = doc if not rest else get_path(doc, rest)
             return {"$literal": value}
         raise ValueError(f"$merge pipeline references undefined variable "
                          f"$${name} (let: {sorted(let or {})} + new)")
@@ -1985,10 +1992,11 @@ def _stage_merge(df: DataFrame, spec, store_path: str | None,
     if when_matched == "keepExisting" and when_not == "discard":
         return df  # neither side can change anything
     if _is_live_target(store_path):
-        if when_matched == "fail" or when_not == "fail":
+        if when_matched == "fail":
             raise ValueError(
-                "$merge whenMatched/whenNotMatched:fail is not supported "
-                "against a live target (needs a portable count API)")
+                "$merge whenMatched:fail is not supported against a live "
+                "target (it must detect matches WITHOUT applying them, "
+                "which bulk_write cannot do); use keepExisting")
         import tempfile
 
         from mongo_hadoop_spark.sinks.live import commit_updates_live
@@ -1996,11 +2004,17 @@ def _stage_merge(df: DataFrame, spec, store_path: str | None,
 
         _uri, target = _live_parts(store_path, coll, client_factory)
         spool = spool_path or tempfile.mkdtemp(prefix="mongo_merge_spool_")
+        n_incoming = df.count() if when_not == "fail" else None
         df.foreachPartition(_UpdateJournalTask(
             spool, coll,
             _merge_builder(when_matched, when_not == "insert", on_cols,
                            let=spec.get("let"))))
-        commit_updates_live(spool, coll, target)
+        stats = commit_updates_live(spool, coll, target)
+        if when_not == "fail" and stats["matched"] < n_incoming:
+            raise ValueError(
+                f"$merge whenNotMatched:fail — "
+                f"{n_incoming - stats['matched']} incoming documents "
+                "matched no existing document (matched docs were merged)")
         return df
     if when_matched == "fail":
         from mongo_hadoop_spark.store import DocumentStore
@@ -2021,25 +2035,16 @@ def _stage_merge(df: DataFrame, spec, store_path: str | None,
         # server semantics: error when an incoming doc matches NOTHING;
         # matched docs are merged first (count-based detection like the
         # whenMatched:fail path — the upsert half never runs)
-        from mongo_hadoop_spark.store import DocumentStore
-
-        from mongo_hadoop_spark.sinks.writers import _UpdateJournalTask
-
         n_incoming = df.count()
-        before = DocumentStore(store_path).collection(coll).count()
-        # journal + replay explicitly: write_documents applies the
-        # journal itself, which would leave no stats to read
-        df.foreachPartition(_UpdateJournalTask(
-            store_path, coll,
-            _merge_builder(when_matched, False, on_cols,
-                           let=spec.get("let"))))
-        stats = apply_pending_updates(store_path, coll)
+        stats = write_documents(
+            df, store_path, coll, mode="update",
+            update_builder=_merge_builder(when_matched, False, on_cols,
+                                          let=spec.get("let")))
         if stats["matched"] < n_incoming:
             raise ValueError(
                 f"$merge whenNotMatched:fail — "
                 f"{n_incoming - stats['matched']} incoming documents "
                 "matched no existing document (matched docs were merged)")
-        assert before == DocumentStore(store_path).collection(coll).count()
         return df
     write_documents(df, store_path, coll, mode="update",
                     update_builder=_merge_builder(when_matched,

@@ -106,6 +106,17 @@ def _t_set(container, key, v) -> None:
 _PIPELINE_NUM = (int, float)
 
 
+class _RemoveSentinel:
+    """``$$REMOVE`` — assigning it in $set/$addFields deletes the field
+    (server semantics)."""
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return "$$REMOVE"
+
+
+REMOVE = _RemoveSentinel()
+
+
 def eval_update_expr(expr, doc: dict):
     """Dict-level aggregation-expression evaluator for pipeline-form
     updates (Mongo 4.2): field paths, literals, and the operator subset
@@ -116,9 +127,16 @@ def eval_update_expr(expr, doc: dict):
     Unsupported operators raise (fail-loud, like the column compiler).
     """
     if isinstance(expr, str) and expr.startswith("$$"):
+        name, _, rest = expr[2:].partition(".")
+        if name in ("ROOT", "CURRENT"):
+            # system variables the server resolves per document
+            return get_path(doc, rest) if rest else dict(doc)
+        if name == "REMOVE":
+            return REMOVE
         raise ValueError(
-            f"unbound pipeline variable {expr} (merge binds $$new at "
-            "build time; no other variables exist at replay time)")
+            f"unbound pipeline variable {expr} (merge binds $$new/let at "
+            "build time; $$ROOT/$$CURRENT/$$REMOVE resolve here; $$NOW "
+            "is non-deterministic and unsupported)")
     if isinstance(expr, str) and expr.startswith("$"):
         return get_path(doc, expr[1:])
     if isinstance(expr, list):
@@ -219,7 +237,11 @@ def apply_update_pipeline(doc: dict, stages: list) -> dict:
         if op in ("$set", "$addFields"):
             snapshot = copy.deepcopy(doc)
             for path, expr in spec.items():
-                set_path(doc, path, eval_update_expr(expr, snapshot))
+                value = eval_update_expr(expr, snapshot)
+                if value is REMOVE:
+                    unset_path(doc, path)
+                else:
+                    set_path(doc, path, value)
         elif op == "$unset":
             for path in ([spec] if isinstance(spec, str) else spec):
                 unset_path(doc, path)

@@ -72,8 +72,10 @@ def write_documents(
     batch_size: int = DEFAULT_BATCH_SIZE,
     ordered: bool = True,
     ensure_indexes: list[tuple[list[tuple[str, int]], dict]] | None = None,
-) -> None:
-    """Write a DataFrame to a collection.
+) -> dict | None:
+    """Write a DataFrame to a collection.  Update modes return
+    :func:`apply_pending_updates`' ``{"matched", "upserted", "applied"}``
+    stats; insert mode returns None.
 
     - ``insert``: every row becomes a document (parallel committed segments).
     - ``update``/``upsert``/``replace``: every row becomes a mutation —
@@ -90,7 +92,7 @@ def write_documents(
 
     if mode == "insert":
         df.foreachPartition(_InsertTask(store_path, collection))
-        return
+        return None
 
     if mode not in ("update", "upsert", "replace"):
         raise ValueError(f"unknown write mode {mode!r}")
@@ -99,7 +101,8 @@ def write_documents(
             raise ValueError("update modes need key_cols or update_builder")
         update_builder = _default_builder(mode, key_cols)
     df.foreachPartition(_UpdateJournalTask(store_path, collection, update_builder))
-    apply_pending_updates(store_path, collection, batch_size=batch_size, ordered=ordered)
+    return apply_pending_updates(store_path, collection,
+                                 batch_size=batch_size, ordered=ordered)
 
 
 def template_update_builder(

@@ -2204,3 +2204,55 @@ def test_merge_when_not_matched_fail(spark, tmp_path):
                                     "whenMatched": "fail",
                                     "whenNotMatched": "fail"}}],
                   store_path=store)
+
+
+def test_merge_system_vars_and_let_shadow(spark, tmp_path):
+    from mongo_hadoop_spark.store import DocumentStore
+
+    store = str(tmp_path / "mergesys")
+    base = spark.createDataFrame([(1, "a", 5.0)],
+                                 "id long, v string, junk double")
+    aggregate(base, [{"$out": "t"}], store_path=store)
+    inc = spark.createDataFrame([(1, "z")], "id long, v string")
+    # $$REMOVE deletes a field; $$ROOT.<path> reads the TARGET doc
+    aggregate(inc, [{"$merge": {"into": "t", "on": "id",
+                                "whenMatched": [
+                                    {"$set": {"junk": "$$REMOVE",
+                                              "old_v": "$$ROOT.v",
+                                              "v": "$$new.v"}}]}}],
+              store_path=store)
+    (doc,) = DocumentStore(store).collection("t").find()
+    assert doc == {"id": 1, "v": "z", "old_v": "a"}
+    # an explicit let named "new" SHADOWS the builtin binding
+    aggregate(inc, [{"$merge": {"into": "t", "on": "id",
+                                "let": {"new": {"$literal": {"v": "LET"}}},
+                                "whenMatched": [
+                                    {"$set": {"v": "$$new.v"}}]}}],
+              store_path=store)
+    (doc,) = DocumentStore(store).collection("t").find()
+    assert doc["v"] == "LET"
+
+
+def test_merge_when_not_matched_fail_live(spark, tmp_path):
+    from mongo_hadoop_spark.sources.live_read import StoreBackedCollection
+
+    dest = str(tmp_path / "livenotfail")
+    uri = f"mongodb://localhost/db.t?storePath={dest}"
+    factory = "mongo_hadoop_spark.sources.live_read:store_client"
+    base = spark.createDataFrame([(1, "a")], "id long, v string")
+    aggregate(base, [{"$out": "t"}], store_path=uri, client_factory=factory)
+    ok = spark.createDataFrame([(1, "A")], "id long, v string")
+    aggregate(ok, [{"$merge": {"into": "t", "on": "id",
+                               "whenMatched": "merge",
+                               "whenNotMatched": "fail"}}],
+              store_path=uri, client_factory=factory,
+              spool_path=str(tmp_path / "sp1"))
+    assert [d["v"] for d in StoreBackedCollection(dest, "t").find({})] == ["A"]
+    bad = spark.createDataFrame([(9, "x")], "id long, v string")
+    with pytest.raises(ValueError, match="whenNotMatched:fail"):
+        aggregate(bad, [{"$merge": {"into": "t", "on": "id",
+                                    "whenMatched": "merge",
+                                    "whenNotMatched": "fail"}}],
+                  store_path=uri, client_factory=factory,
+                  spool_path=str(tmp_path / "sp2"))
+    assert len(list(StoreBackedCollection(dest, "t").find({}))) == 1
