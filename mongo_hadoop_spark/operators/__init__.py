@@ -48,6 +48,7 @@ _HEAD_KEYS = [
     "sketch_ddq_buckets", "sketch_ddq_quantiles",
     "pipeline_match_operators",
     "corpus_nb_token_weights", "corpus_nb_confusion",
+    "pipeline_search_querystring",
     "pipeline_search_bm25", "pipeline_rank_fusion",
     "pipeline_score_fusion", "pipeline_bitwise_flags",
     "pipeline_vector_search", "pipeline_geo_near",

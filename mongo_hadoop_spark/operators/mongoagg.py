@@ -534,6 +534,36 @@ ORDER BY doc_id
 """
 
 
+def pipeline_search_querystring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$search queryString (Lucene boolean syntax): field:term, AND/OR/
+    NOT and parentheses parsed by a recursive-descent mini-parser and
+    compiled to token-membership predicates — constant score, per-row
+    evaluation, zero shuffles beyond the final sort."""
+    documents = table(spark, sf_dir, "documents")
+    return aggregate(documents, [
+        {"$search": {"queryString": {
+            "defaultPath": "text",
+            "query": "stream AND (batch OR merge) AND NOT slow"}}},
+        {"$project": {"doc_id": 1, "lang": 1}},
+        {"$sort": {"doc_id": 1}},
+    ])
+
+
+PIPELINE_SEARCH_QUERYSTRING_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+)
+SELECT doc_id, lang FROM t
+WHERE list_contains(ws, 'stream')
+  AND (list_contains(ws, 'batch') OR list_contains(ws, 'merge'))
+  AND NOT list_contains(ws, 'slow')
+ORDER BY doc_id
+"""
+
+
 def pipeline_match_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Find-language operators beyond comparisons: match-side
     $elemMatch (scalar-element form), $mod, $bitsAllSet and $size —
@@ -1319,6 +1349,7 @@ QUERIES = {
     "pipeline_search_wildcard": pipeline_search_wildcard,
     "pipeline_search_fuzzy": pipeline_search_fuzzy,
     "pipeline_match_operators": pipeline_match_operators,
+    "pipeline_search_querystring": pipeline_search_querystring,
     "pipeline_search_bm25": pipeline_search_bm25,
     "pipeline_rank_fusion": pipeline_rank_fusion,
     "pipeline_score_fusion": pipeline_score_fusion,
@@ -1351,6 +1382,7 @@ ORACLES = {
     "pipeline_search_wildcard": PIPELINE_SEARCH_WILDCARD_SQL,
     "pipeline_search_fuzzy": PIPELINE_SEARCH_FUZZY_SQL,
     "pipeline_match_operators": PIPELINE_MATCH_OPS_SQL,
+    "pipeline_search_querystring": PIPELINE_SEARCH_QUERYSTRING_SQL,
     "pipeline_search_bm25": PIPELINE_SEARCH_BM25_SQL,
     "pipeline_rank_fusion": PIPELINE_RANK_FUSION_SQL,
     "pipeline_score_fusion": PIPELINE_SCORE_FUSION_SQL,

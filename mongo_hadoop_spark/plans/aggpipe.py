@@ -2175,6 +2175,73 @@ def _array_literal(values) -> Column:
 _SEARCH_SCORE_COL = "__search_score__"
 
 
+def _parse_query_string(s: str) -> list:
+    """Parse Lucene query-string syntax into a tiny AST:
+    ``("term", field|None, text)`` / ``("phrase", field|None, text)`` /
+    ``("and"|"or", [nodes])`` / ``("not", node)``.
+
+    Grammar (the $search queryString subset): ``field:term``,
+    ``field:"a phrase"``, AND / OR / NOT (case-sensitive keywords, like
+    Lucene), parentheses; bare whitespace juxtaposition is OR (Lucene's
+    default operator).  Wildcards * and ? are allowed inside terms
+    (token-level matching).  Unbalanced parens / dangling operators
+    raise."""
+    import re as _re
+
+    toks = _re.findall(r'\(|\)|[^\s()"]*"[^"]*"|[^\s()]+', s)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def atom():
+        t = take()
+        if t is None:
+            raise ValueError("queryString: unexpected end of query")
+        if t == "(":
+            node = or_expr()
+            if take() != ")":
+                raise ValueError("queryString: unbalanced parentheses")
+            return node
+        if t == ")":
+            raise ValueError("queryString: unbalanced parentheses")
+        if t == "NOT":
+            return ("not", atom())
+        if t in ("AND", "OR"):
+            raise ValueError(f"queryString: dangling operator {t}")
+        field = None
+        if ":" in t and not t.startswith('"'):
+            field, _, t = t.partition(":")
+        if t.startswith('"') and t.endswith('"') and len(t) >= 2:
+            return ("phrase", field, t[1:-1])
+        return ("term", field, t)
+
+    def and_expr():
+        nodes = [atom()]
+        while peek() == "AND":
+            take()
+            nodes.append(atom())
+        return nodes[0] if len(nodes) == 1 else ("and", nodes)
+
+    def or_expr():
+        nodes = [and_expr()]
+        while peek() is not None and peek() != ")":
+            if peek() == "OR":
+                take()
+            nodes.append(and_expr())
+        return nodes[0] if len(nodes) == 1 else ("or", nodes)
+
+    node = or_expr()
+    if peek() is not None:
+        raise ValueError("queryString: trailing tokens")
+    return node
+
+
 def _search_clause(op: str, spec: dict):
     """Compile one $search operator to (match Column, score Column).
 
@@ -2202,6 +2269,52 @@ def _search_clause(op: str, spec: dict):
     def paths(p):
         return p if isinstance(p, list) else [p]
 
+    if op == "queryString":
+        # Lucene query-string syntax over analyzed tokens: field:term,
+        # field:"a phrase", AND/OR/NOT, parens, token-level */?
+        # wildcards; terms without a field use defaultPath.  Constant
+        # score 1 (documented — boolean structure has no tf meaning).
+        import re as _re
+
+        default = spec["defaultPath"]
+        ast = _parse_query_string(str(spec["query"]))
+
+        def term_cond(field, text, phrase):
+            words = tokenize(F.lower(F.col(field or default)))
+            low = text.lower()
+            if phrase:
+                stream = F.concat_ws(" ", words)
+                needle = " ".join(low.split())
+                return F.instr(stream, needle) > 0
+            if "*" in low or "?" in low:
+                pat = "^" + "".join(
+                    ".*" if ch == "*" else "." if ch == "?"
+                    else _re.escape(ch) for ch in low) + "$"
+
+                def _like(p):
+                    # 1-arg closure (default-arg would become the
+                    # element index under pyspark's 2-arg lambda rule)
+                    return lambda w: w.rlike(p)
+
+                return F.exists(words, _like(pat))
+            return F.array_contains(words, low)
+
+        def compile_node(node):
+            kind = node[0]
+            if kind == "term":
+                return term_cond(node[1], node[2], phrase=False)
+            if kind == "phrase":
+                return term_cond(node[1], node[2], phrase=True)
+            if kind == "not":
+                return ~F.coalesce(compile_node(node[1]), F.lit(False))
+            parts = [compile_node(n) for n in node[1]]
+            out = parts[0]
+            for p in parts[1:]:
+                out = (out & p) if kind == "and" else (out | p)
+            return out
+
+        cond = compile_node(ast)
+        return cond, F.lit(1)
     if op == "moreLikeThis":
         # Atlas extracts representative terms from the like documents'
         # fields (via the index); here every string field of every like

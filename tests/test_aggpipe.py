@@ -2256,3 +2256,27 @@ def test_merge_when_not_matched_fail_live(spark, tmp_path):
                   store_path=uri, client_factory=factory,
                   spool_path=str(tmp_path / "sp2"))
     assert len(list(StoreBackedCollection(dest, "t").find({}))) == 1
+
+
+def test_search_query_string(articles):
+    def run(q, default="body"):
+        return sorted(r.id for r in aggregate(articles, [
+            {"$search": {"queryString": {"defaultPath": default,
+                                         "query": q}}},
+            {"$project": {"id": 1}}]).collect())
+
+    assert run("scan") == [1]
+    assert run("scan OR window") == [1, 2]
+    assert run("scan window") == [1, 2]            # bare juxtaposition = OR
+    assert run("scan AND slow") == [1]
+    assert run("scan AND NOT slow") == []
+    assert run("(scan OR window) AND NOT body:beats") == [2]
+    assert run('body:"slow scan"') == [1]
+    assert run("wind*") == [2]
+    assert run("sc?n") == [1]
+    with pytest.raises(ValueError, match="unbalanced"):
+        run("(scan OR window")
+    with pytest.raises(ValueError, match="dangling operator"):
+        run("AND scan")
+    with pytest.raises(ValueError, match="unexpected end"):
+        run("scan AND NOT")
