@@ -2280,3 +2280,44 @@ def test_search_query_string(articles):
         run("AND scan")
     with pytest.raises(ValueError, match="unexpected end"):
         run("scan AND NOT")
+
+
+def test_query_string_parser_roundtrip_property():
+    """Property pin for the queryString parser: render a random AST to
+    Lucene syntax, parse it back, and require the SAME AST (modulo the
+    n-ary flattening the renderer avoids by always parenthesizing)."""
+    import random
+
+    from mongo_hadoop_spark.plans.aggpipe import _parse_query_string
+
+    rng = random.Random(11)
+    words = ["scan", "merge", "batch", "wind*", "sc?n", "row"]
+    fields = [None, "body", "title"]
+
+    def gen(depth):
+        r = rng.random()
+        if depth >= 3 or r < 0.45:
+            f = rng.choice(fields)
+            if rng.random() < 0.2:
+                return ("phrase", f, f"{rng.choice(words)} {rng.choice(words)}")
+            return ("term", f, rng.choice(words))
+        if r < 0.6:
+            return ("not", gen(depth + 1))
+        kind = rng.choice(["and", "or"])
+        return (kind, [gen(depth + 1) for _ in range(rng.randint(2, 3))])
+
+    def render(node):
+        kind = node[0]
+        if kind == "term":
+            return (f"{node[1]}:{node[2]}" if node[1] else node[2])
+        if kind == "phrase":
+            body = f'"{node[2]}"'
+            return f"{node[1]}:{body}" if node[1] else body
+        if kind == "not":
+            return f"NOT {render(node[1])}"
+        joiner = " AND " if kind == "and" else " OR "
+        return "(" + joiner.join(render(n) for n in node[1]) + ")"
+
+    for _ in range(300):
+        ast = gen(0)
+        assert _parse_query_string(render(ast)) == ast, render(ast)
