@@ -289,8 +289,12 @@ def _nb_model(spark: SparkSession, sf_dir: str):
     scores documents IS the model whose weights are published)."""
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism)
+    # lower() before tokenizing — the DuckDB oracle (_NB_SQL) does the
+    # same, and a case-sensitive model would silently diverge from it on
+    # any mixed-case corpus (the synthetic one is all-lowercase).
     toks = _nb_label(d).select(
-        "doc_id", "label", F.explode(tokenize("text")).alias("term"))
+        "doc_id", "label",
+        F.explode(tokenize(F.lower(F.col("text")))).alias("term"))
     per_term = toks.groupBy("term").agg(
         F.sum("label").alias("c_pos"),
         F.sum(F.lit(1) - F.col("label")).alias("c_neg"))

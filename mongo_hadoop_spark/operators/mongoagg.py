@@ -515,16 +515,17 @@ WITH t AS (
   SELECT doc_id, lang, n_chars,
          list_filter(string_split_regex(lower(text), '\s+'),
                      x -> x <> '') AS ws,
-         array_to_string(list_filter(string_split_regex(lower(text), '\s+'),
-                                     x -> x <> ''), ' ') AS stream
+         '  ' || array_to_string(
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> ''), '  ') || '  ' AS stream
   FROM documents
 ),
 scored AS (
   SELECT doc_id, lang, n_chars,
          (len(list_filter(ws, x -> x = 'scan'))
           + len(list_filter(ws, x -> x = 'window')))::double AS score,
-         (length(stream) - length(replace(stream, 'slow merge', '')))
-           / length('slow merge') AS phrase_hits
+         (length(stream) - length(replace(stream, ' slow  merge ', '')))
+           / length(' slow  merge ') AS phrase_hits
   FROM t
 )
 SELECT doc_id, lang, score

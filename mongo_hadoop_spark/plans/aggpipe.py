@@ -1962,6 +1962,11 @@ def _stage_merge(df: DataFrame, spec, store_path: str | None,
     here matches are detected by insert-count accounting after a
     keepExisting-style replay — existing documents are never modified,
     all non-matching documents land, and the stage then raises.
+    ``whenNotMatched: fail`` is the mirror image: matched documents are
+    merged first, then the stage raises if any incoming document
+    matched nothing (partial-merge-then-raise, same accounting).  Both
+    fail modes pin (persist) the input so the counted frame and the
+    merged frame are the same rows even for non-deterministic sources.
 
     ``store_path`` may be a ``mongodb://`` URI: mutations are journaled
     distributed into a spool store (``spool_path`` — the MongoRecordWriter
@@ -2004,47 +2009,65 @@ def _stage_merge(df: DataFrame, spec, store_path: str | None,
 
         _uri, target = _live_parts(store_path, coll, client_factory)
         spool = spool_path or tempfile.mkdtemp(prefix="mongo_merge_spool_")
-        n_incoming = df.count() if when_not == "fail" else None
-        df.foreachPartition(_UpdateJournalTask(
-            spool, coll,
-            _merge_builder(when_matched, when_not == "insert", on_cols,
-                           let=spec.get("let"))))
-        stats = commit_updates_live(spool, coll, target)
-        if when_not == "fail" and stats["matched"] < n_incoming:
-            raise ValueError(
-                f"$merge whenNotMatched:fail — "
-                f"{n_incoming - stats['matched']} incoming documents "
-                "matched no existing document (matched docs were merged)")
+        if when_not == "fail":
+            # pin df: count and journal replay must see the SAME rows
+            # even when the source is non-deterministic
+            df = df.persist()
+        try:
+            n_incoming = df.count() if when_not == "fail" else None
+            df.foreachPartition(_UpdateJournalTask(
+                spool, coll,
+                _merge_builder(when_matched, when_not == "insert", on_cols,
+                               let=spec.get("let"))))
+            stats = commit_updates_live(spool, coll, target)
+            if when_not == "fail" and stats["matched"] < n_incoming:
+                raise ValueError(
+                    f"$merge whenNotMatched:fail — "
+                    f"{n_incoming - stats['matched']} incoming documents "
+                    "matched no existing document (matched docs were merged)")
+        finally:
+            if when_not == "fail":
+                df.unpersist()
         return df
     if when_matched == "fail":
         from mongo_hadoop_spark.store import DocumentStore
 
-        n_incoming = df.count()
-        before = DocumentStore(store_path).collection(coll).count()
-        write_documents(df, store_path, coll, mode="update",
-                        update_builder=_merge_builder("keepExisting", True,
-                                                      on_cols))
-        apply_pending_updates(store_path, coll)
-        inserted = DocumentStore(store_path).collection(coll).count() - before
-        if inserted < n_incoming:
-            raise ValueError(
-                f"$merge whenMatched:fail — {n_incoming - inserted} incoming "
-                f"documents matched existing ones (existing docs unchanged)")
+        df = df.persist()   # count and replay must see the SAME rows
+        try:
+            n_incoming = df.count()
+            before = DocumentStore(store_path).collection(coll).count()
+            write_documents(df, store_path, coll, mode="update",
+                            update_builder=_merge_builder("keepExisting",
+                                                          True, on_cols))
+            apply_pending_updates(store_path, coll)
+            inserted = (DocumentStore(store_path).collection(coll).count()
+                        - before)
+            if inserted < n_incoming:
+                raise ValueError(
+                    f"$merge whenMatched:fail — {n_incoming - inserted} "
+                    "incoming documents matched existing ones (existing "
+                    "docs unchanged)")
+        finally:
+            df.unpersist()
         return df
     if when_not == "fail":
         # server semantics: error when an incoming doc matches NOTHING;
         # matched docs are merged first (count-based detection like the
         # whenMatched:fail path — the upsert half never runs)
-        n_incoming = df.count()
-        stats = write_documents(
-            df, store_path, coll, mode="update",
-            update_builder=_merge_builder(when_matched, False, on_cols,
-                                          let=spec.get("let")))
-        if stats["matched"] < n_incoming:
-            raise ValueError(
-                f"$merge whenNotMatched:fail — "
-                f"{n_incoming - stats['matched']} incoming documents "
-                "matched no existing document (matched docs were merged)")
+        df = df.persist()   # count and replay must see the SAME rows
+        try:
+            n_incoming = df.count()
+            stats = write_documents(
+                df, store_path, coll, mode="update",
+                update_builder=_merge_builder(when_matched, False, on_cols,
+                                              let=spec.get("let")))
+            if stats["matched"] < n_incoming:
+                raise ValueError(
+                    f"$merge whenNotMatched:fail — "
+                    f"{n_incoming - stats['matched']} incoming documents "
+                    "matched no existing document (matched docs were merged)")
+        finally:
+            df.unpersist()
         return df
     write_documents(df, store_path, coll, mode="update",
                     update_builder=_merge_builder(when_matched,
@@ -2283,9 +2306,15 @@ def _search_clause(op: str, spec: dict):
             words = tokenize(F.lower(F.col(field or default)))
             low = text.lower()
             if phrase:
+                # space-anchor both sides so the phrase matches whole
+                # tokens only (Lucene token-phrase semantics): without
+                # the anchors 'cat dog' would match ['concat','dogs']
+                # across token boundaries.  Tokens never contain spaces
+                # (split on \s+), so the anchor is sound.
                 stream = F.concat_ws(" ", words)
                 needle = " ".join(low.split())
-                return F.instr(stream, needle) > 0
+                return F.instr(F.concat(F.lit(" "), stream, F.lit(" ")),
+                               " " + needle + " ") > 0
             if "*" in low or "?" in low:
                 pat = "^" + "".join(
                     ".*" if ch == "*" else "." if ch == "?"
@@ -2307,10 +2336,28 @@ def _search_clause(op: str, spec: dict):
                 return term_cond(node[1], node[2], phrase=True)
             if kind == "not":
                 return ~F.coalesce(compile_node(node[1]), F.lit(False))
+            if kind == "or":
+                # Lucene classic semantics: inside an OR (or bare
+                # juxtaposition) group, NOT clauses are prohibitions
+                # (MUST_NOT) of the whole group, not OR'd alternatives
+                # — 'a NOT b' / 'a OR NOT b' mean (a) AND NOT (b).  A
+                # pure-negative group is the conjunction of its
+                # prohibitions.  AND groups get this for free (an
+                # AND'd negation IS a prohibition).
+                pos = [compile_node(n) for n in node[1]
+                       if n[0] != "not"]
+                neg = [compile_node(n) for n in node[1]
+                       if n[0] == "not"]
+                out = None
+                for p in pos:
+                    out = p if out is None else out | p
+                for q in neg:   # q is already the negated condition
+                    out = q if out is None else out & q
+                return out
             parts = [compile_node(n) for n in node[1]]
             out = parts[0]
             for p in parts[1:]:
-                out = (out & p) if kind == "and" else (out | p)
+                out = out & p
             return out
 
         cond = compile_node(ast)
@@ -2389,11 +2436,21 @@ def _search_clause(op: str, spec: dict):
                 score = score + F.size(F.filter(words, pred))
         return score > 0, score
     if op == "phrase":
-        # consecutive-token match on the normalized token stream
-        needle = " ".join(str(spec["query"]).lower().split())
+        # consecutive-token match on the normalized token stream.
+        # Boundary anchoring (Lucene token-phrase semantics): tokens are
+        # joined with DOUBLE spaces and the needle is single-space-
+        # padded with double spaces between words, so (a) a phrase can
+        # never match across token boundaries ('cat dog' vs
+        # ['concat','dogs']) and (b) back-to-back occurrences don't
+        # share a separator and are both counted by the non-overlapping
+        # replace().  Tokens never contain spaces (split on \s+).
+        needle = " " + "  ".join(str(spec["query"]).lower().split()) + " "
         score = F.lit(0)
         for p in paths(spec["path"]):
-            stream = F.concat_ws(" ", tokenize(F.lower(F.col(p))))
+            stream = F.concat(
+                F.lit("  "),
+                F.concat_ws("  ", tokenize(F.lower(F.col(p)))),
+                F.lit("  "))
             # occurrences of the phrase in the token stream
             occ = ((F.length(stream)
                     - F.length(F.replace(stream, F.lit(needle), F.lit(""))))

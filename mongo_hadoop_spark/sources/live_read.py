@@ -120,6 +120,13 @@ class StoreBackedCollection:
     def find(self, filter: dict | None = None, projection=None) -> StoreCursor:
         return StoreCursor(self._coll, filter, projection)
 
+    def find_one(self, filter: dict | None = None, projection=None):
+        """pymongo parity: first matching document or None (used by the
+        shard_chunk splitter's config.collections uuid resolution)."""
+        for doc in self.find(filter, projection):
+            return doc
+        return None
+
     def count_documents(self, filter: dict | None = None) -> int:
         return self._coll.count(filter)
 

@@ -427,9 +427,19 @@ class LiveDocumentReader(DocumentReader):
         ns = f"{parsed.database}.{parsed.collection}"
         chunks = list(client["config"]["chunks"].find({"ns": ns}))
         if not chunks:
+            # MongoDB 5.0+ keys config.chunks by collection uuid, not
+            # ns: resolve the uuid through config.collections and retry
+            # (SERVER-53105; pre-5.0 servers simply have no uuid row).
+            coll = client["config"]["collections"].find_one({"_id": ns})
+            uuid = coll.get("uuid") if coll else None
+            if uuid is not None:
+                chunks = list(
+                    client["config"]["chunks"].find({"uuid": uuid}))
+        if not chunks:
             raise ValueError(
                 f"splitter=shard_chunk: no config.chunks entries for "
-                f"{ns} (collection not sharded?)")
+                f"{ns} by ns or by config.collections uuid — collection "
+                f"not sharded, or the URI database/collection is wrong")
 
         from mongo_hadoop_spark import bsonio
 

@@ -2321,3 +2321,44 @@ def test_query_string_parser_roundtrip_property():
     for _ in range(300):
         ast = gen(0)
         assert _parse_query_string(render(ast)) == ast, render(ast)
+
+
+def test_search_querystring_not_is_prohibition(articles):
+    """Regression (round-6 advice): Lucene classic parsing makes NOT
+    clauses MUST_NOT of the enclosing boolean group — 'a NOT b' means
+    (a) AND NOT (b), never a OR (NOT b)."""
+    def run(q):
+        return sorted(r.id for r in aggregate(articles, [
+            {"$search": {"queryString": {"defaultPath": "body",
+                                         "query": q}}},
+            {"$project": {"id": 1}}]).collect())
+
+    assert run("scan NOT slow") == []          # doc 1 has 'slow'
+    assert run("window NOT slow") == [2]
+    assert run("scan OR window NOT slow") == [2]
+    # pure-negative group = conjunction of prohibitions (null body
+    # fails no prohibition, so doc 4 qualifies)
+    assert run("NOT slow NOT nothing") == [2, 4]
+    # explicit AND NOT unchanged
+    assert run("scan AND NOT beats") == []
+
+
+def test_search_phrase_token_boundaries(spark):
+    """Regression (round-6 advice): phrase matching is token-anchored —
+    'cat dog' must not match ['concat','dogs'] or ['cat','dogma'] —
+    and back-to-back occurrences are each counted."""
+    df = spark.createDataFrame(
+        [(1, "concat dogs"), (2, "cat dog"), (3, "cat dog cat dog"),
+         (4, "the cat dogma")],
+        "id long, body string")
+    got = aggregate(df, [
+        {"$search": {"phrase": {"query": "cat dog", "path": "body"}}},
+        {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+    ]).collect()
+    assert {r.id: r.score for r in got} == {2: 1, 3: 2}
+    # queryString phrases follow the same boundary rule
+    got = aggregate(df, [
+        {"$search": {"queryString": {"defaultPath": "body",
+                                     "query": 'body:"cat dog"'}}},
+        {"$project": {"id": 1}}]).collect()
+    assert sorted(r.id for r in got) == [2, 3]

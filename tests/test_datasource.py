@@ -588,3 +588,48 @@ def test_live_shard_chunk_wrong_key_fails_loudly(spark, tmp_path):
          .option("client_factory",
                  "mongo_hadoop_spark.sources.live_read:store_client")
          .option("splitter", "shard_chunk").load()).collect()
+
+
+def test_live_shard_chunk_uuid_keyed_chunks(spark, tmp_path):
+    """MongoDB 5.0+ keys config.chunks by collection uuid instead of ns
+    (SERVER-53105): the splitter must resolve the uuid through
+    config.collections and find the same chunks."""
+    from mongo_hadoop_spark.sources import register
+    from mongo_hadoop_spark.sources.live_read import StoreBackedCollection
+
+    register(spark)
+    store = str(tmp_path / "uuiddb")
+    StoreBackedCollection(store, "c").insert_many(
+        [{"_id": i, "k": i} for i in range(40)])
+    StoreBackedCollection(store, "collections").insert_many([
+        {"_id": "db.c", "uuid": "u-123"},
+        {"_id": "db.other", "uuid": "u-999"},
+    ])
+    StoreBackedCollection(store, "chunks").insert_many([
+        {"_id": "c-0", "uuid": "u-123", "min": None, "max": {"k": 20},
+         "shard": "s0"},
+        {"_id": "c-1", "uuid": "u-123", "min": {"k": 20}, "max": None,
+         "shard": "s1"},
+        {"_id": "x", "uuid": "u-999", "min": None, "max": None,
+         "shard": "s0"},
+    ])
+    StoreBackedCollection(store, "shards").insert_many([
+        {"_id": "s0", "host": "h1:27017"}, {"_id": "s1", "host": "h2:27017"},
+    ])
+    uri = f"mongodb://localhost/db.c?storePath={store}"
+    df = (spark.read.format("mongodoc")
+          .option("backend", "live").option("uri", uri)
+          .option("client_factory",
+                  "mongo_hadoop_spark.sources.live_read:store_client")
+          .option("splitter", "shard_chunk").option("key", "k")
+          .load())
+    assert df.rdd.getNumPartitions() == 2
+    assert sorted(r["k"] for r in df.collect()) == list(range(40))
+    # a namespace absent from both chunks and collections still fails
+    bad = f"mongodb://localhost/db.shards?storePath={store}"
+    with pytest.raises(Exception, match="config.chunks"):
+        (spark.read.format("mongodoc")
+         .option("backend", "live").option("uri", bad)
+         .option("client_factory",
+                 "mongo_hadoop_spark.sources.live_read:store_client")
+         .option("splitter", "shard_chunk").load()).collect()

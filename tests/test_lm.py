@@ -102,3 +102,37 @@ def test_bigram_mean_surprisal_in_information_range(spark):
     )
     mean = sum(scores.values()) / len(scores)
     assert 0 < mean < n_bi.bit_length() + 1
+
+
+def test_nb_model_mixed_case_matches_oracle(spark, tmp_path):
+    """Regression (round-6 advice): the Spark NB model must lower() text
+    before tokenizing exactly like the _NB_SQL oracle — on a mixed-case
+    corpus a case-sensitive model silently diverges (the synthetic
+    corpus is all-lowercase, so only this pin catches it)."""
+    import duckdb
+
+    from mongo_hadoop_spark.oracle import compare
+    from mongo_hadoop_spark.operators.lm import (
+        corpus_nb_token_weights, NB_TOKEN_WEIGHTS_SQL,
+        corpus_nb_confusion, NB_CONFUSION_SQL)
+
+    texts = [
+        "Window SCAN window merge",          # mixed case on purpose
+        "WINDOW scan MERGE batch slow",
+        "the The THE stream Stream row",
+        "Batch BATCH batch scan window",
+    ]
+    # two docs in the positive length band need >= 150 chars
+    texts = [t + " pad" * 40 for t in texts[:2]] + texts[2:]
+    sf = _write_docs(spark, tmp_path, texts)
+    duck = duckdb.connect()
+    duck.execute("CREATE VIEW documents AS SELECT * FROM "
+                 f"read_parquet('{sf}/documents.parquet/*.parquet')")
+    try:
+        for fn, sql in [(corpus_nb_token_weights, NB_TOKEN_WEIGHTS_SQL),
+                        (corpus_nb_confusion, NB_CONFUSION_SQL)]:
+            res = compare(fn.__name__, fn(spark, sf),
+                          duck.execute(sql).fetchdf())
+            assert res.ok, str(res)
+    finally:
+        duck.close()
