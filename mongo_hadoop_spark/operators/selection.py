@@ -176,47 +176,54 @@ def corpus_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents by importance weight.
 
     DSIR resamples ∝ weight; the deterministic, oracle-checkable
-    formulation here keeps the top 25% by ``avg_q20_per_token`` (ntile
-    with doc_id tiebreak, like corpus_perplexity_buckets) and reports how
-    the selected set tilts toward the target domain vs the raw corpus —
-    columns: lang, n_docs_raw, n_docs_selected, selected_tokens.
-    """
-    from pyspark.sql import Window
+    formulation keeps documents whose ``avg_q20_per_token`` is strictly
+    above the 75th-percentile cut and reports how the selected set tilts
+    toward the target domain vs the raw corpus — columns: lang,
+    n_docs_raw, n_docs_selected, selected_tokens.
 
+    Scale shape: a global ``ntile(4)`` window would serialize every
+    document through ONE task (the round-5 verdict's scale-killer);
+    instead the cut point is one ``percentile_disc`` aggregate
+    (map-side partial) broadcast back as a 1-row join, so selection is
+    a pure map — the ``window_spend_quartiles`` pattern.  Boundary
+    convention: documents tied exactly at the cut are NOT selected
+    (strictly-above, quantile semantics) — the score is the identical
+    IEEE division in both engines, so the threshold and every
+    comparison are bit-for-bit reproducible.
+    """
     w = corpus_dsir_weights(spark, sf_dir)
-    order = Window.orderBy(
-        F.col("avg_q20_per_token").desc(), F.col("doc_id").asc()
-    )
-    tiled = w.select(
-        "doc_id", "lang", "n_tokens", F.ntile(4).over(order).alias("tile")
-    )
+    w.createOrReplaceTempView("__dsir_weights")
+    cut = spark.sql("""
+        SELECT percentile_disc(CAST(3 AS DOUBLE)/4)
+                 WITHIN GROUP (ORDER BY avg_q20_per_token) AS q3
+        FROM __dsir_weights
+    """)
+    sel = F.col("avg_q20_per_token") > F.col("q3")
     return (
-        tiled.groupBy("lang")
+        w.crossJoin(F.broadcast(cut))
+        .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs_raw"),
-            F.sum(F.when(F.col("tile") == 1, 1).otherwise(0)).alias(
-                "n_docs_selected"
+            F.sum(F.when(sel, 1).otherwise(0)).alias("n_docs_selected"),
+            F.sum(F.when(sel, F.col("n_tokens")).otherwise(0)).alias(
+                "selected_tokens"
             ),
-            F.sum(
-                F.when(F.col("tile") == 1, F.col("n_tokens")).otherwise(0)
-            ).alias("selected_tokens"),
         )
     )
 
 
 DSIR_SELECTED_SQL = f"""
 WITH {_DSIR_CORE_SQL.lstrip()},
-  tiled AS (
-    SELECT doc_id, lang, n_tokens,
-           ntile(4) OVER (ORDER BY avg_q20_per_token DESC, doc_id ASC)
-             AS tile
+  cut AS (
+    SELECT quantile_disc(avg_q20_per_token, 3::double/4) AS q3
     FROM weights
   )
 SELECT lang, count(*) AS n_docs_raw,
-       sum(CASE WHEN tile = 1 THEN 1 ELSE 0 END)::bigint AS n_docs_selected,
-       sum(CASE WHEN tile = 1 THEN n_tokens ELSE 0 END)::bigint
+       sum(CASE WHEN avg_q20_per_token > q3 THEN 1 ELSE 0 END)::bigint
+         AS n_docs_selected,
+       sum(CASE WHEN avg_q20_per_token > q3 THEN n_tokens ELSE 0 END)::bigint
          AS selected_tokens
-FROM tiled GROUP BY lang
+FROM weights CROSS JOIN cut GROUP BY lang
 """
 
 

@@ -47,16 +47,21 @@ def test_surprisal_is_bitlen_exact(spark, tmp_path):
 
 
 def test_buckets_partition_corpus(spark):
-    """head/middle/tail cover every doc exactly once and head has the
-    lowest average surprisal."""
+    """Buckets cover every doc exactly once with monotone average
+    surprisal.  Threshold (quantile) semantics: docs tied at a cut share
+    the lower bucket, so a tie-dominated corpus (sf0.001 has 475/500
+    docs at exactly 5.0 bits) may legitimately leave 'middle' empty —
+    the distribution-correct behavior, unlike ntile's remainder split."""
     b = {r["bucket"]: r for r in
          lm.corpus_perplexity_buckets(spark, SF_SMOKE).collect()}
-    assert set(b) == {"head", "middle", "tail"}
+    assert set(b) <= {"head", "middle", "tail"}
+    assert "head" in b
     total = sum(r["n_docs"] for r in b.values())
     n_docs = lm.text_unigram_surprisal(spark, SF_SMOKE).count()
     assert total == n_docs
-    assert b["head"]["avg_surprisal_bits"] <= b["middle"]["avg_surprisal_bits"]
-    assert b["middle"]["avg_surprisal_bits"] <= b["tail"]["avg_surprisal_bits"]
+    order = [b[k]["avg_surprisal_bits"] for k in ("head", "middle", "tail")
+             if k in b]
+    assert order == sorted(order)
 
 
 def test_lm_plan_vocab_broadcast(spark):

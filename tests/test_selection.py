@@ -36,10 +36,26 @@ def test_dsir_selected_partitions_raw_counts(spark):
     total_raw = sum(r["n_docs_raw"] for r in sel)
     total_sel = sum(r["n_docs_selected"] for r in sel)
     assert total_raw == 500
-    # ntile(4) tile 1 holds ceil(n/4) rows
+    # strictly above the percentile_disc(0.75) cut: exactly n/4 when the
+    # 500 per-doc scores are tie-free at the boundary (they are here)
     assert total_sel == 125
     for r in sel:
         assert 0 <= r["n_docs_selected"] <= r["n_docs_raw"]
+
+
+def test_threshold_rewrites_have_no_window_operator(spark):
+    """Round-6 verdict item 1: corpus_dsir_selected and
+    corpus_perplexity_buckets must carry NO Window operator at all —
+    the global single-partition ntile was the last scale-killer; the
+    threshold formulation is aggregate + broadcast join + map."""
+    from mongo_hadoop_spark.operators.lm import corpus_perplexity_buckets
+
+    for fn in (selection.corpus_dsir_selected, corpus_perplexity_buckets):
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Window" not in plan, fn.__name__
+        assert "percentile_disc" in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
 
 
 def test_priority_sample_size_and_estimator_bounds(spark):
