@@ -42,6 +42,17 @@ EMB_DIM = 64      # embeddings.parquet vector width
 JL_DIMS = 8       # projected dimensionality
 
 
+def _dlit(v: float) -> str:
+    """Exact double literal for BOTH SQL dialects.  A plain decimal
+    literal (``-0.009130519425199999``) parses as DECIMAL in DuckDB
+    first — silently losing low bits even under ``::double`` — while an
+    exponent-suffixed literal parses directly as DOUBLE (correctly
+    rounded, round-trips repr exactly); Spark treats exponent literals
+    as DOUBLE too."""
+    s = repr(float(v))
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+
 def _jl_sign(k: int, i: int) -> int:
     """Deterministic ±1 from md5("jl:k:i") — computed at plan-build time
     so both engines see the same literal matrix (an oblivious seeded
@@ -95,7 +106,9 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each output dimension is one left-to-right double fold against a ±1
     literal row of the sign matrix — identical accumulation order to
     DuckDB's ``list_dot_product``, so values are bit-equal.  No shuffle;
-    the plan is a pure map over the scan.
+    the plan is a pure map over the scan (no output sort: the driver's
+    compare is order-insensitive, and a global orderBy over the full
+    projection would be a pointless total-sort shuffle at 100 TB).
     """
     emb = table(spark, sf_dir, "embeddings")
     cols = [F.col("vec_id")]
@@ -108,7 +121,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" cast(0.0 AS double), (acc, x) -> acc + x)")
         cols.append(
             (F.expr(fold) / F.lit(float(JL_DIMS) ** 0.5)).alias(f"p{k}"))
-    return emb.select(*cols).orderBy("vec_id")
+    return emb.select(*cols)
 
 
 def _jl_sql() -> str:
@@ -119,7 +132,7 @@ def _jl_sql() -> str:
             f"list_dot_product(list_transform(embedding, x -> x::double),"
             f" {signs}::double[]) / sqrt({float(JL_DIMS)!r}) AS p{k}")
     return ("SELECT vec_id, " + ", ".join(exprs)
-            + " FROM embeddings ORDER BY vec_id")
+            + " FROM embeddings")
 
 
 PCA_DIMS = 8      # whitened output dimensionality
@@ -174,32 +187,86 @@ def pca_model(spark: SparkSession, sf_dir: str):
     return mu, comps.tolist(), eigvals[order].tolist()
 
 
-def embedding_pca_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA-whitened embeddings: y_k = (w_k · (v − μ)) / sqrt(λ_k + ε).
+def embedding_pca_whitened_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fitted PCA whitening: y_k = (w_k · (v − μ)) / sqrt(λ_k + ε)
+    with the model fitted on ``sf_dir`` itself (``pca_model``).
 
-    Second pass: the fitted model is embedded as literal arrays (the
-    broadcast-small-model pattern), so the projection is a pure map —
-    one mean-subtraction zip and ``PCA_DIMS`` folds per row, no shuffle.
-
-    No DuckDB oracle: the eigendecomposition has no SQL equivalent —
-    the rows-only driver check applies; the whitening *property*
-    (diagonal unit covariance of the output) is pinned by pytest
-    computing the output second moments in Spark itself.
+    The fitted model is embedded as literal arrays (the broadcast-small-
+    model pattern), so the projection is a pure map — one mean-
+    subtraction zip and ``PCA_DIMS`` folds per row, no shuffle.  The fit
+    itself has no SQL equivalent (eigh), so this corpus-adaptive variant
+    is the Python API; the registry entry ``embedding_pca_whitened``
+    applies the FROZEN pretrained model instead and hash-gates fully.
     """
     mu, comps, eigvals = pca_model(spark, sf_dir)
-    emb = table(spark, sf_dir, "embeddings")
-    mu_sql = "array(" + ", ".join(repr(m) for m in mu) + ")"
+    return _apply_whitening(table(spark, sf_dir, "embeddings"),
+                            mu, comps, eigvals)
+
+
+def _apply_whitening(emb: DataFrame, mu, comps, eigvals) -> DataFrame:
+    mu_sql = "array(" + ", ".join(_dlit(m) for m in mu) + ")"
     centered = F.expr(
         f"zip_with(embedding, {mu_sql}, (x, y) -> cast(x AS double) - y)")
     out = emb.select("vec_id", centered.alias("c"))
     cols = [F.col("vec_id")]
     for k in range(PCA_DIMS):
-        w_sql = "array(" + ", ".join(repr(w) for w in comps[k]) + ")"
+        w_sql = "array(" + ", ".join(_dlit(w) for w in comps[k]) + ")"
         fold = (f"aggregate(zip_with(c, {w_sql}, (x, y) -> x * y),"
                 f" cast(0.0 AS double), (acc, x) -> acc + x)")
         scale = (eigvals[k] + PCA_EPS) ** 0.5
         cols.append((F.expr(fold) / F.lit(scale)).alias(f"w{k}"))
-    return out.select(*cols).orderBy("vec_id")
+    return out.select(*cols)
+
+
+def embedding_pca_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening with the PRETRAINED model — the production shape.
+
+    y_k = (w_k · (v − μ)) / sqrt(λ_k + ε), where (μ, w, λ) is the model
+    fitted offline by ``tools/fit_pca.py`` (= ``pca_model``: two exact
+    constant-size decimal aggregations + an O(d³) driver eigh) on the
+    sf0.001 reference corpus and frozen into ``_pca_frozen.py``.  This
+    mirrors how whitening runs on a real 100 TB pipeline: the model is
+    fitted once on a sample job and *applied* everywhere as broadcast
+    literals — the application plan here is a pure map (zip + 8 folds
+    per row), zero shuffles, zero driver work.
+
+    Fully oracle-gated: the identical literals are embedded in the
+    DuckDB SQL (the JL literal-matrix pattern) — Spark's left-fold
+    ``aggregate(zip_with(...))`` accumulates in the same order as
+    DuckDB's ``list_dot_product``, and the per-component scale
+    ``sqrt(λ_k + ε)`` is precomputed in Python and embedded as the same
+    literal on both sides, so values are bit-equal.  The fit itself is
+    regeneration-pinned by pytest (frozen literals == fresh
+    ``pca_model`` fit at the fit corpus), and the whitening property
+    (zero mean, identity covariance at the fit corpus) is pinned too.
+    """
+    from mongo_hadoop_spark.operators._pca_frozen import (
+        PCA_COMPS, PCA_EIGVALS, PCA_MU,
+    )
+
+    return _apply_whitening(table(spark, sf_dir, "embeddings"),
+                            PCA_MU, PCA_COMPS, PCA_EIGVALS)
+
+
+def _pca_whitened_sql() -> str:
+    # NOT list_dot_product: DuckDB's list sums are compensated (Kahan),
+    # so they can differ from Spark's plain left fold in the last ulp on
+    # non-exact products (the JL oracle gets away with it only because
+    # its ±1 multiplications are exact).  An explicit left-associated
+    # term chain rounds exactly like aggregate(zip_with(...)).
+    from mongo_hadoop_spark.operators._pca_frozen import (
+        PCA_COMPS, PCA_EIGVALS, PCA_MU,
+    )
+
+    exprs = []
+    for k in range(PCA_DIMS):
+        terms = " + ".join(
+            f"(embedding[{i + 1}]::double - {_dlit(PCA_MU[i])})"
+            f" * {_dlit(PCA_COMPS[k][i])}"
+            for i in range(EMB_DIM))
+        scale = _dlit((PCA_EIGVALS[k] + PCA_EPS) ** 0.5)
+        exprs.append(f"({terms}) / {scale} AS w{k}")
+    return "SELECT vec_id, " + ", ".join(exprs) + " FROM embeddings"
 
 
 QUERIES = {
@@ -211,6 +278,5 @@ QUERIES = {
 ORACLES = {
     "embedding_gram_matrix": GRAM_SQL,
     "embedding_random_projection": _jl_sql(),
-    # embedding_pca_whitened: genuinely non-SQL-expressible (eigh) —
-    # rows-only driver check; whitening property pinned in pytest
+    "embedding_pca_whitened": _pca_whitened_sql(),
 }

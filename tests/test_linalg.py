@@ -4,6 +4,9 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+from mongo_hadoop_spark.operators._pca_frozen import (
+    PCA_COMPS, PCA_EIGVALS, PCA_FIT_SF_DIR, PCA_MU,
+)
 from mongo_hadoop_spark.operators.linalg import (
     JL_DIMS, PCA_DIMS, embedding_pca_whitened, embedding_random_projection,
     pca_model,
@@ -40,7 +43,21 @@ def test_pca_model_shapes_and_order(spark):
     assert eigvals[-1] > 0
 
 
+def test_frozen_model_matches_fit(spark):
+    """The checked-in pretrained model (applied by the registry's
+    embedding_pca_whitened and its DuckDB oracle) must equal a fresh
+    pca_model fit at the fit corpus bit-for-bit — the regeneration pin
+    for tools/fit_pca.py."""
+    mu, comps, eigvals = pca_model(spark, PCA_FIT_SF_DIR)
+    assert mu == PCA_MU
+    assert comps == PCA_COMPS
+    assert eigvals == PCA_EIGVALS
+
+
 def test_whitened_output_has_identity_covariance(spark):
+    # the frozen model was fitted at SF_SMOKE, so the whitening property
+    # (zero mean, identity covariance) holds exactly there
+    assert PCA_FIT_SF_DIR == SF_SMOKE
     got = embedding_pca_whitened(spark, SF_SMOKE)
     n = got.count()
     aggs = []
