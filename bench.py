@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     # hybrid-search surface (round 5)
     "pipeline_search_bm25", "pipeline_rank_fusion",
     "pipeline_lookup_correlated",
+    # selection-stack flagship (round 6)
+    "corpus_pretrain_manifest",
 ]
 
 

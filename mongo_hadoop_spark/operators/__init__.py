@@ -35,41 +35,22 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 
 # Registry order is part of the verification contract: external harnesses may
 # only sample a prefix of ``queries()``, so the entries that most need a fresh
-# cross-engine check come first.  Round-5 rotation (tools/coverage_report.py):
-# the four queries new this round lead (never driver-verified); then every
-# query whose only driver rows date from round 1 — the oldest outstanding
-# verdicts; the rest of the 50-entry prefix is the round-3-verified set in
-# report order.  Everything in last round's window (all driver-green in
-# CORRECTNESS_r04) rotates to the tail.
+# cross-engine check come first.  Round-6 rotation (tools/coverage_report.py):
+# the never-driver-verified backlog leads (the round-5 verdict's item 3: the
+# two queries that fell off the r05 window, plus everything new this round);
+# then the queries whose SEMANTICS changed this round (frozen-model PCA
+# oracle, the two ntile→threshold rewrites, the JL sort drop) so the driver
+# re-hashes them; then every query whose only driver rows date from round 1 —
+# the oldest outstanding verdicts — and the round-3-verified set fills the
+# rest of the 50-entry prefix.  The fully-green round-5 window rotates to the
+# tail.
 _HEAD_KEYS = [
-    # new this round — first driver check
-    "pipeline_lookup_correlated", "pipeline_search_wildcard",
-    "pipeline_geo_within", "pipeline_search_fuzzy",
-    "sketch_ddq_buckets", "sketch_ddq_quantiles",
-    "pipeline_match_operators",
-    "corpus_nb_token_weights", "corpus_nb_confusion",
-    "pipeline_search_querystring",
-    "pipeline_search_bm25", "pipeline_rank_fusion",
-    "pipeline_score_fusion", "pipeline_bitwise_flags",
-    "pipeline_vector_search", "pipeline_geo_near",
-    "pipeline_regex_type_report", "pipeline_redact_levels",
-    "pipeline_text_search", "pipeline_jsonschema_gate",
-    "corpus_contamination_report",
-    "embedding_gram_matrix", "embedding_random_projection",
-    "embedding_pca_whitened",
-    "corpus_dsir_weights", "corpus_dsir_selected",
-    "documents_priority_sample", "sketch_cms_tokens",
-    "sketch_cms_estimates", "text_bigram_surprisal",
-    "pipeline_top_orders_per_status", "pipeline_price_percentiles",
-    "pipeline_event_calculus", "pipeline_fill_linear",
-    "sketch_bloom_tokens", "sketch_bloom_audit",
-    "dedup_semantic_survivors_lsh", "embedding_pq_codes_fixed",
-    "pq_knn_adc_fixed", "pipeline_object_to_array", "ivf_pq_knn",
-    "text_gopher_quality", "events_asof_next_order", "corpus_gopher_yield",
-    "dedup_duplicate_spans", "documents_span_stats",
-    "documents_span_dedup_survivors", "text_unigram_surprisal",
-    "corpus_perplexity_buckets", "corpus_source_mixture",
+    # never driver-verified — rotation backlog + new this round
     "corpus_source_mixture_docs", "embeddings_cluster_sample",
+    "corpus_pretrain_manifest",
+    # changed this round — fresh hash rows needed
+    "embedding_pca_whitened", "corpus_dsir_selected",
+    "corpus_perplexity_buckets", "embedding_random_projection",
     # r01-verified — oldest outstanding driver verdicts
     "a3_pair_counts", "a5_frequent_short_tokens", "s6_tokenize_stats",
     "s8_multi_union", "hive_pushdown_conjunction", "f3_sort_limit",

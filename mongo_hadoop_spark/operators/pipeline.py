@@ -188,7 +188,152 @@ FROM clean GROUP BY 1, 2
 """
 
 
+def corpus_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern selection stack (CCNet/Gopher/DSIR, round-5 operators
+    composed) as ONE declarative funnel — the pipeline a real 100 TB
+    pretraining run executes between "crawl" and "train":
+
+        documents
+          → Gopher rule gate      (textstats.text_gopher_quality —
+                                   published Rae et al. 2021 rules)
+          → CCNet perplexity gate (lm surprisal tertiles: keep the
+                                   head+middle, i.e. surprisal ≤ the
+                                   2/3 percentile_disc cut — broadcast
+                                   threshold, never a global ntile)
+          → span dedup            (spans.documents_span_stats winnowed
+                                   fingerprints: drop dup_frac > 1/2)
+          → DSIR selection        (selection.corpus_dsir_weights: keep
+                                   strictly above the 3/4 cut of
+                                   avg_q20_per_token)
+          → mixture manifest      (per lang × source: the surviving-doc
+                                   funnel count at every stage + tokens
+                                   selected)
+
+    Every stage is the already-oracle-verified operator, composed; the
+    funnel is monotone (each flag ANDs the previous).  Cut populations
+    are the FULL corpus distributions (matching corpus_perplexity_buckets
+    and corpus_dsir_selected exactly), so this manifest is consistent
+    with reading those two reports separately.
+
+    Scale shape (100 TB): four per-doc tables (flags, surprisal, span
+    stats, DSIR weights) — each linear with bucketed/broadcast internals
+    (see their own docstrings) — joined on doc_id, two 1-row threshold
+    aggregates broadcast back, one final keyed aggregation.  The
+    documents scan is repeated per stage here to stay a single
+    declarative plan; a production run would checkpoint the token stream
+    once and feed all four stages from it.  Null semantics: a document
+    missing from a stage (e.g. zero tokens → no surprisal row) fails
+    that gate — ``coalesce(flag, false)`` in BOTH engines.
+    """
+    from mongo_hadoop_spark.operators.lm import text_unigram_surprisal
+    from mongo_hadoop_spark.operators.selection import corpus_dsir_weights
+    from mongo_hadoop_spark.operators.spans import (SPAN_DROP_FRAC,
+                                                    documents_span_stats)
+    from mongo_hadoop_spark.operators.textstats import text_gopher_quality
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    gph = text_gopher_quality(spark, sf_dir).select("doc_id", "keep")
+    ppl = text_unigram_surprisal(spark, sf_dir).select(
+        "doc_id", "n_tokens", "surprisal_bits")
+    spn = documents_span_stats(spark, sf_dir).select("doc_id", "dup_frac")
+    dsr = corpus_dsir_weights(spark, sf_dir).select(
+        "doc_id", "avg_q20_per_token")
+    ppl.createOrReplaceTempView("__manifest_ppl")
+    dsr.createOrReplaceTempView("__manifest_dsir")
+    # CAST(k AS DOUBLE)/n — the identical binary64 fractions the oracle
+    # uses (see corpus_perplexity_buckets / corpus_dsir_selected)
+    cuts = spark.sql("""
+        SELECT percentile_disc(CAST(2 AS DOUBLE)/3)
+                 WITHIN GROUP (ORDER BY surprisal_bits) AS t2
+        FROM __manifest_ppl
+    """)
+    qcut = spark.sql("""
+        SELECT percentile_disc(CAST(3 AS DOUBLE)/4)
+                 WITHIN GROUP (ORDER BY avg_q20_per_token) AS q3
+        FROM __manifest_dsir
+    """)
+    j = (d.join(gph, "doc_id", "left")
+         .join(ppl, "doc_id", "left")
+         .join(spn, "doc_id", "left")
+         .join(dsr, "doc_id", "left")
+         .crossJoin(F.broadcast(cuts))
+         .crossJoin(F.broadcast(qcut)))
+    g_ok = F.coalesce(F.col("keep"), F.lit(False))
+    p_ok = F.coalesce(g_ok & (F.col("surprisal_bits") <= F.col("t2")),
+                      F.lit(False))
+    s_ok = F.coalesce(p_ok & (F.col("dup_frac") <= F.lit(SPAN_DROP_FRAC)),
+                      F.lit(False))
+    sel = F.coalesce(s_ok & (F.col("avg_q20_per_token") > F.col("q3")),
+                     F.lit(False))
+    return (
+        j.select("lang", "source", "n_tokens",
+                 g_ok.alias("g_ok"), p_ok.alias("p_ok"),
+                 s_ok.alias("s_ok"), sel.alias("sel"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_raw"),
+            F.sum(F.col("g_ok").cast("long")).alias("n_gopher"),
+            F.sum(F.col("p_ok").cast("long")).alias("n_ppl_head_middle"),
+            F.sum(F.col("s_ok").cast("long")).alias("n_span_clean"),
+            F.sum(F.col("sel").cast("long")).alias("n_selected"),
+            F.sum(F.when(F.col("sel"), F.col("n_tokens")).otherwise(0))
+            .alias("tokens_selected"),
+        )
+    )
+
+
+def _pretrain_manifest_sql() -> str:
+    from mongo_hadoop_spark.operators.lm import UNIGRAM_SURPRISAL_SQL
+    from mongo_hadoop_spark.operators.selection import DSIR_WEIGHTS_SQL
+    from mongo_hadoop_spark.operators.spans import (SPAN_DROP_FRAC,
+                                                    SPAN_STATS_SQL)
+    from mongo_hadoop_spark.operators.textstats import GOPHER_SQL
+
+    # Each stage's published oracle is embedded verbatim as a nested
+    # WITH inside its CTE, so stage semantics (and their CTE-local names,
+    # which collide across stages — both lm and selection define "toks")
+    # stay single-sourced.
+    return f"""
+WITH gph AS ({GOPHER_SQL}),
+ppl AS ({UNIGRAM_SURPRISAL_SQL}),
+spn AS ({SPAN_STATS_SQL}),
+dsr AS ({DSIR_WEIGHTS_SQL}),
+cuts AS (
+  SELECT quantile_disc(surprisal_bits, 2::double/3) AS t2 FROM ppl
+),
+qcut AS (
+  SELECT quantile_disc(avg_q20_per_token, 3::double/4) AS q3 FROM dsr
+),
+funnel AS (
+  SELECT d.lang, d.source, ppl.n_tokens,
+         coalesce(gph.keep, false) AS g_ok,
+         coalesce(gph.keep AND ppl.surprisal_bits <= cuts.t2, false) AS p_ok,
+         coalesce(gph.keep AND ppl.surprisal_bits <= cuts.t2
+                  AND spn.dup_frac <= {SPAN_DROP_FRAC}, false) AS s_ok,
+         coalesce(gph.keep AND ppl.surprisal_bits <= cuts.t2
+                  AND spn.dup_frac <= {SPAN_DROP_FRAC}
+                  AND dsr.avg_q20_per_token > qcut.q3, false) AS sel
+  FROM documents d
+  LEFT JOIN gph ON d.doc_id = gph.doc_id
+  LEFT JOIN ppl ON d.doc_id = ppl.doc_id
+  LEFT JOIN spn ON d.doc_id = spn.doc_id
+  LEFT JOIN dsr ON d.doc_id = dsr.doc_id
+  CROSS JOIN cuts CROSS JOIN qcut
+)
+SELECT lang, source,
+       count(*) AS n_docs_raw,
+       sum(g_ok::bigint)::bigint AS n_gopher,
+       sum(p_ok::bigint)::bigint AS n_ppl_head_middle,
+       sum(s_ok::bigint)::bigint AS n_span_clean,
+       sum(sel::bigint)::bigint AS n_selected,
+       sum(CASE WHEN sel THEN n_tokens ELSE 0 END)::bigint AS tokens_selected
+FROM funnel GROUP BY 1, 2
+"""
+
+
 QUERIES = {"corpus_yield_report": corpus_yield_report,
-           "corpus_training_manifest": corpus_training_manifest}
+           "corpus_training_manifest": corpus_training_manifest,
+           "corpus_pretrain_manifest": corpus_pretrain_manifest}
 ORACLES = {"corpus_yield_report": YIELD_SQL,
-           "corpus_training_manifest": _manifest_sql()}
+           "corpus_training_manifest": _manifest_sql(),
+           "corpus_pretrain_manifest": _pretrain_manifest_sql()}
