@@ -293,6 +293,29 @@ def _band_expr(b: int, bits: int) -> str:
     return _sig_expr(b * bits, bits)
 
 
+def banded_lsh_candidates(emb: DataFrame, bands: int, bits: int) -> DataFrame:
+    """(id_a, id_b) candidate pairs from a banded hyperplane-LSH
+    OR-construction over any (vec_id, embedding) DataFrame.
+
+    Factored out of :func:`dedup_semantic_survivors_lsh` so deployments
+    (and the pytest pin of the deployment regime) can size ``bits`` per
+    the LSH density law — ``bits ≈ log2(N · bands) + margin`` keeps the
+    random-collision floor ``bands · N² / 2^bits`` at O(N) as the corpus
+    grows; the registry query pins (16, 8) for its cross-engine oracle.
+    """
+    band_cols = [F.expr(_band_expr(b, bits)).alias(f"band_{b}")
+                 for b in range(bands)]
+    lf = (emb.select("vec_id", *band_cols)
+          .select("vec_id", F.posexplode(F.array(
+              *[f"band_{b}" for b in range(bands)]))
+              .alias("band", "val")))
+    a = lf.select(F.col("vec_id").alias("id_a"), "band", "val")
+    b = lf.select(F.col("vec_id").alias("id_b"), "band", "val")
+    return (a.join(b, ["band", "val"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
 def dedup_semantic_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup via banded random-hyperplane LSH — the
     recall-controlled scale path for the (quadratic-guarded) label-blocked
@@ -312,22 +335,25 @@ def dedup_semantic_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     N·(near-dup degree) + N²·B·2^−R from random collisions: the classic
     LSH sizing law — R grows with log₂N (bits, not bytes) to hold
     bucket density constant.  R is pinned here for the cross-engine
-    oracle; a deployment sizes it once per corpus epoch.
+    oracle; a deployment sizes it once per corpus epoch
+    (``bits ≈ log2(N·B) + margin``, see :func:`banded_lsh_candidates`).
+
+    Honest tuning note (round-6 measurement, SCALE.md): at this
+    operator's synthetic-corpus threshold (0.35 → θ≈69°, per-bit
+    agreement p₁≈0.61) hyperplane LSH's exponent is
+    ρ = ln(1/p₁)/ln 2 ≈ 0.70, so candidate volume is inherently
+    ~N^1.7 whatever (B, R) trade recall against collisions — the
+    measured 8× probe carries a 64× candidate blow-up that stays cheap
+    only because verification is a broadcast-join cosine.  The regime
+    this operator is FOR — SemDeDup-style semantic dedup at cosine
+    ≥ 0.9, p₁ ≥ 0.90, ρ ≤ 0.15 — is near-linear with ~full recall at
+    density-law bits; tests/test_similarity_lsh_regime.py pins that
+    with planted near-duplicates at deployment settings.
     """
     emb = table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    band_cols = [F.expr(_band_expr(b, SEM_LSH_BITS)).alias(f"band_{b}")
-                 for b in range(SEM_LSH_BANDS)]
-    lf = (emb.select("vec_id", *band_cols)
-          .select("vec_id", F.posexplode(F.array(
-              *[f"band_{b}" for b in range(SEM_LSH_BANDS)]))
-              .alias("band", "val")))
-    a = lf.select(F.col("vec_id").alias("id_a"), "band", "val")
-    b = lf.select(F.col("vec_id").alias("id_b"), "band", "val")
-    cand = (a.join(b, ["band", "val"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    cand = banded_lsh_candidates(emb, SEM_LSH_BANDS, SEM_LSH_BITS)
     va = emb.select(F.col("vec_id").alias("id_a"),
                     F.col("embedding").alias("va"),
                     F.sqrt(norm2(F.col("embedding"))).alias("na"))

@@ -1,0 +1,78 @@
+"""Deployment-regime pin for the banded hyperplane-LSH candidate
+generator (round-6 verdict item 6).
+
+The registry query dedup_semantic_survivors_lsh runs at the synthetic
+corpus's 0.35 cosine threshold, where hyperplane LSH is inherently
+~N^1.7 (ρ≈0.70 — measured and documented in SCALE.md).  The regime the
+operator exists for is SemDeDup-style semantic dedup at cosine ≥ 0.9;
+this test PINS that regime with planted near-duplicates: at density-law
+bits the construction must find essentially every planted pair while
+the random-collision floor stays a small constant — i.e. candidate
+volume ~ true-pair volume, the linear-at-100TB claim.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Row
+
+from mongo_hadoop_spark.operators.similarity import (
+    EMB_DIM, banded_lsh_candidates,
+)
+
+N_BASE = 150          # distinct base vectors
+N_DUP = 50            # planted noisy copies (of base ids 0..49)
+NOISE = 0.33          # => cosine(v, v + NOISE*u) ≈ 1/sqrt(1+NOISE²) ≈ 0.95
+BANDS, BITS = 16, 16  # deployment sizing: bits ≈ log2(N·B) + margin
+
+
+def _unit(seed: str) -> list[float]:
+    """Deterministic pseudo-gaussian unit vector via md5 counters."""
+    raw = []
+    for d in range(EMB_DIM):
+        h = int(hashlib.md5(f"{seed}|{d}".encode()).hexdigest()[:8], 16)
+        # sum of two uniforms − 1: symmetric, light tails, deterministic
+        u1 = (h & 0xFFFF) / 65535.0
+        u2 = (h >> 16) / 65535.0
+        raw.append(u1 + u2 - 1.0)
+    n = math.sqrt(sum(x * x for x in raw))
+    return [x / n for x in raw]
+
+
+def _corpus():
+    rows = []
+    for i in range(N_BASE):
+        rows.append(Row(vec_id=i, embedding=_unit(f"base|{i}")))
+    for i in range(N_DUP):
+        v = _unit(f"base|{i}")
+        u = _unit(f"noise|{i}")
+        w = [a + NOISE * b for a, b in zip(v, u)]
+        rows.append(Row(vec_id=N_BASE + i, embedding=w))
+    return rows
+
+
+def test_deployment_regime_is_linear_with_full_recall(spark):
+    emb = spark.createDataFrame(_corpus())
+    cand = {(r["id_a"], r["id_b"])
+            for r in banded_lsh_candidates(emb, BANDS, BITS).collect()}
+    planted = {(i, N_BASE + i) for i in range(N_DUP)}
+    recall = len(cand & planted) / N_DUP
+    # cosine≈0.95 → p₁≈0.90, band hit p₁^16≈0.18, OR over 16 ≈ 96%
+    assert recall >= 0.85, f"recall {recall} below deployment expectation"
+    # random-collision floor: B·C(N,2)/2^R ≈ 16·19900/65536 ≈ 5 pairs —
+    # candidate volume must be ~true-pair volume, not corpus-quadratic
+    slack = len(cand - planted)
+    assert slack <= 25, f"{slack} non-planted candidates (collision floor blown)"
+
+
+def test_registry_band_shape_unchanged(spark):
+    """The oracle-pinned registry configuration stays (16 bands, 8 bits)
+    — changing it silently would invalidate every recorded driver hash."""
+    from mongo_hadoop_spark.operators.similarity import (
+        SEM_LSH_BANDS, SEM_LSH_BITS,
+    )
+
+    assert (SEM_LSH_BANDS, SEM_LSH_BITS) == (16, 8)
