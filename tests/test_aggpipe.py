@@ -2362,3 +2362,68 @@ def test_search_phrase_token_boundaries(spark):
                                      "query": 'body:"cat dog"'}}},
         {"$project": {"id": 1}}]).collect()
     assert sorted(r.id for r in got) == [2, 3]
+
+
+def test_search_bm25_rational_idf_ranking_agreement(spark):
+    """Round-6 verdict item 7: the rational-surrogate idf (u instead of
+    Lucene's ln(1+u)) is per-term monotone but reweights multi-term sums
+    toward rare terms.  Characterize the deviation on a worst-case
+    common+rare term mix: 90 docs sweeping common/medium tf and length,
+    plus 3 docs holding a genuinely rare term (df=3 of 93).  The pin:
+    pairwise ranking agreement with TRUE BM25 (same k1=1.2/b=0.75 tf
+    part, ln(1+u) idf) must stay >= 0.99, the top document identical,
+    and top-10 overlap >= 8 — measured 0.9953 / same / 9 when written."""
+    import itertools
+    import math
+
+    bodies, i = {}, 0
+    for tf_c in range(10):
+        for tf_m in range(3):
+            for pad in (5, 30, 120):
+                bodies[i] = " ".join(
+                    ["cat"] * tf_c + ["med"] * tf_m + ["pad"] * pad)
+                i += 1
+    bodies[i] = " ".join(["zyx"] + ["pad"] * 50); i += 1
+    bodies[i] = " ".join(["zyx", "cat", "cat"] + ["pad"] * 10); i += 1
+    bodies[i] = " ".join(["zyx"] * 2 + ["med"] + ["pad"] * 200); i += 1
+
+    df_in = spark.createDataFrame(
+        [(k, v) for k, v in bodies.items()], ["id", "body"])
+    got = aggregate(df_in, [
+        {"$search": {"text": {"query": "cat med zyx", "path": "body",
+                              "bm25": True}}},
+        {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+    ]).collect()
+    sur = {r.id: r.score for r in got}
+
+    # true BM25: identical integer-exact tf part, Lucene ln(1+u) idf
+    toks = {k: v.split() for k, v in bodies.items()}
+    n = len(bodies)
+    tl = sum(len(w) for w in toks.values())
+    dfreq = {t: sum(1 for w in toks.values() if t in w)
+             for t in ("cat", "med", "zyx")}
+    true = {}
+    for k, w in toks.items():
+        dl, s, any_tf = len(w), 0.0, 0
+        for t in ("cat", "med", "zyx"):
+            tf = w.count(t)
+            u = (2 * n - 2 * dfreq[t] + 1) / (2 * dfreq[t] + 1)
+            s += math.log1p(u) * (44 * tf * tl) / (
+                20 * tf * tl + 6 * tl + 18 * dl * n)
+            any_tf += tf
+        if any_tf:
+            true[k] = s
+    assert set(sur) == set(true)          # identical match sets
+
+    pairs = agree = 0
+    for a, c in itertools.combinations(sorted(sur), 2):
+        if true[a] == true[c] or sur[a] == sur[c]:
+            continue
+        pairs += 1
+        agree += (true[a] > true[c]) == (sur[a] > sur[c])
+    assert pairs > 3000                   # the sweep is non-degenerate
+    assert agree / pairs >= 0.99, f"agreement {agree / pairs:.4f}"
+    top_true = sorted(true, key=lambda k: -true[k])
+    top_sur = sorted(sur, key=lambda k: -sur[k])
+    assert top_true[0] == top_sur[0]
+    assert len(set(top_true[:10]) & set(top_sur[:10])) >= 8
