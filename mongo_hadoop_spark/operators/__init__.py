@@ -25,13 +25,14 @@ from pyspark.sql import DataFrame, SparkSession
 from mongo_hadoop_spark.operators import (
     analytics, asof, dedup, linalg, mongoagg, multimodal, pipeline,
     relational, relational2, relational3, relational4, relational5,
-    selection, similarity, sketches, skew, spans, textstats, windows, lm,
+    repetition, selection, similarity, sketches, skew, spans, textstats,
+    windows, lm,
 )
 
 _MODULES = [relational, relational2, relational3, relational4, relational5,
             windows, dedup, spans, lm, selection, similarity, linalg,
-            textstats, multimodal, skew, pipeline, asof, mongoagg,
-            analytics, sketches]
+            textstats, repetition, multimodal, skew, pipeline, asof,
+            mongoagg, analytics, sketches]
 
 # Registry order is part of the verification contract: external harnesses may
 # only sample a prefix of ``queries()``, so the entries that most need a fresh
@@ -48,6 +49,7 @@ _HEAD_KEYS = [
     # never driver-verified — rotation backlog + new this round
     "corpus_source_mixture_docs", "embeddings_cluster_sample",
     "corpus_pretrain_manifest",
+    "text_repetition_flags", "corpus_repetition_yield",
     # changed this round — fresh hash rows needed
     "embedding_pca_whitened", "corpus_dsir_selected",
     "corpus_perplexity_buckets", "embedding_random_projection",
