@@ -1339,7 +1339,75 @@ FROM w
 """
 
 
+def pipeline_search_meta_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$searchMeta`` facet collector (Atlas metadata-only search) over
+    the documents matching the text operator 'scan': total count, a
+    string facet on lang (top 10 by count desc / _id asc) and a number
+    facet on n_chars ([0,150,300,450) + 'other' default), flattened
+    from the stage's single metadata document into (facet, _id, count,
+    total) rows so every bucket hash-gates.
+
+    Scale: the stage is one matched scan feeding one cardinality-
+    bounded aggregate per collector, combined by broadcast scalar
+    joins (see _stage_search_meta); the flatten is row-local.
+    """
+    documents = table(spark, sf_dir, "documents")
+    meta = aggregate(documents, [{"$searchMeta": {"facet": {
+        "operator": {"text": {"query": "scan", "path": "text"}},
+        "facets": {
+            "langs": {"type": "string", "path": "lang"},
+            "sizes": {"type": "number", "path": "n_chars",
+                      "boundaries": [0, 150, 300, 450],
+                      "default": "other"},
+        }}, "count": {"type": "total"}}}])
+    tagged = meta.select(
+        F.col("count.total").alias("total"),
+        F.explode(F.concat(
+            F.transform(
+                "facet.langs.buckets",
+                lambda s: F.struct(F.lit("langs").alias("facet"),
+                                   s["_id"].alias("_id"),
+                                   s["count"].alias("count"))),
+            F.transform(
+                "facet.sizes.buckets",
+                lambda s: F.struct(F.lit("sizes").alias("facet"),
+                                   s["_id"].alias("_id"),
+                                   s["count"].alias("count"))),
+        )).alias("b"))
+    return tagged.select(F.col("b.facet").alias("facet"),
+                         F.col("b._id").alias("_id"),
+                         F.col("b.count").alias("count"), "total")
+
+
+PIPELINE_SEARCH_META_SQL = r"""
+WITH matched AS (
+  SELECT * FROM documents
+  WHERE list_contains(
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+    'scan')
+),
+total AS (SELECT count(*)::bigint AS total FROM matched),
+langs AS (
+  SELECT 'langs' AS facet, lang::varchar AS _id, count(*)::bigint AS count
+  FROM matched GROUP BY lang
+  ORDER BY count DESC, _id ASC LIMIT 10
+),
+sizes AS (
+  SELECT 'sizes' AS facet,
+         CASE WHEN n_chars >= 0 AND n_chars < 150 THEN '0'
+              WHEN n_chars >= 150 AND n_chars < 300 THEN '150'
+              WHEN n_chars >= 300 AND n_chars < 450 THEN '300'
+              ELSE 'other' END AS _id,
+         count(*)::bigint AS count
+  FROM matched WHERE n_chars IS NOT NULL GROUP BY 2
+)
+SELECT facet, _id, count, total
+FROM (SELECT * FROM langs UNION ALL SELECT * FROM sizes), total
+"""
+
+
 QUERIES = {
+    "pipeline_search_meta_facets": pipeline_search_meta_facets,
     "pipeline_vector_search": pipeline_vector_search,
     "pipeline_geo_near": pipeline_geo_near,
     "pipeline_regex_type_report": pipeline_regex_type_report,
@@ -1373,6 +1441,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_search_meta_facets": PIPELINE_SEARCH_META_SQL,
     "pipeline_vector_search": PIPELINE_VECTOR_SEARCH_SQL,
     "pipeline_geo_near": PIPELINE_GEO_NEAR_SQL,
     "pipeline_regex_type_report": PIPELINE_REGEX_TYPE_SQL,

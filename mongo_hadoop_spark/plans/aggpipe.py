@@ -334,6 +334,26 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         return E(operand).cast("boolean")
     if op == "$toDate":
         return E(operand).cast("timestamp")
+    if op == "$toObjectId":
+        # 24-hex validation, NULL through (functions.to_object_id / U1)
+        from mongo_hadoop_spark.functions import to_object_id
+        return to_object_id(E(operand))
+    if op in ("$function", "$accumulator"):
+        # server-side JavaScript — same standing refusal as $where:
+        # arbitrary JS has no declarative Spark translation, and shipping
+        # an interpreter would put a per-row black box in the hot path
+        raise ValueError(
+            f"{op} runs server-side JavaScript — not supported; express "
+            "the logic as aggregation operators (or mapInPandas outside "
+            "the pipeline language)")
+    if op == "$rand":
+        # non-deterministic by definition; a reproducible engine refuses
+        # rather than silently seeding (the $sample stage documents the
+        # deterministic md5 alternative)
+        raise ValueError(
+            "$rand is non-deterministic — use an md5 hash of stable "
+            "columns (functions.md5_long) for reproducible pseudo-"
+            "randomness, or the $sample stage")
     if op == "$convert":
         # the general conversion op: try_cast semantics with onError /
         # onNull; string/numeric `to` aliases (same table as $type)
@@ -750,6 +770,13 @@ def _match_field(key: str, cond) -> Column:
         return expr_to_col(cond)
     if key == "$jsonSchema":
         return _json_schema_col(cond)
+    if key in ("$sampleRate", "$where"):
+        why = ("samples non-deterministically — use the $sample stage "
+               "(deterministic md5 top-N) or an md5_long threshold"
+               if key == "$sampleRate" else
+               "runs server-side JavaScript — express the predicate with "
+               "$expr aggregation operators")
+        raise ValueError(f"{key} {why}")
     if key.startswith("$"):
         raise ValueError(f"unsupported top-level query operator {key}")
     col = F.col(key)
@@ -2630,6 +2657,114 @@ def _stage_search_text_bm25(df: DataFrame, spec: dict) -> DataFrame:
             .orderBy(F.col(_SEARCH_SCORE_COL).desc()))
 
 
+def _stage_search_meta(df: DataFrame, spec: dict) -> DataFrame:
+    """``$searchMeta`` (Atlas Search): metadata-only search — the
+    ``count`` and ``facet`` collectors, returned as ONE document.
+
+    Forms:
+    - ``{$searchMeta: {<search operator>, count: {type}}}`` → one row
+      ``count: struct<total|lowerBound: long>`` (we always count
+      exactly; ``lowerBound`` — Atlas's default — is the same number
+      under exact counting).
+    - ``{$searchMeta: {facet: {operator?, facets: {...}}}}`` → one row
+      with ``count`` plus ``facet: struct<name: struct<buckets:
+      array<struct<_id: string, count: long>>>>``.  String facets:
+      top ``numBuckets`` (default 10) values by (count DESC, _id ASC —
+      the deterministic tiebreak Atlas leaves unspecified).  Number
+      facets: half-open ``[b_i, b_{i+1})`` buckets keyed by the lower
+      boundary, values outside the range falling to the ``default``
+      bucket when named; empty buckets are omitted (group-by
+      semantics).  Bucket ``_id`` is emitted as STRING in both facet
+      kinds so the schema is type-stable (documented deviation from
+      the server's heterogeneous _id).
+
+    Scale: each collector is one aggregation over the matched scan —
+    string facets are top-k inside a single per-facet hash aggregate
+    (sort_array + slice over the collected bucket structs: the bucket
+    table is cardinality-bounded, never row-proportional), and the
+    1-row collector outputs combine by broadcast scalar joins.
+    """
+    spec = {k: v for k, v in spec.items() if k != "index"}
+    count_opt = spec.pop("count", None)
+    ctype = (count_opt or {}).get("type", "lowerBound")
+    if ctype not in ("total", "lowerBound"):
+        raise ValueError(f"unsupported $searchMeta count.type {ctype!r}")
+    if len(spec) != 1:
+        raise ValueError(
+            "$searchMeta takes exactly one collector (facet) or operator")
+    (op, opspec), = spec.items()
+
+    def _count_struct(matched: DataFrame) -> DataFrame:
+        return matched.agg(
+            F.count(F.lit(1)).cast("long").alias("__n")
+        ).select(F.struct(F.col("__n").alias(ctype)).alias("count"))
+
+    if op != "facet":
+        cond, _score = _search_clause(op, opspec)
+        return _count_struct(df.where(F.coalesce(cond, F.lit(False))))
+
+    facets = opspec.get("facets")
+    if not isinstance(facets, dict) or not facets:
+        raise ValueError("$searchMeta facet needs {facets: {name: spec}}")
+    operator = opspec.get("operator")
+    matched = df
+    if operator is not None:
+        (fop, fspec), = operator.items()
+        cond, _score = _search_clause(fop, fspec)
+        matched = df.where(F.coalesce(cond, F.lit(False)))
+
+    out = _count_struct(matched)
+    facet_cols = []
+    for name, fs in facets.items():
+        ftype, path = fs.get("type"), fs.get("path")
+        if ftype == "string":
+            k = int(fs.get("numBuckets", 10))
+            b = (matched.groupBy(F.col(path).cast("string").alias("_id"))
+                 .agg(F.count(F.lit(1)).cast("long").alias("count")))
+            one = b.agg(F.slice(F.array_sort(F.collect_list(F.struct(
+                (-F.col("count")).alias("__nc"), F.col("_id"),
+                F.col("count")))), 1, k).alias("__bs"))
+            one = one.select(F.struct(
+                F.transform("__bs", lambda s: F.struct(
+                    s["_id"].alias("_id"), s["count"].alias("count")))
+                .alias("buckets")).alias(f"__f_{name}"))
+        elif ftype == "number":
+            bounds = fs.get("boundaries")
+            if (not isinstance(bounds, list) or len(bounds) < 2
+                    or bounds != sorted(bounds)):
+                raise ValueError(
+                    f"$searchMeta number facet {name!r} needs ascending "
+                    "boundaries (>= 2)")
+            default = fs.get("default")
+            bucket = None
+            expr = F.when(F.col(path).isNull(), F.lit(None))
+            for lo, hi in zip(bounds, bounds[1:]):
+                expr = expr.when(
+                    (F.col(path) >= F.lit(lo)) & (F.col(path) < F.lit(hi)),
+                    F.lit(str(lo)))
+            bucket = expr.otherwise(
+                F.lit(default) if default is not None else F.lit(None))
+            b = (matched.select(bucket.alias("_id"))
+                 .where(F.col("_id").isNotNull())
+                 .groupBy("_id")
+                 .agg(F.count(F.lit(1)).cast("long").alias("count")))
+            one = b.agg(F.array_sort(F.collect_list(F.struct(
+                F.col("_id"), F.col("count")))).alias("__bs"))
+            one = one.select(
+                F.struct(F.col("__bs").alias("buckets")).alias(f"__f_{name}"))
+        else:
+            raise ValueError(
+                f"$searchMeta facet {name!r}: type must be string|number "
+                "(date facets need a date corpus column)")
+        facet_cols.append((name, one))
+    for _name, one in facet_cols:
+        out = out.crossJoin(F.broadcast(one))
+    return out.select(
+        "count",
+        F.struct(*[F.col(f"__f_{n}").alias(n) for n, _ in facet_cols])
+        .alias("facet"))
+
+
 def _stage_vector_search(df: DataFrame, spec: dict) -> DataFrame:
     """``$vectorSearch`` (Atlas Vector Search) — the server's ANN stage
     compiled onto an exact top-k scoring plan.
@@ -2956,7 +3091,7 @@ def _aggregate_impl(df: DataFrame, pipeline: list[dict],
         (op, spec), = stage.items()
         if op in ("$out", "$merge") and i != len(pipeline) - 1:
             raise ValueError(f"{op} must be the last pipeline stage")
-        if op in ("$vectorSearch", "$geoNear", "$search",
+        if op in ("$vectorSearch", "$geoNear", "$search", "$searchMeta",
                   "$rankFusion", "$scoreFusion") and i != 0:
             raise ValueError(f"{op} must be the first pipeline stage")
         if op == "$documents":
@@ -2979,6 +3114,8 @@ def _aggregate_impl(df: DataFrame, pipeline: list[dict],
             out = out.agg(F.count(F.lit(1)).alias("count"))
         elif op == "$search":
             out = _stage_search(out, spec)
+        elif op == "$searchMeta":
+            out = _stage_search_meta(out, spec)
         elif op == "$vectorSearch":
             out = _stage_vector_search(out, spec)
         elif op == "$rankFusion":

@@ -2427,3 +2427,70 @@ def test_search_bm25_rational_idf_ranking_agreement(spark):
     top_sur = sorted(sur, key=lambda k: -sur[k])
     assert top_true[0] == top_sur[0]
     assert len(set(top_true[:10]) & set(top_sur[:10])) >= 8
+
+
+def test_search_meta_count_and_facets(articles):
+    got = aggregate(articles, [{"$searchMeta": {
+        "text": {"query": "scan", "path": "body"},
+        "count": {"type": "total"}}}]).collect()
+    assert len(got) == 1 and got[0]["count"]["total"] == 1
+    meta = aggregate(articles, [{"$searchMeta": {"facet": {
+        "facets": {"ids": {"type": "number", "path": "id",
+                           "boundaries": [0, 3, 10]}}}}}]).collect()[0]
+    # default lowerBound count; no operator → all 4 docs counted
+    assert meta["count"]["lowerBound"] == 4
+    buckets = {b["_id"]: b["count"] for b in meta["facet"]["ids"]["buckets"]}
+    assert buckets == {"0": 2, "3": 2}     # ids 1,2 | 3,4; _id as string
+
+
+def test_search_meta_string_facet_top_k_ordering(spark):
+    from pyspark.sql import Row
+    df = spark.createDataFrame(
+        [Row(id=i, tag=t) for i, t in
+         enumerate(["a"] * 5 + ["b"] * 5 + ["c"] * 2)])
+    meta = aggregate(df, [{"$searchMeta": {"facet": {
+        "facets": {"tags": {"type": "string", "path": "tag",
+                            "numBuckets": 2}}}}}]).collect()[0]
+    got = [(b["_id"], b["count"]) for b in meta["facet"]["tags"]["buckets"]]
+    # ties broken by _id asc; k=2 cuts 'c'
+    assert got == [("a", 5), ("b", 5)]
+
+
+def test_search_meta_rejections(articles):
+    with pytest.raises(ValueError, match="first pipeline stage"):
+        aggregate(articles, [{"$match": {}}, {"$searchMeta": {
+            "text": {"query": "x", "path": "body"}}}])
+    with pytest.raises(ValueError, match="count.type"):
+        aggregate(articles, [{"$searchMeta": {
+            "text": {"query": "x", "path": "body"},
+            "count": {"type": "approx"}}}])
+    with pytest.raises(ValueError, match="ascending boundaries"):
+        aggregate(articles, [{"$searchMeta": {"facet": {
+            "facets": {"bad": {"type": "number", "path": "id",
+                               "boundaries": [5, 1]}}}}}])
+    with pytest.raises(ValueError, match="string|number"):
+        aggregate(articles, [{"$searchMeta": {"facet": {
+            "facets": {"bad": {"type": "date", "path": "id"}}}}}])
+
+
+def test_to_object_id_and_js_random_refusals(people):
+    got = aggregate(people, [
+        {"$project": {"id": 1, "oid": {"$toObjectId":
+            {"$literal": "0123456789ABCDEF01234567"}}}},
+        {"$limit": 1},
+    ]).collect()
+    assert got[0]["oid"] == "0123456789abcdef01234567"   # lowercased
+    bad = aggregate(people, [
+        {"$project": {"oid": {"$toObjectId": {"$literal": "nope"}}}},
+        {"$limit": 1}]).collect()
+    assert bad[0]["oid"] is None
+    for expr, msg in [({"$function": {"body": "x", "args": [], "lang": "js"}},
+                       "JavaScript"),
+                      ({"$accumulator": {}}, "JavaScript"),
+                      ({"$rand": {}}, "non-deterministic")]:
+        with pytest.raises(ValueError, match=msg):
+            aggregate(people, [{"$project": {"x": expr}}])
+    with pytest.raises(ValueError, match="non-deterministic"):
+        aggregate(people, [{"$match": {"$sampleRate": 0.33}}])
+    with pytest.raises(ValueError, match="JavaScript"):
+        aggregate(people, [{"$match": {"$where": "this.x > 1"}}])
