@@ -50,7 +50,7 @@ _HEAD_KEYS = [
     "corpus_source_mixture_docs", "embeddings_cluster_sample",
     "corpus_pretrain_manifest",
     "text_repetition_flags", "corpus_repetition_yield",
-    "pipeline_search_meta_facets",
+    "pipeline_search_meta_facets", "pipeline_exp_moving_avg",
     # changed this round — fresh hash rows needed
     "embedding_pca_whitened", "corpus_dsir_selected",
     "corpus_perplexity_buckets", "embedding_random_projection",

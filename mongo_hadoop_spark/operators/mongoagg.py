@@ -1339,6 +1339,42 @@ FROM w
 """
 
 
+def pipeline_exp_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$setWindowFields`` ``$expMovingAvg`` (Mongo 5.0): per-user EMA
+    of event values, N=3 → α = 1/2 — a dyadic α, so every fold step
+    (0.5·x + 0.5·acc) is exact halving and the whole EMA chain is
+    bit-reproducible cross-engine.  Sort carries the unique event_id
+    tiebreak so the fold order (and hence the oracle hash) is total.
+
+    Scale: one user-keyed shuffle; the collected prefix is per-user-
+    sized (bounded group cardinality), the fold row-local.
+    """
+    events = table(spark, sf_dir, "events")
+    return aggregate(events, [
+        {"$setWindowFields": {
+            "partitionBy": "$user_id",
+            "sortBy": {"ts": 1, "event_id": 1},
+            "output": {"ema": {"$expMovingAvg": {"input": "$value",
+                                                 "N": 3}}},
+        }},
+        {"$project": {"user_id": 1, "event_id": 1, "value": 1, "ema": 1}},
+    ])
+
+
+PIPELINE_EXP_MOVING_AVG_SQL = """
+WITH w AS (
+  SELECT user_id, event_id, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS vals
+  FROM events
+)
+SELECT user_id, event_id, value,
+       list_reduce(vals, (acc, x) -> 0.5e0 * x + 0.5e0 * acc) AS ema
+FROM w
+"""
+
+
 def pipeline_search_meta_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``$searchMeta`` facet collector (Atlas metadata-only search) over
     the documents matching the text operator 'scan': total count, a
@@ -1407,6 +1443,7 @@ FROM (SELECT * FROM langs UNION ALL SELECT * FROM sizes), total
 
 
 QUERIES = {
+    "pipeline_exp_moving_avg": pipeline_exp_moving_avg,
     "pipeline_search_meta_facets": pipeline_search_meta_facets,
     "pipeline_vector_search": pipeline_vector_search,
     "pipeline_geo_near": pipeline_geo_near,
@@ -1441,6 +1478,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_exp_moving_avg": PIPELINE_EXP_MOVING_AVG_SQL,
     "pipeline_search_meta_facets": PIPELINE_SEARCH_META_SQL,
     "pipeline_vector_search": PIPELINE_VECTOR_SEARCH_SQL,
     "pipeline_geo_near": PIPELINE_GEO_NEAR_SQL,

@@ -1640,6 +1640,39 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             col = (F.when(v.isNotNull(), v)
                    .when(pv.isNull() | nv.isNull(), F.lit(None))
                    .otherwise(interp))
+        elif op == "$expMovingAvg":
+            # exponential moving average (Mongo 5.0 window operator):
+            # s_0 = x_0;  s_i = α·x_i + (1−α)·s_{i−1}
+            # Implemented as the recurrence itself — a sequential fold
+            # over the collected window prefix (collect_list is frame-
+            # bounded, so state is per-row prefix-sized; the multiplies
+            # and add are plain IEEE ops evaluated in the same order in
+            # DuckDB's list_reduce, which seeds from the first element
+            # exactly like s_0 = x_0).  Nulls are skipped (server
+            # ignores non-numeric values).
+            if not order:
+                raise ValueError("$expMovingAvg requires sortBy")
+            if frame is not None:
+                raise ValueError("$expMovingAvg does not accept a window")
+            if ("N" in operand) == ("alpha" in operand):
+                raise ValueError("$expMovingAvg takes exactly one of N | alpha")
+            if "N" in operand:
+                n_ = int(operand["N"])
+                if n_ < 1:
+                    raise ValueError("$expMovingAvg N must be >= 1")
+                alpha = 2.0 / (n_ + 1)
+            else:
+                alpha = float(operand["alpha"])
+                if not 0.0 < alpha < 1.0:
+                    raise ValueError("$expMovingAvg alpha must be in (0, 1)")
+            v = expr_to_col(operand["input"]).cast("double")
+            wb = w_sorted.rowsBetween(W.unboundedPreceding, W.currentRow)
+            vals = F.collect_list(v).over(wb)
+            rest = F.slice(vals, F.lit(2),
+                           F.greatest(F.size(vals) - 1, F.lit(0)))
+            col = F.aggregate(
+                rest, F.element_at(vals, 1),
+                lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc)
         elif op in ("$covariancePop", "$covarianceSamp"):
             xs, ys = (expr_to_col(e) for e in operand)
             w = w_sorted

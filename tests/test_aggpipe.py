@@ -2494,3 +2494,37 @@ def test_to_object_id_and_js_random_refusals(people):
         aggregate(people, [{"$match": {"$sampleRate": 0.33}}])
     with pytest.raises(ValueError, match="JavaScript"):
         aggregate(people, [{"$match": {"$where": "this.x > 1"}}])
+
+
+def test_exp_moving_avg_recurrence_and_rejections(spark):
+    from pyspark.sql import Row
+    df = spark.createDataFrame(
+        [Row(g=1, i=1, v=1.0), Row(g=1, i=2, v=2.0), Row(g=1, i=3, v=4.0),
+         Row(g=2, i=1, v=10.0)])
+    got = aggregate(df, [{"$setWindowFields": {
+        "partitionBy": "$g", "sortBy": {"i": 1},
+        "output": {"ema": {"$expMovingAvg": {"input": "$v", "N": 3}}}}}])
+    vals = {(r["g"], r["i"]): r["ema"] for r in got.collect()}
+    # alpha = 2/(3+1) = 0.5: s = 1, 1.5, 2.75; partitions independent
+    assert vals == {(1, 1): 1.0, (1, 2): 1.5, (1, 3): 2.75, (2, 1): 10.0}
+    # alpha form
+    got2 = aggregate(df, [{"$setWindowFields": {
+        "partitionBy": "$g", "sortBy": {"i": 1},
+        "output": {"ema": {"$expMovingAvg": {"input": "$v",
+                                             "alpha": 0.25}}}}}])
+    v2 = {(r["g"], r["i"]): r["ema"] for r in got2.collect()}
+    assert v2[(1, 2)] == 0.25 * 2.0 + 0.75 * 1.0
+    with pytest.raises(ValueError, match="requires sortBy"):
+        aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g",
+            "output": {"e": {"$expMovingAvg": {"input": "$v", "N": 3}}}}}])
+    with pytest.raises(ValueError, match="exactly one of"):
+        aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"i": 1},
+            "output": {"e": {"$expMovingAvg": {"input": "$v", "N": 3,
+                                               "alpha": 0.5}}}}}])
+    with pytest.raises(ValueError, match="does not accept a window"):
+        aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"i": 1},
+            "output": {"e": {"$expMovingAvg": {"input": "$v", "N": 3},
+                             "window": {"documents": [-1, 0]}}}}}])
