@@ -51,6 +51,7 @@ _HEAD_KEYS = [
     "corpus_pretrain_manifest",
     "text_repetition_flags", "corpus_repetition_yield",
     "pipeline_search_meta_facets", "pipeline_exp_moving_avg",
+    "dedup_connected_clusters", "dedup_cluster_stats",
     # changed this round — fresh hash rows needed
     "embedding_pca_whitened", "corpus_dsir_selected",
     "corpus_perplexity_buckets", "embedding_random_projection",

@@ -667,7 +667,123 @@ WHERE len(sa.sh) > 0 AND len(sb.sh) > 0
 """
 
 
+CC_MAX_ROUNDS = 16      # pointer jumping: supports diameter up to 2^16
+
+
+def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate clusters: connected components over the
+    verified MinHash pair graph, labeled by the cluster's minimum doc_id
+    (the canonical representative every real dedup pipeline keeps).
+
+    Pair generation finds EDGES; production dedup needs COMPONENTS —
+    A≈B and B≈C must collapse to one survivor even when A≉C directly.
+    This is the step between "near-dup pairs" and "drop list" in every
+    published pipeline (e.g. the MinHash-cluster stage of RefinedWeb /
+    SlimPajama).
+
+    Algorithm: Hash-Min label propagation accelerated by pointer
+    jumping — each superstep takes the min over (own label, neighbors'
+    labels, label-of-label), which halves the effective diameter per
+    round, so convergence needs O(log diameter) supersteps (≤
+    ``CC_MAX_ROUNDS`` covers diameter 2^16; near-dup clusters are
+    near-cliques, converging in 2-3).  Each superstep is two keyed
+    joins + one min-aggregation — all shuffle-partitioned, nothing
+    single-task; the driver only runs the convergence check (one
+    count() per superstep — the Pregel vote-to-halt, a scalar).  The
+    fixpoint (min reachable id per node) is unique, so the result is
+    independent of round count and partitioning — the DuckDB oracle
+    computes the same fixpoint by recursive transitive closure.
+
+    Output: (doc_id, cluster_id) for EVERY document (singletons are
+    their own cluster) — the drop list is ``doc_id != cluster_id``.
+    """
+    pairs = dedup_minhash_verified(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst")))
+             .persist())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("label")).persist())
+    try:
+        for _ in range(CC_MAX_ROUNDS):
+            nbr = (edges.join(labels, edges.src == labels.node)
+                   .select(F.col("dst").alias("node"), "label"))
+            l2 = labels.select(F.col("node").alias("j_node"),
+                               F.col("label").alias("j_label"))
+            jump = (labels.join(l2, labels.label == l2.j_node)
+                    .select("node", F.col("j_label").alias("label")))
+            new = (labels.unionByName(nbr).unionByName(jump)
+                   .groupBy("node").agg(F.min("label").alias("label"))
+                   .persist())
+            changed = (new.join(labels.withColumnRenamed("label", "old"),
+                                "node")
+                       .where(F.col("label") != F.col("old")).count())
+            labels.unpersist()
+            labels = new
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected components did not converge in "
+                f"{CC_MAX_ROUNDS} pointer-jumping rounds")
+        d = table(spark, sf_dir, "documents").select("doc_id")
+        return (d.join(labels, d.doc_id == labels.node, "left")
+                .select("doc_id",
+                        F.coalesce("label", "doc_id").alias("cluster_id")))
+    finally:
+        # labels stays cached (node-count-sized, already materialized by
+        # the convergence count); edges cache can go — the returned
+        # plan's lineage stays valid either way
+        edges.unpersist()
+
+
+CONNECTED_CLUSTERS_SQL = f"""
+WITH RECURSIVE vpairs AS ({MINHASH_VERIFIED_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM vpairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM vpairs
+),
+reach(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+  WHERE r.label < e.b
+),
+labels AS (
+  SELECT node, min(label) AS label FROM reach GROUP BY node
+)
+SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+"""
+
+
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the connected near-dup components:
+    (cluster_size, n_clusters, docs_dropped) — the dedup yield report
+    (docs_dropped = members beyond the representative)."""
+    cc = dedup_connected_clusters(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (sizes.groupBy(F.col("sz").alias("cluster_size"))
+            .agg(F.count(F.lit(1)).alias("n_clusters"),
+                 F.sum(F.col("sz") - 1).alias("docs_dropped")))
+
+
+CLUSTER_STATS_SQL = f"""
+WITH cc AS ({CONNECTED_CLUSTERS_SQL}),
+sizes AS (
+  SELECT cluster_id, count(*) AS sz FROM cc GROUP BY cluster_id
+)
+SELECT sz AS cluster_size, count(*) AS n_clusters,
+       sum(sz - 1)::bigint AS docs_dropped
+FROM sizes GROUP BY sz
+"""
+
+
 QUERIES = {
+    "dedup_connected_clusters": dedup_connected_clusters,
+    "dedup_cluster_stats": dedup_cluster_stats,
     "dedup_exact": dedup_exact,
     "dedup_containment": dedup_containment,
     "dedup_exact_survivors": dedup_exact_survivors,
@@ -682,6 +798,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_connected_clusters": CONNECTED_CLUSTERS_SQL,
+    "dedup_cluster_stats": CLUSTER_STATS_SQL,
     "dedup_exact": EXACT_SQL,
     "dedup_containment": CONTAINMENT_SQL,
     "dedup_exact_survivors": EXACT_SURVIVORS_SQL,
