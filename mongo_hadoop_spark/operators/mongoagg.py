@@ -1339,6 +1339,69 @@ FROM w
 """
 
 
+def pipeline_search_highlights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$search`` ``highlight`` option (Atlas ``searchHighlights``
+    meta): hit/text run segmentation of the matched field, flattened to
+    one row per segment so every run hash-gates — columns doc_id, seg
+    (1-based run index), value (original tokens, case preserved), type
+    ('hit'|'text'), n_hits (the passage score).
+
+    Scale: the segmentation is one boundary-index array expression per
+    row (filter/zip_with/slice, JVM-side), the flatten a posexplode —
+    map-only over the matched scan.
+    """
+    documents = table(spark, sf_dir, "documents")
+    hl = aggregate(documents, [
+        {"$search": {"text": {"query": "scan merge", "path": "text",
+                              "highlight": {"path": "text"}}}},
+        {"$project": {"doc_id": 1, "hl": {"$meta": "searchHighlights"}}},
+    ])
+    # F.get, not [0]: Catalyst's subexpression elimination can hoist the
+    # element access into a predicate stage that still sees unmatched
+    # rows (empty highlight arrays), and ordinal [] is strict under ANSI
+    p = F.get(F.col("hl"), 0)
+    seg = hl.select(
+        "doc_id",
+        p["score"].cast("long").alias("n_hits"),
+        F.posexplode(p["texts"]).alias("i", "t"),
+    )
+    return seg.select("doc_id", (F.col("i") + 1).alias("seg"),
+                      F.col("t.value").alias("value"),
+                      F.col("t.type").alias("type"), "n_hits")
+
+
+PIPELINE_SEARCH_HIGHLIGHTS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+f AS (
+  SELECT doc_id, ws,
+         list_transform(ws, w -> lower(w) IN ('scan', 'merge')) AS flags
+  FROM t
+),
+m AS (
+  SELECT doc_id, ws, flags,
+         list_filter(generate_series(1, len(ws)),
+                     i -> i = 1 OR flags[i] != flags[i-1]) AS bounds,
+         len(list_filter(flags, x -> x))::bigint AS n_hits
+  FROM f
+  WHERE len(list_filter(flags, x -> x)) > 0
+),
+b AS (
+  SELECT doc_id, ws, flags, bounds, n_hits,
+         list_append(bounds[2:], len(ws) + 1) AS ends
+  FROM m
+)
+SELECT doc_id, k AS seg,
+       array_to_string(ws[bounds[k]:ends[k] - 1], ' ') AS value,
+       CASE WHEN flags[bounds[k]] THEN 'hit' ELSE 'text' END AS type,
+       n_hits
+FROM (SELECT *, unnest(generate_series(1, len(bounds))) AS k FROM b)
+"""
+
+
 def pipeline_exp_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``$setWindowFields`` ``$expMovingAvg`` (Mongo 5.0): per-user EMA
     of event values, N=3 → α = 1/2 — a dyadic α, so every fold step
@@ -1443,6 +1506,7 @@ FROM (SELECT * FROM langs UNION ALL SELECT * FROM sizes), total
 
 
 QUERIES = {
+    "pipeline_search_highlights": pipeline_search_highlights,
     "pipeline_exp_moving_avg": pipeline_exp_moving_avg,
     "pipeline_search_meta_facets": pipeline_search_meta_facets,
     "pipeline_vector_search": pipeline_vector_search,
@@ -1478,6 +1542,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_search_highlights": PIPELINE_SEARCH_HIGHLIGHTS_SQL,
     "pipeline_exp_moving_avg": PIPELINE_EXP_MOVING_AVG_SQL,
     "pipeline_search_meta_facets": PIPELINE_SEARCH_META_SQL,
     "pipeline_vector_search": PIPELINE_VECTOR_SEARCH_SQL,

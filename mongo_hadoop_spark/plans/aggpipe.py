@@ -591,6 +591,7 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         meta_cols = {"vectorSearchScore": _VS_SCORE_COL,
                      "geoNearDistance": _GEO_DIST_COL,
                      "searchScore": _SEARCH_SCORE_COL,
+                     "searchHighlights": _SEARCH_HIGHLIGHTS_COL,
                      "score": _FUSION_SCORE_COL}
         if operand not in meta_cols:
             raise ValueError(
@@ -2256,6 +2257,45 @@ def _array_literal(values) -> Column:
 
 
 _SEARCH_SCORE_COL = "__search_score__"
+_SEARCH_HIGHLIGHTS_COL = "__search_highlights__"
+
+
+def _highlight_col(path: str, terms: list[str]):
+    """``highlight`` option of the $search text operator: the hit/text
+    segmentation of the highlighted field, as the server's
+    ``searchHighlights`` shape — array of passages, each
+    ``{path, score, texts: [{value, type: 'hit'|'text'}]}``.
+
+    Documented deviations: ONE passage spanning the whole field (Lucene
+    breaks passages at sentence boundaries and caps maxNumPassages; the
+    synthetic corpus is sentence-less), and passage score = hit count
+    (Lucene scores passages BM25-ish off the index).  Segmentation is
+    exact: maximal runs of consecutive hit / non-hit tokens, original
+    token text preserved, matching case-insensitive — all built from
+    one boundary-index expression (filter/zip_with/slice), entirely
+    JVM-side, so the flattened form is DuckDB-oracle-gateable.
+    """
+    qlist = ", ".join("'" + t.replace("'", "\\'") + "'" for t in terms)
+    ws = f"filter(split({path}, '\\\\s+'), x -> x != '')"
+    flags = f"transform({ws}, w -> lower(w) IN ({qlist}))"
+    # greatest(i-1, 1): OR is not guaranteed to short-circuit under
+    # codegen, and element_at(_, 0) raises — at i=1 the comparison is
+    # self-equal (false) and the i=1 disjunct carries the boundary
+    bounds = (f"filter(sequence(1, size({ws})), i -> i = 1 OR "
+              f"element_at({flags}, i) != "
+              f"element_at({flags}, greatest(i - 1, 1)))")
+    ends = (f"concat(slice({bounds}, 2, greatest(size({bounds}) - 1, 0)),"
+            f" array(size({ws}) + 1))")
+    texts = (f"zip_with({bounds}, {ends}, (s, e) -> struct("
+             f"array_join(slice({ws}, s, e - s), ' ') AS value,"
+             f" IF(element_at({flags}, s), 'hit', 'text') AS type))")
+    nhits = f"size(filter({flags}, f -> f))"
+    passage = (f"struct('{path}' AS path,"
+               f" CAST({nhits} AS DOUBLE) AS score, {texts} AS texts)")
+    return F.expr(
+        f"CASE WHEN size({ws}) > 0 AND {nhits} > 0"
+        f" THEN array({passage})"
+        f" ELSE slice(array({passage}), 1, 0) END")
 
 
 def _parse_query_string(s: str) -> list:
@@ -2608,10 +2648,24 @@ def _stage_search(df: DataFrame, spec: dict) -> DataFrame:
     (op, opspec), = spec.items()
     if op == "text" and opspec.get("bm25") not in (None, False):
         return _stage_search_text_bm25(df, opspec)
+    highlight = None
+    if isinstance(opspec, dict) and "highlight" in opspec:
+        if op not in ("text", "phrase"):
+            raise ValueError(
+                "highlight is supported on the text/phrase operators")
+        opspec = dict(opspec)
+        hspec = opspec.pop("highlight")
+        hpath = hspec["path"]
+        if isinstance(hpath, list):
+            raise ValueError("highlight supports a single path")
+        terms = [t for t in str(opspec["query"]).lower().split() if t]
+        highlight = _highlight_col(hpath, terms)
     cond, score = _search_clause(op, opspec)
-    return (df.where(F.coalesce(cond, F.lit(False)))
-            .withColumn(_SEARCH_SCORE_COL, score.cast("double"))
-            .orderBy(F.col(_SEARCH_SCORE_COL).desc()))
+    out = (df.where(F.coalesce(cond, F.lit(False)))
+           .withColumn(_SEARCH_SCORE_COL, score.cast("double")))
+    if highlight is not None:
+        out = out.withColumn(_SEARCH_HIGHLIGHTS_COL, highlight)
+    return out.orderBy(F.col(_SEARCH_SCORE_COL).desc())
 
 
 def _stage_search_text_bm25(df: DataFrame, spec: dict) -> DataFrame:
@@ -3104,7 +3158,7 @@ def aggregate(df: DataFrame, pipeline: list[dict],
                           client_factory=client_factory,
                           spool_path=spool_path)
     for hidden in (_VS_SCORE_COL, _GEO_DIST_COL, _SEARCH_SCORE_COL,
-                   _FUSION_SCORE_COL):
+                   _SEARCH_HIGHLIGHTS_COL, _FUSION_SCORE_COL):
         if hidden in out.columns:
             out = out.drop(hidden)
     return out

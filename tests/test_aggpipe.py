@@ -2528,3 +2528,32 @@ def test_exp_moving_avg_recurrence_and_rejections(spark):
             "partitionBy": "$g", "sortBy": {"i": 1},
             "output": {"e": {"$expMovingAvg": {"input": "$v", "N": 3},
                              "window": {"documents": [-1, 0]}}}}}])
+
+
+def test_search_highlight_segments(spark):
+    from pyspark.sql import Row
+    df = spark.createDataFrame([
+        Row(id=1, body="Fast scan beats slow scan today"),
+        Row(id=2, body="nothing here"),
+    ])
+    got = aggregate(df, [
+        {"$search": {"text": {"query": "scan beats", "path": "body",
+                              "highlight": {"path": "body"}}}},
+        {"$project": {"id": 1, "hl": {"$meta": "searchHighlights"}}},
+    ]).collect()
+    assert [r["id"] for r in got] == [1]
+    (passage,) = got[0]["hl"]
+    assert passage["path"] == "body" and passage["score"] == 3.0
+    segs = [(t["value"], t["type"]) for t in passage["texts"]]
+    # maximal alternating runs, original case preserved, reassembles doc
+    assert segs == [("Fast", "text"), ("scan beats", "hit"),
+                    ("slow", "text"), ("scan", "hit"), ("today", "text")]
+    assert " ".join(v for v, _ in segs) == "Fast scan beats slow scan today"
+    with pytest.raises(ValueError, match="single path"):
+        aggregate(df, [{"$search": {"text": {
+            "query": "scan", "path": "body",
+            "highlight": {"path": ["body", "body"]}}}}])
+    with pytest.raises(ValueError, match="text/phrase"):
+        aggregate(df, [{"$search": {"wildcard": {
+            "query": "sc*", "path": "body",
+            "highlight": {"path": "body"}}}}])
