@@ -272,6 +272,10 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         return fn(E(operand))
     if op == "$isoWeek":
         return F.weekofyear(E(operand))     # Spark weekofyear IS ISO 8601
+    if op == "$isoWeekYear":
+        # the ISO week-numbering year (Jan 1 can belong to the previous
+        # ISO year); Spark's extract(YEAROFWEEK) is the ISO definition
+        return F.extract(F.lit("YEAROFWEEK"), E(operand)).cast("long")
     if op == "$isoDayOfWeek":
         # dayofweek: 1=Sunday..7=Saturday → ISO 1=Monday..7=Sunday
         return F.pmod(F.dayofweek(E(operand)) + F.lit(5), F.lit(7)) + F.lit(1)
@@ -664,6 +668,41 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         return F.octet_length(E(operand))
     if op == "$binarySize":
         return F.octet_length(E(operand))
+    if op == "$substrBytes":
+        # byte-indexed substring: slice the UTF-8 encoding, decode back.
+        # Documented deviation: the server ERRORS when an index splits a
+        # multi-byte character; here the decode yields replacement chars
+        # instead (no declarative way to raise per-row).
+        s, start, count = (E(operand[0]), E(operand[1]), E(operand[2]))
+        return F.decode(
+            F.substring(F.encode(s, "UTF-8"), start + F.lit(1), count),
+            "UTF-8")
+    if op == "$indexOfBytes":
+        # byte offset of the first occurrence (−1 if absent), optional
+        # [start, end] byte range.  Byte positions come from the latin1
+        # trick: ISO-8859-1 decodes bytes 1:1 to chars, so instr over
+        # the latin1 view counts BYTES (Spark's position/instr coerce
+        # binary operands back to UTF-8 strings, which would count
+        # characters instead).
+        args = operand if isinstance(operand, list) else [operand]
+
+        def _bytes_view(c):
+            return F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")
+
+        sb, subb = _bytes_view(E(args[0])), _bytes_view(E(args[1]))
+        if len(args) > 2:
+            start = E(args[2])
+            end = E(args[3]) if len(args) > 3 else F.length(sb)
+            window = F.substring(sb, start + F.lit(1),
+                                 F.greatest(end - start, F.lit(0)))
+            pos = F.instr(window, subb)
+            return F.when(pos > 0, pos - 1 + start).otherwise(F.lit(-1))
+        return F.instr(sb, subb) - F.lit(1)
+    if op == "$tsSecond":
+        # BSON timestamp ({t, i} struct per extjson) → seconds component
+        return E(operand)["t"].cast("long")
+    if op == "$tsIncrement":
+        return E(operand)["i"].cast("long")
     raise ValueError(f"unsupported aggregation expression operator {op}")
 
 

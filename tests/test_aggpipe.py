@@ -2557,3 +2557,30 @@ def test_search_highlight_segments(spark):
         aggregate(df, [{"$search": {"wildcard": {
             "query": "sc*", "path": "body",
             "highlight": {"path": "body"}}}}])
+
+
+def test_byte_level_and_iso_year_and_ts_ops(spark):
+    import datetime
+
+    from pyspark.sql import Row
+    df = spark.createDataFrame([Row(
+        s="héllo wörld",
+        d=datetime.date(2021, 1, 1),      # ISO week-year 2020 (week 53)
+        bts=Row(t=1634000000, i=7),
+    )])
+    got = aggregate(df, [{"$project": {
+        "iwy": {"$isoWeekYear": "$d"},
+        # 'héllo' bytes: h=0, é=1-2, l=3 → 3 bytes starting at byte 1 = 'él'
+        "sb": {"$substrBytes": ["$s", 1, 3]},
+        "ib": {"$indexOfBytes": ["$s", "llo"]},
+        "ib_range": {"$indexOfBytes": ["$s", "l", 4, 11]},
+        "ib_miss": {"$indexOfBytes": ["$s", "zzz"]},
+        "tss": {"$tsSecond": "$bts"},
+        "tsi": {"$tsIncrement": "$bts"},
+    }}]).collect()[0]
+    assert got["iwy"] == 2020
+    assert got["sb"] == "él"
+    assert got["ib"] == 3          # byte offset, not char offset (2)
+    assert got["ib_range"] == 4
+    assert got["ib_miss"] == -1
+    assert got["tss"] == 1634000000 and got["tsi"] == 7
