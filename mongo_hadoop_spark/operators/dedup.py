@@ -698,44 +698,52 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     their own cluster) — the drop list is ``doc_id != cluster_id``.
     """
     pairs = dedup_minhash_verified(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (pairs.select(F.col("doc_a").alias("src"),
-                          F.col("doc_b").alias("dst"))
-             .unionByName(pairs.select(F.col("doc_b").alias("src"),
-                                       F.col("doc_a").alias("dst")))
-             .persist())
+    labels = connected_component_labels(pairs, "doc_a", "doc_b")
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return (d.join(labels, d.doc_id == labels.node, "left")
+            .select("doc_id",
+                    F.coalesce("label", "doc_id").alias("cluster_id")))
+
+
+def connected_component_labels(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """(node, label) = min reachable id per node of the undirected graph
+    given by the (``a``, ``b``) pair columns — the Hash-Min + pointer-
+    jumping superstep loop factored out of
+    :func:`dedup_connected_clusters` so any pair generator (and the
+    adversarial-topology pytest pins) can cluster through it."""
+    # localCheckpoint (not persist): each superstep references labels
+    # THREE times (self, neighbor join, jump join), so an un-truncated
+    # logical plan grows 3^rounds — a path graph deep enough to need 10+
+    # rounds OOMs the DRIVER on plan size alone.  Checkpointing truncates
+    # lineage to the materialized partitions each round; a cluster
+    # deployment would point this at a reliable checkpoint dir instead
+    # of executor-local storage.
+    edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+             .unionByName(pairs.select(F.col(b).alias("src"),
+                                       F.col(a).alias("dst")))
+             .localCheckpoint())
     labels = (edges.select(F.col("src").alias("node")).distinct()
-              .select("node", F.col("node").alias("label")).persist())
-    try:
-        for _ in range(CC_MAX_ROUNDS):
-            nbr = (edges.join(labels, edges.src == labels.node)
-                   .select(F.col("dst").alias("node"), "label"))
-            l2 = labels.select(F.col("node").alias("j_node"),
-                               F.col("label").alias("j_label"))
-            jump = (labels.join(l2, labels.label == l2.j_node)
-                    .select("node", F.col("j_label").alias("label")))
-            new = (labels.unionByName(nbr).unionByName(jump)
-                   .groupBy("node").agg(F.min("label").alias("label"))
-                   .persist())
-            changed = (new.join(labels.withColumnRenamed("label", "old"),
-                                "node")
-                       .where(F.col("label") != F.col("old")).count())
-            labels.unpersist()
-            labels = new
-            if changed == 0:
-                break
-        else:
-            raise RuntimeError(
-                f"connected components did not converge in "
-                f"{CC_MAX_ROUNDS} pointer-jumping rounds")
-        d = table(spark, sf_dir, "documents").select("doc_id")
-        return (d.join(labels, d.doc_id == labels.node, "left")
-                .select("doc_id",
-                        F.coalesce("label", "doc_id").alias("cluster_id")))
-    finally:
-        # labels stays cached (node-count-sized, already materialized by
-        # the convergence count); edges cache can go — the returned
-        # plan's lineage stays valid either way
-        edges.unpersist()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint())
+    for _ in range(CC_MAX_ROUNDS):
+        nbr = (edges.join(labels, edges.src == labels.node)
+               .select(F.col("dst").alias("node"), "label"))
+        l2 = labels.select(F.col("node").alias("j_node"),
+                           F.col("label").alias("j_label"))
+        jump = (labels.join(l2, labels.label == l2.j_node)
+                .select("node", F.col("j_label").alias("label")))
+        new = (labels.unionByName(nbr).unionByName(jump)
+               .groupBy("node").agg(F.min("label").alias("label"))
+               .localCheckpoint())
+        changed = (new.join(labels.withColumnRenamed("label", "old"),
+                            "node")
+                   .where(F.col("label") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected components did not converge in "
+        f"{CC_MAX_ROUNDS} pointer-jumping rounds")
 
 
 CONNECTED_CLUSTERS_SQL = f"""

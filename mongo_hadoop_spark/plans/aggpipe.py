@@ -342,6 +342,13 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         # 24-hex validation, NULL through (functions.to_object_id / U1)
         from mongo_hadoop_spark.functions import to_object_id
         return to_object_id(E(operand))
+    if op == "$toUUID":
+        # Mongo 8.0: string → UUID (canonical 8-4-4-4-12 lowercase);
+        # malformed input nulls out, like $toObjectId's convention
+        low = F.lower(E(operand))
+        return F.when(low.rlike(
+            "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}"
+            "-[0-9a-f]{4}-[0-9a-f]{12}$"), low)
     if op in ("$function", "$accumulator"):
         # server-side JavaScript — same standing refusal as $where:
         # arbitrary JS has no declarative Spark translation, and shipping

@@ -36,3 +36,41 @@ def test_cluster_stats_account_for_corpus(spark):
     assert sum(r["cluster_size"] * r["n_clusters"] for r in rows) == 500
     assert sum(r["docs_dropped"] for r in rows) == \
         sum((r["cluster_size"] - 1) * r["n_clusters"] for r in rows)
+
+
+def _labels(spark, pairs):
+    from pyspark.sql import Row
+    df = spark.createDataFrame([Row(a=x, b=y) for x, y in pairs])
+    got = dedup.connected_component_labels(df, "a", "b").collect()
+    return {r["node"]: r["label"] for r in got}
+
+
+def test_cc_long_path_exercises_pointer_jumping(spark):
+    """A 60-node path graph has diameter 59 — plain Hash-Min would need
+    59 supersteps, beyond CC_MAX_ROUNDS=16; pointer jumping must close
+    it in ~log2(59) ≈ 6."""
+    n = 60
+    lab = _labels(spark, [(i, i + 1) for i in range(n - 1)])
+    assert set(lab.values()) == {0}
+    assert len(lab) == n
+
+
+def test_cc_multiple_components_and_shapes(spark):
+    pairs = (
+        [(1, 2), (2, 3), (3, 1)]          # triangle  → label 1
+        + [(10, 11), (11, 12)]            # path      → label 10
+        + [(20, 21), (20, 22), (20, 23)]  # star      → label 20
+        + [(30, 31)]                      # edge      → label 30
+    )
+    lab = _labels(spark, pairs)
+    assert {n: lab[n] for n in (1, 2, 3)} == {1: 1, 2: 1, 3: 1}
+    assert {lab[10], lab[11], lab[12]} == {10}
+    assert {lab[20], lab[21], lab[22], lab[23]} == {20}
+    assert {lab[30], lab[31]} == {30}
+
+
+def test_cc_bridged_components_merge(spark):
+    # two cliques bridged by one edge — the canonical "A≈B, B≈C" case
+    pairs = [(1, 2), (1, 3), (2, 3), (7, 8), (7, 9), (8, 9), (3, 7)]
+    lab = _labels(spark, pairs)
+    assert set(lab.values()) == {1}
