@@ -2584,3 +2584,15 @@ def test_byte_level_and_iso_year_and_ts_ops(spark):
     assert got["ib_range"] == 4
     assert got["ib_miss"] == -1
     assert got["tss"] == 1634000000 and got["tsi"] == 7
+
+
+def test_to_uuid(people):
+    got = aggregate(people, [
+        {"$project": {
+            "u": {"$toUUID": {"$literal":
+                  "A1B2C3D4-E5F6-7890-ABCD-EF0123456789"}},
+            "bad": {"$toUUID": {"$literal": "not-a-uuid"}},
+        }},
+        {"$limit": 1}]).collect()[0]
+    assert got["u"] == "a1b2c3d4-e5f6-7890-abcd-ef0123456789"
+    assert got["bad"] is None
