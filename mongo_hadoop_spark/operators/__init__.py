@@ -52,7 +52,7 @@ _HEAD_KEYS = [
     "text_repetition_flags", "corpus_repetition_yield",
     "pipeline_search_meta_facets", "pipeline_exp_moving_avg",
     "dedup_connected_clusters", "dedup_cluster_stats",
-    "pipeline_search_highlights",
+    "pipeline_search_highlights", "corpus_token_quotas",
     # changed this round — fresh hash rows needed
     "embedding_pca_whitened", "corpus_dsir_selected",
     "corpus_perplexity_buckets", "embedding_random_projection",

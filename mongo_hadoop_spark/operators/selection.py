@@ -313,14 +313,101 @@ WHERE rn <= {PRIORITY_K}
 """
 
 
+TOKEN_BUDGET = 16384     # epoch token budget B to apportion
+
+
+def corpus_token_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch token quotas: the sqrt-temperature mixture
+    weights of ``corpus_source_mixture`` turned into an EXACT integer
+    apportionment of a fixed token budget by the largest-remainder
+    (Hamilton) method — the step between "mixture weights" and "sample
+    this many tokens per source this epoch" in a real training run.
+
+        w_s     = floor(sqrt(T_s))          (sqrt-temperature weight)
+        base_s  = (B·w_s) div W,  W = Σ w_s
+        extra_s = 1 for the R = B − Σ base_s largest remainders
+                  (B·w_s mod W), ties broken by source name
+        quota_s = base_s + extra_s          (Σ quota_s = B exactly)
+
+    Every compared value is integer: the only double is sqrt, whose
+    correctly-rounded IEEE result is identical in both engines before
+    the floor.  Scale shape: one per-source token aggregate (map-side
+    partial over the scan), then all remaining work — including the
+    remainder-rank window — runs on the SOURCE-count-sized table
+    (mixture cardinality, not corpus cardinality), with the two scalar
+    totals broadcast back.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = (d.select("source", F.size(tokenize("text")).cast("long").alias("n"))
+         .groupBy("source").agg(F.sum("n").alias("tokens_available")))
+    w = t.select("source", "tokens_available",
+                 F.floor(F.sqrt(F.col("tokens_available").cast("double")))
+                 .cast("long").alias("weight"))
+    totals = w.agg(F.sum("weight").alias("W"))
+    b = F.lit(TOKEN_BUDGET).cast("long")
+    j = w.crossJoin(F.broadcast(totals)).select(
+        "source", "tokens_available", "weight",
+        F.expr(f"CAST({TOKEN_BUDGET}L * weight AS BIGINT) div W")
+        .alias("quota_base"),
+        ((b * F.col("weight")) % F.col("W")).alias("remainder"),
+    )
+    r_total = j.agg((b - F.sum("quota_base")).alias("R"))
+    from pyspark.sql import Window
+    # remainder-rank window: global, but over the source-count-sized
+    # table only (the mixture has O(10-100) sources at any corpus size)
+    rk = F.row_number().over(
+        Window.orderBy(F.col("remainder").desc(), F.col("source").asc()))
+    return (j.withColumn("rk", rk)
+            .crossJoin(F.broadcast(r_total))
+            .select("source", "tokens_available", "weight", "quota_base",
+                    "remainder",
+                    (F.col("rk") <= F.col("R")).cast("long").alias("extra"),
+                    (F.col("quota_base")
+                     + (F.col("rk") <= F.col("R")).cast("long"))
+                    .alias("quota")))
+
+
+TOKEN_QUOTAS_SQL = f"""
+WITH t AS (
+  SELECT source, sum(len({_WORDS_SQL}))::bigint AS tokens_available
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, tokens_available,
+         floor(sqrt(tokens_available::double))::bigint AS weight
+  FROM t
+),
+totals AS (SELECT sum(weight)::bigint AS wsum FROM w),
+j AS (
+  SELECT source, tokens_available, weight,
+         ({TOKEN_BUDGET}::bigint * weight) // wsum AS quota_base,
+         ({TOKEN_BUDGET}::bigint * weight) % wsum AS remainder
+  FROM w, totals
+),
+r_total AS (
+  SELECT {TOKEN_BUDGET}::bigint - sum(quota_base)::bigint AS r FROM j
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY remainder DESC, source ASC) AS rk
+  FROM j
+)
+SELECT source, tokens_available, weight, quota_base, remainder,
+       (rk <= r)::bigint AS extra,
+       quota_base + (rk <= r)::bigint AS quota
+FROM ranked, r_total
+"""
+
+
 QUERIES = {
     "corpus_dsir_weights": corpus_dsir_weights,
     "corpus_dsir_selected": corpus_dsir_selected,
     "documents_priority_sample": documents_priority_sample,
+    "corpus_token_quotas": corpus_token_quotas,
 }
 
 ORACLES = {
     "corpus_dsir_weights": DSIR_WEIGHTS_SQL,
     "corpus_dsir_selected": DSIR_SELECTED_SQL,
     "documents_priority_sample": PRIORITY_SAMPLE_SQL,
+    "corpus_token_quotas": TOKEN_QUOTAS_SQL,
 }

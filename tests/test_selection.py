@@ -98,3 +98,21 @@ def test_priority_sample_is_weight_biased(spark):
         .collect()[0][0]
     )
     assert sample_mean > corpus_mean
+
+
+def test_token_quotas_sum_to_budget_exactly(spark):
+    from mongo_hadoop_spark.operators.selection import (
+        TOKEN_BUDGET, corpus_token_quotas,
+    )
+
+    rows = corpus_token_quotas(spark, SF_SMOKE).collect()
+    assert rows
+    assert sum(r["quota"] for r in rows) == TOKEN_BUDGET  # Hamilton exact
+    for r in rows:
+        assert r["quota"] in (r["quota_base"], r["quota_base"] + 1)
+        assert r["extra"] in (0, 1)
+        assert r["weight"] >= 1
+    # monotone in weight up to the ±1 remainder adjustment
+    by_w = sorted(rows, key=lambda r: r["weight"])
+    for a, b in zip(by_w, by_w[1:]):
+        assert a["quota_base"] <= b["quota_base"]
