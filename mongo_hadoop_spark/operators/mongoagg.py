@@ -1346,28 +1346,19 @@ def pipeline_search_highlights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1-based run index), value (original tokens, case preserved), type
     ('hit'|'text'), n_hits (the passage score).
 
-    Scale: the segmentation is one boundary-index array expression per
-    row (filter/zip_with/slice, JVM-side), the flatten a posexplode —
-    map-only over the matched scan.
+    Scale: uses the flat segment form (search_highlight_segments) —
+    the run boundaries posexplode through a Generate barrier that
+    materializes the token/flag arrays as physical attributes, so
+    per-segment work is O(segment).  Flattening the nested $meta struct
+    instead re-inlines the tokenize subtree into every per-segment
+    lambda (Catalyst does no CSE inside lambda bodies): measured 60 s
+    vs ~1 s at sf0.1.  Map-only over the matched scan either way.
     """
-    documents = table(spark, sf_dir, "documents")
-    hl = aggregate(documents, [
-        {"$search": {"text": {"query": "scan merge", "path": "text",
-                              "highlight": {"path": "text"}}}},
-        {"$project": {"doc_id": 1, "hl": {"$meta": "searchHighlights"}}},
-    ])
-    # F.get, not [0]: Catalyst's subexpression elimination can hoist the
-    # element access into a predicate stage that still sees unmatched
-    # rows (empty highlight arrays), and ordinal [] is strict under ANSI
-    p = F.get(F.col("hl"), 0)
-    seg = hl.select(
-        "doc_id",
-        p["score"].cast("long").alias("n_hits"),
-        F.posexplode(p["texts"]).alias("i", "t"),
-    )
-    return seg.select("doc_id", (F.col("i") + 1).alias("seg"),
-                      F.col("t.value").alias("value"),
-                      F.col("t.type").alias("type"), "n_hits")
+    from mongo_hadoop_spark.plans.aggpipe import search_highlight_segments
+
+    documents = table(spark, sf_dir, "documents").select("doc_id", "text")
+    flat = search_highlight_segments(documents, "text", ["scan", "merge"])
+    return flat.select("doc_id", "seg", "value", "type", "n_hits")
 
 
 PIPELINE_SEARCH_HIGHLIGHTS_SQL = r"""

@@ -2306,42 +2306,115 @@ _SEARCH_SCORE_COL = "__search_score__"
 _SEARCH_HIGHLIGHTS_COL = "__search_highlights__"
 
 
-def _highlight_col(path: str, terms: list[str]):
-    """``highlight`` option of the $search text operator: the hit/text
-    segmentation of the highlighted field, as the server's
-    ``searchHighlights`` shape — array of passages, each
+def _highlight_parts(df: DataFrame, path: str, terms: list[str]) -> DataFrame:
+    """Add the highlight building blocks as columns: ``__hl_ws``
+    (original-case tokens), ``__hl_flags`` (case-insensitive hit flags),
+    ``__hl_bounds``/``__hl_ends`` (1-based run boundaries of maximal
+    consecutive hit / non-hit token runs) and ``__hl_nhits``.
+
+    Shared by the $search ``highlight`` option (nested searchHighlights
+    struct) and the flat segment form
+    (:func:`search_highlight_segments`).
+    """
+    tset = F.array(*[F.lit(t) for t in terms])
+    ws = F.filter(F.split(F.col(path), r"\s+"), lambda x: x != "")
+    df = df.withColumn("__hl_ws", ws)
+    df = df.withColumn(
+        "__hl_flags",
+        F.transform("__hl_ws", lambda w: F.array_contains(tset, F.lower(w))))
+    # greatest(i-1, 1): OR is not guaranteed to short-circuit under
+    # codegen, and element_at(_, 0) raises — at i=1 the comparison is
+    # self-equal (false) and the i=1 disjunct carries the boundary
+    df = df.withColumn(
+        "__hl_bounds",
+        F.filter(
+            F.sequence(F.lit(1), F.size("__hl_ws")),
+            lambda i: (i == 1) | (
+                F.element_at(F.col("__hl_flags"), i)
+                != F.element_at(F.col("__hl_flags"),
+                                F.greatest(i - 1, F.lit(1))))))
+    df = df.withColumn(
+        "__hl_ends",
+        F.concat(
+            F.slice(F.col("__hl_bounds"), 2,
+                    F.greatest(F.size("__hl_bounds") - 1, F.lit(0))),
+            F.array(F.size("__hl_ws") + 1)))
+    return df.withColumn(
+        "__hl_nhits", F.size(F.filter(F.col("__hl_flags"), lambda f: f)))
+
+
+_HL_PART_COLS = ["__hl_ws", "__hl_flags", "__hl_bounds", "__hl_ends",
+                 "__hl_nhits"]
+
+
+def _with_highlight(df: DataFrame, path: str, terms: list[str]) -> DataFrame:
+    """Attach ``_SEARCH_HIGHLIGHTS_COL`` — the ``highlight`` option of
+    the $search text/phrase operators, as the server's
+    ``searchHighlights`` shape: array of passages, each
     ``{path, score, texts: [{value, type: 'hit'|'text'}]}``.
 
     Documented deviations: ONE passage spanning the whole field (Lucene
     breaks passages at sentence boundaries and caps maxNumPassages; the
     synthetic corpus is sentence-less), and passage score = hit count
-    (Lucene scores passages BM25-ish off the index).  Segmentation is
-    exact: maximal runs of consecutive hit / non-hit tokens, original
-    token text preserved, matching case-insensitive — all built from
-    one boundary-index expression (filter/zip_with/slice), entirely
-    JVM-side, so the flattened form is DuckDB-oracle-gateable.
+    (Lucene scores passages BM25-ish off the index).
+
+    Performance note: Catalyst collapses the part columns back into the
+    nested struct expression (re-evaluating the tokenize subtree once
+    per reference — a heavy CONSTANT factor, still linear per row).
+    Pipelines that post-process per segment should flatten through
+    :func:`search_highlight_segments` instead, whose Generate barrier
+    materializes the arrays once per row (measured 60 s → ~1 s at
+    sf0.1 for the flattened registry query).
     """
-    qlist = ", ".join("'" + t.replace("'", "\\'") + "'" for t in terms)
-    ws = f"filter(split({path}, '\\\\s+'), x -> x != '')"
-    flags = f"transform({ws}, w -> lower(w) IN ({qlist}))"
-    # greatest(i-1, 1): OR is not guaranteed to short-circuit under
-    # codegen, and element_at(_, 0) raises — at i=1 the comparison is
-    # self-equal (false) and the i=1 disjunct carries the boundary
-    bounds = (f"filter(sequence(1, size({ws})), i -> i = 1 OR "
-              f"element_at({flags}, i) != "
-              f"element_at({flags}, greatest(i - 1, 1)))")
-    ends = (f"concat(slice({bounds}, 2, greatest(size({bounds}) - 1, 0)),"
-            f" array(size({ws}) + 1))")
-    texts = (f"zip_with({bounds}, {ends}, (s, e) -> struct("
-             f"array_join(slice({ws}, s, e - s), ' ') AS value,"
-             f" IF(element_at({flags}, s), 'hit', 'text') AS type))")
-    nhits = f"size(filter({flags}, f -> f))"
-    passage = (f"struct('{path}' AS path,"
-               f" CAST({nhits} AS DOUBLE) AS score, {texts} AS texts)")
-    return F.expr(
-        f"CASE WHEN size({ws}) > 0 AND {nhits} > 0"
-        f" THEN array({passage})"
-        f" ELSE slice(array({passage}), 1, 0) END")
+    df = _highlight_parts(df, path, terms)
+    texts = F.zip_with(
+        F.col("__hl_bounds"), F.col("__hl_ends"),
+        lambda s, e: F.struct(
+            F.array_join(F.slice(F.col("__hl_ws"), s, e - s), " ")
+            .alias("value"),
+            F.when(F.element_at(F.col("__hl_flags"), s), F.lit("hit"))
+            .otherwise(F.lit("text")).alias("type")))
+    nhits = F.col("__hl_nhits")
+    passage = F.struct(F.lit(path).alias("path"),
+                       nhits.cast("double").alias("score"),
+                       texts.alias("texts"))
+    col = F.when((F.size("__hl_ws") > 0) & (nhits > 0), F.array(passage)) \
+        .otherwise(F.slice(F.array(passage), 1, 0))
+    return (df.withColumn(_SEARCH_HIGHLIGHTS_COL, col)
+            .drop(*_HL_PART_COLS))
+
+
+def search_highlight_segments(df: DataFrame, path: str,
+                              terms: list[str]) -> DataFrame:
+    """Flat form of the highlight segmentation: the input rows that
+    contain at least one hit, exploded to one row per hit/text run —
+    added columns ``seg`` (1-based), ``value``, ``type``, ``n_hits``.
+
+    Scale shape: the run boundaries posexplode through a Generate node,
+    which MATERIALIZES the token/flag arrays as physical attributes —
+    the per-segment slice/element_at then read the arrays O(1) instead
+    of re-evaluating their defining expressions (Catalyst performs no
+    common-subexpression elimination inside lambda bodies, so the
+    nested-struct form re-tokenizes per segment: measured 60 s vs ~1 s
+    at sf0.1).  Everything stays map-only.
+    """
+    parts = _highlight_parts(df, path, terms).where(F.col("__hl_nhits") > 0)
+    segs = parts.select(
+        *df.columns, "__hl_ws", "__hl_flags",
+        F.col("__hl_nhits").alias("n_hits"),
+        F.posexplode(F.zip_with(
+            "__hl_bounds", "__hl_ends",
+            lambda s, e: F.struct(s.alias("s"), e.alias("e")))
+        ).alias("i", "se"),
+    )
+    return segs.select(
+        *df.columns, (F.col("i") + 1).alias("seg"),
+        F.array_join(
+            F.slice(F.col("__hl_ws"), F.col("se.s"),
+                    F.col("se.e") - F.col("se.s")), " ").alias("value"),
+        F.when(F.element_at(F.col("__hl_flags"), F.col("se.s")),
+               F.lit("hit")).otherwise(F.lit("text")).alias("type"),
+        "n_hits")
 
 
 def _parse_query_string(s: str) -> list:
@@ -2705,12 +2778,12 @@ def _stage_search(df: DataFrame, spec: dict) -> DataFrame:
         if isinstance(hpath, list):
             raise ValueError("highlight supports a single path")
         terms = [t for t in str(opspec["query"]).lower().split() if t]
-        highlight = _highlight_col(hpath, terms)
+        highlight = (hpath, terms)
     cond, score = _search_clause(op, opspec)
     out = (df.where(F.coalesce(cond, F.lit(False)))
            .withColumn(_SEARCH_SCORE_COL, score.cast("double")))
     if highlight is not None:
-        out = out.withColumn(_SEARCH_HIGHLIGHTS_COL, highlight)
+        out = _with_highlight(out, *highlight)
     return out.orderBy(F.col(_SEARCH_SCORE_COL).desc())
 
 
