@@ -123,7 +123,14 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline owner actually reads.  Map-only scan — every rule is a
     JVM-side expression over one tokenize; no shuffle, no Python.
     """
-    d = table(spark, sf_dir, "documents")
+    return gopher_flags(table(spark, sf_dir, "documents"))
+
+
+def gopher_flags(d: DataFrame) -> DataFrame:
+    """Column-level core of :func:`text_gopher_quality` over any
+    (doc_id, text) DataFrame — stateless map, so it runs unchanged on a
+    Structured Streaming document source (streaming/jobs.py
+    stream_quality_gate; stream ≡ batch by construction)."""
     d = d.select("doc_id", "text", tokenize("text").alias("ws"))
     n_words = F.size("ws")
     mean_len = (

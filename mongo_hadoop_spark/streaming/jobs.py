@@ -379,3 +379,21 @@ def aggregate_stream(sdf: DataFrame, pipeline: list[dict]) -> DataFrame:
                 f"streaming-safe stages: {sorted(STREAM_SAFE_STAGES)} — "
                 f"use event-time windows or foreachBatch for the rest")
     return aggregate(sdf, pipeline)
+
+
+def stream_quality_gate(documents: DataFrame) -> DataFrame:
+    """Streaming form of the Gopher quality gate
+    (:func:`~.operators.textstats.text_gopher_quality`): per-document
+    rule flags + keep verdict computed on arriving crawl shards.
+
+    Stateless map (every rule is a JVM expression over one tokenize of
+    the document itself), so the gate of a document depends on its
+    bytes alone — backfill ≡ live by construction, and the incremental
+    output can feed ``BucketedDocumentSink`` routing keeps vs rejects.
+    Corpus-relative stages (perplexity tertiles, DSIR cuts) stay batch:
+    their thresholds are corpus statistics, recomputed per epoch and
+    applied to the stream as broadcast literals.
+    """
+    from mongo_hadoop_spark.operators.textstats import gopher_flags
+
+    return gopher_flags(documents)

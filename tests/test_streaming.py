@@ -764,3 +764,28 @@ def test_stream_ddq_sketch_merge_equals_batch(spark, tmp_path):
              for r in ddq_sketch(table(spark, SF_SMOKE, "events"),
                                  F.col("value")).collect()}
     assert merged == batch and len(batch) > 0
+
+
+def test_stream_quality_gate_equals_batch(spark, documents_dir, tmp_path):
+    """The Gopher gate is stateless-map, so the streaming verdict for
+    every document must be identical to the batch operator's."""
+    from mongo_hadoop_spark.operators.textstats import text_gopher_quality
+    from mongo_hadoop_spark.streaming.jobs import (
+        stream_quality_gate, streaming_documents_source,
+    )
+
+    out = str(tmp_path / "gate_out")
+    q = (stream_quality_gate(streaming_documents_source(spark, documents_dir))
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "gate_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: (r["keep"], r["n_words"])
+           for r in spark.read.parquet(out).collect()}
+    want = {r["doc_id"]: (r["keep"], r["n_words"])
+            for r in text_gopher_quality(spark, SF_SMOKE).collect()}
+    assert got == want
+    assert any(k for k, _ in got.values()) and not all(
+        k for k, _ in got.values())   # the gate discriminates
