@@ -84,15 +84,27 @@ def text_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     ns = sorted(TOP_NGRAM_LIMITS) + sorted(DUP_NGRAM_LIMITS)
-    # one exploded (doc_id, n, gram) stream for every n at once
-    pairs = ", ".join(
-        f"transform({_grams_spark(n)}, g -> struct({n} AS n, g AS g))"
+    # Explode (n, start-position) pairs FIRST, carrying the token array
+    # through the Generate, then build each gram by slicing the
+    # materialized column — hashing the gram text inside the generator
+    # lambda would re-evaluate the tokenize subtree once PER GRAM
+    # (Catalyst does no CSE in lambda bodies: O(tokens²) per document on
+    # long docs — the pipeline_search_highlights lesson, SCALE.md wave 6;
+    # same shape as spans._fingerprints).
+    sz = "size(ws)"
+    pos_pairs = ", ".join(
+        f"CASE WHEN {sz} < {n} THEN array()"
+        f" ELSE transform(sequence(1, {sz} - {n - 1}),"
+        f" i -> struct({n} AS n, i AS i)) END"
         for n in ns)
-    grams = d.select(
-        "doc_id", "n_chars",
-        F.explode(F.expr(f"flatten(array({pairs}))")).alias("p"),
-    ).select("doc_id", "n_chars", F.col("p.n").alias("n"),
-             F.col("p.g").alias("g"))
+    base = d.select("doc_id", "n_chars", tokenize("text").alias("ws"))
+    grams = base.select(
+        "doc_id", "n_chars", "ws",
+        F.explode(F.expr(f"flatten(array({pos_pairs}))")).alias("p"),
+    ).select(
+        "doc_id", "n_chars", F.col("p.n").alias("n"),
+        F.array_join(F.slice(F.col("ws"), F.col("p.i"), F.col("p.n")), " ")
+        .alias("g"))
     counted = (grams.groupBy("doc_id", "n_chars", "n", "g")
                .agg(F.count(F.lit(1)).alias("cnt")))
     per_n = (counted.groupBy("doc_id", "n_chars", "n").agg(
