@@ -121,17 +121,28 @@ def tokenize(col: Column | str, pattern: str = r"\s+") -> Column:
 def word_shingles(col: Column | str, n: int) -> Column:
     """Word n-gram shingles of a text column (array<string>).
 
-    Built-in-only implementation: split → sliding slices via transform over
-    an index sequence.  Used by MinHash / n-gram Jaccard dedup.
+    Built-in-only implementation: split, then zip_with over n SHIFTED
+    SLICES of the token array, folding ``acc + ' ' + next`` — the
+    lambdas touch only their own arguments.  The obvious alternative
+    (``transform(sequence(...), i -> slice(words, i, n))``) re-evaluates
+    the tokenize subtree once PER POSITION, because Catalyst performs no
+    common-subexpression elimination inside lambda bodies: measured 55 s
+    vs 0.8 s for a single 20 000-token document (the
+    pipeline_search_highlights lesson, SCALE.md).  Here ``words`` is
+    referenced only by the n top-level slices — an O(n) constant — and
+    total work is O(tokens · n).  Output strings are identical
+    (left-fold concat ≡ concat_ws), so every md5-derived signature and
+    oracle hash is unchanged.  Used by MinHash / n-gram Jaccard dedup.
     """
     c = F.col(col) if isinstance(col, str) else col
     words = tokenize(c)
-    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        )
-    )
+    m = F.size(words) - F.lit(n - 1)          # shingle count when >= 0
+    acc = F.slice(words, 1, m)
+    for k in range(1, n):
+        acc = F.zip_with(acc, F.slice(words, 1 + k, m),
+                         lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.when(F.size(words) < n,
+                  F.array().cast("array<string>")).otherwise(acc)
 
 
 # ---------------------------------------------------------------------------
