@@ -282,7 +282,7 @@ _mq_query = st.one_of(
 
 
 @given(_mq_docs, _mq_query)
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=40, deadline=None)
 def test_match_compiler_equals_doc_evaluator(docs, query):
     from mongo_hadoop_spark.plans.aggpipe import match_to_col
     from mongo_hadoop_spark.plans.filters import match as doc_match
@@ -300,3 +300,30 @@ def test_match_compiler_equals_doc_evaluator(docs, query):
     want = sorted(i for i, d in enumerate(docs)
                   if doc_match({k: v for k, v in d.items() if v is not None}, query))
     assert got == want, (query, docs)
+
+
+# --- word_shingles: zip_with construction ≡ reference sliding window ---
+
+_shingle_texts = st.lists(
+    st.text(alphabet=string.ascii_lowercase + "0", min_size=1, max_size=6),
+    min_size=0, max_size=30).map(" ".join)
+
+
+@given(_shingle_texts, st.integers(min_value=1, max_value=6))
+@settings(max_examples=60, deadline=None)
+def test_word_shingles_matches_reference(spark, text, n):
+    """The shifted-slice zip_with construction (the O(tokens·n) rewrite
+    of the 55-s-per-doc transform/slice hazard) must emit EXACTLY the
+    reference sliding-window shingles — every md5 signature downstream
+    depends on these strings."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from mongo_hadoop_spark.functions import word_shingles
+
+    got = (spark.createDataFrame([Row(text=text)])
+           .select(word_shingles("text", n).alias("s")).first()["s"])
+    toks = [t for t in text.split() if t]
+    want = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)] \
+        if len(toks) >= n else []
+    assert got == want
