@@ -24,9 +24,10 @@ IEEE division, which is deterministic everywhere).
 Scale shape (100 TB): the vocabulary table is the only global state —
 token-count rows, broadcast to the scoring join.  Two shuffles total
 (vocab aggregation, per-doc aggregation); everything else is row-local.
-The bucket split adds one global sort of *doc-level* rows (ntile) — at
-extreme scale swap ntile for approx-quantile cutoffs; the exact tertile
-is kept here because it is the oracle-checkable formulation.
+The tertile bucket split is a broadcast ``percentile_disc`` threshold
+(two cut points from one map-side-partial aggregate, bucket assignment
+a pure map — see ``corpus_perplexity_buckets``); no global sort or
+single-partition window anywhere.
 """
 
 from __future__ import annotations

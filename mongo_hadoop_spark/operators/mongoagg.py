@@ -1418,13 +1418,19 @@ def pipeline_exp_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIPELINE_EXP_MOVING_AVG_SQL = """
 WITH w AS (
   SELECT user_id, event_id, value,
-         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS vals
+         -- strip nulls like Spark's collect_list (the stage skips
+         -- non-numeric values); an all-null prefix folds to NULL
+         list_filter(
+           list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW),
+           x -> x IS NOT NULL) AS vals
   FROM events
 )
 SELECT user_id, event_id, value,
-       list_reduce(vals, (acc, x) -> 0.5e0 * x + 0.5e0 * acc) AS ema
+       CASE WHEN len(vals) > 0
+            THEN list_reduce(vals, (acc, x) -> 0.5e0 * x + 0.5e0 * acc)
+       END AS ema
 FROM w
 """
 

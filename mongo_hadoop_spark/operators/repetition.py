@@ -57,17 +57,6 @@ DUP_NGRAM_LIMITS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 _WORDS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 
 
-def _grams_spark(n: int) -> str:
-    """Word n-grams of the tokenized ``text`` as one Spark-SQL
-    generator expression (1-based slice, space-joined).  Guarded for
-    short documents: Spark's ``sequence(1, 0)`` DESCENDS ([1, 0]), so
-    an unguarded generator feeds ``slice`` a zero start."""
-    w = "filter(split(text, '\\\\s+'), x -> x != '')"
-    return (f"CASE WHEN size({w}) < {n} THEN array()"
-            f" ELSE transform(sequence(1, size({w}) - {n - 1}),"
-            f" i -> array_join(slice({w}, i, {n}), ' ')) END")
-
-
 def _grams_duck(n: int) -> str:
     return (f"list_transform(generate_series(1,"
             f" greatest(len({_WORDS_SQL}) - {n - 1}, 0)),"

@@ -1714,12 +1714,16 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                     raise ValueError("$expMovingAvg alpha must be in (0, 1)")
             v = expr_to_col(operand["input"]).cast("double")
             wb = w_sorted.rowsBetween(W.unboundedPreceding, W.currentRow)
+            # collect_list skips nulls (the server ignores non-numeric
+            # values); an all-null prefix has no EMA yet → null.  F.get,
+            # not element_at: the seed access must tolerate the empty
+            # prefix instead of raising under ANSI.
             vals = F.collect_list(v).over(wb)
             rest = F.slice(vals, F.lit(2),
                            F.greatest(F.size(vals) - 1, F.lit(0)))
-            col = F.aggregate(
-                rest, F.element_at(vals, 1),
-                lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc)
+            col = F.when(F.size(vals) > 0, F.aggregate(
+                rest, F.get(vals, 0),
+                lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc))
         elif op in ("$covariancePop", "$covarianceSamp"):
             xs, ys = (expr_to_col(e) for e in operand)
             w = w_sorted
@@ -2306,9 +2310,12 @@ _SEARCH_SCORE_COL = "__search_score__"
 _SEARCH_HIGHLIGHTS_COL = "__search_highlights__"
 
 
-def _highlight_parts(df: DataFrame, path: str, terms: list[str]) -> DataFrame:
+def _highlight_parts(df: DataFrame, path: str, terms: list[str],
+                     max_edits: int | None = None) -> DataFrame:
     """Add the highlight building blocks as columns: ``__hl_ws``
-    (original-case tokens), ``__hl_flags`` (case-insensitive hit flags),
+    (original-case tokens), ``__hl_flags`` (case-insensitive hit flags —
+    Levenshtein-widened when the text operator ran with ``fuzzy``, so
+    fuzzy-matched tokens highlight like the server's),
     ``__hl_bounds``/``__hl_ends`` (1-based run boundaries of maximal
     consecutive hit / non-hit token runs) and ``__hl_nhits``.
 
@@ -2319,9 +2326,14 @@ def _highlight_parts(df: DataFrame, path: str, terms: list[str]) -> DataFrame:
     tset = F.array(*[F.lit(t) for t in terms])
     ws = F.filter(F.split(F.col(path), r"\s+"), lambda x: x != "")
     df = df.withColumn("__hl_ws", ws)
-    df = df.withColumn(
-        "__hl_flags",
-        F.transform("__hl_ws", lambda w: F.array_contains(tset, F.lower(w))))
+    if max_edits is None:
+        hit = lambda w: F.array_contains(tset, F.lower(w))  # noqa: E731
+    else:
+        def hit(w):
+            return F.exists(
+                tset, lambda t: F.levenshtein(F.lower(w), t)
+                <= F.lit(max_edits))
+    df = df.withColumn("__hl_flags", F.transform("__hl_ws", hit))
     # greatest(i-1, 1): OR is not guaranteed to short-circuit under
     # codegen, and element_at(_, 0) raises — at i=1 the comparison is
     # self-equal (false) and the i=1 disjunct carries the boundary
@@ -2347,7 +2359,8 @@ _HL_PART_COLS = ["__hl_ws", "__hl_flags", "__hl_bounds", "__hl_ends",
                  "__hl_nhits"]
 
 
-def _with_highlight(df: DataFrame, path: str, terms: list[str]) -> DataFrame:
+def _with_highlight(df: DataFrame, path: str, terms: list[str],
+                    max_edits: int | None = None) -> DataFrame:
     """Attach ``_SEARCH_HIGHLIGHTS_COL`` — the ``highlight`` option of
     the $search text/phrase operators, as the server's
     ``searchHighlights`` shape: array of passages, each
@@ -2366,7 +2379,7 @@ def _with_highlight(df: DataFrame, path: str, terms: list[str]) -> DataFrame:
     materializes the arrays once per row (measured 60 s → ~1 s at
     sf0.1 for the flattened registry query).
     """
-    df = _highlight_parts(df, path, terms)
+    df = _highlight_parts(df, path, terms, max_edits)
     texts = F.zip_with(
         F.col("__hl_bounds"), F.col("__hl_ends"),
         lambda s, e: F.struct(
@@ -2385,7 +2398,8 @@ def _with_highlight(df: DataFrame, path: str, terms: list[str]) -> DataFrame:
 
 
 def search_highlight_segments(df: DataFrame, path: str,
-                              terms: list[str]) -> DataFrame:
+                              terms: list[str],
+                              max_edits: int | None = None) -> DataFrame:
     """Flat form of the highlight segmentation: the input rows that
     contain at least one hit, exploded to one row per hit/text run —
     added columns ``seg`` (1-based), ``value``, ``type``, ``n_hits``.
@@ -2398,7 +2412,8 @@ def search_highlight_segments(df: DataFrame, path: str,
     nested-struct form re-tokenizes per segment: measured 60 s vs ~1 s
     at sf0.1).  Everything stays map-only.
     """
-    parts = _highlight_parts(df, path, terms).where(F.col("__hl_nhits") > 0)
+    parts = _highlight_parts(df, path, terms,
+                             max_edits).where(F.col("__hl_nhits") > 0)
     segs = parts.select(
         *df.columns, "__hl_ws", "__hl_flags",
         F.col("__hl_nhits").alias("n_hits"),
@@ -2778,7 +2793,10 @@ def _stage_search(df: DataFrame, spec: dict) -> DataFrame:
         if isinstance(hpath, list):
             raise ValueError("highlight supports a single path")
         terms = [t for t in str(opspec["query"]).lower().split() if t]
-        highlight = (hpath, terms)
+        fz = opspec.get("fuzzy")
+        hl_edits = (int((fz or {}).get("maxEdits", 2))
+                    if isinstance(fz, dict) else 2 if fz is True else None)
+        highlight = (hpath, terms, hl_edits)
     cond, score = _search_clause(op, opspec)
     out = (df.where(F.coalesce(cond, F.lit(False)))
            .withColumn(_SEARCH_SCORE_COL, score.cast("double")))

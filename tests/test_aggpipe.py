@@ -2596,3 +2596,78 @@ def test_to_uuid(people):
         {"$limit": 1}]).collect()[0]
     assert got["u"] == "a1b2c3d4-e5f6-7890-abcd-ef0123456789"
     assert got["bad"] is None
+
+
+def test_search_highlight_with_fuzzy_matches_widened_tokens(spark):
+    """Round-6 review finding: a fuzzy text match must highlight the
+    fuzzy-matched token, not return an empty passage."""
+    from pyspark.sql import Row
+    df = spark.createDataFrame([Row(id=1, body="he scans the table")])
+    got = aggregate(df, [
+        {"$search": {"text": {"query": "scan", "path": "body",
+                              "fuzzy": {"maxEdits": 1},
+                              "highlight": {"path": "body"}}}},
+        {"$project": {"id": 1, "hl": {"$meta": "searchHighlights"}}},
+    ]).collect()
+    assert [r["id"] for r in got] == [1]
+    (p,) = got[0]["hl"]
+    assert p["score"] == 1.0
+    assert [(t["value"], t["type"]) for t in p["texts"]] == [
+        ("he", "text"), ("scans", "hit"), ("the table", "text")]
+
+
+def test_exp_moving_avg_null_values_skipped(spark):
+    """Round-6 review finding: null inputs must be skipped (server
+    ignores non-numeric values), including an all-null prefix."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    schema = StructType([StructField("g", LongType()),
+                         StructField("i", LongType()),
+                         StructField("v", DoubleType())])
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, 1.0), (1, 3, None), (1, 4, 2.0)],
+        schema)
+    got = {r["i"]: r["ema"] for r in aggregate(df, [{"$setWindowFields": {
+        "partitionBy": "$g", "sortBy": {"i": 1},
+        "output": {"ema": {"$expMovingAvg": {"input": "$v", "N": 3}}},
+    }}]).collect()}
+    assert got[1] is None          # no numeric value yet
+    assert got[2] == 1.0
+    assert got[3] == 1.0           # null skipped, EMA carried
+    assert got[4] == 1.5
+
+
+def test_exp_moving_avg_oracle_agrees_on_null_corpus(spark, tmp_path):
+    """Cross-engine: the registry query and its DuckDB oracle must agree
+    even when events.value contains NULLs (latent hazard — the shipped
+    corpus has none)."""
+    import datetime
+    import os
+
+    import duckdb
+
+    from mongo_hadoop_spark.operators.mongoagg import (
+        PIPELINE_EXP_MOVING_AVG_SQL, pipeline_exp_moving_avg,
+    )
+    from mongo_hadoop_spark.oracle import compare
+
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType, TimestampType)
+    schema = StructType([
+        StructField("event_id", LongType()), StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()), StructField("props", StringType())])
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, t0 + datetime.timedelta(minutes=i), i % 3, "e",
+             None if i % 4 == 0 else float(i), "{}") for i in range(40)]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.parquet(
+        os.path.join(sf, "events.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet("
+                f"'{os.path.join(sf, 'events.parquet', '*.parquet')}')")
+    res = compare("ema_nulls", pipeline_exp_moving_avg(spark, sf),
+                  con.execute(PIPELINE_EXP_MOVING_AVG_SQL).fetchdf())
+    assert res.ok, str(res)
