@@ -20,6 +20,61 @@ import pyspark.sql.functions as F
 
 
 # ---------------------------------------------------------------------------
+# Deterministic decimal -> double conversion (cross-engine parity)
+# ---------------------------------------------------------------------------
+
+def dec_to_double(col: Column, scale: int) -> Column:
+    """Bit-deterministic DECIMAL(p, ``scale``) -> DOUBLE conversion.
+
+    A plain ``CAST(decimal AS DOUBLE)`` is *not* cross-engine stable once
+    the unscaled value exceeds 2^53: Spark converts through BigDecimal
+    (one correctly-rounded step) while DuckDB converts the int128 unscaled
+    value to double and then divides by 10^scale (two roundings) — a
+    measured ~25% of random >2^53 decimals differ by 1 ulp.  This helper
+    replaces the cast with an expression tree whose every step is exact
+    or a single IEEE-correctly-rounded op, identical in both engines:
+
+        trunc(x)::bigint::double            -- |int part| < 10^18: exact-or-CR
+          + ((x % 1) * 10^scale)::bigint::double / 10^scale
+
+    ``x % 1`` keeps the dividend's sign in both engines, the fractional
+    unscaled value is < 10^scale <= 10^10 (exact as double), and the
+    division/addition are single correctly-rounded IEEE ops.  Fuzz-pinned
+    bit-exact vs DuckDB in tests/test_functions.py (400 cases incl.
+    negatives and >2^53 magnitudes).
+
+    Contract: the integer part must fit in 18 digits (precision − scale
+    ≤ 18) and scale ≤ 15 (10^scale and the fractional unscaled value
+    must be ≤ 2^53-exact doubles), which every decimal-sum accumulator
+    in this package satisfies.
+
+    Companion rule (pinned by the events_value_anomalies sf0.1 incident):
+    never SUM a ``double_expr::decimal`` where ``double_expr`` is itself
+    arithmetic on doubles — engines round double→decimal by different
+    algorithms (DuckDB: FP-multiply by 10^scale then round; Spark: round
+    the exact binary expansion), so cast each *source column* to decimal
+    once and do the arithmetic in decimal (exact) instead.
+    """
+    hi = col.cast("bigint").cast("double")  # truncates toward zero
+    frac = (col % F.lit(1)).cast(f"decimal({scale + 1},{scale})")
+    fracu = (frac * F.lit(10 ** scale)).cast("bigint").cast("double")
+    return hi + fracu / F.lit(float(10 ** scale))
+
+
+def dec_to_double_sql(expr: str, scale: int) -> str:
+    """DuckDB SQL fragment equivalent to :func:`dec_to_double`.
+
+    Note DuckDB ``decimal::bigint`` ROUNDS, so the integer part goes
+    through ``trunc()`` explicitly to match Spark's truncating cast.
+    """
+    return (
+        f"(trunc({expr})::bigint::double"
+        f" + ((({expr} % 1)::decimal({scale + 1},{scale}))"
+        f" * {10 ** scale})::bigint::double / {float(10 ** scale)!r})"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic hashing (cross-engine parity with DuckDB)
 # ---------------------------------------------------------------------------
 

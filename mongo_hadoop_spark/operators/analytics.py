@@ -23,7 +23,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from mongo_hadoop_spark.functions import md5_long, md5_long_sql
+from mongo_hadoop_spark.functions import (
+    dec_to_double,
+    dec_to_double_sql,
+    md5_long,
+    md5_long_sql,
+)
 from mongo_hadoop_spark.session import table
 
 
@@ -244,20 +249,29 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sums are accumulated as exact decimals — count, Σv, Σv² have one
     bit-exact value regardless of partitioning — and only then converted
     to double for the (mean, variance, z) arithmetic, which is a fixed
-    IEEE expression tree.  One groupBy + one broadcast-sized join back;
-    scales as a plain two-pass aggregate.
+    IEEE expression tree.  The decimal→double step goes through
+    :func:`~mongo_hadoop_spark.functions.dec_to_double` because a plain
+    cast drifts 1 ulp between engines once the unscaled sum tops 2^53
+    (s2 at scale 12 crosses that at a per-user Σv² of just ~9e3 — hit at
+    sf0.1).  One groupBy + one broadcast-sized join back; scales as a
+    plain two-pass aggregate.
     """
     e = table(spark, sf_dir, "events")
-    vd = F.col("value").cast("decimal(20,6)")
-    v2 = (F.col("value") * F.col("value")).cast("decimal(27,10)")
+    # ONE double→decimal cast per row, then exact decimal arithmetic: the
+    # square is a decimal·decimal product (exact, scale 12), never a cast
+    # of the double product — engines round double→decimal differently
+    # (DuckDB multiplies by 10^scale in FP and rounds; Spark rounds the
+    # exact binary expansion), which flipped the last digit of Σv² once
+    # per ~1.5M rows at sf0.1.
+    vd = F.col("value").cast("decimal(16,6)")
     stats = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(vd).alias("s1"),
-        F.sum(v2).alias("s2"),
+        F.sum(vd * vd).alias("s2"),
     ).select(
         "user_id", "n",
-        F.col("s1").cast("double").alias("s1d"),
-        F.col("s2").cast("double").alias("s2d"),
+        dec_to_double(F.col("s1"), 6).alias("s1d"),
+        dec_to_double(F.col("s2"), 12).alias("s2d"),
     )
     mean = F.col("s1d") / F.col("n")
     var = F.col("s2d") / F.col("n") - mean * mean
@@ -273,8 +287,8 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANOMALY_SQL = f"""
 WITH stats AS (
   SELECT user_id, count(*) AS n,
-         (sum(value::decimal(20,6)))::double AS s1d,
-         (sum((value * value)::decimal(27,10)))::double AS s2d
+         {dec_to_double_sql('sum(value::decimal(16,6))', 6)} AS s1d,
+         {dec_to_double_sql('sum(value::decimal(16,6) * value::decimal(16,6))', 12)} AS s2d
   FROM events GROUP BY 1
 )
 SELECT event_id, user_id,

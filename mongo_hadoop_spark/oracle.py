@@ -24,6 +24,13 @@ TABLES = [
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # DuckDB's default memory_limit (80% of RAM) is miscalibrated when a
+    # Spark JVM shares the box: at sf0.1 the full-registry sweep died in
+    # an OOM cascade ("Failed to allocate block of 3422 bytes") once the
+    # first heavy oracle exhausted the shared budget.  Cap the budget
+    # explicitly and let heavy oracles spill to disk instead of failing.
+    con.execute("SET memory_limit='16GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
@@ -165,6 +172,12 @@ def run_all(spark, sf_dir: str, only: list[str] | None = None,
         try:
             oracle_df = con.execute(oracles[name]).fetchdf()
             res = compare(name, fn(spark, sf_dir), oracle_df, float_tol=float_tol)
+        except duckdb.OutOfMemoryException as e:  # pragma: no cover
+            # One heavy oracle must not poison the rest of the sweep:
+            # reopen the connection so retained buffers are released.
+            con.close()
+            con = duck_connection(sf_dir)
+            res = CompareResult(name, False, -1, -1, [f"{type(e).__name__}: {e}"])
         except Exception as e:  # pragma: no cover
             res = CompareResult(name, False, -1, -1, [f"{type(e).__name__}: {e}"])
         results.append(res)
