@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 # Deterministic decimal -> double conversion (cross-engine parity)
 # ---------------------------------------------------------------------------
 
-def dec_to_double(col: Column, scale: int) -> Column:
+def dec_to_double(col: Column, scale: int = 15) -> Column:
     """Bit-deterministic DECIMAL(p, ``scale``) -> DOUBLE conversion.
 
     A plain ``CAST(decimal AS DOUBLE)`` is *not* cross-engine stable once
@@ -48,6 +48,13 @@ def dec_to_double(col: Column, scale: int) -> Column:
     must be ≤ 2^53-exact doubles), which every decimal-sum accumulator
     in this package satisfies.
 
+    ``scale`` may be left at the default 15 regardless of the source
+    decimal's scale: the fraction is first cast to DECIMAL(16,15), which
+    zero-pads exactly for any source scale ≤ 15, and scaling numerator
+    and denominator by the same exact power of ten leaves the correctly-
+    rounded quotient — hence the result — bit-identical (pinned in
+    tests/test_dec_to_double.py::test_scale_agnostic_default).
+
     Companion rule (pinned by the events_value_anomalies sf0.1 incident):
     never SUM a ``double_expr::decimal`` where ``double_expr`` is itself
     arithmetic on doubles — engines round double→decimal by different
@@ -61,7 +68,7 @@ def dec_to_double(col: Column, scale: int) -> Column:
     return hi + fracu / F.lit(float(10 ** scale))
 
 
-def dec_to_double_sql(expr: str, scale: int) -> str:
+def dec_to_double_sql(expr: str, scale: int = 15) -> str:
     """DuckDB SQL fragment equivalent to :func:`dec_to_double`.
 
     Note DuckDB ``decimal::bigint`` ROUNDS, so the integer part goes

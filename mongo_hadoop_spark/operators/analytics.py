@@ -406,7 +406,7 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("spend_dec"),
     ).select(
         "o_custkey", "last_day", "frequency",
-        F.col("spend_dec").cast("double").alias("monetary"),
+        dec_to_double(F.col("spend_dec")).alias("monetary"),
     )
     per_cust.createOrReplaceTempView("__rfm_cust")
     return spark.sql("""
@@ -433,7 +433,7 @@ WITH cust AS (
   SELECT o_custkey,
          max(epoch(o_orderdate)::bigint // 86400) AS last_day,
          count(*) AS frequency,
-         (sum(o_totalprice::decimal(38,6)))::double AS monetary
+         (trunc(sum(o_totalprice::decimal(38,6)))::bigint::double + (((sum(o_totalprice::decimal(38,6)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS monetary
   FROM orders GROUP BY 1
 ),
 cuts AS (

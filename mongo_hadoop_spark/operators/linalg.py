@@ -36,6 +36,7 @@ import hashlib
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from mongo_hadoop_spark.functions import dec_to_double, dec_to_double_sql
 from mongo_hadoop_spark.session import table
 
 EMB_DIM = 64      # embeddings.parquet vector width
@@ -70,8 +71,15 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two nested posexplodes generate the per-row products (row-local);
     the groupBy on (i, j) partial-aggregates map-side to ≤ d(d+1)/2
     rows per partition before the shuffle.  Products are computed in
-    double (IEEE-identical on both engines) and summed as
-    ``decimal(27,10)`` (order-independent), converted to double once.
+    double (IEEE-identical on both engines), then quantized to exact
+    1e-10 integer units via ``floor`` — NOT a double→decimal cast, which
+    engines round by different algorithms (DuckDB multiplies by 10^scale
+    in FP and rounds, Spark rounds the exact binary expansion; the
+    divergence flipped per-row casts ~once per 1.5M rows at sf0.1 in
+    events_value_anomalies).  ``floor`` is a single exact IEEE op in
+    both engines, the unit sum is order-independent integer arithmetic
+    in DECIMAL(38,0), and the one conversion back to double goes through
+    :func:`~mongo_hadoop_spark.functions.dec_to_double`.
     """
     emb = table(spark, sf_dir, "embeddings")
     flat = emb.select(
@@ -79,23 +87,25 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = flat.select(
         "i", "xi", F.posexplode("embedding").alias("j", "xj"),
     ).where(F.col("j") >= F.col("i"))
-    prod = (F.col("xi").cast("double") * F.col("xj").cast("double")
-            ).cast("decimal(27,10)")
+    prod_units = F.floor(
+        F.col("xi").cast("double") * F.col("xj").cast("double")
+        * F.lit(1e10)).cast("decimal(38,0)")
     return (pairs.groupBy("i", "j")
-            .agg(F.sum(prod).cast("double").alias("g"))
+            .agg((dec_to_double(F.sum(prod_units)) / F.lit(1e10)).alias("g"))
             .orderBy("i", "j"))
 
 
 GRAM_SQL = f"""
 WITH flat AS (
   SELECT gi.i AS i, gj.j AS j,
-         (embedding[i + 1]::double * embedding[j + 1]::double)::decimal(27,10) AS p
+         floor(embedding[i + 1]::double * embedding[j + 1]::double
+               * 1e10)::bigint::decimal(38,0) AS p
   FROM embeddings,
        generate_series(0, {EMB_DIM - 1}) AS gi(i),
        generate_series(0, {EMB_DIM - 1}) AS gj(j)
   WHERE j >= i
 )
-SELECT i, j, sum(p)::double AS g
+SELECT i, j, {dec_to_double_sql('sum(p)')} / 1e10 AS g
 FROM flat GROUP BY i, j ORDER BY i, j
 """
 

@@ -43,7 +43,7 @@ def pipeline_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIPELINE_STATUS_SQL = """
 SELECT o_orderpriority AS _id,
        count(*) AS n,
-       (sum(CAST(o_totalprice AS DECIMAL(38,6))))::double AS total,
+       (trunc((sum(CAST(o_totalprice AS DECIMAL(38,6)))))::bigint::double + ((((sum(CAST(o_totalprice AS DECIMAL(38,6)))) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS total,
        max(o_totalprice) AS best
 FROM orders WHERE o_orderstatus = 'F'
 GROUP BY 1 ORDER BY 1
@@ -103,7 +103,7 @@ def pipeline_lookup_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIPELINE_LOOKUP_SQL = """
 SELECT c_mktsegment AS _id,
        count(*) AS n_orders,
-       (sum(CAST(o_totalprice AS DECIMAL(38,6))))::double AS revenue,
+       (trunc((sum(CAST(o_totalprice AS DECIMAL(38,6)))))::bigint::double + ((((sum(CAST(o_totalprice AS DECIMAL(38,6)))) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS revenue,
        1 AS n_seg
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1 ORDER BY 1
@@ -171,7 +171,7 @@ b AS (
 SELECT CASE WHEN idx = 0 THEN gmin ELSE cs[idx] END AS _id_min,
        CASE WHEN idx = 3 THEN gmax ELSE cs[idx + 1] END AS _id_max,
        count(*) AS n,
-       (sum(CAST(v AS DECIMAL(38,6))))::double AS revenue
+       (trunc((sum(CAST(v AS DECIMAL(38,6)))))::bigint::double + ((((sum(CAST(v AS DECIMAL(38,6)))) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS revenue
 FROM b GROUP BY 1, 2 ORDER BY 1
 """
 
@@ -190,7 +190,7 @@ WITH b AS (
   FROM orders
 )
 SELECT _id, count(*) AS n,
-       (sum(CAST(o_totalprice AS DECIMAL(38,6))))::double AS revenue
+       (trunc((sum(CAST(o_totalprice AS DECIMAL(38,6)))))::bigint::double + ((((sum(CAST(o_totalprice AS DECIMAL(38,6)))) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS revenue
 FROM b GROUP BY 1 ORDER BY 1
 """
 
@@ -223,9 +223,11 @@ PIPELINE_WINDOW_SQL = """
 WITH w AS (
   SELECT o_custkey, o_orderkey,
          row_number() OVER win AS seq,
-         (sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+         (trunc((sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::double AS running,
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))::bigint::double + ((((sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS running,
          coalesce(lag(o_totalprice, 1) OVER win, 0.0) AS prev_price
   FROM orders
   WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)

@@ -30,6 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from mongo_hadoop_spark.functions import (
+    dec_to_double,
     make_object_id,
     md5_long_sql,
     object_id_to_seconds,
@@ -53,8 +54,8 @@ def a1_avg_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.year("o_orderdate").alias("yr"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
-            (F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            dec_to_double(F.sum(_dec("o_totalprice"))).alias("sum_price"),
+            (dec_to_double(F.sum(_dec("o_totalprice"))) / F.count(F.lit(1))).alias("avg_price"),
         )
     )
 
@@ -62,8 +63,8 @@ def a1_avg_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 A1_SQL = """
 SELECT year(o_orderdate) AS yr,
        count(*) AS cnt,
-       sum(o_totalprice::decimal(12,2))::double AS sum_price,
-       sum(o_totalprice::decimal(12,2))::double / count(*) AS avg_price
+       (trunc(sum(o_totalprice::decimal(12,2)))::bigint::double + (((sum(o_totalprice::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS sum_price,
+       (trunc(sum(o_totalprice::decimal(12,2)))::bigint::double + (((sum(o_totalprice::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) / count(*) AS avg_price
 FROM orders GROUP BY 1
 """
 
@@ -200,13 +201,13 @@ def s8_multi_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         part_f.unionByName(part_o)
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("cnt"),
-             F.sum(_dec("o_totalprice")).cast("double").alias("total"))
+             dec_to_double(F.sum(_dec("o_totalprice"))).alias("total"))
     )
 
 
 S8_SQL = """
 SELECT o_orderpriority, count(*) AS cnt,
-       sum(o_totalprice::decimal(12,2))::double AS total
+       (trunc(sum(o_totalprice::decimal(12,2)))::bigint::double + (((sum(o_totalprice::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS total
 FROM (
   SELECT * FROM orders WHERE o_orderstatus = 'F'
   UNION ALL
@@ -331,13 +332,13 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
-            (F.sum(_dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            dec_to_double(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            dec_to_double(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+            dec_to_double(F.sum(disc_price)).alias("sum_disc_price"),
+            dec_to_double(F.sum(charge)).alias("sum_charge"),
+            (dec_to_double(F.sum(_dec("l_quantity"))) / cnt).alias("avg_qty"),
+            (dec_to_double(F.sum(_dec("l_extendedprice"))) / cnt).alias("avg_price"),
+            (dec_to_double(F.sum(_dec("l_discount"))) / cnt).alias("avg_disc"),
             cnt.alias("count_order"),
         )
     )
@@ -345,14 +346,15 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity::decimal(12,2))::double AS sum_qty,
-       sum(l_extendedprice::decimal(12,2))::double AS sum_base_price,
-       sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2)))::double AS sum_disc_price,
-       sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2))
-           * (1::decimal(12,2) + l_tax::decimal(12,2)))::double AS sum_charge,
-       sum(l_quantity::decimal(12,2))::double / count(*) AS avg_qty,
-       sum(l_extendedprice::decimal(12,2))::double / count(*) AS avg_price,
-       sum(l_discount::decimal(12,2))::double / count(*) AS avg_disc,
+       (trunc(sum(l_quantity::decimal(12,2)))::bigint::double + (((sum(l_quantity::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS sum_qty,
+       (trunc(sum(l_extendedprice::decimal(12,2)))::bigint::double + (((sum(l_extendedprice::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS sum_base_price,
+       (trunc(sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2))))::bigint::double + (((sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2))) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS sum_disc_price,
+       (trunc(sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2))
+           * (1::decimal(12,2) + l_tax::decimal(12,2))))::bigint::double + (((sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2))
+           * (1::decimal(12,2) + l_tax::decimal(12,2))) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS sum_charge,
+       (trunc(sum(l_quantity::decimal(12,2)))::bigint::double + (((sum(l_quantity::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) / count(*) AS avg_qty,
+       (trunc(sum(l_extendedprice::decimal(12,2)))::bigint::double + (((sum(l_extendedprice::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) / count(*) AS avg_price,
+       (trunc(sum(l_discount::decimal(12,2)))::bigint::double + (((sum(l_discount::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) / count(*) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -378,7 +380,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
                  "o_orderpriority")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(dec_to_double(F.sum(rev)).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -386,7 +388,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
-       sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2)))::double AS revenue
+       (trunc(sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2))))::bigint::double + (((sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2))) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -420,13 +422,13 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(dec_to_double(F.sum(rev)).alias("revenue"))
     )
 
 
 Q5_SQL = """
 SELECT n_name,
-       sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2)))::double AS revenue
+       (trunc(sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2))))::bigint::double + (((sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2))) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -457,7 +459,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q6_SQL = """
-SELECT sum(l_extendedprice::decimal(12,2) * l_discount::decimal(12,2))::double AS revenue
+SELECT (trunc(sum(l_extendedprice::decimal(12,2) * l_discount::decimal(12,2)))::bigint::double + (((sum(l_extendedprice::decimal(12,2) * l_discount::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
@@ -482,7 +484,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(dec_to_double(F.sum(rev)).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -490,7 +492,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2)))::double AS revenue
+       (trunc(sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2))))::bigint::double + (((sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2))) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -549,17 +551,18 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
-                / F.sum(rev).cast("double")
+                * dec_to_double(F.sum(F.when(F.col("p_type") == "PROMO", rev)))
+                / dec_to_double(F.sum(rev))
             ).alias("promo_revenue_pct")
         )
     )
 
 
 Q14_SQL = """
-SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
-                        THEN l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2)) END)::double
-             / sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2)))::double
+SELECT 100.0 * (trunc(sum(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2)) END))::bigint::double + (((sum(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2)) END) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0)
+             / (trunc(sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2))))::bigint::double + (((sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2))) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0)
        AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01'
@@ -586,7 +589,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "c_name", "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             "o_totalprice",
-            F.col("total_qty_dec").cast("double").alias("total_qty"),
+            dec_to_double(F.col("total_qty_dec")).alias("total_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
@@ -598,7 +601,7 @@ SELECT c_custkey, c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_ord
        o_totalprice, total_qty
 FROM (
   SELECT l_orderkey, sum(l_quantity::decimal(12,2)) AS total_qty_dec,
-         sum(l_quantity::decimal(12,2))::double AS total_qty
+         (trunc(sum(l_quantity::decimal(12,2)))::bigint::double + (((sum(l_quantity::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS total_qty
   FROM lineitem GROUP BY 1 HAVING sum(l_quantity::decimal(12,2)) > 150
 ) big
 JOIN orders ON big.l_orderkey = o_orderkey
@@ -647,13 +650,13 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("cnt"),
-             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+             dec_to_double(F.sum(_dec("l_quantity"))).alias("sum_qty"))
     )
 
 
 ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-       sum(l_quantity::decimal(12,2))::double AS sum_qty
+       (trunc(sum(l_quantity::decimal(12,2)))::bigint::double + (((sum(l_quantity::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -676,7 +679,7 @@ def groupingsets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GROUPINGSETS_SQL = """
 SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-       sum(l_quantity::decimal(12,2))::double AS sum_qty
+       (trunc(sum(l_quantity::decimal(12,2)))::bigint::double + (((sum(l_quantity::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                         (l_returnflag), (l_linestatus))
@@ -695,12 +698,12 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(F.count(F.lit(1)).alias("n_customers"),
-             F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"))
+             dec_to_double(F.sum(_dec("c_acctbal"))).alias("total_acctbal"))
     )
 
 
 BROADCAST_SQL = """
-SELECT r_name, count(*) AS n_customers, sum(c_acctbal::decimal(12,2))::double AS total_acctbal
+SELECT r_name, count(*) AS n_customers, (trunc(sum(c_acctbal::decimal(12,2)))::bigint::double + (((sum(c_acctbal::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS total_acctbal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY 1

@@ -22,6 +22,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from mongo_hadoop_spark.functions import dec_to_double
 from mongo_hadoop_spark.session import table
 
 
@@ -67,7 +68,7 @@ def tpch_q22_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar subquery as a broadcast 1-row join — no driver-side collect
     avg_bal = (
         c.where(F.col("c_acctbal") > 0)
-        .agg((F.sum(_dec("c_acctbal")).cast("double")
+        .agg((dec_to_double(F.sum(_dec("c_acctbal")))
               / F.count(F.lit(1))).alias("avg_bal"))
     )
     rich = (
@@ -80,16 +81,16 @@ def tpch_q22_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+            dec_to_double(F.sum(_dec("c_acctbal"))).alias("totacctbal"),
         )
     )
 
 
 Q22_SQL = """
 SELECT c_mktsegment, count(*) AS numcust,
-       sum(c_acctbal::decimal(12,2))::double AS totacctbal
+       (trunc(sum(c_acctbal::decimal(12,2)))::bigint::double + (((sum(c_acctbal::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS totacctbal
 FROM customer
-WHERE c_acctbal > (SELECT sum(c_acctbal::decimal(12,2))::double / count(*)
+WHERE c_acctbal > (SELECT (trunc(sum(c_acctbal::decimal(12,2)))::bigint::double + (((sum(c_acctbal::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) / count(*)
                    FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
@@ -146,15 +147,15 @@ def treasury_doubled(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = F.count(F.lit(1))
     return both.groupBy(F.year("o_orderdate").alias("yr")).agg(
         cnt.alias("cnt"),
-        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
-        (F.sum(_dec("o_totalprice")).cast("double") / cnt).alias("avg_price"),
+        dec_to_double(F.sum(_dec("o_totalprice"))).alias("sum_price"),
+        (dec_to_double(F.sum(_dec("o_totalprice"))) / cnt).alias("avg_price"),
     )
 
 
 DOUBLED_SQL = """
 SELECT year(o_orderdate) AS yr, count(*) AS cnt,
-       sum(o_totalprice::decimal(12,2))::double AS sum_price,
-       sum(o_totalprice::decimal(12,2))::double / count(*) AS avg_price
+       (trunc(sum(o_totalprice::decimal(12,2)))::bigint::double + (((sum(o_totalprice::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS sum_price,
+       (trunc(sum(o_totalprice::decimal(12,2)))::bigint::double + (((sum(o_totalprice::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) / count(*) AS avg_price
 FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)
 GROUP BY 1
 """

@@ -10,6 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from mongo_hadoop_spark.functions import dec_to_double
 from mongo_hadoop_spark.session import table
 
 
@@ -67,7 +68,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select(
             "s_suppkey", "s_name",
-            F.col("total_rev_dec").cast("double").alias("total_revenue"),
+            dec_to_double(F.col("total_rev_dec")).alias("total_revenue"),
         )
     )
 
@@ -80,7 +81,7 @@ WITH revenue AS (
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
   GROUP BY 1
 )
-SELECT s_suppkey, s_name, total_rev_dec::double AS total_revenue
+SELECT s_suppkey, s_name, (trunc(total_rev_dec)::bigint::double + (((total_rev_dec % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS total_revenue
 FROM revenue JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_rev_dec = (SELECT max(total_rev_dec) FROM revenue)
 """
@@ -95,7 +96,7 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
     per_part_avg = (
         li.groupBy(F.col("l_partkey").alias("pk"))
-        .agg((F.sum(_dec("l_quantity")).cast("double")
+        .agg((dec_to_double(F.sum(_dec("l_quantity")))
               / F.count(F.lit(1)) * 0.5).alias("half_avg_qty"))
     )
     return (
@@ -103,7 +104,7 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_part_avg, li.l_partkey == F.col("pk"))
         .where(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
-            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+            (dec_to_double(F.sum(_dec("l_extendedprice"))) / 7.0).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -112,10 +113,10 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q17_SQL = """
 WITH per_part AS (
   SELECT l_partkey AS pk,
-         sum(l_quantity::decimal(12,2))::double / count(*) * 0.5 AS half_avg_qty
+         (trunc(sum(l_quantity::decimal(12,2)))::bigint::double + (((sum(l_quantity::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) / count(*) * 0.5 AS half_avg_qty
   FROM lineitem GROUP BY 1
 )
-SELECT sum(l_extendedprice::decimal(12,2))::double / 7.0 AS avg_yearly,
+SELECT (trunc(sum(l_extendedprice::decimal(12,2)))::bigint::double + (((sum(l_extendedprice::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) / 7.0 AS avg_yearly,
        count(*) AS n_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -143,14 +144,15 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .where(cond)
-        .agg(F.sum(rev).cast("double").alias("revenue"),
+        .agg(dec_to_double(F.sum(rev)).alias("revenue"),
              F.count(F.lit(1)).alias("n_lines"))
     )
 
 
 Q19_SQL = """
-SELECT sum(l_extendedprice::decimal(12,2)
-           * (1::decimal(12,2) - l_discount::decimal(12,2)))::double AS revenue,
+SELECT (trunc(sum(l_extendedprice::decimal(12,2)
+           * (1::decimal(12,2) - l_discount::decimal(12,2))))::bigint::double + (((sum(l_extendedprice::decimal(12,2)
+           * (1::decimal(12,2) - l_discount::decimal(12,2))) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)

@@ -10,6 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from mongo_hadoop_spark.functions import dec_to_double
 from mongo_hadoop_spark.session import table
 
 
@@ -44,7 +45,7 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), c.c_nationkey == F.col("ck"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_rev()).cast("double").alias("revenue"),
+        .agg(dec_to_double(F.sum(_rev())).alias("revenue"),
              F.count(F.lit(1)).alias("n_lines"))
     )
 
@@ -52,8 +53,9 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       sum(l_extendedprice::decimal(12,2)
-           * (1::decimal(12,2) - l_discount::decimal(12,2)))::double AS revenue,
+       (trunc(sum(l_extendedprice::decimal(12,2)
+           * (1::decimal(12,2) - l_discount::decimal(12,2))))::bigint::double + (((sum(l_extendedprice::decimal(12,2)
+           * (1::decimal(12,2) - l_discount::decimal(12,2))) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS revenue,
        count(*) AS n_lines
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -85,15 +87,17 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_name").contains("a"))
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .agg(dec_to_double(F.sum(amount)).alias("sum_profit"))
     )
 
 
 Q9_SQL = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       sum(l_extendedprice::decimal(12,2)
+       (trunc(sum(l_extendedprice::decimal(12,2)
              * (1::decimal(12,2) - l_discount::decimal(12,2))
-           - p_retailprice::decimal(12,2) * l_quantity::decimal(12,2))::double
+           - p_retailprice::decimal(12,2) * l_quantity::decimal(12,2)))::bigint::double + (((sum(l_extendedprice::decimal(12,2)
+             * (1::decimal(12,2) - l_discount::decimal(12,2))
+           - p_retailprice::decimal(12,2) * l_quantity::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0)
          AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -172,7 +176,7 @@ def tpch_q11_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     value = _dec("l_extendedprice") * _dec("l_quantity")
     per_part = li.groupBy("l_partkey").agg(F.sum(value).alias("part_value_dec"))
     total = per_part.agg(
-        F.sum("part_value_dec").cast("double").alias("total_value"),
+        dec_to_double(F.sum("part_value_dec")).alias("total_value"),
         F.count(F.lit(1)).alias("n_parts"),
     )
     return (
@@ -234,8 +238,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_supp), s.s_nationkey == F.col("snk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            (F.sum(F.when(F.col("supp_nation") == MKT_NATION, rev)).cast("double")
-             / F.sum(rev).cast("double")).alias("mkt_share"),
+            (dec_to_double(F.sum(F.when(F.col("supp_nation") == MKT_NATION, rev)))
+             / dec_to_double(F.sum(rev))).alias("mkt_share"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -243,9 +247,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_SQL = f"""
 SELECT year(o_orderdate) AS o_year,
-       sum(CASE WHEN n2.n_name = '{MKT_NATION}'
-                THEN l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2)) END)::double
-         / sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2)))::double
+       (trunc(sum(CASE WHEN n2.n_name = '{MKT_NATION}'
+                THEN l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2)) END))::bigint::double + (((sum(CASE WHEN n2.n_name = '{MKT_NATION}'
+                THEN l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2)) END) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0)
+         / (trunc(sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2))))::bigint::double + (((sum(l_extendedprice::decimal(12,2) * (1::decimal(12,2) - l_discount::decimal(12,2))) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0)
          AS mkt_share,
        count(*) AS n_lines
 FROM lineitem

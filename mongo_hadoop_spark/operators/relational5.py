@@ -29,6 +29,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from mongo_hadoop_spark.functions import dec_to_double
 from mongo_hadoop_spark.session import table
 
 
@@ -162,7 +163,7 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-decimal mean, cast to double only at the comparison (bit-identical
     # across engines and partitionings)
     thresh = shipped.agg(
-        (F.sum("qty_dec").cast("double") / F.count(F.lit(1))).alias("mean_qty"))
+        (dec_to_double(F.sum("qty_dec")) / F.count(F.lit(1))).alias("mean_qty"))
     qual = (shipped.crossJoin(F.broadcast(thresh))
             .where(F.col("qty_dec").cast("double")
                    > F.col("mean_qty") * Q20_MULTIPLE)

@@ -19,6 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from mongo_hadoop_spark.functions import dec_to_double
 from mongo_hadoop_spark.session import table
 
 
@@ -65,7 +66,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        dec_to_double(F.sum(_dec("o_totalprice")).over(w)).alias("running_spend"),
     )
 
 
@@ -117,7 +118,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy(win.alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"),
-             F.sum(_dec("value")).cast("double").alias("total_value"))
+             dec_to_double(F.sum(_dec("value"))).alias("total_value"))
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type", "cnt", "total_value",
@@ -127,7 +128,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TUMBLING_SQL = f"""
 SELECT (floor(epoch(ts) / {TUMBLE_SECONDS})::bigint * {TUMBLE_SECONDS}) AS window_start,
-       event_type, count(*) AS cnt, sum(value::decimal(12,2))::double AS total_value
+       event_type, count(*) AS cnt, (trunc(sum(value::decimal(12,2)))::bigint::double + (((sum(value::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -226,7 +227,7 @@ def window_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders")
     spend = (o.groupBy("o_custkey")
-             .agg(F.sum(_dec("o_totalprice")).cast("double").alias("spend")))
+             .agg(dec_to_double(F.sum(_dec("o_totalprice"))).alias("spend")))
     spend.createOrReplaceTempView("__spend_q")
     cuts = spark.sql("""
         SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY spend) AS q1,
@@ -246,7 +247,7 @@ def window_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUARTILES_SQL = """
 WITH spend AS (
-  SELECT o_custkey, sum(o_totalprice::decimal(12,2))::double AS spend
+  SELECT o_custkey, (trunc(sum(o_totalprice::decimal(12,2)))::bigint::double + (((sum(o_totalprice::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS spend
   FROM orders GROUP BY 1
 ),
 cuts AS (

@@ -1222,6 +1222,33 @@ def _stage_group(df: DataFrame, spec: dict) -> DataFrame:
     return out.select("_id", *names)
 
 
+def _project_expr(df: DataFrame, v) -> Column:
+    """Compile a $project/$addFields value, schema-aware where it pays.
+
+    ``{"$toDouble": "$f"}`` on a DECIMAL column compiles to the
+    bit-deterministic split conversion
+    (:func:`mongo_hadoop_spark.functions.dec_to_double`) instead of a
+    plain cast: engines disagree by 1 ulp on decimal→double once the
+    unscaled value exceeds 2^53 (DuckDB divides the int128 by 10^scale —
+    two roundings — where Spark rounds once), which bites exactly the
+    `$toDecimal → $sum → $toDouble` money-pipeline idiom at scale.  Only
+    the schema-resolvable top-level form gets the treatment; nested
+    $toDouble falls back to the plain cast (type unknown at compile
+    time).
+    """
+    if isinstance(v, dict) and len(v) == 1 and "$toDouble" in v:
+        op = v["$toDouble"]
+        if isinstance(op, str) and op.startswith("$"):
+            name = op[1:]
+            if "." not in name and name in df.columns:
+                from pyspark.sql.types import DecimalType
+
+                from mongo_hadoop_spark.functions import dec_to_double
+                if isinstance(df.schema[name].dataType, DecimalType):
+                    return dec_to_double(F.col(name))
+    return expr_to_col(v)
+
+
 def _stage_project(df: DataFrame, spec: dict) -> DataFrame:
     plain = {k: v for k, v in spec.items() if isinstance(v, (int, bool))}
     computed = {k: v for k, v in spec.items() if k not in plain}
@@ -1232,10 +1259,10 @@ def _stage_project(df: DataFrame, spec: dict) -> DataFrame:
     if excludes:
         out = df.drop(*[c for c in excludes if c in df.columns])
         for k, v in computed.items():
-            out = out.withColumn(k, expr_to_col(v))
+            out = out.withColumn(k, _project_expr(out, v))
         return out
     cols = [F.col(k).alias(k) for k in includes]
-    cols += [expr_to_col(v).alias(k) for k, v in computed.items()]
+    cols += [_project_expr(df, v).alias(k) for k, v in computed.items()]
     return df.select(*cols)
 
 
@@ -3354,7 +3381,7 @@ def _aggregate_impl(df: DataFrame, pipeline: list[dict],
             out = _stage_project(out, spec)
         elif op in ("$addFields", "$set"):
             for k, v in spec.items():
-                out = out.withColumn(k, expr_to_col(v))
+                out = out.withColumn(k, _project_expr(out, v))
         elif op == "$unset":
             fields = [spec] if isinstance(spec, str) else list(spec)
             out = out.drop(*fields)

@@ -69,6 +69,46 @@ def test_dec_to_double_bit_exact_vs_duckdb(spark):
     assert not mism, f"{len(mism)} bit mismatches, first: {mism[:3]}"
 
 
+def test_scale_agnostic_default(spark):
+    """dec_to_double(col) with the default scale 15 must equal the
+    scale-exact form AND DuckDB's default-scale fragment, bit for bit —
+    this is what licenses using the helper without per-site scale
+    bookkeeping across the package."""
+    cases = _cases(n=150, seed=23)
+    con = duckdb.connect()
+    for v, s, p in cases:
+        frag = dec_to_double_sql("x")  # default scale 15
+        want = con.execute(
+            f"select {frag} from (select '{v}'::decimal({p},{s}) as x)"
+        ).fetchone()[0]
+        frag_s = dec_to_double_sql("x", s)
+        want_s = con.execute(
+            f"select {frag_s} from (select '{v}'::decimal({p},{s}) as x)"
+        ).fetchone()[0]
+        assert want == want_s, (v, s)
+    # Spark side, batched: default-scale == scale-exact == DuckDB default
+    by = {}
+    for i, (v, s, p) in enumerate(cases):
+        by.setdefault((s, p), []).append((i, v))
+    for (s, p), group in by.items():
+        df = spark.createDataFrame(
+            [(i, Decimal(v)) for i, v in group], f"id int, x decimal({p},{s})"
+        )
+        rows = df.select(
+            "id",
+            dec_to_double(F.col("x")).alias("d15"),
+            dec_to_double(F.col("x"), s).alias("ds"),
+        ).collect()
+        ids = {i: v for i, v in group}
+        for r in rows:
+            assert r["d15"] == r["ds"], (ids[r["id"]], s)
+            want = con.execute(
+                f"select {dec_to_double_sql('x')} from "
+                f"(select '{ids[r['id']]}'::decimal({p},{s}) as x)"
+            ).fetchone()[0]
+            assert r["d15"] == want, (ids[r["id"]], s)
+
+
 def test_plain_cast_would_fail(spark):
     """Control: the plain cast DOES drift on >2^53 unscaled values.
 
