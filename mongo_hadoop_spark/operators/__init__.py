@@ -47,6 +47,7 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 # tail.
 _HEAD_KEYS = [
     # never driver-verified — rotation backlog + new this round
+    "corpus_crawl_increment", "corpus_quota_fill",
     "corpus_source_mixture_docs", "embeddings_cluster_sample",
     "corpus_pretrain_manifest",
     "text_repetition_flags", "corpus_repetition_yield",

@@ -789,7 +789,130 @@ FROM sizes GROUP BY sz
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental crawl dedup: new crawl vs the already-ingested corpus
+# ---------------------------------------------------------------------------
+
+CRAWL_MOD = 3  # doc_id % CRAWL_MOD == 0 → "new crawl"; else "seen corpus"
+
+
+def corpus_crawl_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify each new-crawl document against the already-seen corpus:
+    ``exact_dup`` (byte-identical to a seen doc), ``near_dup`` (MinHash
+    estimate ≥ 0.5 against a seen doc via cross-crawl LSH banding), or
+    ``new`` — the don't-retrain-on-seen-data gate an incremental crawl
+    ingests through (the cross-corpus analog of intra-corpus dedup; the
+    eval-protection analog is :func:`corpus_decontaminate`).
+
+    Crawl membership is simulated deterministically (doc_id mod
+    ``CRAWL_MOD``).  Scale shape: the exact check is one hash equi-join
+    on md5(text); the near check reuses the banded-LSH candidate
+    generation (`dedup_minhash_lsh_pairs`) but joins new-crawl band rows
+    against seen-crawl band rows only — candidates are bucket-bounded
+    exactly like the intra-corpus path, never |new|×|seen|.  Exact-dup
+    takes precedence over near-dup in the verdict.
+    """
+    d = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % CRAWL_MOD == 0
+    new_docs = d.where(is_new)
+    seen_keys = (d.where(~is_new).select(F.md5("text").alias("k")).distinct())
+    exact_ids = (new_docs.select("doc_id", F.md5("text").alias("k"))
+                 .join(seen_keys, "k", "left_semi")
+                 .select("doc_id"))
+
+    sig = _signatures(spark, sf_dir).persist()
+    stack_args = []
+    for b in range(LSH_BANDS):
+        cols = ", ".join(f"CAST(h{b * _ROWS_PER_BAND + r} AS STRING)"
+                         for r in range(_ROWS_PER_BAND))
+        band_key = md5_long_spark_sql(f"concat_ws(':', {cols})",
+                                      salt=f"band{b}|")
+        stack_args.extend([str(b), band_key])
+    bands = sig.selectExpr(
+        "doc_id",
+        f"stack({LSH_BANDS}, {', '.join(stack_args)}) AS (band_id, band_hash)",
+    )
+    nb = bands.where(F.col("doc_id") % CRAWL_MOD == 0).alias("n")
+    sb = bands.where(F.col("doc_id") % CRAWL_MOD != 0).alias("s")
+    cand = (nb.join(sb, (F.col("n.band_id") == F.col("s.band_id"))
+                    & (F.col("n.band_hash") == F.col("s.band_hash")))
+            .select(F.col("n.doc_id").alias("doc_new"),
+                    F.col("s.doc_id").alias("doc_seen"))
+            .distinct())
+    match_sum = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K))
+    near_ids = (cand.join(sig.alias("sa"), cand.doc_new == F.col("sa.doc_id"))
+                .join(sig.alias("sb"), cand.doc_seen == F.col("sb.doc_id"))
+                .where(F.expr(f"({match_sum}) * 2 >= {MINHASH_K}"))
+                .select(F.col("doc_new").alias("doc_id"))
+                .distinct())
+    verdict = (F.when(F.col("is_exact"), "exact_dup")
+               .when(F.col("is_near"), "near_dup")
+               .otherwise("new"))
+    return (new_docs.select("doc_id")
+            .join(exact_ids.withColumn("is_exact", F.lit(True)),
+                  "doc_id", "left")
+            .join(near_ids.withColumn("is_near", F.lit(True)),
+                  "doc_id", "left")
+            .select("doc_id",
+                    verdict.alias("verdict")))
+
+
+def _crawl_increment_sql() -> str:
+    band_selects = []
+    for b in range(LSH_BANDS):
+        cols = [f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
+        concat = " || ':' || ".join(f"{c}::varchar" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, "
+            f"{md5_long_sql(f'({concat})', salt=f'band{b}|')} AS band_hash FROM sig"
+        )
+    bands = "\n    UNION ALL\n    ".join(band_selects)
+    match_sum = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K))
+    return f"""
+WITH {_signatures_sql().lstrip()},
+  bands AS (
+    {bands}
+  ),
+  exact_ids AS (
+    SELECT DISTINCT n.doc_id
+    FROM documents n
+    JOIN documents s ON md5(n.text) = md5(s.text)
+                    AND s.doc_id % {CRAWL_MOD} <> 0
+    WHERE n.doc_id % {CRAWL_MOD} = 0
+  ),
+  cand AS (
+    SELECT DISTINCT n.doc_id AS doc_new, s.doc_id AS doc_seen
+    FROM bands n JOIN bands s
+      ON n.band_id = s.band_id AND n.band_hash = s.band_hash
+     AND n.doc_id % {CRAWL_MOD} = 0 AND s.doc_id % {CRAWL_MOD} <> 0
+  ),
+  near_ids AS (
+    SELECT DISTINCT doc_new AS doc_id
+    FROM cand
+    JOIN sig sa ON doc_new = sa.doc_id
+    JOIN sig sb ON doc_seen = sb.doc_id
+    WHERE ({match_sum}) * 2 >= {MINHASH_K}
+  )
+SELECT d.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS verdict
+FROM documents d
+LEFT JOIN exact_ids e ON d.doc_id = e.doc_id
+LEFT JOIN near_ids nr ON d.doc_id = nr.doc_id
+WHERE d.doc_id % {CRAWL_MOD} = 0
+"""
+
+
+CRAWL_INCREMENT_SQL = _crawl_increment_sql()
+
+
 QUERIES = {
+    "corpus_crawl_increment": corpus_crawl_increment,
     "dedup_connected_clusters": dedup_connected_clusters,
     "dedup_cluster_stats": dedup_cluster_stats,
     "dedup_exact": dedup_exact,
@@ -806,6 +929,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_crawl_increment": CRAWL_INCREMENT_SQL,
     "dedup_connected_clusters": CONNECTED_CLUSTERS_SQL,
     "dedup_cluster_stats": CLUSTER_STATS_SQL,
     "dedup_exact": EXACT_SQL,

@@ -799,12 +799,19 @@ def pipeline_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the BM25-scored document set (terms: scan / window / merge), shared by
 # the bm25 / rankFusion / scoreFusion oracles.  Mirrors the stage exactly:
 # whole-bit idf, 20·TL-integer-scaled tf part, left-to-right double adds.
-_BM25_DOCS_SQL = r"""
+def _bm25_docs_sql(corpus: str = "documents") -> str:
+    """BM25 oracle CTE chain over ``corpus`` (a table name or derived
+    table).  The corpus MUST equal the Spark pipeline's input frame:
+    the fusion queries run over documents ⋈ embeddings, which at
+    sf0.01 happens to equal ``documents`` (both 500 rows) but diverges
+    from sf0.1 up (5000 docs vs 2000 embeddings) — corpus statistics
+    (N, Σdl, df) and the candidate cut both shift with the frame."""
+    return rf"""
   bm_t AS (
     SELECT doc_id, lang,
            list_filter(string_split_regex(lower(text), '\s+'),
                        x -> x <> '') AS ws
-    FROM documents
+    FROM {corpus}
   ),
   bm_d AS (
     SELECT doc_id, lang, len(ws)::bigint AS dl,
@@ -836,6 +843,11 @@ _BM25_DOCS_SQL = r"""
     WHERE tf0 + tf1 + tf2 > 0
   )
 """
+
+
+_BM25_DOCS_SQL = _bm25_docs_sql()
+_BM25_HYBRID_SQL = _bm25_docs_sql(
+    "(SELECT d.* FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)")
 
 PIPELINE_SEARCH_BM25_SQL = f"""
 WITH {_BM25_DOCS_SQL}
@@ -873,10 +885,11 @@ def pipeline_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vector": [{"$vectorSearch": {
                     "index": "emb", "path": "embedding",
                     "queryVector": _VS_QUERY, "numCandidates": 100,
-                    "limit": 40}}],
+                    "limit": 40, "tiebreak": "doc_id"}}],
                 "text": [{"$search": {"text": {"query": "scan window merge",
                                                "path": "text",
-                                               "bm25": True}}},
+                                               "bm25": True},
+                                      "tiebreak": "doc_id"}},
                          {"$limit": 40}],
             }},
             "combination": {"weights": {"vector": 2, "text": 1}},
@@ -888,11 +901,12 @@ def pipeline_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the two ranked candidate sets shared by the fusion oracles: exact-cosine
-# top-40 (Atlas normalization (1+cos)/2) and BM25 top-40.  LIMIT cuts are
-# tie-free at the gate scale factors (asserted in tests): the kept row
-# set is engine-independent.
+# top-40 (Atlas normalization (1+cos)/2) and BM25 top-40.  Both LIMIT cuts
+# carry an explicit doc_id tiebreak, matching the pipelines' tiebreak
+# engine extension — score ties at the boundary appear from sf0.1 up, and
+# an untied cut keeps an engine-dependent row set.
 _FUSION_CANDS_SQL = f"""
-  {_BM25_DOCS_SQL},
+  {_BM25_HYBRID_SQL},
   vec_scored AS (
     SELECT vec_id AS doc_id,
            (1 + list_dot_product({{qv}},
@@ -905,10 +919,12 @@ _FUSION_CANDS_SQL = f"""
     FROM embeddings
   ),
   vec_top AS (
-    SELECT doc_id, vscore FROM vec_scored ORDER BY vscore DESC LIMIT 40
+    SELECT doc_id, vscore FROM vec_scored
+    ORDER BY vscore DESC, doc_id ASC LIMIT 40
   ),
   txt_top AS (
-    SELECT doc_id, score AS tscore FROM bm25 ORDER BY score DESC LIMIT 40
+    SELECT doc_id, score AS tscore FROM bm25
+    ORDER BY score DESC, doc_id ASC LIMIT 40
   )
 """
 
@@ -960,10 +976,10 @@ def pipeline_score_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "vector": [{"$vectorSearch": {
                         "index": "emb", "path": "embedding",
                         "queryVector": _VS_QUERY, "numCandidates": 100,
-                        "limit": 40}}],
+                        "limit": 40, "tiebreak": "doc_id"}}],
                     "text": [{"$search": {"text": {
                         "query": "scan window merge", "path": "text",
-                        "bm25": True}}},
+                        "bm25": True}, "tiebreak": "doc_id"}},
                         {"$limit": 40}],
                 },
                 "normalization": "minMaxScaler",

@@ -398,7 +398,60 @@ FROM ranked, r_total
 """
 
 
+def corpus_quota_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level greedy fill of the per-source epoch token quotas: within
+    each source, documents are taken longest-first (n_tokens desc, doc_id
+    tiebreak) while the running token total stays ≤ the source's
+    :func:`corpus_token_quotas` quota — the step that turns "sample this
+    many tokens per source" into an actual document list.
+
+    Prefix rule on purpose: selection stops at the first document that
+    would overflow the quota (no skip-and-continue knapsack — that is
+    sequential and engine-divergent; the prefix is one window predicate).
+    Scale shape: the quota table is mixture-sized and broadcast; the one
+    window is partitioned BY SOURCE (never global), so each source's
+    cumulative sum parallelizes across the cluster like any keyed window.
+    """
+    quotas = corpus_token_quotas(spark, sf_dir).select("source", "quota")
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "source",
+        F.size(tokenize("text")).cast("long").alias("n_tokens"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("source")
+         .orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    return (docs.join(F.broadcast(quotas), "source")
+            .select("doc_id", "source", "n_tokens",
+                    cum.alias("cum_tokens"),
+                    (cum <= F.col("quota")).cast("long").alias("selected")))
+
+
+QUOTA_FILL_SQL = f"""
+WITH quotas AS (
+  {TOKEN_QUOTAS_SQL.replace(chr(10), chr(10) + '  ')}
+),
+docs AS (
+  SELECT doc_id, source, len({_WORDS_SQL})::bigint AS n_tokens
+  FROM documents
+),
+filled AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY n_tokens DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)::bigint AS cum_tokens
+  FROM docs
+)
+SELECT f.doc_id, f.source, f.n_tokens, f.cum_tokens,
+       (f.cum_tokens <= q.quota)::bigint AS selected
+FROM filled f JOIN quotas q ON f.source = q.source
+"""
+
+
 QUERIES = {
+    "corpus_quota_fill": corpus_quota_fill,
     "corpus_dsir_weights": corpus_dsir_weights,
     "corpus_dsir_selected": corpus_dsir_selected,
     "documents_priority_sample": documents_priority_sample,
@@ -410,4 +463,5 @@ ORACLES = {
     "corpus_dsir_selected": DSIR_SELECTED_SQL,
     "documents_priority_sample": PRIORITY_SAMPLE_SQL,
     "corpus_token_quotas": TOKEN_QUOTAS_SQL,
+    "corpus_quota_fill": QUOTA_FILL_SQL,
 }

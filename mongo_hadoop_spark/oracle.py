@@ -159,7 +159,6 @@ def run_all(spark, sf_dir: str, only: list[str] | None = None,
         if unknown:
             raise KeyError(f"unknown queries: {sorted(unknown)}; "
                            f"available: {sorted(queries)}")
-    con = duck_connection(sf_dir)
     results = []
     for name, fn in queries.items():
         if only and name not in only:
@@ -169,19 +168,20 @@ def run_all(spark, sf_dir: str, only: list[str] | None = None,
             n = df.count()
             results.append(CompareResult(name, n >= 0, n, -1, ["no oracle (rows-only)"]))
             continue
+        # Fresh connection per query: DuckDB retains buffers across
+        # statements on one connection, and at sf0.1 the accumulation
+        # OOM'd a recursive-CTE oracle that runs fine on a clean
+        # connection (the same query passed right after a reconnect).
+        # View registration is ~ms against any oracle's runtime.
+        con = duck_connection(sf_dir)
         try:
             oracle_df = con.execute(oracles[name]).fetchdf()
             res = compare(name, fn(spark, sf_dir), oracle_df, float_tol=float_tol)
-        except duckdb.OutOfMemoryException as e:  # pragma: no cover
-            # One heavy oracle must not poison the rest of the sweep:
-            # reopen the connection so retained buffers are released.
-            con.close()
-            con = duck_connection(sf_dir)
-            res = CompareResult(name, False, -1, -1, [f"{type(e).__name__}: {e}"])
         except Exception as e:  # pragma: no cover
             res = CompareResult(name, False, -1, -1, [f"{type(e).__name__}: {e}"])
+        finally:
+            con.close()
         results.append(res)
-    con.close()
     return results
 
 

@@ -2802,13 +2802,18 @@ def _stage_search(df: DataFrame, spec: dict) -> DataFrame:
     store's zone-map segment pruning plus this residual match.
     """
     spec = {k: v for k, v in spec.items() if k != "index"}
+    # tiebreak (engine extension, same contract as $vectorSearch's):
+    # appended ascending to the relevance ordering so a downstream
+    # $limit cut is a total order even on tied scores.
+    tb = spec.pop("tiebreak", None) or []
+    tiebreak = [F.col(c).asc() for c in ([tb] if isinstance(tb, str) else tb)]
     if len(spec) != 1:
         raise ValueError(
             "$search takes exactly one operator (text/phrase/compound/"
             "exists/equals/range/wildcard/regex/in/autocomplete)")
     (op, opspec), = spec.items()
     if op == "text" and opspec.get("bm25") not in (None, False):
-        return _stage_search_text_bm25(df, opspec)
+        return _stage_search_text_bm25(df, opspec, tiebreak)
     highlight = None
     if isinstance(opspec, dict) and "highlight" in opspec:
         if op not in ("text", "phrase"):
@@ -2829,10 +2834,11 @@ def _stage_search(df: DataFrame, spec: dict) -> DataFrame:
            .withColumn(_SEARCH_SCORE_COL, score.cast("double")))
     if highlight is not None:
         out = _with_highlight(out, *highlight)
-    return out.orderBy(F.col(_SEARCH_SCORE_COL).desc())
+    return out.orderBy(F.col(_SEARCH_SCORE_COL).desc(), *tiebreak)
 
 
-def _stage_search_text_bm25(df: DataFrame, spec: dict) -> DataFrame:
+def _stage_search_text_bm25(df: DataFrame, spec: dict,
+                            tiebreak: list = ()) -> DataFrame:
     """BM25-scored ``$search`` text clause — the Atlas/Lucene scoring
     model, opted into with ``{"text": {..., "bm25": true}}`` (the plain
     clause keeps the raw-tf scoring its oracles pin).
@@ -2905,7 +2911,7 @@ def _stage_search_text_bm25(df: DataFrame, spec: dict) -> DataFrame:
     return (out.where(any_tf > 0)
             .withColumn(_SEARCH_SCORE_COL, score.cast("double"))
             .drop(*helper)
-            .orderBy(F.col(_SEARCH_SCORE_COL).desc()))
+            .orderBy(F.col(_SEARCH_SCORE_COL).desc(), *tiebreak))
 
 
 def _stage_search_meta(df: DataFrame, spec: dict) -> DataFrame:
@@ -3034,11 +3040,20 @@ def _stage_vector_search(df: DataFrame, spec: dict) -> DataFrame:
     The bucketed sub-linear paths live in operators/similarity.py
     (ivf_knn / pq_knn_adc); this stage is the pipeline-language surface.
     The score is reachable downstream via {$meta: "vectorSearchScore"}.
+
+    ``tiebreak`` (engine extension, like $rankFusion's ``key``): field
+    name(s) appended ascending to the score ordering so the top-k CUT is
+    a total order.  Without it, score ties at the limit boundary keep an
+    engine-/partitioning-dependent row set — the server's internal-order
+    tiebreak is equally undefined, but a reproducible pipeline (and any
+    oracle comparison) needs the cut pinned.
     """
     from mongo_hadoop_spark.functions import dot, norm2
 
     path, qv = spec["path"], spec["queryVector"]
     limit = int(spec["limit"])
+    tb = spec.get("tiebreak") or []
+    tiebreak = [F.col(c).asc() for c in ([tb] if isinstance(tb, str) else tb)]
     sim_kind = spec.get("similarity", "cosine")
     out = df.where(match_to_col(spec["filter"])) if spec.get("filter") else df
     q = _array_literal(qv)
@@ -3057,7 +3072,7 @@ def _stage_vector_search(df: DataFrame, spec: dict) -> DataFrame:
     else:
         raise ValueError(f"unsupported $vectorSearch similarity {sim_kind!r}")
     return (out.withColumn(_VS_SCORE_COL, score)
-            .orderBy(F.col(_VS_SCORE_COL).desc())
+            .orderBy(F.col(_VS_SCORE_COL).desc(), *tiebreak)
             .limit(limit))
 
 
