@@ -23,14 +23,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mongo_hadoop_spark.operators import (
-    analytics, asof, dedup, linalg, mongoagg, multimodal, pipeline,
+    analytics, asof, dedup, graph, linalg, mongoagg, multimodal, pipeline,
     relational, relational2, relational3, relational4, relational5,
     repetition, selection, similarity, sketches, skew, spans, textstats,
     windows, lm,
 )
 
 _MODULES = [relational, relational2, relational3, relational4, relational5,
-            windows, dedup, spans, lm, selection, similarity, linalg,
+            windows, dedup, graph, spans, lm, selection, similarity, linalg,
             textstats, repetition, multimodal, skew, pipeline, asof,
             mongoagg, analytics, sketches]
 
@@ -47,6 +47,7 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 # tail.
 _HEAD_KEYS = [
     # never driver-verified — rotation backlog + new this round
+    "graph_pagerank_neardup", "graph_degree_histogram",
     "corpus_crawl_increment", "corpus_quota_fill",
     "corpus_source_mixture_docs", "embeddings_cluster_sample",
     "corpus_pretrain_manifest",

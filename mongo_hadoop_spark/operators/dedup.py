@@ -746,25 +746,48 @@ def connected_component_labels(pairs: DataFrame, a: str, b: str) -> DataFrame:
         f"{CC_MAX_ROUNDS} pointer-jumping rounds")
 
 
-CONNECTED_CLUSTERS_SQL = f"""
-WITH RECURSIVE vpairs AS ({MINHASH_VERIFIED_SQL}),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM vpairs
+def _cc_sql(rounds: int) -> str:
+    """Oracle for :func:`dedup_connected_clusters`: the SAME Hash-Min +
+    pointer-jumping supersteps as the Spark loop, unrolled into ``rounds``
+    materialized CTEs (the ``_lloyd_sql`` pattern).
+
+    A recursive-CTE transitive closure (the previous oracle) enumerates
+    every (node, smaller-reachable-label) pair — O(k²) rows per size-k
+    component, which OOMs DuckDB at sf0.1 where replica duplication
+    builds large near-clique clusters.  Unrolled min-propagation keeps
+    one row per node per round: O(V + E) per round, ``rounds`` rounds.
+    ``rounds`` = CC_MAX_ROUNDS covers graph diameter 2^CC_MAX_ROUNDS;
+    were a pathological corpus ever to exceed that, the oracle fixpoint
+    would differ from Spark's converged one and the driver hash gate
+    would go red — non-convergence cannot silently pass.
+    """
+    ctes = [f"vpairs AS MATERIALIZED ({MINHASH_VERIFIED_SQL})",
+            """edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM vpairs
   UNION ALL
-  SELECT doc_b AS a, doc_a AS b FROM vpairs
-),
-reach(node, label) AS (
-  SELECT DISTINCT a, a FROM edges
-  UNION
-  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
-  WHERE r.label < e.b
-),
-labels AS (
-  SELECT node, min(label) AS label FROM reach GROUP BY node
-)
+  SELECT doc_b AS src, doc_a AS dst FROM vpairs
+)""",
+            """labels0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+)"""]
+    for r in range(1, rounds + 1):
+        p = f"labels{r - 1}"
+        ctes.append(f"""labels{r} AS MATERIALIZED (
+  SELECT node, min(label) AS label FROM (
+    SELECT node, label FROM {p}
+    UNION ALL
+    SELECT e.dst AS node, l.label FROM edges e JOIN {p} l ON l.node = e.src
+    UNION ALL
+    SELECT l.node, j.label AS label FROM {p} l JOIN {p} j ON l.label = j.node
+  ) u GROUP BY node
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
 SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id
-FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
-"""
+FROM documents d LEFT JOIN labels{rounds} l ON d.doc_id = l.node
+""")
+
+
+CONNECTED_CLUSTERS_SQL = _cc_sql(CC_MAX_ROUNDS)
 
 
 def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -178,7 +178,7 @@ def pca_model(spark: SparkSession, sf_dir: str):
     prod = (F.col("xi").cast("double") * F.col("xj").cast("double")
             ).cast("decimal(27,10)")
     gram_rows = (pairs.groupBy("i", "j")
-                 .agg(F.sum(prod).cast("double").alias("g"),
+                 .agg(dec_to_double(F.sum(prod)).alias("g"),
                       F.count(F.lit(1)).alias("n"))
                  .collect())
     n = gram_rows[0]["n"] if gram_rows else 1

@@ -193,7 +193,7 @@ WITH per_part AS (
          sum(l_extendedprice::decimal(12,2) * l_quantity::decimal(12,2)) AS part_value_dec
   FROM lineitem GROUP BY 1
 ), tot AS (
-  SELECT sum(part_value_dec)::double AS total_value, count(*) AS n_parts FROM per_part
+  SELECT (trunc(sum(part_value_dec))::bigint::double + (((sum(part_value_dec) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS total_value, count(*) AS n_parts FROM per_part
 )
 SELECT l_partkey, part_value_dec::double AS part_value
 FROM per_part, tot

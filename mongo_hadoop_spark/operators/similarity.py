@@ -22,7 +22,7 @@ import hashlib
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from mongo_hadoop_spark.functions import dot, norm2
+from mongo_hadoop_spark.functions import dec_to_double, dot, norm2
 from mongo_hadoop_spark.guards import guard_quadratic
 from mongo_hadoop_spark.session import table
 
@@ -651,7 +651,7 @@ def _lloyd_round(emb, assign):
         .select("centroid_id", F.posexplode("embedding").alias("d", "x"))
     )
     means = vals.groupBy("centroid_id", "d").agg(
-        (F.sum(F.col("x").cast("decimal(27,10)")).cast("double")
+        (dec_to_double(F.sum(F.col("x").cast("decimal(27,10)")))
          / F.count(F.lit(1))).alias("m")
     )
     cents = (
@@ -687,7 +687,7 @@ vals AS (
 ),
 means AS (
   SELECT centroid_id, d,
-         sum(x::decimal(27,10))::double / count(*) AS m
+         (trunc(sum(x::decimal(27,10)))::bigint::double + (((sum(x::decimal(27,10)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) / count(*) AS m
   FROM vals GROUP BY 1, 2
 ),
 cents AS (
@@ -746,7 +746,7 @@ def _lloyd_sql(rounds: int) -> str:
        unnest(generate_series(1, len(embedding))) AS s(i)
 )""")
         ctes.append(f"""means{r} AS (
-  SELECT centroid_id, d, sum(x::decimal(27,10))::double / count(*) AS m
+  SELECT centroid_id, d, (trunc(sum(x::decimal(27,10)))::bigint::double + (((sum(x::decimal(27,10)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) / count(*) AS m
   FROM vals{r} GROUP BY 1, 2
 )""")
         ctes.append(f"""cents{r} AS (
@@ -1022,7 +1022,7 @@ def embedding_pq_codes_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = (sub.join(codes_long, ["vec_id", "j"])
             .select("j", "cid", F.posexplode("sv").alias("d", "x")))
     means = vals.groupBy("j", "cid", "d").agg(
-        (F.sum(F.col("x").cast("decimal(27,10)")).cast("double")
+        (dec_to_double(F.sum(F.col("x").cast("decimal(27,10)")))
          / F.count(F.lit(1))).alias("m"))
     refined = (
         means.groupBy("j", "cid")
@@ -1148,7 +1148,7 @@ def _pq_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = (tsub.join(assign, ["vec_id", "j"])
             .select("j", "cid", F.posexplode("sv").alias("d", "x")))
     means = vals.groupBy("j", "cid", "d").agg(
-        (F.sum(F.col("x").cast("decimal(27,10)")).cast("double")
+        (dec_to_double(F.sum(F.col("x").cast("decimal(27,10)")))
          / F.count(F.lit(1))).alias("m"))
     return (means.groupBy("j", "cid")
             .agg(F.array_sort(F.collect_list(F.struct("d", "m")))

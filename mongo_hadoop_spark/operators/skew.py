@@ -16,6 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from mongo_hadoop_spark.functions import dec_to_double
 from mongo_hadoop_spark.session import table
 
 SALT_BUCKETS = 16
@@ -31,7 +32,7 @@ def salted_aggregate(df: DataFrame, key: str, salt_src: str,
     )
     return partial.groupBy(key).agg(
         F.sum("_cnt").alias("n_events"),
-        F.sum("_sum").cast("double").alias("total_value"),
+        dec_to_double(F.sum("_sum")).alias("total_value"),
     )
 
 
@@ -42,7 +43,7 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SALTED_SQL = """
 SELECT user_id, count(*) AS n_events,
-       sum(value::decimal(12,2))::double AS total_value
+       (trunc(sum(value::decimal(12,2)))::bigint::double + (((sum(value::decimal(12,2)) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS total_value
 FROM events GROUP BY 1
 """
 
