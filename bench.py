@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "pipeline_lookup_correlated",
     # selection-stack flagship (round 6)
     "corpus_pretrain_manifest",
+    # graph authority scoring (round 6)
+    "graph_pagerank_neardup",
 ]
 
 

@@ -48,6 +48,7 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 _HEAD_KEYS = [
     # never driver-verified — rotation backlog + new this round
     "graph_pagerank_neardup", "graph_degree_histogram",
+    "dedup_survivors_by_authority",
     "corpus_crawl_increment", "corpus_quota_fill",
     "corpus_source_mixture_docs", "embeddings_cluster_sample",
     "corpus_pretrain_manifest",

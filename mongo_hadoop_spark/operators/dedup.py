@@ -130,6 +130,47 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT doc_id, {mins} FROM __mh_shingle_hashes GROUP BY doc_id")
 
 
+def signatures_for(docs: DataFrame, view: str = "__mh_sig_for") -> DataFrame:
+    """(doc_id, h0..h{K-1}) MinHash signatures of an ARBITRARY documents
+    frame (doc_id, text, ...) — the frame-level core of :func:`_signatures`,
+    shared with the incremental-crawl classifier and its streaming form
+    (per-doc signatures depend on the document bytes alone, so computing
+    them per micro-batch is exactly the batch computation).
+
+    ``view`` must be unique among concurrently-built plans (spark.sql
+    resolves the temp view eagerly, so sequential reuse is safe)."""
+    spark = docs.sparkSession
+    # same fan-out rationale as _signatures: shingle explode + hash is
+    # CPU-heavy per row; a tiny shuffle unlocks full parallelism.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", SHINGLE_N)).alias("s")
+    ).select("doc_id", (md5_long(F.col("s")) % MINHASH_P).alias("h"))
+    mins = ",\n           ".join(
+        "min((h * {a} + {b}) % {p}) AS h{i}".format(
+            a=_affine_params(i)[0], b=_affine_params(i)[1], p=MINHASH_P, i=i)
+        for i in range(MINHASH_K)
+    )
+    sh.createOrReplaceTempView(view)
+    return spark.sql(f"SELECT doc_id, {mins} FROM {view} GROUP BY doc_id")
+
+
+def band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) LSH band rows of a signature frame —
+    one stack() Generate, no shuffle."""
+    stack_args = []
+    for b in range(LSH_BANDS):
+        cols = ", ".join(f"CAST(h{b * _ROWS_PER_BAND + r} AS STRING)"
+                         for r in range(_ROWS_PER_BAND))
+        band_key = md5_long_spark_sql(f"concat_ws(':', {cols})",
+                                      salt=f"band{b}|")
+        stack_args.extend([str(b), band_key])
+    return sig.selectExpr(
+        "doc_id",
+        f"stack({LSH_BANDS}, {', '.join(stack_args)}) AS (band_id, band_hash)",
+    )
+
+
 def _signatures_sql() -> str:
     mins = []
     for i in range(MINHASH_K):
@@ -837,26 +878,36 @@ def corpus_crawl_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % CRAWL_MOD == 0
-    new_docs = d.where(is_new)
-    seen_keys = (d.where(~is_new).select(F.md5("text").alias("k")).distinct())
+    seen = build_seen_index(d.where(~is_new))
+    return classify_against_seen(d.where(is_new), seen)
+
+
+def build_seen_index(seen_docs: DataFrame) -> dict:
+    """Precompute (and persist) the seen-corpus artifacts the crawl
+    classifier probes: distinct content keys, MinHash signatures, LSH
+    band rows.  Built ONCE per corpus; a streaming ingest classifies
+    every micro-batch against the same index (see
+    ``streaming.jobs.stream_crawl_classify``)."""
+    keys = (seen_docs.select(F.md5("text").alias("k")).distinct().persist())
+    sig = signatures_for(seen_docs, "__mh_sig_seen").persist()
+    bands = band_rows(sig).persist()
+    return {"keys": keys, "sig": sig, "bands": bands}
+
+
+def classify_against_seen(new_docs: DataFrame, seen: dict) -> DataFrame:
+    """(doc_id, verdict) for every row of ``new_docs`` against a
+    :func:`build_seen_index` result — the shared core of the batch
+    operator and the streaming per-micro-batch classifier.  A document's
+    verdict depends only on its own bytes and the seen corpus, never on
+    what else shares its batch, so stream ≡ batch holds by construction.
+    """
     exact_ids = (new_docs.select("doc_id", F.md5("text").alias("k"))
-                 .join(seen_keys, "k", "left_semi")
+                 .join(seen["keys"], "k", "left_semi")
                  .select("doc_id"))
 
-    sig = _signatures(spark, sf_dir).persist()
-    stack_args = []
-    for b in range(LSH_BANDS):
-        cols = ", ".join(f"CAST(h{b * _ROWS_PER_BAND + r} AS STRING)"
-                         for r in range(_ROWS_PER_BAND))
-        band_key = md5_long_spark_sql(f"concat_ws(':', {cols})",
-                                      salt=f"band{b}|")
-        stack_args.extend([str(b), band_key])
-    bands = sig.selectExpr(
-        "doc_id",
-        f"stack({LSH_BANDS}, {', '.join(stack_args)}) AS (band_id, band_hash)",
-    )
-    nb = bands.where(F.col("doc_id") % CRAWL_MOD == 0).alias("n")
-    sb = bands.where(F.col("doc_id") % CRAWL_MOD != 0).alias("s")
+    sig_new = signatures_for(new_docs, "__mh_sig_new")
+    nb = band_rows(sig_new).alias("n")
+    sb = seen["bands"].alias("s")
     cand = (nb.join(sb, (F.col("n.band_id") == F.col("s.band_id"))
                     & (F.col("n.band_hash") == F.col("s.band_hash")))
             .select(F.col("n.doc_id").alias("doc_new"),
@@ -865,8 +916,10 @@ def corpus_crawl_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     match_sum = " + ".join(
         f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
         for i in range(MINHASH_K))
-    near_ids = (cand.join(sig.alias("sa"), cand.doc_new == F.col("sa.doc_id"))
-                .join(sig.alias("sb"), cand.doc_seen == F.col("sb.doc_id"))
+    near_ids = (cand.join(sig_new.alias("sa"),
+                          cand.doc_new == F.col("sa.doc_id"))
+                .join(seen["sig"].alias("sb"),
+                      cand.doc_seen == F.col("sb.doc_id"))
                 .where(F.expr(f"({match_sum}) * 2 >= {MINHASH_K}"))
                 .select(F.col("doc_new").alias("doc_id"))
                 .distinct())

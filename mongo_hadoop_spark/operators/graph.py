@@ -45,7 +45,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from mongo_hadoop_spark.operators.dedup import (
-    MINHASH_VERIFIED_SQL, dedup_minhash_verified,
+    CONNECTED_CLUSTERS_SQL, MINHASH_VERIFIED_SQL, dedup_minhash_verified,
 )
 
 PR_SCALE = 10 ** 12      # fixed-point scale: 1.0 == 1e12
@@ -162,12 +162,69 @@ SELECT deg, count(*) AS n_nodes FROM deg GROUP BY deg
 """
 
 
+def dedup_survivors_by_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_id, survivor, cluster_size, rank_fp) — for every near-dup
+    cluster of size ≥ 2, the member to KEEP chosen by graph authority
+    (highest fixed-point PageRank, doc_id-ascending tiebreak).
+
+    The min-id representative (:func:`...dedup.dedup_connected_clusters`)
+    is the cheap canonical policy; production pipelines often keep the
+    *best* copy instead — the most-linked (highest-authority) variant is
+    the published proxy (Common Crawl rank weighting).  This composes
+    the CC labels with the PageRank scores: every member of a size ≥ 2
+    cluster is by construction a pair-graph node, so the authority join
+    is inner and lossless.
+
+    Scale shape: one keyed agg (cluster sizes), two keyed joins, and a
+    row_number window PARTITIONED BY cluster — cluster-local, never
+    global; the (rank desc, doc_id asc) ordering is a total order, so
+    the survivor is partitioning-independent and integer-exact.
+    """
+    from pyspark.sql import Window
+
+    from mongo_hadoop_spark.operators.dedup import dedup_connected_clusters
+
+    cc = dedup_connected_clusters(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    multi = sizes.where(F.col("cluster_size") >= 2)
+    pr = graph_pagerank_neardup(spark, sf_dir).select("doc_id", "rank_fp")
+    w = (Window.partitionBy("cluster_id")
+         .orderBy(F.col("rank_fp").desc(), F.col("doc_id").asc()))
+    return (cc.join(multi, "cluster_id").join(pr, "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("cluster_id", F.col("doc_id").alias("survivor"),
+                    "cluster_size", "rank_fp"))
+
+
+SURVIVORS_BY_AUTHORITY_SQL = f"""
+WITH cc AS MATERIALIZED ({CONNECTED_CLUSTERS_SQL}),
+pr AS MATERIALIZED ({PAGERANK_SQL}),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, s.cluster_size, p.rank_fp,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY p.rank_fp DESC, c.doc_id ASC) AS rn
+  FROM cc c
+  JOIN sizes s ON s.cluster_id = c.cluster_id AND s.cluster_size >= 2
+  JOIN pr p ON p.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS survivor, cluster_size, rank_fp
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "graph_pagerank_neardup": graph_pagerank_neardup,
     "graph_degree_histogram": graph_degree_histogram,
+    "dedup_survivors_by_authority": dedup_survivors_by_authority,
 }
 
 ORACLES = {
     "graph_pagerank_neardup": PAGERANK_SQL,
     "graph_degree_histogram": DEGREE_HIST_SQL,
+    "dedup_survivors_by_authority": SURVIVORS_BY_AUTHORITY_SQL,
 }

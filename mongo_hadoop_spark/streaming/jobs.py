@@ -397,3 +397,36 @@ def stream_quality_gate(documents: DataFrame) -> DataFrame:
     from mongo_hadoop_spark.operators.textstats import gopher_flags
 
     return gopher_flags(documents)
+
+
+def stream_crawl_classify(seen_index: dict, out_path: str):
+    """foreachBatch body for incremental-crawl dedup: classify each
+    arriving micro-batch of documents against a fixed seen-corpus index
+    (:func:`~.operators.dedup.build_seen_index`) and append verdicts to
+    ``out_path`` — the streaming form of
+    :func:`~.operators.dedup.corpus_crawl_increment`.
+
+    Classification needs per-batch ``distinct``/multi-joins (stateful in
+    pure streaming), so it runs batch-side per trigger via foreachBatch;
+    a document's verdict depends only on its bytes and the seen index,
+    never on batch boundaries, so stream ≡ batch holds by construction
+    (pinned in tests/test_streaming.py).  At cluster scale the index
+    frames are persisted once and every micro-batch probes them — the
+    same read-mostly broadcast/probe shape the batch operator uses.
+
+    Usage::
+
+        q = (new_docs_stream.writeStream
+             .foreachBatch(stream_crawl_classify(seen, out))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+    """
+    from mongo_hadoop_spark.operators.dedup import classify_against_seen
+
+    def classify_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (classify_against_seen(batch_df, seen_index)
+         .write.mode("append").parquet(out_path))
+
+    return classify_batch

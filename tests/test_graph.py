@@ -102,3 +102,27 @@ def test_pagerank_corpus_query_shape(spark):
     # degree histogram accounts for exactly the same node set
     hist = graph.graph_degree_histogram(spark, SF_SMOKE).collect()
     assert sum(h["n_nodes"] for h in hist) == len(rows)
+
+
+def test_survivors_by_authority_pick_max_rank_member(spark):
+    from mongo_hadoop_spark.operators.dedup import dedup_connected_clusters
+
+    surv = {r["cluster_id"]: (r["survivor"], r["cluster_size"], r["rank_fp"])
+            for r in graph.dedup_survivors_by_authority(
+                spark, SF_SMOKE).collect()}
+    assert surv, "smoke corpus has multi-doc clusters"
+    members: dict[int, list[int]] = {}
+    for r in dedup_connected_clusters(spark, SF_SMOKE).collect():
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    rank = {r["doc_id"]: r["rank_fp"]
+            for r in graph.graph_pagerank_neardup(spark, SF_SMOKE).collect()}
+    for cid, (winner, sz, rfp) in surv.items():
+        mem = members[cid]
+        assert len(mem) == sz >= 2
+        assert winner in mem
+        best = max(rank[m] for m in mem)
+        assert rank[winner] == best == rfp
+        # tiebreak: smallest doc_id among max-rank members
+        assert winner == min(m for m in mem if rank[m] == best)
+    # every size>=2 cluster is decided, singletons are absent
+    assert set(surv) == {c for c, ms in members.items() if len(ms) >= 2}

@@ -789,3 +789,38 @@ def test_stream_quality_gate_equals_batch(spark, documents_dir, tmp_path):
     assert got == want
     assert any(k for k, _ in got.values()) and not all(
         k for k, _ in got.values())   # the gate discriminates
+
+
+def test_stream_crawl_classify_equals_batch(spark, documents_dir, tmp_path):
+    """Incremental-crawl dedup runs as a stream: classifying arriving
+    new-crawl micro-batches against a fixed seen-corpus index must give
+    every document the exact verdict the batch operator assigns —
+    regardless of which micro-batch delivered it (maxFilesPerTrigger=2
+    over 4 files forces multiple triggers)."""
+    import pyspark.sql.functions as F
+
+    from mongo_hadoop_spark.operators.dedup import (
+        CRAWL_MOD, build_seen_index, corpus_crawl_increment,
+    )
+    from mongo_hadoop_spark.streaming.jobs import (
+        stream_crawl_classify, streaming_documents_source,
+    )
+
+    seen = build_seen_index(
+        table(spark, SF_SMOKE, "documents")
+        .where(F.col("doc_id") % CRAWL_MOD != 0))
+    out = str(tmp_path / "crawl_out")
+    new_stream = (streaming_documents_source(spark, documents_dir)
+                  .where(F.col("doc_id") % CRAWL_MOD == 0))
+    q = (new_stream.writeStream
+         .foreachBatch(stream_crawl_classify(seen, out))
+         .option("checkpointLocation", str(tmp_path / "crawl_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {r["doc_id"]: r["verdict"]
+           for r in spark.read.parquet(out).collect()}
+    want = {r["doc_id"]: r["verdict"]
+            for r in corpus_crawl_increment(spark, SF_SMOKE).collect()}
+    assert got == want
+    assert len(set(got.values())) > 1   # the classifier discriminates
