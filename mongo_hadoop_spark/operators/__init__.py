@@ -56,23 +56,34 @@ _HEAD_KEYS = [
     "pipeline_search_meta_facets", "pipeline_exp_moving_avg",
     "dedup_connected_clusters", "dedup_cluster_stats",
     "pipeline_search_highlights", "corpus_token_quotas",
-    # changed this round — fresh hash rows needed
+    # changed this round — fresh hash rows needed (ntile→threshold
+    # rewrites, frozen-model PCA, fusion tiebreak + hybrid-corpus
+    # oracle, sf0.1 drift fixes, dec_to_double migration sites)
     "embedding_pca_whitened", "corpus_dsir_selected",
     "corpus_perplexity_buckets", "embedding_random_projection",
+    "pipeline_rank_fusion", "pipeline_score_fusion",
+    "events_value_anomalies", "embedding_gram_matrix",
+    "skew_salted_rollup", "tpch_q11_value_share",
+    "ivf_assign_lloyd", "ivf_assign_refined",
+    "embedding_pq_codes_trained", "embedding_pq_codes_fixed",
+    "pq_knn_adc_fixed", "ivf_pq_knn",
     # r01-verified — oldest outstanding driver verdicts
     "a3_pair_counts", "a5_frequent_short_tokens", "s6_tokenize_stats",
     "s8_multi_union", "hive_pushdown_conjunction", "f3_sort_limit",
     "s2_dotted_key_extract", "tpch_q10", "tpch_q14", "tpch_q18",
     "set_except", "set_intersect", "rollup_agg", "broadcast_dim_join",
     "json_roundtrip", "custom_sort_comparator", "tpch_q4_semijoin",
-    "tpch_q22_antijoin", "cube_agg", "count_distinct_suppliers",
+    "tpch_q22_antijoin",
+    # (the r01/r03 refresh overflow — cube_agg, count_distinct_suppliers,
+    # treasury_doubled, and the r03-verified set — rotates just below the
+    # 50-entry prefix; all hold green driver rows already)
+    "cube_agg", "count_distinct_suppliers",
     "treasury_doubled",
-    # r03-verified — next-oldest, fills the 50-entry prefix
     "f4_skip_pagination", "tpch_q12", "events_session_windows",
     "window_spend_quartiles", "dedup_exact", "dedup_minhash_lsh_pairs",
     "dedup_simhash", "dedup_ngram_jaccard", "dedup_minhash_verified",
     "corpus_decontaminate", "ivf_assign", "ivf_knn", "ivf_knn_nprobe",
-    "ivf_assign_lloyd", "knn_bruteforce", "near_dup_pairs_cosine",
+    "knn_bruteforce", "near_dup_pairs_cosine",
     "embedding_quantize_int8", "ivf_recall_report", "lsh_bucket_histogram",
     "text_langid", "text_quality", "text_token_count", "text_fingerprint",
     "documents_pack_sequences", "text_top_distinctive_terms",
