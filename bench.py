@@ -112,6 +112,11 @@ def main() -> None:
         "timing": "best_of_repeats",
         "n_queries": len(BENCH_QUERIES),
         "n_failed": len(errors),
+        # contamination telltale: this host sees noisy-neighbor episodes
+        # (a round-6 run measured 22x on single queries that re-timed at
+        # 0.8x on an idle box) — a high 1-minute load at exit means the
+        # totals measure contention, not the engine
+        "load_avg_1m_end": round(os.getloadavg()[0], 2),
     }
     if errors:
         out["errors"] = errors
@@ -124,7 +129,7 @@ def main() -> None:
     # inside the window.
     compact = {k: out[k] for k in ("metric", "value", "unit", "sf",
                                    "repeats", "timing", "n_queries",
-                                   "n_failed")}
+                                   "n_failed", "load_avg_1m_end")}
     with_queries = dict(compact, queries=timings)
     line = json.dumps(with_queries)
     print(line if len(line) <= 1800 else json.dumps(compact))
