@@ -481,3 +481,25 @@ def test_lookup_pipeline_single_join_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
             or "ShuffledHashJoin" in plan)
+
+
+def test_pagerank_supersteps_keyed_no_cartesian(spark):
+    from mongo_hadoop_spark.operators import graph
+
+    plan = plan_of(graph.graph_pagerank_neardup(spark, SF_SMOKE))
+    # every superstep is a keyed equi-join + keyed agg; nothing may
+    # degrade to a cartesian or a single-partition stage
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("HashAggregate") >= 2   # per-round partial+final
+
+
+def test_survivors_window_is_cluster_partitioned(spark):
+    from mongo_hadoop_spark.operators import graph
+
+    plan = plan_of(graph.dedup_survivors_by_authority(spark, SF_SMOKE))
+    # the survivor pick is a row_number window PARTITIONED BY cluster —
+    # a global (single-partition) window would serialize the corpus
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
