@@ -802,13 +802,27 @@ def _cc_sql(rounds: int) -> str:
     would differ from Spark's converged one and the driver hash gate
     would go red — non-convergence cannot silently pass.
     """
-    ctes = [f"vpairs AS MATERIALIZED ({MINHASH_VERIFIED_SQL})",
-            """edges AS MATERIALIZED (
+    ctes = ([f"vpairs AS MATERIALIZED ({MINHASH_VERIFIED_SQL})",
+             EDGES_CTE_SQL] + _cc_label_ctes(rounds))
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN labels{rounds} l ON d.doc_id = l.node
+""")
+
+
+EDGES_CTE_SQL = """edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM vpairs
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM vpairs
-)""",
-            """labels0 AS MATERIALIZED (
+)"""
+
+
+def _cc_label_ctes(rounds: int) -> list:
+    """The unrolled Hash-Min + pointer-jumping label chain
+    (labels0..labels{rounds}) over an in-scope ``edges`` CTE — shared
+    between the CC oracle and the authority-survivors oracle, which
+    composes it with the PageRank chain over ONE pair generation."""
+    ctes = ["""labels0 AS MATERIALIZED (
   SELECT DISTINCT src AS node, src AS label FROM edges
 )"""]
     for r in range(1, rounds + 1):
@@ -822,10 +836,7 @@ def _cc_sql(rounds: int) -> str:
     SELECT l.node, j.label AS label FROM {p} l JOIN {p} j ON l.label = j.node
   ) u GROUP BY node
 )""")
-    return ("WITH " + ",\n".join(ctes) + f"""
-SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id
-FROM documents d LEFT JOIN labels{rounds} l ON d.doc_id = l.node
-""")
+    return ctes
 
 
 CONNECTED_CLUSTERS_SQL = _cc_sql(CC_MAX_ROUNDS)

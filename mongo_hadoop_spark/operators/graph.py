@@ -45,7 +45,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from mongo_hadoop_spark.operators.dedup import (
-    CONNECTED_CLUSTERS_SQL, MINHASH_VERIFIED_SQL, dedup_minhash_verified,
+    CC_MAX_ROUNDS, EDGES_CTE_SQL, MINHASH_VERIFIED_SQL, _cc_label_ctes,
+    connected_component_labels, dedup_minhash_verified,
 )
 
 PR_SCALE = 10 ** 12      # fixed-point scale: 1.0 == 1e12
@@ -74,10 +75,20 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     singleton documents (no verified pair) are not graph nodes and are
     excluded — their authority is the teleport floor by definition.
     """
+    edges = _neardup_edges(spark, sf_dir)
+    return (_pagerank_loop(edges)
+            .select(F.col("node").alias("doc_id"), "rank_fp", "deg"))
+
+
+def _pagerank_loop(edges: DataFrame) -> DataFrame:
+    """(node, rank_fp, deg) after PR_ROUNDS supersteps over a symmetric
+    (src, dst) edge list — the loop factored out so the authority-
+    survivors composition can run it on an already-materialized pair
+    set instead of regenerating pairs."""
     # edges/deg are reused by all rounds: checkpoint once so the 8-round
     # plan re-reads materialized partitions instead of re-running the
-    # LSH+verify subplan per round.
-    edges = _neardup_edges(spark, sf_dir).localCheckpoint()
+    # upstream subplan (LSH+verify) per round.
+    edges = edges.localCheckpoint()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")).localCheckpoint()
 
@@ -95,21 +106,16 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                              f"({PR_DAMP_NUM} * coalesce(insum, 0L)) "
                              f"div {PR_DAMP_DEN}")).alias("rank_fp"),
                          "deg"))
-    return ranks.select(F.col("node").alias("doc_id"), "rank_fp", "deg")
+    return ranks
 
 
-def _pagerank_sql(rounds: int) -> str:
-    """DuckDB oracle: the identical integer recurrence, unrolled into
-    ``rounds`` materialized CTEs (the ``_lloyd_sql`` / ``_cc_sql``
+def _pr_ctes(rounds: int) -> list:
+    """The unrolled PageRank CTE chain (deg, r0..r{rounds}) over an
+    in-scope ``edges`` CTE — shared between the PageRank oracle and the
+    authority-survivors oracle (the ``_lloyd_sql`` / ``_cc_sql``
     pattern — a recursive CTE cannot express keep-latest-per-node
     without materializing the whole history)."""
-    ctes = [f"vpairs AS MATERIALIZED ({MINHASH_VERIFIED_SQL})",
-            """edges AS MATERIALIZED (
-  SELECT doc_a AS src, doc_b AS dst FROM vpairs
-  UNION ALL
-  SELECT doc_b AS src, doc_a AS dst FROM vpairs
-)""",
-            """deg AS MATERIALIZED (
+    ctes = ["""deg AS MATERIALIZED (
   SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1
 )""",
             f"""r0 AS MATERIALIZED (
@@ -128,6 +134,13 @@ def _pagerank_sql(rounds: int) -> str:
     FROM edges e JOIN {p} p ON p.node = e.src GROUP BY 1
   ) s ON s.node = d.node
 )""")
+    return ctes
+
+
+def _pagerank_sql(rounds: int) -> str:
+    """DuckDB oracle: the identical integer recurrence, unrolled."""
+    ctes = ([f"vpairs AS MATERIALIZED ({MINHASH_VERIFIED_SQL})",
+             EDGES_CTE_SQL] + _pr_ctes(rounds))
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node AS doc_id, rank_fp, deg FROM r{rounds}")
 
@@ -175,46 +188,70 @@ def dedup_survivors_by_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster is by construction a pair-graph node, so the authority join
     is inner and lossless.
 
-    Scale shape: one keyed agg (cluster sizes), two keyed joins, and a
-    row_number window PARTITIONED BY cluster — cluster-local, never
-    global; the (rank desc, doc_id asc) ordering is a total order, so
-    the survivor is partitioning-independent and integer-exact.
+    Scale shape: the expensive part — LSH+verify pair generation — runs
+    ONCE (localCheckpoint) and feeds BOTH the label propagation and the
+    PageRank loop (the oracle shares its ``vpairs``/``edges`` CTEs the
+    same way); on top sit one keyed agg (cluster sizes), two keyed
+    joins, and a row_number window PARTITIONED BY cluster —
+    cluster-local, never global; the (rank desc, doc_id asc) ordering
+    is a total order, so the survivor is partitioning-independent and
+    integer-exact.  Only pair-graph nodes appear (singletons need no
+    survivor decision), so the CC labels come straight from
+    :func:`...dedup.connected_component_labels` — every label group has
+    size ≥ 2 by construction.
     """
     from pyspark.sql import Window
 
-    from mongo_hadoop_spark.operators.dedup import dedup_connected_clusters
-
-    cc = dedup_connected_clusters(spark, sf_dir)
-    sizes = cc.groupBy("cluster_id").agg(
+    pairs = (dedup_minhash_verified(spark, sf_dir)
+             .select("doc_a", "doc_b").localCheckpoint())
+    labels = connected_component_labels(pairs, "doc_a", "doc_b")
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst"))))
+    pr = _pagerank_loop(edges).select(F.col("node").alias("doc_id"),
+                                      "rank_fp")
+    sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size"))
-    multi = sizes.where(F.col("cluster_size") >= 2)
-    pr = graph_pagerank_neardup(spark, sf_dir).select("doc_id", "rank_fp")
-    w = (Window.partitionBy("cluster_id")
+    w = (Window.partitionBy("label")
          .orderBy(F.col("rank_fp").desc(), F.col("doc_id").asc()))
-    return (cc.join(multi, "cluster_id").join(pr, "doc_id")
+    return (labels.withColumnRenamed("node", "doc_id")
+            .join(sizes, "label").join(pr, "doc_id")
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
-            .select("cluster_id", F.col("doc_id").alias("survivor"),
+            .select(F.col("label").alias("cluster_id"),
+                    F.col("doc_id").alias("survivor"),
                     "cluster_size", "rank_fp"))
 
 
-SURVIVORS_BY_AUTHORITY_SQL = f"""
-WITH cc AS MATERIALIZED ({CONNECTED_CLUSTERS_SQL}),
-pr AS MATERIALIZED ({PAGERANK_SQL}),
-sizes AS (
-  SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1
-),
-ranked AS (
-  SELECT c.cluster_id, c.doc_id, s.cluster_size, p.rank_fp,
-         row_number() OVER (PARTITION BY c.cluster_id
-                            ORDER BY p.rank_fp DESC, c.doc_id ASC) AS rn
-  FROM cc c
-  JOIN sizes s ON s.cluster_id = c.cluster_id AND s.cluster_size >= 2
-  JOIN pr p ON p.doc_id = c.doc_id
-)
+def _survivors_sql() -> str:
+    """Composed oracle: ONE vpairs/edges generation feeding both the CC
+    label chain and the PageRank chain (their CTE names are disjoint:
+    labels0..N vs deg/r0..N)."""
+    ctes = ([f"vpairs AS MATERIALIZED ({MINHASH_VERIFIED_SQL})",
+             EDGES_CTE_SQL]
+            + _cc_label_ctes(CC_MAX_ROUNDS)
+            + _pr_ctes(PR_ROUNDS)
+            + [f"""sizes AS (
+  SELECT label, count(*) AS cluster_size FROM labels{CC_MAX_ROUNDS}
+  GROUP BY 1
+)""",
+               f"""ranked AS (
+  SELECT l.label AS cluster_id, l.node AS doc_id, s.cluster_size,
+         p.rank_fp,
+         row_number() OVER (PARTITION BY l.label
+                            ORDER BY p.rank_fp DESC, l.node ASC) AS rn
+  FROM labels{CC_MAX_ROUNDS} l
+  JOIN sizes s ON s.label = l.label
+  JOIN r{PR_ROUNDS} p ON p.node = l.node
+)"""])
+    return ("WITH " + ",\n".join(ctes) + """
 SELECT cluster_id, doc_id AS survivor, cluster_size, rank_fp
 FROM ranked WHERE rn = 1
-"""
+""")
+
+
+SURVIVORS_BY_AUTHORITY_SQL = _survivors_sql()
 
 
 QUERIES = {
