@@ -46,12 +46,26 @@ def test_pca_model_shapes_and_order(spark):
 def test_frozen_model_matches_fit(spark):
     """The checked-in pretrained model (applied by the registry's
     embedding_pca_whitened and its DuckDB oracle) must equal a fresh
-    pca_model fit at the fit corpus bit-for-bit — the regeneration pin
-    for tools/fit_pca.py."""
+    pca_model fit at the fit corpus — the regeneration pin for
+    tools/fit_pca.py.
+
+    The moment aggregations are exact (decimal sums), so ``mu`` pins
+    bit-for-bit; the eigendecomposition goes through LAPACK, whose
+    reduction order is NOT bit-stable across BLAS threading contexts
+    (observed ULP-level run-to-run drift in this container), so
+    components/eigenvalues pin to 1e-9 relative — far below any real
+    fit-code change, far above LAPACK noise.  The cross-engine hash
+    gate is unaffected either way: both engines apply the same frozen
+    literals.
+    """
     mu, comps, eigvals = pca_model(spark, PCA_FIT_SF_DIR)
     assert mu == PCA_MU
-    assert comps == PCA_COMPS
-    assert eigvals == PCA_EIGVALS
+    assert len(comps) == len(PCA_COMPS)
+    for got_w, want_w in zip(comps, PCA_COMPS):
+        for g, w in zip(got_w, want_w):
+            assert abs(g - w) <= 1e-9 * max(1.0, abs(w))
+    for g, w in zip(eigvals, PCA_EIGVALS):
+        assert abs(g - w) <= 1e-9 * max(1.0, abs(w))
 
 
 def test_whitened_output_has_identity_covariance(spark):
