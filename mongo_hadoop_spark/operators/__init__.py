@@ -47,6 +47,7 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 # tail.
 _HEAD_KEYS = [
     # never driver-verified — rotation backlog + new this round
+    "pipeline_geo_center_sphere", "pipeline_geo_near_sphere",
     "graph_pagerank_neardup", "graph_degree_histogram",
     "dedup_survivors_by_authority",
     "corpus_crawl_increment", "corpus_quota_fill",

@@ -683,6 +683,102 @@ GROUP BY event_type ORDER BY _id
 """
 
 
+#: degree-coordinate projection shared by the spherical geo queries —
+#: the SAME expression text runs in both engines (fmod and subtraction
+#: are exact IEEE ops)
+_SPH_LON = "(value % 3.6e2) - 1.8e2"
+_SPH_LAT = "cast(user_id % 181 AS double) - 9e1"
+
+
+def pipeline_geo_center_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$geoWithin $centerSphere (spherical geometry) in the match
+    language: events whose synthesized [lon, lat] falls within 0.3
+    radians of (20E, 80S) on the unit sphere, rolled up per event type.
+
+    The predicate is the deterministic-polynomial haversine kernel of
+    plans/trig.py — h <= sin^2(r/2), asin-free, a pure per-row map
+    before the keyed count; the oracle runs the identical IEEE
+    expression tree (cross-rendering equality pinned by
+    tests/test_trig.py), which is what makes spherical geometry
+    hash-gateable at all."""
+    events = table(spark, sf_dir, "events")
+    with_loc = events.select(
+        "event_id", "event_type",
+        F.expr(f"array({_SPH_LON}, {_SPH_LAT})").alias("loc"))
+    return aggregate(with_loc, [
+        {"$match": {"loc": {"$geoWithin":
+                            {"$centerSphere": [[20.0, -80.0], 0.3]}}}},
+        {"$group": {"_id": "$event_type", "n": {"$sum": 1}}},
+        {"$sort": {"_id": 1}},
+    ])
+
+
+def _center_sphere_pred_sql(lon: str, lat: str,
+                            clon: float, clat: float, r: float) -> str:
+    from mongo_hadoop_spark.plans.trig import (
+        _dlit, center_sphere_threshold, haversine_h_sql)
+    h = haversine_h_sql(lon, lat, _dlit(clon), _dlit(clat))
+    return f"({h} <= {_dlit(center_sphere_threshold(r))})"
+
+
+def _geo_center_sphere_sql() -> str:
+    return f"""
+WITH pts AS (
+  SELECT event_type, ({_SPH_LON}) AS lon, ({_SPH_LAT}) AS lat FROM events
+)
+SELECT event_type AS _id, count(*)::bigint AS n
+FROM pts
+WHERE {_center_sphere_pred_sql("lon", "lat", 20.0, -80.0, 0.3)}
+GROUP BY event_type ORDER BY _id
+"""
+
+
+def pipeline_geo_near_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$geoNear spherical:true — filtered nearest-events by great-circle
+    distance with the radian distance scaled to meters via
+    distanceMultiplier (MongoDB's legacy-pair spherical semantics).
+
+    The range bound runs on the monotone h-kernel (asin-free, against a
+    driver-computed sin^2(r/2) literal), the ascending sort on the
+    kernel too; only surviving rows pay the polynomial asin for the
+    reported distance — scale shape identical to the planar $geoNear
+    (per-row map + one range sort)."""
+    events = table(spark, sf_dir, "events")
+    with_loc = events.select(
+        "event_id", "event_type",
+        F.expr(f"array({_SPH_LON}, {_SPH_LAT})").alias("loc"))
+    from mongo_hadoop_spark.plans.trig import EARTH_RADIUS_M
+    return aggregate(with_loc, [
+        {"$geoNear": {"near": [-50.0, -80.0], "key": "loc",
+                      "distanceField": "dist_m",
+                      "query": {"event_type": "view"},
+                      "maxDistance": 0.5, "spherical": True,
+                      "distanceMultiplier": EARTH_RADIUS_M}},
+        {"$project": {"event_id": 1, "dist_m": 1}},
+    ])
+
+
+def _geo_near_sphere_sql() -> str:
+    from mongo_hadoop_spark.plans.trig import (
+        _dlit, center_sphere_threshold, dist_rad_from_h_sql,
+        haversine_h_sql, EARTH_RADIUS_M)
+    h = haversine_h_sql("lon", "lat", _dlit(-50.0), _dlit(-80.0))
+    return f"""
+WITH pts AS (
+  SELECT event_id, ({_SPH_LON}) AS lon, ({_SPH_LAT}) AS lat
+  FROM events WHERE event_type = 'view'
+),
+k AS (
+  SELECT event_id, {h} AS h FROM pts
+)
+SELECT event_id,
+       {dist_rad_from_h_sql("h")} * {_dlit(EARTH_RADIUS_M)} AS dist_m
+FROM k
+WHERE h <= {_dlit(center_sphere_threshold(0.5))}
+ORDER BY dist_m
+"""
+
+
 def pipeline_search_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$search wildcard / regex / in operators (Atlas term-level
     queries) composed under compound: wildcard-filtered sources, a
@@ -1526,6 +1622,8 @@ QUERIES = {
     "pipeline_search_meta_facets": pipeline_search_meta_facets,
     "pipeline_vector_search": pipeline_vector_search,
     "pipeline_geo_near": pipeline_geo_near,
+    "pipeline_geo_center_sphere": pipeline_geo_center_sphere,
+    "pipeline_geo_near_sphere": pipeline_geo_near_sphere,
     "pipeline_regex_type_report": pipeline_regex_type_report,
     "pipeline_redact_levels": pipeline_redact_levels,
     "pipeline_text_search": pipeline_text_search,
@@ -1562,6 +1660,8 @@ ORACLES = {
     "pipeline_search_meta_facets": PIPELINE_SEARCH_META_SQL,
     "pipeline_vector_search": PIPELINE_VECTOR_SEARCH_SQL,
     "pipeline_geo_near": PIPELINE_GEO_NEAR_SQL,
+    "pipeline_geo_center_sphere": _geo_center_sphere_sql(),
+    "pipeline_geo_near_sphere": _geo_near_sphere_sql(),
     "pipeline_regex_type_report": PIPELINE_REGEX_TYPE_SQL,
     "pipeline_redact_levels": PIPELINE_REDACT_SQL,
     "pipeline_text_search": PIPELINE_TEXT_SEARCH_SQL,

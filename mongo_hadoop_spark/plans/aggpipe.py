@@ -937,9 +937,11 @@ def _geo_within(col: Column, spec) -> Column:
     $polygon is even-odd ray casting unrolled over the literal vertex
     list — one (xor-folded) edge test per vertex, exact IEEE arithmetic,
     boundary behavior follows the strict/non-strict inequalities of the
-    classic crossing test.  ``$centerSphere``/GeoJSON ``$geometry`` are
-    refused loudly (spherical geometry is out of scope, like $geoNear
-    spherical).
+    classic crossing test.  ``$centerSphere`` compiles to the
+    deterministic-polynomial haversine kernel (plans/trig.py): h <=
+    sin^2(r/2) with the threshold a single driver-computed literal — no
+    asin needed because the kernel is monotone in distance.  GeoJSON
+    ``$geometry`` (spherical polygons) is still refused loudly.
 
     Reference analog: Mongo 2.x-era query documents passed through
     ``mongo.input.query`` (core/.../util/MongoConfigUtil.java:674-702)
@@ -950,7 +952,12 @@ def _geo_within(col: Column, spec) -> Column:
         raise ValueError("$geoWithin takes exactly one shape "
                          "($box/$center/$polygon)")
     (shape, arg), = spec.items()
-    x, y = F.element_at(col, 1), F.element_at(col, 2)
+    # getItem, not element_at: GetArrayItem(CreateArray(..)) is
+    # optimizer-simplified to the bare element expression, ElementAt
+    # is not — with the polynomial spherical kernel referencing the
+    # coordinates many times, the unsimplified form re-inlines the
+    # array build per reference and blows Janino's 64 KB method cap
+    x, y = col.getItem(0), col.getItem(1)
     if shape == "$box":
         (x1, y1), (x2, y2) = arg
         lox, hix = min(x1, x2), max(x1, x2)
@@ -975,8 +982,14 @@ def _geo_within(col: Column, spec) -> Column:
             edge = straddles & crossing
             inside = edge if inside is None else inside != edge
         return F.lit(False) if inside is None else inside
+    if shape == "$centerSphere":
+        from mongo_hadoop_spark.plans.trig import (
+            center_sphere_threshold, haversine_h_col)
+        (cx, cy), r = arg
+        h = haversine_h_col(x, y, F.lit(float(cx)), F.lit(float(cy)))
+        return h <= F.lit(center_sphere_threshold(float(r)))
     raise ValueError(f"unsupported $geoWithin shape {shape!r} "
-                     "(planar $box/$center/$polygon only)")
+                     "($box/$center/$polygon/$centerSphere only)")
 
 
 def _elem_match(col: Column, crit) -> Column:
@@ -2324,6 +2337,7 @@ def _stage_redact(df: DataFrame, spec) -> DataFrame:
 #: {$meta: ...} in later $project stages and stripped from the final result
 _VS_SCORE_COL = "__vs_score__"
 _GEO_DIST_COL = "__geo_dist__"
+_GEO_H_COL = "__geo_h__"
 _FUSION_SCORE_COL = "__fusion_score__"
 
 
@@ -3084,16 +3098,23 @@ def _stage_geo_near(df: DataFrame, spec: dict) -> DataFrame:
     pre-filters, ``minDistance``/``maxDistance`` bound the planar
     distance, ``distanceMultiplier`` scales the reported value, and docs
     come back distance-ascending with ``distanceField`` set.
-    ``spherical: true`` (haversine on an earth radius) is refused loudly
-    rather than approximated.
+
+    ``spherical: true`` runs the deterministic-polynomial haversine of
+    plans/trig.py on legacy [lon, lat] degree pairs and reports the
+    distance in RADIANS (the server's semantics for legacy pairs; pair
+    with ``distanceMultiplier`` = earth radius for meters).  min/max
+    bounds are in radians and are applied to the monotone h-kernel
+    against driver-computed sin^2(r/2) literal thresholds — so the range
+    filter AND the ascending sort both run on the asin-free kernel, and
+    only surviving rows pay the polynomial asin for the reported value.
+    (Boundary rows compare against the math.sin threshold, identically
+    in both engines; the reported distance may differ from the bound by
+    the < 1e-11 polynomial error there.)
 
     Scale: distance is a per-row expression; the one shuffle is the
     ascending range sort, and min/max bounds filter *before* it.
     """
     near = spec["near"]
-    if spec.get("spherical"):
-        raise ValueError("$geoNear spherical:true is not supported "
-                         "(planar 2d only)")
     if not (isinstance(near, (list, tuple)) and len(near) == 2):
         raise ValueError("$geoNear near must be a [x, y] point")
     key = spec.get("key")
@@ -3101,8 +3122,26 @@ def _stage_geo_near(df: DataFrame, spec: dict) -> DataFrame:
         raise ValueError("$geoNear needs key: the [x, y] coordinate field")
     dist_field = spec["distanceField"]
     out = df.where(match_to_col(spec["query"])) if spec.get("query") else df
-    x, y = F.element_at(F.col(key), 1), F.element_at(F.col(key), 2)
+    x, y = F.col(key).getItem(0), F.col(key).getItem(1)  # see _geo_within
     qx, qy = F.lit(float(near[0])), F.lit(float(near[1]))
+    if spec.get("spherical"):
+        from mongo_hadoop_spark.plans.trig import (
+            asin_col, center_sphere_threshold, haversine_h_col)
+        h = haversine_h_col(x, y, qx, qy)
+        out = out.withColumn(_GEO_H_COL, h)
+        if "maxDistance" in spec:
+            out = out.where(F.col(_GEO_H_COL) <= F.lit(
+                center_sphere_threshold(float(spec["maxDistance"]))))
+        if "minDistance" in spec:
+            out = out.where(F.col(_GEO_H_COL) >= F.lit(
+                center_sphere_threshold(float(spec["minDistance"]))))
+        dist = F.lit(2.0) * asin_col(
+            F.sqrt(F.least(F.col(_GEO_H_COL), F.lit(1.0))))
+        out = out.withColumn(_GEO_DIST_COL, dist).drop(_GEO_H_COL)
+        reported = F.col(_GEO_DIST_COL) * float(spec["distanceMultiplier"]) \
+            if "distanceMultiplier" in spec else F.col(_GEO_DIST_COL)
+        return (out.withColumn(dist_field, reported)
+                .orderBy(F.col(_GEO_DIST_COL).asc()))
     dist = F.sqrt((x - qx) * (x - qx) + (y - qy) * (y - qy))
     out = out.withColumn(_GEO_DIST_COL, dist)
     if "maxDistance" in spec:

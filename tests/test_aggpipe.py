@@ -1069,7 +1069,7 @@ def test_geo_near_distance_bounds_and_multiplier(spark):
     assert [(r.id, r.d) for r in got] == [(2, 8.0)]
 
 
-def test_geo_near_sorts_ascending_and_refuses_spherical(spark):
+def test_geo_near_sorts_ascending_and_spherical_radians(spark):
     df = spark.createDataFrame(
         [(1, [5.0, 0.0]), (2, [1.0, 0.0]), (3, [3.0, 0.0])],
         "id long, loc array<double>")
@@ -1078,10 +1078,23 @@ def test_geo_near_sorts_ascending_and_refuses_spherical(spark):
                       "distanceField": "d"}}]).collect()
     assert [r.id for r in got] == [2, 3, 1]
     assert "__geo_dist__" not in got[0].asDict()
-    with pytest.raises(ValueError, match="spherical"):
-        aggregate(df, [{"$geoNear": {"near": [0.0, 0.0], "key": "loc",
-                                     "distanceField": "d",
-                                     "spherical": True}}])
+    # spherical: legacy pairs report great-circle RADIANS (equator
+    # points: distance == radians(lon)); ascending, internals dropped
+    sph = aggregate(df, [
+        {"$geoNear": {"near": [0.0, 0.0], "key": "loc",
+                      "distanceField": "d", "spherical": True}}]).collect()
+    assert [r.id for r in sph] == [2, 3, 1]
+    assert "__geo_h__" not in sph[0].asDict()
+    import math
+    for r in sph:
+        want = math.radians({1: 5.0, 2: 1.0, 3: 3.0}[r.id])
+        assert abs(r.d - want) <= 1e-11
+    # maxDistance is in radians and bounds on the monotone kernel
+    bounded = aggregate(df, [
+        {"$geoNear": {"near": [0.0, 0.0], "key": "loc",
+                      "distanceField": "d", "spherical": True,
+                      "maxDistance": math.radians(3.5)}}]).collect()
+    assert [r.id for r in bounded] == [2, 3]
 
 
 # ---------------------------------------------------------------------------
@@ -1734,13 +1747,41 @@ def test_geo_within_box_center_polygon(spark):
     assert sorted(r.id for r in got) == [1, 4]
 
 
+def test_geo_within_center_sphere(spark):
+    import math
+    pts = spark.createDataFrame(
+        [(1, [10.0, 0.0]), (2, [15.0, 0.0]), (3, [0.0, 11.0]),
+         (4, [-170.0, 0.0]), (5, [179.0, 0.0])],
+        "id long, loc array<double>")
+    # 0.2 rad ≈ 11.46°: ids 1 (10° away) and 3 (11°) are in, 2 (15°) out
+    got = aggregate(pts, [
+        {"$match": {"loc": {"$geoWithin":
+                            {"$centerSphere": [[0.0, 0.0], 0.2]}}}},
+        {"$project": {"id": 1}}]).collect()
+    assert sorted(r.id for r in got) == [1, 3]
+    # antimeridian: (179°, 0) is 6° great-circle from (-175°, 0) though
+    # 354° apart in raw longitude — the degree-space fold handles it;
+    # 0.12 rad ≈ 6.9° takes ids 4 (5°) and 5 (6°), nothing else
+    got = aggregate(pts, [
+        {"$match": {"loc": {"$geoWithin":
+                            {"$centerSphere": [[-175.0, 0.0], 0.12]}}}},
+        {"$project": {"id": 1}}]).collect()
+    assert sorted(r.id for r in got) == [4, 5]
+    # radius >= pi covers the whole sphere
+    got = aggregate(pts, [
+        {"$match": {"loc": {"$geoWithin":
+                            {"$centerSphere": [[0.0, 0.0], math.pi]}}}},
+        {"$project": {"id": 1}}]).collect()
+    assert len(got) == 5
+
+
 def test_geo_within_validation(spark):
     pts = spark.createDataFrame([(1, [0.0, 0.0])], "id long, loc array<double>")
     with pytest.raises(ValueError, match="exactly one shape"):
         aggregate(pts, [{"$match": {"loc": {"$geoWithin": {}}}}])
-    with pytest.raises(ValueError, match="planar"):
+    with pytest.raises(ValueError, match="unsupported"):
         aggregate(pts, [{"$match": {"loc": {"$geoWithin": {
-            "$centerSphere": [[0.0, 0.0], 0.1]}}}}])
+            "$geometry": {"type": "Polygon", "coordinates": []}}}}}])
     with pytest.raises(ValueError, match="at least 3"):
         aggregate(pts, [{"$match": {"loc": {"$geoWithin": {
             "$polygon": [(0.0, 0.0), (1.0, 1.0)]}}}}])
