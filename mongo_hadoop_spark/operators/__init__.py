@@ -23,8 +23,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mongo_hadoop_spark.operators import (
-    analytics, asof, dedup, graph, linalg, mongoagg, multimodal, pipeline,
-    relational, relational2, relational3, relational4, relational5,
+    analytics, asof, bpe, dedup, graph, linalg, mongoagg, multimodal,
+    pipeline, relational, relational2, relational3, relational4, relational5,
     repetition, selection, similarity, sketches, skew, spans, textstats,
     windows, lm,
 )
@@ -32,7 +32,7 @@ from mongo_hadoop_spark.operators import (
 _MODULES = [relational, relational2, relational3, relational4, relational5,
             windows, dedup, graph, spans, lm, selection, similarity, linalg,
             textstats, repetition, multimodal, skew, pipeline, asof,
-            mongoagg, analytics, sketches]
+            mongoagg, analytics, sketches, bpe]
 
 # Registry order is part of the verification contract: external harnesses may
 # only sample a prefix of ``queries()``, so the entries that most need a fresh
@@ -47,6 +47,7 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 # tail.
 _HEAD_KEYS = [
     # never driver-verified — rotation backlog + new this round
+    "corpus_bpe_merges", "corpus_bpe_symbol_stats",
     "pipeline_geo_center_sphere", "pipeline_geo_near_sphere",
     "graph_pagerank_neardup", "graph_degree_histogram",
     "dedup_survivors_by_authority",

@@ -1,0 +1,82 @@
+"""BPE trainer (operators/bpe.py): the Spark loop must reproduce a
+plain-Python reference implementation exactly on a hand-built corpus —
+merge choices, tiebreaks, greedy left-to-right application, and the
+final symbol inventory."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mongo_hadoop_spark.operators.bpe import (
+    BPE_MERGES, BPE_TOP_SYMBOLS, corpus_bpe_merges, corpus_bpe_symbol_stats,
+)
+
+
+def _ref_bpe(texts: list[str], k: int):
+    """Reference BPE: Sennrich-style word-frequency training with the
+    same greedy left-to-right non-overlapping merge application
+    (str.replace) and (count DESC, pair ASC) argmax as the engine."""
+    words = Counter(w for t in texts for w in t.lower().split())
+    segs = {w: " ".join(w) for w in words}
+    merges = []
+    for _ in range(k):
+        pc = Counter()
+        for w, f in words.items():
+            syms = segs[w].split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pc[a + " " + b] += f
+        if not pc:
+            break
+        pair = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((pair, pc[pair]))
+        merged = pair.replace(" ", "")
+        for w in segs:
+            segs[w] = (" " + segs[w] + " ").replace(
+                " " + pair + " ", " " + merged + " ").strip()
+    stats = Counter()
+    types = Counter()
+    for w, f in words.items():
+        for s in segs[w].split(" "):
+            stats[s] += f
+            types[s] += 1
+    top = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+    return merges, [(s, c, types[s]) for s, c in top]
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    # repeats, ties, single-char words, a merge cascade (l+o, lo+w),
+    # and an adjacent-run case (aaaa) exercising non-overlapping replace
+    texts = [
+        "low low low lower lowest",
+        "new newer newest news news",
+        "aaaa aa a baaab",
+        "slow slower slowest low new",
+        "x yz yz",
+    ]
+    d = tmp_path_factory.mktemp("bpecorpus")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts})),
+        str(d / "documents.parquet"))
+    return str(d), texts
+
+
+def test_merges_match_reference(spark, corpus_dir):
+    sf_dir, texts = corpus_dir
+    want, _ = _ref_bpe(texts, BPE_MERGES)
+    got = corpus_bpe_merges(spark, sf_dir).collect()
+    assert [(r.merge_rank, r.pair, r.cnt) for r in got] == \
+        [(i + 1, p, c) for i, (p, c) in enumerate(want)]
+
+
+def test_symbol_stats_match_reference(spark, corpus_dir):
+    sf_dir, texts = corpus_dir
+    _, want = _ref_bpe(texts, BPE_MERGES)
+    got = corpus_bpe_symbol_stats(spark, sf_dir).collect()
+    assert [(r.symbol, r.n_occurrences, r.n_word_types) for r in got] == \
+        want[:BPE_TOP_SYMBOLS]
