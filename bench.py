@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "corpus_pretrain_manifest",
     # graph authority scoring (round 6)
     "graph_pagerank_neardup",
+    # spherical geometry + BPE training (round 6, session 3)
+    "pipeline_geo_near_sphere", "corpus_bpe_merges",
 ]
 
 

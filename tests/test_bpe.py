@@ -13,7 +13,8 @@ import pyarrow.parquet as pq
 import pytest
 
 from mongo_hadoop_spark.operators.bpe import (
-    BPE_MERGES, BPE_TOP_SYMBOLS, corpus_bpe_merges, corpus_bpe_symbol_stats,
+    BPE_MERGES, BPE_TOP_SYMBOLS, corpus_bpe_compression, corpus_bpe_merges,
+    corpus_bpe_symbol_stats,
 )
 
 
@@ -45,7 +46,7 @@ def _ref_bpe(texts: list[str], k: int):
             stats[s] += f
             types[s] += 1
     top = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0]))
-    return merges, [(s, c, types[s]) for s, c in top]
+    return merges, [(s, c, types[s]) for s, c in top], segs
 
 
 @pytest.fixture(scope="module")
@@ -59,24 +60,42 @@ def corpus_dir(tmp_path_factory):
         "slow slower slowest low new",
         "x yz yz",
     ]
+    langs = ["en", "en", "xx", "en", "xx"]
     d = tmp_path_factory.mktemp("bpecorpus")
     pq.write_table(pa.Table.from_pandas(pd.DataFrame({
-        "doc_id": range(len(texts)), "text": texts})),
+        "doc_id": range(len(texts)), "lang": langs, "text": texts})),
         str(d / "documents.parquet"))
-    return str(d), texts
+    return str(d), texts, langs
 
 
 def test_merges_match_reference(spark, corpus_dir):
-    sf_dir, texts = corpus_dir
-    want, _ = _ref_bpe(texts, BPE_MERGES)
+    sf_dir, texts, _ = corpus_dir
+    want, _, _ = _ref_bpe(texts, BPE_MERGES)
     got = corpus_bpe_merges(spark, sf_dir).collect()
     assert [(r.merge_rank, r.pair, r.cnt) for r in got] == \
         [(i + 1, p, c) for i, (p, c) in enumerate(want)]
 
 
 def test_symbol_stats_match_reference(spark, corpus_dir):
-    sf_dir, texts = corpus_dir
-    _, want = _ref_bpe(texts, BPE_MERGES)
+    sf_dir, texts, _ = corpus_dir
+    _, want, _ = _ref_bpe(texts, BPE_MERGES)
     got = corpus_bpe_symbol_stats(spark, sf_dir).collect()
     assert [(r.symbol, r.n_occurrences, r.n_word_types) for r in got] == \
         want[:BPE_TOP_SYMBOLS]
+
+
+def test_compression_matches_reference(spark, corpus_dir):
+    sf_dir, texts, langs = corpus_dir
+    _, _, segs = _ref_bpe(texts, BPE_MERGES)
+    want = {}
+    for lang, t in zip(langs, texts):
+        for w in t.lower().split():
+            n_words, n_toks, n_chars = want.get(lang, (0, 0, 0))
+            want[lang] = (n_words + 1, n_toks + len(segs[w].split(" ")),
+                          n_chars + len(w))
+    got = corpus_bpe_compression(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        nw, nt, nc = want[r.lang]
+        assert (r.n_words, r.n_bpe_tokens, r.n_chars) == (nw, nt, nc)
+        assert r.chars_per_token == nc / nt
