@@ -3111,10 +3111,22 @@ def _stage_geo_near(df: DataFrame, spec: dict) -> DataFrame:
     in both engines; the reported distance may differ from the bound by
     the < 1e-11 polynomial error there.)
 
+    A GeoJSON ``near`` point ({type: "Point", coordinates: [lon, lat]})
+    implies spherical and switches the unit contract to METERS (the
+    server's GeoJSON semantics): min/max bounds are meters (converted
+    to radians against MongoDB's 6378100 m legacy earth radius before
+    the kernel threshold), and the reported distance is meters before
+    any ``distanceMultiplier``.
+
     Scale: distance is a per-row expression; the one shuffle is the
     ascending range sort, and min/max bounds filter *before* it.
     """
     near = spec["near"]
+    geojson = isinstance(near, dict)
+    if geojson:
+        if near.get("type") != "Point":
+            raise ValueError("$geoNear GeoJSON near must be a Point")
+        near = near["coordinates"]
     if not (isinstance(near, (list, tuple)) and len(near) == 2):
         raise ValueError("$geoNear near must be a [x, y] point")
     key = spec.get("key")
@@ -3124,19 +3136,25 @@ def _stage_geo_near(df: DataFrame, spec: dict) -> DataFrame:
     out = df.where(match_to_col(spec["query"])) if spec.get("query") else df
     x, y = F.col(key).getItem(0), F.col(key).getItem(1)  # see _geo_within
     qx, qy = F.lit(float(near[0])), F.lit(float(near[1]))
-    if spec.get("spherical"):
+    if geojson or spec.get("spherical"):
         from mongo_hadoop_spark.plans.trig import (
-            asin_col, center_sphere_threshold, haversine_h_col)
+            EARTH_RADIUS_M, asin_col, center_sphere_threshold,
+            haversine_h_col)
+        bound_scale = EARTH_RADIUS_M if geojson else 1.0
         h = haversine_h_col(x, y, qx, qy)
         out = out.withColumn(_GEO_H_COL, h)
         if "maxDistance" in spec:
             out = out.where(F.col(_GEO_H_COL) <= F.lit(
-                center_sphere_threshold(float(spec["maxDistance"]))))
+                center_sphere_threshold(
+                    float(spec["maxDistance"]) / bound_scale)))
         if "minDistance" in spec:
             out = out.where(F.col(_GEO_H_COL) >= F.lit(
-                center_sphere_threshold(float(spec["minDistance"]))))
+                center_sphere_threshold(
+                    float(spec["minDistance"]) / bound_scale)))
         dist = F.lit(2.0) * asin_col(
             F.sqrt(F.least(F.col(_GEO_H_COL), F.lit(1.0))))
+        if geojson:
+            dist = dist * F.lit(EARTH_RADIUS_M)
         out = out.withColumn(_GEO_DIST_COL, dist).drop(_GEO_H_COL)
         reported = F.col(_GEO_DIST_COL) * float(spec["distanceMultiplier"]) \
             if "distanceMultiplier" in spec else F.col(_GEO_DIST_COL)

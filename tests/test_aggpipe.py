@@ -1095,6 +1095,16 @@ def test_geo_near_sorts_ascending_and_spherical_radians(spark):
                       "distanceField": "d", "spherical": True,
                       "maxDistance": math.radians(3.5)}}]).collect()
     assert [r.id for r in bounded] == [2, 3]
+    # GeoJSON near point => meters in and out (6378100 m earth radius)
+    geo = aggregate(df, [
+        {"$geoNear": {"near": {"type": "Point", "coordinates": [0.0, 0.0]},
+                      "key": "loc", "distanceField": "d",
+                      "maxDistance": math.radians(3.5) * 6378100.0}}
+    ]).collect()
+    assert [r.id for r in geo] == [2, 3]
+    for r in geo:
+        want = math.radians({2: 1.0, 3: 3.0}[r.id]) * 6378100.0
+        assert abs(r.d - want) <= 1e-4   # 0.1 mm at earth scale
 
 
 # ---------------------------------------------------------------------------

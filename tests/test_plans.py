@@ -503,3 +503,31 @@ def test_survivors_window_is_cluster_partitioned(spark):
     assert "Window" in plan
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_geo_near_sphere_pushdown_and_kernel_filter(spark):
+    """$geoNear spherical: the query pre-filter reaches the parquet scan
+    as a pushed filter, the radius bound is a plain Filter on the
+    asin-free kernel (no Window, no CartesianProduct), and the ascending
+    sort is the only exchange-bearing step."""
+    from mongo_hadoop_spark.operators import mongoagg
+
+    df = mongoagg.pipeline_geo_near_sphere(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    full = full_plan_of(df)
+    assert "EqualTo(event_type,view)" in full.split("PushedFilters:")[1][:300]
+
+
+def test_bpe_argmax_is_take_ordered(spark):
+    """Each BPE merge round's argmax must be TakeOrderedAndProject
+    (per-partition top-1 then merge), never a global sort of the pair
+    table."""
+    from mongo_hadoop_spark.operators.bpe import _pair_counts, _top_merge, _word_table
+
+    w = _word_table(spark, SF_SMOKE)
+    m = _top_merge(_pair_counts(w))
+    plan = plan_of(m)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Sort ") == 0   # no standalone global sort operator
