@@ -20,9 +20,32 @@ import sys
 
 
 def load(path: str) -> dict:
+    """Accept the driver wrapper, a single JSON blob, or bench.py's
+    two-line output (full blob first, truncation-proof compact summary
+    last) — prefer the line that carries per-query timings."""
     with open(path) as fh:
-        d = json.load(fh)
-    return d.get("parsed") or d
+        text = fh.read()
+    try:
+        d = json.loads(text)
+        return d.get("parsed") or d
+    except json.JSONDecodeError:
+        pass
+    best = None
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        d = d.get("parsed") or d
+        if "queries" in d:
+            return d
+        best = best or d
+    if best is None:
+        raise SystemExit(f"{path}: no parseable JSON line")
+    return best
 
 
 def main(argv: list[str]) -> int:
