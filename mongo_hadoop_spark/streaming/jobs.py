@@ -399,6 +399,35 @@ def stream_quality_gate(documents: DataFrame) -> DataFrame:
     return gopher_flags(documents)
 
 
+def stream_geofence(events: DataFrame, center: tuple[float, float],
+                    radius_rad: float) -> DataFrame:
+    """Streaming spherical geofence: keep events whose synthesized
+    [lon, lat] lies within ``radius_rad`` great-circle radians of
+    ``center``, annotated with the radian distance.
+
+    A stateless per-row map-filter on the deterministic polynomial
+    haversine of plans/trig.py — the range test runs on the asin-free
+    monotone kernel (h <= sin^2(r/2), one driver literal), and only
+    surviving rows pay the polynomial asin.  An event's verdict depends
+    on its coordinates alone, so stream ≡ batch holds by construction
+    (pinned in tests/test_streaming.py); at scale this is the
+    geo-routing gate in front of a regional sink, fully fused into the
+    micro-batch scan."""
+    from mongo_hadoop_spark.plans.trig import (
+        asin_col, center_sphere_threshold, haversine_h_col)
+
+    lon = (F.col("value") % F.lit(360.0)) - F.lit(180.0)
+    lat = (F.col("user_id") % F.lit(181)).cast("double") - F.lit(90.0)
+    h = haversine_h_col(lon, lat, F.lit(float(center[0])),
+                        F.lit(float(center[1])))
+    return (events.withColumn("_h", h)
+            .where(F.col("_h") <= F.lit(center_sphere_threshold(radius_rad)))
+            .select("event_id", "event_type",
+                    (F.lit(2.0) * asin_col(
+                        F.sqrt(F.least(F.col("_h"), F.lit(1.0)))))
+                    .alias("dist_rad")))
+
+
 def stream_crawl_classify(seen_index: dict, out_path: str):
     """foreachBatch body for incremental-crawl dedup: classify each
     arriving micro-batch of documents against a fixed seen-corpus index

@@ -824,3 +824,23 @@ def test_stream_crawl_classify_equals_batch(spark, documents_dir, tmp_path):
             for r in corpus_crawl_increment(spark, SF_SMOKE).collect()}
     assert got == want
     assert len(set(got.values())) > 1   # the classifier discriminates
+
+
+def test_stream_geofence_equals_batch(spark, events_dir, tmp_path):
+    """The spherical geofence is a stateless map-filter, so every event
+    kept by the stream must match the batch application exactly —
+    including the polynomial radian distance bit-for-bit."""
+    from mongo_hadoop_spark.streaming.jobs import (
+        stream_geofence, streaming_events_source,
+    )
+
+    center, radius = (-50.0, -80.0), 0.15
+    got = run_to_completion(
+        stream_geofence(streaming_events_source(spark, events_dir),
+                        center, radius),
+        "append", tmp_path)
+    want = stream_geofence(
+        spark.read.parquet(events_dir), center, radius).collect()
+    assert {(r["event_id"], r["dist_rad"]) for r in got} == \
+        {(r["event_id"], r["dist_rad"]) for r in want}
+    assert 0 < len(got) < spark.read.parquet(events_dir).count()
