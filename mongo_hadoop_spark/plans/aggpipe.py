@@ -1110,6 +1110,13 @@ def _match_op_col(col: Column, op: str, operand) -> Column:
         return ~F.coalesce(
             _fold_and([_match_op_col(col, o, v) for o, v in operand.items()]),
             F.lit(False))
+    if op in ("$near", "$nearSphere"):
+        # sorting find operators have no predicate semantics; the server
+        # itself requires $geoNear in aggregation contexts
+        raise ValueError(
+            f"{op} sorts by distance and cannot run as a match predicate"
+            " — use the $geoNear pipeline stage (spherical supported),"
+            " or $geoWithin $centerSphere for a pure radius filter")
     raise ValueError(f"unsupported query operator {op}")
 
 

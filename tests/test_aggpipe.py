@@ -2722,3 +2722,11 @@ def test_exp_moving_avg_oracle_agrees_on_null_corpus(spark, tmp_path):
     res = compare("ema_nulls", pipeline_exp_moving_avg(spark, sf),
                   con.execute(PIPELINE_EXP_MOVING_AVG_SQL).fetchdf())
     assert res.ok, str(res)
+
+
+def test_near_operators_point_to_geo_near(spark):
+    pts = spark.createDataFrame([(1, [0.0, 0.0])], "id long, loc array<double>")
+    with pytest.raises(ValueError, match=r"\$geoNear"):
+        aggregate(pts, [{"$match": {"loc": {"$nearSphere": [0.0, 0.0]}}}])
+    with pytest.raises(ValueError, match=r"\$geoNear"):
+        aggregate(pts, [{"$match": {"loc": {"$near": [0.0, 0.0]}}}])
