@@ -99,3 +99,25 @@ def test_compression_matches_reference(spark, corpus_dir):
         nw, nt, nc = want[r.lang]
         assert (r.n_words, r.n_bpe_tokens, r.n_chars) == (nw, nt, nc)
         assert r.chars_per_token == nc / nt
+
+
+def test_degenerate_corpus_drains_consistently(spark, tmp_path):
+    """All-single-char words: no adjacent pairs exist, so the merge
+    table is empty rather than erroring — and the oracle agrees."""
+    import duckdb
+    from mongo_hadoop_spark.operators.bpe import BPE_MERGES_SQL
+
+    d = tmp_path / "deg"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1], "lang": ["en", "en"], "text": ["a b c", "a c"]})),
+        str(d / "documents.parquet"))
+    got = corpus_bpe_merges(spark, str(d)).collect()
+    assert got == []
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{d}/documents.parquet'")
+        assert con.execute(BPE_MERGES_SQL).fetchall() == []
+    finally:
+        con.close()
