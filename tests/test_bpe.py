@@ -121,3 +121,27 @@ def test_degenerate_corpus_drains_consistently(spark, tmp_path):
         assert con.execute(BPE_MERGES_SQL).fetchall() == []
     finally:
         con.close()
+
+
+@pytest.mark.parametrize("seed", [11, 29, 47])
+def test_random_corpora_match_reference(spark, tmp_path, seed):
+    """Seeded random corpora (small alphabet => heavy pair ties and
+    merge cascades) must reproduce the reference BPE exactly."""
+    import random
+
+    rng = random.Random(seed)
+    words = ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+             for _ in range(rng.randint(30, 60))]
+    texts = [" ".join(rng.choice(words)
+                      for _ in range(rng.randint(3, 12)))
+             for _ in range(12)]
+    d = tmp_path / f"rand{seed}"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "lang": ["en"] * len(texts), "text": texts})),
+        str(d / "documents.parquet"))
+    want, _, _ = _ref_bpe(texts, BPE_MERGES)
+    got = corpus_bpe_merges(spark, str(d)).collect()
+    assert [(r.merge_rank, r.pair, r.cnt) for r in got] == \
+        [(i + 1, p, c) for i, (p, c) in enumerate(want)]
