@@ -331,9 +331,143 @@ FROM funnel GROUP BY 1, 2
 """
 
 
+def corpus_pretrain_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection funnel priced in TRAINED-TOKENIZER tokens: the
+    corpus_pretrain_manifest `sel` gate composed with the BPE apply-side
+    counts (operators/bpe.py) — per lang × source, how many model
+    context positions the selected data actually buys, plus fertility
+    (BPE tokens per whitespace word).  This is the number a pretraining
+    run budgets against; whitespace token counts under-price morpheme-
+    rich sources.
+
+    Scale shape: the funnel flags and the BPE counts are both per-doc
+    tables with bucketed/broadcast internals; one doc_id equi-join, one
+    final keyed aggregation.  Selected documents always have words (the
+    perplexity gate requires a surprisal row), so the counts join is
+    lossless by construction.
+    """
+    from mongo_hadoop_spark.functions import tokenize
+    from mongo_hadoop_spark.operators.bpe import _train
+    from mongo_hadoop_spark.operators.lm import text_unigram_surprisal
+    from mongo_hadoop_spark.operators.selection import corpus_dsir_weights
+    from mongo_hadoop_spark.operators.spans import (SPAN_DROP_FRAC,
+                                                    documents_span_stats)
+    from mongo_hadoop_spark.operators.textstats import text_gopher_quality
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang", "source")
+    gph = text_gopher_quality(spark, sf_dir).select("doc_id", "keep")
+    ppl = text_unigram_surprisal(spark, sf_dir).select(
+        "doc_id", "n_tokens", "surprisal_bits")
+    spn = documents_span_stats(spark, sf_dir).select("doc_id", "dup_frac")
+    dsr = corpus_dsir_weights(spark, sf_dir).select(
+        "doc_id", "avg_q20_per_token")
+    ppl.createOrReplaceTempView("__budget_ppl")
+    dsr.createOrReplaceTempView("__budget_dsir")
+    cuts = spark.sql("""
+        SELECT percentile_disc(CAST(2 AS DOUBLE)/3)
+                 WITHIN GROUP (ORDER BY surprisal_bits) AS t2
+        FROM __budget_ppl
+    """)
+    qcut = spark.sql("""
+        SELECT percentile_disc(CAST(3 AS DOUBLE)/4)
+                 WITHIN GROUP (ORDER BY avg_q20_per_token) AS q3
+        FROM __budget_dsir
+    """)
+    j = (d.join(gph, "doc_id", "left")
+         .join(ppl, "doc_id", "left")
+         .join(spn, "doc_id", "left")
+         .join(dsr, "doc_id", "left")
+         .crossJoin(F.broadcast(cuts))
+         .crossJoin(F.broadcast(qcut)))
+    sel = F.coalesce(
+        F.col("keep") & (F.col("surprisal_bits") <= F.col("t2"))
+        & (F.col("dup_frac") <= F.lit(SPAN_DROP_FRAC))
+        & (F.col("avg_q20_per_token") > F.col("q3")), F.lit(False))
+    selected = j.where(sel).select("doc_id", "lang", "source", "n_tokens")
+
+    _, w = _train(spark, sf_dir)
+    seg_sizes = w.select(
+        "word", F.size(F.split(F.col("seg"), " ")).alias("n_syms"))
+    counts = (docs.select("doc_id",
+                          F.explode(tokenize(F.lower(F.col("text"))))
+                          .alias("word"))
+              .join(seg_sizes, "word")
+              .groupBy("doc_id")
+              .agg(F.sum("n_syms").cast("long").alias("bpe_tok")))
+    return (selected.join(counts, "doc_id")
+            .groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs_selected"),
+                 F.sum("n_tokens").alias("ws_tokens"),
+                 F.sum("bpe_tok").alias("bpe_tokens"))
+            .select("lang", "source", "n_docs_selected", "ws_tokens",
+                    "bpe_tokens",
+                    (F.col("bpe_tokens").cast("double")
+                     / F.col("ws_tokens").cast("double"))
+                    .alias("fertility")))
+
+
+def _pretrain_token_budget_sql() -> str:
+    from mongo_hadoop_spark.operators.bpe import BPE_MERGES, _oracle_core
+    from mongo_hadoop_spark.operators.lm import UNIGRAM_SURPRISAL_SQL
+    from mongo_hadoop_spark.operators.selection import DSIR_WEIGHTS_SQL
+    from mongo_hadoop_spark.operators.spans import (SPAN_DROP_FRAC,
+                                                    SPAN_STATS_SQL)
+    from mongo_hadoop_spark.operators.textstats import GOPHER_SQL
+
+    return f"""
+WITH gph AS ({GOPHER_SQL}),
+ppl AS ({UNIGRAM_SURPRISAL_SQL}),
+spn AS ({SPAN_STATS_SQL}),
+dsr AS ({DSIR_WEIGHTS_SQL}),
+cuts AS (
+  SELECT quantile_disc(surprisal_bits, 2::double/3) AS t2 FROM ppl
+),
+qcut AS (
+  SELECT quantile_disc(avg_q20_per_token, 3::double/4) AS q3 FROM dsr
+),
+selected AS (
+  SELECT d.doc_id, d.lang, d.source, ppl.n_tokens
+  FROM documents d
+  LEFT JOIN gph ON d.doc_id = gph.doc_id
+  LEFT JOIN ppl ON d.doc_id = ppl.doc_id
+  LEFT JOIN spn ON d.doc_id = spn.doc_id
+  LEFT JOIN dsr ON d.doc_id = dsr.doc_id
+  CROSS JOIN cuts CROSS JOIN qcut
+  WHERE coalesce(gph.keep AND ppl.surprisal_bits <= cuts.t2
+                 AND spn.dup_frac <= {SPAN_DROP_FRAC}
+                 AND dsr.avg_q20_per_token > qcut.q3, false)
+),
+{_oracle_core().lstrip().lstrip(chr(10)).strip()},
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+sz AS (
+  SELECT word, len(string_split(seg, ' '))::bigint AS n_syms
+  FROM w{BPE_MERGES}
+),
+counts AS (
+  SELECT doc_id, sum(n_syms)::bigint AS bpe_tok
+  FROM tok JOIN sz USING (word) GROUP BY doc_id
+)
+SELECT s.lang, s.source, count(*)::bigint AS n_docs_selected,
+       sum(s.n_tokens)::bigint AS ws_tokens,
+       sum(c.bpe_tok)::bigint AS bpe_tokens,
+       sum(c.bpe_tok)::bigint::double / sum(s.n_tokens)::bigint::double
+         AS fertility
+FROM selected s JOIN counts c ON s.doc_id = c.doc_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {"corpus_yield_report": corpus_yield_report,
            "corpus_training_manifest": corpus_training_manifest,
-           "corpus_pretrain_manifest": corpus_pretrain_manifest}
+           "corpus_pretrain_manifest": corpus_pretrain_manifest,
+           "corpus_pretrain_token_budget": corpus_pretrain_token_budget}
 ORACLES = {"corpus_yield_report": YIELD_SQL,
            "corpus_training_manifest": _manifest_sql(),
-           "corpus_pretrain_manifest": _pretrain_manifest_sql()}
+           "corpus_pretrain_manifest": _pretrain_manifest_sql(),
+           "corpus_pretrain_token_budget": _pretrain_token_budget_sql()}
