@@ -49,7 +49,7 @@ _HEAD_KEYS = [
     # never driver-verified — rotation backlog + new this round
     "corpus_bpe_merges", "corpus_bpe_symbol_stats",
     "corpus_bpe_compression", "documents_pack_sequences_bpe",
-    "corpus_pretrain_token_budget",
+    "corpus_pretrain_token_budget", "corpus_wordpiece_merges",
     "pipeline_geo_center_sphere", "pipeline_geo_near_sphere",
     "graph_pagerank_neardup", "graph_degree_histogram",
     "dedup_survivors_by_authority",

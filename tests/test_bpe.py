@@ -123,6 +123,73 @@ def test_degenerate_corpus_drains_consistently(spark, tmp_path):
         con.close()
 
 
+def _ref_wordpiece(texts: list[str], k: int):
+    """Reference WordPiece: same loop as _ref_bpe but the argmax is the
+    likelihood score count(ab)/(count(a)*count(b)) (Schuster & Nakajima
+    2012), score DESC then pair ASC."""
+    words = Counter(w for t in texts for w in t.lower().split())
+    segs = {w: " ".join(w) for w in words}
+    merges = []
+    for _ in range(k):
+        pc = Counter()
+        sc = Counter()
+        for w, f in words.items():
+            syms = segs[w].split(" ")
+            for s in syms:
+                sc[s] += f
+            for a, b in zip(syms, syms[1:]):
+                pc[a + " " + b] += f
+        if not pc:
+            break
+        def score(pair):
+            a, b = pair.split(" ")
+            return pc[pair] / (sc[a] * sc[b])
+        pair = min(pc, key=lambda p: (-score(p), p))
+        merges.append((pair, pc[pair], score(pair)))
+        merged = pair.replace(" ", "")
+        for w in segs:
+            segs[w] = (" " + segs[w] + " ").replace(
+                " " + pair + " ", " " + merged + " ").strip()
+    return merges
+
+
+def test_wordpiece_merges_match_reference(spark, corpus_dir):
+    from mongo_hadoop_spark.operators.bpe import corpus_wordpiece_merges
+
+    sf_dir, texts, _ = corpus_dir
+    want = _ref_wordpiece(texts, BPE_MERGES)
+    got = corpus_wordpiece_merges(spark, sf_dir).collect()
+    assert [(r.merge_rank, r.pair, r.cnt, r.score) for r in got] == \
+        [(i + 1, p, c, s) for i, (p, c, s) in enumerate(want)]
+
+
+@pytest.mark.parametrize("seed", [13, 31])
+def test_wordpiece_random_corpora_match_reference(spark, tmp_path, seed):
+    """Seeded random corpora with a tiny alphabet: heavy score ties and
+    cascades must still reproduce the reference WordPiece exactly,
+    including the double score values."""
+    import random
+
+    from mongo_hadoop_spark.operators.bpe import corpus_wordpiece_merges
+
+    rng = random.Random(seed)
+    words = ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+             for _ in range(rng.randint(30, 60))]
+    texts = [" ".join(rng.choice(words)
+                      for _ in range(rng.randint(3, 12)))
+             for _ in range(12)]
+    d = tmp_path / f"wprand{seed}"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "lang": ["en"] * len(texts), "text": texts})),
+        str(d / "documents.parquet"))
+    want = _ref_wordpiece(texts, BPE_MERGES)
+    got = corpus_wordpiece_merges(spark, str(d)).collect()
+    assert [(r.merge_rank, r.pair, r.cnt, r.score) for r in got] == \
+        [(i + 1, p, c, s) for i, (p, c, s) in enumerate(want)]
+
+
 @pytest.mark.parametrize("seed", [11, 29, 47])
 def test_random_corpora_match_reference(spark, tmp_path, seed):
     """Seeded random corpora (small alphabet => heavy pair ties and
