@@ -779,6 +779,65 @@ ORDER BY dist_m
 """
 
 
+#: a holed quadrilateral straddling the antimeridian plus a second
+#: MultiPolygon part in the west — exercises wrap-around straddle
+#: tests, the hole parity, and multi-part folding in one query
+_GEO_POLY_SPHERE = {
+    "type": "MultiPolygon",
+    "coordinates": [
+        # deep-south so the sf0.001 lat range (-90..-76) still lands hits
+        [[(150.0, -88.0), (-160.0, -88.0), (-160.0, -40.0),
+          (150.0, -40.0), (150.0, -88.0)],
+         [(165.0, -80.0), (-175.0, -80.0), (-175.0, -60.0),
+          (165.0, -60.0), (165.0, -80.0)]],
+        [[(-60.0, -85.0), (-20.0, -85.0), (-20.0, -45.0),
+          (-60.0, -45.0), (-60.0, -85.0)]],
+    ],
+}
+
+
+def pipeline_geo_polygon_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$geoWithin $geometry (GeoJSON spherical polygons) in the match
+    language: events inside a holed antimeridian-straddling
+    MultiPolygon, rolled up per event type.
+
+    The predicate is the even-odd meridian-ray fold of plans/trig.py —
+    per-edge great-circle normals are driver literals, the point pays
+    the four coordinate polynomials once, and holes/parts contribute
+    edges to the same parity (north pole exterior by convention).  A
+    pure per-row map ahead of the keyed count; the oracle unrolls the
+    identical per-edge IEEE ops over a CTE-bound point vector."""
+    events = table(spark, sf_dir, "events")
+    with_loc = events.select(
+        "event_id", "event_type",
+        F.expr(f"array({_SPH_LON}, {_SPH_LAT})").alias("loc"))
+    return aggregate(with_loc, [
+        {"$match": {"loc": {"$geoWithin":
+                            {"$geometry": _GEO_POLY_SPHERE}}}},
+        {"$group": {"_id": "$event_type", "n": {"$sum": 1}}},
+        {"$sort": {"_id": 1}},
+    ])
+
+
+def _geo_polygon_sphere_sql() -> str:
+    from mongo_hadoop_spark.plans.trig import (
+        sphere_polygon_pred_sql, sphere_vec_sql)
+    rings = [r for poly in _GEO_POLY_SPHERE["coordinates"] for r in poly]
+    px, py, pz = sphere_vec_sql("lon", "lat")
+    pred = sphere_polygon_pred_sql("lon", "px", "py", "pz", rings)
+    return f"""
+WITH pts AS (
+  SELECT event_type, ({_SPH_LON}) AS lon, ({_SPH_LAT}) AS lat FROM events
+),
+vec AS (
+  SELECT event_type, lon, {px} AS px, {py} AS py, {pz} AS pz FROM pts
+)
+SELECT event_type AS _id, count(*)::bigint AS n
+FROM vec WHERE {pred}
+GROUP BY event_type ORDER BY _id
+"""
+
+
 def pipeline_search_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$search wildcard / regex / in operators (Atlas term-level
     queries) composed under compound: wildcard-filtered sources, a
@@ -1624,6 +1683,7 @@ QUERIES = {
     "pipeline_geo_near": pipeline_geo_near,
     "pipeline_geo_center_sphere": pipeline_geo_center_sphere,
     "pipeline_geo_near_sphere": pipeline_geo_near_sphere,
+    "pipeline_geo_polygon_sphere": pipeline_geo_polygon_sphere,
     "pipeline_regex_type_report": pipeline_regex_type_report,
     "pipeline_redact_levels": pipeline_redact_levels,
     "pipeline_text_search": pipeline_text_search,
@@ -1662,6 +1722,7 @@ ORACLES = {
     "pipeline_geo_near": PIPELINE_GEO_NEAR_SQL,
     "pipeline_geo_center_sphere": _geo_center_sphere_sql(),
     "pipeline_geo_near_sphere": _geo_near_sphere_sql(),
+    "pipeline_geo_polygon_sphere": _geo_polygon_sphere_sql(),
     "pipeline_regex_type_report": PIPELINE_REGEX_TYPE_SQL,
     "pipeline_redact_levels": PIPELINE_REDACT_SQL,
     "pipeline_text_search": PIPELINE_TEXT_SEARCH_SQL,

@@ -941,7 +941,14 @@ def _geo_within(col: Column, spec) -> Column:
     deterministic-polynomial haversine kernel (plans/trig.py): h <=
     sin^2(r/2) with the threshold a single driver-computed literal — no
     asin needed because the kernel is monotone in distance.  GeoJSON
-    ``$geometry`` (spherical polygons) is still refused loudly.
+    ``$geometry`` Polygon/MultiPolygon compiles to the spherical
+    even-odd meridian-ray predicate (plans/trig.py
+    sphere_polygon_pred_col): per-edge great-circle normals are
+    driver-side literals, the point pays four fixed polynomials once,
+    and parity folds over every ring — so holes and MultiPolygon parts
+    come free.  Convention: the north pole is exterior (matches
+    MongoDB's smaller-region rule whenever that region excludes the
+    north pole; an equatorial ring selects the southern cap).
 
     Reference analog: Mongo 2.x-era query documents passed through
     ``mongo.input.query`` (core/.../util/MongoConfigUtil.java:674-702)
@@ -988,8 +995,22 @@ def _geo_within(col: Column, spec) -> Column:
         (cx, cy), r = arg
         h = haversine_h_col(x, y, F.lit(float(cx)), F.lit(float(cy)))
         return h <= F.lit(center_sphere_threshold(float(r)))
+    if shape == "$geometry":
+        from mongo_hadoop_spark.plans.trig import sphere_polygon_pred_col
+        if not isinstance(arg, dict):
+            raise ValueError("$geometry takes a GeoJSON object")
+        gtype = arg.get("type")
+        if gtype == "Polygon":
+            rings = arg["coordinates"]
+        elif gtype == "MultiPolygon":
+            rings = [r for poly in arg["coordinates"] for r in poly]
+        else:
+            raise ValueError(f"$geoWithin $geometry supports Polygon/"
+                             f"MultiPolygon, not {gtype!r}")
+        return sphere_polygon_pred_col(x, y, rings)
     raise ValueError(f"unsupported $geoWithin shape {shape!r} "
-                     "($box/$center/$polygon/$centerSphere only)")
+                     "($box/$center/$polygon/$centerSphere/$geometry "
+                     "only)")
 
 
 def _elem_match(col: Column, crit) -> Column:

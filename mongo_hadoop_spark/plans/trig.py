@@ -198,3 +198,204 @@ def center_sphere_threshold(r_rad: float) -> float:
         raise ValueError("$centerSphere radius must be non-negative")
     s = math.sin(r * 0.5)
     return s * s
+
+
+# --- spherical polygons ($geoWithin $geometry) -------------------------
+#
+# Point-in-spherical-polygon by meridian-ray even-odd counting: cast the
+# ray from the test point P along its meridian to the NORTH pole and
+# count geodesic-edge crossings; odd = inside.  The north pole is BY
+# CONVENTION exterior (so an equatorial ring selects the southern cap) —
+# this matches MongoDB's smaller-region rule for every ring whose
+# intended region excludes the north pole, and is well-defined even for
+# axis-winding rings.  Holes and MultiPolygon parts simply contribute
+# their edges to the same parity fold.
+#
+# Why the longitude straddle test is exact: longitude is strictly
+# monotone along any non-polar great circle and sweeps exactly 180 deg
+# per 180 deg of arc (the antipodal map adds 180 to both), so a MINOR
+# arc always spans < 180 deg of longitude — the wrapped endpoint
+# difference.  Hence edge (A,B) crosses P's meridian iff
+# wrap180(lonA-lonP) and wrap180(lonB-lonP) have opposite signs and
+# |dA| + |dB| < 180 — plain IEEE degree arithmetic, identical in both
+# engines.  Whether the crossing lies NORTH of P needs no division:
+# with N = A x B (a driver-side literal) and P the point's unit vector,
+# tan(phi_cross) = -K/Nz and N.P = cos(phiP) * Nz *
+# (tan(phiP) - tan(phi_cross)), so "crossing strictly north" is just
+# (N.P) * Nz < 0.  The only per-row transcendentals are sin/cos of the
+# point's own lon/lat — the same fixed polynomials as the haversine
+# kernel, so the DuckDB oracle reproduces every bit.
+
+#: conservative vertex budget — keeps the unrolled predicate well under
+#: Janino's 64 KB per-method codegen cap (canary-tested at the budget)
+MAX_POLYGON_VERTICES = 32
+
+
+def lon_sincos_sql(lon: str) -> tuple[str, str]:
+    """(sin, cos) of a DEGREE longitude in [-180, 180].  The fold to
+    [0, 90] is exact degree arithmetic (abs / subtraction from 180);
+    the sign factors sit OUTSIDE the polynomials so the series trees
+    are never duplicated into CASE branches.  ``lon`` must be a SHORT
+    pre-bound reference — it is substituted many times."""
+    a = f"abs({lon})"
+    b = f"(CASE WHEN {a} > 9e1 THEN 1.8e2 - {a} ELSE {a} END)"
+    sb, cb = sin_sql(f"({b} * {_D2R})"), cos_sql(f"({b} * {_D2R})")
+    sin = f"((CASE WHEN {lon} < 0e0 THEN -1e0 ELSE 1e0 END) * {sb})"
+    cos = f"((CASE WHEN {a} > 9e1 THEN -1e0 ELSE 1e0 END) * {cb})"
+    return sin, cos
+
+
+def lon_sincos_col(lon: Column) -> tuple[Column, Column]:
+    a = F.abs(lon)
+    b = F.when(a > F.lit(90.0), F.lit(180.0) - a).otherwise(a)
+    d2r = F.lit(_PI) / F.lit(180.0)
+    sb, cb = sin_col(b * d2r), cos_col(b * d2r)
+    sin = F.when(lon < F.lit(0.0), F.lit(-1.0)).otherwise(F.lit(1.0)) * sb
+    cos = F.when(a > F.lit(90.0), F.lit(-1.0)).otherwise(F.lit(1.0)) * cb
+    return sin, cos
+
+
+def sphere_vec_sql(lon: str, lat: str) -> tuple[str, str, str]:
+    """Unit-sphere (px, py, pz) from DEGREE lon/lat — latitudes are
+    already in [-90, 90] so they feed the polynomials directly."""
+    slam, clam = lon_sincos_sql(lon)
+    sphi = sin_sql(f"({lat} * {_D2R})")
+    cphi = cos_sql(f"({lat} * {_D2R})")
+    return (f"({cphi} * {clam})", f"({cphi} * {slam})", sphi)
+
+
+def sphere_vec_col(lon: Column, lat: Column) -> tuple[Column, Column,
+                                                      Column]:
+    d2r = F.lit(_PI) / F.lit(180.0)
+    slam, clam = lon_sincos_col(lon)
+    sphi, cphi = sin_col(lat * d2r), cos_col(lat * d2r)
+    return cphi * clam, cphi * slam, sphi
+
+
+def _unit_vec(lon: float, lat: float) -> tuple[float, float, float]:
+    lam, phi = math.radians(lon), math.radians(lat)
+    return (math.cos(phi) * math.cos(lam),
+            math.cos(phi) * math.sin(lam), math.sin(phi))
+
+
+def _wrap180(d: float) -> float:
+    if d > 180.0:
+        return d - 360.0
+    if d <= -180.0:
+        return d + 360.0
+    return d
+
+
+def polygon_edges(rings) -> list[tuple[float, float,
+                                       tuple[float, float, float]]]:
+    """Validate GeoJSON rings and precompute per-edge
+    (lonA, lonB, unit-normalized N = A x B) on the DRIVER — vertex trig
+    uses libm here because N only ever enters the plans as literals,
+    identical in both engines by construction."""
+    edges = []
+    n_verts = 0
+    if not rings:
+        raise ValueError("$geometry needs at least one ring")
+    for ring in rings:
+        pts = [(float(p[0]), float(p[1])) for p in ring]
+        if len(pts) < 4 or pts[0] != pts[-1]:
+            raise ValueError("$geometry ring must be closed "
+                             "(first == last) with >= 4 positions")
+        pts = pts[:-1]
+        n_verts += len(pts)
+        for lon, lat in pts:
+            if not (-180.0 <= lon <= 180.0):
+                raise ValueError(f"ring longitude {lon} out of "
+                                 "[-180, 180]")
+            if not (-90.0 < lat < 90.0):
+                raise ValueError("ring vertices at the poles are "
+                                 "unsupported (longitude undefined)")
+        for (lon1, lat1), (lon2, lat2) in zip(pts,
+                                              pts[1:] + pts[:1]):
+            if (lon1, lat1) == (lon2, lat2) or \
+                    (abs(_wrap180(lon2 - lon1)) == 180.0
+                     and lat1 == -lat2):
+                raise ValueError("degenerate ring edge (zero-length "
+                                 "or antipodal endpoints)")
+            a, b = _unit_vec(lon1, lat1), _unit_vec(lon2, lat2)
+            nx = a[1] * b[2] - a[2] * b[1]
+            ny = a[2] * b[0] - a[0] * b[2]
+            nz = a[0] * b[1] - a[1] * b[0]
+            norm = math.sqrt(nx * nx + ny * ny + nz * nz)
+            edges.append((lon1, lon2, (nx / norm, ny / norm,
+                                       nz / norm)))
+    if n_verts > MAX_POLYGON_VERTICES:
+        raise ValueError(f"$geometry supports at most "
+                         f"{MAX_POLYGON_VERTICES} vertices total "
+                         f"(got {n_verts}) — the predicate unrolls "
+                         "per-edge")
+    return edges
+
+
+def _wrap_sql(d: str) -> str:
+    return (f"(CASE WHEN {d} > 1.8e2 THEN {d} - 3.6e2 "
+            f"WHEN {d} <= -1.8e2 THEN {d} + 3.6e2 ELSE {d} END)")
+
+
+def sphere_polygon_pred_sql(lon: str, px: str, py: str, pz: str,
+                            rings) -> str:
+    """The even-odd predicate over PRE-BOUND short names: ``lon`` the
+    point's degree longitude and (px, py, pz) its unit vector (from
+    sphere_vec_sql — bind them in a CTE; each is referenced once per
+    edge)."""
+    terms = []
+    for lon1, lon2, (nx, ny, nz) in polygon_edges(rings):
+        da = _wrap_sql(f"({_dlit(lon1)} - {lon})")
+        db = _wrap_sql(f"({_dlit(lon2)} - {lon})")
+        ndp = (f"({_dlit(nx)} * {px} + {_dlit(ny)} * {py} "
+               f"+ {_dlit(nz)} * {pz})")
+        terms.append(f"((({da} > 0e0) <> ({db} > 0e0)) "
+                     f"AND abs({da} - {db}) < 1.8e2 "
+                     f"AND {ndp} * {_dlit(nz)} < 0e0)")
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} <> {t})"
+    return out
+
+
+def sphere_polygon_pred_col(lon: Column, lat: Column, rings) -> Column:
+    """Column rendering: the parity fold runs as ``aggregate`` over a
+    LITERAL edge array, with the point's vector bound ONCE through a
+    single-element ``transform`` lambda.  An unrolled per-edge tree was
+    tried first and abandoned: whole-stage codegen fuses the filter
+    into one Janino method, whose 64 KB cap a ~6-vertex ring already
+    blows (the three vector polynomials duplicate per edge).  The HOF
+    form keeps the expression tree edge-count-free — the polynomials
+    appear once and each row pays polys + E tiny terms — at the cost of
+    the filter dropping out of whole-stage codegen (ArrayTransform is
+    CodegenFallback); the fold subtree evaluates via expression eval.
+    Every per-edge float op (wrap CASE, the N.P dot, the comparisons)
+    is the same op sequence the unrolled SQL rendering runs, so the
+    two renderings stay bit-identical (pinned on random polygons)."""
+    edges = polygon_edges(rings)
+    edge_arr = F.expr("array(" + ", ".join(
+        f"named_struct('la', {_dlit(l1)}, 'lb', {_dlit(l2)}, "
+        f"'nx', {_dlit(nx)}, 'ny', {_dlit(ny)}, 'nz', {_dlit(nz)})"
+        for l1, l2, (nx, ny, nz) in edges) + ")")
+    px, py, pz = sphere_vec_col(lon, lat)
+    bound = F.array(F.struct(px.alias("px"), py.alias("py"),
+                             pz.alias("pz"), lon.alias("lon")))
+
+    def _wrap(d0: Column) -> Column:
+        return (F.when(d0 > F.lit(180.0), d0 - F.lit(360.0))
+                .when(d0 <= F.lit(-180.0), d0 + F.lit(360.0))
+                .otherwise(d0))
+
+    def _term(e: Column, v: Column) -> Column:
+        da = _wrap(e["la"] - v["lon"])
+        db = _wrap(e["lb"] - v["lon"])
+        ndp = (e["nx"] * v["px"] + e["ny"] * v["py"]
+               + e["nz"] * v["pz"])
+        return (((da > F.lit(0.0)) != (db > F.lit(0.0)))
+                & (F.abs(da - db) < F.lit(180.0))
+                & (ndp * e["nz"] < F.lit(0.0)))
+
+    return F.element_at(
+        F.transform(bound, lambda v: F.aggregate(
+            edge_arr, F.lit(False), lambda acc, e: acc != _term(e, v))),
+        1)

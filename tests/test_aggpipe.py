@@ -1789,9 +1789,15 @@ def test_geo_within_validation(spark):
     pts = spark.createDataFrame([(1, [0.0, 0.0])], "id long, loc array<double>")
     with pytest.raises(ValueError, match="exactly one shape"):
         aggregate(pts, [{"$match": {"loc": {"$geoWithin": {}}}}])
-    with pytest.raises(ValueError, match="unsupported"):
+    with pytest.raises(ValueError, match="at least one ring"):
         aggregate(pts, [{"$match": {"loc": {"$geoWithin": {
             "$geometry": {"type": "Polygon", "coordinates": []}}}}}])
+    with pytest.raises(ValueError, match="Polygon"):
+        aggregate(pts, [{"$match": {"loc": {"$geoWithin": {
+            "$geometry": {"type": "Point", "coordinates": [0, 0]}}}}}])
+    with pytest.raises(ValueError, match="unsupported"):
+        aggregate(pts, [{"$match": {"loc": {"$geoWithin": {
+            "$sphere": [(0.0, 0.0), 1.0]}}}}])
     with pytest.raises(ValueError, match="at least 3"):
         aggregate(pts, [{"$match": {"loc": {"$geoWithin": {
             "$polygon": [(0.0, 0.0), (1.0, 1.0)]}}}}])
