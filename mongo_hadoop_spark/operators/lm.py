@@ -424,12 +424,147 @@ ORDER BY label, predicted
 """
 
 
+# --- DoReMi-style domain reweighting -----------------------------------
+
+DOREMI_ROUNDS = 6
+DOREMI_SCALE = 1_000_000        #: update-factor denominator
+DOREMI_GAIN = 200               #: millibits of excess loss -> factor
+DOREMI_CLAMP = 5_000            #: per-round excess clamp (trust region)
+DOREMI_RENORM = 1_000_000_000   #: post-round total weight mass
+
+
+def corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain mixture weights (Xie et al. 2023): iterative
+    multiplicative-weights over per-domain (source) excess loss, the
+    "which domains deserve more pretraining tokens" step.
+
+    Re-expression, documented deviations from the paper: (a) the
+    proxy/reference model losses are replaced by the corpus's own
+    unigram surprisal (no trained models exist in-engine) — loss_d =
+    the domain's mean token surprisal in integer MILLIBITS; (b) the
+    exponentiated-gradient update ``w *= exp(eta * excess)`` becomes
+    the rational surrogate ``w *= (SCALE + GAIN * excess) / SCALE``
+    with the per-round excess clamped (a trust-region step, as the
+    paper also bounds per-step updates) — every operation is bigint,
+    so both engines iterate bit-identically.  Each round recomputes
+    the reference as the CURRENT-mixture-weighted mean loss, so mass
+    genuinely shifts across rounds (domains above the moving average
+    are upweighted, then renormalized to a fixed total).
+
+    Scale shape (100 TB): one corpus-sized token aggregation builds the
+    per-domain loss table (vocab broadcast, map-side partials); the
+    DOREMI_ROUNDS iterations then run on the DOMAIN-sized table
+    (mixture cardinality, O(10-100) rows at any corpus size) with two
+    scalar broadcast aggregates per round — corpus-size-free by
+    construction, the BPE-trainer argument.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokenize("text")).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_total"))
+    base = (
+        toks.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            (F.length(F.bin("n_total")) - F.length(F.bin("c"))).alias("bits"),
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum("bits").alias("sum_bits"))
+        .select(
+            "source", "n_tokens",
+            F.expr("(1000 * sum_bits) div n_tokens").alias("loss_millibits"),
+        )
+        .localCheckpoint()
+    )
+    w = base.withColumn("w", F.lit(DOREMI_SCALE).cast("long"))
+    for _ in range(DOREMI_ROUNDS):
+        ref = w.agg(F.expr("sum(w * loss_millibits) div sum(w)")
+                    .alias("ref"))
+        upd = w.crossJoin(F.broadcast(ref)).select(
+            "source", "n_tokens", "loss_millibits",
+            F.expr(f"(w * ({DOREMI_SCALE}L + {DOREMI_GAIN}L * "
+                   f"least(greatest(loss_millibits - ref, 0L), "
+                   f"{DOREMI_CLAMP}L))) div {DOREMI_SCALE}L").alias("w"))
+        mass = upd.agg(F.sum("w").alias("wt"))
+        # checkpoint per round: the plan otherwise triples in size each
+        # iteration (w feeds ref AND upd; upd feeds mass AND the renorm)
+        w = upd.crossJoin(F.broadcast(mass)).select(
+            "source", "n_tokens", "loss_millibits",
+            F.expr(f"(w * {DOREMI_RENORM}L) div wt").alias("w")
+        ).localCheckpoint()
+    final_mass = w.agg(F.sum("w").alias("wtot"))
+    return (w.crossJoin(F.broadcast(final_mass))
+            .select("source", "n_tokens", "loss_millibits",
+                    F.col("w").alias("weight"),
+                    F.expr("(w * 1000000L) div wtot").alias("share_ppm"))
+            .orderBy("source"))
+
+
+def _doremi_oracle() -> str:
+    parts = [f"""
+  toks AS (
+    SELECT source, unnest({_WORDS_SQL}) AS term FROM documents
+  ),
+  vocab AS (
+    SELECT term, count(*) AS c FROM toks GROUP BY term
+  ),
+  total AS (
+    SELECT sum(c)::bigint AS n_total FROM vocab
+  ),
+  base AS MATERIALIZED (
+    SELECT source, count(*)::bigint AS n_tokens,
+           (1000 * sum(length(format('{{:b}}', n_total))
+                       - length(format('{{:b}}', c)))::bigint)
+             // count(*)::bigint AS loss_millibits
+    FROM toks JOIN vocab USING (term), total
+    GROUP BY source
+  ),
+  w0 AS (
+    SELECT source, n_tokens, loss_millibits,
+           {DOREMI_SCALE}::bigint AS w
+    FROM base
+  )"""]
+    for i in range(1, DOREMI_ROUNDS + 1):
+        parts.append(f""",
+  r{i} AS (
+    SELECT sum(w * loss_millibits)::bigint // sum(w)::bigint AS ref
+    FROM w{i - 1}
+  ),
+  u{i} AS MATERIALIZED (
+    SELECT source, n_tokens, loss_millibits,
+           (w * ({DOREMI_SCALE} + {DOREMI_GAIN} *
+                 least(greatest(loss_millibits - ref, 0),
+                       {DOREMI_CLAMP}))) // {DOREMI_SCALE} AS w
+    FROM w{i - 1}, r{i}
+  ),
+  m{i} AS (SELECT sum(w)::bigint AS wt FROM u{i}),
+  w{i} AS MATERIALIZED (
+    SELECT source, n_tokens, loss_millibits,
+           (w * {DOREMI_RENORM}) // wt AS w
+    FROM u{i}, m{i}
+  )""")
+    return "".join(parts)
+
+
+DOREMI_WEIGHTS_SQL = f"""
+WITH {_doremi_oracle().lstrip()},
+  fm AS (SELECT sum(w)::bigint AS wtot FROM w{DOREMI_ROUNDS})
+SELECT source, n_tokens, loss_millibits, w AS weight,
+       (w * 1000000) // wtot AS share_ppm
+FROM w{DOREMI_ROUNDS}, fm
+ORDER BY source
+"""
+
+
 QUERIES = {
     "text_unigram_surprisal": text_unigram_surprisal,
     "corpus_perplexity_buckets": corpus_perplexity_buckets,
     "text_bigram_surprisal": text_bigram_surprisal,
     "corpus_nb_token_weights": corpus_nb_token_weights,
     "corpus_nb_confusion": corpus_nb_confusion,
+    "corpus_doremi_weights": corpus_doremi_weights,
 }
 
 ORACLES = {
@@ -438,4 +573,5 @@ ORACLES = {
     "text_bigram_surprisal": BIGRAM_SURPRISAL_SQL,
     "corpus_nb_token_weights": NB_TOKEN_WEIGHTS_SQL,
     "corpus_nb_confusion": NB_CONFUSION_SQL,
+    "corpus_doremi_weights": DOREMI_WEIGHTS_SQL,
 }

@@ -141,3 +141,66 @@ def test_nb_model_mixed_case_matches_oracle(spark, tmp_path):
             assert res.ok, str(res)
     finally:
         duck.close()
+
+
+def _ref_doremi(doc_rows, rounds=None):
+    """Plain-Python integer reference of the DoReMi recurrence —
+    same millibit losses, clamped rational update, and renorm."""
+    from collections import Counter
+
+    from mongo_hadoop_spark.operators.lm import (
+        DOREMI_CLAMP, DOREMI_GAIN, DOREMI_RENORM, DOREMI_ROUNDS,
+        DOREMI_SCALE)
+
+    rounds = DOREMI_ROUNDS if rounds is None else rounds
+    vocab = Counter(t for _, text in doc_rows for t in text.split())
+    n_total = sum(vocab.values())
+    per = {}
+    for src, text in doc_rows:
+        toks = text.split()
+        n, s = per.get(src, (0, 0))
+        bits = sum(n_total.bit_length() - vocab[t].bit_length()
+                   for t in toks)
+        per[src] = (n + len(toks), s + bits)
+    loss = {s: (1000 * b) // n for s, (n, b) in per.items()}
+    w = {s: DOREMI_SCALE for s in per}
+    hist = []
+    for _ in range(rounds):
+        ref = sum(w[s] * loss[s] for s in w) // sum(w.values())
+        for s in w:
+            ex = min(max(loss[s] - ref, 0), DOREMI_CLAMP)
+            w[s] = (w[s] * (DOREMI_SCALE + DOREMI_GAIN * ex)) // DOREMI_SCALE
+        wt = sum(w.values())
+        w = {s: (v * DOREMI_RENORM) // wt for s, v in w.items()}
+        hist.append(dict(w))
+    wtot = sum(w.values())
+    return ({s: (per[s][0], loss[s], w[s], (w[s] * 1_000_000) // wtot)
+             for s in per}, hist)
+
+
+def test_doremi_shifts_mass_to_hard_domains(spark, tmp_path):
+    """Hand-built three-domain corpus with a genuinely hard domain
+    (all-singleton tokens): the Spark plan must equal the plain-Python
+    integer recurrence exactly, and the hard domain's weight must grow
+    monotonically across rounds while the easy domain's share ends
+    below uniform."""
+    easy = "the the the the the the the the"
+    mid = "the scan window the merge batch the row"
+    hard = " ".join(f"zq{i}" for i in range(8))
+    rows = [("easy", easy)] * 4 + [("mid", mid)] * 3 + \
+        [("hard", hard + " extra")] * 2
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+
+    from mongo_hadoop_spark.operators.lm import corpus_doremi_weights
+    want, hist = _ref_doremi(rows)
+    got = corpus_doremi_weights(spark, str(tmp_path)).collect()
+    assert {r.source: (r.n_tokens, r.loss_millibits, r.weight,
+                       r.share_ppm) for r in got} == want
+    # monotone shift toward the hard domain round over round
+    hard_w = [h["hard"] for h in hist]
+    assert all(a <= b for a, b in zip(hard_w, hard_w[1:]))
+    assert want["hard"][3] > 333_333 > want["easy"][3]
