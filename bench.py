@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "graph_pagerank_neardup",
     # spherical geometry + BPE training (round 6, session 3)
     "pipeline_geo_near_sphere", "corpus_bpe_merges",
+    # session 4: spherical polygons + domain reweighting
+    "pipeline_geo_polygon_sphere", "corpus_doremi_weights",
 ]
 
 

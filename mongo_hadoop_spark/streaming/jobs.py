@@ -428,6 +428,45 @@ def stream_geofence(events: DataFrame, center: tuple[float, float],
                     .alias("dist_rad")))
 
 
+def stream_bpe_tokenize(documents: DataFrame,
+                        merges: list[str]) -> DataFrame:
+    """Streaming BPE tokenization with a TRAINED merge table: per-doc
+    whitespace word count and trained-tokenizer token count on arriving
+    crawl shards.
+
+    ``merges`` is the rank-ordered pair list from
+    :func:`~.operators.bpe.corpus_bpe_merges` — an epoch-static,
+    driver-side artifact (the broadcast-threshold pattern: the
+    tokenizer retrains per epoch in batch; the stream APPLIES it).
+    Application is the identical greedy left-to-right non-overlapping
+    string-replace cascade the trainer uses
+    (``trim(replace(' '||seg||' ', ' a b ', ' ab '))`` per merge rank),
+    run per word inside a ``transform`` lambda, so a document's token
+    count depends on its bytes and the frozen merges alone — stream ≡
+    batch by construction (pinned in tests/test_streaming.py against
+    the word-table-join batch path of ``corpus_bpe_compression``).
+    At 100 TB this is the token-budget meter in front of a pack/ship
+    sink: a stateless map, fully fused into the micro-batch scan."""
+    from mongo_hadoop_spark.functions import tokenize
+
+    words = tokenize(F.lower(F.col("text")))
+
+    def _n_tokens(w):
+        seg = F.trim(F.regexp_replace(w, "(.)", "$1 "))
+        for pair in merges:
+            merged = pair.replace(" ", "")
+            seg = F.trim(F.replace(
+                F.concat(F.lit(" "), seg, F.lit(" ")),
+                F.lit(" " + pair + " "), F.lit(" " + merged + " ")))
+        return F.size(F.split(seg, " "))
+
+    return documents.select(
+        "doc_id", "lang",
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(F.transform(words, _n_tokens), F.lit(0),
+                    lambda a, x: a + x).cast("long").alias("n_bpe_tokens"))
+
+
 def stream_crawl_classify(seen_index: dict, out_path: str):
     """foreachBatch body for incremental-crawl dedup: classify each
     arriving micro-batch of documents against a fixed seen-corpus index

@@ -844,3 +844,34 @@ def test_stream_geofence_equals_batch(spark, events_dir, tmp_path):
     assert {(r["event_id"], r["dist_rad"]) for r in got} == \
         {(r["event_id"], r["dist_rad"]) for r in want}
     assert 0 < len(got) < spark.read.parquet(events_dir).count()
+
+
+def test_stream_bpe_tokenize_equals_batch(spark, documents_dir, tmp_path):
+    """Applying the trained BPE merge table on a stream must reproduce
+    the batch tokenizer exactly: per-doc token counts from the
+    per-word replace cascade equal the word-table-join counts that
+    corpus_bpe_compression aggregates (summed per lang here)."""
+    from mongo_hadoop_spark.operators.bpe import (
+        corpus_bpe_compression, corpus_bpe_merges)
+    from mongo_hadoop_spark.streaming.jobs import (
+        stream_bpe_tokenize, streaming_documents_source)
+
+    merges = [r["pair"]
+              for r in corpus_bpe_merges(spark, SF_SMOKE).collect()]
+    assert merges
+    got = run_to_completion(
+        stream_bpe_tokenize(streaming_documents_source(spark, documents_dir),
+                            merges),
+        "append", tmp_path)
+    batch = stream_bpe_tokenize(spark.read.parquet(documents_dir),
+                                merges).collect()
+    assert {(r["doc_id"], r["n_words"], r["n_bpe_tokens"]) for r in got} \
+        == {(r["doc_id"], r["n_words"], r["n_bpe_tokens"]) for r in batch}
+    # and the per-lang sums equal the independent batch path
+    want = {(r["lang"], r["n_words"], r["n_bpe_tokens"])
+            for r in corpus_bpe_compression(spark, SF_SMOKE).collect()}
+    agg = {}
+    for r in got:
+        nw, nt = agg.get(r["lang"], (0, 0))
+        agg[r["lang"]] = (nw + r["n_words"], nt + r["n_bpe_tokens"])
+    assert {(k, *v) for k, v in agg.items()} == want
