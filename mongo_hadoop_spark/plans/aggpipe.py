@@ -249,6 +249,11 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
     if op == "$setField":
         return E(operand["input"]).withField(
             operand["field"], E(operand["value"]))
+    if op == "$unsetField":
+        # Mongo 5.0 companion of $setField; struct inputs only (like
+        # $setField above — dropFields is the exact server semantics:
+        # removing a missing field is a no-op)
+        return E(operand["input"]).dropFields(operand["field"])
     if op == "$mergeObjects":
         # MAP-typed dynamic documents; later operands overwrite earlier
         # keys (server semantics).  map_concat can't express later-wins

@@ -641,12 +641,15 @@ def test_set_and_field_ops_round5(spark):
         "eq": {"$setEquals": ["$a", [2, 1]]},
         "doc": {"$setField": {"field": "z", "value": 9,
                               "input": {"x": "$a", "y": 1}}},
+        "undoc": {"$unsetField": {"field": "y",
+                                  "input": {"x": "$a", "y": 1}}},
         "parts": {"$dateToParts": {"date": "$ts"}},
     }}])
     r = got.collect()[0]
     assert r.subset is True and r.not_subset is False
     assert r.eq is True  # {1,2} == {2,1} as sets
     assert r.doc.z == 9 and r.doc.y == 1
+    assert "y" not in r.undoc.asDict() and r.undoc.x == [1, 2, 2]
     assert (r.parts.year, r.parts.month, r.parts.day,
             r.parts.hour, r.parts.minute, r.parts.second) == (2024, 3, 5, 7, 8, 9)
 
