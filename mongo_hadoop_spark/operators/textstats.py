@@ -579,6 +579,67 @@ HAVING count(*)::double >= n_total::double * {HH_PHI}
 """
 
 
+# --- retrieval-ingestion chunking --------------------------------------
+
+CHUNK_CHARS = 512      #: window size (chars)
+CHUNK_STRIDE = 384     #: stride; overlap = CHUNK_CHARS - CHUNK_STRIDE
+
+
+def documents_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character windows per document — the
+    chunking step of a RAG / embedding-ingestion pipeline (split each
+    document into CHUNK_CHARS-char windows every CHUNK_STRIDE chars so
+    retrieval context never falls across a hard boundary).
+
+    Chunk count is closed-form (no iteration): one extra chunk per full
+    stride beyond the first window, last chunk may be short, and every
+    document yields at least one chunk (empty docs produce one empty
+    chunk — a deliberate, deterministic convention so ingestion counts
+    reconcile with document counts).  Pure integer/substring arithmetic:
+    a map-side ``explode(sequence(...))`` with zero shuffles — at
+    100 TB the chunker is scan-bound and embarrassingly parallel, and
+    the 1-based offsets make every chunk independently addressable for
+    the embedding join downstream."""
+    d = table(spark, sf_dir, "documents")
+    n_extra = (F.greatest(F.length("text") - F.lit(CHUNK_CHARS), F.lit(0))
+               + F.lit(CHUNK_STRIDE - 1)).cast("long")
+    chunks = d.select(
+        "doc_id", "source",
+        F.explode(F.sequence(
+            F.lit(0).cast("long"),
+            F.expr(f"CAST(greatest(length(text) - {CHUNK_CHARS}, 0)"
+                   f" + {CHUNK_STRIDE - 1} AS BIGINT)"
+                   f" div {CHUNK_STRIDE}"))).alias("chunk_idx"),
+        F.col("text"))
+    return (chunks.select(
+        "doc_id", "source", "chunk_idx",
+        (F.col("chunk_idx") * F.lit(CHUNK_STRIDE) + F.lit(1))
+        .alias("chunk_off"),
+        F.expr(f"substring(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1 "
+               f"AS INT), {CHUNK_CHARS})").alias("chunk_text"))
+        .withColumn("n_chunk_chars", F.length("chunk_text"))
+        .orderBy("doc_id", "chunk_idx"))
+
+
+CHUNK_WINDOWS_SQL = f"""
+WITH idx AS (
+  SELECT doc_id, source, text,
+         unnest(generate_series(
+           0, (greatest(length(text) - {CHUNK_CHARS}, 0)
+               + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE})) AS chunk_idx
+  FROM documents
+)
+SELECT doc_id, source, chunk_idx,
+       chunk_idx * {CHUNK_STRIDE} + 1 AS chunk_off,
+       substr(text, (chunk_idx * {CHUNK_STRIDE} + 1)::int, {CHUNK_CHARS})
+         AS chunk_text,
+       length(substr(text, (chunk_idx * {CHUNK_STRIDE} + 1)::int,
+                     {CHUNK_CHARS}))::int AS n_chunk_chars
+FROM idx
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "text_heavy_hitters": text_heavy_hitters,
     "text_langid": text_langid,
@@ -591,6 +652,7 @@ QUERIES = {
     "text_top_distinctive_terms": text_top_distinctive_terms,
     "text_redact_pii": text_redact_pii,
     "text_repetition_ratio": text_repetition_ratio,
+    "documents_chunk_windows": documents_chunk_windows,
 }
 
 ORACLES = {
@@ -605,4 +667,5 @@ ORACLES = {
     "text_top_distinctive_terms": DISTINCTIVE_SQL,
     "text_redact_pii": REDACT_SQL,
     "text_repetition_ratio": REPETITION_SQL,
+    "documents_chunk_windows": CHUNK_WINDOWS_SQL,
 }

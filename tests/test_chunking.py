@@ -1,0 +1,71 @@
+"""documents_chunk_windows: the RAG chunker must reproduce a plain-
+Python reference exactly (offsets, texts, short last chunk) and satisfy
+the reconstruction invariant on boundary-length documents."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mongo_hadoop_spark.operators.textstats import (
+    CHUNK_CHARS, CHUNK_STRIDE, documents_chunk_windows)
+
+
+def _ref_chunks(text: str):
+    n_extra = (max(len(text) - CHUNK_CHARS, 0) + CHUNK_STRIDE - 1) \
+        // CHUNK_STRIDE
+    out = []
+    for i in range(n_extra + 1):
+        off = i * CHUNK_STRIDE
+        out.append((i, off + 1, text[off:off + CHUNK_CHARS]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def chunk_dir(tmp_path_factory):
+    texts = [
+        "",                                  # empty -> one empty chunk
+        "x" * (CHUNK_CHARS - 1),             # under one window
+        "y" * CHUNK_CHARS,                   # exactly one window
+        "z" * (CHUNK_CHARS + 1),             # one char spills -> 2 chunks
+        "a" * (CHUNK_CHARS + CHUNK_STRIDE),  # exact stride boundary
+        "".join(chr(97 + i % 26) for i in range(3 * CHUNK_CHARS + 7)),
+    ]
+    d = tmp_path_factory.mktemp("chunks")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": range(len(texts)), "lang": ["en"] * len(texts),
+        "source": ["s0"] * len(texts), "text": texts})),
+        str(d / "documents.parquet"))
+    return str(d), texts
+
+
+def test_chunks_match_reference(spark, chunk_dir):
+    sf_dir, texts = chunk_dir
+    got = documents_chunk_windows(spark, sf_dir).collect()
+    want = [(i, idx, off, t)
+            for i, text in enumerate(texts)
+            for idx, off, t in _ref_chunks(text)]
+    assert [(r.doc_id, r.chunk_idx, r.chunk_off, r.chunk_text)
+            for r in got] == want
+    for r in got:
+        assert r.n_chunk_chars == len(r.chunk_text) <= CHUNK_CHARS
+
+
+def test_chunks_reconstruct_documents(spark, chunk_dir):
+    sf_dir, texts = chunk_dir
+    got = documents_chunk_windows(spark, sf_dir).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in enumerate(texts):
+        rows = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        rebuilt = "".join(r.chunk_text[:CHUNK_STRIDE] for r in rows[:-1])
+        rebuilt += rows[-1].chunk_text
+        assert rebuilt == text, doc_id
+        # consecutive chunks overlap by CHUNK_CHARS - CHUNK_STRIDE
+        for a, b in zip(rows, rows[1:]):
+            if len(a.chunk_text) == CHUNK_CHARS:
+                assert a.chunk_text[CHUNK_STRIDE:] == \
+                    b.chunk_text[:CHUNK_CHARS - CHUNK_STRIDE]
