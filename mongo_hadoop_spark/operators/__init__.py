@@ -51,6 +51,7 @@ _HEAD_KEYS = [
     "corpus_bpe_compression", "documents_pack_sequences_bpe",
     "corpus_pretrain_token_budget", "corpus_wordpiece_merges",
     "corpus_doremi_weights", "documents_chunk_windows",
+    "documents_fim_transform",
     "pipeline_geo_center_sphere", "pipeline_geo_near_sphere",
     "pipeline_geo_polygon_sphere",
     "graph_pagerank_neardup", "graph_degree_histogram",

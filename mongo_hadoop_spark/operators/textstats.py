@@ -640,6 +640,77 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+# --- fill-in-the-middle transform ---------------------------------------
+
+FIM_RATE_MOD = 2   #: 1-in-2 docs get the FIM rearrangement
+FIM_PRE, FIM_SUF, FIM_MID = "<PRE>", "<SUF>", "<MID>"
+
+
+def documents_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle pretraining transform (Bavarian et al. 2022,
+    PSM mode): for a deterministic 1-in-FIM_RATE_MOD subset of
+    documents, cut the text at two pseudo-random pivots and emit
+    ``<PRE>prefix<SUF>suffix<MID>middle``; the rest pass through
+    unchanged (the paper's mixed-rate recipe).
+
+    Determinism in place of RNG: the two pivots derive from the 60-bit
+    md5 hash of the doc_id under two salts, reduced mod (len+1) — the
+    per-key deterministic sampling pattern (``events_per_user_sample``),
+    so both engines — and any re-run over re-partitioned data — cut
+    every document identically.  Pure per-row integer/substring
+    arithmetic, zero shuffles at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    L = F.length("text")
+    a = md5_long(key, "fim-a") % (L + F.lit(1))
+    b = md5_long(key, "fim-b") % (L + F.lit(1))
+    lo, hi = F.least(a, b), F.greatest(a, b)
+    fim = F.concat(
+        F.lit(FIM_PRE), F.expr("substring(text, 1, CAST(__lo AS INT))"),
+        F.lit(FIM_SUF),
+        F.expr("substring(text, CAST(__hi + 1 AS INT), length(text))"),
+        F.lit(FIM_MID),
+        F.expr("substring(text, CAST(__lo + 1 AS INT), "
+               "CAST(__hi - __lo AS INT))"))
+    picked = md5_long(key, "fim-pick") % FIM_RATE_MOD == 0
+    return (d.withColumn("__lo", lo).withColumn("__hi", hi)
+            .select("doc_id", "source",
+                    picked.alias("fim_applied"),
+                    F.col("__lo").alias("cut_lo"),
+                    F.col("__hi").alias("cut_hi"),
+                    F.when(picked, fim).otherwise(F.col("text"))
+                    .alias("train_text"))
+            .orderBy("doc_id"))
+
+
+FIM_TRANSFORM_SQL = f"""
+WITH cuts AS (
+  SELECT doc_id, source, text,
+         {md5_long_sql("doc_id::varchar", "fim-a")} % (length(text) + 1)
+           AS ca,
+         {md5_long_sql("doc_id::varchar", "fim-b")} % (length(text) + 1)
+           AS cb,
+         {md5_long_sql("doc_id::varchar", "fim-pick")} % {FIM_RATE_MOD} = 0
+           AS fim_applied
+  FROM documents
+),
+lohi AS (
+  SELECT doc_id, source, text, fim_applied,
+         least(ca, cb) AS cut_lo, greatest(ca, cb) AS cut_hi
+  FROM cuts
+)
+SELECT doc_id, source, fim_applied, cut_lo, cut_hi,
+       CASE WHEN fim_applied THEN
+         '{FIM_PRE}' || substr(text, 1, cut_lo::int)
+         || '{FIM_SUF}' || substr(text, (cut_hi + 1)::int, length(text))
+         || '{FIM_MID}' || substr(text, (cut_lo + 1)::int,
+                                  (cut_hi - cut_lo)::int)
+       ELSE text END AS train_text
+FROM lohi
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_heavy_hitters": text_heavy_hitters,
     "text_langid": text_langid,
@@ -653,6 +724,7 @@ QUERIES = {
     "text_redact_pii": text_redact_pii,
     "text_repetition_ratio": text_repetition_ratio,
     "documents_chunk_windows": documents_chunk_windows,
+    "documents_fim_transform": documents_fim_transform,
 }
 
 ORACLES = {
@@ -668,4 +740,5 @@ ORACLES = {
     "text_redact_pii": REDACT_SQL,
     "text_repetition_ratio": REPETITION_SQL,
     "documents_chunk_windows": CHUNK_WINDOWS_SQL,
+    "documents_fim_transform": FIM_TRANSFORM_SQL,
 }

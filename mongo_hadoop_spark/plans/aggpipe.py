@@ -1143,6 +1143,15 @@ def _match_op_col(col: Column, op: str, operand) -> Column:
             f"{op} sorts by distance and cannot run as a match predicate"
             " — use the $geoNear pipeline stage (spherical supported),"
             " or $geoWithin $centerSphere for a pure radius filter")
+    if op == "$text":
+        raise ValueError(
+            "$text needs a server text index; use the $search stage "
+            "(text/phrase/compound, optional BM25 scoring) instead")
+    if op == "$geoIntersects":
+        raise ValueError(
+            "$geoIntersects (geometry-geometry intersection) is "
+            "unsupported — point-in-polygon tests are $geoWithin "
+            "$geometry")
     raise ValueError(f"unsupported query operator {op}")
 
 

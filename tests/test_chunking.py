@@ -69,3 +69,38 @@ def test_chunks_reconstruct_documents(spark, chunk_dir):
             if len(a.chunk_text) == CHUNK_CHARS:
                 assert a.chunk_text[CHUNK_STRIDE:] == \
                     b.chunk_text[:CHUNK_CHARS - CHUNK_STRIDE]
+
+
+def test_fim_transform_invariants(spark, chunk_dir):
+    """FIM rearrangement: markers + piece reconstruction equal the
+    original text for applied docs; untouched pass-through otherwise;
+    pivots match the md5 reference exactly."""
+    import hashlib
+
+    from mongo_hadoop_spark.operators.textstats import (
+        FIM_MID, FIM_PRE, FIM_RATE_MOD, FIM_SUF, documents_fim_transform)
+
+    def h60(key: str, salt: str) -> int:
+        return int(hashlib.md5((salt + key).encode()).hexdigest()[:15], 16)
+
+    sf_dir, texts = chunk_dir
+    got = documents_fim_transform(spark, sf_dir).collect()
+    assert len(got) == len(texts)
+    applied = 0
+    for r in got:
+        text = texts[r.doc_id]
+        L = len(text)
+        a = h60(str(r.doc_id), "fim-a") % (L + 1)
+        b = h60(str(r.doc_id), "fim-b") % (L + 1)
+        assert (r.cut_lo, r.cut_hi) == (min(a, b), max(a, b))
+        assert r.fim_applied == (h60(str(r.doc_id), "fim-pick")
+                                 % FIM_RATE_MOD == 0)
+        if r.fim_applied:
+            applied += 1
+            want = (FIM_PRE + text[:r.cut_lo] + FIM_SUF
+                    + text[r.cut_hi:] + FIM_MID
+                    + text[r.cut_lo:r.cut_hi])
+            assert r.train_text == want
+        else:
+            assert r.train_text == text
+    assert 0 < applied < len(texts) or len(texts) < 4
