@@ -61,6 +61,12 @@ HEADLINE = [
      "$centerSphere: polynomial haversine predicate, keyed count"),
     ("corpus_bpe_compression",
      "BPE apply: token stream joined to trained segmentation table"),
+    ("pipeline_geo_polygon_sphere",
+     "spherical polygon parity: literal edge-array fold, keyed count"),
+    ("corpus_doremi_weights",
+     "domain-sized multiplicative-weights rounds, scalar broadcasts"),
+    ("documents_chunk_windows", "chunking: explode(sequence), map-only"),
+    ("documents_fim_transform", "FIM: md5 pivots + substrings, map-only"),
 ]
 
 
