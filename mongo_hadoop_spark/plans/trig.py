@@ -395,7 +395,117 @@ def sphere_polygon_pred_col(lon: Column, lat: Column, rings) -> Column:
                 & (F.abs(da - db) < F.lit(180.0))
                 & (ndp * e["nz"] < F.lit(0.0)))
 
-    return F.element_at(
+    fold = F.element_at(
         F.transform(bound, lambda v: F.aggregate(
             edge_arr, F.lit(False), lambda acc, e: acc != _term(e, v))),
         1)
+    # codegen'd bounding conjunct first: FilterExec short-circuits
+    # conjuncts, so rows outside the box never pay the interpreted fold
+    return sphere_polygon_prefilter_col(lon, lat, rings) & fold
+
+
+# --- polygon bounding prefilter ----------------------------------------
+#
+# The parity fold evaluates via expression eval (CodegenFallback), so
+# every scanned row pays polys + E edge terms.  A driver-computed
+# bounding box over the polygon REGION, emitted as a plain codegen'd
+# conjunct ahead of the fold, lets FilterExec's conjunct short-circuit
+# skip the interpreted work for every row that cannot possibly be
+# inside.  Soundness (box ⊇ region) is what matters — the box never
+# decides membership, it only skips:
+# - Latitude: a bounded (non-axis-winding) region's extremes lie on its
+#   edges; an edge's latitude range is its endpoints' range widened to
+#   the great circle's vertex latitude when the vertex point (the
+#   circle's closest approach to a pole) falls on the edge's longitude
+#   interval ("geodesic sag").  Axis-winding rings (longitude
+#   traversal sum ±360) extend the region to the south pole (the
+#   north-pole-exterior convention), so lat_lo drops to -90.
+# - Longitude: the union of the edges' short-way wrapped intervals;
+#   disabled entirely when a winding ring makes every longitude
+#   reachable.
+# A 1e-6 deg margin swallows the ~1e-13 polynomial-vs-libm fuzz.  The
+# DuckDB oracle rendering deliberately has NO prefilter: the random-
+# polygon cross-engine equality pin therefore doubles as the soundness
+# test (an unsound box would flip Spark rows to False that the oracle
+# keeps True).
+
+_BOX_MARGIN = 1e-6
+
+
+def _lon_in_arc(lon: float, lon1: float, lon2: float) -> bool:
+    """Is ``lon`` on the short-way longitude interval lon1 -> lon2?"""
+    da, db = _wrap180(lon1 - lon), _wrap180(lon2 - lon)
+    if da == 0.0 or db == 0.0:
+        return True
+    return (da > 0) != (db > 0) and abs(da - db) < 180.0
+
+
+def polygon_prefilter_bounds(rings):
+    """(lat_lo, lat_hi, lon_intervals | None) for the polygon REGION,
+    driver-side libm (enters the plan only as literals)."""
+    lat_lo, lat_hi = 90.0, -90.0
+    intervals: list[tuple[float, float]] = []
+    lon_any = False
+    for ring in rings:
+        pts = [(float(p[0]), float(p[1])) for p in ring][:-1]
+        if abs(sum(_wrap180(b[0] - a[0])
+                   for a, b in zip(pts, pts[1:] + pts[:1]))) > 180.0:
+            lat_lo = -90.0          # axis-winding: region reaches the
+            lon_any = True          # south pole, every longitude occurs
+        for (lon1, lat1), (lon2, lat2) in zip(pts, pts[1:] + pts[:1]):
+            lo, hi = min(lat1, lat2), max(lat1, lat2)
+            a, b = _unit_vec(lon1, lat1), _unit_vec(lon2, lat2)
+            nx = a[1] * b[2] - a[2] * b[1]
+            ny = a[2] * b[0] - a[0] * b[2]
+            nz = a[0] * b[1] - a[1] * b[0]
+            nn = math.sqrt(nx * nx + ny * ny + nz * nz)
+            nx, ny, nz = nx / nn, ny / nn, nz / nn
+            if nz * nz < 1.0 - 1e-12:
+                # great-circle vertex (closest point to the north pole):
+                # v = z - (z.n) n, normalized
+                vx, vy, vz = -nz * nx, -nz * ny, 1.0 - nz * nz
+                vn = math.sqrt(vx * vx + vy * vy + vz * vz)
+                v_lat = math.degrees(math.asin(vz / vn))
+                v_lon = math.degrees(math.atan2(vy, vx))
+                if _lon_in_arc(v_lon, lon1, lon2):
+                    hi = max(hi, v_lat)
+                s_lon = _wrap180(v_lon + 180.0)
+                if _lon_in_arc(s_lon, lon1, lon2):
+                    lo = min(lo, -v_lat)
+            lat_lo, lat_hi = min(lat_lo, lo), max(lat_hi, hi)
+            d = _wrap180(lon2 - lon1)
+            lo_l, hi_l = (lon1, lon1 + d) if d >= 0 else (lon1 + d, lon1)
+            if hi_l > 180.0:        # split wrapped interval at +/-180
+                intervals += [(lo_l, 180.0), (-180.0, hi_l - 360.0)]
+            elif lo_l < -180.0:
+                intervals += [(lo_l + 360.0, 180.0), (-180.0, hi_l)]
+            else:
+                intervals.append((lo_l, hi_l))
+    if lon_any:
+        merged = None
+    else:
+        intervals.sort()
+        merged = []
+        for lo_l, hi_l in intervals:
+            if merged and lo_l <= merged[-1][1] + _BOX_MARGIN:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], hi_l))
+            else:
+                merged.append((lo_l, hi_l))
+        if sum(h - l for l, h in merged) > 300.0:
+            merged = None           # not selective enough to pay for
+    return (max(lat_lo - _BOX_MARGIN, -90.0),
+            min(lat_hi + _BOX_MARGIN, 90.0), merged)
+
+
+def sphere_polygon_prefilter_col(lon: Column, lat: Column,
+                                 rings) -> Column:
+    lat_lo, lat_hi, lon_iv = polygon_prefilter_bounds(rings)
+    pred = (lat >= F.lit(lat_lo)) & (lat <= F.lit(lat_hi))
+    if lon_iv is not None:
+        t = None
+        for lo, hi in lon_iv:
+            term = ((lon >= F.lit(lo - _BOX_MARGIN))
+                    & (lon <= F.lit(hi + _BOX_MARGIN)))
+            t = term if t is None else t | term
+        pred = pred & t
+    return pred

@@ -176,3 +176,20 @@ def test_polygon_survives_whole_stage_codegen(spark):
         assert df.where(pred).groupBy("k").count().collect() is not None
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def test_prefilter_is_sound_under_geodesic_sag(spark):
+    """The codegen'd bounding prefilter must never drop true members:
+    a wide high-latitude edge sags ~24 deg poleward of its endpoints —
+    points under the apex are inside and must survive (the oracle
+    rendering has no prefilter, so the cross-engine pins also guard
+    this; here the hazard is planted explicitly)."""
+    rings = [[(-80.0, 60.0), (80.0, 60.0), (0.0, 10.0), (-80.0, 60.0)]]
+    lat_lo, lat_hi, lon_iv = trig.polygon_prefilter_bounds(rings)
+    assert lat_hi > 84.0            # the sag apex made it into the box
+    pts = [(0.0, 84.0), (5.0, 83.0), (-5.0, 80.0),   # under the apex
+           (0.0, 30.0), (0.0, 86.0), (120.0, 50.0)]
+    got = _spark_inside(spark, pts, rings)
+    want = [_ref_inside(lon, lat, rings)[0] for lon, lat in pts]
+    assert got == want == [True, True, True, True, False, False]
+    assert _duck_inside(pts, rings) == want
