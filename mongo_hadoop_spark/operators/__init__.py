@@ -50,7 +50,8 @@ _HEAD_KEYS = [
     "corpus_bpe_merges", "corpus_bpe_symbol_stats",
     "corpus_bpe_compression", "documents_pack_sequences_bpe",
     "corpus_pretrain_token_budget", "corpus_wordpiece_merges",
-    "corpus_doremi_weights", "documents_chunk_windows",
+    "corpus_doremi_weights", "corpus_doremi_quotas",
+    "documents_chunk_windows",
     "documents_fim_transform",
     "pipeline_geo_center_sphere", "pipeline_geo_near_sphere",
     "pipeline_geo_polygon_sphere",

@@ -558,6 +558,72 @@ ORDER BY source
 """
 
 
+
+def corpus_doremi_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi weights turned into an EXACT epoch token apportionment:
+    the largest-remainder (Hamilton) split of
+    :data:`~.selection.TOKEN_BUDGET` across domains proportional to
+    :func:`corpus_doremi_weights` — the step a training run actually
+    consumes ("sample this many tokens from each domain this epoch"),
+    composing the reweighting loop with the quota machinery of
+    ``corpus_token_quotas`` (which apportions by sqrt-temperature
+    instead).  Integer-exact throughout; the remainder-rank window runs
+    on the DOMAIN-sized table only."""
+    from pyspark.sql import Window
+
+    from mongo_hadoop_spark.operators.selection import TOKEN_BUDGET
+
+    w = corpus_doremi_weights(spark, sf_dir) \
+        .select("source", "n_tokens", "weight")
+    totals = w.agg(F.sum("weight").alias("W"))
+    b = F.lit(TOKEN_BUDGET).cast("long")
+    j = w.crossJoin(F.broadcast(totals)).select(
+        "source", "n_tokens", "weight",
+        F.expr(f"CAST({TOKEN_BUDGET}L * weight AS BIGINT) div W")
+        .alias("quota_base"),
+        ((b * F.col("weight")) % F.col("W")).alias("remainder"))
+    r_total = j.agg((b - F.sum("quota_base")).alias("R"))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("remainder").desc(), F.col("source").asc()))
+    return (j.withColumn("rk", rk)
+            .crossJoin(F.broadcast(r_total))
+            .select("source", "n_tokens", "weight", "quota_base",
+                    "remainder",
+                    (F.col("quota_base")
+                     + (F.col("rk") <= F.col("R")).cast("long"))
+                    .alias("quota"))
+            .orderBy("source"))
+
+
+def _doremi_quotas_sql() -> str:
+    from mongo_hadoop_spark.operators.selection import TOKEN_BUDGET
+    return f"""
+WITH {_doremi_oracle().lstrip()},
+  dw AS (
+    SELECT source, n_tokens, w AS weight FROM w{DOREMI_ROUNDS}
+  ),
+  totals AS (SELECT sum(weight)::bigint AS wsum FROM dw),
+  j AS (
+    SELECT source, n_tokens, weight,
+           ({TOKEN_BUDGET}::bigint * weight) // wsum AS quota_base,
+           ({TOKEN_BUDGET}::bigint * weight) % wsum AS remainder
+    FROM dw, totals
+  ),
+  r_total AS (
+    SELECT {TOKEN_BUDGET}::bigint - sum(quota_base)::bigint AS r FROM j
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (ORDER BY remainder DESC, source ASC)
+           AS rk
+    FROM j
+  )
+SELECT source, n_tokens, weight, quota_base, remainder,
+       quota_base + (rk <= r)::bigint AS quota
+FROM ranked, r_total
+ORDER BY source
+"""
+
+
 QUERIES = {
     "text_unigram_surprisal": text_unigram_surprisal,
     "corpus_perplexity_buckets": corpus_perplexity_buckets,
@@ -565,6 +631,7 @@ QUERIES = {
     "corpus_nb_token_weights": corpus_nb_token_weights,
     "corpus_nb_confusion": corpus_nb_confusion,
     "corpus_doremi_weights": corpus_doremi_weights,
+    "corpus_doremi_quotas": corpus_doremi_quotas,
 }
 
 ORACLES = {
@@ -574,4 +641,5 @@ ORACLES = {
     "corpus_nb_token_weights": NB_TOKEN_WEIGHTS_SQL,
     "corpus_nb_confusion": NB_CONFUSION_SQL,
     "corpus_doremi_weights": DOREMI_WEIGHTS_SQL,
+    "corpus_doremi_quotas": _doremi_quotas_sql(),
 }

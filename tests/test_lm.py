@@ -204,3 +204,27 @@ def test_doremi_shifts_mass_to_hard_domains(spark, tmp_path):
     hard_w = [h["hard"] for h in hist]
     assert all(a <= b for a, b in zip(hard_w, hard_w[1:]))
     assert want["hard"][3] > 333_333 > want["easy"][3]
+
+
+def test_doremi_quotas_sum_to_budget(spark, tmp_path):
+    """Hamilton apportionment of the epoch budget by DoReMi weight:
+    quotas sum EXACTLY to TOKEN_BUDGET and respect weight ordering
+    within one unit (the quota monotonicity Hamilton guarantees at
+    equal weights is tie-broken by source)."""
+    from mongo_hadoop_spark.operators.lm import corpus_doremi_quotas
+    from mongo_hadoop_spark.operators.selection import TOKEN_BUDGET
+
+    easy = "the the the the the the the the"
+    hard = " ".join(f"zq{i}" for i in range(8))
+    rows = [("easy", easy)] * 4 + [("hard", hard)] * 2 + \
+        [("mid", "the scan window merge the batch")] * 3
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    got = corpus_doremi_quotas(spark, str(tmp_path)).collect()
+    assert sum(r.quota for r in got) == TOKEN_BUDGET
+    by = {r.source: r for r in got}
+    assert by["hard"].weight > by["mid"].weight > by["easy"].weight
+    assert by["hard"].quota > by["mid"].quota > by["easy"].quota
