@@ -51,7 +51,7 @@ _HEAD_KEYS = [
     "corpus_bpe_compression", "documents_pack_sequences_bpe",
     "corpus_pretrain_token_budget", "corpus_wordpiece_merges",
     "corpus_doremi_weights", "corpus_doremi_quotas",
-    "documents_chunk_windows",
+    "documents_chunk_windows", "embedding_matryoshka_recall",
     "documents_fim_transform",
     "pipeline_geo_center_sphere", "pipeline_geo_near_sphere",
     "pipeline_geo_polygon_sphere",

@@ -1619,7 +1619,113 @@ SELECT vec_id, centroid_id, rk FROM (
 CLUSTER_SAMPLE_SQL = _cluster_sample_sql()
 
 
+
+# --- matryoshka truncation evaluation -----------------------------------
+
+MRL_DIMS = 16   #: truncated prefix length evaluated against full-dim
+
+
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation evaluation (Kusupati et al. 2022): per
+    query, recall@k of the TRUNCATED-prefix cosine ranking (first
+    MRL_DIMS dimensions) against the full-dimension top-k — the
+    measurement that decides whether a cheap low-dim prefilter tier can
+    front the full-dim index.
+
+    One pair pass computes both similarities; the two row_number ranks
+    share the query-keyed partitioning (one shuffle), and the per-query
+    overlap reduces to a keyed count.  Exactness: both cosines are the
+    sequential-order double dot/norm (bit-equal to DuckDB's
+    list_dot_product), ranks tie-break on neighbor_id, and recall is
+    one integer/integer division.  O(queries × corpus) like the
+    bruteforce baseline it audits — guarded the same way (the
+    production path tiers IVF cells, this operator SIZES that tier).
+    """
+    emb = guard_quadratic(
+        table(spark, sf_dir, "embeddings"), "embedding_matryoshka_recall",
+        "ivf_knn", cache_key=f"{sf_dir}/embeddings",
+    )
+    tr = lambda c: F.slice(c, 1, MRL_DIMS)          # noqa: E731
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.sqrt(norm2(F.col("embedding"))).alias("qn"),
+        tr(F.col("embedding")).alias("qt"),
+        F.sqrt(norm2(tr(F.col("embedding")))).alias("qtn"),
+    )
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"),
+        F.sqrt(norm2(F.col("embedding"))).alias("cn"),
+        tr(F.col("embedding")).alias("ct"),
+        F.sqrt(norm2(tr(F.col("embedding")))).alias("ctn"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (dot(F.col("qv"), F.col("cv"))
+             / (F.col("qn") * F.col("cn"))).alias("sim_full"),
+            (dot(F.col("qt"), F.col("ct"))
+             / (F.col("qtn") * F.col("ctn"))).alias("sim_trunc"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("sim_full").desc(), F.col("neighbor_id"))
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("sim_trunc").desc(), F.col("neighbor_id"))
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"))
+    return (ranked
+            .groupBy("query_id")
+            .agg(F.sum(((F.col("rf") <= TOP_K) & (F.col("rt") <= TOP_K))
+                       .cast("long")).alias("n_overlap"))
+            .select("query_id", "n_overlap",
+                    (F.col("n_overlap").cast("double")
+                     / F.lit(float(TOP_K))).alias("recall_at_k"))
+            .orderBy("query_id"))
+
+
+_COS_TR_SQL = ("list_dot_product(qt, ct) / (sqrt(list_dot_product(qt, qt))"
+               " * sqrt(list_dot_product(ct, ct)))")
+
+MATRYOSHKA_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> x::double) AS qd,
+         list_transform(embedding[1:{MRL_DIMS}], x -> x::double) AS qt
+  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(embedding, x -> x::double) AS cd,
+         list_transform(embedding[1:{MRL_DIMS}], x -> x::double) AS ct
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS_SQL} AS sim_full,
+         {_COS_TR_SQL} AS sim_trunc
+  FROM q JOIN c ON query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim_full DESC, neighbor_id) AS rf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim_trunc DESC, neighbor_id) AS rt
+  FROM scored
+)
+SELECT query_id,
+       sum((rf <= {TOP_K} AND rt <= {TOP_K})::int)::bigint AS n_overlap,
+       sum((rf <= {TOP_K} AND rt <= {TOP_K})::int)::bigint::double
+         / {TOP_K}::double AS recall_at_k
+FROM ranked GROUP BY query_id ORDER BY query_id
+"""
+
+
 QUERIES = {
+    "embedding_matryoshka_recall": embedding_matryoshka_recall,
     "embeddings_cluster_sample": embeddings_cluster_sample,
     "ivf_assign": ivf_assign,
     "ivf_cell_histogram": ivf_cell_histogram,
@@ -1646,6 +1752,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_matryoshka_recall": MATRYOSHKA_SQL,
     "embeddings_cluster_sample": CLUSTER_SAMPLE_SQL,
     "ivf_assign": IVF_ASSIGN_SQL,
     "ivf_cell_histogram": IVF_HIST_SQL,
