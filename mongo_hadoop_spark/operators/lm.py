@@ -433,7 +433,7 @@ DOREMI_CLAMP = 5_000            #: per-round excess clamp (trust region)
 DOREMI_RENORM = 1_000_000_000   #: post-round total weight mass
 
 
-def corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doremi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-style domain mixture weights (Xie et al. 2023): iterative
     multiplicative-weights over per-domain (source) excess loss, the
     "which domains deserve more pretraining tokens" step.
@@ -494,6 +494,13 @@ def corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n_tokens", "loss_millibits",
             F.expr(f"(w * {DOREMI_RENORM}L) div wt").alias("w")
         ).localCheckpoint()
+    return w
+
+
+def corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presentation form of :func:`_doremi_table`: final weight, ppm
+    share of the total mass, ordered by domain."""
+    w = _doremi_table(spark, sf_dir)
     final_mass = w.agg(F.sum("w").alias("wtot"))
     return (w.crossJoin(F.broadcast(final_mass))
             .select("source", "n_tokens", "loss_millibits",
@@ -573,8 +580,8 @@ def corpus_doremi_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mongo_hadoop_spark.operators.selection import TOKEN_BUDGET
 
-    w = corpus_doremi_weights(spark, sf_dir) \
-        .select("source", "n_tokens", "weight")
+    w = _doremi_table(spark, sf_dir) \
+        .select("source", "n_tokens", F.col("w").alias("weight"))
     totals = w.agg(F.sum("weight").alias("W"))
     b = F.lit(TOKEN_BUDGET).cast("long")
     j = w.crossJoin(F.broadcast(totals)).select(

@@ -601,8 +601,6 @@ def documents_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-based offsets make every chunk independently addressable for
     the embedding join downstream."""
     d = table(spark, sf_dir, "documents")
-    n_extra = (F.greatest(F.length("text") - F.lit(CHUNK_CHARS), F.lit(0))
-               + F.lit(CHUNK_STRIDE - 1)).cast("long")
     chunks = d.select(
         "doc_id", "source",
         F.explode(F.sequence(

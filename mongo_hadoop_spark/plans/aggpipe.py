@@ -1005,10 +1005,13 @@ def _geo_within(col: Column, spec) -> Column:
         if not isinstance(arg, dict):
             raise ValueError("$geometry takes a GeoJSON object")
         gtype = arg.get("type")
+        coords = arg.get("coordinates")
+        if coords is None:
+            raise ValueError("$geometry needs a coordinates member")
         if gtype == "Polygon":
-            rings = arg["coordinates"]
+            rings = coords
         elif gtype == "MultiPolygon":
-            rings = [r for poly in arg["coordinates"] for r in poly]
+            rings = [r for poly in coords for r in poly]
         else:
             raise ValueError(f"$geoWithin $geometry supports Polygon/"
                              f"MultiPolygon, not {gtype!r}")

@@ -286,12 +286,18 @@ def _wrap180(d: float) -> float:
     return d
 
 
-def polygon_edges(rings) -> list[tuple[float, float,
+def polygon_edges(rings) -> list[tuple[float, float, float, float,
                                        tuple[float, float, float]]]:
     """Validate GeoJSON rings and precompute per-edge
-    (lonA, lonB, unit-normalized N = A x B) on the DRIVER — vertex trig
-    uses libm here because N only ever enters the plans as literals,
-    identical in both engines by construction."""
+    (lonA, latA, lonB, latB, unit-normalized N = A x B) on the DRIVER —
+    vertex trig uses libm here because N only ever enters the plans as
+    literals, identical in both engines by construction.  Edges whose
+    wrapped longitude span is exactly 180 deg are rejected: the great
+    circle through two points 180 deg apart in longitude runs THROUGH
+    the poles, so the arc between them is not longitude-monotone and
+    the meridian-straddle test cannot see it (same-longitude meridian
+    SEGMENTS are fine — a ray along a different meridian can never
+    cross them)."""
     edges = []
     n_verts = 0
     if not rings:
@@ -312,18 +318,21 @@ def polygon_edges(rings) -> list[tuple[float, float,
                                  "unsupported (longitude undefined)")
         for (lon1, lat1), (lon2, lat2) in zip(pts,
                                               pts[1:] + pts[:1]):
-            if (lon1, lat1) == (lon2, lat2) or \
-                    (abs(_wrap180(lon2 - lon1)) == 180.0
-                     and lat1 == -lat2):
-                raise ValueError("degenerate ring edge (zero-length "
-                                 "or antipodal endpoints)")
+            if (lon1, lat1) == (lon2, lat2):
+                raise ValueError("degenerate ring edge (zero-length)")
+            if abs(_wrap180(lon2 - lon1)) == 180.0:
+                raise ValueError(
+                    "ring edge spans exactly 180 deg of longitude — "
+                    "its geodesic passes over a pole (antipodal "
+                    "endpoints are a special case); split the edge "
+                    "with an intermediate vertex")
             a, b = _unit_vec(lon1, lat1), _unit_vec(lon2, lat2)
             nx = a[1] * b[2] - a[2] * b[1]
             ny = a[2] * b[0] - a[0] * b[2]
             nz = a[0] * b[1] - a[1] * b[0]
             norm = math.sqrt(nx * nx + ny * ny + nz * nz)
-            edges.append((lon1, lon2, (nx / norm, ny / norm,
-                                       nz / norm)))
+            edges.append((lon1, lat1, lon2, lat2,
+                          (nx / norm, ny / norm, nz / norm)))
     if n_verts > MAX_POLYGON_VERTICES:
         raise ValueError(f"$geometry supports at most "
                          f"{MAX_POLYGON_VERTICES} vertices total "
@@ -344,7 +353,7 @@ def sphere_polygon_pred_sql(lon: str, px: str, py: str, pz: str,
     sphere_vec_sql — bind them in a CTE; each is referenced once per
     edge)."""
     terms = []
-    for lon1, lon2, (nx, ny, nz) in polygon_edges(rings):
+    for lon1, _, lon2, _, (nx, ny, nz) in polygon_edges(rings):
         da = _wrap_sql(f"({_dlit(lon1)} - {lon})")
         db = _wrap_sql(f"({_dlit(lon2)} - {lon})")
         ndp = (f"({_dlit(nx)} * {px} + {_dlit(ny)} * {py} "
@@ -376,7 +385,7 @@ def sphere_polygon_pred_col(lon: Column, lat: Column, rings) -> Column:
     edge_arr = F.expr("array(" + ", ".join(
         f"named_struct('la', {_dlit(l1)}, 'lb', {_dlit(l2)}, "
         f"'nx', {_dlit(nx)}, 'ny', {_dlit(ny)}, 'nz', {_dlit(nz)})"
-        for l1, l2, (nx, ny, nz) in edges) + ")")
+        for l1, _, l2, _, (nx, ny, nz) in edges) + ")")
     px, py, pz = sphere_vec_col(lon, lat)
     bound = F.array(F.struct(px.alias("px"), py.alias("py"),
                              pz.alias("pz"), lon.alias("lon")))
@@ -442,24 +451,24 @@ def _lon_in_arc(lon: float, lon1: float, lon2: float) -> bool:
 
 def polygon_prefilter_bounds(rings):
     """(lat_lo, lat_hi, lon_intervals | None) for the polygon REGION,
-    driver-side libm (enters the plan only as literals)."""
+    driver-side libm (enters the plan only as literals).  Consumes the
+    SAME per-edge normals as the parity fold (polygon_edges), so the
+    prefilter cannot drift from the predicate it guards."""
     lat_lo, lat_hi = 90.0, -90.0
     intervals: list[tuple[float, float]] = []
     lon_any = False
-    for ring in rings:
-        pts = [(float(p[0]), float(p[1])) for p in ring][:-1]
-        if abs(sum(_wrap180(b[0] - a[0])
-                   for a, b in zip(pts, pts[1:] + pts[:1]))) > 180.0:
+    ring_sizes = [len(r) - 1 for r in rings]
+    all_edges = polygon_edges(rings)
+    pos = 0
+    for n_edges in ring_sizes:
+        ring_edges = all_edges[pos:pos + n_edges]
+        pos += n_edges
+        if abs(sum(_wrap180(l2 - l1)
+                   for l1, _, l2, _, _ in ring_edges)) > 180.0:
             lat_lo = -90.0          # axis-winding: region reaches the
             lon_any = True          # south pole, every longitude occurs
-        for (lon1, lat1), (lon2, lat2) in zip(pts, pts[1:] + pts[:1]):
+        for lon1, lat1, lon2, lat2, (nx, ny, nz) in ring_edges:
             lo, hi = min(lat1, lat2), max(lat1, lat2)
-            a, b = _unit_vec(lon1, lat1), _unit_vec(lon2, lat2)
-            nx = a[1] * b[2] - a[2] * b[1]
-            ny = a[2] * b[0] - a[0] * b[2]
-            nz = a[0] * b[1] - a[1] * b[0]
-            nn = math.sqrt(nx * nx + ny * ny + nz * nz)
-            nx, ny, nz = nx / nn, ny / nn, nz / nn
             if nz * nz < 1.0 - 1e-12:
                 # great-circle vertex (closest point to the north pole):
                 # v = z - (z.n) n, normalized

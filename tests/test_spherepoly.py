@@ -25,7 +25,7 @@ def _ref_inside(lon, lat, rings):
          math.cos(phi) * math.sin(lam), math.sin(phi))
     inside = False
     margin = math.inf          # distance-to-boundary proxy for skipping
-    for lon1, lon2, n in trig.polygon_edges(rings):
+    for lon1, _, lon2, _, n in trig.polygon_edges(rings):
         da = trig._wrap180(lon1 - lon)
         db = trig._wrap180(lon2 - lon)
         margin = min(margin, abs(da), abs(db))
@@ -128,9 +128,16 @@ def test_refusals():
         trig.polygon_edges([[(0, 0), (10, 0), (10, 10)]])
     with pytest.raises(ValueError, match="poles"):
         trig.polygon_edges([[(0, 90.0), (10, 0), (10, 10), (0, 90.0)]])
-    with pytest.raises(ValueError, match="antipodal|zero-length"):
-        trig.polygon_edges([[(0, 30.0), (180.0, -30.0), (10, 10),
+    with pytest.raises(ValueError, match="zero-length"):
+        trig.polygon_edges([[(0, 30.0), (0.0, 30.0), (10, 10),
                              (0, 30.0)]])
+    # any 180-deg-longitude-span edge passes over a pole: the straddle
+    # test cannot see it, so it is rejected (not silently ignored) —
+    # antipodal endpoints are the special case lat1 == -lat2
+    for bad in [[(0, 30.0), (180.0, -30.0), (10, 10), (0, 30.0)]],\
+               [[(0, 10.0), (180.0, 20.0), (90, 15.0), (0, 10.0)]]:
+        with pytest.raises(ValueError, match="over a pole"):
+            trig.polygon_edges(bad)
     with pytest.raises(ValueError, match="at most"):
         big = [(math.cos(i) + i * 1e-6, math.sin(i)) for i in range(40)]
         trig.polygon_edges([big + [big[0]]])
