@@ -117,7 +117,13 @@ def time_queries(spark, names, dirs) -> dict[str, list[float]]:
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
-                fn(spark, d).count()
+                # noop sink, not count(): count() lets Catalyst prune
+                # computed columns (and whole window/join stages whose
+                # outputs don't affect cardinality), timing a hollow
+                # plan for map-shaped queries; noop materializes every
+                # output column on the executors
+                fn(spark, d).write.format("noop").mode(
+                    "overwrite").save()
                 el = time.perf_counter() - t0
                 best = el if best is None or el < best else best
             row.append(round(best, 3))
