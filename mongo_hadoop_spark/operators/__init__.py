@@ -52,7 +52,7 @@ _HEAD_KEYS = [
     "corpus_pretrain_token_budget", "corpus_wordpiece_merges",
     "corpus_doremi_weights", "corpus_doremi_quotas",
     "documents_chunk_windows", "embedding_matryoshka_recall",
-    "documents_fim_transform",
+    "documents_fim_transform", "corpus_chunk_dedup",
     "pipeline_geo_center_sphere", "pipeline_geo_near_sphere",
     "pipeline_geo_polygon_sphere",
     "graph_pagerank_neardup", "graph_degree_histogram",

@@ -709,6 +709,67 @@ ORDER BY doc_id
 """
 
 
+
+def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: duplicated CHUNK_CHARS windows across
+    the corpus (boilerplate headers, license blocks, mirrored passages
+    — duplication that document-level dedup can't see because the
+    surrounding documents differ).  The step that runs before paying
+    for chunk embeddings in a RAG ingest.
+
+    Composition of :func:`documents_chunk_windows` with the exact-dedup
+    shape: md5 fingerprint per chunk (the 60-bit cross-engine hash),
+    one keyed aggregate, survivors = lexicographically-first
+    (doc_id, chunk_idx) copy.  Only duplicated fingerprints are
+    reported.  Scale: fingerprinting is map-side; the aggregate
+    shuffles fingerprint-keyed (uniform by construction); output is
+    duplicate-group-sized."""
+    chunks = documents_chunk_windows(spark, sf_dir) \
+        .where(F.length("chunk_text") > 0)
+    fp = chunks.select(
+        md5_long(F.col("chunk_text")).alias("fingerprint"),
+        "doc_id", "chunk_idx")
+    # canonical copy via a packed key: chunk_idx < 2^20 at any sane
+    # document length, so (doc_id << 20) + chunk_idx orders exactly
+    # like (doc_id, chunk_idx) — min() then decomposes, and the same
+    # integer trick runs verbatim in the oracle
+    key = F.col("doc_id") * F.lit(1048576).cast("long") + F.col("chunk_idx")
+    return (fp.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.min(key).alias("__k"))
+            .where(F.col("n_copies") > 1)
+            .select("fingerprint", "n_copies", "n_docs",
+                    F.expr("__k div 1048576").alias("canonical_doc"),
+                    (F.col("__k") % 1048576).alias("canonical_chunk"))
+            .orderBy("fingerprint"))
+
+
+CHUNK_DEDUP_SQL = f"""
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           0, (greatest(length(text) - {CHUNK_CHARS}, 0)
+               + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE})) AS chunk_idx
+  FROM documents
+),
+fp AS (
+  SELECT {md5_long_sql(f"substr(text, (chunk_idx * {CHUNK_STRIDE} + 1)::int, {CHUNK_CHARS})")}
+           AS fingerprint,
+         doc_id, chunk_idx
+  FROM idx
+  WHERE length(substr(text, (chunk_idx * {CHUNK_STRIDE} + 1)::int,
+               {CHUNK_CHARS})) > 0
+)
+SELECT fingerprint, count(*)::bigint AS n_copies,
+       count(DISTINCT doc_id)::bigint AS n_docs,
+       min(doc_id * 1048576 + chunk_idx) // 1048576 AS canonical_doc,
+       min(doc_id * 1048576 + chunk_idx) % 1048576 AS canonical_chunk
+FROM fp GROUP BY fingerprint HAVING count(*) > 1
+ORDER BY fingerprint
+"""
+
+
 QUERIES = {
     "text_heavy_hitters": text_heavy_hitters,
     "text_langid": text_langid,
@@ -723,6 +784,7 @@ QUERIES = {
     "text_repetition_ratio": text_repetition_ratio,
     "documents_chunk_windows": documents_chunk_windows,
     "documents_fim_transform": documents_fim_transform,
+    "corpus_chunk_dedup": corpus_chunk_dedup,
 }
 
 ORACLES = {
@@ -739,4 +801,5 @@ ORACLES = {
     "text_repetition_ratio": REPETITION_SQL,
     "documents_chunk_windows": CHUNK_WINDOWS_SQL,
     "documents_fim_transform": FIM_TRANSFORM_SQL,
+    "corpus_chunk_dedup": CHUNK_DEDUP_SQL,
 }

@@ -104,3 +104,32 @@ def test_fim_transform_invariants(spark, chunk_dir):
         else:
             assert r.train_text == text
     assert 0 < applied < len(texts) or len(texts) < 4
+
+
+def test_chunk_dedup_finds_planted_boilerplate(spark, tmp_path):
+    """Identical CHUNK_CHARS-aligned boilerplate planted in documents
+    whose remainders differ: document-level dedup sees distinct docs,
+    chunk dedup must group the shared window and pick the
+    lexicographically-first (doc_id, chunk_idx) copy."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mongo_hadoop_spark.operators.textstats import (
+        CHUNK_CHARS, corpus_chunk_dedup)
+
+    header = "L" * CHUNK_CHARS          # exactly one aligned window
+    texts = [header + f" unique tail {i} " + chr(97 + i) * 40
+             for i in range(3)]
+    texts.append("totally different document with no boilerplate")
+    d = tmp_path / "cd"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": range(len(texts)), "lang": ["en"] * len(texts),
+        "source": ["s0"] * len(texts), "text": texts})),
+        str(d / "documents.parquet"))
+    got = corpus_chunk_dedup(spark, str(d)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_copies, r.n_docs) == (3, 3)
+    assert (r.canonical_doc, r.canonical_chunk) == (0, 0)
