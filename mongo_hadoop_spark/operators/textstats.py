@@ -600,7 +600,14 @@ def documents_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the chunker is scan-bound and embarrassingly parallel, and
     the 1-based offsets make every chunk independently addressable for
     the embedding join downstream."""
-    d = table(spark, sf_dir, "documents")
+    return chunk_windows(table(spark, sf_dir, "documents")) \
+        .orderBy("doc_id", "chunk_idx")
+
+
+def chunk_windows(d: DataFrame) -> DataFrame:
+    """The chunker core over any documents frame — batch and streaming
+    share this verbatim (stateless per-doc map, so stream ≡ batch by
+    construction)."""
     chunks = d.select(
         "doc_id", "source",
         F.explode(F.sequence(
@@ -615,8 +622,7 @@ def documents_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chunk_off"),
         F.expr(f"substring(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1 "
                f"AS INT), {CHUNK_CHARS})").alias("chunk_text"))
-        .withColumn("n_chunk_chars", F.length("chunk_text"))
-        .orderBy("doc_id", "chunk_idx"))
+        .withColumn("n_chunk_chars", F.length("chunk_text")))
 
 
 CHUNK_WINDOWS_SQL = f"""
@@ -657,7 +663,13 @@ def documents_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines — and any re-run over re-partitioned data — cut
     every document identically.  Pure per-row integer/substring
     arithmetic, zero shuffles at any corpus size."""
-    d = table(spark, sf_dir, "documents")
+    return fim_transform(table(spark, sf_dir, "documents")) \
+        .orderBy("doc_id")
+
+
+def fim_transform(d: DataFrame) -> DataFrame:
+    """The FIM core over any documents frame — batch and streaming
+    share this verbatim (row-local md5 pivots + substrings)."""
     key = F.col("doc_id").cast("string")
     L = F.length("text")
     a = md5_long(key, "fim-a") % (L + F.lit(1))
@@ -677,8 +689,7 @@ def documents_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("__lo").alias("cut_lo"),
                     F.col("__hi").alias("cut_hi"),
                     F.when(picked, fim).otherwise(F.col("text"))
-                    .alias("train_text"))
-            .orderBy("doc_id"))
+                    .alias("train_text")))
 
 
 FIM_TRANSFORM_SQL = f"""

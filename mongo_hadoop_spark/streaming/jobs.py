@@ -467,6 +467,28 @@ def stream_bpe_tokenize(documents: DataFrame,
                     lambda a, x: a + x).cast("long").alias("n_bpe_tokens"))
 
 
+def stream_chunk_windows(documents: DataFrame) -> DataFrame:
+    """Streaming RAG chunker: the batch chunker core
+    (:func:`~.operators.textstats.chunk_windows`) applied to arriving
+    crawl shards — a stateless per-doc explode, so every chunk row
+    (offsets included) is identical to the batch run's (stream ≡ batch
+    pinned).  At scale this feeds the embedding/ingest sink
+    incrementally instead of re-chunking the corpus per epoch."""
+    from mongo_hadoop_spark.operators.textstats import chunk_windows
+
+    return chunk_windows(documents)
+
+
+def stream_fim_transform(documents: DataFrame) -> DataFrame:
+    """Streaming FIM rearrangement: the batch core
+    (:func:`~.operators.textstats.fim_transform`) on the stream — the
+    md5-derived pivots depend on doc_id alone, so the cut is identical
+    whichever micro-batch delivers the document."""
+    from mongo_hadoop_spark.operators.textstats import fim_transform
+
+    return fim_transform(documents)
+
+
 def stream_crawl_classify(seen_index: dict, out_path: str):
     """foreachBatch body for incremental-crawl dedup: classify each
     arriving micro-batch of documents against a fixed seen-corpus index

@@ -875,3 +875,30 @@ def test_stream_bpe_tokenize_equals_batch(spark, documents_dir, tmp_path):
         nw, nt = agg.get(r["lang"], (0, 0))
         agg[r["lang"]] = (nw + r["n_words"], nt + r["n_bpe_tokens"])
     assert {(k, *v) for k, v in agg.items()} == want
+
+
+def test_stream_chunk_and_fim_equal_batch(spark, documents_dir, tmp_path):
+    """The chunker and the FIM transform are stateless per-doc maps:
+    the streaming runs must reproduce the batch cores row-for-row."""
+    from mongo_hadoop_spark.operators.textstats import (
+        chunk_windows, fim_transform)
+    from mongo_hadoop_spark.streaming.jobs import (
+        stream_chunk_windows, stream_fim_transform,
+        streaming_documents_source)
+
+    static = spark.read.parquet(documents_dir)
+    got_c = run_to_completion(
+        stream_chunk_windows(streaming_documents_source(spark, documents_dir)),
+        "append", tmp_path / "c")
+    want_c = chunk_windows(static).collect()
+    key = lambda r: (r["doc_id"], r["chunk_idx"])  # noqa: E731
+    assert sorted(((key(r), r["chunk_off"], r["chunk_text"])
+                   for r in got_c)) == \
+        sorted(((key(r), r["chunk_off"], r["chunk_text"]) for r in want_c))
+    got_f = run_to_completion(
+        stream_fim_transform(streaming_documents_source(spark, documents_dir)),
+        "append", tmp_path / "f")
+    want_f = fim_transform(static).collect()
+    pick = lambda r: (r["doc_id"], r["fim_applied"], r["cut_lo"],  # noqa: E731
+                      r["cut_hi"], r["train_text"])
+    assert sorted(map(pick, got_f)) == sorted(map(pick, want_f))
