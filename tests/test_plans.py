@@ -531,3 +531,49 @@ def test_bpe_argmax_is_take_ordered(spark):
     plan = plan_of(m)
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Sort ") == 0   # no standalone global sort operator
+
+
+def test_geo_polygon_prefilter_guards_the_fold(spark):
+    """$geoWithin $geometry: the driver-computed bounding box must sit
+    in the SAME Filter as the interpreted parity fold (conjunct
+    short-circuit skips the fold for non-candidates — the 4.5× bench
+    fix), with no Window/CartesianProduct anywhere."""
+    from mongo_hadoop_spark.operators import mongoagg
+    from mongo_hadoop_spark.operators.mongoagg import _GEO_POLY_SPHERE
+    from mongo_hadoop_spark.plans.trig import polygon_prefilter_bounds
+
+    rings = [r for poly in _GEO_POLY_SPHERE["coordinates"] for r in poly]
+    lat_lo, lat_hi, lon_iv = polygon_prefilter_bounds(rings)
+    assert lon_iv is not None       # the registry polygon is selective
+    df = mongoagg.pipeline_geo_polygon_sphere(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    f = plan[plan.index("Filter"):]
+    assert repr(lat_lo) in f and "aggregate(" in f
+    assert f.index(repr(lat_lo)) < f.index("aggregate(")
+
+
+def test_chunk_dedup_single_keyed_aggregate(spark):
+    """Chunk dedup: map-side fingerprinting into ONE fingerprint-keyed
+    aggregation — no window, no join, no second corpus shuffle."""
+    from mongo_hadoop_spark.operators import textstats
+
+    df = textstats.corpus_chunk_dedup(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Window" not in plan and "Join" not in plan
+    # exchanges: countDistinct(doc_id) expands to the standard
+    # two-phase keyed aggregation ((fingerprint, doc_id) partials then
+    # fingerprint merge — both map-side-partial keyed shuffles), plus
+    # the range sort on the duplicate-group-sized output
+    assert plan.count("Exchange") <= 3
+
+
+def test_doremi_loop_has_no_corpus_sized_window(spark):
+    """DoReMi: the multiplicative-weights rounds run on the checkpointed
+    domain table — no Window anywhere, and every join is a broadcast of
+    a 1-row scalar aggregate."""
+    from mongo_hadoop_spark.operators import lm
+
+    plan = plan_of(lm.corpus_doremi_weights(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
