@@ -50,6 +50,7 @@ _HEAD_KEYS = [
     "corpus_bpe_merges", "corpus_bpe_symbol_stats",
     "corpus_bpe_compression", "documents_pack_sequences_bpe",
     "corpus_pretrain_token_budget", "corpus_wordpiece_merges",
+    "corpus_wordpiece_compression",
     "corpus_doremi_weights", "corpus_doremi_quotas",
     "documents_chunk_windows", "embedding_matryoshka_recall",
     "documents_fim_transform", "corpus_chunk_dedup",

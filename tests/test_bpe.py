@@ -212,3 +212,43 @@ def test_random_corpora_match_reference(spark, tmp_path, seed):
     got = corpus_bpe_merges(spark, str(d)).collect()
     assert [(r.merge_rank, r.pair, r.cnt) for r in got] == \
         [(i + 1, p, c) for i, (p, c) in enumerate(want)]
+
+
+def test_wordpiece_compression_matches_reference(spark, corpus_dir):
+    """WordPiece apply side: per-lang token counts under the
+    likelihood-trained merges must equal the plain-Python reference's
+    segmentations applied to every word occurrence."""
+    from collections import Counter
+
+    from mongo_hadoop_spark.operators.bpe import (
+        corpus_wordpiece_compression)
+
+    sf_dir, texts, langs = corpus_dir
+    # reference segmentations: rerun _ref_wordpiece's loop keeping segs
+    words = Counter(w for t in texts for w in t.lower().split())
+    segs = {w: " ".join(w) for w in words}
+    for _ in range(BPE_MERGES):
+        pc, sc = Counter(), Counter()
+        for w, f in words.items():
+            syms = segs[w].split(" ")
+            for s_ in syms:
+                sc[s_] += f
+            for a, b in zip(syms, syms[1:]):
+                pc[a + " " + b] += f
+        if not pc:
+            break
+        pair = min(pc, key=lambda p: (-pc[p] / (sc[p.split(" ")[0]]
+                                                * sc[p.split(" ")[1]]), p))
+        merged = pair.replace(" ", "")
+        for w in segs:
+            segs[w] = (" " + segs[w] + " ").replace(
+                " " + pair + " ", " " + merged + " ").strip()
+    want = {}
+    for lang, t in zip(langs, texts):
+        for w in t.lower().split():
+            nw, nt, nc = want.get(lang, (0, 0, 0))
+            want[lang] = (nw + 1, nt + len(segs[w].split(" ")),
+                          nc + len(w))
+    got = corpus_wordpiece_compression(spark, sf_dir).collect()
+    assert {r.lang: (r.n_words, r.n_wp_tokens, r.n_chars)
+            for r in got} == want
