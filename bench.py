@@ -56,6 +56,15 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
 
+    # Load hygiene (r6 verdict item 4): record the machine's load BEFORE
+    # the run too, so a contaminated run is identifiable from the JSON
+    # alone (r6's uniform 1.4-2.3x inflation had only the exit load to go
+    # on).  An already-loaded box is annotated, never silently timed.
+    load_start = round(os.getloadavg()[0], 2)
+    if load_start > float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "8")):
+        print(f"  WARNING: load_avg_1m={load_start} at start — timings "
+              "will measure contention, not the engine", file=sys.stderr)
+
     from mongo_hadoop_spark.session import get_spark, table
     from mongo_hadoop_spark import operators
 
@@ -120,7 +129,10 @@ def main() -> None:
         # (a round-6 run measured 22x on single queries that re-timed at
         # 0.8x on an idle box) — a high 1-minute load at exit means the
         # totals measure contention, not the engine
+        "load_avg_1m_start": load_start,
         "load_avg_1m_end": round(os.getloadavg()[0], 2),
+        "loaded_at_start": load_start > float(
+            os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "8")),
     }
     if errors:
         out["errors"] = errors
@@ -133,7 +145,8 @@ def main() -> None:
     # inside the window.
     compact = {k: out[k] for k in ("metric", "value", "unit", "sf",
                                    "repeats", "timing", "n_queries",
-                                   "n_failed", "load_avg_1m_end")}
+                                   "n_failed", "load_avg_1m_start",
+                                   "load_avg_1m_end")}
     with_queries = dict(compact, queries=timings)
     line = json.dumps(with_queries)
     print(line if len(line) <= 1800 else json.dumps(compact))

@@ -1014,10 +1014,18 @@ ORDER BY score DESC, doc_id LIMIT 20
 
 def _hybrid_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ⋈ embeddings on doc_id = vec_id — a corpus with both a
-    text and an embedding column, the shape hybrid search runs on."""
+    text and an embedding column, the shape hybrid search runs on.
+
+    No broadcast hint: BOTH sides are corpus-sized, so the join must stay
+    a shuffled equi-join at scale (a forced broadcast of `embeddings`
+    would OOM the executors at 100 TB).  On small inputs Spark's size
+    estimate stays under `autoBroadcastJoinThreshold` and the planner
+    (or AQE) still picks a broadcast on its own — the decision is
+    stats-driven, never pinned.
+    """
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
-    return docs.join(F.broadcast(emb), docs.doc_id == emb.vec_id).select(
+    return docs.join(emb, docs.doc_id == emb.vec_id).select(
         "doc_id", "text", "lang", "source", "n_chars", "embedding")
 
 

@@ -256,18 +256,28 @@ def documents_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ est_tokens over the sample is an unbiased estimate of corpus token
     mass (DLT 2007, Theorem 1).
 
-    Plan: linear scan → global top-(k+1) (TakeOrderedAndProject) → 1-row
-    broadcast of τ.  No full sort, no all-pairs anything.
+    Plan: linear scan → global top-(k+1) (TakeOrderedAndProject: per-task
+    partial top-(k+1), single merge of k+1-row heads) → 1-row broadcast
+    of τ.  The row_number window runs on the ALREADY-LIMITED (k+1)-row
+    set, never the corpus (Spark's InferWindowGroupLimit does not fire
+    on a global rn-filter, so a corpus-wide window here would serialize
+    every document through one task — pinned in tests/test_plans.py).
+    (priority, doc_id) is a total order, so limit(k+1) under that sort
+    selects exactly the rows the global rn ≤ k+1 filter would.
     """
     from pyspark.sql import Window
 
-    ranked = _doc_weights(spark, sf_dir).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.orderBy(F.col("priority").desc(), F.col("doc_id").asc())
-        ),
+    topk1 = (
+        _doc_weights(spark, sf_dir)
+        .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+        .limit(PRIORITY_K + 1)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+            ),
+        )
     )
-    topk1 = ranked.where(F.col("rn") <= PRIORITY_K + 1)
     tau = topk1.where(F.col("rn") == PRIORITY_K + 1).select(
         F.col("priority").alias("tau")
     )

@@ -577,3 +577,35 @@ def test_doremi_loop_has_no_corpus_sized_window(spark):
     plan = plan_of(lm.corpus_doremi_weights(spark, SF_SMOKE))
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_hybrid_corpus_join_is_stats_driven_not_hinted(spark):
+    """documents ⋈ embeddings: BOTH sides are corpus-sized, so the join
+    must be stats-driven (SMJ at scale, broadcast only when the planner
+    measures the side under the threshold).  A broadcast *hint* here
+    would force an executor OOM at 100 TB — assert none exists in the
+    analyzed plan (r6 verdict item 3)."""
+    from mongo_hadoop_spark.operators import mongoagg
+
+    df = mongoagg._hybrid_corpus(spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+
+def test_priority_sample_topk_is_take_ordered_window_bounded(spark):
+    """DLT priority sample: the corpus-wide top-(k+1) must be a
+    TakeOrderedAndProject (per-task partial top), with the row_number
+    window running on the (k+1)-row limited set — never a
+    single-partition window over the corpus (r6 verdict item 5)."""
+    from mongo_hadoop_spark.operators import selection
+
+    df = selection.documents_priority_sample(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    # every Window node must sit ABOVE a TakeOrderedAndProject in its
+    # subtree (i.e. windows only ever see the k+1-row set)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if " Window " in ln or ln.lstrip().startswith("Window "):
+            below = "\n".join(lines[i:])
+            assert "TakeOrderedAndProject" in below
