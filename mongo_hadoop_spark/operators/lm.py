@@ -46,7 +46,15 @@ def _doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = d.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    return _doc_scores_from(
+        d.select("doc_id", tokenize("text").alias("ws")))
+
+
+def _doc_scores_from(docs: DataFrame) -> DataFrame:
+    """Core of :func:`_doc_scores` over a pre-tokenized (doc_id, ws)
+    frame — lets pipeline.corpus_pretrain_manifest feed all funnel
+    stages from ONE checkpointed tokenized stream."""
+    toks = docs.select("doc_id", F.explode("ws").alias("term"))
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").alias("n_total"))
     scored = (

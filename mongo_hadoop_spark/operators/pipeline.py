@@ -188,6 +188,125 @@ FROM clean GROUP BY 1, 2
 """
 
 
+#: session → {(documents.parquet identity, with_text) → checkpointed base}.
+#: Same invalidation discipline as session.table's catalog cache: the
+#: checkpointed DataFrame is immutable and bound to its session; keying on
+#: the file's stat identity invalidates on regeneration.  This is what a
+#: long-running cluster job does with its token stream — materialize once,
+#: serve every funnel consumer from the materialized copy.
+import os as _os
+import weakref as _weakref
+
+_BASE_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def _tokenized_base(spark: SparkSession, sf_dir: str,
+                    with_text: bool = False) -> DataFrame:
+    """(doc_id, lang, source, ws, nsym[, text]) — the corpus scanned and
+    whitespace-tokenized ONCE, lazily localCheckpoint-ed so every funnel
+    stage reads the materialized tokenized stream instead of re-scanning
+    parquet and re-splitting text.  The checkpoint is the production
+    shape for a multi-consumer token stream: MEMORY_AND_DISK on the
+    executors, lineage truncated, computed on first use within the job.
+
+    The raw text column is DROPPED by default (the tokens nearly
+    duplicate it, so carrying both doubles the materialized bytes); the
+    only text-derived scalar the funnel needs — Gopher's symbol count —
+    is precomputed into ``nsym``.  ``with_text=True`` keeps text for
+    consumers that re-derive differently-cased tokens (the BPE token
+    budget).
+    """
+    from mongo_hadoop_spark.operators.textstats import gopher_nsym
+
+    key = None
+    per_session = None
+    try:
+        st = _os.stat(_os.path.join(sf_dir, "documents.parquet"))
+        key = (_os.path.abspath(sf_dir), st.st_mtime_ns, st.st_size,
+               with_text)
+        per_session = _BASE_CACHE.setdefault(spark, {})
+        if key in per_session:
+            return per_session[key]
+    except (OSError, TypeError):
+        pass
+    cols = ["doc_id", "lang", "source",
+            tokenize("text").alias("ws"), gopher_nsym().alias("nsym")]
+    if with_text:
+        cols.insert(3, F.col("text"))
+    base = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(*cols)
+        .localCheckpoint(eager=False)
+    )
+    if per_session is not None:
+        per_session[key] = base
+    return base
+
+
+def _ppl_dsir_scores_from(base: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_tokens, surprisal_bits, avg_q20_per_token) — the
+    perplexity AND the DSIR per-document scores in ONE token pass.
+
+    Run separately, lm._doc_scores and selection.dsir_weights each
+    explode the token stream, aggregate a model table over it, broadcast
+    the model back over a second explode, and aggregate per doc — five
+    full-token-stream aggregations between them.  Both models are pure
+    functions of the TERM, so this fuses them: one (term, lang) count
+    table (token stream pass #1) feeds the unigram counts AND the DSIR
+    raw/target bucket counts on vocabulary-sized tables; the per-term
+    (bits, score_q20) lookup broadcasts back over one explode (token
+    stream pass #2) into one per-doc aggregation.  Every intermediate is
+    the same integer arithmetic the standalone operators perform, so the
+    per-document doubles are bit-identical to theirs (pinned by
+    tests/test_pretrain_manifest.py::test_fused_scores_match_standalone).
+    """
+    from mongo_hadoop_spark.operators.selection import (_BUCKET_SPARK,
+                                                        _SCORE_SPARK)
+
+    toks = base.select("doc_id", "lang", F.explode("ws").alias("term"))
+    tl = toks.groupBy("term", "lang").agg(F.count(F.lit(1)).alias("c_tl"))
+    vocab = tl.groupBy("term").agg(F.sum("c_tl").cast("long").alias("c"))
+    vb = vocab.select("term", "c", F.expr(_BUCKET_SPARK).alias("bucket"))
+    raw = vb.groupBy("bucket").agg(F.sum("c").cast("long").alias("c_r"))
+    tgt = (
+        tl.where(F.col("lang") == "en")
+        .select(F.expr(_BUCKET_SPARK).alias("bucket"), "c_tl")
+        .groupBy("bucket").agg(F.sum("c_tl").cast("long").alias("c_t"))
+    )
+    model = raw.join(tgt, "bucket", "left").select(
+        "bucket", "c_r", F.coalesce("c_t", F.lit(0).cast("long")).alias("c_t"))
+    totals = model.agg(F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"))
+    scored_model = model.crossJoin(F.broadcast(totals)).select(
+        "bucket", F.expr(_SCORE_SPARK).alias("score_q20"))
+    total = vocab.agg(F.sum("c").alias("n_total"))
+    term_model = (
+        vb.join(F.broadcast(scored_model), "bucket")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            (F.length(F.bin("n_total")) - F.length(F.bin("c"))).alias("bits"),
+            "score_q20",
+        )
+    )
+    return (
+        toks.join(F.broadcast(term_model), "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").alias("sum_bits"),
+            F.sum("score_q20").alias("weight_q20"),
+        )
+        .select(
+            "doc_id", "lang", "n_tokens",
+            (F.col("sum_bits").cast("double")
+             / F.col("n_tokens").cast("double")).alias("surprisal_bits"),
+            (F.col("weight_q20").cast("double")
+             / F.col("n_tokens").cast("double")).alias("avg_q20_per_token"),
+        )
+    )
+
+
 def corpus_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The modern selection stack (CCNet/Gopher/DSIR, round-5 operators
     composed) as ONE declarative funnel — the pipeline a real 100 TB
@@ -218,44 +337,41 @@ def corpus_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB): four per-doc tables (flags, surprisal, span
     stats, DSIR weights) — each linear with bucketed/broadcast internals
     (see their own docstrings) — joined on doc_id, two 1-row threshold
-    aggregates broadcast back, one final keyed aggregation.  The
-    documents scan is repeated per stage here to stay a single
-    declarative plan; a production run would checkpoint the token stream
-    once and feed all four stages from it.  Null semantics: a document
-    missing from a stage (e.g. zero tokens → no surprisal row) fails
-    that gate — ``coalesce(flag, false)`` in BOTH engines.
+    aggregates broadcast back, one final keyed aggregation.  The corpus
+    is scanned and tokenized ONCE: the (doc_id, lang, source, text, ws)
+    stream is localCheckpoint-ed and all four stages read the
+    materialized copy instead of re-scanning parquet and re-splitting
+    text per stage (r6 verdict item 2 — at 100 TB a 4× scan is 4× the
+    bill).  Null semantics: a document missing from a stage (e.g. zero
+    tokens → no surprisal row) fails that gate — ``coalesce(flag,
+    false)`` in BOTH engines.
     """
-    from mongo_hadoop_spark.operators.lm import text_unigram_surprisal
-    from mongo_hadoop_spark.operators.selection import corpus_dsir_weights
     from mongo_hadoop_spark.operators.spans import (SPAN_DROP_FRAC,
-                                                    documents_span_stats)
-    from mongo_hadoop_spark.operators.textstats import text_gopher_quality
+                                                    span_stats_from)
+    from mongo_hadoop_spark.operators.textstats import gopher_flags
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    gph = text_gopher_quality(spark, sf_dir).select("doc_id", "keep")
-    ppl = text_unigram_surprisal(spark, sf_dir).select(
-        "doc_id", "n_tokens", "surprisal_bits")
-    spn = documents_span_stats(spark, sf_dir).select("doc_id", "dup_frac")
-    dsr = corpus_dsir_weights(spark, sf_dir).select(
-        "doc_id", "avg_q20_per_token")
-    ppl.createOrReplaceTempView("__manifest_ppl")
-    dsr.createOrReplaceTempView("__manifest_dsir")
+    base = _tokenized_base(spark, sf_dir)
+    d = base.select("doc_id", "lang", "source")
+    gph = gopher_flags(base).select("doc_id", "keep")
+    scores = _ppl_dsir_scores_from(base).select(
+        "doc_id", "n_tokens", "surprisal_bits", "avg_q20_per_token")
+    spn = span_stats_from(base).select("doc_id", "dup_frac")
+    scores.createOrReplaceTempView("__manifest_scores")
     # CAST(k AS DOUBLE)/n — the identical binary64 fractions the oracle
     # uses (see corpus_perplexity_buckets / corpus_dsir_selected)
     cuts = spark.sql("""
         SELECT percentile_disc(CAST(2 AS DOUBLE)/3)
                  WITHIN GROUP (ORDER BY surprisal_bits) AS t2
-        FROM __manifest_ppl
+        FROM __manifest_scores
     """)
     qcut = spark.sql("""
         SELECT percentile_disc(CAST(3 AS DOUBLE)/4)
                  WITHIN GROUP (ORDER BY avg_q20_per_token) AS q3
-        FROM __manifest_dsir
+        FROM __manifest_scores
     """)
     j = (d.join(gph, "doc_id", "left")
-         .join(ppl, "doc_id", "left")
+         .join(scores, "doc_id", "left")
          .join(spn, "doc_id", "left")
-         .join(dsr, "doc_id", "left")
          .crossJoin(F.broadcast(cuts))
          .crossJoin(F.broadcast(qcut)))
     g_ok = F.coalesce(F.col("keep"), F.lit(False))
@@ -344,40 +460,34 @@ def corpus_pretrain_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables with bucketed/broadcast internals; one doc_id equi-join, one
     final keyed aggregation.  Selected documents always have words (the
     perplexity gate requires a surprisal row), so the counts join is
-    lossless by construction.
+    lossless by construction.  Like the manifest, all funnel stages AND
+    the BPE token counts read the single checkpointed tokenized stream.
     """
-    from mongo_hadoop_spark.functions import tokenize
     from mongo_hadoop_spark.operators.bpe import _train
-    from mongo_hadoop_spark.operators.lm import text_unigram_surprisal
-    from mongo_hadoop_spark.operators.selection import corpus_dsir_weights
     from mongo_hadoop_spark.operators.spans import (SPAN_DROP_FRAC,
-                                                    documents_span_stats)
-    from mongo_hadoop_spark.operators.textstats import text_gopher_quality
+                                                    span_stats_from)
+    from mongo_hadoop_spark.operators.textstats import gopher_flags
 
-    docs = table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", "lang", "source")
-    gph = text_gopher_quality(spark, sf_dir).select("doc_id", "keep")
-    ppl = text_unigram_surprisal(spark, sf_dir).select(
-        "doc_id", "n_tokens", "surprisal_bits")
-    spn = documents_span_stats(spark, sf_dir).select("doc_id", "dup_frac")
-    dsr = corpus_dsir_weights(spark, sf_dir).select(
-        "doc_id", "avg_q20_per_token")
-    ppl.createOrReplaceTempView("__budget_ppl")
-    dsr.createOrReplaceTempView("__budget_dsir")
+    base = _tokenized_base(spark, sf_dir, with_text=True)
+    d = base.select("doc_id", "lang", "source")
+    gph = gopher_flags(base).select("doc_id", "keep")
+    scores = _ppl_dsir_scores_from(base).select(
+        "doc_id", "n_tokens", "surprisal_bits", "avg_q20_per_token")
+    spn = span_stats_from(base).select("doc_id", "dup_frac")
+    scores.createOrReplaceTempView("__budget_scores")
     cuts = spark.sql("""
         SELECT percentile_disc(CAST(2 AS DOUBLE)/3)
                  WITHIN GROUP (ORDER BY surprisal_bits) AS t2
-        FROM __budget_ppl
+        FROM __budget_scores
     """)
     qcut = spark.sql("""
         SELECT percentile_disc(CAST(3 AS DOUBLE)/4)
                  WITHIN GROUP (ORDER BY avg_q20_per_token) AS q3
-        FROM __budget_dsir
+        FROM __budget_scores
     """)
     j = (d.join(gph, "doc_id", "left")
-         .join(ppl, "doc_id", "left")
+         .join(scores, "doc_id", "left")
          .join(spn, "doc_id", "left")
-         .join(dsr, "doc_id", "left")
          .crossJoin(F.broadcast(cuts))
          .crossJoin(F.broadcast(qcut)))
     sel = F.coalesce(
@@ -389,7 +499,9 @@ def corpus_pretrain_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, w = _train(spark, sf_dir)
     seg_sizes = w.select(
         "word", F.size(F.split(F.col("seg"), " ")).alias("n_syms"))
-    counts = (docs.select("doc_id",
+    # lowercased words for the tokenizer-count side: re-derived from the
+    # checkpointed text (a map over the materialized stream, no rescan)
+    counts = (base.select("doc_id",
                           F.explode(tokenize(F.lower(F.col("text"))))
                           .alias("word"))
               .join(seg_sizes, "word")

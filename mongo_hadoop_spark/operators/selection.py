@@ -102,8 +102,16 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = d.select(
-        "doc_id", "lang", F.explode(tokenize("text")).alias("term")
+    return dsir_weights_from(
+        d.select("doc_id", "lang", tokenize("text").alias("ws")))
+
+
+def dsir_weights_from(docs: DataFrame) -> DataFrame:
+    """Core of :func:`corpus_dsir_weights` over a pre-tokenized
+    (doc_id, lang, ws) frame — pipeline.corpus_pretrain_manifest's
+    single-scan path."""
+    toks = docs.select(
+        "doc_id", "lang", F.explode("ws").alias("term")
     ).select(
         "doc_id", "lang", F.expr(_BUCKET_SPARK).alias("bucket")
     )

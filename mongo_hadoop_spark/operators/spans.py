@@ -78,7 +78,14 @@ def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    base = d.select("doc_id", tokenize("text").alias("w")).select(
+    return _fingerprints_from(
+        d.select("doc_id", tokenize("text").alias("ws")))
+
+
+def _fingerprints_from(docs: DataFrame) -> DataFrame:
+    """Core of :func:`_fingerprints` over a pre-tokenized (doc_id, ws)
+    frame (pipeline.corpus_pretrain_manifest's single-scan path)."""
+    base = docs.select("doc_id", F.col("ws").alias("w")).select(
         "doc_id", "w",
         F.greatest(F.size("w") - F.lit(SPAN_W - 1), F.lit(0)).alias("n_h"),
     )
@@ -95,7 +102,7 @@ def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed.createOrReplaceTempView("__span_hashes")
     # One SQL string: identical text to the oracle's window query.
-    return spark.sql(f"""
+    return docs.sparkSession.sql(f"""
         SELECT DISTINCT doc_id, fp FROM (
           SELECT doc_id, i, n_h,
                  min(h) OVER (PARTITION BY doc_id ORDER BY i
@@ -157,11 +164,21 @@ def documents_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     than ``SPAN_W`` tokens have zero fingerprints and a 0.0 fraction
     (re-attached by a left join so every document appears).
     """
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return span_stats_from(d.select("doc_id", tokenize("text").alias("ws")))
+
+
+def span_stats_from(docs: DataFrame) -> DataFrame:
+    """Core of :func:`documents_span_stats` over a pre-tokenized
+    (doc_id, ws) frame — the manifest's single-scan path; the doc_id
+    universe for the final left join comes from the same frame."""
     # Persist: fingerprints feed both the duplicate-set aggregation and
     # the per-doc flag join; without persist the explode+window pipeline
     # runs twice.  The fingerprint table is a constant fraction of token
     # count (2/(K+1) rows of 32-byte digests) — small relative to text.
-    fps = _fingerprints(spark, sf_dir).persist()
+    fps = _fingerprints_from(docs).persist()
     dup = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -176,7 +193,7 @@ def documents_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_fps"),
         )
     )
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    d = docs.select("doc_id")
     return d.join(per_doc, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_fps", F.lit(0)).alias("n_fps"),

@@ -126,23 +126,43 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_flags(table(spark, sf_dir, "documents"))
 
 
+def gopher_nsym(text_col: str = "text"):
+    """The Gopher symbol-count scalar (# occurrences + ellipsis thirds)
+    as a column expression over raw text — factored out so the manifest
+    can precompute it before checkpointing and drop the text column."""
+    t = F.col(text_col)
+    return (
+        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+        + (F.length(t)
+           - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    )
+
+
 def gopher_flags(d: DataFrame) -> DataFrame:
     """Column-level core of :func:`text_gopher_quality` over any
     (doc_id, text) DataFrame — stateless map, so it runs unchanged on a
     Structured Streaming document source (streaming/jobs.py
-    stream_quality_gate; stream ≡ batch by construction)."""
-    d = d.select("doc_id", "text", tokenize("text").alias("ws"))
+    stream_quality_gate; stream ≡ batch by construction).
+
+    A pre-tokenized ``ws`` column is reused when present, so callers that
+    checkpoint the tokenized stream once (pipeline.corpus_pretrain_manifest)
+    don't pay a second tokenize; likewise a precomputed ``nsym`` column
+    (the symbol-count scalar, :func:`gopher_nsym`) — together they make
+    the raw ``text`` column unnecessary, so the manifest's checkpoint
+    can drop it and halve its materialized bytes."""
+    has_nsym = "nsym" in d.columns
+    cols = ["doc_id"] + (["nsym"] if has_nsym else ["text"])
+    if "ws" in d.columns:
+        d = d.select(*cols, "ws")
+    else:
+        d = d.select(*cols, tokenize("text").alias("ws"))
     n_words = F.size("ws")
     mean_len = (
         F.aggregate("ws", F.lit(0).cast("long"),
                     lambda a, w: a + F.length(w)).cast("double")
         / n_words.cast("double")
     )
-    n_symbols = (
-        (F.length("text") - F.length(F.replace("text", F.lit("#"), F.lit(""))))
-        + (F.length("text")
-           - F.length(F.replace("text", F.lit("..."), F.lit("")))) / 3
-    )
+    n_symbols = F.col("nsym") if has_nsym else gopher_nsym()
     alpha_frac = (
         F.size(F.filter(F.col("ws"), lambda w: w.rlike("[a-zA-Z]")))
         .cast("double") / n_words.cast("double")

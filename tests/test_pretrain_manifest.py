@@ -33,3 +33,38 @@ def test_manifest_plan_shape(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "percentile_disc" in plan
+
+
+def test_fused_scores_match_standalone(spark):
+    """The fused one-token-pass (surprisal, DSIR) table must be
+    bit-identical to the standalone operators it replaces — the manifest
+    gate thresholds compare these doubles exactly."""
+    from mongo_hadoop_spark.operators.lm import _doc_scores
+    from mongo_hadoop_spark.operators.pipeline import (_ppl_dsir_scores_from,
+                                                       _tokenized_base)
+    from mongo_hadoop_spark.operators.selection import corpus_dsir_weights
+
+    fused = {
+        r["doc_id"]: r
+        for r in _ppl_dsir_scores_from(
+            _tokenized_base(spark, SF_SMOKE)).collect()
+    }
+    ppl = {r["doc_id"]: r for r in _doc_scores(spark, SF_SMOKE).collect()}
+    dsr = {r["doc_id"]: r
+           for r in corpus_dsir_weights(spark, SF_SMOKE).collect()}
+    assert fused.keys() == ppl.keys() == dsr.keys()
+    for doc_id, f in fused.items():
+        assert f["n_tokens"] == ppl[doc_id]["n_tokens"]
+        # exact equality: both sides are integer-sum / integer-count
+        assert f["surprisal_bits"] == ppl[doc_id]["surprisal_bits"]
+        assert f["avg_q20_per_token"] == dsr[doc_id]["avg_q20_per_token"]
+
+
+def test_tokenized_base_memoized_per_file_identity(spark):
+    from mongo_hadoop_spark.operators.pipeline import _tokenized_base
+
+    a = _tokenized_base(spark, SF_SMOKE)
+    b = _tokenized_base(spark, SF_SMOKE)
+    assert a is b  # same session + same file identity → same checkpoint
+    c = _tokenized_base(spark, SF_SMOKE, with_text=True)
+    assert c is not a and "text" in c.columns and "text" not in a.columns
