@@ -36,58 +36,29 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 
 # Registry order is part of the verification contract: external harnesses may
 # only sample a prefix of ``queries()``, so the entries that most need a fresh
-# cross-engine check come first.  Round-6 rotation (tools/coverage_report.py):
-# the never-driver-verified backlog leads (the round-5 verdict's item 3: the
-# two queries that fell off the r05 window, plus everything new this round);
-# then the queries whose SEMANTICS changed this round (frozen-model PCA
-# oracle, the two ntile→threshold rewrites, the JL sort drop) so the driver
-# re-hashes them; then every query whose only driver rows date from round 1 —
-# the oldest outstanding verdicts — and the round-3-verified set fills the
-# rest of the 50-entry prefix.  The fully-green round-5 window rotates to the
-# tail.
+# cross-engine check come first.  Round-7 rotation (the round-6 verdict's
+# item 1: put the 50 STALEST driver verdicts in the window): new-this-round
+# queries lead, then the queries whose plan/oracle changed this round
+# ($geoNear tiebreak ORDER BY, the chunk-dedup packed-key guard), then the
+# 19 queries whose only driver rows date from round 1, then the
+# round-3-verified set fills the rest of the 50-entry prefix and spills just
+# below it (the spill rotates into round 8).  The fully-green r4/r5/r6
+# verdicts rotate to the tail.
 _HEAD_KEYS = [
-    # never driver-verified — rotation backlog + new this round
-    "corpus_bpe_merges", "corpus_bpe_symbol_stats",
-    "corpus_bpe_compression", "documents_pack_sequences_bpe",
-    "corpus_pretrain_token_budget", "corpus_wordpiece_merges",
-    "corpus_wordpiece_compression",
-    "corpus_doremi_weights", "corpus_doremi_quotas",
-    "documents_chunk_windows", "embedding_matryoshka_recall",
-    "documents_fim_transform", "corpus_chunk_dedup",
-    "pipeline_geo_center_sphere", "pipeline_geo_near_sphere",
-    "pipeline_geo_polygon_sphere",
-    "graph_pagerank_neardup", "graph_degree_histogram",
-    "dedup_survivors_by_authority",
-    "corpus_crawl_increment", "corpus_quota_fill",
-    "corpus_source_mixture_docs", "embeddings_cluster_sample",
-    "corpus_pretrain_manifest",
-    "text_repetition_flags", "corpus_repetition_yield",
-    "pipeline_search_meta_facets", "pipeline_exp_moving_avg",
-    "dedup_connected_clusters", "dedup_cluster_stats",
-    "pipeline_search_highlights", "corpus_token_quotas",
-    # changed this round — fresh hash rows needed (ntile→threshold
-    # rewrites, frozen-model PCA, fusion tiebreak + hybrid-corpus
-    # oracle, sf0.1 drift fixes, dec_to_double migration sites)
-    "embedding_pca_whitened", "corpus_dsir_selected",
-    "corpus_perplexity_buckets", "embedding_random_projection",
-    "pipeline_rank_fusion", "pipeline_score_fusion",
-    "events_value_anomalies", "embedding_gram_matrix",
-    "skew_salted_rollup", "tpch_q11_value_share",
-    "ivf_assign_lloyd", "ivf_assign_refined",
-    "embedding_pq_codes_trained", "embedding_pq_codes_fixed",
-    "pq_knn_adc_fixed", "ivf_pq_knn",
+    # new this round — never driver-verified
+    "pipeline_geo_intersects", "corpus_dup_spans",
+    # changed this round — fresh hash rows needed
+    "pipeline_geo_near", "pipeline_geo_near_sphere", "corpus_chunk_dedup",
     # r01-verified — oldest outstanding driver verdicts
+    "a1_avg_by_year",
     "a3_pair_counts", "a5_frequent_short_tokens", "s6_tokenize_stats",
     "s8_multi_union", "hive_pushdown_conjunction", "f3_sort_limit",
     "s2_dotted_key_extract", "tpch_q10", "tpch_q14", "tpch_q18",
     "set_except", "set_intersect", "rollup_agg", "broadcast_dim_join",
     "json_roundtrip", "custom_sort_comparator", "tpch_q4_semijoin",
-    "tpch_q22_antijoin",
-    # (the r01/r03 refresh overflow — cube_agg, count_distinct_suppliers,
-    # treasury_doubled, and the r03-verified set — rotates just below the
-    # 50-entry prefix; all hold green driver rows already)
-    "cube_agg", "count_distinct_suppliers",
-    "treasury_doubled",
+    "tpch_q22_antijoin", "cube_agg", "count_distinct_suppliers",
+    "treasury_doubled", "u2_objectid_seconds",
+    # r03-verified — next-oldest; fills the 50-entry prefix...
     "f4_skip_pagination", "tpch_q12", "events_session_windows",
     "window_spend_quartiles", "dedup_exact", "dedup_minhash_lsh_pairs",
     "dedup_simhash", "dedup_ngram_jaccard", "dedup_minhash_verified",
@@ -96,6 +67,16 @@ _HEAD_KEYS = [
     "embedding_quantize_int8", "ivf_recall_report", "lsh_bucket_histogram",
     "text_langid", "text_quality", "text_token_count", "text_fingerprint",
     "documents_pack_sequences", "text_top_distinctive_terms",
+    "text_redact_pii", "text_repetition_ratio",
+    # ...and spills below it (these r03 rows rotate into the r8 window)
+    "multimodal_decode_features", "multimodal_frame_sample",
+    "multimodal_resize", "corpus_yield_report", "pipeline_status_rollup",
+    "pipeline_wordcount", "pipeline_lookup_segment", "pipeline_sortbycount",
+    "pipeline_bucket_order_values", "pipeline_window_fields",
+    "pipeline_densify_user_counts", "pipeline_graphlookup_reports",
+    "events_funnel", "events_cohort_retention", "orders_quantile_rollup",
+    "documents_stratified_sample", "user_activity_histogram",
+    "sketch_hll_users", "sketch_hll_documents",
 ]
 
 

@@ -482,7 +482,7 @@ WITH d AS (
   FROM events
   WHERE event_type = 'click'
 )
-SELECT event_id, dist FROM d WHERE dist <= 30.0 ORDER BY dist
+SELECT event_id, dist FROM d WHERE dist <= 30.0 ORDER BY dist, event_id
 """
 
 
@@ -775,7 +775,7 @@ SELECT event_id,
        {dist_rad_from_h_sql("h")} * {_dlit(EARTH_RADIUS_M)} AS dist_m
 FROM k
 WHERE h <= {_dlit(center_sphere_threshold(0.5))}
-ORDER BY dist_m
+ORDER BY dist_m, event_id
 """
 
 
@@ -834,6 +834,75 @@ vec AS (
 )
 SELECT event_type AS _id, count(*)::bigint AS n
 FROM vec WHERE {pred}
+GROUP BY event_type ORDER BY _id
+"""
+
+
+#: second synthesized coordinate pair for the stored segment — exact
+#: integer/fmod arithmetic, identical text in both engines
+_SPH_LON2 = "((value * 7e0) % 3.6e2) - 1.8e2"
+_SPH_LAT2 = "cast((user_id * 3 + 41) % 181 AS double) - 9e1"
+
+
+def pipeline_geo_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$geoIntersects (GeoJSON spherical) in the match language: each
+    event carries a synthesized geodesic TRACK segment (two legacy
+    coordinate pairs), matched against the holed antimeridian
+    MultiPolygon — intersecting means an endpoint inside OR the arc
+    crossing a boundary edge, so pass-through tracks with both
+    endpoints outside still count (the case $geoWithin cannot see).
+
+    Plan: a pure per-row predicate — endpoint parity folds plus the
+    four-determinant arc-crossing test over driver-literal edges —
+    ahead of the keyed count; no shuffle beyond the final group.  The
+    oracle unrolls the identical IEEE op sequence over CTE-bound
+    endpoint vectors and their cross product."""
+    events = table(spark, sf_dir, "events")
+    with_track = events.select(
+        "event_id", "event_type",
+        F.expr(f"array({_SPH_LON}, {_SPH_LAT}, {_SPH_LON2}, {_SPH_LAT2})")
+        .alias("track"))
+    return aggregate(with_track, [
+        {"$match": {"track": {"$geoIntersects":
+                              {"$geometry": _GEO_POLY_SPHERE}}}},
+        {"$group": {"_id": "$event_type", "n": {"$sum": 1}}},
+        {"$sort": {"_id": 1}},
+    ])
+
+
+def _geo_intersects_sql() -> str:
+    from mongo_hadoop_spark.plans.trig import (
+        sphere_polygon_pred_sql, sphere_segment_crossing_sql,
+        sphere_vec_sql)
+    rings = [r for poly in _GEO_POLY_SPHERE["coordinates"] for r in poly]
+    ax, ay, az = sphere_vec_sql("lon1", "lat1")
+    bx, by, bz = sphere_vec_sql("lon2", "lat2")
+    pred_a = sphere_polygon_pred_sql("lon1", "ax", "ay", "az", rings)
+    pred_b = sphere_polygon_pred_sql("lon2", "bx", "by", "bz", rings)
+    crossing = sphere_segment_crossing_sql(
+        "ax", "ay", "az", "bx", "by", "bz",
+        "nabx", "naby", "nabz", rings)
+    return f"""
+WITH pts AS (
+  SELECT event_type, ({_SPH_LON}) AS lon1, ({_SPH_LAT}) AS lat1,
+         ({_SPH_LON2}) AS lon2, ({_SPH_LAT2}) AS lat2
+  FROM events
+),
+vec AS (
+  SELECT event_type, lon1, lon2,
+         {ax} AS ax, {ay} AS ay, {az} AS az,
+         {bx} AS bx, {by} AS by, {bz} AS bz
+  FROM pts
+),
+nab AS (
+  SELECT *, ay * bz - az * by AS nabx,
+            az * bx - ax * bz AS naby,
+            ax * by - ay * bx AS nabz
+  FROM vec
+)
+SELECT event_type AS _id, count(*)::bigint AS n
+FROM nab
+WHERE {pred_a} OR {pred_b} OR {crossing}
 GROUP BY event_type ORDER BY _id
 """
 
@@ -1692,6 +1761,7 @@ QUERIES = {
     "pipeline_geo_center_sphere": pipeline_geo_center_sphere,
     "pipeline_geo_near_sphere": pipeline_geo_near_sphere,
     "pipeline_geo_polygon_sphere": pipeline_geo_polygon_sphere,
+    "pipeline_geo_intersects": pipeline_geo_intersects,
     "pipeline_regex_type_report": pipeline_regex_type_report,
     "pipeline_redact_levels": pipeline_redact_levels,
     "pipeline_text_search": pipeline_text_search,
@@ -1731,6 +1801,7 @@ ORACLES = {
     "pipeline_geo_center_sphere": _geo_center_sphere_sql(),
     "pipeline_geo_near_sphere": _geo_near_sphere_sql(),
     "pipeline_geo_polygon_sphere": _geo_polygon_sphere_sql(),
+    "pipeline_geo_intersects": _geo_intersects_sql(),
     "pipeline_regex_type_report": PIPELINE_REGEX_TYPE_SQL,
     "pipeline_redact_levels": PIPELINE_REDACT_SQL,
     "pipeline_text_search": PIPELINE_TEXT_SEARCH_SQL,

@@ -131,6 +131,126 @@ _FINGERPRINTS_SQL = f"""
   )"""
 
 
+def _positioned_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp, span_off) — winnowed fingerprints WITH the 1-based
+    token offset of the fingerprinted window (the position report
+    dedup_duplicate_spans drops).
+
+    Arg-min through an order-preserving string pack: the window min
+    runs over ``h || ':' || lpad(i, 9, '0')`` — h is fixed-width hex,
+    so lexicographic order is (h ASC, i ASC) and the min is the
+    EARLIEST position of the minimal hash; the pack then splits back
+    into (fp, span_off).  Same single per-doc window shuffle as
+    :func:`_fingerprints`; both engines compare identical strings.
+    The 9-digit pad bounds position at 1e9 tokens per document —
+    enforced by the n_h < 1e9 filter-time assert below, loudly."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    docs = d.select("doc_id", tokenize("text").alias("ws"))
+    base = docs.select("doc_id", F.col("ws").alias("w")).select(
+        "doc_id", "w",
+        F.greatest(F.size("w") - F.lit(SPAN_W - 1), F.lit(0)).alias("n_h"),
+    )
+    hashed = base.select(
+        "doc_id", "n_h",
+        F.explode(
+            F.when(F.col("n_h") <= 0, F.array().cast("array<int>"))
+            .otherwise(F.sequence(F.lit(1), F.col("n_h")))
+        ).alias("i"),
+        "w",
+    ).select(
+        "doc_id", "n_h", "i",
+        F.md5(F.concat_ws(" ", F.slice("w", F.col("i"), SPAN_W))).alias("h"),
+    ).where(F.coalesce(
+        F.assert_true(F.col("n_h") < F.lit(1000000000),
+                      F.lit("span winnowing: document exceeds 1e9 "
+                            "token windows — offset pack overflows"))
+        .cast("boolean"), F.lit(True)))
+    hashed.createOrReplaceTempView("__span_pos_hashes")
+    return docs.sparkSession.sql(f"""
+        SELECT DISTINCT doc_id,
+               substring(fpk, 1, 32) AS fp,
+               cast(substring(fpk, 34, 9) AS int) AS span_off
+        FROM (
+          SELECT doc_id, i, n_h,
+                 min(h || ':' || lpad(cast(i AS string), 9, '0'))
+                   OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN CURRENT ROW
+                         AND {WINNOW_K - 1} FOLLOWING) AS fpk
+          FROM __span_pos_hashes
+        ) WHERE i + {WINNOW_K} <= n_h + 1 OR i = 1
+    """)
+
+
+def corpus_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-span report with a drop policy — the
+    ExactSubstr output shape of Lee et al. 2022: for every fingerprint
+    seen in >= 2 distinct documents, each (fingerprint, document) pair
+    with its occurrence count and first token offset, the number of
+    holding documents, and ``keep`` — true only for the lowest-doc_id
+    holder (remove-later-copies: the span survives in its canonical
+    document, every other occurrence is scheduled for excision at the
+    reported offsets).
+
+    Scale shape: two keyed aggregations — (fp, doc_id) then (fp) — and
+    one fp-keyed equi-join; the joined side holds only duplicated
+    fingerprints, so it grows with duplicated content, not corpus
+    size.  No all-pairs comparison, no window over anything larger
+    than a document.
+    """
+    fps = _positioned_fingerprints(spark, sf_dir)
+    per_doc = fps.groupBy("fp", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min("span_off").alias("first_off"),
+    )
+    stats = (per_doc.groupBy("fp")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.min("doc_id").alias("__canon"))
+             .where(F.col("n_docs") >= 2))
+    return per_doc.join(stats, "fp").select(
+        "fp", "doc_id", "n_occ", "first_off", "n_docs",
+        (F.col("doc_id") == F.col("__canon")).alias("keep"))
+
+
+_POSITIONED_FPS_SQL = f"""
+  hashes AS (
+    SELECT doc_id, len({_SHINGLE_HASHES_SQL}) AS n_h,
+           generate_subscripts({_SHINGLE_HASHES_SQL}, 1) AS i,
+           unnest({_SHINGLE_HASHES_SQL}) AS h
+    FROM documents
+  ),
+  fps AS (
+    SELECT DISTINCT doc_id,
+           substring(fpk, 1, 32) AS fp,
+           cast(substring(fpk, 34, 9) AS int) AS span_off
+    FROM (
+      SELECT doc_id, i, n_h,
+             min(h || ':' || lpad(i::varchar, 9, '0'))
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN CURRENT ROW
+                     AND {WINNOW_K - 1} FOLLOWING) AS fpk
+      FROM hashes
+    ) WHERE i + {WINNOW_K} <= n_h + 1 OR i = 1
+  )"""
+
+CORPUS_DUP_SPANS_SQL = f"""
+WITH {_POSITIONED_FPS_SQL.lstrip()},
+per_doc AS (
+  SELECT fp, doc_id, count(*)::bigint AS n_occ,
+         min(span_off) AS first_off
+  FROM fps GROUP BY fp, doc_id
+),
+stats AS (
+  SELECT fp, count(*)::bigint AS n_docs, min(doc_id) AS canon
+  FROM per_doc GROUP BY fp HAVING count(*) >= 2
+)
+SELECT p.fp, p.doc_id, p.n_occ, p.first_off, s.n_docs,
+       p.doc_id = s.canon AS keep
+FROM per_doc p JOIN stats s USING (fp)
+"""
+
+
 def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed fingerprints that occur in >= 2 distinct documents.
 
@@ -253,12 +373,14 @@ SELECT doc_id FROM stats WHERE dup_frac <= {SPAN_DROP_FRAC}
 
 
 QUERIES = {
+    "corpus_dup_spans": corpus_dup_spans,
     "dedup_duplicate_spans": dedup_duplicate_spans,
     "documents_span_stats": documents_span_stats,
     "documents_span_dedup_survivors": documents_span_dedup_survivors,
 }
 
 ORACLES = {
+    "corpus_dup_spans": CORPUS_DUP_SPANS_SQL,
     "dedup_duplicate_spans": DUPLICATE_SPANS_SQL,
     "documents_span_stats": SPAN_STATS_SQL,
     "documents_span_dedup_survivors": SPAN_SURVIVORS_SQL,

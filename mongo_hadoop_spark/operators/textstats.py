@@ -763,8 +763,21 @@ def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonical copy via a packed key: chunk_idx < 2^20 at any sane
     # document length, so (doc_id << 20) + chunk_idx orders exactly
     # like (doc_id, chunk_idx) — min() then decomposes, and the same
-    # integer trick runs verbatim in the oracle
-    key = F.col("doc_id") * F.lit(1048576).cast("long") + F.col("chunk_idx")
+    # integer trick runs verbatim in the oracle.  The packing range is
+    # ENFORCED, not assumed: a pathological row (a >400 MB document, or
+    # a doc_id at/above 2^43 where the product would overflow int64 or
+    # break the ordering) fails the job loudly instead of silently
+    # electing a wrong canonical copy.  assert_true returns NULL when
+    # the condition holds, so the coalesce'd add is a no-op on every
+    # valid row and stays inside codegen.
+    valid = F.assert_true(
+        (F.col("chunk_idx") < F.lit(1048576))
+        & (F.col("doc_id") >= F.lit(0))
+        & (F.col("doc_id") < F.lit(1 << 43).cast("long")),
+        F.lit("corpus_chunk_dedup: packed canonical key needs "
+              "0 <= doc_id < 2^43 and chunk_idx < 2^20"))
+    key = (F.col("doc_id") * F.lit(1048576).cast("long")
+           + F.col("chunk_idx") + F.coalesce(valid.cast("long"), F.lit(0)))
     return (fp.groupBy("fingerprint")
             .agg(F.count(F.lit(1)).alias("n_copies"),
                  F.countDistinct("doc_id").alias("n_docs"),

@@ -1021,6 +1021,60 @@ def _geo_within(col: Column, spec) -> Column:
                      "only)")
 
 
+def _geo_intersects(col: Column, spec) -> Column:
+    """``$geoIntersects`` with a GeoJSON ``$geometry`` Polygon /
+    MultiPolygon query shape, spherical semantics.
+
+    The stored field is a flat legacy-coordinate double array and its
+    LENGTH picks the stored geometry, row by row:
+
+    - ``[lon, lat]`` (a point): intersects iff inside-or-on the region
+      — the same even-odd spherical parity predicate as $geoWithin
+      $geometry (plans/trig.py sphere_polygon_pred_col).  For point
+      data the two operators differ only on the boundary, which the
+      strict-inequality parity test decides deterministically.
+    - ``[lonA, latA, lonB, latB]`` (a geodesic segment — a 2-point
+      LineString in legacy coordinates): intersects iff an endpoint is
+      inside OR the minor arc crosses a boundary edge (the
+      four-determinant same-sign crossing test,
+      trig.sphere_segment_intersects_col) — so a segment that merely
+      passes THROUGH the region with both endpoints outside still
+      matches, which is exactly what $geoWithin cannot express.
+
+    Longer LineStrings decompose into per-leg ORs caller-side; stored
+    Polygon fields are not supported (no polygon-valued columns exist
+    in this engine's data model).  CASE dispatch is lazy, so a
+    homogeneous point column never evaluates the segment machinery.
+
+    Reference analog: like $geoWithin, the reference could only pass
+    $geoIntersects through to the server inside ``mongo.input.query``
+    (core/.../util/MongoConfigUtil.java:674-702); here the predicate
+    executes engine-side.
+    """
+    from mongo_hadoop_spark.plans.trig import (
+        sphere_polygon_pred_col, sphere_segment_intersects_col)
+    if not (isinstance(spec, dict) and set(spec) == {"$geometry"}):
+        raise ValueError("$geoIntersects takes {$geometry: <GeoJSON "
+                         "Polygon/MultiPolygon>}")
+    geom = spec["$geometry"]
+    if not isinstance(geom, dict) or "coordinates" not in geom:
+        raise ValueError("$geometry needs type and coordinates members")
+    gtype, coords = geom.get("type"), geom["coordinates"]
+    if gtype == "Polygon":
+        rings = coords
+    elif gtype == "MultiPolygon":
+        rings = [r for poly in coords for r in poly]
+    else:
+        raise ValueError(f"$geoIntersects $geometry supports Polygon/"
+                         f"MultiPolygon, not {gtype!r}")
+    # see _geo_within for the getItem-over-element_at rationale
+    point = sphere_polygon_pred_col(col.getItem(0), col.getItem(1), rings)
+    segment = sphere_segment_intersects_col(
+        col.getItem(0), col.getItem(1), col.getItem(2), col.getItem(3),
+        rings)
+    return F.when(F.size(col) >= F.lit(4), segment).otherwise(point)
+
+
 def _elem_match(col: Column, crit) -> Column:
     """Match-side ``$elemMatch``: true when at least one array element
     satisfies ALL criteria.  Scalar-element form ({$gte: 10, $lt: 20})
@@ -1151,10 +1205,7 @@ def _match_op_col(col: Column, op: str, operand) -> Column:
             "$text needs a server text index; use the $search stage "
             "(text/phrase/compound, optional BM25 scoring) instead")
     if op == "$geoIntersects":
-        raise ValueError(
-            "$geoIntersects (geometry-geometry intersection) is "
-            "unsupported — point-in-polygon tests are $geoWithin "
-            "$geometry")
+        return _geo_intersects(col, operand)
     raise ValueError(f"unsupported query operator {op}")
 
 
@@ -3135,6 +3186,29 @@ def _stage_vector_search(df: DataFrame, spec: dict) -> DataFrame:
             .limit(limit))
 
 
+def _geo_tiebreak_cols(out: DataFrame, dist_field: str) -> list:
+    """Deterministic secondary sort keys for $geoNear's distance order.
+
+    MongoDB leaves equal-distance order unspecified; synthesized
+    coordinates collide routinely (lat from ``user_id % 181``), so
+    without a tiebreak the relative order of tied rows depends on the
+    shuffle schedule.  Every remaining atomic-typed column, in schema
+    order, makes the sort total whenever the row set has any unique
+    atomic column (every registered query sorts a unique id first this
+    way); array/struct/map columns are skipped — maps are unorderable
+    and the atomic keys decide first anyway.  Oracles append the same
+    keys after ``dist``."""
+    skip = {_GEO_DIST_COL, _GEO_H_COL, dist_field}
+    atomic = []
+    for f in out.schema.fields:
+        if f.name in skip:
+            continue
+        if f.dataType.typeName() in ("array", "map", "struct"):
+            continue
+        atomic.append(F.col(f.name).asc())
+    return atomic
+
+
 def _stage_geo_near(df: DataFrame, spec: dict) -> DataFrame:
     """``$geoNear`` with legacy planar (2d) coordinates.
 
@@ -3203,8 +3277,9 @@ def _stage_geo_near(df: DataFrame, spec: dict) -> DataFrame:
         out = out.withColumn(_GEO_DIST_COL, dist).drop(_GEO_H_COL)
         reported = F.col(_GEO_DIST_COL) * float(spec["distanceMultiplier"]) \
             if "distanceMultiplier" in spec else F.col(_GEO_DIST_COL)
-        return (out.withColumn(dist_field, reported)
-                .orderBy(F.col(_GEO_DIST_COL).asc()))
+        out = out.withColumn(dist_field, reported)
+        return out.orderBy(F.col(_GEO_DIST_COL).asc(),
+                           *_geo_tiebreak_cols(out, dist_field))
     dist = F.sqrt((x - qx) * (x - qx) + (y - qy) * (y - qy))
     out = out.withColumn(_GEO_DIST_COL, dist)
     if "maxDistance" in spec:
@@ -3213,8 +3288,9 @@ def _stage_geo_near(df: DataFrame, spec: dict) -> DataFrame:
         out = out.where(F.col(_GEO_DIST_COL) >= float(spec["minDistance"]))
     reported = F.col(_GEO_DIST_COL) * float(spec["distanceMultiplier"]) \
         if "distanceMultiplier" in spec else F.col(_GEO_DIST_COL)
-    return (out.withColumn(dist_field, reported)
-            .orderBy(F.col(_GEO_DIST_COL).asc()))
+    out = out.withColumn(dist_field, reported)
+    return out.orderBy(F.col(_GEO_DIST_COL).asc(),
+                       *_geo_tiebreak_cols(out, dist_field))
 
 
 #: fixed RRF rank constant — the server's value (not a $rankFusion knob)

@@ -518,3 +518,130 @@ def sphere_polygon_prefilter_col(lon: Column, lat: Column,
             t = term if t is None else t | term
         pred = pred & t
     return pred
+
+
+# --- great-circle segment vs polygon-boundary crossing ------------------
+#
+# $geoIntersects support: a stored geodesic SEGMENT (the minor arc
+# A->B) intersects a polygon iff an endpoint lies inside (the parity
+# predicate above) or the arc crosses a boundary edge.  Arc-arc
+# crossing uses the classic four-determinant same-sign test (the
+# robust formulation popularized by S2's SimpleCrossing): with
+# N_ab = A x B and N_cd = C x D,
+#
+#   acb = -(N_ab . C),  bda = N_ab . D,
+#   cbd = -(N_cd . B),  dac = N_cd . A,
+#
+# the minor arcs cross iff all four scalars share a strict sign.  The
+# first pair says C and D straddle A-B's great circle with the correct
+# orientation, the second pair the converse; the sign CONSISTENCY
+# between the pairs is what rejects the antipodal intersection point,
+# which plain straddle-straddle testing accepts.  Everything is +,*,-
+# on doubles — correctly rounded and identical in both engines; the
+# polygon edge vectors (C, D, N_cd) are driver-side literals from the
+# same polygon_edges() the parity fold consumes, and the per-row A, B
+# vectors come from the pinned sphere_vec polynomials.  N_cd is the
+# NORMALIZED edge normal (polygon_edges divides by the norm) — only
+# signs matter here, so normalization is harmless, and using the same
+# literals as the parity fold keeps the two predicates consistent.
+#
+# Degenerate rows are conservative: a zero-length stored segment
+# (A == B) gives N_ab = 0, every scalar 0, no strict sign — no
+# crossing (the endpoint-inside test still decides); antipodal A, -A
+# likewise never report a crossing (the geodesic is undefined there).
+# Boundary tangencies (an endpoint exactly ON an edge's great circle)
+# make a scalar exactly 0 and report no crossing — measure-zero, same
+# convention as the parity fold's strict inequalities.
+
+_SEG_FIELDS = ("cx", "cy", "cz", "dx", "dy", "dz", "nx", "ny", "nz")
+
+
+def _segment_edge_literals(rings) -> list[tuple]:
+    """Per-edge (C vector, D vector, N_cd) literal tuples — endpoint
+    unit vectors via driver-side libm (they enter plans as literals
+    only, like the normals)."""
+    out = []
+    for lon1, lat1, lon2, lat2, n in polygon_edges(rings):
+        c, d = _unit_vec(lon1, lat1), _unit_vec(lon2, lat2)
+        out.append((c[0], c[1], c[2], d[0], d[1], d[2],
+                    n[0], n[1], n[2]))
+    return out
+
+
+def sphere_segment_crossing_col(lonA: Column, latA: Column,
+                                lonB: Column, latB: Column,
+                                rings) -> Column:
+    """True when the minor arc A->B crosses ANY polygon-boundary edge.
+
+    Same HOF shape as the parity fold (see sphere_polygon_pred_col's
+    codegen rationale): edges are one literal struct array, the
+    per-row endpoint vectors and their cross product bind ONCE through
+    nested single-element ``transform`` lambdas, and ``exists`` ORs
+    the per-edge four-sign tests — the expression tree stays
+    edge-count-free."""
+    edge_arr = F.expr("array(" + ", ".join(
+        "named_struct(" + ", ".join(
+            f"'{f}', {_dlit(v)}" for f, v in zip(_SEG_FIELDS, t)) + ")"
+        for t in _segment_edge_literals(rings)) + ")")
+    ax, ay, az = sphere_vec_col(lonA, latA)
+    bx, by, bz = sphere_vec_col(lonB, latB)
+    vec = F.array(F.struct(ax.alias("ax"), ay.alias("ay"), az.alias("az"),
+                           bx.alias("bx"), by.alias("by"), bz.alias("bz")))
+
+    def _term(e: Column, u: Column) -> Column:
+        acb = -(u["nx"] * e["cx"] + u["ny"] * e["cy"] + u["nz"] * e["cz"])
+        bda = u["nx"] * e["dx"] + u["ny"] * e["dy"] + u["nz"] * e["dz"]
+        cbd = -(e["nx"] * u["bx"] + e["ny"] * u["by"] + e["nz"] * u["bz"])
+        dac = e["nx"] * u["ax"] + e["ny"] * u["ay"] + e["nz"] * u["az"]
+        return ((acb * bda > F.lit(0.0)) & (acb * cbd > F.lit(0.0))
+                & (acb * dac > F.lit(0.0)))
+
+    def _with_normal(v: Column) -> Column:
+        w = F.array(F.struct(
+            v["ax"].alias("ax"), v["ay"].alias("ay"), v["az"].alias("az"),
+            v["bx"].alias("bx"), v["by"].alias("by"), v["bz"].alias("bz"),
+            (v["ay"] * v["bz"] - v["az"] * v["by"]).alias("nx"),
+            (v["az"] * v["bx"] - v["ax"] * v["bz"]).alias("ny"),
+            (v["ax"] * v["by"] - v["ay"] * v["bx"]).alias("nz")))
+        return F.element_at(
+            F.transform(w, lambda u: F.exists(
+                edge_arr, lambda e: _term(e, u))), 1)
+
+    return F.element_at(F.transform(vec, _with_normal), 1)
+
+
+def sphere_segment_crossing_sql(ax: str, ay: str, az: str,
+                                bx: str, by: str, bz: str,
+                                nabx: str, naby: str, nabz: str,
+                                rings) -> str:
+    """SQL rendering over PRE-BOUND short names: the endpoint unit
+    vectors (ax..az, bx..bz) and their cross product (nabx..nabz =
+    ay*bz - az*by, az*bx - ax*bz, ax*by - ay*bx — bind with EXACTLY
+    that operand order to stay bit-identical with the Column form)."""
+    terms = []
+    for (cx, cy, cz, dx, dy, dz, nx, ny, nz) in \
+            _segment_edge_literals(rings):
+        acb = (f"(-({nabx} * {_dlit(cx)} + {naby} * {_dlit(cy)} "
+               f"+ {nabz} * {_dlit(cz)}))")
+        bda = (f"({nabx} * {_dlit(dx)} + {naby} * {_dlit(dy)} "
+               f"+ {nabz} * {_dlit(dz)})")
+        cbd = (f"(-({_dlit(nx)} * {bx} + {_dlit(ny)} * {by} "
+               f"+ {_dlit(nz)} * {bz}))")
+        dac = (f"({_dlit(nx)} * {ax} + {_dlit(ny)} * {ay} "
+               f"+ {_dlit(nz)} * {az})")
+        terms.append(f"({acb} * {bda} > 0e0 AND {acb} * {cbd} > 0e0 "
+                     f"AND {acb} * {dac} > 0e0)")
+    return "(" + " OR ".join(terms) + ")"
+
+
+def sphere_segment_intersects_col(lonA: Column, latA: Column,
+                                  lonB: Column, latB: Column,
+                                  rings) -> Column:
+    """$geoIntersects for a stored geodesic segment vs a GeoJSON
+    polygon: an endpoint inside (even-odd parity, holes/multi-parts
+    included) OR a boundary-edge crossing.  A segment lying entirely
+    inside a hole reports False (both endpoints outside by parity, no
+    crossing) — correct, since the hole is not part of the region."""
+    return (sphere_polygon_pred_col(lonA, latA, rings)
+            | sphere_polygon_pred_col(lonB, latB, rings)
+            | sphere_segment_crossing_col(lonA, latA, lonB, latB, rings))

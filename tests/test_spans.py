@@ -97,3 +97,45 @@ def test_span_plans_no_cartesian(spark):
         plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_span_report_offsets_and_policy(spark, tmp_path):
+    """corpus_dup_spans: the positioned report finds the shared run at
+    the RIGHT token offsets in each holder, counts holders, and keeps
+    only the lowest-doc_id copy."""
+    shared = _tokens("dup", GUARANTEE)
+    texts = [
+        shared,                                   # doc 0 at offset 1
+        _tokens("pre", 5) + " " + shared,         # doc 1 at offset 6
+        _tokens("other", 30),                     # doc 2: unrelated
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    rows = spans.corpus_dup_spans(spark, sf).collect()
+    assert rows, "shared run must be reported"
+    docs = {r["doc_id"] for r in rows}
+    assert docs == {0, 1}
+    for r in rows:
+        assert r["n_docs"] == 2
+        assert r["keep"] == (r["doc_id"] == 0)
+        # same fingerprint sits 5 tokens later in doc 1 than in doc 0
+    by_fp = {}
+    for r in rows:
+        by_fp.setdefault(r["fp"], {})[r["doc_id"]] = r["first_off"]
+    for fp, offs in by_fp.items():
+        assert offs[1] - offs[0] == 5, (fp, offs)
+
+
+def test_dup_span_report_intra_doc_occurrences(spark, tmp_path):
+    """A span repeated twice inside one holder reports n_occ = 2 with
+    the FIRST offset."""
+    shared = _tokens("dup", GUARANTEE)
+    texts = [
+        shared + " " + _tokens("mid", 8) + " " + shared,   # twice
+        shared,                                            # once
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    rows = spans.corpus_dup_spans(spark, sf).collect()
+    d0 = [r for r in rows if r["doc_id"] == 0]
+    assert d0 and all(r["n_occ"] >= 1 for r in d0)
+    # at least one fingerprint occurs at both copies
+    assert any(r["n_occ"] == 2 for r in d0)

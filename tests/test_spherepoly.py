@@ -200,3 +200,155 @@ def test_prefilter_is_sound_under_geodesic_sag(spark):
     want = [_ref_inside(lon, lat, rings)[0] for lon, lat in pts]
     assert got == want == [True, True, True, True, False, False]
     assert _duck_inside(pts, rings) == want
+
+
+# --- $geoIntersects: segment-vs-polygon crossing ------------------------
+
+def _ref_crossing(a, b, rings):
+    """libm reference for the four-determinant arc-crossing test,
+    returning (crosses, margin) — margin is the smallest |determinant|
+    so boundary-degenerate random cases can be skipped."""
+    def unit(lon, lat):
+        lam, phi = math.radians(lon), math.radians(lat)
+        return (math.cos(phi) * math.cos(lam),
+                math.cos(phi) * math.sin(lam), math.sin(phi))
+
+    def dot(u, v):
+        return u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
+
+    A, B = unit(*a), unit(*b)
+    nab = (A[1] * B[2] - A[2] * B[1], A[2] * B[0] - A[0] * B[2],
+           A[0] * B[1] - A[1] * B[0])
+    crosses, margin = False, math.inf
+    for lon1, lat1, lon2, lat2, n in trig.polygon_edges(rings):
+        C, D = unit(lon1, lat1), unit(lon2, lat2)
+        acb, bda = -dot(nab, C), dot(nab, D)
+        cbd, dac = -dot(n, B), dot(n, A)
+        margin = min(margin, abs(acb), abs(bda), abs(cbd), abs(dac))
+        if acb * bda > 0 and acb * cbd > 0 and acb * dac > 0:
+            crosses = True
+    return crosses, margin
+
+
+def _ref_intersects(a, b, rings):
+    ia, m1 = _ref_inside(a[0], a[1], rings)
+    ib, m2 = _ref_inside(b[0], b[1], rings)
+    xc, m3 = _ref_crossing(a, b, rings)
+    return ia or ib or xc, min(m1, m2, m3)
+
+
+def _spark_seg(spark, segs, rings):
+    df = spark.createDataFrame(
+        [(i, float(a[0]), float(a[1]), float(b[0]), float(b[1]))
+         for i, (a, b) in enumerate(segs)],
+        "i long, lon1 double, lat1 double, lon2 double, lat2 double")
+    pred = trig.sphere_segment_intersects_col(
+        F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2"), rings)
+    rows = df.select("i", pred.alias("y")).collect()
+    return [bool(r["y"]) for r in sorted(rows, key=lambda r: r["i"])]
+
+
+def _duck_seg(segs, rings):
+    con = duckdb.connect()
+    try:
+        con.register("t", pd.DataFrame(
+            {"i": range(len(segs)),
+             "lon1": [a[0] for a, _ in segs],
+             "lat1": [a[1] for a, _ in segs],
+             "lon2": [b[0] for _, b in segs],
+             "lat2": [b[1] for _, b in segs]}))
+        ax, ay, az = trig.sphere_vec_sql("lon1", "lat1")
+        bx, by, bz = trig.sphere_vec_sql("lon2", "lat2")
+        pa = trig.sphere_polygon_pred_sql("lon1", "ax", "ay", "az", rings)
+        pb = trig.sphere_polygon_pred_sql("lon2", "bx", "by", "bz", rings)
+        xc = trig.sphere_segment_crossing_sql(
+            "ax", "ay", "az", "bx", "by", "bz",
+            "nabx", "naby", "nabz", rings)
+        return [bool(r[0]) for r in con.execute(f"""
+            SELECT ({pa}) OR ({pb}) OR {xc} FROM (
+              SELECT *, ay * bz - az * by AS nabx,
+                        az * bx - ax * bz AS naby,
+                        ax * by - ay * bx AS nabz
+              FROM (SELECT i, lon1, lon2,
+                           {ax} AS ax, {ay} AS ay, {az} AS az,
+                           {bx} AS bx, {by} AS by, {bz} AS bz
+                    FROM t))
+            ORDER BY i""").fetchall()]
+    finally:
+        con.close()
+
+
+def test_segment_intersects_semantic_pins(spark):
+    cases = [
+        # endpoints inside
+        (((15, 15), (25, 25)), SQUARE, True),
+        # pass-through: both endpoints outside, arc crosses two edges —
+        # the case $geoWithin cannot express
+        (((0, 20), (40, 20)), SQUARE, True),
+        # disjoint
+        (((50, 50), (60, 60)), SQUARE, False),
+        (((-170, -50), (-160, -40)), SQUARE, False),
+        # entirely inside the hole: parity False at both ends, no
+        # boundary crossing -> not intersecting (hole is not region)
+        (((17, 20), (23, 20)), HOLED, False),
+        # hole to outside: crosses the hole edge AND the outer edge
+        (((20, 20), (40, 20)), HOLED, True),
+        # degenerate zero-length segment falls back to point-inside
+        (((20, 20), (20, 20)), SQUARE, True),
+        (((40, 20), (40, 20)), SQUARE, False),
+        # antimeridian-straddling region, pass-through across 180
+        (((140, 0), (-140, 0)), ANTIMERIDIAN, True),
+    ]
+    for (a, b), rings, want in cases:
+        assert _spark_seg(spark, [(a, b)], rings)[0] == want, (a, b, want)
+        assert _duck_seg([(a, b)], rings)[0] == want, (a, b, "duck")
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_segments_match_reference_and_cross_engine(spark, seed):
+    rng = random.Random(seed)
+    rings = [_random_ring(rng, rng.randint(3, 8))]
+    segs = []
+    for _ in range(300):
+        a = (rng.uniform(-180, 180), rng.uniform(-89, 89))
+        # mix of short hops (likely near the ring) and long hauls
+        if rng.random() < 0.5:
+            b = (trig._wrap180(a[0] + rng.uniform(-30, 30)),
+                 max(-89.0, min(89.0, a[1] + rng.uniform(-30, 30))))
+        else:
+            b = (rng.uniform(-180, 180), rng.uniform(-89, 89))
+        segs.append((a, b))
+    want = [_ref_intersects(a, b, rings) for a, b in segs]
+    got_spark = _spark_seg(spark, segs, rings)
+    got_duck = _duck_seg(segs, rings)
+    assert got_spark == got_duck          # bit-identical renderings
+    for (w, margin), g, seg in zip(want, got_spark, segs):
+        if margin > 1e-9:
+            assert g == w, (seg, margin)
+
+
+def test_geo_intersects_match(spark):
+    """$geoIntersects end-to-end through the match language: runtime
+    size dispatch between stored points and stored segments, plus the
+    spec refusals."""
+    from mongo_hadoop_spark.operators.mongoagg import aggregate
+
+    df = spark.createDataFrame(
+        [(1, [20.0, 20.0]),                  # point inside
+         (2, [20.0, 35.0]),                  # point outside
+         (3, [0.0, 20.0, 40.0, 20.0]),       # pass-through segment
+         (4, [50.0, 50.0, 60.0, 60.0])],     # disjoint segment
+        "id long, loc array<double>")
+    got = aggregate(df, [
+        {"$match": {"loc": {"$geoIntersects": {"$geometry": {
+            "type": "Polygon", "coordinates": SQUARE}}}}},
+        {"$sort": {"id": 1}},
+    ]).select("id").collect()
+    assert [r["id"] for r in got] == [1, 3]
+    with pytest.raises(ValueError, match="Polygon"):
+        aggregate(df, [{"$match": {"loc": {"$geoIntersects": {
+            "$geometry": {"type": "LineString",
+                          "coordinates": [(0, 0), (1, 1)]}}}}}])
+    with pytest.raises(ValueError, match="geometry"):
+        aggregate(df, [{"$match": {"loc": {"$geoIntersects": {
+            "$centerSphere": [[0.0, 0.0], 1.0]}}}}])
