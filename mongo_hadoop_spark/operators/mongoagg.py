@@ -845,29 +845,75 @@ _SPH_LAT2 = "cast((user_id * 3 + 41) % 181 AS double) - 9e1"
 
 
 def pipeline_geo_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """$geoIntersects (GeoJSON spherical) in the match language: each
-    event carries a synthesized geodesic TRACK segment (two legacy
-    coordinate pairs), matched against the holed antimeridian
-    MultiPolygon — intersecting means an endpoint inside OR the arc
-    crossing a boundary edge, so pass-through tracks with both
-    endpoints outside still count (the case $geoWithin cannot see).
+    """$geoIntersects (GeoJSON spherical): each event carries a
+    synthesized geodesic TRACK segment (two legacy coordinate pairs),
+    matched against the holed antimeridian MultiPolygon — intersecting
+    means an endpoint inside OR the arc crossing a boundary edge, so
+    pass-through tracks with both endpoints outside still count (the
+    case $geoWithin cannot see).
 
-    Plan: a pure per-row predicate — endpoint parity folds plus the
-    four-determinant arc-crossing test over driver-literal edges —
-    ahead of the keyed count; no shuffle beyond the final group.  The
-    oracle unrolls the identical IEEE op sequence over CTE-bound
-    endpoint vectors and their cross product."""
+    Plan — the vector-materialized shape: the endpoint unit vectors
+    and their cross product are PROJECTED as columns (plain polynomial
+    arithmetic — whole-stage codegen, computed once per row), and the
+    filter's interpreted work shrinks to the per-edge folds over
+    attribute references (two parity aggregates + the crossing exists,
+    ~a dozen flops per edge).  Evaluating the vectors inside the
+    predicate's HOF binding instead (what the $match-language rendering
+    must do, having only a field reference) re-derives every polynomial
+    per row in interpreted mode — measured 4x slower end-to-end.  Same
+    one-scan zero-extra-shuffle shape either way; the oracle's CTEs
+    mirror this projection exactly.  The $match-language operator
+    (plans/aggpipe.py _geo_intersects / trig.sphere_geo_intersects_expr)
+    computes the identical predicate and is pinned bit-equal in
+    tests/test_spherepoly.py."""
+    from mongo_hadoop_spark.plans.trig import (
+        _geo_edges_array_sql, sphere_crossing_fold_sql,
+        sphere_parity_fold_sql, sphere_polygon_prefilter_sql,
+        sphere_vec_sql)
+
+    rings = [r for poly in _GEO_POLY_SPHERE["coordinates"] for r in poly]
     events = table(spark, sf_dir, "events")
-    with_track = events.select(
-        "event_id", "event_type",
-        F.expr(f"array({_SPH_LON}, {_SPH_LAT}, {_SPH_LON2}, {_SPH_LAT2})")
-        .alias("track"))
-    return aggregate(with_track, [
-        {"$match": {"track": {"$geoIntersects":
-                              {"$geometry": _GEO_POLY_SPHERE}}}},
-        {"$group": {"_id": "$event_type", "n": {"$sum": 1}}},
-        {"$sort": {"_id": 1}},
-    ])
+    pts = events.selectExpr(
+        "event_type",
+        f"({_SPH_LON}) AS lon1", f"({_SPH_LAT}) AS lat1",
+        f"({_SPH_LON2}) AS lon2", f"({_SPH_LAT2}) AS lat2")
+    ax, ay, az = sphere_vec_sql("lon1", "lat1")
+    bx, by, bz = sphere_vec_sql("lon2", "lat2")
+    vec = pts.selectExpr(
+        "event_type", "lon1", "lat1", "lon2", "lat2",
+        f"{ax} AS ax", f"{ay} AS ay", f"{az} AS az",
+        f"{bx} AS bx", f"{by} AS by", f"{bz} AS bz")
+    # monotonically_increasing_id is an optimizer BARRIER, not data:
+    # referencing a nondeterministic-sourced column inside the filter
+    # condition (the never-true `__barrier < 0` disjunct below; an
+    # IS NULL test would constant-fold away — the id is non-nullable)
+    # makes the predicate non-pushable, so the projected vectors stay
+    # materialized columns — without it PushPredicateThroughNonJoin
+    # substitutes every polynomial into each of the predicate's ~180
+    # per-edge references and the interpreted filter slows ~50x
+    # (measured 420 s at sf0.1).  An unreferenced barrier column gets
+    # column-pruned away first, which is why it must appear IN the
+    # condition.
+    nab = vec.selectExpr(
+        "*",
+        "ay * bz - az * by AS nabx",
+        "az * bx - ax * bz AS naby",
+        "ax * by - ay * bx AS nabz",
+        "monotonically_increasing_id() AS __barrier")
+    edges = _geo_edges_array_sql(rings)
+    pre_a = sphere_polygon_prefilter_sql("lon1", "lat1", rings)
+    pre_b = sphere_polygon_prefilter_sql("lon2", "lat2", rings)
+    parity_a = sphere_parity_fold_sql(edges, "lon1", "ax", "ay", "az")
+    parity_b = sphere_parity_fold_sql(edges, "lon2", "bx", "by", "bz")
+    crossing = sphere_crossing_fold_sql(
+        edges, "ax", "ay", "az", "bx", "by", "bz",
+        "nabx", "naby", "nabz")
+    pred = (f"({pre_a} AND {parity_a}) OR ({pre_b} AND {parity_b}) "
+            f"OR {crossing} OR (__barrier < CAST(0 AS LONG))")
+    return (nab.where(F.expr(pred))
+            .groupBy(F.col("event_type").alias("_id"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("_id"))
 
 
 def _geo_intersects_sql() -> str:

@@ -251,6 +251,92 @@ FROM per_doc p JOIN stats s USING (fp)
 """
 
 
+def corpus_span_excised(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply :func:`corpus_dup_spans`' drop policy to the text: in every
+    NON-canonical holder of a duplicated fingerprint, excise the
+    fingerprinted token windows ([span_off, span_off + SPAN_W - 1],
+    every occurrence); the lowest-doc_id holder keeps the span.  The
+    Lee et al. 2022 ExactSubstr *removal* step, as opposed to
+    :func:`documents_span_dedup_survivors`' whole-document drop.
+
+    Output is per-document: original token count, tokens cut, and the
+    cleaned token-normalized text (tokens re-joined with single
+    spaces — original whitespace is not preserved, same normalization
+    as the fingerprinting itself).
+
+    Scale shape — deliberately NO token-level shuffle: the cut-start
+    lists are duplicated-content-sized (keyed aggs over the
+    fingerprint table), join the corpus once on doc_id, and the
+    excision itself is a per-row higher-order filter — each token
+    index tests the doc's (small) cut-start list, so the corpus is
+    scanned exactly once and only duplicated documents carry any extra
+    per-row work.  Overlapping windows compose correctly because the
+    filter tests COVERAGE (s <= i < s + W), not window identity.
+    """
+    fps = _positioned_fingerprints(spark, sf_dir)
+    stats = (fps.select("fp", "doc_id").distinct()
+             .groupBy("fp")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.min("doc_id").alias("__canon"))
+             .where(F.col("n_docs") >= 2))
+    cuts = (fps.join(stats, "fp")
+            .where(F.col("doc_id") != F.col("__canon"))
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_set("span_off")).alias("cuts")))
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    docs = d.select("doc_id", tokenize("text").alias("ws"))
+    joined = docs.join(cuts, "doc_id", "left").select(
+        "doc_id", "ws",
+        F.coalesce("cuts", F.array().cast("array<int>")).alias("cuts"))
+    kept = F.expr(
+        f"transform(filter(sequence(1, size(ws)), "
+        f"i -> NOT exists(cuts, s -> s <= i AND i < s + {SPAN_W})), "
+        f"i -> element_at(ws, i))")
+    return joined.select(
+        "doc_id",
+        F.size("ws").alias("n_tokens"),
+        (F.size("ws") - F.size(kept)).alias("n_cut"),
+        F.concat_ws(" ", kept).alias("clean_text"))
+
+
+CORPUS_SPAN_EXCISED_SQL = f"""
+WITH {_POSITIONED_FPS_SQL.lstrip()},
+stats AS (
+  SELECT fp, min(doc_id) AS canon
+  FROM (SELECT DISTINCT fp, doc_id FROM fps)
+  GROUP BY fp HAVING count(*) >= 2
+),
+cuts AS (
+  SELECT f.doc_id, list_sort(list(DISTINCT f.span_off)) AS cuts
+  FROM fps f JOIN stats s USING (fp)
+  WHERE f.doc_id <> s.canon
+  GROUP BY f.doc_id
+),
+toks AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+),
+joined AS (
+  SELECT t.doc_id, t.ws, coalesce(c.cuts, []) AS cuts
+  FROM toks t LEFT JOIN cuts c USING (doc_id)
+),
+cleaned AS (
+  SELECT doc_id, len(ws) AS n_tokens,
+         list_transform(
+           list_filter(generate_series(1, len(ws)),
+             i -> NOT len(list_filter(cuts,
+                    s -> s <= i AND i < s + {SPAN_W})) > 0),
+           i -> ws[i]) AS kept
+  FROM joined
+)
+SELECT doc_id, n_tokens::bigint AS n_tokens,
+       (n_tokens - len(kept))::bigint AS n_cut,
+       array_to_string(kept, ' ') AS clean_text
+FROM cleaned
+"""
+
+
 def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed fingerprints that occur in >= 2 distinct documents.
 
@@ -374,6 +460,7 @@ SELECT doc_id FROM stats WHERE dup_frac <= {SPAN_DROP_FRAC}
 
 QUERIES = {
     "corpus_dup_spans": corpus_dup_spans,
+    "corpus_span_excised": corpus_span_excised,
     "dedup_duplicate_spans": dedup_duplicate_spans,
     "documents_span_stats": documents_span_stats,
     "documents_span_dedup_survivors": documents_span_dedup_survivors,
@@ -381,6 +468,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_dup_spans": CORPUS_DUP_SPANS_SQL,
+    "corpus_span_excised": CORPUS_SPAN_EXCISED_SQL,
     "dedup_duplicate_spans": DUPLICATE_SPANS_SQL,
     "documents_span_stats": SPAN_STATS_SQL,
     "documents_span_dedup_survivors": SPAN_SURVIVORS_SQL,

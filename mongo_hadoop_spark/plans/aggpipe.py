@@ -833,7 +833,16 @@ def _match_field(key: str, cond) -> Column:
         raise ValueError(f"unsupported top-level query operator {key}")
     col = F.col(key)
     if isinstance(cond, dict) and cond and all(k.startswith("$") for k in cond):
-        return _fold_and([_match_op_col(col, op, v) for op, v in cond.items()])
+        # $geoIntersects gets the one-string SQL rendering when the
+        # field NAME is in hand (always, here): the Column rendering
+        # builds the predicate through thousands of py4j round-trips
+        # (~8.5 s of plan-build measured at round 7); the SQL string is
+        # one JVM parse.  Renderings are pinned bit-identical.
+        return _fold_and([
+            F.expr(trig_mod().sphere_geo_intersects_expr(
+                key, _geo_intersects_rings(v)))
+            if op == "$geoIntersects" else _match_op_col(col, op, v)
+            for op, v in cond.items()])
     if cond is None:
         return col.isNull()
     return col == F.lit(cond)
@@ -1021,6 +1030,31 @@ def _geo_within(col: Column, spec) -> Column:
                      "only)")
 
 
+def trig_mod():
+    """Lazy import of plans.trig (same pattern as the inline imports —
+    trig is only needed by spherical-geometry operators)."""
+    from mongo_hadoop_spark.plans import trig
+    return trig
+
+
+def _geo_intersects_rings(spec) -> list:
+    """Validate a $geoIntersects spec and return the flattened GeoJSON
+    ring list — shared by the Column and one-string SQL renderings."""
+    if not (isinstance(spec, dict) and set(spec) == {"$geometry"}):
+        raise ValueError("$geoIntersects takes {$geometry: <GeoJSON "
+                         "Polygon/MultiPolygon>}")
+    geom = spec["$geometry"]
+    if not isinstance(geom, dict) or "coordinates" not in geom:
+        raise ValueError("$geometry needs type and coordinates members")
+    gtype, coords = geom.get("type"), geom["coordinates"]
+    if gtype == "Polygon":
+        return coords
+    if gtype == "MultiPolygon":
+        return [r for poly in coords for r in poly]
+    raise ValueError(f"$geoIntersects $geometry supports Polygon/"
+                     f"MultiPolygon, not {gtype!r}")
+
+
 def _geo_intersects(col: Column, spec) -> Column:
     """``$geoIntersects`` with a GeoJSON ``$geometry`` Polygon /
     MultiPolygon query shape, spherical semantics.
@@ -1053,20 +1087,7 @@ def _geo_intersects(col: Column, spec) -> Column:
     """
     from mongo_hadoop_spark.plans.trig import (
         sphere_polygon_pred_col, sphere_segment_intersects_col)
-    if not (isinstance(spec, dict) and set(spec) == {"$geometry"}):
-        raise ValueError("$geoIntersects takes {$geometry: <GeoJSON "
-                         "Polygon/MultiPolygon>}")
-    geom = spec["$geometry"]
-    if not isinstance(geom, dict) or "coordinates" not in geom:
-        raise ValueError("$geometry needs type and coordinates members")
-    gtype, coords = geom.get("type"), geom["coordinates"]
-    if gtype == "Polygon":
-        rings = coords
-    elif gtype == "MultiPolygon":
-        rings = [r for poly in coords for r in poly]
-    else:
-        raise ValueError(f"$geoIntersects $geometry supports Polygon/"
-                         f"MultiPolygon, not {gtype!r}")
+    rings = _geo_intersects_rings(spec)
     # see _geo_within for the getItem-over-element_at rationale
     point = sphere_polygon_pred_col(col.getItem(0), col.getItem(1), rings)
     segment = sphere_segment_intersects_col(

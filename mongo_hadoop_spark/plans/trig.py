@@ -645,3 +645,147 @@ def sphere_segment_intersects_col(lonA: Column, latA: Column,
     return (sphere_polygon_pred_col(lonA, latA, rings)
             | sphere_polygon_pred_col(lonB, latB, rings)
             | sphere_segment_crossing_col(lonA, latA, lonB, latB, rings))
+
+
+# --- one-string Spark-SQL rendering of $geoIntersects --------------------
+#
+# The Column renderings above build the predicate through thousands of
+# py4j calls (each polynomial node is a JVM round-trip), which measured
+# ~8.5 s of PLAN-BUILD time for the full segment predicate — the exact
+# failure mode SCALE.md's round-4 finding pinned ("wide literal
+# expressions must be built as SQL strings").  The functions below
+# emit the ENTIRE predicate as one Spark-SQL string (one JVM parse):
+# the same HOF-bound shape, the same IEEE op sequences (pinned equal to
+# the Column rendering in tests/test_spherepoly.py), with the parity
+# folds, the crossing test, and the bounding prefilters all inlined.
+# The match compiler uses this path whenever it has the field NAME in
+# hand (always, outside $elemMatch).
+
+def sphere_polygon_prefilter_sql(lon: str, lat: str, rings) -> str:
+    """SQL text of the codegen'd bounding prefilter — same literals and
+    comparison ops as sphere_polygon_prefilter_col."""
+    lat_lo, lat_hi, lon_iv = polygon_prefilter_bounds(rings)
+    parts = [f"({lat} >= {_dlit(lat_lo)} AND {lat} <= {_dlit(lat_hi)})"]
+    if lon_iv is not None:
+        terms = " OR ".join(
+            f"({lon} >= {_dlit(lo - _BOX_MARGIN)} "
+            f"AND {lon} <= {_dlit(hi + _BOX_MARGIN)})"
+            for lo, hi in lon_iv)
+        parts.append(f"({terms})")
+    return "(" + " AND ".join(parts) + ")"
+
+
+def _geo_edges_array_sql(rings) -> str:
+    """ONE literal struct array carrying both the parity fields
+    (la, lb, nx, ny, nz) and the crossing fields (cx..dz) per edge, so
+    every HOF binding in the one-string rendering shares it."""
+    rows = []
+    for (lon1, _, lon2, _, (nx, ny, nz)), seg in zip(
+            polygon_edges(rings), _segment_edge_literals(rings)):
+        fields = [f"'la', {_dlit(lon1)}", f"'lb', {_dlit(lon2)}"]
+        fields += [f"'{f}', {_dlit(v)}" for f, v in zip(_SEG_FIELDS, seg)]
+        rows.append("named_struct(" + ", ".join(fields) + ")")
+    return "array(" + ", ".join(rows) + ")"
+
+
+def _parity_hof_sql(edges_sql: str, lon: str,
+                    px: str, py: str, pz: str) -> str:
+    """Spark-SQL text of the even-odd parity fold — op-for-op the
+    sphere_polygon_pred_col HOF (wrap CASE, straddle tests, N.P dot,
+    XOR aggregate), with the point bound once through a one-element
+    transform."""
+    def wrap(d: str) -> str:
+        return (f"(CASE WHEN {d} > 1.8e2 THEN {d} - 3.6e2 "
+                f"WHEN {d} <= -1.8e2 THEN {d} + 3.6e2 ELSE {d} END)")
+
+    da, db = wrap("(e.la - v.lon)"), wrap("(e.lb - v.lon)")
+    term = (f"((({da} > 0e0) != ({db} > 0e0)) "
+            f"AND abs({da} - {db}) < 1.8e2 "
+            f"AND (e.nx * v.px + e.ny * v.py + e.nz * v.pz) "
+            f"* e.nz < 0e0)")
+    return (f"element_at(transform(array(named_struct("
+            f"'lon', {lon}, 'px', {px}, 'py', {py}, 'pz', {pz})), "
+            f"v -> aggregate({edges_sql}, false, "
+            f"(acc, e) -> acc != {term})), 1)")
+
+
+def _crossing_hof_sql(edges_sql: str, ax: str, ay: str, az: str,
+                      bx: str, by: str, bz: str) -> str:
+    """Spark-SQL text of the four-determinant arc-crossing exists —
+    op-for-op sphere_segment_crossing_col."""
+    acb = "(-(u.nx * e.cx + u.ny * e.cy + u.nz * e.cz))"
+    bda = "(u.nx * e.dx + u.ny * e.dy + u.nz * e.dz)"
+    cbd = "(-(e.nx * u.bx + e.ny * u.by + e.nz * u.bz))"
+    dac = "(e.nx * u.ax + e.ny * u.ay + e.nz * u.az)"
+    term = (f"({acb} * {bda} > 0e0 AND {acb} * {cbd} > 0e0 "
+            f"AND {acb} * {dac} > 0e0)")
+    return (f"element_at(transform(array(named_struct("
+            f"'ax', {ax}, 'ay', {ay}, 'az', {az}, "
+            f"'bx', {bx}, 'by', {by}, 'bz', {bz})), "
+            f"v -> element_at(transform(array(named_struct("
+            f"'ax', v.ax, 'ay', v.ay, 'az', v.az, "
+            f"'bx', v.bx, 'by', v.by, 'bz', v.bz, "
+            f"'nx', v.ay * v.bz - v.az * v.by, "
+            f"'ny', v.az * v.bx - v.ax * v.bz, "
+            f"'nz', v.ax * v.by - v.ay * v.bx)), "
+            f"u -> exists({edges_sql}, e -> {term})), 1)), 1)")
+
+
+def sphere_parity_fold_sql(edges_sql: str, lon: str,
+                           px: str, py: str, pz: str) -> str:
+    """Flat Spark-SQL parity fold over PRE-BOUND references (projected
+    vector columns): same per-edge ops as _parity_hof_sql minus the
+    binding transform — for plans that materialize the point vector as
+    codegen'd projection columns and keep only the edge fold
+    interpreted (the vector-materialized production shape)."""
+    def wrap(d: str) -> str:
+        return (f"(CASE WHEN {d} > 1.8e2 THEN {d} - 3.6e2 "
+                f"WHEN {d} <= -1.8e2 THEN {d} + 3.6e2 ELSE {d} END)")
+
+    da, db = wrap(f"(e.la - {lon})"), wrap(f"(e.lb - {lon})")
+    term = (f"((({da} > 0e0) != ({db} > 0e0)) "
+            f"AND abs({da} - {db}) < 1.8e2 "
+            f"AND (e.nx * {px} + e.ny * {py} + e.nz * {pz}) "
+            f"* e.nz < 0e0)")
+    return (f"aggregate({edges_sql}, false, "
+            f"(acc, e) -> acc != {term})")
+
+
+def sphere_crossing_fold_sql(edges_sql: str,
+                             ax: str, ay: str, az: str,
+                             bx: str, by: str, bz: str,
+                             nabx: str, naby: str, nabz: str) -> str:
+    """Flat Spark-SQL arc-crossing exists over PRE-BOUND references
+    (projected endpoint-vector and cross-product columns) — same
+    per-edge ops as sphere_segment_crossing_sql's unrolled oracle
+    rendering, folded over the literal edge array."""
+    acb = f"(-({nabx} * e.cx + {naby} * e.cy + {nabz} * e.cz))"
+    bda = f"({nabx} * e.dx + {naby} * e.dy + {nabz} * e.dz)"
+    cbd = f"(-(e.nx * {bx} + e.ny * {by} + e.nz * {bz}))"
+    dac = f"(e.nx * {ax} + e.ny * {ay} + e.nz * {az})"
+    term = (f"({acb} * {bda} > 0e0 AND {acb} * {cbd} > 0e0 "
+            f"AND {acb} * {dac} > 0e0)")
+    return f"exists({edges_sql}, e -> {term})"
+
+
+def sphere_geo_intersects_expr(field: str, rings) -> str:
+    """The full $geoIntersects predicate over a named array column, as
+    one Spark-SQL string: size dispatch (2 = point parity, 4 = segment
+    endpoint-parity OR arc-crossing), with each parity guarded by its
+    inlined bounding prefilter.  ``field`` is a column/path reference;
+    0-based ``[i]`` indexing mirrors the Column form's getItem."""
+    lonA, latA = f"{field}[0]", f"{field}[1]"
+    lonB, latB = f"{field}[2]", f"{field}[3]"
+    edges = _geo_edges_array_sql(rings)
+    vec_a = sphere_vec_sql(lonA, latA)
+    vec_b = sphere_vec_sql(lonB, latB)
+    pre_a = sphere_polygon_prefilter_sql(lonA, latA, rings)
+    pre_b = sphere_polygon_prefilter_sql(lonB, latB, rings)
+    parity_a = _parity_hof_sql(edges, lonA, *vec_a)
+    parity_b = _parity_hof_sql(edges, lonB, *vec_b)
+    crossing = _crossing_hof_sql(edges, *vec_a, *vec_b)
+    point = f"({pre_a} AND {parity_a})"
+    seg = (f"(({pre_a} AND {parity_a}) OR ({pre_b} AND {parity_b}) "
+           f"OR {crossing})")
+    return (f"(CASE WHEN size({field}) >= 4 THEN {seg} "
+            f"ELSE {point} END)")

@@ -609,3 +609,22 @@ def test_priority_sample_topk_is_take_ordered_window_bounded(spark):
         if " Window " in ln or ln.lstrip().startswith("Window "):
             below = "\n".join(lines[i:])
             assert "TakeOrderedAndProject" in below
+
+
+def test_geo_intersects_vectors_stay_materialized(spark):
+    """pipeline_geo_intersects projects the endpoint unit vectors as
+    codegen'd columns and filters over ATTRIBUTE references — if the
+    optimizer ever substitutes the polynomials back into the filter's
+    ~180 per-edge references (measured 50x slower), the optimized tree
+    balloons and the filter consumes raw table columns again.  The
+    never-true nondeterministic `__barrier` disjunct is the guard."""
+    from mongo_hadoop_spark.operators import mongoagg
+
+    df = mongoagg.pipeline_geo_intersects(spark, SF_SMOKE)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # substituted form measured ~250 KB; materialized form ~25 KB
+    assert len(opt) < 100_000, len(opt)
+    assert "monotonically_increasing_id" in opt
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan

@@ -352,3 +352,28 @@ def test_geo_intersects_match(spark):
     with pytest.raises(ValueError, match="geometry"):
         aggregate(df, [{"$match": {"loc": {"$geoIntersects": {
             "$centerSphere": [[0.0, 0.0], 1.0]}}}}])
+
+
+def test_geo_intersects_one_string_rendering_matches_column(spark):
+    """The match compiler's one-string SQL rendering (plan-build fast
+    path) must be bit-identical to the Column rendering on random
+    segments AND random points."""
+    rng = random.Random(41)
+    rings = [_random_ring(rng, rng.randint(3, 8))]
+    rows = []
+    for i in range(200):
+        a = (rng.uniform(-180, 180), rng.uniform(-89, 89))
+        b = (rng.uniform(-180, 180), rng.uniform(-89, 89))
+        rows.append((i, [a[0], a[1], b[0], b[1]] if i % 2 else [a[0], a[1]]))
+    df = spark.createDataFrame(rows, "i long, loc array<double>")
+    col_pred = F.when(
+        F.size("loc") >= 4,
+        trig.sphere_segment_intersects_col(
+            F.col("loc").getItem(0), F.col("loc").getItem(1),
+            F.col("loc").getItem(2), F.col("loc").getItem(3), rings)
+    ).otherwise(trig.sphere_polygon_pred_col(
+        F.col("loc").getItem(0), F.col("loc").getItem(1), rings))
+    txt_pred = F.expr(trig.sphere_geo_intersects_expr("loc", rings))
+    got = df.select("i", col_pred.alias("c"), txt_pred.alias("t")).collect()
+    for r in got:
+        assert bool(r["c"]) == bool(r["t"]), (r["i"],)
