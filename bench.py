@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "pipeline_geo_near_sphere", "corpus_bpe_merges",
     # session 4: spherical polygons + domain reweighting
     "pipeline_geo_polygon_sphere", "corpus_doremi_weights",
+    # round 7: segment $geoIntersects + duplicate-span report/excision
+    "pipeline_geo_intersects", "corpus_dup_spans", "corpus_span_excised",
 ]
 
 
