@@ -337,6 +337,124 @@ FROM cleaned
 """
 
 
+#: max token gap between successive winnowed fingerprints of ONE
+#: verbatim run: selection windows guarantee a fingerprint at least
+#: every WINNOW_K positions inside a shared run, and each covers
+#: SPAN_W tokens — gaps beyond this split the alignment into runs
+SPAN_RUN_GAP = SPAN_W + WINNOW_K
+
+
+def dedup_span_alignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aligned duplicated-passage extraction: for every (canonical
+    holder a, duplicate holder b) document pair that shares winnowed
+    fingerprints, group the shared fingerprints by OFFSET DELTA
+    (off_b - off_a) — fingerprints of one verbatim passage copied at a
+    fixed displacement all share a delta — and chain same-delta
+    fingerprints whose spacing stays within the winnowing guarantee
+    into maximal runs.  Reports per pair: total shared fingerprints,
+    the longest run's fingerprint count, and its estimated token
+    length (last_off - first_off + SPAN_W).  This is the alignment
+    analysis of Lee et al. 2022's ExactSubstr output — WHERE the
+    verbatim reuse sits and HOW LONG it is, vs corpus_dup_spans'
+    per-occurrence report.
+
+    Scale shape: pair generation is a STAR join through each
+    fingerprint's canonical (lowest-doc_id) holder — linear in shared
+    fingerprints, never the k² all-pairs per fingerprint.  Run
+    chaining is the islands-and-gaps pattern: one window per
+    (a, b, delta) partition (bounded by that pair's shared content),
+    then two keyed aggregations.  Intra-document repeats collapse to
+    the first occurrence per (fingerprint, document) before pairing —
+    deterministic and linear.
+    """
+    from pyspark.sql import Window
+
+    fps = _positioned_fingerprints(spark, sf_dir)
+    per_doc = fps.groupBy("fp", "doc_id").agg(
+        F.min("span_off").alias("off"))
+    stats = (per_doc.groupBy("fp")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.min("doc_id").alias("__canon"))
+             .where(F.col("n_docs") >= 2)
+             .select("fp", "__canon"))
+    flagged = per_doc.join(stats, "fp")
+    canon = (flagged.where(F.col("doc_id") == F.col("__canon"))
+             .select("fp", F.col("doc_id").alias("a"),
+                     F.col("off").alias("off_a")))
+    others = (flagged.where(F.col("doc_id") != F.col("__canon"))
+              .select("fp", F.col("doc_id").alias("b"),
+                      F.col("off").alias("off_b")))
+    shared = canon.join(others, "fp").select(
+        "a", "b", "off_a",
+        (F.col("off_b") - F.col("off_a")).alias("delta"))
+    w = Window.partitionBy("a", "b", "delta").orderBy("off_a")
+    chained = shared.select(
+        "a", "b", "delta", "off_a",
+        F.when(F.lag("off_a").over(w).isNull(), F.lit(1))
+        .when(F.col("off_a") - F.lag("off_a").over(w)
+              > F.lit(SPAN_RUN_GAP), F.lit(1))
+        .otherwise(F.lit(0)).alias("new_run"))
+    runs = (chained
+            .select("a", "b", "delta", "off_a",
+                    F.sum("new_run").over(
+                        w.rowsBetween(Window.unboundedPreceding,
+                                      Window.currentRow)).alias("run_id"))
+            .groupBy("a", "b", "delta", "run_id")
+            .agg(F.count(F.lit(1)).alias("n_fps"),
+                 (F.max("off_a") - F.min("off_a")
+                  + F.lit(SPAN_W)).alias("run_tokens")))
+    return runs.groupBy("a", "b").agg(
+        F.sum("n_fps").alias("n_shared_fps"),
+        F.max("n_fps").alias("longest_run_fps"),
+        F.max("run_tokens").alias("longest_run_tokens"))
+
+
+SPAN_ALIGNMENTS_SQL = f"""
+WITH {_POSITIONED_FPS_SQL.lstrip()},
+per_doc AS (
+  SELECT fp, doc_id, min(span_off) AS off
+  FROM fps GROUP BY fp, doc_id
+),
+stats AS (
+  SELECT fp, min(doc_id) AS canon
+  FROM per_doc GROUP BY fp HAVING count(*) >= 2
+),
+shared AS (
+  SELECT c.a, o.b, c.off_a, o.off_b - c.off_a AS delta
+  FROM (SELECT p.fp, p.doc_id AS a, p.off AS off_a
+        FROM per_doc p JOIN stats s USING (fp)
+        WHERE p.doc_id = s.canon) c
+  JOIN (SELECT p.fp, p.doc_id AS b, p.off AS off_b
+        FROM per_doc p JOIN stats s USING (fp)
+        WHERE p.doc_id <> s.canon) o USING (fp)
+),
+chained AS (
+  SELECT a, b, delta, off_a,
+         CASE WHEN lag(off_a) OVER
+                (PARTITION BY a, b, delta ORDER BY off_a) IS NULL THEN 1
+              WHEN off_a - lag(off_a) OVER
+                (PARTITION BY a, b, delta ORDER BY off_a)
+                > {SPAN_RUN_GAP} THEN 1
+              ELSE 0 END AS new_run
+  FROM shared
+),
+runs AS (
+  SELECT a, b, delta, run_id, count(*)::bigint AS n_fps,
+         (max(off_a) - min(off_a) + {SPAN_W})::int AS run_tokens
+  FROM (SELECT a, b, delta, off_a,
+               sum(new_run) OVER (PARTITION BY a, b, delta ORDER BY off_a
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS run_id
+        FROM chained)
+  GROUP BY a, b, delta, run_id
+)
+SELECT a, b, sum(n_fps)::bigint AS n_shared_fps,
+       max(n_fps)::bigint AS longest_run_fps,
+       max(run_tokens) AS longest_run_tokens
+FROM runs GROUP BY a, b
+"""
+
+
 def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed fingerprints that occur in >= 2 distinct documents.
 
@@ -461,6 +579,7 @@ SELECT doc_id FROM stats WHERE dup_frac <= {SPAN_DROP_FRAC}
 QUERIES = {
     "corpus_dup_spans": corpus_dup_spans,
     "corpus_span_excised": corpus_span_excised,
+    "dedup_span_alignments": dedup_span_alignments,
     "dedup_duplicate_spans": dedup_duplicate_spans,
     "documents_span_stats": documents_span_stats,
     "documents_span_dedup_survivors": documents_span_dedup_survivors,
@@ -469,6 +588,7 @@ QUERIES = {
 ORACLES = {
     "corpus_dup_spans": CORPUS_DUP_SPANS_SQL,
     "corpus_span_excised": CORPUS_SPAN_EXCISED_SQL,
+    "dedup_span_alignments": SPAN_ALIGNMENTS_SQL,
     "dedup_duplicate_spans": DUPLICATE_SPANS_SQL,
     "documents_span_stats": SPAN_STATS_SQL,
     "documents_span_dedup_survivors": SPAN_SURVIVORS_SQL,

@@ -139,3 +139,28 @@ def test_dup_span_report_intra_doc_occurrences(spark, tmp_path):
     assert d0 and all(r["n_occ"] >= 1 for r in d0)
     # at least one fingerprint occurs at both copies
     assert any(r["n_occ"] == 2 for r in d0)
+
+
+def test_span_alignments_runs_and_lengths(spark, tmp_path):
+    """dedup_span_alignments: a copied passage shows up as ONE run at
+    the displacement delta with the right estimated token length; two
+    disjoint copied passages at different displacements stay separate
+    runs."""
+    run1 = _tokens("p", 30)             # 30-token passage
+    run2 = _tokens("q", GUARANTEE)      # minimal-guarantee passage
+    texts = [
+        run1 + " " + _tokens("fill", 10) + " " + run2,   # doc 0 (canonical)
+        _tokens("pre", 4) + " " + run1,                  # doc 1: run1 shifted +4
+        run2,                                            # doc 2: run2 only
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    rows = {(r["a"], r["b"]): r.asDict()
+            for r in spans.dedup_span_alignments(spark, sf).collect()}
+    assert set(rows) == {(0, 1), (0, 2)}
+    r01 = rows[(0, 1)]
+    # the 30-token copy: estimated length within [SPAN_W, 30]
+    assert spans.SPAN_W <= r01["longest_run_tokens"] <= 30
+    assert r01["longest_run_fps"] >= 2
+    r02 = rows[(0, 2)]
+    assert r02["longest_run_tokens"] <= len(run2.split())
+    assert r02["n_shared_fps"] >= 1
