@@ -67,6 +67,13 @@ HEADLINE = [
      "domain-sized multiplicative-weights rounds, scalar broadcasts"),
     ("documents_chunk_windows", "chunking: explode(sequence), map-only"),
     ("documents_fim_transform", "FIM: md5 pivots + substrings, map-only"),
+    ("pipeline_geo_intersects",
+     "segment vs polygon: materialized vectors, attribute-ref folds"),
+    ("corpus_dup_spans", "positioned winnowing: keyed aggs + fp join"),
+    ("corpus_span_excised",
+     "span excision: doc-keyed cut lists, per-row HOF filter"),
+    ("dedup_span_alignments",
+     "alignment runs: star-join pairs, per-(pair,delta) windows"),
 ]
 
 
