@@ -290,9 +290,14 @@ def corpus_span_excised(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = docs.join(cuts, "doc_id", "left").select(
         "doc_id", "ws",
         F.coalesce("cuts", F.array().cast("array<int>")).alias("cuts"))
+    # greatest(.., 1) + the i <= size(ws) conjunct: Spark's
+    # sequence(1, 0) yields DESCENDING [1, 0] (not empty like DuckDB's
+    # generate_series), so a zero-token document would otherwise
+    # produce phantom indices and an element_at(ws, 0) error
     kept = F.expr(
-        f"transform(filter(sequence(1, size(ws)), "
-        f"i -> NOT exists(cuts, s -> s <= i AND i < s + {SPAN_W})), "
+        f"transform(filter(sequence(1, greatest(size(ws), 1)), "
+        f"i -> i <= size(ws) "
+        f"AND NOT exists(cuts, s -> s <= i AND i < s + {SPAN_W})), "
         f"i -> element_at(ws, i))")
     return joined.select(
         "doc_id",

@@ -164,3 +164,29 @@ def test_span_alignments_runs_and_lengths(spark, tmp_path):
     r02 = rows[(0, 2)]
     assert r02["longest_run_tokens"] <= len(run2.split())
     assert r02["n_shared_fps"] >= 1
+
+
+def test_span_excision_handles_empty_and_clean_docs(spark, tmp_path):
+    """corpus_span_excised: zero-token documents pass through with
+    n_cut = 0 (Spark's descending sequence(1, 0) hazard), clean docs
+    keep their token-normalized text, and full duplicates lose their
+    flagged windows only in the non-canonical holder."""
+    shared = _tokens("dup", GUARANTEE)
+    texts = [
+        "",                              # zero tokens
+        "  ",                            # whitespace only -> zero tokens
+        shared,                          # canonical holder (doc 2)
+        shared,                          # duplicate holder  (doc 3)
+        _tokens("solo", 20),             # untouched original
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    rows = {r["doc_id"]: r.asDict()
+            for r in spans.corpus_span_excised(spark, sf).collect()}
+    assert rows[0]["n_tokens"] == 0 and rows[0]["n_cut"] == 0
+    assert rows[0]["clean_text"] == ""
+    assert rows[1]["n_tokens"] == 0 and rows[1]["n_cut"] == 0
+    assert rows[2]["n_cut"] == 0            # canonical keeps the span
+    assert rows[2]["clean_text"] == shared
+    assert rows[3]["n_cut"] > 0             # duplicate holder loses it
+    assert rows[4]["n_cut"] == 0
+    assert rows[4]["clean_text"] == texts[4]
