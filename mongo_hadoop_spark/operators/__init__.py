@@ -47,7 +47,7 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 _HEAD_KEYS = [
     # new this round — never driver-verified
     "pipeline_geo_intersects", "corpus_dup_spans", "corpus_span_excised",
-    "dedup_span_alignments",
+    "dedup_span_alignments", "corpus_span_increment",
     # changed this round — fresh hash rows needed
     "pipeline_geo_near", "pipeline_geo_near_sphere", "corpus_chunk_dedup",
     # r01-verified — oldest outstanding driver verdicts

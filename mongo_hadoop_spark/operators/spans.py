@@ -342,6 +342,112 @@ FROM cleaned
 """
 
 
+#: seen/new split modulus for the incremental span classifier (every
+#: MOD-th document plays the arriving crawl shard)
+SPAN_SEEN_MOD = 5
+
+
+def seen_span_fingerprints(seen_docs: DataFrame) -> DataFrame:
+    """Distinct winnowed fingerprints of a SEEN corpus — the read-mostly
+    index an incremental span classifier probes.  At cluster scale this
+    is computed once per crawl epoch and persisted; every micro-batch
+    joins against it (fingerprint-keyed equi-join, index size
+    proportional to seen content)."""
+    return (_fingerprints_from(
+        seen_docs.select("doc_id", tokenize("text").alias("ws")))
+        .select("fp").distinct())
+
+
+def classify_spans_against_seen(new_docs: DataFrame,
+                                seen_fps: DataFrame) -> DataFrame:
+    """Per NEW document: the fraction of its winnowed fingerprints
+    already present in the seen corpus, and the drop verdict at
+    ``SPAN_DROP_FRAC`` — the incremental (crawl-increment) form of
+    :func:`documents_span_stats`, where the duplicate set is a FIXED
+    prior corpus instead of the batch itself.  A document's verdict
+    depends only on its bytes and the seen index, never on which
+    micro-batch delivered it — the stream ≡ batch property
+    (streaming.jobs.stream_span_classify, pinned in
+    tests/test_streaming.py)."""
+    fps = _fingerprints_from(
+        new_docs.select("doc_id", tokenize("text").alias("ws")))
+    flagged = fps.join(
+        seen_fps.select("fp", F.lit(1).alias("seen")), "fp", "left")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.sum(F.coalesce(F.col("seen"), F.lit(0))).alias("n_seen_fps"))
+    return new_docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_fps", F.lit(0)).alias("n_fps"),
+        F.coalesce("n_seen_fps", F.lit(0)).alias("n_seen_fps"),
+        F.when(F.coalesce("n_fps", F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(F.col("n_seen_fps").cast("double")
+                   / F.col("n_fps").cast("double")).alias("seen_frac"),
+        F.when(F.coalesce("n_fps", F.lit(0)) == 0, F.lit(True))
+        .otherwise(F.col("n_seen_fps").cast("double")
+                   / F.col("n_fps").cast("double")
+                   <= F.lit(SPAN_DROP_FRAC)).alias("keep"))
+
+
+def corpus_span_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span dedup over a deterministic seen/new split: every
+    ``SPAN_SEEN_MOD``-th document arrives as the new crawl shard and is
+    scored against the winnowed fingerprints of the rest — drop-don't-
+    trim at the same threshold as the batch policy.  One fingerprint
+    pass per side, one fp-keyed join, one doc-keyed aggregate."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    seen = d.where(F.col("doc_id") % SPAN_SEEN_MOD != 0)
+    new = d.where(F.col("doc_id") % SPAN_SEEN_MOD == 0)
+    return classify_spans_against_seen(new, seen_span_fingerprints(seen))
+
+
+def _fps_cte(prefix: str, where: str) -> str:
+    """The winnowing CTE pair over a filtered documents view — the
+    parameterized form of ``_FINGERPRINTS_SQL`` (distinct CTE names so
+    seen and new sides coexist in one oracle)."""
+    return f"""
+  {prefix}hashes AS (
+    SELECT doc_id, len({_SHINGLE_HASHES_SQL}) AS n_h,
+           generate_subscripts({_SHINGLE_HASHES_SQL}, 1) AS i,
+           unnest({_SHINGLE_HASHES_SQL}) AS h
+    FROM documents {where}
+  ),
+  {prefix}fps AS (
+    SELECT DISTINCT doc_id, fp FROM (
+      SELECT doc_id, i, n_h,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {WINNOW_K - 1} FOLLOWING) AS fp
+      FROM {prefix}hashes
+    ) WHERE i + {WINNOW_K} <= n_h + 1 OR i = 1
+  )"""
+
+
+SPAN_INCREMENT_SQL = f"""
+WITH {_fps_cte("seen_", f"WHERE doc_id % {SPAN_SEEN_MOD} <> 0").lstrip()},
+{_fps_cte("new_", f"WHERE doc_id % {SPAN_SEEN_MOD} = 0").lstrip()},
+seen_set AS (SELECT DISTINCT fp FROM seen_fps),
+per_doc AS (
+  SELECT n.doc_id, count(*)::bigint AS n_fps,
+         sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END)::bigint
+           AS n_seen_fps
+  FROM new_fps n LEFT JOIN seen_set s USING (fp)
+  GROUP BY n.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_fps, 0) AS n_fps,
+       coalesce(p.n_seen_fps, 0) AS n_seen_fps,
+       CASE WHEN coalesce(p.n_fps, 0) = 0 THEN 0.0
+            ELSE p.n_seen_fps::double / p.n_fps::double END AS seen_frac,
+       CASE WHEN coalesce(p.n_fps, 0) = 0 THEN TRUE
+            ELSE p.n_seen_fps::double / p.n_fps::double
+                 <= {SPAN_DROP_FRAC} END AS keep
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+WHERE d.doc_id % {SPAN_SEEN_MOD} = 0
+"""
+
+
 #: max token gap between successive winnowed fingerprints of ONE
 #: verbatim run: selection windows guarantee a fingerprint at least
 #: every WINNOW_K positions inside a shared run, and each covers
@@ -585,6 +691,7 @@ QUERIES = {
     "corpus_dup_spans": corpus_dup_spans,
     "corpus_span_excised": corpus_span_excised,
     "dedup_span_alignments": dedup_span_alignments,
+    "corpus_span_increment": corpus_span_increment,
     "dedup_duplicate_spans": dedup_duplicate_spans,
     "documents_span_stats": documents_span_stats,
     "documents_span_dedup_survivors": documents_span_dedup_survivors,
@@ -594,6 +701,7 @@ ORACLES = {
     "corpus_dup_spans": CORPUS_DUP_SPANS_SQL,
     "corpus_span_excised": CORPUS_SPAN_EXCISED_SQL,
     "dedup_span_alignments": SPAN_ALIGNMENTS_SQL,
+    "corpus_span_increment": SPAN_INCREMENT_SQL,
     "dedup_duplicate_spans": DUPLICATE_SPANS_SQL,
     "documents_span_stats": SPAN_STATS_SQL,
     "documents_span_dedup_survivors": SPAN_SURVIVORS_SQL,

@@ -489,6 +489,34 @@ def stream_fim_transform(documents: DataFrame) -> DataFrame:
     return fim_transform(documents)
 
 
+def stream_span_classify(seen_fps: DataFrame, out_path: str):
+    """foreachBatch body for incremental SPAN-level dedup: score each
+    arriving micro-batch of documents against a fixed seen-corpus
+    winnowed-fingerprint index
+    (:func:`~.operators.spans.seen_span_fingerprints`) and append
+    (doc_id, n_fps, n_seen_fps, seen_frac, keep) verdicts to
+    ``out_path`` — the streaming form of
+    :func:`~.operators.spans.corpus_span_increment`.
+
+    The per-batch fingerprinting needs a per-doc window + distinct
+    (stateful in pure streaming), so it runs batch-side per trigger via
+    foreachBatch; a document's verdict depends only on its bytes and
+    the seen index, never on batch boundaries, so stream ≡ batch holds
+    by construction (pinned in tests/test_streaming.py).  At cluster
+    scale the index is persisted once per crawl epoch and every
+    micro-batch probes it with one fingerprint-keyed equi-join.
+    """
+    from mongo_hadoop_spark.operators.spans import classify_spans_against_seen
+
+    def classify_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (classify_spans_against_seen(batch_df, seen_fps)
+         .write.mode("append").parquet(out_path))
+
+    return classify_batch
+
+
 def stream_crawl_classify(seen_index: dict, out_path: str):
     """foreachBatch body for incremental-crawl dedup: classify each
     arriving micro-batch of documents against a fixed seen-corpus index

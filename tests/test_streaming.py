@@ -902,3 +902,41 @@ def test_stream_chunk_and_fim_equal_batch(spark, documents_dir, tmp_path):
     pick = lambda r: (r["doc_id"], r["fim_applied"], r["cut_lo"],  # noqa: E731
                       r["cut_hi"], r["train_text"])
     assert sorted(map(pick, got_f)) == sorted(map(pick, want_f))
+
+
+def test_stream_span_classify_equals_batch(spark, documents_dir, tmp_path):
+    """Span-level incremental dedup runs as a stream: scoring arriving
+    micro-batches against a fixed seen-corpus fingerprint index must
+    give every document the exact (n_fps, n_seen_fps, seen_frac, keep)
+    the batch operator assigns — regardless of which micro-batch
+    delivered it."""
+    import pyspark.sql.functions as F
+
+    from mongo_hadoop_spark.operators.spans import (
+        SPAN_SEEN_MOD, corpus_span_increment, seen_span_fingerprints,
+    )
+    from mongo_hadoop_spark.streaming.jobs import (
+        stream_span_classify, streaming_documents_source,
+    )
+
+    seen_fps = seen_span_fingerprints(
+        table(spark, SF_SMOKE, "documents")
+        .where(F.col("doc_id") % SPAN_SEEN_MOD != 0)).persist()
+    out = str(tmp_path / "span_out")
+    new_stream = (streaming_documents_source(spark, documents_dir)
+                  .where(F.col("doc_id") % SPAN_SEEN_MOD == 0))
+    q = (new_stream.writeStream
+         .foreachBatch(stream_span_classify(seen_fps, out))
+         .option("checkpointLocation", str(tmp_path / "span_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {r["doc_id"]: (r["n_fps"], r["n_seen_fps"], r["seen_frac"],
+                         r["keep"])
+           for r in spark.read.parquet(out).collect()}
+    want = {r["doc_id"]: (r["n_fps"], r["n_seen_fps"], r["seen_frac"],
+                          r["keep"])
+            for r in corpus_span_increment(spark, SF_SMOKE).collect()}
+    assert got == want
+    assert len({k for *_, k in got.values()}) >= 1
+    assert any(n > 0 for _, n, _, _ in got.values())  # index actually hits
