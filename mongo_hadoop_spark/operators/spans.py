@@ -337,7 +337,9 @@ cleaned AS (
 )
 SELECT doc_id, n_tokens::bigint AS n_tokens,
        (n_tokens - len(kept))::bigint AS n_cut,
-       array_to_string(kept, ' ') AS clean_text
+       -- DuckDB's array_to_string returns NULL on an empty list where
+       -- Spark's concat_ws returns '' — fully-excised docs hit this
+       coalesce(array_to_string(kept, ' '), '') AS clean_text
 FROM cleaned
 """
 
