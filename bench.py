@@ -4,9 +4,25 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (count / collect of the final result)
-so the timing covers the full plan, not lazy construction.  A warmup query
-initializes the JVM/session outside the timed region.
+Materialization is the NOOP SINK (`.write.format("noop")`), not count():
+count() lets Catalyst prune computed columns and whole cardinality-neutral
+stages, so map-shaped queries timed a hollow plan (r7 verdict: the span
+excision HOF never ran under count() — 0.365 s benched vs 2.14 s real).
+The noop sink executes every output column on the executors and discards
+the rows, exactly like tools/scale_probe.py.  Row counts ride along via
+the Observation API (a CollectMetrics node on the same single pass), so
+the cross-round row-count sanity check costs no extra execution.
+
+Rounds 1-7 timed under count(); round 8 onward times under noop.  The
+old-vs-new per-query mapping at the switch is recorded in SCALE.md
+("bench materialization re-baseline").
+
+A warmup query initializes the JVM/session outside the timed region.
+Durability: the full result JSON (per-query timings + rows) is also
+written to BENCH_LOCAL.json in the repo, and per-query timings are
+printed as chunked <=1800-char JSON lines ahead of the compact summary,
+so a tail-truncating log window can never erase them again (r7 lost its
+per-query dict to exactly that).
 """
 
 from __future__ import annotations
@@ -91,6 +107,9 @@ def main() -> None:
     # Per-query fault isolation: one failing query must never erase the
     # round's entire bench signal — record its error and keep going.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    from pyspark.sql import Observation
+    import pyspark.sql.functions as F
+
     timings: dict[str, float] = {}
     row_counts: dict[str, int] = {}
     errors: dict[str, str] = {}
@@ -98,10 +117,19 @@ def main() -> None:
         fn = queries[name]
         best, rows = None, 0
         try:
-            for _ in range(repeats):
+            for rep in range(repeats):
+                obs = Observation(f"bench_{name}_{rep}")
                 t0 = time.perf_counter()
-                rows = fn(spark, sf_dir).count()
+                # noop sink, not count(): count() lets Catalyst prune
+                # computed columns (and whole stages whose outputs don't
+                # affect cardinality) — it timed a hollow plan for
+                # map-shaped queries.  The Observation rides the same
+                # pass, so rows cost no second execution.
+                (fn(spark, sf_dir)
+                 .observe(obs, F.count(F.lit(1)).alias("n"))
+                 .write.format("noop").mode("overwrite").save())
                 elapsed = time.perf_counter() - t0
+                rows = int(obs.get["n"])
                 best = elapsed if best is None or elapsed < best else best
         except Exception as exc:  # noqa: BLE001 — survive any query failure
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -125,6 +153,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "repeats": repeats,
         "timing": "best_of_repeats",
+        # r8 onward: noop-sink materialization (r1-r7 used count(); the
+        # re-baseline mapping lives in SCALE.md)
+        "materialize": "noop_sink",
         "n_queries": len(BENCH_QUERIES),
         "n_failed": len(errors),
         # contamination telltale: this host sees noisy-neighbor episodes
@@ -139,19 +170,43 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # Durability #1: the complete result always lands in the repo, so
+    # per-query history is recoverable from git even if every stdout
+    # line is truncated (r7's per-query dict was lost to a log tail).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"  WARNING: could not write BENCH_LOCAL.json: {exc}",
+              file=sys.stderr)
+    # Durability #2: per-query timings as chunked <=1800-char JSON lines
+    # JUST BEFORE the compact summary — whatever tail of the output a
+    # log window keeps, the lines nearest the end survive first, and no
+    # single line can be cut mid-dict.
+    items = sorted(timings.items())
+    chunks: list[dict] = []
+    cur: dict[str, float] = {}
+    for k, v in items:
+        cur[k] = v
+        if len(json.dumps(cur)) > 1500:
+            chunks.append(cur)
+            cur = {}
+    if cur:
+        chunks.append(cur)
+    for i, ch in enumerate(chunks, start=1):
+        print(json.dumps({"bench_part": i, "of": len(chunks),
+                          "queries": ch}))
     # Truncation-proof summary LAST: the grading driver keeps only a
-    # 2000-char tail of the output and parses the surviving JSON line —
-    # round 5 lost its official total because the full blob outgrew the
-    # window.  This short line always fits at the end of any tail; the
-    # per-query dict rides along only while it keeps the line well
-    # inside the window.
+    # tail of the output and parses the surviving JSON line — round 5
+    # lost its official total because the full blob outgrew the window.
+    # This short line always fits at the end of any tail.
     compact = {k: out[k] for k in ("metric", "value", "unit", "sf",
-                                   "repeats", "timing", "n_queries",
+                                   "repeats", "timing", "materialize",
+                                   "n_queries",
                                    "n_failed", "load_avg_1m_start",
                                    "load_avg_1m_end")}
-    with_queries = dict(compact, queries=timings)
-    line = json.dumps(with_queries)
-    print(line if len(line) <= 1800 else json.dumps(compact))
+    print(json.dumps(compact))
     spark.stop()
 
 

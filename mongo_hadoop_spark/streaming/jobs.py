@@ -438,13 +438,12 @@ def stream_bpe_tokenize(documents: DataFrame,
     :func:`~.operators.bpe.corpus_bpe_merges` — an epoch-static,
     driver-side artifact (the broadcast-threshold pattern: the
     tokenizer retrains per epoch in batch; the stream APPLIES it).
-    Application is the identical greedy left-to-right non-overlapping
-    string-replace cascade the trainer uses
-    (``trim(replace(' '||seg||' ', ' a b ', ' ab '))`` per merge rank),
-    run per word inside a ``transform`` lambda, so a document's token
-    count depends on its bytes and the frozen merges alone — stream ≡
-    batch by construction (pinned in tests/test_streaming.py against
-    the word-table-join batch path of ``corpus_bpe_compression``).
+    Application is the identical canonical (owned-space encoded — see
+    operators/bpe.py) merge-replace cascade the trainer uses, run per
+    word inside a ``transform`` lambda, so a document's token count
+    depends on its bytes and the frozen merges alone — stream ≡ batch
+    by construction (pinned in tests/test_streaming.py against the
+    word-table-join batch path of ``corpus_bpe_compression``).
     At 100 TB this is the token-budget meter in front of a pack/ship
     sink: a stateless map, fully fused into the micro-batch scan."""
     from mongo_hadoop_spark.functions import tokenize
@@ -455,9 +454,16 @@ def stream_bpe_tokenize(documents: DataFrame,
         seg = F.trim(F.regexp_replace(w, "(.)", "$1 "))
         for pair in merges:
             merged = pair.replace(" ", "")
-            seg = F.trim(F.replace(
-                F.concat(F.lit(" "), seg, F.lit(" ")),
-                F.lit(" " + pair + " "), F.lit(" " + merged + " ")))
+            dpair = pair.replace(" ", "  ")
+            # canonical apply: double internal spaces so each symbol
+            # owns one delimiter per side, replace, collapse (the
+            # trainer's _APPLY_SEG rendered with F.replace)
+            seg = F.trim(F.replace(F.replace(
+                F.concat(F.lit(" "),
+                         F.replace(seg, F.lit(" "), F.lit("  ")),
+                         F.lit(" ")),
+                F.lit(" " + dpair + " "), F.lit(" " + merged + " ")),
+                F.lit("  "), F.lit(" ")))
         return F.size(F.split(seg, " "))
 
     return documents.select(

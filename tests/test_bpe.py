@@ -5,6 +5,7 @@ final symbol inventory."""
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 
 import pandas as pd
@@ -18,10 +19,20 @@ from mongo_hadoop_spark.operators.bpe import (
 )
 
 
+def _canon_apply(seg: str, pair: str) -> str:
+    """Canonical (Sennrich) merge apply: lookaround regex, every
+    occurrence merged in one leftmost non-overlapping pass — the
+    INDEPENDENT rendering the engine's owned-space replace must equal
+    ('a a a a' under (a, a) -> 'aa aa')."""
+    a, b = pair.split(" ")
+    return re.sub(r"(?<!\S)" + re.escape(a) + r"\ " + re.escape(b)
+                  + r"(?!\S)", a + b, seg)
+
+
 def _ref_bpe(texts: list[str], k: int):
-    """Reference BPE: Sennrich-style word-frequency training with the
-    same greedy left-to-right non-overlapping merge application
-    (str.replace) and (count DESC, pair ASC) argmax as the engine."""
+    """Reference BPE: Sennrich-style word-frequency training with
+    canonical lookaround-regex merge application and the engine's
+    (count DESC, pair ASC) argmax."""
     words = Counter(w for t in texts for w in t.lower().split())
     segs = {w: " ".join(w) for w in words}
     merges = []
@@ -35,10 +46,8 @@ def _ref_bpe(texts: list[str], k: int):
             break
         pair = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append((pair, pc[pair]))
-        merged = pair.replace(" ", "")
         for w in segs:
-            segs[w] = (" " + segs[w] + " ").replace(
-                " " + pair + " ", " " + merged + " ").strip()
+            segs[w] = _canon_apply(segs[w], pair)
     stats = Counter()
     types = Counter()
     for w, f in words.items():
@@ -123,6 +132,46 @@ def test_degenerate_corpus_drains_consistently(spark, tmp_path):
         con.close()
 
 
+def test_repetitive_text_merges_canonically(spark, tmp_path):
+    """The r7-verdict deviation case: on runs of a repeated symbol the
+    old delimiter-consuming replace under-merged ('a a a a' -> 'aa a a').
+    Canonical apply must yield 'aa aa' — three-way pinned: Spark engine,
+    DuckDB oracle, and the independent lookaround-regex reference."""
+    import duckdb
+
+    from mongo_hadoop_spark.operators.bpe import (
+        BPE_SYMBOL_STATS_SQL, corpus_bpe_symbol_stats)
+
+    texts = ["aaaa aaaaa aa", "aaaa aaaa b", "ababab aaab"]
+    d = tmp_path / "rep"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": range(len(texts)), "lang": ["xx"] * len(texts),
+        "text": texts})), str(d / "documents.parquet"))
+    _, want, _ = _ref_bpe(texts, BPE_MERGES)
+    got = corpus_bpe_symbol_stats(spark, str(d)).collect()
+    assert [(r.symbol, r.n_occurrences, r.n_word_types) for r in got] == \
+        want[:BPE_TOP_SYMBOLS]
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{d}/documents.parquet'")
+        oracle = con.execute(BPE_SYMBOL_STATS_SQL).fetchall()
+    finally:
+        con.close()
+    assert [(s, int(n), int(t)) for s, n, t in oracle] == \
+        want[:BPE_TOP_SYMBOLS]
+    # final per-word segmentations must equal the regex reference's
+    # exactly — this is where the old under-merge showed ('aaaa' kept
+    # 'aa a a' instead of canonical 'aa aa' after merge (a, a))
+    from mongo_hadoop_spark.operators import bpe as bpe_mod
+
+    ref_segs = _ref_bpe(texts, BPE_MERGES)[2]
+    got_segs = {r.word: r.seg
+                for r in bpe_mod._train(spark, str(d))[1].collect()}
+    assert got_segs == ref_segs
+
+
 def _ref_wordpiece(texts: list[str], k: int):
     """Reference WordPiece: same loop as _ref_bpe but the argmax is the
     likelihood score count(ab)/(count(a)*count(b)) (Schuster & Nakajima
@@ -146,10 +195,8 @@ def _ref_wordpiece(texts: list[str], k: int):
             return pc[pair] / (sc[a] * sc[b])
         pair = min(pc, key=lambda p: (-score(p), p))
         merges.append((pair, pc[pair], score(pair)))
-        merged = pair.replace(" ", "")
         for w in segs:
-            segs[w] = (" " + segs[w] + " ").replace(
-                " " + pair + " ", " " + merged + " ").strip()
+            segs[w] = _canon_apply(segs[w], pair)
     return merges
 
 
@@ -239,10 +286,8 @@ def test_wordpiece_compression_matches_reference(spark, corpus_dir):
             break
         pair = min(pc, key=lambda p: (-pc[p] / (sc[p.split(" ")[0]]
                                                 * sc[p.split(" ")[1]]), p))
-        merged = pair.replace(" ", "")
         for w in segs:
-            segs[w] = (" " + segs[w] + " ").replace(
-                " " + pair + " ", " " + merged + " ").strip()
+            segs[w] = _canon_apply(segs[w], pair)
     want = {}
     for lang, t in zip(langs, texts):
         for w in t.lower().split():
