@@ -537,6 +537,64 @@ ORDER BY doc_id
 """
 
 
+def pipeline_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$text`` compatibility bridge (find-language text query): the
+    server grammar — OR'd terms, a required ``"phrase"``, a negated
+    ``-term`` — compiled onto the $search token machinery, with the
+    server's fts score (per matching term, ``0.5 * tf/n_tokens + 0.5``,
+    field weight 1) surfaced via ``{$meta: "textScore"}`` and the
+    server's meta-sort form (always best-first).
+
+    Documented deviations (plans/aggpipe.py:_stage_text_match): the
+    engine has no text index, so ``path`` names the searched field and
+    tokens match exactly (no stemming / stop words).  Plan: per-row
+    token expressions on the scan — zero shuffles before the sort.
+    """
+    documents = table(spark, sf_dir, "documents")
+    return aggregate(documents, [
+        {"$match": {"$text": {"$search": 'spark merge "table part" -dup',
+                              "path": "text"}}},
+        {"$project": {"doc_id": 1, "lang": 1,
+                      "score": {"$meta": "textScore"}}},
+        {"$sort": {"score": {"$meta": "textScore"}, "doc_id": 1}},
+    ])
+
+
+# score terms in the bridge's positive-term order (spark, merge, then
+# the phrase's own words table, part), summed LEFT-TO-RIGHT to mirror
+# the Spark expression exactly (IEEE addition is order-sensitive)
+PIPELINE_TEXT_QUERY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, ws, len(ws) AS n,
+         len(list_filter(ws, x -> x = 'spark')) AS tf1,
+         len(list_filter(ws, x -> x = 'merge')) AS tf2,
+         len(list_filter(ws, x -> x = 'table')) AS tf3,
+         len(list_filter(ws, x -> x = 'part')) AS tf4
+  FROM t
+)
+SELECT doc_id, lang,
+       (CASE WHEN tf1 > 0 THEN 0.5 * (tf1::double / n::double) + 0.5
+             ELSE 0.0 END)
+       + (CASE WHEN tf2 > 0 THEN 0.5 * (tf2::double / n::double) + 0.5
+               ELSE 0.0 END)
+       + (CASE WHEN tf3 > 0 THEN 0.5 * (tf3::double / n::double) + 0.5
+               ELSE 0.0 END)
+       + (CASE WHEN tf4 > 0 THEN 0.5 * (tf4::double / n::double) + 0.5
+               ELSE 0.0 END) AS score
+FROM scored
+WHERE (tf1 > 0 OR tf2 > 0 OR tf3 > 0 OR tf4 > 0)
+  AND instr('  ' || array_to_string(ws, '  ') || '  ', ' table  part ') > 0
+  AND NOT list_contains(ws, 'dup')
+ORDER BY score DESC, doc_id
+"""
+
+
 def pipeline_search_querystring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$search queryString (Lucene boolean syntax): field:term, AND/OR/
     NOT and parentheses parsed by a recursive-descent mini-parser and
@@ -1811,6 +1869,7 @@ QUERIES = {
     "pipeline_regex_type_report": pipeline_regex_type_report,
     "pipeline_redact_levels": pipeline_redact_levels,
     "pipeline_text_search": pipeline_text_search,
+    "pipeline_text_query": pipeline_text_query,
     "pipeline_lookup_correlated": pipeline_lookup_correlated,
     "pipeline_geo_within": pipeline_geo_within,
     "pipeline_search_wildcard": pipeline_search_wildcard,
@@ -1851,6 +1910,7 @@ ORACLES = {
     "pipeline_regex_type_report": PIPELINE_REGEX_TYPE_SQL,
     "pipeline_redact_levels": PIPELINE_REDACT_SQL,
     "pipeline_text_search": PIPELINE_TEXT_SEARCH_SQL,
+    "pipeline_text_query": PIPELINE_TEXT_QUERY_SQL,
     "pipeline_lookup_correlated": PIPELINE_LOOKUP_CORRELATED_SQL,
     "pipeline_geo_within": PIPELINE_GEO_WITHIN_SQL,
     "pipeline_search_wildcard": PIPELINE_SEARCH_WILDCARD_SQL,

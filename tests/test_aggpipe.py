@@ -2739,3 +2739,109 @@ def test_near_operators_point_to_geo_near(spark):
         aggregate(pts, [{"$match": {"loc": {"$nearSphere": [0.0, 0.0]}}}])
     with pytest.raises(ValueError, match=r"\$geoNear"):
         aggregate(pts, [{"$match": {"loc": {"$near": [0.0, 0.0]}}}])
+
+
+# --- $text compatibility bridge (r8) ---------------------------------------
+
+@pytest.fixture()
+def textdocs(spark):
+    return spark.createDataFrame([
+        (1, "spark is fast and spark is scalable"),
+        (2, "hadoop is slow"),
+        (3, "spark streaming hello world"),
+        (4, "the quick brown fox"),
+        (5, "fast spark fast"),
+        (6, "Spark CASE matters"),
+    ], ["doc_id", "text"])
+
+
+def test_text_terms_or_and_score(textdocs):
+    out = aggregate(textdocs, [
+        {"$match": {"$text": {"$search": "spark fox", "path": "text"}}},
+        {"$project": {"doc_id": 1, "score": {"$meta": "textScore"}}},
+        {"$sort": {"score": {"$meta": "textScore"}, "doc_id": 1}},
+    ]).collect()
+    got = {r.doc_id: r.score for r in out}
+    # doc1: spark tf=2/7 -> .5*2/7+.5; doc3: 1/4; doc4: fox 1/4; doc5: 1/3
+    assert set(got) == {1, 3, 4, 5, 6}
+    assert got[1] == 0.5 * (2 / 7) + 0.5
+    assert got[5] == 0.5 * (1 / 3) + 0.5
+    # meta sort is DESCENDING (best first); doc_id breaks the 5/6 tie
+    # (both 1/3) and the 3/4 tie (both 1/4)
+    assert [r.doc_id for r in out] == [5, 6, 1, 3, 4]
+
+
+def test_text_phrase_negation_case(textdocs):
+    # required phrase + negated term; phrase words join the OR/score set
+    rows = aggregate(textdocs, [
+        {"$match": {"$text": {"$search": '"spark is" -scalable',
+                              "path": "text"}}},
+        {"$project": {"doc_id": 1}},
+    ]).collect()
+    assert {r.doc_id for r in rows} == set()  # doc1 has 'scalable'
+    rows = aggregate(textdocs, [
+        {"$match": {"$text": {"$search": '"spark is"', "path": "text"}}},
+        {"$project": {"doc_id": 1}},
+    ]).collect()
+    assert {r.doc_id for r in rows} == {1}
+    # negated phrase
+    rows = aggregate(textdocs, [
+        {"$match": {"$text": {"$search": 'spark -"spark is"',
+                              "path": "text"}}},
+        {"$project": {"doc_id": 1}},
+    ]).collect()
+    assert {r.doc_id for r in rows} == {3, 5, 6}
+    # $caseSensitive: 'Spark' only matches doc6 when sensitive
+    rows = aggregate(textdocs, [
+        {"$match": {"$text": {"$search": "Spark", "path": "text",
+                              "$caseSensitive": True}}},
+        {"$project": {"doc_id": 1}},
+    ]).collect()
+    assert {r.doc_id for r in rows} == {6}
+
+
+def test_text_only_negations_matches_nothing(textdocs):
+    rows = aggregate(textdocs, [
+        {"$match": {"$text": {"$search": "-spark", "path": "text"}}},
+        {"$project": {"doc_id": 1}},
+    ]).collect()
+    assert rows == []
+
+
+def test_text_residual_conjuncts_same_stage(textdocs):
+    rows = aggregate(textdocs, [
+        {"$match": {"$text": {"$search": "spark", "path": "text"},
+                    "doc_id": {"$gte": 3}}},
+        {"$project": {"doc_id": 1}},
+    ]).collect()
+    assert {r.doc_id for r in rows} == {3, 5, 6}
+
+
+def test_text_stage_rules_raise(textdocs):
+    # non-first stage (server rule)
+    with pytest.raises(ValueError, match=r"FIRST \$match"):
+        aggregate(textdocs, [
+            {"$limit": 10},
+            {"$match": {"$text": {"$search": "spark", "path": "text"}}},
+        ])
+    # nested under $or
+    with pytest.raises(ValueError, match=r"\$text"):
+        aggregate(textdocs, [
+            {"$match": {"$or": [
+                {"$text": {"$search": "spark", "path": "text"}},
+                {"doc_id": 1}]}},
+        ])
+    # field-level $text
+    with pytest.raises(ValueError, match=r"whole document"):
+        aggregate(textdocs, [
+            {"$match": {"text": {"$text": {"$search": "spark"}}}},
+        ])
+    # missing path extension
+    with pytest.raises(ValueError, match="path"):
+        aggregate(textdocs, [
+            {"$match": {"$text": {"$search": "spark"}}}])
+    # unsupported option
+    with pytest.raises(ValueError, match="diacritic"):
+        aggregate(textdocs, [
+            {"$match": {"$text": {"$search": "spark", "path": "text",
+                                  "$diacriticSensitive": True}}}])
