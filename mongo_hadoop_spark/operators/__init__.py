@@ -36,40 +36,21 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 
 # Registry order is part of the verification contract: external harnesses may
 # only sample a prefix of ``queries()``, so the entries that most need a fresh
-# cross-engine check come first.  Round-7 rotation (the round-6 verdict's
-# item 1: put the 50 STALEST driver verdicts in the window): new-this-round
-# queries lead, then the queries whose plan/oracle changed this round
-# ($geoNear tiebreak ORDER BY, the chunk-dedup packed-key guard), then the
-# 19 queries whose only driver rows date from round 1, then the
-# round-3-verified set fills the rest of the 50-entry prefix and spills just
-# below it (the spill rotates into round 8).  The fully-green r4/r5/r6
-# verdicts rotate to the tail.
+# cross-engine check come first.  Round-8 rotation (the round-7 verdict's
+# items 1 & 8: new/changed first, then stalest): the new $text gate and the
+# 7 queries whose answers changed under the canonical (Sennrich-exact) BPE
+# merge apply lead, then the 26 queries whose latest driver verdicts date
+# from round 3 (the r7 spill), then the round-4-verified set fills the
+# 50-entry prefix and spills just below it (the spill rotates into round 9).
+# The fully-green r5/r6/r7 verdicts rotate to the tail.
 _HEAD_KEYS = [
     # new this round — never driver-verified
-    "pipeline_geo_intersects", "corpus_dup_spans", "corpus_span_excised",
-    "dedup_span_alignments", "corpus_span_increment",
-    # changed this round — fresh hash rows needed
-    "pipeline_geo_near", "pipeline_geo_near_sphere", "corpus_chunk_dedup",
-    # r01-verified — oldest outstanding driver verdicts
-    "a1_avg_by_year",
-    "a3_pair_counts", "a5_frequent_short_tokens", "s6_tokenize_stats",
-    "s8_multi_union", "hive_pushdown_conjunction", "f3_sort_limit",
-    "s2_dotted_key_extract", "tpch_q10", "tpch_q14", "tpch_q18",
-    "set_except", "set_intersect", "rollup_agg", "broadcast_dim_join",
-    "json_roundtrip", "custom_sort_comparator", "tpch_q4_semijoin",
-    "tpch_q22_antijoin", "cube_agg", "count_distinct_suppliers",
-    "treasury_doubled", "u2_objectid_seconds",
-    # r03-verified — next-oldest; fills the 50-entry prefix...
-    "f4_skip_pagination", "tpch_q12", "events_session_windows",
-    "window_spend_quartiles", "dedup_exact", "dedup_minhash_lsh_pairs",
-    "dedup_simhash", "dedup_ngram_jaccard", "dedup_minhash_verified",
-    "corpus_decontaminate", "ivf_assign", "ivf_knn", "ivf_knn_nprobe",
-    "knn_bruteforce", "near_dup_pairs_cosine",
-    "embedding_quantize_int8", "ivf_recall_report", "lsh_bucket_histogram",
-    "text_langid", "text_quality", "text_token_count", "text_fingerprint",
-    "documents_pack_sequences", "text_top_distinctive_terms",
-    "text_redact_pii", "text_repetition_ratio",
-    # ...and spills below it (these r03 rows rotate into the r8 window)
+    "pipeline_text_query",
+    # changed this round — hashes moved under the canonical BPE apply
+    "corpus_bpe_merges", "corpus_bpe_symbol_stats", "corpus_bpe_compression",
+    "documents_pack_sequences_bpe", "corpus_wordpiece_merges",
+    "corpus_wordpiece_compression", "corpus_pretrain_token_budget",
+    # r03-verified — oldest outstanding driver verdicts (26)
     "multimodal_decode_features", "multimodal_frame_sample",
     "multimodal_resize", "corpus_yield_report", "pipeline_status_rollup",
     "pipeline_wordcount", "pipeline_lookup_segment", "pipeline_sortbycount",
@@ -78,6 +59,29 @@ _HEAD_KEYS = [
     "events_funnel", "events_cohort_retention", "orders_quantile_rollup",
     "documents_stratified_sample", "user_activity_histogram",
     "sketch_hll_users", "sketch_hll_documents",
+    "text_fingerprint", "text_quality", "text_redact_pii",
+    "text_repetition_ratio", "text_token_count",
+    "text_top_distinctive_terms", "documents_pack_sequences",
+    # r04-verified — next-oldest; fills the 50-entry prefix...
+    "corpus_pretrain_manifest", "corpus_training_manifest",
+    "a2_upsert_docs", "a4_log_rollup", "dedup_containment",
+    "dedup_exact_survivors", "dedup_minhash_signatures",
+    "dedup_semantic_survivors", "dedup_semantic_survivors_ivf",
+    "dedup_simhash_groups", "documents_train_split", "embedding_norms",
+    "embedding_pq_codes", "events_asof_last_order",
+    "events_asof_last_order_tolerance", "events_per_user_sample",
+    # ...and spills below it (these r04 rows rotate into the r9 window)
+    "events_sliding_window", "events_tumbling_window",
+    "grouped_reducer_stats", "groupingsets_agg", "ivf_cell_histogram",
+    "lsh_bucket_assign", "multimodal_chunks", "multimodal_metadata",
+    "orders_rfm_segments", "pipeline_bucket_auto_quartiles", "pq_knn_adc",
+    "text_heavy_hitters", "tpch_q1", "tpch_q13_distribution",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity", "tpch_q19_disjunctive",
+    "tpch_q20_excess_suppliers", "tpch_q21_waiting_supplier",
+    "tpch_q2_min_cost_supplier", "tpch_q3", "tpch_q5", "tpch_q6",
+    "tpch_q7_nation_volume", "tpch_q8_market_share", "tpch_q9_profit",
+    "window_event_gaps", "window_running_sum", "window_topn_per_group",
 ]
 
 
