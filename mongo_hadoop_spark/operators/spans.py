@@ -44,6 +44,8 @@ is a driver-mandated training-data-pipeline extension (BASELINE.json).
 
 from __future__ import annotations
 
+import uuid
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -100,17 +102,25 @@ def _fingerprints_from(docs: DataFrame) -> DataFrame:
         "doc_id", "n_h", "i",
         F.md5(F.concat_ws(" ", F.slice("w", F.col("i"), SPAN_W))).alias("h"),
     )
-    hashed.createOrReplaceTempView("__span_hashes")
-    # One SQL string: identical text to the oracle's window query.
-    return docs.sparkSession.sql(f"""
-        SELECT DISTINCT doc_id, fp FROM (
-          SELECT doc_id, i, n_h,
-                 min(h) OVER (PARTITION BY doc_id ORDER BY i
-                              ROWS BETWEEN CURRENT ROW
-                              AND {WINNOW_K - 1} FOLLOWING) AS fp
-          FROM __span_hashes
-        ) WHERE i + {WINNOW_K} <= n_h + 1 OR i = 1
-    """)
+    # Per-call view name (r7 advisor): a fixed session-global name can
+    # race under concurrent plan building on one SparkSession.  spark.sql
+    # analyzes eagerly, so the view can be dropped as soon as the plan
+    # is built.
+    view = f"__span_hashes_{uuid.uuid4().hex}"
+    hashed.createOrReplaceTempView(view)
+    try:
+        # One SQL string: identical text to the oracle's window query.
+        return docs.sparkSession.sql(f"""
+            SELECT DISTINCT doc_id, fp FROM (
+              SELECT doc_id, i, n_h,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND {WINNOW_K - 1} FOLLOWING) AS fp
+              FROM {view}
+            ) WHERE i + {WINNOW_K} <= n_h + 1 OR i = 1
+        """)
+    finally:
+        docs.sparkSession.catalog.dropTempView(view)
 
 
 _FINGERPRINTS_SQL = f"""
@@ -167,20 +177,26 @@ def _positioned_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.lit("span winnowing: document exceeds 1e9 "
                             "token windows — offset pack overflows"))
         .cast("boolean"), F.lit(True)))
-    hashed.createOrReplaceTempView("__span_pos_hashes")
-    return docs.sparkSession.sql(f"""
-        SELECT DISTINCT doc_id,
-               substring(fpk, 1, 32) AS fp,
-               cast(substring(fpk, 34, 9) AS int) AS span_off
-        FROM (
-          SELECT doc_id, i, n_h,
-                 min(h || ':' || lpad(cast(i AS string), 9, '0'))
-                   OVER (PARTITION BY doc_id ORDER BY i
-                         ROWS BETWEEN CURRENT ROW
-                         AND {WINNOW_K - 1} FOLLOWING) AS fpk
-          FROM __span_pos_hashes
-        ) WHERE i + {WINNOW_K} <= n_h + 1 OR i = 1
-    """)
+    # per-call view name, dropped once the plan is built (see
+    # _fingerprints_from)
+    view = f"__span_pos_hashes_{uuid.uuid4().hex}"
+    hashed.createOrReplaceTempView(view)
+    try:
+        return docs.sparkSession.sql(f"""
+            SELECT DISTINCT doc_id,
+                   substring(fpk, 1, 32) AS fp,
+                   cast(substring(fpk, 34, 9) AS int) AS span_off
+            FROM (
+              SELECT doc_id, i, n_h,
+                     min(h || ':' || lpad(cast(i AS string), 9, '0'))
+                       OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN CURRENT ROW
+                             AND {WINNOW_K - 1} FOLLOWING) AS fpk
+              FROM {view}
+            ) WHERE i + {WINNOW_K} <= n_h + 1 OR i = 1
+        """)
+    finally:
+        docs.sparkSession.catalog.dropTempView(view)
 
 
 def corpus_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -807,6 +807,16 @@ def match_to_col(query: dict) -> Column:
     return out
 
 
+def _sql_field_ref(path: str) -> str:
+    """A dotted field path as a Spark-SQL column reference: every
+    segment backtick-quoted (backticks inside a name double-escaped),
+    so names that are not bare identifiers — hyphens, spaces, reserved
+    words — reference the column exactly like ``F.col`` instead of
+    failing the parse."""
+    return ".".join("`" + seg.replace("`", "``") + "`"
+                    for seg in path.split("."))
+
+
 def _match_field(key: str, cond) -> Column:
     if key == "$and":
         return F.lit(True) if not cond else _fold_and(
@@ -845,10 +855,13 @@ def _match_field(key: str, cond) -> Column:
         # field NAME is in hand (always, here): the Column rendering
         # builds the predicate through thousands of py4j round-trips
         # (~8.5 s of plan-build measured at round 7); the SQL string is
-        # one JVM parse.  Renderings are pinned bit-identical.
+        # one JVM parse.  Renderings are pinned bit-identical.  Each
+        # path segment is backtick-quoted (r7 advisor): a hyphenated,
+        # spaced, or reserved-word field name must reference the column
+        # like F.col does, not fail the SQL parse.
         return _fold_and([
             F.expr(trig_mod().sphere_geo_intersects_expr(
-                key, _geo_intersects_rings(v)))
+                _sql_field_ref(key), _geo_intersects_rings(v)))
             if op == "$geoIntersects" else _match_op_col(col, op, v)
             for op, v in cond.items()])
     if cond is None:
@@ -3352,27 +3365,36 @@ def _stage_vector_search(df: DataFrame, spec: dict) -> DataFrame:
             .limit(limit))
 
 
-def _geo_tiebreak_cols(out: DataFrame, dist_field: str) -> list:
-    """Deterministic secondary sort keys for $geoNear's distance order.
+def _geo_tiebreak_cols(out: DataFrame, dist_field: str,
+                       spec: dict | None = None) -> list:
+    """Deterministic secondary sort key for $geoNear's distance order.
 
     MongoDB leaves equal-distance order unspecified; synthesized
     coordinates collide routinely (lat from ``user_id % 181``), so
     without a tiebreak the relative order of tied rows depends on the
-    shuffle schedule.  Every remaining atomic-typed column, in schema
-    order, makes the sort total whenever the row set has any unique
-    atomic column (every registered query sorts a unique id first this
-    way); array/struct/map columns are skipped — maps are unorderable
-    and the atomic keys decide first anyway.  Oracles append the same
-    keys after ``dist``."""
+    shuffle schedule.  The tiebreak is EXACTLY ONE explicitly chosen
+    column (pinned contract, r7 advisor): the engine extension
+    ``tiebreak: <field>`` on the $geoNear spec, defaulting to the FIRST
+    atomic-typed column in schema order (array/struct/map skipped —
+    maps are unorderable).  That column MUST be unique and non-null —
+    with ties or NULLs the order would silently diverge across engines
+    (Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST), which is
+    why the old behavior of appending *every* atomic column was a trap.
+    Oracles append exactly the same single column after ``dist``
+    (every registered gate's first atomic column is its unique id)."""
     skip = {_GEO_DIST_COL, _GEO_H_COL, dist_field}
-    atomic = []
+    if spec and "tiebreak" in spec:
+        name = spec["tiebreak"]
+        if name not in out.columns:
+            raise ValueError(f"$geoNear tiebreak column {name!r} not found")
+        return [F.col(name).asc()]
     for f in out.schema.fields:
         if f.name in skip:
             continue
         if f.dataType.typeName() in ("array", "map", "struct"):
             continue
-        atomic.append(F.col(f.name).asc())
-    return atomic
+        return [F.col(f.name).asc()]
+    return []
 
 
 def _stage_geo_near(df: DataFrame, spec: dict) -> DataFrame:
@@ -3445,7 +3467,7 @@ def _stage_geo_near(df: DataFrame, spec: dict) -> DataFrame:
             if "distanceMultiplier" in spec else F.col(_GEO_DIST_COL)
         out = out.withColumn(dist_field, reported)
         return out.orderBy(F.col(_GEO_DIST_COL).asc(),
-                           *_geo_tiebreak_cols(out, dist_field))
+                           *_geo_tiebreak_cols(out, dist_field, spec))
     dist = F.sqrt((x - qx) * (x - qx) + (y - qy) * (y - qy))
     out = out.withColumn(_GEO_DIST_COL, dist)
     if "maxDistance" in spec:
@@ -3456,7 +3478,7 @@ def _stage_geo_near(df: DataFrame, spec: dict) -> DataFrame:
         if "distanceMultiplier" in spec else F.col(_GEO_DIST_COL)
     out = out.withColumn(dist_field, reported)
     return out.orderBy(F.col(_GEO_DIST_COL).asc(),
-                       *_geo_tiebreak_cols(out, dist_field))
+                       *_geo_tiebreak_cols(out, dist_field, spec))
 
 
 #: fixed RRF rank constant — the server's value (not a $rankFusion knob)

@@ -141,7 +141,7 @@ def test_unsupported_stage_and_expr_raise(people):
     with pytest.raises(ValueError, match="unsupported pipeline stage"):
         aggregate(people, [{"$collStats": {}}])
     with pytest.raises(ValueError, match="unsupported aggregation expression"):
-        expr_to_col({"$meta": "textScore"})
+        expr_to_col({"$meta": "indexKey"})
     with pytest.raises(ValueError, match="unsupported query operator"):
         match_to_col({"a": {"$where": "this.a > 1"}})
 
