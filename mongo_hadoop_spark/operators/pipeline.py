@@ -307,6 +307,40 @@ def _ppl_dsir_scores_from(base: DataFrame) -> DataFrame:
     )
 
 
+def _funnel_inputs(base: DataFrame):
+    """The four per-doc funnel tables + the 1-row threshold frame shared
+    by corpus_pretrain_manifest and corpus_pretrain_token_budget.
+
+    The per-doc scores table is lazily ``localCheckpoint``-ed: it feeds
+    BOTH the percentile cuts and the doc_id join, and without the
+    materialization Catalyst executed the whole two-token-pass scores
+    subtree once per consumer (three times before r8 — the r7 probe's
+    1.45× at 8× was exactly this; zero ReusedExchange in the physical
+    plan).  Scores are doc-count-sized and 4 columns wide — the
+    canonical two-pass-quantile materialization every selection
+    pipeline pays at 100 TB, tiny next to the token stream.  Both cuts
+    come from ONE aggregation over the materialized copy;
+    ``CAST(k AS DOUBLE)/n`` keeps the identical binary64 fractions the
+    oracle uses (see corpus_perplexity_buckets / corpus_dsir_selected).
+    """
+    from mongo_hadoop_spark.operators.spans import span_stats_from
+    from mongo_hadoop_spark.operators.textstats import gopher_flags
+
+    d = base.select("doc_id", "lang", "source")
+    gph = gopher_flags(base).select("doc_id", "keep")
+    scores = (_ppl_dsir_scores_from(base)
+              .select("doc_id", "n_tokens", "surprisal_bits",
+                      "avg_q20_per_token")
+              .localCheckpoint(eager=False))
+    spn = span_stats_from(base).select("doc_id", "dup_frac")
+    cuts = scores.selectExpr(
+        "percentile_disc(CAST(2 AS DOUBLE)/3) "
+        "WITHIN GROUP (ORDER BY surprisal_bits) AS t2",
+        "percentile_disc(CAST(3 AS DOUBLE)/4) "
+        "WITHIN GROUP (ORDER BY avg_q20_per_token) AS q3")
+    return d, gph, scores, spn, cuts
+
+
 def corpus_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The modern selection stack (CCNet/Gopher/DSIR, round-5 operators
     composed) as ONE declarative funnel — the pipeline a real 100 TB
@@ -346,34 +380,14 @@ def corpus_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens → no surprisal row) fails that gate — ``coalesce(flag,
     false)`` in BOTH engines.
     """
-    from mongo_hadoop_spark.operators.spans import (SPAN_DROP_FRAC,
-                                                    span_stats_from)
-    from mongo_hadoop_spark.operators.textstats import gopher_flags
+    from mongo_hadoop_spark.operators.spans import SPAN_DROP_FRAC
 
     base = _tokenized_base(spark, sf_dir)
-    d = base.select("doc_id", "lang", "source")
-    gph = gopher_flags(base).select("doc_id", "keep")
-    scores = _ppl_dsir_scores_from(base).select(
-        "doc_id", "n_tokens", "surprisal_bits", "avg_q20_per_token")
-    spn = span_stats_from(base).select("doc_id", "dup_frac")
-    scores.createOrReplaceTempView("__manifest_scores")
-    # CAST(k AS DOUBLE)/n — the identical binary64 fractions the oracle
-    # uses (see corpus_perplexity_buckets / corpus_dsir_selected)
-    cuts = spark.sql("""
-        SELECT percentile_disc(CAST(2 AS DOUBLE)/3)
-                 WITHIN GROUP (ORDER BY surprisal_bits) AS t2
-        FROM __manifest_scores
-    """)
-    qcut = spark.sql("""
-        SELECT percentile_disc(CAST(3 AS DOUBLE)/4)
-                 WITHIN GROUP (ORDER BY avg_q20_per_token) AS q3
-        FROM __manifest_scores
-    """)
+    d, gph, scores, spn, cuts = _funnel_inputs(base)
     j = (d.join(gph, "doc_id", "left")
          .join(scores, "doc_id", "left")
          .join(spn, "doc_id", "left")
-         .crossJoin(F.broadcast(cuts))
-         .crossJoin(F.broadcast(qcut)))
+         .crossJoin(F.broadcast(cuts)))
     g_ok = F.coalesce(F.col("keep"), F.lit(False))
     p_ok = F.coalesce(g_ok & (F.col("surprisal_bits") <= F.col("t2")),
                       F.lit(False))
@@ -464,32 +478,14 @@ def corpus_pretrain_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     the BPE token counts read the single checkpointed tokenized stream.
     """
     from mongo_hadoop_spark.operators.bpe import _train
-    from mongo_hadoop_spark.operators.spans import (SPAN_DROP_FRAC,
-                                                    span_stats_from)
-    from mongo_hadoop_spark.operators.textstats import gopher_flags
+    from mongo_hadoop_spark.operators.spans import SPAN_DROP_FRAC
 
     base = _tokenized_base(spark, sf_dir, with_text=True)
-    d = base.select("doc_id", "lang", "source")
-    gph = gopher_flags(base).select("doc_id", "keep")
-    scores = _ppl_dsir_scores_from(base).select(
-        "doc_id", "n_tokens", "surprisal_bits", "avg_q20_per_token")
-    spn = span_stats_from(base).select("doc_id", "dup_frac")
-    scores.createOrReplaceTempView("__budget_scores")
-    cuts = spark.sql("""
-        SELECT percentile_disc(CAST(2 AS DOUBLE)/3)
-                 WITHIN GROUP (ORDER BY surprisal_bits) AS t2
-        FROM __budget_scores
-    """)
-    qcut = spark.sql("""
-        SELECT percentile_disc(CAST(3 AS DOUBLE)/4)
-                 WITHIN GROUP (ORDER BY avg_q20_per_token) AS q3
-        FROM __budget_scores
-    """)
+    d, gph, scores, spn, cuts = _funnel_inputs(base)
     j = (d.join(gph, "doc_id", "left")
          .join(scores, "doc_id", "left")
          .join(spn, "doc_id", "left")
-         .crossJoin(F.broadcast(cuts))
-         .crossJoin(F.broadcast(qcut)))
+         .crossJoin(F.broadcast(cuts)))
     sel = F.coalesce(
         F.col("keep") & (F.col("surprisal_bits") <= F.col("t2"))
         & (F.col("dup_frac") <= F.lit(SPAN_DROP_FRAC))

@@ -611,13 +611,28 @@ def test_priority_sample_topk_is_take_ordered_window_bounded(spark):
             assert "TakeOrderedAndProject" in below
 
 
+@pytest.mark.spark_upgrade_checklist
 def test_geo_intersects_vectors_stay_materialized(spark):
     """pipeline_geo_intersects projects the endpoint unit vectors as
     codegen'd columns and filters over ATTRIBUTE references — if the
     optimizer ever substitutes the polynomials back into the filter's
     ~180 per-edge references (measured 50x slower), the optimized tree
     balloons and the filter consumes raw table columns again.  The
-    never-true nondeterministic `__barrier` disjunct is the guard."""
+    never-true nondeterministic `__barrier` disjunct is the guard.
+
+    Upgrade-checklist member: the guard exploits the documented-but-
+    unpinned rule that PushPredicateThroughNonJoin won't substitute
+    through a condition referencing a nondeterministic expression.
+    Cleaner barriers were investigated (r8) and rejected:
+    - ``localCheckpoint()`` physically blocks pushdown but materializes
+      the whole projected-vector table (every row × 14 doubles) to
+      block storage — a full-corpus write a 100 TB scan can't afford;
+    - Spark has no user-facing no-pushdown hint or plan barrier
+      (``Dataset.hint`` only feeds join strategy / rebalance);
+    - marking the vector columns themselves nondeterministic trades a
+      local never-true disjunct for lying about every consumer.
+    If this test fails after a Spark bump, re-measure the substituted
+    plan before deleting the barrier — correctness will NOT fail."""
     from mongo_hadoop_spark.operators import mongoagg
 
     df = mongoagg.pipeline_geo_intersects(spark, SF_SMOKE)

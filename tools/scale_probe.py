@@ -56,7 +56,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def build_replicas(spark, out_dir: str) -> None:
+#: whitespace tokens of the text column (matches functions.tokenize)
+_WS = r"filter(split(text, '\\s+'), x -> x != '')"
+
+
+def build_replicas(spark, out_dir: str, realistic_docs: bool = False) -> None:
     from mongo_hadoop_spark.session import table
 
     os.makedirs(out_dir, exist_ok=True)
@@ -94,7 +98,29 @@ def build_replicas(spark, out_dir: str) -> None:
     did = d.agg(F.max("doc_id")).collect()[0][0] + 1
     out = d
     for i in range(1, MULTS["documents"]):
-        out = out.unionByName(d.withColumn("doc_id", F.col("doc_id") + i * did))
+        rep = d.withColumn("doc_id", F.col("doc_id") + i * did)
+        if realistic_docs:
+            # Realistic crawl-duplication regime (r7 verdict item 3):
+            # the verbatim replica corpus is 7/8 exact duplicates — an
+            # adversarial ceiling where every fingerprint table grows
+            # ~8x by construction.  Here each replica keeps 20% of its
+            # documents verbatim (doc_id % 5 == 0) and rewrites the
+            # rest with a replica-salted deterministic token
+            # permutation (sort by md5(word:pos:replica)): the word
+            # multiset — and so langid/quality/token-count behavior —
+            # is unchanged, but no 10-token span survives, so
+            # duplicated content is ~17.5% of the 8x corpus instead of
+            # 87.5%.
+            perm = (
+                "concat_ws(' ', transform(array_sort(zip_with("
+                f"{_WS}, sequence(1, size({_WS})), "
+                f"(w, i) -> struct(md5(concat(w, ':', i, ':', {i})) AS k, "
+                "w AS w))), s -> s.w))")
+            rep = rep.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+                .otherwise(F.expr(perm)))
+        out = out.unionByName(rep)
     out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
     emb = table(spark, SF_DIR, "embeddings")
@@ -138,6 +164,11 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/scale_probe")
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--realistic-docs", action="store_true",
+                    help="replica documents: 20%% verbatim duplicates, "
+                         "80%% replica-salted token permutations (~17.5%% "
+                         "duplicated content at 8x) instead of 7/8 "
+                         "verbatim copies")
     args = ap.parse_args()
 
     from mongo_hadoop_spark.session import get_spark
@@ -147,7 +178,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if not args.skip_build:
         print("building replicas...", file=sys.stderr)
-        build_replicas(spark, args.out)
+        build_replicas(spark, args.out, realistic_docs=args.realistic_docs)
     # warm python workers
     import pandas as pd  # noqa: F401
     spark.range(1000, numPartitions=16).mapInPandas(lambda it: it, "id long").count()
