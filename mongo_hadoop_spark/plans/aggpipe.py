@@ -1438,15 +1438,34 @@ def _stage_unwind(df: DataFrame, spec) -> DataFrame:
     return df.withColumn(field, explode(F.col(field)))
 
 
+#: $lookup foreign-side prefilter threshold: when the parent side is
+#: known from the pipeline structure (a $limit upper bound survives to
+#: the $lookup) to carry at most this many rows, the foreign side is
+#: semi-joined to the broadcast parent keys BEFORE its per-key
+#: collect_list — only matching groups build arrays.  At 100 TB this is
+#: the difference between aggregating the whole foreign table and
+#: aggregating the few groups a limited parent can reference.
+_LOOKUP_PREFILTER_MAX = 100_000
+
+
 def _stage_lookup(df: DataFrame, spec: dict,
-                  tables: dict[str, DataFrame] | None) -> DataFrame:
+                  tables: dict[str, DataFrame] | None,
+                  parent_bound: int | None = None) -> DataFrame:
     if not tables or spec["from"] not in tables:
         raise ValueError(
             f"$lookup from {spec['from']!r}: pass tables={{name: DataFrame}}")
     if "pipeline" in spec:
-        return _stage_lookup_pipeline(df, spec, tables)
+        return _stage_lookup_pipeline(df, spec, tables,
+                                      parent_bound=parent_bound)
     foreign = tables[spec["from"]]
     lf, ff, as_ = spec["localField"], spec["foreignField"], spec["as"]
+    if parent_bound is not None and parent_bound <= _LOOKUP_PREFILTER_MAX:
+        # semantics-preserving: groups the semi join drops could only
+        # feed unmatched agg rows the left join discards anyway (the
+        # join condition is null-rejecting, so null-key rows never match)
+        pkeys = df.select(F.col(lf).alias("__pf_key")).distinct()
+        foreign = foreign.join(F.broadcast(pkeys),
+                               F.col(ff) == F.col("__pf_key"), "left_semi")
     fstruct = F.struct(*[F.col(c) for c in foreign.columns])
     # pre-aggregate the foreign side per key: the join is then 1:1 and the
     # matched docs arrive as one array column, exactly the $lookup shape.
@@ -1498,7 +1517,8 @@ def _array_sort_comparator(sort_spec: dict):
 
 
 def _stage_lookup_pipeline(df: DataFrame, spec: dict,
-                           tables: dict[str, DataFrame]) -> DataFrame:
+                           tables: dict[str, DataFrame],
+                           parent_bound: int | None = None) -> DataFrame:
     """``$lookup`` pipeline form (Mongo 3.6+): ``let`` binds local-doc
     expressions to ``$$variables``; the sub-pipeline runs against
     ``from`` per input document and the matches land in ``as``.
@@ -1587,6 +1607,18 @@ def _stage_lookup_pipeline(df: DataFrame, spec: dict,
                 else:
                     residual.append((op, a, b))
 
+    if (equi and parent_bound is not None
+            and parent_bound <= _LOOKUP_PREFILTER_MAX):
+        # bounded parent (a $limit survives to this $lookup): semi-join
+        # the foreign side to the broadcast distinct parent keys before
+        # the per-key collect_list — see _LOOKUP_PREFILTER_MAX
+        pk = df.select(*[lc.alias(f"__pf_{i}")
+                         for i, (_f, lc) in enumerate(equi)]).distinct()
+        cond = None
+        for i, (f, _lc) in enumerate(equi):
+            c = F.col(f) == F.col(f"__pf_{i}")
+            cond = c if cond is None else cond & c
+        foreign = foreign.join(F.broadcast(pk), cond, "left_semi")
     # foreign docs as structs (pipeline $project applies inside the array)
     fstruct = F.struct(*[F.col(c) for c in foreign.columns])
     if equi:
@@ -3685,6 +3717,82 @@ def _stage_score_fusion(df: DataFrame, spec: dict, tables) -> DataFrame:
             .orderBy(F.col(_FUSION_SCORE_COL).desc()))
 
 
+def _sort_limit_movable(op: str, sp, keys: list[str]) -> bool:
+    """May [$sort(keys), $limit] move BELOW this stage?  True only for
+    cardinality-preserving stages that pass every sort key through
+    unchanged — the same dependency analysis the server's pipeline
+    optimizer runs before reordering $sort."""
+    if op == "$lookup":
+        return isinstance(sp, dict) and sp.get("as") not in keys
+    if op in ("$addFields", "$set"):
+        return (isinstance(sp, dict) and not (set(sp) & set(keys))
+                and not any("." in k for k in sp))
+    if op == "$unset":
+        fields = [sp] if isinstance(sp, str) else list(sp)
+        return not (set(fields) & set(keys))
+    if op == "$project":
+        if not isinstance(sp, dict) or not sp:
+            return False
+        vals = {k: v for k, v in sp.items() if k != "_id"}
+        if vals and all(v in (0, False) for v in vals.values()):
+            return not (set(vals) & set(keys))  # exclusion form
+        return all(sp.get(k) in (1, True) for k in keys)  # pass-through
+    return False
+
+
+def _push_sort_limit(pipeline: list[dict]) -> list[dict]:
+    """Server-style pipeline reordering (Mongo's documented "$sort +
+    $limit coalescence" extended with its dependency analysis): a
+    ``$sort`` immediately followed by ``$limit`` moves below any run of
+    cardinality-preserving stages that pass the sort keys through
+    unchanged ($lookup, $addFields/$set, $unset, pass-through $project).
+
+    Why it matters at scale: compiled naively, ``... $lookup → $project
+    → $sort(key) → $limit n`` builds the joined arrays for EVERY input
+    row and then global-sorts them; moved below the $lookup the pair
+    compiles to a TakeOrderedAndProject over the small pre-join row
+    set, and only the surviving n rows pay the join and projection.
+    A re-sort stays at the original position — over ≤ n rows, trivial —
+    because Spark joins do not preserve row order the way the server's
+    per-document $lookup loop does, and $lookup output order is
+    user-visible.
+
+    Only plain single-segment integer-direction sort keys move ($meta
+    and dotted-path sorts stay put).  Pure reordering of the stage
+    list — stage documents are not rewritten."""
+    stages = list(pipeline)
+    changed = True
+    while changed:
+        changed = False
+        for j in range(1, len(stages) - 1):
+            st, nxt = stages[j], stages[j + 1]
+            if not (len(st) == 1 and "$sort" in st
+                    and len(nxt) == 1 and "$limit" in nxt):
+                continue
+            spec = st["$sort"]
+            if not isinstance(spec, dict) or not spec:
+                continue
+            if not all(isinstance(d, int) and not isinstance(d, bool)
+                       for d in spec.values()):
+                continue
+            keys = list(spec)
+            if any("." in k or k.startswith("$") for k in keys):
+                continue
+            k = j
+            while k > 0 and len(stages[k - 1]) == 1:
+                (op, sp), = stages[k - 1].items()
+                if not _sort_limit_movable(op, sp, keys):
+                    break
+                k -= 1
+            if k < j:
+                moved = stages[:k] + [st, nxt] + stages[k:j] + stages[j + 2:]
+                moved.insert(j + 2, {"$sort": dict(spec)})  # ≤ n-row re-sort
+                stages = moved
+                changed = True
+                break
+    return stages
+
+
 def aggregate(df: DataFrame, pipeline: list[dict],
               tables: dict[str, DataFrame] | None = None,
               store_path: str | None = None,
@@ -3699,7 +3807,8 @@ def aggregate(df: DataFrame, pipeline: list[dict],
     journaled mutation spool (``spool_path``) via the live committer;
     ``client_factory`` is the importable ``module:callable`` executors
     use to resolve a client from the URI."""
-    out = _aggregate_impl(df, pipeline, tables=tables, store_path=store_path,
+    out = _aggregate_impl(df, _push_sort_limit(pipeline),
+                          tables=tables, store_path=store_path,
                           client_factory=client_factory,
                           spool_path=spool_path)
     for hidden in (_VS_SCORE_COL, _GEO_DIST_COL, _SEARCH_SCORE_COL,
@@ -3720,8 +3829,21 @@ def _aggregate_impl(df: DataFrame, pipeline: list[dict],
     metadata ($search/$vectorSearch/$geoNear score columns) survives
     for rank assignment."""
     out = df
+    # compile-time row-count upper bound of `out`, propagated through
+    # bound-preserving stages — lets $lookup prefilter its foreign side
+    # when the parent is provably small (e.g. after a pushed-down
+    # $sort+$limit).  None = unbounded.
+    bound: int | None = None
+    _BOUND_KEEPERS = {"$match", "$project", "$addFields", "$set", "$unset",
+                      "$sort", "$skip", "$lookup", "$redact", "$sample",
+                      "$geoNear", "$limit", "$graphLookup", "$fill"}
     for i, stage in enumerate(pipeline):
         (op, spec), = stage.items()
+        if op == "$limit":
+            n = int(spec)
+            bound = n if bound is None else min(bound, n)
+        elif op not in _BOUND_KEEPERS:
+            bound = None
         if op in ("$out", "$merge") and i != len(pipeline) - 1:
             raise ValueError(f"{op} must be the last pipeline stage")
         if op in ("$vectorSearch", "$geoNear", "$search", "$searchMeta",
@@ -3787,7 +3909,7 @@ def _aggregate_impl(df: DataFrame, pipeline: list[dict],
         elif op == "$count":
             out = out.agg(F.count(F.lit(1)).alias(spec))
         elif op == "$lookup":
-            out = _stage_lookup(out, spec, tables)
+            out = _stage_lookup(out, spec, tables, parent_bound=bound)
         elif op in ("$replaceRoot", "$replaceWith"):
             if op == "$replaceRoot":
                 if not isinstance(spec, dict) or "newRoot" not in spec:

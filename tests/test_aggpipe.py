@@ -2845,3 +2845,92 @@ def test_text_stage_rules_raise(textdocs):
         aggregate(textdocs, [
             {"$match": {"$text": {"$search": "spark", "path": "text",
                                   "$diacriticSensitive": True}}}])
+
+
+# --- $sort+$limit pushdown below cardinality-preserving stages (r8) --------
+
+def test_push_sort_limit_rewrite_shapes():
+    from mongo_hadoop_spark.plans.aggpipe import _push_sort_limit
+
+    lk = {"$lookup": {"from": "t", "localField": "a", "foreignField": "b",
+                      "as": "xs"}}
+    srt, lim = {"$sort": {"k": 1}}, {"$limit": 5}
+    # moves below $lookup + pass-through $project, re-sort appended
+    out = _push_sort_limit([{"$match": {"k": 1}}, lk,
+                            {"$project": {"k": 1, "n": {"$size": "$xs"}}},
+                            srt, lim])
+    assert [list(s)[0] for s in out] == [
+        "$match", "$sort", "$limit", "$lookup", "$project", "$sort"]
+    # $match blocks (it reduces rows — sort+limit above it is wrong)
+    out = _push_sort_limit([lk, {"$match": {"k": 1}}, srt, lim])
+    assert [list(s)[0] for s in out] == ["$lookup", "$match", "$sort",
+                                         "$limit"]
+    # $project that COMPUTES the sort key blocks
+    out = _push_sort_limit([lk, {"$project": {"k": {"$size": "$xs"}}},
+                            srt, lim])
+    assert [list(s)[0] for s in out] == ["$lookup", "$project", "$sort",
+                                         "$limit"]
+    # $lookup whose as-field IS the sort key blocks
+    out = _push_sort_limit([
+        {"$lookup": {"from": "t", "localField": "a", "foreignField": "b",
+                     "as": "k"}}, srt, lim])
+    assert [list(s)[0] for s in out] == ["$lookup", "$sort", "$limit"]
+    # $meta / dotted-key sorts never move
+    out = _push_sort_limit([lk, {"$sort": {"s": {"$meta": "textScore"}}},
+                            lim])
+    assert [list(s)[0] for s in out] == ["$lookup", "$sort", "$limit"]
+    out = _push_sort_limit([lk, {"$sort": {"a.b": 1}}, lim])
+    assert [list(s)[0] for s in out] == ["$lookup", "$sort", "$limit"]
+    # $sort without a following $limit never moves (no benefit)
+    out = _push_sort_limit([lk, srt])
+    assert [list(s)[0] for s in out] == ["$lookup", "$sort"]
+
+
+def test_push_sort_limit_results_and_prefilter(spark):
+    import pyspark.sql.functions as F
+    orders = spark.createDataFrame(
+        [(i, float(100 - i), "F" if i % 2 == 0 else "O") for i in range(40)],
+        "okey long, cap double, status string")
+    items = spark.createDataFrame(
+        [(i % 40, j, float(j * 3)) for i in range(40) for j in range(4)],
+        "ikey long, ln long, price double")
+    pipe = [
+        {"$match": {"status": "F"}},
+        {"$lookup": {
+            "from": "items",
+            "let": {"k": "$okey", "cap": "$cap"},
+            "pipeline": [
+                {"$match": {"$expr": {"$and": [
+                    {"$eq": ["$ikey", "$$k"]},
+                    {"$lte": ["$price", "$$cap"]}]}}},
+                {"$sort": {"price": -1}},
+                {"$limit": 2},
+            ],
+            "as": "top"}},
+        {"$project": {"okey": 1, "n": {"$size": "$top"},
+                      "best": {"$arrayElemAt": ["$top.price", 0]}}},
+        {"$sort": {"okey": 1}},
+        {"$limit": 7},
+    ]
+    rows = aggregate(orders, pipe, tables={"items": items}).collect()
+    # even okeys 0..12, each with 2 items (prices 9,6 ≤ cap except none cut)
+    assert [r.okey for r in rows] == [0, 2, 4, 6, 8, 10, 12]
+    assert all(r.n == 2 for r in rows)
+    assert [r.best for r in rows] == [9.0] * 7
+    # the plan carries the broadcast semi-join prefilter of the foreign
+    # side (parent bound 7 ≤ threshold) and a local TakeOrdered
+    df = aggregate(orders, pipe, tables={"items": items})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lookup_unbounded_parent_has_no_prefilter(spark):
+    orders = spark.createDataFrame([(1, "a")], "okey long, s string")
+    items = spark.createDataFrame([(1, 2.0)], "ikey long, price double")
+    df = aggregate(orders, [
+        {"$lookup": {"from": "items", "localField": "okey",
+                     "foreignField": "ikey", "as": "xs"}},
+    ], tables={"items": items})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan

@@ -38,7 +38,7 @@ HEADLINE = [
     ("embedding_random_projection", "literal sign matrix, pure map"),
     ("pipeline_search_bm25", "BM25: 1-row broadcast corpus stats"),
     ("pipeline_rank_fusion", "RRF: bounded rank windows, broadcast fuse"),
-    ("pipeline_lookup_correlated", "correlated $lookup: ONE equi-join, array lambdas"),
+    ("pipeline_lookup_correlated", "correlated $lookup: TakeOrdered pushed below, semi-join prefiltered foreign side"),
     ("pipeline_geo_within", "planar shapes as per-row predicates"),
     ("sketch_ddq_quantiles", "constant-size bucket grid, window over buckets"),
     ("corpus_pretrain_manifest",
