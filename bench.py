@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "pipeline_geo_polygon_sphere", "corpus_doremi_weights",
     # round 7: segment $geoIntersects + duplicate-span report/excision
     "pipeline_geo_intersects", "corpus_dup_spans", "corpus_span_excised",
+    # round 8: $text bridge, split-leakage audit, epoch loader shuffle
+    "pipeline_text_query", "corpus_split_leakage", "documents_epoch_shuffle",
 ]
 
 

@@ -45,7 +45,7 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 # The fully-green r5/r6/r7 verdicts rotate to the tail.
 _HEAD_KEYS = [
     # new this round — never driver-verified
-    "pipeline_text_query",
+    "pipeline_text_query", "corpus_split_leakage", "documents_epoch_shuffle",
     # changed this round — hashes moved under the canonical BPE apply
     "corpus_bpe_merges", "corpus_bpe_symbol_stats", "corpus_bpe_compression",
     "documents_pack_sequences_bpe", "corpus_wordpiece_merges",

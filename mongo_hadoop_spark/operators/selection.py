@@ -468,7 +468,65 @@ FROM filled f JOIN quotas q ON f.source = q.source
 """
 
 
+#: loader shards per epoch (one shard per data-loader worker)
+EPOCH_SHARDS = 8
+#: epoch number baked into the shuffle salt — a new epoch re-keys every
+#: hash, giving an independent permutation with zero state carried over
+EPOCH = 1
+
+
+def documents_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle into loader shards — the exact order
+    a distributed training job reads the corpus in, reproducible from
+    (epoch, doc_id) alone.
+
+    The distributed-loader contract (Megatron/tf.data style): documents
+    are hashed with an epoch-salted key, the hash assigns each to one of
+    :data:`EPOCH_SHARDS` loader shards, and WITHIN a shard the hash
+    orders the read sequence.  Each epoch re-salts, so epochs are
+    independent pseudo-random permutations; any worker can reconstruct
+    its shard's order with no coordination, and a resume-from-step
+    restart seeks to ``seq`` directly.
+
+    Scale shape (100 TB): one map to compute the hash, ONE shuffle to
+    the shard key, one per-shard window for the sequence number — never
+    a global sort, never a single-partition total order (the classic
+    mistake: ``row_number() OVER (ORDER BY hash)`` serializes the whole
+    corpus through one task; sharding first is both what the loader
+    needs and what makes the window parallel).  Deterministic: the
+    60-bit md5 hash is engine-identical and collision-tiebroken by
+    doc_id.
+    """
+    from mongo_hadoop_spark.functions import md5_long
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    h = md5_long(F.col("doc_id").cast("string"), salt=f"epoch:{EPOCH}:")
+    hashed = d.select("doc_id", h.alias("h"),
+                      (h % EPOCH_SHARDS).alias("shard"))
+    win = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return hashed.select(
+        "doc_id", "shard",
+        F.row_number().over(win).cast("long").alias("seq"))
+
+
+def _epoch_shuffle_sql() -> str:
+    from mongo_hadoop_spark.functions import md5_long_sql
+
+    h = md5_long_sql("doc_id::varchar", salt=f"epoch:{EPOCH}:")
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, {h} AS h, {h} % {EPOCH_SHARDS} AS shard FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)::bigint
+         AS seq
+FROM hashed
+"""
+
+
 QUERIES = {
+    "documents_epoch_shuffle": documents_epoch_shuffle,
     "corpus_quota_fill": corpus_quota_fill,
     "corpus_dsir_weights": corpus_dsir_weights,
     "corpus_dsir_selected": corpus_dsir_selected,
@@ -477,6 +535,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "documents_epoch_shuffle": _epoch_shuffle_sql(),
     "corpus_dsir_weights": DSIR_WEIGHTS_SQL,
     "corpus_dsir_selected": DSIR_SELECTED_SQL,
     "documents_priority_sample": PRIORITY_SAMPLE_SQL,
