@@ -595,6 +595,86 @@ ORDER BY score DESC, doc_id
 """
 
 
+def pipeline_array_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-form accumulator EXPRESSIONS (Mongo 5.2/7.0 $project
+    surface): $sum/$avg/$min/$max/$median/$minN/$maxN/$first/$last and
+    $stdDevPop applied to an array operand per row — the per-document
+    vector-statistics shape ($median documented as the exact discrete
+    lower median vs the server's approximate t-digest).
+
+    Exactness: the embedding floats are first quantized to integers
+    (floor(x*1000) — one deterministic IEEE multiply+floor), so every
+    fold/sum is integer-exact in binary64 regardless of order; the
+    stddev is two exact sums + one division + sqrt (correctly rounded
+    both engines).  Plan: pure per-row array expressions — map-only,
+    zero shuffles before the sort.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    ints = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+               " * 1000.0) AS BIGINT))").alias("q"))
+    return aggregate(ints, [
+        {"$match": {"vec_id": {"$mod": [7, 0]}}},
+        {"$project": {
+            "vec_id": 1,
+            "q_sum": {"$sum": "$q"},
+            "q_avg": {"$avg": "$q"},
+            "q_min": {"$min": "$q"},
+            "q_max": {"$max": "$q"},
+            "q_med": {"$median": {"input": "$q", "method": "approximate"}},
+            # joined to strings: the driver compare hashes scalar cells
+            "q_top2": {"$reduce": {
+                "input": {"$maxN": {"n": 2, "input": "$q"}},
+                "initialValue": "",
+                "in": {"$concat": [
+                    "$$value",
+                    {"$cond": [{"$eq": ["$$value", ""]}, "", ","]},
+                    {"$toString": "$$this"}]}}},
+            "q_bot2": {"$reduce": {
+                "input": {"$minN": {"n": 2, "input": "$q"}},
+                "initialValue": "",
+                "in": {"$concat": [
+                    "$$value",
+                    {"$cond": [{"$eq": ["$$value", ""]}, "", ","]},
+                    {"$toString": "$$this"}]}}},
+            "q_first": {"$first": "$q"},
+            "q_last": {"$last": "$q"},
+            "q_sd": {"$stdDevPop": "$q"},
+        }},
+        {"$sort": {"vec_id": 1}},
+    ])
+
+
+PIPELINE_ARRAY_AGGREGATES_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(x::double * 1000.0)::bigint) AS q,
+         len(embedding) AS n
+  FROM embeddings
+  WHERE vec_id % 7 = 0
+)
+SELECT vec_id,
+       list_sum(q)::double AS q_sum,
+       list_sum(q)::double / n::double AS q_avg,
+       list_min(q) AS q_min,
+       list_max(q) AS q_max,
+       list_sort(q)[cast(ceil(n / 2.0) AS int)] AS q_med,
+       array_to_string(list_slice(list_reverse_sort(q), 1, 2), ',')
+         AS q_top2,
+       array_to_string(list_slice(list_sort(q), 1, 2), ',') AS q_bot2,
+       q[1] AS q_first,
+       q[n] AS q_last,
+       sqrt(greatest(
+         (list_sum(list_transform(q, x -> x * x))::double
+          - list_sum(q)::double * list_sum(q)::double / n::double)
+         / n::double, 0.0)) AS q_sd
+FROM q
+ORDER BY vec_id
+"""
+
+
 def pipeline_search_querystring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$search queryString (Lucene boolean syntax): field:term, AND/OR/
     NOT and parentheses parsed by a recursive-descent mini-parser and
@@ -1870,6 +1950,7 @@ QUERIES = {
     "pipeline_redact_levels": pipeline_redact_levels,
     "pipeline_text_search": pipeline_text_search,
     "pipeline_text_query": pipeline_text_query,
+    "pipeline_array_aggregates": pipeline_array_aggregates,
     "pipeline_lookup_correlated": pipeline_lookup_correlated,
     "pipeline_geo_within": pipeline_geo_within,
     "pipeline_search_wildcard": pipeline_search_wildcard,
@@ -1911,6 +1992,7 @@ ORACLES = {
     "pipeline_redact_levels": PIPELINE_REDACT_SQL,
     "pipeline_text_search": PIPELINE_TEXT_SEARCH_SQL,
     "pipeline_text_query": PIPELINE_TEXT_QUERY_SQL,
+    "pipeline_array_aggregates": PIPELINE_ARRAY_AGGREGATES_SQL,
     "pipeline_lookup_correlated": PIPELINE_LOOKUP_CORRELATED_SQL,
     "pipeline_geo_within": PIPELINE_GEO_WITHIN_SQL,
     "pipeline_search_wildcard": PIPELINE_SEARCH_WILDCARD_SQL,

@@ -532,12 +532,65 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         if not isinstance(pos, int) or not isinstance(n, int) or n < 0:
             raise ValueError("$slice position/count must be integer literals")
         return F.slice(arr, pos + 1 if pos >= 0 else pos, n)
+    # --- array-form accumulator expressions (Mongo 5.2/7.0: in a
+    # $project/$addFields context, $min/$max/$sum/$avg & friends accept
+    # an ARRAY operand and aggregate its elements per row) -------------
     if op in ("$maxN", "$minN"):
-        raise ValueError(f"unsupported aggregation expression operator {op}")
+        # {$maxN: {n, input}}: the n largest (resp. smallest) elements,
+        # ordered largest-first (resp. smallest-first); nulls ignored
+        # (server: nulls/missing are not candidates)
+        arr = F.filter(E(operand["input"]), lambda x: x.isNotNull())
+        srt = F.sort_array(arr, asc=(op == "$minN"))
+        return F.slice(srt, 1, int(operand["n"]))
     if op == "$max" and isinstance(operand, list):
         return F.greatest(*[E(x) for x in operand])
     if op == "$min" and isinstance(operand, list):
         return F.least(*[E(x) for x in operand])
+    if op == "$max":
+        return F.array_max(E(operand))
+    if op == "$min":
+        return F.array_min(E(operand))
+    if op in ("$sum", "$avg") and not isinstance(operand, list):
+        # per-row fold over the array, LEFT-TO-RIGHT (determinism:
+        # float addition is order-sensitive; a fold has one order) —
+        # nulls ignored like the server; $sum of an empty array is 0,
+        # $avg is null
+        arr = F.filter(E(operand), lambda x: x.isNotNull())
+        total = F.aggregate(arr, F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double"))
+        if op == "$sum":
+            return total
+        n = F.size(arr)
+        return F.when(n > 0, total / n.cast("double"))
+    if op in ("$stdDevPop", "$stdDevSamp"):
+        # sum/sum-of-squares folds (deterministic order both engines);
+        # E[x^2] - E[x]^2 form, clamped at 0 against rounding
+        arr = F.filter(E(operand), lambda x: x.isNotNull())
+        n = F.size(arr).cast("double")
+        s = F.aggregate(arr, F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double"))
+        s2 = F.aggregate(arr, F.lit(0.0),
+                         lambda acc, x: acc + x.cast("double")
+                         * x.cast("double"))
+        denom = n if op == "$stdDevPop" else n - F.lit(1.0)
+        var = (s2 - s * s / n) / denom
+        return F.when(denom > 0,
+                      F.sqrt(F.greatest(var, F.lit(0.0))))
+    if op == "$median":
+        # expression form over an array; engine deviation (documented):
+        # the server's method is an approximate t-digest, this is the
+        # EXACT discrete lower median sorted[ceil(n/2)] — deterministic
+        # and oracle-gateable (quantile_disc semantics)
+        if isinstance(operand, dict):
+            operand = operand["input"]
+        arr = F.sort_array(F.filter(E(operand), lambda x: x.isNotNull()))
+        n = F.size(arr)
+        return F.when(n > 0, F.get(arr, F.ceil(n / 2).cast("int") - 1))
+    if op == "$first" and not isinstance(operand, list):
+        return F.get(E(operand), 0)
+    if op == "$last" and not isinstance(operand, list):
+        arr = E(operand)
+        return F.get(arr, F.size(arr) - 1)
     # date arithmetic (timezone-naive caveat: Spark applies the session
     # timezone where the server would use the `timezone` arg; keep
     # sessions in a fixed TZ or use epoch math for cross-engine work)

@@ -2934,3 +2934,40 @@ def test_lookup_unbounded_parent_has_no_prefilter(spark):
     ], tables={"items": items})
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" not in plan
+
+
+# --- array-form accumulator expressions (r8) --------------------------------
+
+def test_array_accumulator_expressions(spark):
+    df = spark.createDataFrame(
+        [(1, [3, 1, 2, None]), (2, []), (3, None), (4, [5])],
+        "id long, xs array<int>")
+    out = aggregate(df, [
+        {"$project": {
+            "id": 1,
+            "s": {"$sum": "$xs"}, "a": {"$avg": "$xs"},
+            "lo": {"$min": "$xs"}, "hi": {"$max": "$xs"},
+            "med": {"$median": {"input": "$xs", "method": "approximate"}},
+            "top2": {"$maxN": {"n": 2, "input": "$xs"}},
+            "f": {"$first": "$xs"}, "l": {"$last": "$xs"},
+            "sd": {"$stdDevPop": "$xs"},
+        }},
+        {"$sort": {"id": 1}},
+    ]).collect()
+    r1, r2, r3, r4 = out
+    assert (r1.s, r1.a, r1.lo, r1.hi) == (6.0, 2.0, 1, 3)
+    assert r1.med == 2 and r1.top2 == [3, 2]
+    assert (r1.f, r1.l) == (3, None)   # $last sees the trailing null
+    assert abs(r1.sd - (2 / 3) ** 0.5) < 1e-12
+    # empty array: $sum -> 0, $avg/$median -> null, $maxN -> []
+    assert (r2.s, r2.a, r2.med, r2.top2) == (0.0, None, None, [])
+    # null array: null through every operator
+    assert (r3.s, r3.a, r3.med) == (None, None, None)
+    assert (r4.s, r4.med, r4.f, r4.l) == (5.0, 5, 5, 5)
+    # list-form $max/$min (the pre-existing surface) still compiles
+    rows = aggregate(df, [
+        {"$project": {"id": 1, "m": {"$max": [{"$literal": 1},
+                                              {"$literal": 7}]}}},
+        {"$sort": {"id": 1}}, {"$limit": 1},
+    ]).collect()
+    assert rows[0].m == 7
