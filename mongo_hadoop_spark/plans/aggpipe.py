@@ -586,6 +586,23 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         arr = F.sort_array(F.filter(E(operand), lambda x: x.isNotNull()))
         n = F.size(arr)
         return F.when(n > 0, F.get(arr, F.ceil(n / 2).cast("int") - 1))
+    if op == "$percentile":
+        # expression form over an array (Mongo 7.0): one value per
+        # requested p, as an array.  Same documented deviation as
+        # $median: exact discrete (sorted[ceil(p*n)], the
+        # percentile_disc convention) vs the server's t-digest.
+        ps = operand["p"]
+        if not (isinstance(ps, list) and
+                all(isinstance(p, (int, float)) for p in ps)):
+            raise ValueError("$percentile p must be a list of numeric "
+                             "literals")
+        arr = F.sort_array(F.filter(E(operand["input"]),
+                                    lambda x: x.isNotNull()))
+        n = F.size(arr)
+        vals = [F.get(arr, F.greatest(
+            F.ceil(n * F.lit(float(p))).cast("int"), F.lit(1)) - 1)
+            for p in ps]
+        return F.when(n > 0, F.array(*vals))
     if op == "$first" and not isinstance(operand, list):
         return F.get(E(operand), 0)
     if op == "$last" and not isinstance(operand, list):
@@ -1342,6 +1359,21 @@ def _accumulator(name: str, acc: dict) -> Column:
         return _ranked_accumulator(name, op, operand)
     if op in ("$median", "$percentile"):
         return _percentile_accumulator(name, op, operand)
+    if op in ("$minN", "$maxN"):
+        # group form (Mongo 5.2): n smallest/largest input values,
+        # smallest-first (resp. largest-first); nulls are not candidates
+        arr = F.sort_array(F.collect_list(expr_to_col(operand["input"])),
+                           asc=(op == "$minN"))
+        return F.slice(arr, 1, int(operand["n"])).alias(name)
+    if op in ("$firstN", "$lastN"):
+        # group form: first/last n in encounter order — like $first/
+        # $last, encounter order is shuffle-dependent unless the
+        # pipeline sorted first (the server's contract is the same)
+        arr = F.collect_list(expr_to_col(operand["input"]))
+        n = int(operand["n"])
+        if op == "$firstN":
+            return F.slice(arr, 1, n).alias(name)
+        return F.reverse(F.slice(F.reverse(arr), 1, n)).alias(name)
     raise ValueError(f"unsupported accumulator {op}")
 
 

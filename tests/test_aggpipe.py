@@ -2971,3 +2971,36 @@ def test_array_accumulator_expressions(spark):
         {"$sort": {"id": 1}}, {"$limit": 1},
     ]).collect()
     assert rows[0].m == 7
+
+
+def test_percentile_expression_and_group_nacc(spark):
+    df = spark.createDataFrame(
+        [(1, "a", [10, 20, 30, 40]), (2, "a", [7]), (3, "b", [])],
+        "id long, g string, xs array<int>")
+    rows = aggregate(df, [
+        {"$project": {"id": 1, "pct": {"$percentile": {
+            "input": "$xs", "p": [0.25, 0.5, 1.0],
+            "method": "approximate"}}}},
+        {"$sort": {"id": 1}},
+    ]).collect()
+    assert rows[0].pct == [10, 20, 40]
+    assert rows[1].pct == [7, 7, 7]
+    assert rows[2].pct is None
+    # group-form $minN/$maxN
+    rows = aggregate(df, [
+        {"$group": {"_id": "$g",
+                    "lo2": {"$minN": {"n": 2, "input": "$id"}},
+                    "hi2": {"$maxN": {"n": 2, "input": "$id"}}}},
+        {"$sort": {"_id": 1}},
+    ]).collect()
+    assert rows[0]._id == "a" and rows[0].lo2 == [1, 2] \
+        and rows[0].hi2 == [2, 1]
+    assert rows[1].lo2 == [3]
+    # group-form $firstN after an explicit sort (deterministic order)
+    rows = aggregate(df, [
+        {"$sort": {"id": -1}},
+        {"$group": {"_id": None,
+                    "f2": {"$firstN": {"n": 2, "input": "$id"}}}},
+    ]).collect()
+    assert sorted(rows[0].f2, reverse=True) == rows[0].f2 \
+        and len(rows[0].f2) == 2
