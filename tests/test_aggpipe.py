@@ -3004,3 +3004,51 @@ def test_percentile_expression_and_group_nacc(spark):
     ]).collect()
     assert sorted(rows[0].f2, reverse=True) == rows[0].f2 \
         and len(rows[0].f2) == 2
+
+
+def test_push_sort_limit_randomized_equivalence(spark):
+    """Optimizer-rewrite safety net: over randomized pipelines drawn
+    from the movable-stage pool, the rewritten plan (aggregate, which
+    applies _push_sort_limit + the $lookup prefilter) returns exactly
+    the rows of the unrewritten compile (_aggregate_impl on the raw
+    stage list), compared as sorted tuples — ties in the $limit cut are
+    made impossible by sorting on the unique id."""
+    import itertools
+    import random
+
+    from mongo_hadoop_spark.plans.aggpipe import _aggregate_impl
+
+    rng = random.Random(8)
+    parent = spark.createDataFrame(
+        [(i, i % 5, float(i * 7 % 23)) for i in range(60)],
+        "pid long, grp long, score double")
+    child = spark.createDataFrame(
+        [(i % 30, j, float((i * j) % 11)) for i in range(30)
+         for j in range(3)],
+        "cid long, j long, w double")
+    lookup = {"$lookup": {"from": "child", "localField": "pid",
+                          "foreignField": "cid", "as": "kids"}}
+    movable_pool = [
+        lookup,
+        {"$addFields": {"extra": {"$add": ["$grp", 1]}}},
+        {"$project": {"pid": 1, "grp": 1, "score": 1,
+                      "nk": {"$size": {"$ifNull": ["$kids", []]}}}},
+        {"$unset": "grp"},
+    ]
+    for trial in range(12):
+        stages = [{"$match": {"pid": {"$gte": rng.randrange(0, 20)}}}]
+        # a random movable run; $project/$unset only once and in order
+        run = rng.sample(range(len(movable_pool)),
+                         k=rng.randrange(1, len(movable_pool) + 1))
+        picked = [movable_pool[i] for i in sorted(run)]
+        if not any("$lookup" in s for s in picked):
+            picked.insert(0, lookup)  # $project's nk needs kids
+        stages += picked
+        stages.append({"$sort": {"pid": 1}})
+        stages.append({"$limit": rng.randrange(1, 15)})
+        tables = {"child": child}
+        got = aggregate(parent, list(stages), tables=tables).collect()
+        want = _aggregate_impl(parent, list(stages), tables=tables).collect()
+        key = lambda r: tuple(str(x) for x in r)  # noqa: E731
+        assert sorted(map(key, got)) == sorted(map(key, want)), \
+            f"trial {trial}: {stages}"
