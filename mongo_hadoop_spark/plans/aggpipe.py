@@ -214,12 +214,24 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         return F.regexp_replace(inp, pat, "")
     if op == "$indexOfCP":
         s, sub = operand[0], operand[1]
-        if len(operand) > 2:
-            raise ValueError("$indexOfCP start/end range is not supported")
         if not isinstance(sub, str) or sub.startswith("$"):
             raise ValueError("$indexOfCP substring must be a string literal")
-        # instr is 1-based and 0 on miss; Mongo is 0-based and -1 on miss
-        return F.instr(E(s), sub) - 1
+        if len(operand) == 2:
+            # instr is 1-based, 0 on miss; Mongo is 0-based, -1 on miss
+            return F.instr(E(s), sub) - 1
+        # range form: search within [start, end) codepoints, result
+        # index relative to the WHOLE string; out-of-range start → -1
+        # (server semantics)
+        start = E(operand[2]).cast("int")
+        text = E(s)
+        end = (E(operand[4 - 1]).cast("int") if len(operand) > 3
+               else F.length(text))
+        region = F.substring(text, start + 1,
+                             F.greatest(end - start, F.lit(0)))
+        pos = F.instr(region, sub)
+        return (F.when((start < 0) | (start > F.length(text)), F.lit(-1))
+                .when(pos == 0, F.lit(-1))
+                .otherwise(pos - 1 + start))
     if op == "$replaceAll":
         return F.replace(E(operand["input"]), E(operand["find"]),
                          E(operand["replacement"]))
@@ -452,7 +464,23 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
     if op == "$zip":
         inputs = [E(x) for x in operand["inputs"]]
         if operand.get("useLongestLength"):
-            raise ValueError("$zip useLongestLength is not supported")
+            # pad to the longest input; per-input default (or null)
+            # fills the missing tail — Spark arrays are homogeneous, so
+            # inputs (and defaults) must share element type
+            defaults = operand.get("defaults")
+            if defaults is not None and len(defaults) != len(inputs):
+                raise ValueError("$zip defaults must match inputs length")
+            longest = (F.size(inputs[0]) if len(inputs) == 1
+                       else F.greatest(*[F.size(c) for c in inputs]))
+            dflt = [E(defaults[j]) if defaults is not None else F.lit(None)
+                    for j in range(len(inputs))]
+            return F.transform(
+                F.filter(F.sequence(F.lit(1),
+                                    F.greatest(longest, F.lit(1))),
+                         lambda i: i <= longest),
+                lambda i: F.array(*[
+                    F.when(i <= F.size(c), F.element_at(c, i))
+                    .otherwise(d) for c, d in zip(inputs, dflt)]))
         # Mongo yields array-of-arrays truncated to the shortest input;
         # Spark arrays are homogeneous, so inputs must share element type
         shortest = (F.size(inputs[0]) if len(inputs) == 1
@@ -490,6 +518,12 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         unit, amount = operand["unit"], operand["amount"]
         if not isinstance(amount, int):
             raise ValueError("$dateSubtract amount must be an integer literal")
+        if unit in ("year", "quarter", "month", "week"):
+            months = {"year": 12, "quarter": 3, "month": 1}.get(unit)
+            iv = (F.make_interval(months=F.lit(amount * months))
+                  if months else
+                  F.make_interval(weeks=F.lit(amount)))
+            return E(operand["startDate"]) - iv
         if unit not in ("day", "hour", "minute", "second"):
             raise ValueError(f"unsupported $dateSubtract unit {unit!r}")
         kw = {"day": "days", "hour": "hours", "minute": "mins",
@@ -618,20 +652,40 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
             raise ValueError(f"unsupported $dateTrunc unit {unit!r}")
         return F.date_trunc(unit, E(operand["date"]))
     if op == "$dateDiff":
+        # the server counts UNIT-BOUNDARY CROSSINGS, not elapsed floors
         unit = operand["unit"]
         a, b = E(operand["startDate"]), E(operand["endDate"])
+        if unit == "year":
+            return (F.year(b) - F.year(a)).cast("long")
+        if unit == "quarter":
+            return ((F.year(b) - F.year(a)) * 4
+                    + (F.quarter(b) - F.quarter(a))).cast("long")
+        if unit == "month":
+            return ((F.year(b) - F.year(a)) * 12
+                    + (F.month(b) - F.month(a))).cast("long")
         if unit == "day":
             return F.datediff(b, a).cast("long")
         if unit == "week":
             return F.floor(F.datediff(b, a) / 7).cast("long")
         if unit in ("hour", "minute", "second"):
             div = {"hour": 3600, "minute": 60, "second": 1}[unit]
-            return F.floor((F.unix_timestamp(b) - F.unix_timestamp(a)) / div).cast("long")
+            ta = F.unix_timestamp(F.date_trunc(unit, a))
+            tb = F.unix_timestamp(F.date_trunc(unit, b))
+            return ((tb - ta) / div).cast("long")
         raise ValueError(f"unsupported $dateDiff unit {unit!r}")
-    if op == "$dateAdd":
+    if op in ("$dateAdd",):
         unit, amount = operand["unit"], operand["amount"]
         if not isinstance(amount, int):
             raise ValueError("$dateAdd amount must be an integer literal")
+        if unit in ("year", "quarter", "month", "week"):
+            # calendar-aware: timestamp + year-month/week interval
+            # (end-of-month clamping matches the server: Jan 31 + 1
+            # month = Feb 28/29)
+            months = {"year": 12, "quarter": 3, "month": 1}.get(unit)
+            iv = (F.make_interval(months=F.lit(amount * months))
+                  if months else
+                  F.make_interval(weeks=F.lit(amount)))
+            return E(operand["startDate"]) + iv
         if unit not in ("day", "hour", "minute", "second"):
             raise ValueError(f"unsupported $dateAdd unit {unit!r}")
         kw = {"day": "days", "hour": "hours", "minute": "mins",

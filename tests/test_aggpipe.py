@@ -384,7 +384,9 @@ def test_date_exprs(spark):
     }}])
     r = got.collect()[0]
     assert r.trunc_day == "2024-03-15 00:00:00"
-    assert r.dd == 3 and r.dh == 83
+    # hour diff counts BOUNDARY CROSSINGS (server semantics):
+    # 10:xx -> 22:00 three days later crosses 84 hour marks
+    assert r.dd == 3 and r.dh == 84
     assert r.plus2d == "2024-03-17" and r.rx is True
 
 
@@ -3052,3 +3054,46 @@ def test_push_sort_limit_randomized_equivalence(spark):
         key = lambda r: tuple(str(x) for x in r)  # noqa: E731
         assert sorted(map(key, got)) == sorted(map(key, want)), \
             f"trial {trial}: {stages}"
+
+
+def test_zip_longest_indexofcp_range_date_units(spark):
+    import datetime as dt
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3], [10], "abcabc",
+          dt.datetime(2024, 1, 31, 10, 59, 0),
+          dt.datetime(2025, 3, 1, 11, 1, 0))],
+        "id long, xs array<int>, ys array<int>, s string, a timestamp,"
+        " b timestamp")
+    r = aggregate(df, [{"$project": {
+        "z": {"$zip": {"inputs": ["$xs", "$ys"],
+                       "useLongestLength": True}},
+        "zd": {"$zip": {"inputs": ["$xs", "$ys"],
+                        "useLongestLength": True,
+                        "defaults": [{"$literal": -1}, {"$literal": -2}]}},
+        "i1": {"$indexOfCP": ["$s", "b", 2]},
+        "i2": {"$indexOfCP": ["$s", "b", 2, 4]},
+        "i3": {"$indexOfCP": ["$s", "zz", 0]},
+        "i4": {"$indexOfCP": ["$s", "b", 99]},
+        "dy": {"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                             "unit": "year"}},
+        "dm": {"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                             "unit": "month"}},
+        "dq": {"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                             "unit": "quarter"}},
+        "dh": {"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                             "unit": "hour"}},
+        "am": {"$dateAdd": {"startDate": "$a", "unit": "month",
+                            "amount": 1}},
+        "sw": {"$dateSubtract": {"startDate": "$b", "unit": "week",
+                                 "amount": 2}},
+    }}]).collect()[0]
+    assert r.z == [[1, 10], [2, None], [3, None]]
+    assert r.zd == [[1, 10], [2, -2], [3, -2]]
+    assert r.i1 == 4 and r.i2 == -1 and r.i3 == -1 and r.i4 == -1
+    # boundary crossings: 2024-01-31 -> 2025-03-01
+    assert (r.dy, r.dm, r.dq) == (1, 14, 4)
+    # 10:59 -> 11:01 next year: hour boundaries crossed
+    assert r.dh == 9481  # 366d*24 + 29d*24 + 1h boundary crossings
+    import datetime as dt2
+    assert r.am == dt2.datetime(2024, 2, 29, 10, 59)  # clamped
+    assert r.sw == dt2.datetime(2025, 2, 15, 11, 1)
