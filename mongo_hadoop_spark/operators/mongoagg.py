@@ -176,6 +176,70 @@ FROM b GROUP BY 1, 2 ORDER BY 1
 """
 
 
+def pipeline_bucket_auto_granularity(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """$bucketAuto with ``granularity`` (Mongo 3.4 preferred-number
+    boundary snapping): ~equal-count order-value buckets whose
+    boundaries land on the 1-2-5 series — lower bound rounded down,
+    interior/upper rounded up (upper strictly: the server's
+    exclusive-max contract), colliding boundaries collapsed.  Snapping
+    is a double comparison against literal candidates shared verbatim
+    with the oracle — no runtime log/pow, bit-equal in both engines.
+    Plan: one extra 1-row quantile aggregate broadcast back; no global
+    sort at any input size."""
+    orders = table(spark, sf_dir, "orders")
+    return aggregate(orders, [
+        {"$bucketAuto": {
+            "groupBy": "$o_totalprice",
+            "buckets": 5,
+            "granularity": "1-2-5",
+            "output": {"n": {"$sum": 1},
+                       "max_price": {"$max": "$o_totalprice"}},
+        }},
+        {"$sort": {"_id_min": 1}},
+    ])
+
+
+def _bucket_auto_granularity_sql() -> str:
+    from mongo_hadoop_spark.plans.aggpipe import (
+        granularity_candidates_values)
+
+    ca = "[" + granularity_candidates_values("1-2-5") + "]"
+    qs = ", ".join(f"quantile_disc(v, {i}/5)" for i in range(1, 5))
+    return f"""
+WITH t AS (SELECT o_totalprice AS v FROM orders),
+raw AS (
+  SELECT [{qs.replace("quantile_disc(v, ", "quantile_disc(v, ")}] AS q,
+         min(v) AS vmin, max(v) AS vmax
+  FROM t
+),
+snapped AS (
+  SELECT list_min(list_filter({ca}, c -> c <= vmin)) AS lo,
+         list_max(list_filter({ca}, c -> c <= vmin)) AS blo,
+         list_min(list_filter({ca}, c -> c > vmax)) AS bhi,
+         list_sort(list_distinct(list_transform(q,
+           x -> list_min(list_filter({ca}, c -> c >= x))))) AS sq
+  FROM raw
+),
+cuts AS (
+  SELECT blo, bhi,
+         list_filter(sq, b -> b > blo AND b < bhi) AS interior
+  FROM snapped
+),
+b AS (
+  SELECT v, blo, bhi, interior,
+         len(list_filter(interior, c -> v >= c)) AS idx
+  FROM t, cuts
+)
+SELECT CASE WHEN idx = 0 THEN blo ELSE interior[idx] END AS _id_min,
+       CASE WHEN idx = len(interior) THEN bhi
+            ELSE interior[idx + 1] END AS _id_max,
+       count(*) AS n,
+       max(v) AS max_price
+FROM b GROUP BY 1, 2 ORDER BY 1
+"""
+
+
 PIPELINE_BUCKET_SQL = """
 WITH b AS (
   SELECT CASE
@@ -1973,6 +2037,7 @@ QUERIES = {
     "pipeline_sortbycount": pipeline_sortbycount,
     "pipeline_bucket_order_values": pipeline_bucket_order_values,
     "pipeline_bucket_auto_quartiles": pipeline_bucket_auto_quartiles,
+    "pipeline_bucket_auto_granularity": pipeline_bucket_auto_granularity,
     "pipeline_window_fields": pipeline_window_fields,
     "pipeline_densify_user_counts": pipeline_densify_user_counts,
     "pipeline_graphlookup_reports": pipeline_graphlookup_reports,
@@ -2015,6 +2080,7 @@ ORACLES = {
     "pipeline_sortbycount": PIPELINE_SORTBYCOUNT_SQL,
     "pipeline_bucket_order_values": PIPELINE_BUCKET_SQL,
     "pipeline_bucket_auto_quartiles": PIPELINE_BUCKET_AUTO_SQL,
+    "pipeline_bucket_auto_granularity": _bucket_auto_granularity_sql(),
     "pipeline_window_fields": PIPELINE_WINDOW_SQL,
     "pipeline_densify_user_counts": PIPELINE_DENSIFY_SQL,
     "pipeline_graphlookup_reports": PIPELINE_GRAPH_SQL,

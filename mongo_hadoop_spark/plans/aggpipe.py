@@ -1859,6 +1859,71 @@ def _stage_bucket(df: DataFrame, spec: dict) -> DataFrame:
     return out
 
 
+#: preferred-number mantissas (ISO 3 Renard / IEC 60063 E series /
+#: MongoDB's 1-2-5 and POWERSOF2).  R5..R80 and E6..E24 are the
+#: standardized tables; E48/E96/E192 are generated from the defining
+#: formula round(10^(i/N), 3 significant digits) — the standards match
+#: the formula except one historical cell (E192's 9.19 vs computed
+#: 9.20), so the generated tables are a documented approximation.
+_R20 = [1.0, 1.12, 1.25, 1.4, 1.6, 1.8, 2.0, 2.24, 2.5, 2.8, 3.15,
+        3.55, 4.0, 4.5, 5.0, 5.6, 6.3, 7.1, 8.0, 9.0]
+_R40 = _R20 + [1.06, 1.18, 1.32, 1.5, 1.7, 1.9, 2.12, 2.36, 2.65, 3.0,
+               3.35, 3.75, 4.25, 4.75, 5.3, 6.0, 6.7, 7.5, 8.5, 9.5]
+_R80 = _R40 + [1.03, 1.09, 1.15, 1.22, 1.28, 1.36, 1.45, 1.55, 1.65,
+               1.75, 1.85, 1.95, 2.06, 2.18, 2.3, 2.43, 2.58, 2.72,
+               2.9, 3.07, 3.25, 3.45, 3.65, 3.87, 4.12, 4.37, 4.62,
+               4.87, 5.15, 5.45, 5.8, 6.15, 6.5, 6.9, 7.3, 7.75, 8.25,
+               8.75, 9.25, 9.75]
+_E24 = [1.0, 1.1, 1.2, 1.3, 1.5, 1.6, 1.8, 2.0, 2.2, 2.4, 2.7, 3.0,
+        3.3, 3.6, 3.9, 4.3, 4.7, 5.1, 5.6, 6.2, 6.8, 7.5, 8.2, 9.1]
+
+
+def _e_series(n: int) -> list[float]:
+    return [round(10 ** (i / n), 2) for i in range(n)]
+
+
+_GRAN_SERIES = {
+    "R5": [1.0, 1.6, 2.5, 4.0, 6.3],
+    "R10": [1.0, 1.25, 1.6, 2.0, 2.5, 3.15, 4.0, 5.0, 6.3, 8.0],
+    "R20": _R20, "R40": _R40, "R80": _R80,
+    "1-2-5": [1.0, 2.0, 5.0],
+    "E6": [1.0, 1.5, 2.2, 3.3, 4.7, 6.8],
+    "E12": [1.0, 1.2, 1.5, 1.8, 2.2, 2.7, 3.3, 3.9, 4.7, 5.6, 6.8, 8.2],
+    "E24": _E24,
+    "E48": _e_series(48), "E96": _e_series(96), "E192": _e_series(192),
+}
+
+
+def granularity_candidates_values(granularity: str) -> str:
+    """The preferred-number candidate set of a $bucketAuto
+    ``granularity`` as comma-joined double literals — the SAME values
+    are spliced into the Spark plan (``array(...)``) and the DuckDB
+    oracle (``[...]``), so the snap comparisons are bit-equal (no
+    log10/pow at runtime: snapping is pure double comparison against
+    shared literals).  Covered magnitude range: mantissa × 10^k for k
+    in [-10, 12] (POWERSOF2: 2^-32..2^62); boundaries outside it snap
+    to NULL and the stage raises loudly."""
+    from decimal import Decimal
+
+    if granularity == "POWERSOF2":
+        vals = [float(2.0 ** k) for k in range(-32, 63)]
+    elif granularity in _GRAN_SERIES:
+        vals = sorted({float(Decimal(str(m)).scaleb(k))
+                       for m in _GRAN_SERIES[granularity]
+                       for k in range(-10, 13)})
+    else:
+        raise ValueError(
+            f"unsupported $bucketAuto granularity {granularity!r} "
+            f"(supported: {sorted(_GRAN_SERIES)} + ['POWERSOF2'])")
+    return ", ".join(repr(v) for v in vals)
+
+
+def granularity_candidates_sql(granularity: str) -> str:
+    """Spark-SQL literal array form of
+    :func:`granularity_candidates_values`."""
+    return "array(" + granularity_candidates_values(granularity) + ")"
+
+
 def _stage_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
     """$bucketAuto: ~equal-count buckets over the groupBy value.
 
@@ -1875,8 +1940,6 @@ def _stage_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
     ``list_filter``): v falls in bucket idx = |{c_i : v > c_i}|, which
     spans (c_idx, c_{idx+1}] with c_0 = min and c_n = max.
     """
-    if "granularity" in spec:
-        raise ValueError("$bucketAuto granularity is not supported")
     gb = expr_to_col(spec["groupBy"])
     n = int(spec["buckets"])
     out_spec = spec.get("output", {"count": {"$sum": 1}})
@@ -1885,17 +1948,65 @@ def _stage_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
         f"percentile_disc({i}/{n}) WITHIN GROUP (ORDER BY __ba_v)"
         for i in range(1, n)
     )
-    cuts = tagged.select(
-        F.expr(f"array({qs})").alias("__ba_cuts"),
-        F.min("__ba_v").alias("__ba_min"),
-        F.max("__ba_v").alias("__ba_max"),
-    )
-    withc = tagged.join(F.broadcast(cuts))
-    idx = F.size(F.filter(F.col("__ba_cuts"), lambda c: F.col("__ba_v") > c))
-    id_min = F.when(idx == 0, F.col("__ba_min")).otherwise(
-        F.element_at(F.col("__ba_cuts"), idx))
-    id_max = F.when(idx == n - 1, F.col("__ba_max")).otherwise(
-        F.element_at(F.col("__ba_cuts"), idx + F.lit(1)))
+    if "granularity" in spec:
+        # snap the quantile boundaries to the preferred-number series
+        # (granularity form, Mongo 3.4): lower bound rounds DOWN to the
+        # series, interior/upper boundaries round UP (upper strictly,
+        # so the half-open [lo, hi) buckets cover max — the server's
+        # exclusive-max contract for granularity), duplicates collapse
+        # (fewer buckets, like the server).  Snapping is a double
+        # comparison against the SHARED literal candidate array — no
+        # runtime log/pow, so both engines agree bit-for-bit.  Values
+        # must be positive and within the candidate magnitude range;
+        # out-of-range snaps are NULL and the assert raises loudly.
+        ca = granularity_candidates_sql(str(spec["granularity"]))
+        raw = tagged.select(
+            F.expr(f"array({qs})").alias("__ba_q"),
+            F.min("__ba_v").alias("__ba_vmin"),
+            F.max("__ba_v").alias("__ba_vmax"),
+        )
+        cuts = raw.select(
+            F.expr(f"array_max(filter({ca}, c -> c <= __ba_vmin))")
+            .alias("__ba_min"),
+            F.expr(f"array_min(filter({ca}, c -> c > __ba_vmax))")
+            .alias("__ba_max"),
+            F.expr(
+                f"array_sort(array_distinct(transform(__ba_q, "
+                f"x -> array_min(filter({ca}, c -> c >= x)))))")
+            .alias("__ba_snapped"),
+        ).select(
+            "__ba_min", "__ba_max",
+            F.expr("filter(__ba_snapped, b -> b > __ba_min "
+                   "AND b < __ba_max)").alias("__ba_cuts"),
+        ).where(F.coalesce(
+            F.assert_true(
+                F.col("__ba_min").isNotNull()
+                & F.col("__ba_max").isNotNull(),
+                F.lit("$bucketAuto granularity: a boundary fell outside "
+                      "the preferred-number magnitude range (supported: "
+                      "positive values, mantissa*10^[-10,12]; POWERSOF2 "
+                      "2^[-32,62])")).cast("boolean"), F.lit(True)))
+        withc = tagged.join(F.broadcast(cuts))
+        k = F.size(F.col("__ba_cuts"))
+        idx = F.size(F.filter(F.col("__ba_cuts"),
+                              lambda c: F.col("__ba_v") >= c))
+        id_min = F.when(idx == 0, F.col("__ba_min")).otherwise(
+            F.element_at(F.col("__ba_cuts"), idx))
+        id_max = F.when(idx == k, F.col("__ba_max")).otherwise(
+            F.element_at(F.col("__ba_cuts"), idx + F.lit(1)))
+    else:
+        cuts = tagged.select(
+            F.expr(f"array({qs})").alias("__ba_cuts"),
+            F.min("__ba_v").alias("__ba_min"),
+            F.max("__ba_v").alias("__ba_max"),
+        )
+        withc = tagged.join(F.broadcast(cuts))
+        idx = F.size(F.filter(F.col("__ba_cuts"),
+                              lambda c: F.col("__ba_v") > c))
+        id_min = F.when(idx == 0, F.col("__ba_min")).otherwise(
+            F.element_at(F.col("__ba_cuts"), idx))
+        id_max = F.when(idx == n - 1, F.col("__ba_max")).otherwise(
+            F.element_at(F.col("__ba_cuts"), idx + F.lit(1)))
     aggs = [_accumulator(name, a) for name, a in out_spec.items()]
     return (
         withc.withColumn("_id_min", id_min).withColumn("_id_max", id_max)

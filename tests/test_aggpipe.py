@@ -3097,3 +3097,36 @@ def test_zip_longest_indexofcp_range_date_units(spark):
     import datetime as dt2
     assert r.am == dt2.datetime(2024, 2, 29, 10, 59)  # clamped
     assert r.sw == dt2.datetime(2025, 2, 15, 11, 1)
+
+
+def test_bucket_auto_granularity(spark):
+    df = spark.createDataFrame(
+        [(float(v),) for v in [3, 7, 12, 18, 25, 33, 47, 60, 85, 120,
+                               200, 340, 560, 900, 1500]], "v double")
+    rows = aggregate(df, [
+        {"$bucketAuto": {"groupBy": "$v", "buckets": 3,
+                         "granularity": "R5",
+                         "output": {"n": {"$sum": 1}}}},
+        {"$sort": {"_id_min": 1}},
+    ]).collect()
+    assert [(r._id_min, r._id_max, r.n) for r in rows] == [
+        (2.5, 25.0, 4), (25.0, 160.0, 6), (160.0, 1600.0, 5)]
+    # series membership: min rounded DOWN (3 -> 2.5), max strictly
+    # above (1500 -> 1600); buckets are [lo, hi)
+    rows = aggregate(df, [
+        {"$bucketAuto": {"groupBy": "$v", "buckets": 4,
+                         "granularity": "POWERSOF2",
+                         "output": {"n": {"$sum": 1}}}},
+        {"$sort": {"_id_min": 1}},
+    ]).collect()
+    assert rows[0]._id_min == 2.0 and rows[-1]._id_max == 2048.0
+    assert sum(r.n for r in rows) == 15
+    with pytest.raises(ValueError, match="granularity"):
+        aggregate(df, [{"$bucketAuto": {
+            "groupBy": "$v", "buckets": 3, "granularity": "R7"}}])
+    # out-of-range (non-positive) values raise loudly at execution
+    neg = spark.createDataFrame([(-1.0,), (2.0,)], "v double")
+    bad = aggregate(neg, [{"$bucketAuto": {
+        "groupBy": "$v", "buckets": 2, "granularity": "R5"}}])
+    with pytest.raises(Exception, match="magnitude range"):
+        bad.collect()
