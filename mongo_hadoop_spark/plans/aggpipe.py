@@ -1567,9 +1567,33 @@ def _stage_unwind(df: DataFrame, spec) -> DataFrame:
         preserve = bool(spec.get("preserveNullAndEmptyArrays"))
         index_name = spec.get("includeArrayIndex")
     field = path[1:]
-    if "." in field:
-        raise ValueError("$unwind supports top-level array fields only")
     explode = F.explode_outer if preserve else F.explode
+    if "." in field:
+        # nested-path unwind (e.g. "a.b.c"): explode the leaf array into
+        # a temp column, then write it back through the struct chain
+        # with withField — per-row expressions, the explode is the only
+        # plan change (no shuffle).  includeArrayIndex composes the
+        # same way (the index lands at the TOP level, like the server).
+        segs = field.split(".")
+        root, rest = segs[0], segs[1:]
+
+        def _rebuild(val: Column) -> Column:
+            out = F.col(root)
+            for i in range(len(rest) - 1, -1, -1):
+                inner = F.col(".".join([root] + rest[:i]))
+                out = inner.withField(rest[i], val)
+                val = out
+            return out
+
+        if index_name:
+            pos = (F.posexplode_outer(F.col(field)) if preserve
+                   else F.posexplode(F.col(field)))
+            tmp = df.select("*", pos.alias(index_name, "__uw_elem"))
+            return (tmp.withColumn(root, _rebuild(F.col("__uw_elem")))
+                    .drop("__uw_elem"))
+        tmp = df.withColumn("__uw_elem", explode(F.col(field)))
+        return (tmp.withColumn(root, _rebuild(F.col("__uw_elem")))
+                .drop("__uw_elem"))
     if index_name:
         pos = F.posexplode_outer(F.col(field)) if preserve else F.posexplode(F.col(field))
         others = [c for c in df.columns if c != field]

@@ -3130,3 +3130,26 @@ def test_bucket_auto_granularity(spark):
         "groupBy": "$v", "buckets": 2, "granularity": "R5"}}])
     with pytest.raises(Exception, match="magnitude range"):
         bad.collect()
+
+
+def test_unwind_nested_path(spark):
+    df = spark.createDataFrame(
+        [(1, {"name": "x", "inner": {"vals": [10, 20]}}),
+         (2, {"name": "y", "inner": {"vals": []}})],
+        "id long, a struct<name:string, inner:struct<vals:array<int>>>")
+    rows = aggregate(df, [
+        {"$unwind": "$a.inner.vals"},
+        {"$project": {"id": 1, "v": "$a.inner.vals", "nm": "$a.name"}},
+        {"$sort": {"id": 1, "v": 1}},
+    ]).collect()
+    assert [(r.id, r.v, r.nm) for r in rows] == [(1, 10, "x"), (1, 20, "x")]
+    # preserve + includeArrayIndex at the top level
+    rows = aggregate(df, [
+        {"$unwind": {"path": "$a.inner.vals",
+                     "preserveNullAndEmptyArrays": True,
+                     "includeArrayIndex": "i"}},
+        {"$project": {"id": 1, "i": 1, "v": "$a.inner.vals"}},
+        {"$sort": {"id": 1, "i": 1}},
+    ]).collect()
+    assert [(r.id, r.i, r.v) for r in rows] == [
+        (1, 0, 10), (1, 1, 20), (2, None, None)]
