@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "pipeline_geo_intersects", "corpus_dup_spans", "corpus_span_excised",
     # round 8: $text bridge, split-leakage audit, epoch loader shuffle
     "pipeline_text_query", "corpus_split_leakage", "documents_epoch_shuffle",
+    "pipeline_array_aggregates", "pipeline_bucket_auto_granularity",
 ]
 
 
