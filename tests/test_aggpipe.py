@@ -508,11 +508,13 @@ def test_bucket_auto_equal_counts(spark):
     assert all(out[i][1] == out[i + 1][0] for i in range(len(out) - 1))
 
 
-def test_bucket_auto_granularity_unsupported(spark):
+def test_bucket_auto_granularity_unknown_series(spark):
+    # granularity is SUPPORTED as of r8 (see test_bucket_auto_granularity);
+    # an unknown series name still refuses loudly
     df = spark.createDataFrame([(1.0,)], "x double")
     with pytest.raises(ValueError, match="granularity"):
         aggregate(df, [{"$bucketAuto": {
-            "groupBy": "$x", "buckets": 2, "granularity": "R5"}}]).collect()
+            "groupBy": "$x", "buckets": 2, "granularity": "R7"}}]).collect()
 
 
 def test_array_expression_ops_round2(spark):
