@@ -1956,8 +1956,14 @@ def _stage_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
     (``percentile_disc`` at i/n) instead of the server's count-walk.
     They come from ONE extra aggregate over the input, broadcast back as
     a single-row side — so the plan is two scans + one group-by: no
-    global sort, no ntile window, no single-partition stage at any input
-    size.  ``granularity`` is not supported.  The bucket document id is
+    global sort, no ntile window.  Scale caveat (honest): EXACT
+    ``percentile_disc`` holds every input value in its aggregation
+    buffer, so the final merge is one O(N)-memory reducer — fine to
+    ~10^8 values, not at 100 TB.  The 100 TB path swaps one line to
+    ``approx_percentile`` (t-digest: mergeable, bounded state) at the
+    cost of the cross-engine bit-exactness this gate needs — the same
+    exact-vs-sketch trade the server itself makes ($median/$percentile
+    are t-digest approximations there).  The bucket document id is
     flattened to scalar ``_id_min``/``_id_max`` columns.
 
     Bucket rule (identical in the DuckDB oracle via ``quantile_disc`` /
