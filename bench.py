@@ -142,6 +142,13 @@ def main() -> None:
         timings[name] = round(best, 3)
         row_counts[name] = rows
         print(f"  {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
+        # drop py4j refs to this query's DataFrames NOW so the
+        # ContextCleaner can unpin their localCheckpoint blocks —
+        # otherwise checkpointed RDDs from every earlier query (funnel
+        # scores, BPE rounds) accumulate in storage memory and the GC
+        # pressure bleeds into later timings
+        import gc
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
