@@ -156,6 +156,10 @@ def time_queries(spark, names, dirs) -> dict[str, list[float]]:
         results[name] = row
         print(f"  {name}: 1x={row[0]:.2f}s  Nx={row[1]:.2f}s  "
               f"ratio={row[1] / max(row[0], 1e-9):.1f}x", file=sys.stderr)
+        # release this query's checkpoint blocks before the next timing
+        # (same hygiene as bench.py — pinned blocks bleed GC pressure)
+        import gc
+        gc.collect()
     return results
 
 
