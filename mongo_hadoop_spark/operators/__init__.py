@@ -47,6 +47,7 @@ _HEAD_KEYS = [
     # new this round — never driver-verified
     "pipeline_text_query", "corpus_split_leakage", "documents_epoch_shuffle",
     "pipeline_array_aggregates", "pipeline_bucket_auto_granularity",
+    "multimodal_pack_interleaved",
     # changed this round — hashes moved under the canonical BPE apply
     "corpus_bpe_merges", "corpus_bpe_symbol_stats", "corpus_bpe_compression",
     "documents_pack_sequences_bpe", "corpus_wordpiece_merges",

@@ -227,7 +227,90 @@ SELECT doc_id,
 FROM documents
 """
 
+#: vision tokens emitted per image patch (ViT-style: each patch costs
+#: a fixed number of model context positions)
+VISION_TOKENS_PER_PATCH = 4
+#: combined text+vision context budget per packed sequence
+PACK_MM_TOKENS = 6144
+
+
+def multimodal_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved multimodal sequence packing: greedy budget bins over
+    the COMBINED text + vision token cost per document — what a
+    vision-language training loader actually packs by, since an image's
+    patches occupy model context positions exactly like text tokens.
+
+    Per document: text tokens = whitespace count; vision tokens =
+    (patch count derived deterministically from the fake payload's
+    first byte: 4–16 patches) × :data:`VISION_TOKENS_PER_PATCH`.  The
+    packer is the textstats.documents_pack_sequences shape — one window
+    per source shard ordered by doc_id, running combined-cost sum,
+    ``floor((cum - cost) / budget)`` bin ids — so it inherits that
+    operator's scale story: never a global sort, one shuffle on the
+    shard key.  Output per (source, seq_bin): docs, text tokens, vision
+    tokens, and the budget utilization fraction (exact integer ratio,
+    one IEEE division).
+    """
+    from pyspark.sql import Window
+
+    from mongo_hadoop_spark.functions import tokenize
+
+    d = table(spark, sf_dir, "documents")
+    n_text = F.size(tokenize("text"))
+    patches = (F.conv(F.substring(F.md5("text"), 1, 2), 16, 10)
+               .cast("int") % 13 + 4)
+    cost = (n_text + patches * VISION_TOKENS_PER_PATCH).cast("long")
+    doc = d.select("source", "doc_id",
+                   n_text.cast("long").alias("n_text"),
+                   (patches * VISION_TOKENS_PER_PATCH).cast("long")
+                   .alias("n_vision"),
+                   cost.alias("cost"))
+    win = (Window.partitionBy("source").orderBy("doc_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    binned = doc.select(
+        "source", "doc_id", "n_text", "n_vision", "cost",
+        F.floor((F.sum("cost").over(win) - F.col("cost"))
+                / PACK_MM_TOKENS).alias("seq_bin"))
+    return (binned.groupBy("source", "seq_bin")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_text").alias("text_tokens"),
+                 F.sum("n_vision").alias("vision_tokens"),
+                 F.sum("cost").alias("total_tokens"))
+            .select("source", "seq_bin", "n_docs", "text_tokens",
+                    "vision_tokens", "total_tokens",
+                    (F.col("total_tokens").cast("double")
+                     / F.lit(float(PACK_MM_TOKENS))).alias("utilization")))
+
+
+PACK_INTERLEAVED_SQL = rf"""
+WITH doc AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           ::bigint AS n_text,
+         ((('0x' || substr(md5(text), 1, 2))::bigint % 13 + 4)
+          * {VISION_TOKENS_PER_PATCH})::bigint AS n_vision
+  FROM documents
+),
+binned AS (
+  SELECT source, doc_id, n_text, n_vision, n_text + n_vision AS cost,
+         floor((sum(n_text + n_vision)
+                  OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - (n_text + n_vision)) / {PACK_MM_TOKENS})::bigint
+           AS seq_bin
+  FROM doc
+)
+SELECT source, seq_bin, count(*) AS n_docs,
+       sum(n_text)::bigint AS text_tokens,
+       sum(n_vision)::bigint AS vision_tokens,
+       sum(cost)::bigint AS total_tokens,
+       sum(cost)::bigint::double / {float(PACK_MM_TOKENS)} AS utilization
+FROM binned GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "multimodal_pack_interleaved": multimodal_pack_interleaved,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_chunks": multimodal_chunks,
     "multimodal_decode_features": multimodal_decode_features,
@@ -236,6 +319,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_pack_interleaved": PACK_INTERLEAVED_SQL,
     "multimodal_metadata": METADATA_SQL,
     "multimodal_chunks": CHUNKS_SQL,
     "multimodal_decode_features": DECODE_SQL,
