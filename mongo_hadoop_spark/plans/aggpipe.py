@@ -957,13 +957,10 @@ def _match_field(key: str, cond) -> Column:
         return expr_to_col(cond)
     if key == "$jsonSchema":
         return _json_schema_col(cond)
-    if key in ("$sampleRate", "$where"):
-        why = ("samples non-deterministically — use the $sample stage "
-               "(deterministic md5 top-N) or an md5_long threshold"
-               if key == "$sampleRate" else
-               "runs server-side JavaScript — express the predicate with "
-               "$expr aggregation operators")
-        raise ValueError(f"{key} {why}")
+    if key == "$where":
+        raise ValueError(
+            "$where runs server-side JavaScript — express the predicate "
+            "with $expr aggregation operators")
     if key == "$text":
         raise ValueError(
             "$text is supported as the whole FIRST $match stage of an "
@@ -971,6 +968,18 @@ def _match_field(key: str, cond) -> Column:
             "machinery; needs the 'path' extension) — it cannot appear "
             "nested under $and/$or/$nor, inside $lookup/$elemMatch, or "
             "in a non-first stage (server rule)")
+    if key == "$sampleRate":
+        # deliberate determinism deviation (the $sample precedent): the
+        # server flips an independent coin per document; here the gate
+        # is a uniform md5 hash of the whole row compared to the rate —
+        # reproducible on any engine/partitioning, composable under
+        # $and/$or, ~rate fraction kept on real data
+        rate = float(key_rate) if (key_rate := cond) is not None else None
+        if rate is None or not (0.0 <= rate <= 1.0):
+            raise ValueError("$sampleRate takes a number in [0, 1]")
+        frac = (F.expr("conv(substring(md5(to_json(struct(*))), 1, 15), "
+                       "16, 10)").cast("double") / F.lit(float(2 ** 60)))
+        return frac < F.lit(rate)
     if key.startswith("$"):
         raise ValueError(f"unsupported top-level query operator {key}")
     col = F.col(key)

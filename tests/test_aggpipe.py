@@ -2554,8 +2554,8 @@ def test_to_object_id_and_js_random_refusals(people):
                       ({"$rand": {}}, "non-deterministic")]:
         with pytest.raises(ValueError, match=msg):
             aggregate(people, [{"$project": {"x": expr}}])
-    with pytest.raises(ValueError, match="non-deterministic"):
-        aggregate(people, [{"$match": {"$sampleRate": 0.33}}])
+    # $sampleRate is SUPPORTED as of r8 (deterministic md5 gate — see
+    # test_sample_rate_deterministic); only $where still refuses here
     with pytest.raises(ValueError, match="JavaScript"):
         aggregate(people, [{"$match": {"$where": "this.x > 1"}}])
 
@@ -3155,3 +3155,21 @@ def test_unwind_nested_path(spark):
     ]).collect()
     assert [(r.id, r.i, r.v) for r in rows] == [
         (1, 0, 10), (1, 1, 20), (2, None, None)]
+
+
+def test_sample_rate_deterministic(spark):
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(200)],
+                               "id long, s string")
+    a = aggregate(df, [{"$match": {"$sampleRate": 0.5}}]).collect()
+    b = aggregate(df, [{"$match": {"$sampleRate": 0.5}}]).collect()
+    assert sorted(r.id for r in a) == sorted(r.id for r in b)  # stable
+    assert 60 <= len(a) <= 140  # ~rate fraction
+    assert aggregate(df, [{"$match": {"$sampleRate": 0.0}}]).count() == 0
+    assert aggregate(df, [{"$match": {"$sampleRate": 1.0}}]).count() == 200
+    # composes with other conjuncts in the same $match
+    c = aggregate(df, [{"$match": {"$sampleRate": 0.5,
+                                   "id": {"$lt": 100}}}]).collect()
+    assert all(r.id < 100 for r in c)
+    assert {r.id for r in c} == {r.id for r in a if r.id < 100}
+    with pytest.raises(ValueError, match="sampleRate"):
+        aggregate(df, [{"$match": {"$sampleRate": 1.5}}])
