@@ -200,6 +200,99 @@ def pipeline_bucket_auto_granularity(spark: SparkSession,
     ])
 
 
+# GK accuracy for the *_approx driver gates: rank-error bound ε·N =
+# N/1e6 < 1/2 for any input under 500k rows, so at every verification
+# scale (sf0.001–sf0.1) approx_percentile PROVABLY returns the exact
+# percentile_disc value (convention-match pinned in tests/test_aggpipe.py)
+# — the gates share the exact oracles verbatim — while the aggregation
+# state stays a mergeable summary bounded by O((1/ε)·log(εN)) at ANY
+# input size.  Production runs tune this down (default 10⁴ ≈ 1 MB of
+# state); the scale probe runs the default too (SCALE.md round 9).
+GATE_PCTL_ACCURACY = 1_000_000
+
+
+def pipeline_bucket_auto_quartiles_approx(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    """pipeline_bucket_auto_quartiles in the PRODUCTION percentile mode:
+    boundary quantiles via ``approx_percentile`` (mergeable bounded-state
+    GK summary — never an O(N) reducer buffer) instead of exact
+    ``percentile_disc``.  Same exact oracle: see GATE_PCTL_ACCURACY."""
+    orders = table(spark, sf_dir, "orders")
+    return aggregate(orders, [
+        {"$addFields": {"pd": {"$toDecimal": "$o_totalprice"}}},
+        {"$bucketAuto": {
+            "groupBy": "$o_totalprice",
+            "buckets": 4,
+            "output": {"n": {"$sum": 1}, "revenue": {"$sum": "$pd"}},
+        }},
+        {"$project": {"_id_min": 1, "_id_max": 1, "n": 1,
+                      "revenue": {"$toDouble": "$revenue"}}},
+        {"$sort": {"_id_min": 1}},
+    ], percentile_accuracy=GATE_PCTL_ACCURACY)
+
+
+def pipeline_bucket_auto_granularity_approx(spark: SparkSession,
+                                            sf_dir: str) -> DataFrame:
+    """pipeline_bucket_auto_granularity in the PRODUCTION percentile
+    mode (``approx_percentile`` boundaries; see GATE_PCTL_ACCURACY).
+    The r8 scale probe measured the exact path at 2.3× wall at 10× data
+    — the one O(N) single-reducer buffer in the engine; this is the
+    swap the $bucketAuto docstring promises, now code + gate instead of
+    prose.  The granularity snap is unchanged: boundaries still land on
+    the shared 1-2-5 literal series, bit-equal across engines."""
+    orders = table(spark, sf_dir, "orders")
+    return aggregate(orders, [
+        {"$bucketAuto": {
+            "groupBy": "$o_totalprice",
+            "buckets": 5,
+            "granularity": "1-2-5",
+            "output": {"n": {"$sum": 1},
+                       "max_price": {"$max": "$o_totalprice"}},
+        }},
+        {"$sort": {"_id_min": 1}},
+    ], percentile_accuracy=GATE_PCTL_ACCURACY)
+
+
+def pipeline_percentile_approx(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """$percentile + $median per order priority in the PRODUCTION mode:
+    both accumulators compile to ``approx_percentile`` (the server's own
+    method='approximate' semantics, honored instead of ignored).  Exact
+    quantile_disc oracle per GATE_PCTL_ACCURACY (per-group n at sf0.1 is
+    ~30k, five hundred-fold under the 500k rank-exactness bound)."""
+    import pyspark.sql.functions as F
+
+    orders = table(spark, sf_dir, "orders")
+    out = aggregate(orders, [
+        {"$group": {
+            "_id": "$o_orderpriority",
+            "price_q": {"$percentile": {"input": "$o_totalprice",
+                                        "p": [0.25, 0.5, 0.9],
+                                        "method": "approximate"}},
+            "med": {"$median": {"input": "$o_totalprice",
+                                "method": "approximate"}},
+        }},
+        {"$sort": {"_id": 1}},
+    ], percentile_accuracy=GATE_PCTL_ACCURACY)
+    return out.select(
+        "_id",
+        F.element_at("price_q", 1).alias("p25"),
+        F.element_at("price_q", 2).alias("p50"),
+        F.element_at("price_q", 3).alias("p90"),
+        "med",
+    )
+
+
+PIPELINE_PCTL_APPROX_SQL = """
+SELECT o_orderpriority AS _id,
+       quantile_disc(o_totalprice, 0.25) AS p25,
+       quantile_disc(o_totalprice, 0.5) AS p50,
+       quantile_disc(o_totalprice, 0.9) AS p90,
+       quantile_disc(o_totalprice, 0.5) AS med
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 def _bucket_auto_granularity_sql() -> str:
     from mongo_hadoop_spark.plans.aggpipe import (
         granularity_candidates_values)
@@ -209,13 +302,12 @@ def _bucket_auto_granularity_sql() -> str:
     return f"""
 WITH t AS (SELECT o_totalprice AS v FROM orders),
 raw AS (
-  SELECT [{qs.replace("quantile_disc(v, ", "quantile_disc(v, ")}] AS q,
+  SELECT [{qs}] AS q,
          min(v) AS vmin, max(v) AS vmax
   FROM t
 ),
 snapped AS (
-  SELECT list_min(list_filter({ca}, c -> c <= vmin)) AS lo,
-         list_max(list_filter({ca}, c -> c <= vmin)) AS blo,
+  SELECT list_max(list_filter({ca}, c -> c <= vmin)) AS blo,
          list_min(list_filter({ca}, c -> c > vmax)) AS bhi,
          list_sort(list_distinct(list_transform(q,
            x -> list_min(list_filter({ca}, c -> c >= x))))) AS sq
@@ -2038,6 +2130,11 @@ QUERIES = {
     "pipeline_bucket_order_values": pipeline_bucket_order_values,
     "pipeline_bucket_auto_quartiles": pipeline_bucket_auto_quartiles,
     "pipeline_bucket_auto_granularity": pipeline_bucket_auto_granularity,
+    "pipeline_bucket_auto_quartiles_approx":
+        pipeline_bucket_auto_quartiles_approx,
+    "pipeline_bucket_auto_granularity_approx":
+        pipeline_bucket_auto_granularity_approx,
+    "pipeline_percentile_approx": pipeline_percentile_approx,
     "pipeline_window_fields": pipeline_window_fields,
     "pipeline_densify_user_counts": pipeline_densify_user_counts,
     "pipeline_graphlookup_reports": pipeline_graphlookup_reports,
@@ -2081,6 +2178,12 @@ ORACLES = {
     "pipeline_bucket_order_values": PIPELINE_BUCKET_SQL,
     "pipeline_bucket_auto_quartiles": PIPELINE_BUCKET_AUTO_SQL,
     "pipeline_bucket_auto_granularity": _bucket_auto_granularity_sql(),
+    # *_approx gates share the exact oracles: rank-exact by the GK
+    # ε·N < 1/2 bound at verification SF (see GATE_PCTL_ACCURACY)
+    "pipeline_bucket_auto_quartiles_approx": PIPELINE_BUCKET_AUTO_SQL,
+    "pipeline_bucket_auto_granularity_approx":
+        _bucket_auto_granularity_sql(),
+    "pipeline_percentile_approx": PIPELINE_PCTL_APPROX_SQL,
     "pipeline_window_fields": PIPELINE_WINDOW_SQL,
     "pipeline_densify_user_counts": PIPELINE_DENSIFY_SQL,
     "pipeline_graphlookup_reports": PIPELINE_GRAPH_SQL,

@@ -307,9 +307,16 @@ def _ppl_dsir_scores_from(base: DataFrame) -> DataFrame:
     )
 
 
-def _funnel_inputs(base: DataFrame):
+def _funnel_inputs(base: DataFrame, percentile_accuracy: int | None = None):
     """The four per-doc funnel tables + the 1-row threshold frame shared
     by corpus_pretrain_manifest and corpus_pretrain_token_budget.
+
+    ``percentile_accuracy`` selects the threshold-cut mode: ``None`` →
+    exact ``percentile_disc`` (doc-count-sized aggregation buffer — the
+    milder instance of the exact-percentile scale caveat), an int → the
+    production ``approx_percentile`` path (mergeable bounded-state GK
+    summary, rank-exact while accuracy > 2·n_docs — see
+    plans/aggpipe.py `_APPROX_PCTL`).
 
     The per-doc scores table is lazily ``localCheckpoint``-ed: it feeds
     BOTH the percentile cuts and the doc_id join, and without the
@@ -333,11 +340,19 @@ def _funnel_inputs(base: DataFrame):
                       "avg_q20_per_token")
               .localCheckpoint(eager=False))
     spn = span_stats_from(base).select("doc_id", "dup_frac")
-    cuts = scores.selectExpr(
-        "percentile_disc(CAST(2 AS DOUBLE)/3) "
-        "WITHIN GROUP (ORDER BY surprisal_bits) AS t2",
-        "percentile_disc(CAST(3 AS DOUBLE)/4) "
-        "WITHIN GROUP (ORDER BY avg_q20_per_token) AS q3")
+    if percentile_accuracy is not None:
+        acc = int(percentile_accuracy)
+        cuts = scores.selectExpr(
+            f"approx_percentile(surprisal_bits, "
+            f"CAST(2 AS DOUBLE)/3, {acc}) AS t2",
+            f"approx_percentile(avg_q20_per_token, "
+            f"CAST(3 AS DOUBLE)/4, {acc}) AS q3")
+    else:
+        cuts = scores.selectExpr(
+            "percentile_disc(CAST(2 AS DOUBLE)/3) "
+            "WITHIN GROUP (ORDER BY surprisal_bits) AS t2",
+            "percentile_disc(CAST(3 AS DOUBLE)/4) "
+            "WITHIN GROUP (ORDER BY avg_q20_per_token) AS q3")
     return d, gph, scores, spn, cuts
 
 
@@ -380,10 +395,33 @@ def corpus_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens → no surprisal row) fails that gate — ``coalesce(flag,
     false)`` in BOTH engines.
     """
+    return _pretrain_manifest(spark, sf_dir, percentile_accuracy=None)
+
+
+def corpus_pretrain_manifest_approx(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """corpus_pretrain_manifest with the PRODUCTION threshold-cut mode:
+    both funnel percentile cuts via ``approx_percentile`` (mergeable
+    bounded-state GK summary) instead of exact ``percentile_disc``.
+
+    Accuracy 1,000,000 makes the GK rank-error bound ε·n = n/1e6 < 1/2
+    for any corpus under 500k documents, so at every verification scale
+    the cuts are PROVABLY identical to the exact ones (the gate shares
+    corpus_pretrain_manifest's DuckDB oracle verbatim) while the
+    aggregation state stays bounded and mergeable at any corpus size —
+    at 100 TB this is the path a real run flips on
+    (`spark.mongo_hadoop_spark.percentileAccuracy`), trading the last
+    ±ε of cut placement for a reducer that cannot OOM."""
+    return _pretrain_manifest(spark, sf_dir, percentile_accuracy=1_000_000)
+
+
+def _pretrain_manifest(spark: SparkSession, sf_dir: str,
+                       percentile_accuracy: int | None) -> DataFrame:
     from mongo_hadoop_spark.operators.spans import SPAN_DROP_FRAC
 
     base = _tokenized_base(spark, sf_dir)
-    d, gph, scores, spn, cuts = _funnel_inputs(base)
+    d, gph, scores, spn, cuts = _funnel_inputs(
+        base, percentile_accuracy=percentile_accuracy)
     j = (d.join(gph, "doc_id", "left")
          .join(scores, "doc_id", "left")
          .join(spn, "doc_id", "left")
@@ -574,8 +612,13 @@ GROUP BY 1, 2
 QUERIES = {"corpus_yield_report": corpus_yield_report,
            "corpus_training_manifest": corpus_training_manifest,
            "corpus_pretrain_manifest": corpus_pretrain_manifest,
+           "corpus_pretrain_manifest_approx": corpus_pretrain_manifest_approx,
            "corpus_pretrain_token_budget": corpus_pretrain_token_budget}
 ORACLES = {"corpus_yield_report": YIELD_SQL,
            "corpus_training_manifest": _manifest_sql(),
            "corpus_pretrain_manifest": _pretrain_manifest_sql(),
+           # the approx gate shares the EXACT oracle: at verification SF
+           # the GK rank-error bound n/1e6 < 1/2 makes the sketch cuts
+           # provably equal to percentile_disc's (see the docstring)
+           "corpus_pretrain_manifest_approx": _pretrain_manifest_sql(),
            "corpus_pretrain_token_budget": _pretrain_token_budget_sql()}

@@ -30,7 +30,8 @@ $dayOfMonth $hour $minute $second $dayOfWeek), arrays ($size
 $arrayElemAt $concatArrays $in), conversions ($toInt $toLong $toDouble
 $toDecimal $toBool $toDate), accumulators ($sum $avg $min $max $push
 $addToSet $first $last $count $stdDevPop $stdDevSamp, ranked $top
-$bottom $topN $bottomN, discrete-exact $median $percentile), window
+$bottom $topN $bottomN, $median $percentile — discrete-exact by default,
+``approx_percentile`` production mode via ``percentile_accuracy``), window
 operators in $setWindowFields ($rank $denseRank $documentNumber $shift
 $derivative $integral $covariancePop $covarianceSamp + frame-bounded
 aggregates).
@@ -47,10 +48,30 @@ comparisons in query context are type-bracketed (null never satisfies
 
 from __future__ import annotations
 
+import contextvars
 from typing import Any
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+
+# Percentile execution mode for $median/$percentile/$bucketAuto.
+# ``None`` → exact discrete semantics (``percentile_disc``: deterministic,
+# cross-engine bit-checkable, but the aggregation buffer holds every input
+# value — one O(N)-memory final reducer, fine to ~10^8 values, not 100 TB).
+# An ``int`` → the production path: ``approx_percentile`` with that
+# accuracy (Greenwald-Khanna summary: mergeable partial state bounded by
+# O((1/ε)·log(εN)) with ε = 1/accuracy, independent of the input size).
+# GK guarantees rank error ≤ ε·N, so while ε·N < 1/2 the sketch is
+# *provably rank-exact* and returns exactly ``percentile_disc``'s value
+# (verified property-style in tests/test_aggpipe.py); past that it
+# degrades gracefully to the same exact-vs-sketch trade the server itself
+# makes ($median/$percentile are t-digest approximations in Mongo 7.0).
+# Set per ``aggregate(...)`` call (``percentile_accuracy=``) or globally
+# via the Spark conf ``spark.mongo_hadoop_spark.percentileAccuracy``.
+_APPROX_PCTL: contextvars.ContextVar[int | None] = contextvars.ContextVar(
+    "mongo_hadoop_spark_approx_pctl", default=None)
+
+PERCENTILE_ACCURACY_CONF = "spark.mongo_hadoop_spark.percentileAccuracy"
 
 # ---------------------------------------------------------------------------
 # Aggregation expression language → Column
@@ -220,8 +241,17 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
             # instr is 1-based, 0 on miss; Mongo is 0-based, -1 on miss
             return F.instr(E(s), sub) - 1
         # range form: search within [start, end) codepoints, result
-        # index relative to the WHOLE string; out-of-range start → -1
-        # (server semantics)
+        # index relative to the WHOLE string; start past the string end
+        # → -1, but NEGATIVE start/end is an ERROR on the server — raise
+        # at compile time for provably negative literals (runtime-column
+        # operands can't be checked until execution and fall through to
+        # the -1 guard below, a documented softening)
+        for pos_arg in operand[2:4]:
+            if (isinstance(pos_arg, (int, float))
+                    and not isinstance(pos_arg, bool) and pos_arg < 0):
+                raise ValueError(
+                    "$indexOfCP: start/end must be non-negative "
+                    f"(got {pos_arg!r}) — server error code 40097")
         start = E(operand[2]).cast("int")
         text = E(s)
         end = (E(operand[4 - 1]).cast("int") if len(operand) > 3
@@ -463,6 +493,9 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         return F.sort_array(E(operand["input"]), asc=by >= 0)
     if op == "$zip":
         inputs = [E(x) for x in operand["inputs"]]
+        # server rule (both forms): if ANY input resolves to null or a
+        # missing field, the whole $zip is null — not empty/padded
+        nn = _fold_and([c.isNotNull() for c in inputs])
         if operand.get("useLongestLength"):
             # pad to the longest input; per-input default (or null)
             # fills the missing tail — Spark arrays are homogeneous, so
@@ -474,13 +507,13 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
                        else F.greatest(*[F.size(c) for c in inputs]))
             dflt = [E(defaults[j]) if defaults is not None else F.lit(None)
                     for j in range(len(inputs))]
-            return F.transform(
+            return F.when(nn, F.transform(
                 F.filter(F.sequence(F.lit(1),
                                     F.greatest(longest, F.lit(1))),
                          lambda i: i <= longest),
                 lambda i: F.array(*[
                     F.when(i <= F.size(c), F.element_at(c, i))
-                    .otherwise(d) for c, d in zip(inputs, dflt)]))
+                    .otherwise(d) for c, d in zip(inputs, dflt)])))
         # Mongo yields array-of-arrays truncated to the shortest input;
         # Spark arrays are homogeneous, so inputs must share element type
         shortest = (F.size(inputs[0]) if len(inputs) == 1
@@ -489,10 +522,10 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         # ([1, 0]) and element_at(col, 0) raises at runtime.  Clamp the
         # sequence end to ≥1 and filter out-of-range indexes so the
         # transform lambda never sees an invalid index.
-        return F.transform(
+        return F.when(nn, F.transform(
             F.filter(F.sequence(F.lit(1), F.greatest(shortest, F.lit(1))),
                      lambda i: i <= shortest),
-            lambda i: F.array(*[F.element_at(c, i) for c in inputs]))
+            lambda i: F.array(*[F.element_at(c, i) for c in inputs])))
     if op == "$firstN":
         return F.slice(E(operand["input"]), 1, int(operand["n"]))
     if op == "$lastN":
@@ -585,6 +618,15 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
     if op == "$min":
         return F.array_min(E(operand))
     if op in ("$sum", "$avg") and not isinstance(operand, list):
+        # scalar-literal operands pass through like the server ({$sum: 1}
+        # → 1 per row; non-numeric scalar → 0 for $sum, null for $avg) —
+        # only field-path/computed operands are treated as arrays below
+        if (isinstance(operand, bool)
+                or (isinstance(operand, str) and not operand.startswith("$"))
+                or not isinstance(operand, (int, float, str, dict))):
+            return F.lit(0) if op == "$sum" else F.lit(None)
+        if isinstance(operand, (int, float)):
+            return F.lit(operand)
         # per-row fold over the array, LEFT-TO-RIGHT (determinism:
         # float addition is order-sensitive; a fold has one order) —
         # nulls ignored like the server; $sum of an empty array is 0,
@@ -666,7 +708,23 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         if unit == "day":
             return F.datediff(b, a).cast("long")
         if unit == "week":
-            return F.floor(F.datediff(b, a) / 7).cast("long")
+            # startOfWeek-boundary crossings (server semantics, default
+            # Sunday): align each endpoint back to its week start, then
+            # the day gap is an exact multiple of 7.  Saturday→Sunday is
+            # 1 under the default, not 0 (elapsed-block floor would say 0).
+            starts = {"sunday": 0, "monday": 1, "tuesday": 2,
+                      "wednesday": 3, "thursday": 4, "friday": 5,
+                      "saturday": 6}
+            sow = str(operand.get("startOfWeek", "Sunday")).lower()
+            if sow not in starts:
+                raise ValueError(
+                    f"$dateDiff: unknown startOfWeek {operand.get('startOfWeek')!r}")
+            off = starts[sow]
+            # days since week start: dayofweek is 1=Sun..7=Sat
+            da = (F.dayofweek(a) + F.lit(6 - off)) % 7
+            db = (F.dayofweek(b) + F.lit(6 - off)) % 7
+            return (F.datediff(F.date_sub(b, db), F.date_sub(a, da))
+                    / 7).cast("long")
         if unit in ("hour", "minute", "second"):
             div = {"hour": 3600, "minute": 60, "second": 1}[unit]
             ta = F.unix_timestamp(F.date_trunc(unit, a))
@@ -1483,8 +1541,26 @@ def _percentile_accumulator(name: str, op: str, operand: dict) -> Column:
     method='approximate' (t-digest); the discrete definition is the
     deterministic, cross-engine-checkable superset (the operand's
     ``method`` is accepted and ignored).  Nulls are excluded like Mongo.
+
+    Scale: the exact form collects every group value into one sorted
+    array — O(group)-memory final state.  The production mode
+    (``_APPROX_PCTL`` set — see the module-level note) compiles to
+    ``approx_percentile`` instead: a mergeable GK summary with bounded
+    state, matching the server's own sketch trade and rank-exact while
+    ε·N < 1/2.
     """
     inp = expr_to_col(operand["input"])
+    acc = _APPROX_PCTL.get()
+    if op != "$median":
+        ps = operand["p"]
+        if not isinstance(ps, list) or not ps:
+            raise ValueError("$percentile: p must be a non-empty list")
+    if acc is not None:
+        if op == "$median":
+            return F.percentile_approx(inp, 0.5, F.lit(acc)).alias(name)
+        return F.percentile_approx(
+            inp, F.array(*[F.lit(float(p)) for p in ps]),
+            F.lit(acc)).alias(name)
     arr = F.array_sort(F.collect_list(inp))  # collect_list drops nulls
     sz = F.size(arr)
 
@@ -1494,9 +1570,6 @@ def _percentile_accumulator(name: str, op: str, operand: dict) -> Column:
 
     if op == "$median":
         return pick(0.5).alias(name)
-    ps = operand["p"]
-    if not isinstance(ps, list) or not ps:
-        raise ValueError("$percentile: p must be a non-empty list")
     return F.array(*[pick(p) for p in ps]).alias(name)
 
 
@@ -1968,12 +2041,16 @@ def _stage_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
     global sort, no ntile window.  Scale caveat (honest): EXACT
     ``percentile_disc`` holds every input value in its aggregation
     buffer, so the final merge is one O(N)-memory reducer — fine to
-    ~10^8 values, not at 100 TB.  The 100 TB path swaps one line to
-    ``approx_percentile`` (t-digest: mergeable, bounded state) at the
-    cost of the cross-engine bit-exactness this gate needs — the same
-    exact-vs-sketch trade the server itself makes ($median/$percentile
-    are t-digest approximations there).  The bucket document id is
-    flattened to scalar ``_id_min``/``_id_max`` columns.
+    ~10^8 values, not at 100 TB.  The production mode (``_APPROX_PCTL``
+    set via ``aggregate(percentile_accuracy=...)`` or the
+    ``spark.mongo_hadoop_spark.percentileAccuracy`` conf) swaps the
+    boundary aggregate to ``approx_percentile`` — a mergeable GK
+    summary with state bounded by O((1/ε)·log(εN)), ε = 1/accuracy,
+    independent of input size; rank-exact while ε·N < 1/2, then the
+    same exact-vs-sketch trade the server itself makes
+    ($median/$percentile are t-digest approximations there).  The
+    bucket document id is flattened to scalar ``_id_min``/``_id_max``
+    columns.
 
     Bucket rule (identical in the DuckDB oracle via ``quantile_disc`` /
     ``list_filter``): v falls in bucket idx = |{c_i : v > c_i}|, which
@@ -1983,10 +2060,15 @@ def _stage_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
     n = int(spec["buckets"])
     out_spec = spec.get("output", {"count": {"$sum": 1}})
     tagged = df.withColumn("__ba_v", gb)
-    qs = ", ".join(
-        f"percentile_disc({i}/{n}) WITHIN GROUP (ORDER BY __ba_v)"
-        for i in range(1, n)
-    )
+    acc = _APPROX_PCTL.get()
+    if acc is not None:
+        fracs = ", ".join(f"{i}/{n}" for i in range(1, n))
+        q_arr = f"approx_percentile(__ba_v, array({fracs}), {int(acc)})"
+    else:
+        q_arr = "array(" + ", ".join(
+            f"percentile_disc({i}/{n}) WITHIN GROUP (ORDER BY __ba_v)"
+            for i in range(1, n)
+        ) + ")"
     if "granularity" in spec:
         # snap the quantile boundaries to the preferred-number series
         # (granularity form, Mongo 3.4): lower bound rounds DOWN to the
@@ -2000,7 +2082,7 @@ def _stage_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
         # out-of-range snaps are NULL and the assert raises loudly.
         ca = granularity_candidates_sql(str(spec["granularity"]))
         raw = tagged.select(
-            F.expr(f"array({qs})").alias("__ba_q"),
+            F.expr(q_arr).alias("__ba_q"),
             F.min("__ba_v").alias("__ba_vmin"),
             F.max("__ba_v").alias("__ba_vmax"),
         )
@@ -2035,7 +2117,7 @@ def _stage_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
             F.element_at(F.col("__ba_cuts"), idx + F.lit(1)))
     else:
         cuts = tagged.select(
-            F.expr(f"array({qs})").alias("__ba_cuts"),
+            F.expr(q_arr).alias("__ba_cuts"),
             F.min("__ba_v").alias("__ba_min"),
             F.max("__ba_v").alias("__ba_max"),
         )
@@ -4082,11 +4164,34 @@ def _push_sort_limit(pipeline: list[dict]) -> list[dict]:
     return stages
 
 
+def _resolve_percentile_accuracy(df: DataFrame,
+                                 percentile_accuracy) -> int | None:
+    """Per-call ``percentile_accuracy`` wins; else the Spark conf
+    ``spark.mongo_hadoop_spark.percentileAccuracy`` (unset/""/"exact" →
+    exact discrete mode).  Returns the approx accuracy or None."""
+    if percentile_accuracy is not None:
+        acc = int(percentile_accuracy)
+        if acc <= 0:
+            raise ValueError("percentile_accuracy must be a positive int")
+        return acc
+    try:
+        conf = df.sparkSession.conf.get(PERCENTILE_ACCURACY_CONF, None)
+    except Exception:
+        conf = None
+    if conf in (None, "", "exact"):
+        return None
+    acc = int(conf)
+    if acc <= 0:
+        raise ValueError(f"{PERCENTILE_ACCURACY_CONF} must be a positive int")
+    return acc
+
+
 def aggregate(df: DataFrame, pipeline: list[dict],
               tables: dict[str, DataFrame] | None = None,
               store_path: str | None = None,
               client_factory: str | None = None,
-              spool_path: str | None = None) -> DataFrame:
+              spool_path: str | None = None,
+              percentile_accuracy: int | None = None) -> DataFrame:
     """Run an aggregation pipeline against ``df``; returns the result
     DataFrame (lazy — Catalyst sees the whole compiled plan).  ``$out`` /
     ``$merge`` terminal stages write to the document store at
@@ -4095,11 +4200,24 @@ def aggregate(df: DataFrame, pipeline: list[dict],
     through the live datasource writer and $merge bulk-replays a
     journaled mutation spool (``spool_path``) via the live committer;
     ``client_factory`` is the importable ``module:callable`` executors
-    use to resolve a client from the URI."""
-    out = _aggregate_impl(df, _push_sort_limit(pipeline),
-                          tables=tables, store_path=store_path,
-                          client_factory=client_factory,
-                          spool_path=spool_path)
+    use to resolve a client from the URI.
+
+    ``percentile_accuracy`` selects the production percentile mode for
+    $median/$percentile/$bucketAuto in this pipeline: ``None`` (default)
+    keeps exact discrete semantics, an int compiles them to
+    ``approx_percentile`` with that accuracy (mergeable bounded-state GK
+    summary — the 100 TB path; see the ``_APPROX_PCTL`` module note).
+    The Spark conf ``spark.mongo_hadoop_spark.percentileAccuracy``
+    provides a session-wide default when the argument is omitted."""
+    token = _APPROX_PCTL.set(
+        _resolve_percentile_accuracy(df, percentile_accuracy))
+    try:
+        out = _aggregate_impl(df, _push_sort_limit(pipeline),
+                              tables=tables, store_path=store_path,
+                              client_factory=client_factory,
+                              spool_path=spool_path)
+    finally:
+        _APPROX_PCTL.reset(token)
     for hidden in (_VS_SCORE_COL, _GEO_DIST_COL, _SEARCH_SCORE_COL,
                    _SEARCH_HIGHLIGHTS_COL, _TEXT_SCORE_COL,
                    _FUSION_SCORE_COL):

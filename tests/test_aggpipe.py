@@ -3173,3 +3173,225 @@ def test_sample_rate_deterministic(spark):
     assert {r.id for r in c} == {r.id for r in a if r.id < 100}
     with pytest.raises(ValueError, match="sampleRate"):
         aggregate(df, [{"$match": {"$sampleRate": 1.5}}])
+
+
+# ---------------------------------------------------------------------------
+# Production percentile mode (approx_percentile; r9 — the r8 verdict's one
+# confirmed scale-killer closed: $bucketAuto/$median/$percentile no longer
+# require an O(N) single-reducer buffer when percentile_accuracy is set)
+# ---------------------------------------------------------------------------
+
+
+def test_approx_mode_matches_exact_convention_small(spark):
+    """At accuracy ≥ 2·N the GK sketch is rank-exact, so the approx mode
+    must return EXACTLY the discrete convention's values — odd and even
+    group sizes, ties included (the same pin the *_approx driver gates
+    rely on when they share the exact DuckDB oracles)."""
+    pipeline = [
+        {"$group": {"_id": "$grp",
+                    "med": {"$median": {"input": "$score",
+                                        "method": "approximate"}},
+                    "pq": {"$percentile": {"input": "$score",
+                                           "p": [0.25, 0.5, 1.0],
+                                           "method": "approximate"}}}},
+        {"$sort": {"_id": 1}},
+    ]
+    exact = rows(aggregate(_scores_df(spark), pipeline))
+    approx = rows(aggregate(_scores_df(spark), pipeline,
+                            percentile_accuracy=1_000_000))
+    assert approx == exact
+
+
+def test_approx_mode_bucket_auto_matches_exact_small(spark):
+    pipeline = [
+        {"$bucketAuto": {"groupBy": "$x", "buckets": 4}},
+        {"$sort": {"_id_min": 1}},
+    ]
+    df = spark.createDataFrame([(float(i),) for i in range(1, 42)],
+                               "x double")
+    exact = rows(aggregate(df, pipeline))
+    approx = rows(aggregate(df, pipeline, percentile_accuracy=1_000_000))
+    assert approx == exact
+    # granularity form too (snap happens downstream of the quantiles)
+    gp = [{"$bucketAuto": {"groupBy": "$x", "buckets": 3,
+                           "granularity": "1-2-5"}},
+          {"$sort": {"_id_min": 1}}]
+    assert (rows(aggregate(df, gp, percentile_accuracy=1_000_000))
+            == rows(aggregate(df, gp)))
+
+
+def test_approx_mode_plan_has_no_exact_percentile(spark):
+    """The production plan must carry the mergeable sketch aggregate —
+    approx_percentile — and none of the O(N)-state exact forms
+    (percentile_disc / the collect_list+array_sort accumulator)."""
+    df = spark.createDataFrame([(float(i),) for i in range(50)], "x double")
+    pipeline = [{"$bucketAuto": {"groupBy": "$x", "buckets": 4}}]
+    approx_plan = (aggregate(df, pipeline, percentile_accuracy=10_000)
+                   ._jdf.queryExecution().optimizedPlan().toString())
+    assert "approx_percentile" in approx_plan
+    assert "percentile_disc" not in approx_plan
+    exact_plan = (aggregate(df, pipeline)
+                  ._jdf.queryExecution().optimizedPlan().toString())
+    assert "percentile_disc" in exact_plan
+    assert "approx_percentile" not in exact_plan
+    # group accumulators: approx mode must not collect the group
+    gpipe = [{"$group": {"_id": None,
+                         "m": {"$median": {"input": "$x",
+                                           "method": "approximate"}}}}]
+    gplan = (aggregate(df, gpipe, percentile_accuracy=10_000)
+             ._jdf.queryExecution().optimizedPlan().toString())
+    # the Column API renders as percentile_approx (same expression class)
+    assert ("approx_percentile" in gplan or "percentile_approx" in gplan)
+    assert "collect_list" not in gplan
+
+
+def test_approx_mode_conf_driven(spark):
+    """Session-wide opt-in via spark.mongo_hadoop_spark.percentileAccuracy
+    — the flip a 100 TB run makes without touching query code."""
+    from mongo_hadoop_spark.plans.aggpipe import PERCENTILE_ACCURACY_CONF
+
+    df = spark.createDataFrame([(float(i),) for i in range(9)], "x double")
+    pipeline = [{"$group": {"_id": None,
+                            "m": {"$median": {"input": "$x",
+                                              "method": "approximate"}}}}]
+    spark.conf.set(PERCENTILE_ACCURACY_CONF, "100000")
+    try:
+        plan = (aggregate(df, pipeline)
+                ._jdf.queryExecution().optimizedPlan().toString())
+        assert "percentile_approx" in plan
+        # explicit per-call argument still wins over the conf
+        got = aggregate(df, pipeline, percentile_accuracy=1_000_000)
+        assert got.collect()[0].m == 4.0  # ceil(0.5*9) = 5th of 0..8
+        # "exact" restores the discrete path
+        spark.conf.set(PERCENTILE_ACCURACY_CONF, "exact")
+        plan = (aggregate(df, pipeline)
+                ._jdf.queryExecution().optimizedPlan().toString())
+        assert "percentile_approx" not in plan
+    finally:
+        spark.conf.unset(PERCENTILE_ACCURACY_CONF)
+
+
+def test_approx_mode_rejects_bad_accuracy(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    pipeline = [{"$group": {"_id": None,
+                            "m": {"$median": {"input": "$x",
+                                              "method": "approximate"}}}}]
+    with pytest.raises(ValueError, match="positive"):
+        aggregate(df, pipeline, percentile_accuracy=0)
+    with pytest.raises(ValueError, match="positive"):
+        aggregate(df, pipeline, percentile_accuracy=-5)
+
+
+def test_approx_mode_rank_error_within_gk_bound(spark):
+    """Tolerance pin for the genuinely-approximate regime: at the
+    production default accuracy (10^4) over N = 60k values (ε·N = 6, so
+    compression really happens and exactness is NOT expected), every
+    returned quantile must be an input value whose rank is within the
+    published GK bound of the target rank.  A generous 4× merge factor
+    absorbs partial-aggregate merge slack; exactness would be luck, a
+    blown bound is a real regression."""
+    import math
+
+    n, acc = 60_000, 10_000
+    df = spark.range(n).selectExpr(
+        "CAST(pmod(hash(id), 1000000) AS DOUBLE) AS x")
+    ps = [0.1, 0.5, 0.9]
+    got = aggregate(df, [
+        {"$group": {"_id": None,
+                    "q": {"$percentile": {"input": "$x", "p": ps,
+                                          "method": "approximate"}}}},
+    ], percentile_accuracy=acc).collect()[0].q
+    vals = sorted(r.x for r in df.collect())
+    for p, v in zip(ps, got):
+        assert v in vals  # GK returns actual samples, never interpolates
+        lo = vals.index(v) + 1                  # smallest rank of v
+        hi = len(vals) - vals[::-1].index(v)    # largest rank of v
+        target = math.ceil(p * n)
+        slack = 4.0 * n / acc
+        assert lo - slack <= target <= hi + slack, (p, v, lo, hi, target)
+
+
+# ---------------------------------------------------------------------------
+# r9 ADVICE closures: $dateDiff week boundaries, $zip null inputs,
+# $sum/$avg scalar operands, $indexOfCP negative range
+# ---------------------------------------------------------------------------
+
+
+def test_datediff_week_boundary_crossings(spark):
+    """Week = startOfWeek boundary CROSSINGS (server semantics), not
+    elapsed 7-day blocks: Saturday→Sunday is 1 under the default
+    (Sunday) start, 0 under startOfWeek=monday."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2026, 8, 15), dt.datetime(2026, 8, 16))],  # Sat→Sun
+        "a timestamp, b timestamp")
+
+    def dd(**kw):
+        spec = {"startDate": "$a", "endDate": "$b", "unit": "week", **kw}
+        return aggregate(df, [{"$project": {"w": {"$dateDiff": spec}}}]
+                         ).collect()[0].w
+
+    assert dd() == 1                            # crosses the Sunday start
+    assert dd(startOfWeek="monday") == 0        # same Mon-anchored week
+    # symmetric negative direction
+    back = spark.createDataFrame(
+        [(dt.datetime(2026, 8, 16), dt.datetime(2026, 8, 15))],
+        "a timestamp, b timestamp")
+    got = aggregate(back, [{"$project": {"w": {"$dateDiff": {
+        "startDate": "$a", "endDate": "$b", "unit": "week"}}}}]
+    ).collect()[0].w
+    assert got == -1
+    # a full elapsed week that crosses exactly one boundary
+    wk = spark.createDataFrame(
+        [(dt.datetime(2026, 8, 12), dt.datetime(2026, 8, 19))],  # Wed→Wed
+        "a timestamp, b timestamp")
+    got = aggregate(wk, [{"$project": {"w": {"$dateDiff": {
+        "startDate": "$a", "endDate": "$b", "unit": "week"}}}}]
+    ).collect()[0].w
+    assert got == 1
+    with pytest.raises(ValueError, match="startOfWeek"):
+        dd(startOfWeek="noday")
+
+
+def test_zip_null_input_yields_null(spark):
+    """Server rule: any null/missing input nullifies the whole $zip —
+    both the shortest form and useLongestLength (which previously padded
+    as if the null were empty)."""
+    df = spark.createDataFrame(
+        [([1.0], None), (None, [2.0]), ([1.0], [2.0])],
+        "a array<double>, b array<double>")
+    got = aggregate(df, [{"$project": {
+        "s": {"$zip": {"inputs": ["$a", "$b"]}},
+        "l": {"$zip": {"inputs": ["$a", "$b"], "useLongestLength": True}},
+    }}]).collect()
+    assert [r.s for r in got] == [None, None, [[1.0, 2.0]]]
+    assert [r.l for r in got] == [None, None, [[1.0, 2.0]]]
+
+
+def test_sum_avg_scalar_operands(spark):
+    """Server passes numeric scalar operands through ({$sum: 1} → 1 per
+    row); non-numeric scalars are 0 for $sum, null for $avg."""
+    df = spark.createDataFrame([(5.0, [1.0, 2.0])],
+                               "x double, arr array<double>")
+    r = aggregate(df, [{"$project": {
+        "one": {"$sum": 1},
+        "half": {"$avg": 2.5},
+        "s_str": {"$sum": "not-a-path"},
+        "a_str": {"$avg": "not-a-path"},
+        "s_bool": {"$sum": True},
+        "arr_sum": {"$sum": "$arr"},
+    }}]).collect()[0]
+    assert r.one == 1 and r.half == 2.5
+    assert r.s_str == 0 and r.a_str is None and r.s_bool == 0
+    assert r.arr_sum == 3.0
+
+
+def test_indexofcp_negative_range_raises(spark):
+    df = spark.createDataFrame([("abc",)], "s string")
+    with pytest.raises(ValueError, match="40097"):
+        aggregate(df, [{"$project": {
+            "i": {"$indexOfCP": ["$s", "b", -1]}}}])
+    with pytest.raises(ValueError, match="40097"):
+        aggregate(df, [{"$project": {
+            "i": {"$indexOfCP": ["$s", "b", 0, -2]}}}])

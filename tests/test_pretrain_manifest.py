@@ -68,3 +68,29 @@ def test_tokenized_base_memoized_per_file_identity(spark):
     assert a is b  # same session + same file identity → same checkpoint
     c = _tokenized_base(spark, SF_SMOKE, with_text=True)
     assert c is not a and "text" in c.columns and "text" not in a.columns
+
+
+def test_approx_manifest_matches_exact(spark):
+    """The production threshold-cut mode (approx_percentile cuts,
+    corpus_pretrain_manifest_approx) must reproduce the exact manifest
+    verbatim at verification scale: GK rank error ε·n = n/1e6 < 1/2, so
+    both cuts are provably the percentile_disc values — the pin that
+    lets the approx gate share the exact DuckDB oracle."""
+    from mongo_hadoop_spark.operators.pipeline import (
+        corpus_pretrain_manifest_approx)
+
+    exact = sorted(map(tuple, corpus_pretrain_manifest(
+        spark, SF_SMOKE).collect()))
+    approx = sorted(map(tuple, corpus_pretrain_manifest_approx(
+        spark, SF_SMOKE).collect()))
+    assert approx == exact
+
+
+def test_approx_manifest_plan_has_no_exact_percentile(spark):
+    from mongo_hadoop_spark.operators.pipeline import (
+        corpus_pretrain_manifest_approx)
+
+    plan = (corpus_pretrain_manifest_approx(spark, SF_SMOKE)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "approx_percentile" in plan
+    assert "percentile_disc" not in plan
