@@ -36,43 +36,27 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 
 # Registry order is part of the verification contract: external harnesses may
 # only sample a prefix of ``queries()``, so the entries that most need a fresh
-# cross-engine check come first.  Round-8 rotation (the round-7 verdict's
-# items 1 & 8: new/changed first, then stalest): the new $text gate and the
-# 7 queries whose answers changed under the canonical (Sennrich-exact) BPE
-# merge apply lead, then the 26 queries whose latest driver verdicts date
-# from round 3 (the r7 spill), then the round-4-verified set fills the
-# 50-entry prefix and spills just below it (the spill rotates into round 9).
-# The fully-green r5/r6/r7 verdicts rotate to the tail.
+# cross-engine check come first.  Round-9 rotation (the round-8 verdict's
+# item 2, with its recomputed stale list): the 5 queries new this round
+# (never driver-verified — the approx-percentile production-mode gates and
+# the $text diacritic fold) plus corpus_pretrain_token_budget (its apply
+# side was rewritten output-bound this round; hashes pinned unchanged but
+# it deserves the fresh gate) lead, then ALL 35 queries whose latest
+# driver verdicts date from round 4, then the 9 oldest round-5 rows fill
+# the 50-entry prefix.  The remaining r5 rows queue just below the window
+# for round 10; fully-green r6/r7/r8 verdicts rotate to the tail.
 _HEAD_KEYS = [
     # new this round — never driver-verified
-    "pipeline_text_query", "corpus_split_leakage", "documents_epoch_shuffle",
-    "pipeline_array_aggregates", "pipeline_bucket_auto_granularity",
-    "multimodal_pack_interleaved",
-    # changed this round — hashes moved under the canonical BPE apply
-    "corpus_bpe_merges", "corpus_bpe_symbol_stats", "corpus_bpe_compression",
-    "documents_pack_sequences_bpe", "corpus_wordpiece_merges",
-    "corpus_wordpiece_compression", "corpus_pretrain_token_budget",
-    # r03-verified — oldest outstanding driver verdicts (26)
-    "multimodal_decode_features", "multimodal_frame_sample",
-    "multimodal_resize", "corpus_yield_report", "pipeline_status_rollup",
-    "pipeline_wordcount", "pipeline_lookup_segment", "pipeline_sortbycount",
-    "pipeline_bucket_order_values", "pipeline_window_fields",
-    "pipeline_densify_user_counts", "pipeline_graphlookup_reports",
-    "events_funnel", "events_cohort_retention", "orders_quantile_rollup",
-    "documents_stratified_sample", "user_activity_histogram",
-    "sketch_hll_users", "sketch_hll_documents",
-    "text_fingerprint", "text_quality", "text_redact_pii",
-    "text_repetition_ratio", "text_token_count",
-    "text_top_distinctive_terms", "documents_pack_sequences",
-    # r04-verified — next-oldest; fills the 50-entry prefix...
-    "corpus_pretrain_manifest", "corpus_training_manifest",
-    "a2_upsert_docs", "a4_log_rollup", "dedup_containment",
-    "dedup_exact_survivors", "dedup_minhash_signatures",
-    "dedup_semantic_survivors", "dedup_semantic_survivors_ivf",
-    "dedup_simhash_groups", "documents_train_split", "embedding_norms",
-    "embedding_pq_codes", "events_asof_last_order",
+    "pipeline_bucket_auto_granularity_approx",
+    "pipeline_bucket_auto_quartiles_approx",
+    "pipeline_percentile_approx",
+    "corpus_pretrain_manifest_approx",
+    "pipeline_text_query_diacritics",
+    # changed this round — apply side rewritten output-bound (same hashes)
+    "corpus_pretrain_token_budget",
+    # r04-verified — the 35 oldest outstanding driver verdicts
+    "embedding_norms", "embedding_pq_codes", "events_asof_last_order",
     "events_asof_last_order_tolerance", "events_per_user_sample",
-    # ...and spills below it (these r04 rows rotate into the r9 window)
     "events_sliding_window", "events_tumbling_window",
     "grouped_reducer_stats", "groupingsets_agg", "ivf_cell_histogram",
     "lsh_bucket_assign", "multimodal_chunks", "multimodal_metadata",
@@ -84,6 +68,28 @@ _HEAD_KEYS = [
     "tpch_q2_min_cost_supplier", "tpch_q3", "tpch_q5", "tpch_q6",
     "tpch_q7_nation_volume", "tpch_q8_market_share", "tpch_q9_profit",
     "window_event_gaps", "window_running_sum", "window_topn_per_group",
+    # r05-verified — oldest nine fill the window; the rest queue below
+    # it (alphabetical within the era: equally stale, a stable order)
+    "corpus_contamination_report", "corpus_dsir_weights",
+    "corpus_gopher_yield", "corpus_nb_confusion",
+    "corpus_nb_token_weights", "corpus_source_mixture",
+    "dedup_duplicate_spans", "dedup_semantic_survivors_lsh",
+    "documents_priority_sample",
+    # --- 50-entry window boundary (r10 rotation starts here) ---
+    "documents_span_dedup_survivors", "documents_span_stats",
+    "events_asof_next_order", "pipeline_bitwise_flags",
+    "pipeline_event_calculus", "pipeline_fill_linear",
+    "pipeline_geo_within", "pipeline_jsonschema_gate",
+    "pipeline_lookup_correlated", "pipeline_match_operators",
+    "pipeline_object_to_array", "pipeline_price_percentiles",
+    "pipeline_redact_levels", "pipeline_regex_type_report",
+    "pipeline_search_bm25", "pipeline_search_fuzzy",
+    "pipeline_search_querystring", "pipeline_search_wildcard",
+    "pipeline_text_search", "pipeline_top_orders_per_status",
+    "pipeline_vector_search", "sketch_bloom_audit", "sketch_bloom_tokens",
+    "sketch_cms_estimates", "sketch_cms_tokens", "sketch_ddq_buckets",
+    "sketch_ddq_quantiles", "text_bigram_surprisal", "text_gopher_quality",
+    "text_unigram_surprisal",
 ]
 
 

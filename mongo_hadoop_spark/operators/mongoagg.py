@@ -751,6 +751,64 @@ ORDER BY score DESC, doc_id
 """
 
 
+def pipeline_text_query_diacritics(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """$text with the server's default diacritic folding (r9 — the last
+    refused knob on the bridge): the SAME query as pipeline_text_query
+    but spelled with accented characters ('spärk', 'mérge', 'tàble
+    pärt', '-dũp'), which must fold to identical results.  Query terms
+    fold through str.translate at compile time; document tokens fold
+    through F.translate in the scan (identity on this ASCII corpus, but
+    the expression is in the plan and the unit suite exercises accented
+    documents); the oracle folds with DuckDB translate() over the same
+    literal pair."""
+    documents = table(spark, sf_dir, "documents")
+    return aggregate(documents, [
+        {"$match": {"$text": {"$search": 'spärk mérge "tàble pärt" -dũp',
+                              "path": "text"}}},
+        {"$project": {"doc_id": 1, "lang": 1,
+                      "score": {"$meta": "textScore"}}},
+        {"$sort": {"score": {"$meta": "textScore"}, "doc_id": 1}},
+    ])
+
+
+def _text_query_diacritics_sql() -> str:
+    from mongo_hadoop_spark.plans.aggpipe import _diacritic_fold_map
+
+    src, dst = _diacritic_fold_map()
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(
+                       translate(lower(text), '{src}', '{dst}'), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, ws, len(ws) AS n,
+         len(list_filter(ws, x -> x = 'spark')) AS tf1,
+         len(list_filter(ws, x -> x = 'merge')) AS tf2,
+         len(list_filter(ws, x -> x = 'table')) AS tf3,
+         len(list_filter(ws, x -> x = 'part')) AS tf4
+  FROM t
+)
+SELECT doc_id, lang,
+       (CASE WHEN tf1 > 0 THEN 0.5 * (tf1::double / n::double) + 0.5
+             ELSE 0.0 END)
+       + (CASE WHEN tf2 > 0 THEN 0.5 * (tf2::double / n::double) + 0.5
+               ELSE 0.0 END)
+       + (CASE WHEN tf3 > 0 THEN 0.5 * (tf3::double / n::double) + 0.5
+               ELSE 0.0 END)
+       + (CASE WHEN tf4 > 0 THEN 0.5 * (tf4::double / n::double) + 0.5
+               ELSE 0.0 END) AS score
+FROM scored
+WHERE (tf1 > 0 OR tf2 > 0 OR tf3 > 0 OR tf4 > 0)
+  AND instr('  ' || array_to_string(ws, '  ') || '  ', ' table  part ') > 0
+  AND NOT list_contains(ws, 'dup')
+ORDER BY score DESC, doc_id
+"""
+
+
 def pipeline_array_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-form accumulator EXPRESSIONS (Mongo 5.2/7.0 $project
     surface): $sum/$avg/$min/$max/$median/$minN/$maxN/$first/$last and
@@ -2106,6 +2164,7 @@ QUERIES = {
     "pipeline_redact_levels": pipeline_redact_levels,
     "pipeline_text_search": pipeline_text_search,
     "pipeline_text_query": pipeline_text_query,
+    "pipeline_text_query_diacritics": pipeline_text_query_diacritics,
     "pipeline_array_aggregates": pipeline_array_aggregates,
     "pipeline_lookup_correlated": pipeline_lookup_correlated,
     "pipeline_geo_within": pipeline_geo_within,
@@ -2154,6 +2213,7 @@ ORACLES = {
     "pipeline_redact_levels": PIPELINE_REDACT_SQL,
     "pipeline_text_search": PIPELINE_TEXT_SEARCH_SQL,
     "pipeline_text_query": PIPELINE_TEXT_QUERY_SQL,
+    "pipeline_text_query_diacritics": _text_query_diacritics_sql(),
     "pipeline_array_aggregates": PIPELINE_ARRAY_AGGREGATES_SQL,
     "pipeline_lookup_correlated": PIPELINE_LOOKUP_CORRELATED_SQL,
     "pipeline_geo_within": PIPELINE_GEO_WITHIN_SQL,

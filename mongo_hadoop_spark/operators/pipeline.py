@@ -514,6 +514,21 @@ def corpus_pretrain_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity gate requires a surprisal row), so the counts join is
     lossless by construction.  Like the manifest, all funnel stages AND
     the BPE token counts read the single checkpointed tokenized stream.
+    The expensive apply side (explode words → seg_sizes join) is
+    OUTPUT-bound, not corpus-bound: the selected doc_ids (materialized
+    once — the doc-count-sized selection is read by both the semi-join
+    and the final join) gate the stream BEFORE the explode, so only
+    tokens the budget actually prices flow through the join — at 100 TB
+    the unselected majority of the corpus never reaches the widest
+    stage.  (Before r9 the explode ran over the full corpus and the
+    downstream inner join discarded the unselected rows — same answer,
+    corpus-proportional cost; the 8× probe read 1.64× where the funnel
+    alone reads 1.23×.)  The id frame rides a BROADCAST semi-join so
+    the text stream is never shuffled (plan-pinned); keys-only at
+    ~8 B/doc it broadcasts comfortably to ~10^8 selected docs — beyond
+    that drop the hint and the plan degrades to the pre-r9 shape
+    (count every doc map-side, join doc-sized aggregates), which stays
+    linear with a tiny shuffle.
     """
     from mongo_hadoop_spark.operators.bpe import _train
     from mongo_hadoop_spark.operators.spans import SPAN_DROP_FRAC
@@ -528,16 +543,21 @@ def corpus_pretrain_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep") & (F.col("surprisal_bits") <= F.col("t2"))
         & (F.col("dup_frac") <= F.lit(SPAN_DROP_FRAC))
         & (F.col("avg_q20_per_token") > F.col("q3")), F.lit(False))
-    selected = j.where(sel).select("doc_id", "lang", "source", "n_tokens")
+    selected = (j.where(sel)
+                .select("doc_id", "lang", "source", "n_tokens")
+                .localCheckpoint(eager=False))
 
     _, w = _train(spark, sf_dir)
     seg_sizes = w.select(
         "word", F.size(F.split(F.col("seg"), " ")).alias("n_syms"))
     # lowercased words for the tokenizer-count side: re-derived from the
-    # checkpointed text (a map over the materialized stream, no rescan)
-    counts = (base.select("doc_id",
-                          F.explode(tokenize(F.lower(F.col("text"))))
-                          .alias("word"))
+    # checkpointed text (a map over the materialized stream, no rescan),
+    # gated to SELECTED docs before the explode (see docstring)
+    counts = (base.join(F.broadcast(selected.select("doc_id")),
+                        "doc_id", "semi")
+              .select("doc_id",
+                      F.explode(tokenize(F.lower(F.col("text"))))
+                      .alias("word"))
               .join(seg_sizes, "word")
               .groupBy("doc_id")
               .agg(F.sum("n_syms").cast("long").alias("bpe_tok")))

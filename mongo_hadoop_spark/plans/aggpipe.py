@@ -3387,6 +3387,35 @@ def _parse_text_search(q: str):
             pos_phrases, neg_phrases)
 
 
+def _diacritic_fold_map() -> tuple[str, str]:
+    """(src, dst) strings for diacritic folding — the same literal pair
+    drives ``F.translate`` on the document side, ``str.translate`` on
+    the query-term side, and ``translate()`` in DuckDB oracles, so all
+    three fold identically.  Coverage: the Latin range U+00C0–U+024F
+    folded to the ASCII base letter of its NFD decomposition, plus the
+    common non-decomposable pairs (ø đ ł ħ ŧ and capitals).  This is a
+    documented subset of the server's Unicode 8.0 diacritic list
+    (mongod folds all scripts); text outside Latin-1/Extended-A keeps
+    its marks."""
+    import unicodedata
+
+    src, dst = [], []
+    for cp in range(0xC0, 0x250):
+        ch = chr(cp)
+        d = unicodedata.normalize("NFD", ch)
+        if (len(d) > 1 and d[0].isascii() and d[0].isalpha()
+                and all(unicodedata.combining(c) for c in d[1:])):
+            src.append(ch)
+            dst.append(d[0])
+    for a, b in (("ø", "o"), ("Ø", "O"), ("đ", "d"), ("Đ", "D"),
+                 ("ł", "l"), ("Ł", "L"), ("ħ", "h"), ("Ħ", "H"),
+                 ("ŧ", "t"), ("Ŧ", "T")):
+        if a not in src:
+            src.append(a)
+            dst.append(b)
+    return "".join(src), "".join(dst)
+
+
 def _stage_text_match(df: DataFrame, match_spec: dict) -> DataFrame:
     """``$text`` compatibility bridge: the find-language text query
     compiled onto the $search token machinery (reference-adjacent: the
@@ -3406,6 +3435,12 @@ def _stage_text_match(df: DataFrame, match_spec: dict) -> DataFrame:
       EXACTLY: no stemming and no stop-word removal, so ``$language``
       is accepted but has no effect (the server stems and drops
       stopwords for language != "none");
+    - diacritics: folded by default like the server
+      (``$diacriticSensitive: false``) via the shared Latin fold table
+      (:func:`_diacritic_fold_map` — query terms, document tokens, and
+      DuckDB oracles all fold through the SAME literal pair;
+      non-Latin-range marks are a documented deviation);
+      ``$diacriticSensitive: true`` matches marks exactly;
     - score: the server's fts coefficient with field weight 1 —
       ``sum over matching terms of 0.5 * (tf / n_tokens) + 0.5`` —
       computed with one IEEE division per term (oracle-exact), exposed
@@ -3430,16 +3465,23 @@ def _stage_text_match(df: DataFrame, match_spec: dict) -> DataFrame:
             "e.g. {$text: {$search: 'spark -slow', path: 'text'}}")
     case_sensitive = bool(tspec.pop("$caseSensitive", False))
     tspec.pop("$language", None)  # accepted, no stemming (docstring)
-    if tspec.pop("$diacriticSensitive", False):
-        raise ValueError("$text $diacriticSensitive: true is unsupported "
-                         "(no diacritic folding table in the engine)")
+    diacritic_sensitive = bool(tspec.pop("$diacriticSensitive", False))
     if tspec:
         raise ValueError(f"unsupported $text options {sorted(tspec)}")
 
     pos_terms, neg_terms, pos_phrases, neg_phrases = \
         _parse_text_search(search)
-    norm = (lambda s: s) if case_sensitive else str.lower
+    fold_src, fold_dst = _diacritic_fold_map()
+    fold_py = str.maketrans(fold_src, fold_dst)
+
+    def norm(s: str) -> str:
+        if not case_sensitive:
+            s = s.lower()
+        return s if diacritic_sensitive else s.translate(fold_py)
+
     col = F.col(path) if case_sensitive else F.lower(F.col(path))
+    if not diacritic_sensitive:
+        col = F.translate(col, fold_src, fold_dst)
     words = tokenize(col)
     n_tokens = F.size(words)
 

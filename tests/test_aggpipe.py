@@ -2844,11 +2844,53 @@ def test_text_stage_rules_raise(textdocs):
     with pytest.raises(ValueError, match="path"):
         aggregate(textdocs, [
             {"$match": {"$text": {"$search": "spark"}}}])
-    # unsupported option
-    with pytest.raises(ValueError, match="diacritic"):
+    # unknown option still refuses
+    with pytest.raises(ValueError, match="unsupported"):
         aggregate(textdocs, [
             {"$match": {"$text": {"$search": "spark", "path": "text",
-                                  "$diacriticSensitive": True}}}])
+                                  "$nosuch": True}}}])
+
+
+def test_text_diacritic_folding(spark):
+    """$text folds diacritics by default like the server (both the
+    query terms and the document tokens, through the SAME table);
+    $diacriticSensitive: true matches marks exactly."""
+    docs = spark.createDataFrame(
+        [(1, "cafe latte"), (2, "café crema"), (3, "strøm über łaska"),
+         (4, "plain words")],
+        "doc_id long, text string")
+
+    def run(search, **opts):
+        spec = {"$search": search, "path": "text", **opts}
+        return {r.doc_id for r in aggregate(
+            docs, [{"$match": {"$text": spec}},
+                   {"$project": {"doc_id": 1}}]).collect()}
+
+    # folded both ways: ASCII query hits the accented doc and vice versa
+    assert run("cafe") == {1, 2}
+    assert run("café") == {1, 2}
+    # non-decomposable Latin pairs fold too (ø→o, ü→u, ł→l)
+    assert run("strom uber laska") == {3}
+    # sensitive mode: marks must match exactly
+    assert run("café", **{"$diacriticSensitive": True}) == {2}
+    assert run("cafe", **{"$diacriticSensitive": True}) == {1}
+    # phrases fold as well
+    assert run('"café crema"') == {2}
+    assert run('"cafe crema"') == {2}
+    # case folding composes with diacritic folding (É → é → e)
+    assert run("CAFÉ") == {1, 2}
+
+
+def test_diacritic_fold_map_shared_shape():
+    """The fold pair must stay 1:1 (translate semantics) and ASCII on
+    the target side — the invariant that lets the same literals drive
+    Spark translate(), str.translate and DuckDB translate()."""
+    from mongo_hadoop_spark.plans.aggpipe import _diacritic_fold_map
+
+    src, dst = _diacritic_fold_map()
+    assert len(src) == len(dst) and len(src) > 100
+    assert all(not c.isascii() for c in src)
+    assert all(c.isascii() and c.isalpha() for c in dst)
 
 
 # --- $sort+$limit pushdown below cardinality-preserving stages (r8) --------

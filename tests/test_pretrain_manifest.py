@@ -94,3 +94,18 @@ def test_approx_manifest_plan_has_no_exact_percentile(spark):
             ._jdf.queryExecution().optimizedPlan().toString())
     assert "approx_percentile" in plan
     assert "percentile_disc" not in plan
+
+
+def test_token_budget_apply_side_is_output_bound(spark):
+    """The BPE-count side must be gated to selected docs via a BROADCAST
+    semi-join before the explode (r9): a sort-merge semi would shuffle
+    the full text stream; no gate at all would explode the whole corpus
+    (the r8 1.64×-at-8× shape)."""
+    from mongo_hadoop_spark.operators.pipeline import (
+        corpus_pretrain_token_budget)
+
+    plan = (corpus_pretrain_token_budget(spark, SF_SMOKE)
+            ._jdf.queryExecution().executedPlan().toString())
+    semi = [l for l in plan.splitlines() if "LeftSemi" in l]
+    assert semi, "selected-ids semi-join gate missing"
+    assert all("BroadcastHashJoin" in l for l in semi), semi
