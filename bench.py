@@ -71,6 +71,19 @@ BENCH_QUERIES = [
     "pipeline_array_aggregates", "pipeline_bucket_auto_granularity",
 ]
 
+# round 9 additions (r8 verdict item 6: the heaviest unbenched surfaces
+# + this round's approx-percentile and diacritic-fold paths).  Kept in a
+# separate list so the bench reports the r8 64-query subtotal alongside
+# the new total — cross-round comparability survives the widening.
+BENCH_QUERIES_R9 = [
+    "ivf_pq_knn", "dedup_semantic_survivors_ivf", "corpus_bpe_compression",
+    "corpus_pretrain_token_budget", "multimodal_pack_interleaved",
+    "pipeline_bucket_auto_granularity_approx",
+    "corpus_pretrain_manifest_approx", "pipeline_text_query_diacritics",
+]
+R8_SET = frozenset(BENCH_QUERIES)
+BENCH_QUERIES = BENCH_QUERIES + BENCH_QUERIES_R9
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -151,11 +164,16 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(timings.values()), 3)
+    r8_subtotal = round(sum(v for k, v in timings.items() if k in R8_SET), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
+        # the r8 64-query subset's subtotal: the cross-round comparison
+        # basis (the full total grows with every widening)
+        "r8_subset_total_sec": r8_subtotal,
+        "r8_subset_n": len(R8_SET),
         "queries": timings,
         # plan-output sanity across rounds: a timing shift that comes with
         # a row-count shift is a semantics change, not a perf change
@@ -211,7 +229,9 @@ def main() -> None:
     # tail of the output and parses the surviving JSON line — round 5
     # lost its official total because the full blob outgrew the window.
     # This short line always fits at the end of any tail.
-    compact = {k: out[k] for k in ("metric", "value", "unit", "sf",
+    compact = {k: out[k] for k in ("metric", "value", "unit",
+                                   "r8_subset_total_sec", "r8_subset_n",
+                                   "sf",
                                    "repeats", "timing", "materialize",
                                    "n_queries",
                                    "n_failed", "load_avg_1m_start",

@@ -692,6 +692,22 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         if unit not in ("year", "quarter", "month", "week", "day", "hour",
                         "minute", "second"):
             raise ValueError(f"unsupported $dateTrunc unit {unit!r}")
+        if unit == "week":
+            # server semantics: truncate to the startOfWeek (default
+            # Sunday) midnight — Spark's date_trunc('week') is
+            # hard-anchored to Monday, so do it with day arithmetic
+            # (same startOfWeek table as $dateDiff week)
+            starts = {"sunday": 0, "monday": 1, "tuesday": 2,
+                      "wednesday": 3, "thursday": 4, "friday": 5,
+                      "saturday": 6}
+            sow = str(operand.get("startOfWeek", "Sunday")).lower()
+            if sow not in starts:
+                raise ValueError(
+                    f"$dateTrunc: unknown startOfWeek "
+                    f"{operand.get('startOfWeek')!r}")
+            x = E(operand["date"])
+            d = (F.dayofweek(x) + F.lit(6 - starts[sow])) % 7
+            return F.date_sub(F.to_date(x), d).cast("timestamp")
         return F.date_trunc(unit, E(operand["date"]))
     if op == "$dateDiff":
         # the server counts UNIT-BOUNDARY CROSSINGS, not elapsed floors

@@ -3437,3 +3437,29 @@ def test_indexofcp_negative_range_raises(spark):
     with pytest.raises(ValueError, match="40097"):
         aggregate(df, [{"$project": {
             "i": {"$indexOfCP": ["$s", "b", 0, -2]}}}])
+
+
+def test_datetrunc_week_start_of_week(spark):
+    """$dateTrunc week anchors on startOfWeek (server default Sunday) —
+    Spark's own date_trunc('week') is Monday-anchored and must not leak
+    through."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2026, 8, 12, 15, 30),)], "a timestamp")  # Wednesday
+
+    def trunc(**kw):
+        spec = {"date": "$a", "unit": "week", **kw}
+        return aggregate(df, [{"$project": {"w": {"$dateTrunc": spec}}}]
+                         ).collect()[0].w
+
+    assert trunc() == dt.datetime(2026, 8, 9)                  # Sunday
+    assert trunc(startOfWeek="monday") == dt.datetime(2026, 8, 10)
+    # a date ON the week start truncates to itself (midnight)
+    on_start = spark.createDataFrame(
+        [(dt.datetime(2026, 8, 9, 5, 0),)], "a timestamp")     # Sunday
+    got = aggregate(on_start, [{"$project": {"w": {"$dateTrunc": {
+        "date": "$a", "unit": "week"}}}}]).collect()[0].w
+    assert got == dt.datetime(2026, 8, 9)
+    with pytest.raises(ValueError, match="startOfWeek"):
+        trunc(startOfWeek="nope")

@@ -643,3 +643,60 @@ def test_geo_intersects_vectors_stay_materialized(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+# --- r9: pins for the r8 bench additions (r8 verdict item 3) --------------
+
+
+def test_text_query_plan_is_single_scan(spark):
+    """$text bridge: per-row token expressions riding the scan — the
+    only exchange is the final relevance sort."""
+    from mongo_hadoop_spark.operators import mongoagg
+
+    for q in (mongoagg.pipeline_text_query,
+              mongoagg.pipeline_text_query_diacritics):
+        plan = plan_of(q(spark, SF_SMOKE))
+        assert plan.count("Exchange") <= 1, q.__name__
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan
+
+
+def test_split_leakage_plan_is_keyed(spark):
+    """Cross-split leakage audit: fingerprint-keyed join + keyed aggs —
+    no all-pairs comparison, no cartesian, no single-partition stage
+    (the winnowing window is doc_id-partitioned, which is fine)."""
+    from mongo_hadoop_spark.operators import spans
+
+    plan = plan_of(spans.corpus_split_leakage(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_epoch_shuffle_plan_never_globalizes(spark):
+    """Epoch loader shuffle: hash shard + per-shard windows.  The
+    classic mistake is a global row_number (one-task serialization);
+    assert no single-partition exchange anywhere."""
+    from mongo_hadoop_spark.operators import selection
+
+    plan = plan_of(selection.documents_epoch_shuffle(spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bucket_auto_plans_exact_vs_approx(spark):
+    """$bucketAuto: both modes are two scans + one broadcast 1-row cuts
+    side (never a global sort / ntile window); the approx mode must
+    carry the GK sketch and no exact percentile."""
+    from mongo_hadoop_spark.operators import mongoagg
+
+    exact = plan_of(mongoagg.pipeline_bucket_auto_granularity(
+        spark, SF_SMOKE))
+    approx = plan_of(mongoagg.pipeline_bucket_auto_granularity_approx(
+        spark, SF_SMOKE))
+    for plan in (exact, approx):
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan
+        # the 1-row cuts frame joins via broadcast, not shuffle
+        assert "BroadcastNestedLoopJoin" in plan
+    assert "percentile_disc" in exact and "approx_percentile" not in exact
+    assert "approx_percentile" in approx and "percentile_disc" not in approx

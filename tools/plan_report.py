@@ -74,6 +74,27 @@ HEADLINE = [
      "span excision: doc-keyed cut lists, per-row HOF filter"),
     ("dedup_span_alignments",
      "alignment runs: star-join pairs, per-(pair,delta) windows"),
+    # r8 bench additions (r8 verdict item 3: previously missing here)
+    ("pipeline_text_query",
+     "$text bridge: per-row token expressions on the scan, one sort"),
+    ("pipeline_text_query_diacritics",
+     "$text diacritic fold: same shape, translate() in the scan"),
+    ("corpus_split_leakage",
+     "fingerprint x split join + two keyed aggs, no all-pairs"),
+    ("documents_epoch_shuffle",
+     "epoch-salted hash shard + per-shard windows, never global"),
+    ("pipeline_array_aggregates", "array-accumulator HOFs, map-only"),
+    ("pipeline_bucket_auto_granularity",
+     "exact percentile_disc boundaries (O(N) buffer — see _approx)"),
+    ("multimodal_pack_interleaved",
+     "combined text+vision budget, per-shard-window packer"),
+    # r9: the approx_percentile production mode + output-bound budget
+    ("pipeline_bucket_auto_granularity_approx",
+     "GK-sketch boundaries: mergeable bounded state, no O(N) buffer"),
+    ("corpus_pretrain_manifest_approx",
+     "funnel with approx_percentile threshold cuts"),
+    ("corpus_pretrain_token_budget",
+     "BPE pricing gated output-bound by broadcast semi-join"),
 ]
 
 
@@ -118,7 +139,7 @@ def main() -> int:
     queries = operators.all_queries()
 
     lines = [
-        "# PLANS — physical plans of the headline queries",
+        "# PLANS — physical plans of the headline queries (round 9)",
         "",
         "Generated by `python tools/plan_report.py` (re-run after",
         "plan-affecting changes).  The properties line summarizes what",
