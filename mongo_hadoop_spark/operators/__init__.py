@@ -37,14 +37,15 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 # Registry order is part of the verification contract: external harnesses may
 # only sample a prefix of ``queries()``, so the entries that most need a fresh
 # cross-engine check come first.  Round-9 rotation (the round-8 verdict's
-# item 2, with its recomputed stale list): the 5 queries new this round
-# (never driver-verified — the approx-percentile production-mode gates and
-# the $text diacritic fold) plus corpus_pretrain_token_budget (its apply
-# side was rewritten output-bound this round; hashes pinned unchanged but
-# it deserves the fresh gate) lead, then ALL 35 queries whose latest
-# driver verdicts date from round 4, then the 9 oldest round-5 rows fill
-# the 50-entry prefix.  The remaining r5 rows queue just below the window
-# for round 10; fully-green r6/r7/r8 verdicts rotate to the tail.
+# item 2, with its recomputed stale list): the 6 queries new this round
+# (never driver-verified — the approx-percentile production-mode gates,
+# the $text diacritic fold, and the Mongo-7.0 window percentiles) plus
+# corpus_pretrain_token_budget (its apply side was rewritten output-bound
+# this round; hashes pinned unchanged but it deserves the fresh gate)
+# lead, then ALL 35 queries whose latest driver verdicts date from round
+# 4, then the 8 oldest round-5 rows fill the 50-entry prefix.  The
+# remaining r5 rows queue just below the window for round 10;
+# fully-green r6/r7/r8 verdicts rotate to the tail.
 _HEAD_KEYS = [
     # new this round — never driver-verified
     "pipeline_bucket_auto_granularity_approx",
@@ -52,6 +53,7 @@ _HEAD_KEYS = [
     "pipeline_percentile_approx",
     "corpus_pretrain_manifest_approx",
     "pipeline_text_query_diacritics",
+    "pipeline_window_percentiles",
     # changed this round — apply side rewritten output-bound (same hashes)
     "corpus_pretrain_token_budget",
     # r04-verified — the 35 oldest outstanding driver verdicts
@@ -74,8 +76,8 @@ _HEAD_KEYS = [
     "corpus_gopher_yield", "corpus_nb_confusion",
     "corpus_nb_token_weights", "corpus_source_mixture",
     "dedup_duplicate_spans", "dedup_semantic_survivors_lsh",
-    "documents_priority_sample",
     # --- 50-entry window boundary (r10 rotation starts here) ---
+    "documents_priority_sample",
     "documents_span_dedup_survivors", "documents_span_stats",
     "events_asof_next_order", "pipeline_bitwise_flags",
     "pipeline_event_calculus", "pipeline_fill_linear",

@@ -375,6 +375,59 @@ def pipeline_window_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def pipeline_window_percentiles(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """$median/$percentile as WINDOW operators (Mongo 7.0,
+    $setWindowFields): per-customer running median and [p25, p90] of
+    order value over (unbounded, current) — the discrete-exact default
+    (sorted-frame pick, quantile_disc convention; the approx production
+    mode applies here too via percentile_accuracy).  First 4 orders per
+    customer keep the gate output bounded."""
+    orders = table(spark, sf_dir, "orders")
+    return aggregate(orders, [
+        {"$setWindowFields": {
+            "partitionBy": "$o_custkey",
+            "sortBy": {"o_orderdate": 1, "o_orderkey": 1},
+            "output": {
+                "seq": {"$documentNumber": {}},
+                "run_med": {"$median": {"input": "$o_totalprice",
+                                        "method": "approximate"},
+                            "window": {"documents": ["unbounded",
+                                                     "current"]}},
+                "run_q": {"$percentile": {"input": "$o_totalprice",
+                                          "p": [0.25, 0.9],
+                                          "method": "approximate"},
+                          "window": {"documents": ["unbounded",
+                                                   "current"]}},
+            },
+        }},
+        {"$match": {"seq": {"$lte": 4}}},
+        {"$project": {"o_custkey": 1, "o_orderkey": 1, "seq": 1,
+                      "run_med": 1,
+                      "run_p25": {"$arrayElemAt": ["$run_q", 0]},
+                      "run_p90": {"$arrayElemAt": ["$run_q", 1]}}},
+    ])
+
+
+PIPELINE_WINDOW_PCTL_SQL = """
+WITH w AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER win AS seq,
+         quantile_disc(o_totalprice, 0.5) OVER wf AS run_med,
+         quantile_disc(o_totalprice, 0.25) OVER wf AS run_p25,
+         quantile_disc(o_totalprice, 0.9) OVER wf AS run_p90
+  FROM orders
+  WINDOW win AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey),
+         wf AS (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT o_custkey, o_orderkey, seq, run_med, run_p25, run_p90
+FROM w WHERE seq <= 4
+"""
+
+
 PIPELINE_WINDOW_SQL = """
 WITH w AS (
   SELECT o_custkey, o_orderkey,
@@ -2195,6 +2248,7 @@ QUERIES = {
         pipeline_bucket_auto_granularity_approx,
     "pipeline_percentile_approx": pipeline_percentile_approx,
     "pipeline_window_fields": pipeline_window_fields,
+    "pipeline_window_percentiles": pipeline_window_percentiles,
     "pipeline_densify_user_counts": pipeline_densify_user_counts,
     "pipeline_graphlookup_reports": pipeline_graphlookup_reports,
 }
@@ -2245,6 +2299,7 @@ ORACLES = {
         _bucket_auto_granularity_sql(),
     "pipeline_percentile_approx": PIPELINE_PCTL_APPROX_SQL,
     "pipeline_window_fields": PIPELINE_WINDOW_SQL,
+    "pipeline_window_percentiles": PIPELINE_WINDOW_PCTL_SQL,
     "pipeline_densify_user_counts": PIPELINE_DENSIFY_SQL,
     "pipeline_graphlookup_reports": PIPELINE_GRAPH_SQL,
 }

@@ -405,13 +405,16 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
             "the logic as aggregation operators (or mapInPandas outside "
             "the pipeline language)")
     if op == "$rand":
-        # non-deterministic by definition; a reproducible engine refuses
-        # rather than silently seeding (the $sample stage documents the
-        # deterministic md5 alternative)
-        raise ValueError(
-            "$rand is non-deterministic — use an md5 hash of stable "
-            "columns (functions.md5_long) for reproducible pseudo-"
-            "randomness, or the $sample stage")
+        # deliberate determinism deviation (the $sample/$sampleRate
+        # precedent, r8): the server draws an independent uniform per
+        # evaluation; here it's a uniform md5 hash of the whole row —
+        # reproducible on any engine/partitioning, identical to the
+        # $sampleRate gate's fraction, so {$lt: [{$rand: {}}, r]}
+        # composes into exactly that gate's keep-set
+        if operand not in ({}, None):
+            raise ValueError("$rand takes {} (no operands)")
+        return (F.expr("conv(substring(md5(to_json(struct(*))), 1, 15), "
+                       "16, 10)").cast("double") / F.lit(float(2 ** 60)))
     if op == "$convert":
         # the general conversion op: try_cast semantics with onError /
         # onNull; string/numeric `to` aliases (same table as $type)
@@ -2359,6 +2362,34 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 # frame-bounded first/last document value (Mongo 5.0)
                 fn = F.first if op == "$first" else F.last
                 col = fn(expr_to_col(operand)).over(w)
+            elif op in ("$median", "$percentile"):
+                # window form (Mongo 7.0): same discrete-exact default /
+                # approx_percentile production trade as the group
+                # accumulator (_percentile_accumulator)
+                inp = expr_to_col(operand["input"])
+                if op == "$percentile":
+                    ps = operand["p"]
+                    if not isinstance(ps, list) or not ps:
+                        raise ValueError(
+                            "$percentile: p must be a non-empty list")
+                acc_n = _APPROX_PCTL.get()
+                if acc_n is not None:
+                    pct = (0.5 if op == "$median"
+                           else F.array(*[F.lit(float(p)) for p in ps]))
+                    col = F.percentile_approx(inp, pct,
+                                              F.lit(acc_n)).over(w)
+                else:
+                    arr = F.array_sort(F.collect_list(inp).over(w))
+                    sz = F.size(arr)
+
+                    def _pick(p: float):
+                        idx = F.greatest(
+                            F.ceil(sz.cast("double") * F.lit(float(p))),
+                            F.lit(1))
+                        return F.element_at(arr, idx.cast("int"))
+
+                    col = (_pick(0.5) if op == "$median"
+                           else F.array(*[_pick(p) for p in ps]))
             elif agg is None:
                 raise ValueError(f"unsupported window accumulator {op}")
             else:

@@ -3463,3 +3463,55 @@ def test_datetrunc_week_start_of_week(spark):
     assert got == dt.datetime(2026, 8, 9)
     with pytest.raises(ValueError, match="startOfWeek"):
         trunc(startOfWeek="nope")
+
+
+def test_window_median_percentile(spark):
+    """$median/$percentile as window operators (Mongo 7.0): running
+    frame picks under the discrete convention; approx mode rides the
+    same percentile_accuracy switch."""
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 7.0)],
+        "g string, i int, v double")
+    pipe = [{"$setWindowFields": {
+        "partitionBy": "$g",
+        "sortBy": {"i": 1},
+        "output": {
+            "med": {"$median": {"input": "$v", "method": "approximate"},
+                    "window": {"documents": ["unbounded", "current"]}},
+            "q": {"$percentile": {"input": "$v", "p": [0.5, 1.0],
+                                  "method": "approximate"},
+                  "window": {"documents": ["unbounded", "current"]}},
+        }}}]
+    rows_ = {r.i: r for r in aggregate(df, pipe).collect()}
+    # frames: [10] -> 10; [10,30] -> ceil(.5*2)=1st=10; [10,30,20] -> 20
+    assert [rows_[i].med for i in (1, 2, 3, 4)] == [10.0, 10.0, 20.0, 7.0]
+    assert rows_[2].q == [10.0, 30.0]
+    assert rows_[3].q == [20.0, 30.0]
+    approx = {r.i: r for r in aggregate(
+        df, pipe, percentile_accuracy=1_000_000).collect()}
+    assert all(approx[i].med == rows_[i].med and approx[i].q == rows_[i].q
+               for i in (1, 2, 3, 4))
+    with pytest.raises(ValueError, match="non-empty"):
+        aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"i": 1},
+            "output": {"q": {"$percentile": {"input": "$v", "p": []}}}}}])
+
+
+def test_rand_deterministic_md5_gate(spark):
+    """$rand is the $sampleRate-style determinism deviation (r9): a
+    uniform md5-of-row fraction in [0, 1) — stable across runs and
+    identical to the $sampleRate gate's fraction, so the $expr form
+    {$lt: [{$rand: {}}, r]} keeps exactly $sampleRate: r's rows."""
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(300)],
+                               "id long, s string")
+    a = aggregate(df, [{"$project": {"id": 1, "r": {"$rand": {}}}}]).collect()
+    b = aggregate(df, [{"$project": {"id": 1, "r": {"$rand": {}}}}]).collect()
+    assert sorted((x.id, x.r) for x in a) == sorted((x.id, x.r) for x in b)
+    assert all(0.0 <= x.r < 1.0 for x in a)
+    assert 0.2 < sum(x.r for x in a) / len(a) < 0.8  # roughly uniform
+    via_rand = aggregate(df, [
+        {"$match": {"$expr": {"$lt": [{"$rand": {}}, 0.4]}}}]).collect()
+    via_rate = aggregate(df, [{"$match": {"$sampleRate": 0.4}}]).collect()
+    assert {x.id for x in via_rand} == {x.id for x in via_rate}
+    with pytest.raises(ValueError, match="rand"):
+        aggregate(df, [{"$project": {"r": {"$rand": {"seed": 1}}}}])
