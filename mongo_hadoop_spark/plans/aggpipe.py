@@ -695,23 +695,58 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         if unit not in ("year", "quarter", "month", "week", "day", "hour",
                         "minute", "second"):
             raise ValueError(f"unsupported $dateTrunc unit {unit!r}")
+        bin_size = operand.get("binSize", 1)
+        if not isinstance(bin_size, int) or isinstance(bin_size, bool) \
+                or bin_size < 1:
+            raise ValueError("$dateTrunc binSize must be a positive "
+                             f"integer literal (got {bin_size!r})")
+        starts = {"sunday": 0, "monday": 1, "tuesday": 2,
+                  "wednesday": 3, "thursday": 4, "friday": 5,
+                  "saturday": 6}
+        sow = str(operand.get("startOfWeek", "Sunday")).lower()
+        if unit == "week" and sow not in starts:
+            raise ValueError(
+                f"$dateTrunc: unknown startOfWeek "
+                f"{operand.get('startOfWeek')!r}")
+        x = E(operand["date"])
+        if bin_size > 1:
+            # binSize form (Mongo 5.0): bins anchored at the server's
+            # reference instant 2000-01-01T00:00:00 (for week: the
+            # startOfWeek on or before it).  Pure epoch/day/month-index
+            # arithmetic — engine-agnostic, no session-TZ functions.
+            if unit in ("second", "minute", "hour", "day"):
+                secs = {"second": 1, "minute": 60, "hour": 3600,
+                        "day": 86400}[unit] * bin_size
+                e2k = F.unix_timestamp(x) - F.lit(946684800)
+                binned = (F.floor(e2k / F.lit(secs)) * F.lit(secs)
+                          + F.lit(946684800))
+                return F.timestamp_seconds(binned)
+            if unit == "week":
+                # 2000-01-01 is a Saturday (dayofweek index 6); anchor
+                # on the startOfWeek on-or-before it
+                anchor_off = (6 - starts[sow]) % 7
+                anchor = F.date_sub(F.lit("2000-01-01").cast("date"),
+                                    anchor_off)
+                days = F.datediff(F.to_date(x), anchor)
+                step = 7 * bin_size
+                return F.date_add(
+                    anchor, (F.floor(days / F.lit(step))
+                             * F.lit(step)).cast("int")).cast("timestamp")
+            months_per = {"month": 1, "quarter": 3, "year": 12}[unit]
+            step_m = months_per * bin_size
+            midx = (F.year(x) - F.lit(2000)) * 12 + F.month(x) - F.lit(1)
+            snapped = (F.floor(midx / F.lit(step_m))
+                       * F.lit(step_m)).cast("int")
+            return F.add_months(F.lit("2000-01-01").cast("date"),
+                                snapped).cast("timestamp")
         if unit == "week":
             # server semantics: truncate to the startOfWeek (default
             # Sunday) midnight — Spark's date_trunc('week') is
             # hard-anchored to Monday, so do it with day arithmetic
             # (same startOfWeek table as $dateDiff week)
-            starts = {"sunday": 0, "monday": 1, "tuesday": 2,
-                      "wednesday": 3, "thursday": 4, "friday": 5,
-                      "saturday": 6}
-            sow = str(operand.get("startOfWeek", "Sunday")).lower()
-            if sow not in starts:
-                raise ValueError(
-                    f"$dateTrunc: unknown startOfWeek "
-                    f"{operand.get('startOfWeek')!r}")
-            x = E(operand["date"])
             d = (F.dayofweek(x) + F.lit(6 - starts[sow])) % 7
             return F.date_sub(F.to_date(x), d).cast("timestamp")
-        return F.date_trunc(unit, E(operand["date"]))
+        return F.date_trunc(unit, x)
     if op == "$dateDiff":
         # the server counts UNIT-BOUNDARY CROSSINGS, not elapsed floors
         unit = operand["unit"]
@@ -749,6 +784,9 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
             ta = F.unix_timestamp(F.date_trunc(unit, a))
             tb = F.unix_timestamp(F.date_trunc(unit, b))
             return ((tb - ta) / div).cast("long")
+        if unit == "millisecond":
+            return (F.unix_millis(b.cast("timestamp"))
+                    - F.unix_millis(a.cast("timestamp"))).cast("long")
         raise ValueError(f"unsupported $dateDiff unit {unit!r}")
     if op in ("$dateAdd",):
         unit, amount = operand["unit"], operand["amount"]

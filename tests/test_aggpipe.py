@@ -3515,3 +3515,55 @@ def test_rand_deterministic_md5_gate(spark):
     assert {x.id for x in via_rand} == {x.id for x in via_rate}
     with pytest.raises(ValueError, match="rand"):
         aggregate(df, [{"$project": {"r": {"$rand": {"seed": 1}}}}])
+
+
+def test_datetrunc_binsize(spark):
+    """$dateTrunc binSize (Mongo 5.0): bins anchored at the server's
+    reference 2000-01-01T00:00 (week: the startOfWeek on or before
+    it) — pure epoch/index arithmetic, no session-TZ functions."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2026, 8, 16, 13, 47, 31),)], "a timestamp")
+
+    def trunc(**kw):
+        spec = {"date": "$a", **kw}
+        return aggregate(df, [{"$project": {"t": {"$dateTrunc": spec}}}]
+                         ).collect()[0].t
+
+    assert trunc(unit="hour", binSize=6) == dt.datetime(2026, 8, 16, 12)
+    assert trunc(unit="minute", binSize=15) == dt.datetime(2026, 8, 16, 13, 45)
+    # day bins of 10 anchored at 2000-01-01: day index 9724 → 9720,
+    # i.e. 4 days back from Aug 16
+    assert trunc(unit="day", binSize=10) == dt.datetime(2026, 8, 12)
+    # month bins of 2 from 2000-01: month index 319 → 318 = 2026-07
+    assert trunc(unit="month", binSize=2) == dt.datetime(2026, 7, 1)
+    assert trunc(unit="quarter", binSize=2) == dt.datetime(2026, 7, 1)
+    assert trunc(unit="year", binSize=5) == dt.datetime(2025, 1, 1)
+    # week bins of 2 anchored at the Sunday on/before 2000-01-01
+    # (1999-12-26): 2026-08-16 is a Sunday, 1390 weeks after → 1390
+    # floored to 1390 by binSize 2 → 2026-08-16 itself
+    assert trunc(unit="week", binSize=2) == dt.datetime(2026, 8, 16)
+    # ...and a Monday start shifts the anchor to 1999-12-27: day gap
+    # 9729 → floor(9729/14)*14 = 9716 → 2026-08-03
+    assert (trunc(unit="week", binSize=2, startOfWeek="monday")
+            == dt.datetime(2026, 8, 3))
+    # binSize=1 falls back to the plain truncation path
+    assert trunc(unit="hour", binSize=1) == dt.datetime(2026, 8, 16, 13)
+    with pytest.raises(ValueError, match="binSize"):
+        trunc(unit="hour", binSize=0)
+    with pytest.raises(ValueError, match="binSize"):
+        trunc(unit="hour", binSize=1.5)
+
+
+def test_datediff_millisecond(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2026, 8, 16, 0, 0, 0, 250000),
+          dt.datetime(2026, 8, 16, 0, 0, 1, 750000))],
+        "a timestamp, b timestamp")
+    r = aggregate(df, [{"$project": {
+        "ms": {"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                             "unit": "millisecond"}}}}]).collect()[0]
+    assert r.ms == 1500

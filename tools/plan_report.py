@@ -95,6 +95,8 @@ HEADLINE = [
      "funnel with approx_percentile threshold cuts"),
     ("corpus_pretrain_token_budget",
      "BPE pricing gated output-bound by broadcast semi-join"),
+    ("pipeline_window_percentiles",
+     "Mongo-7.0 window $median/$percentile: keyed frames, no global"),
 ]
 
 
