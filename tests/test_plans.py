@@ -700,3 +700,46 @@ def test_bucket_auto_plans_exact_vs_approx(spark):
         assert "BroadcastNestedLoopJoin" in plan
     assert "percentile_disc" in exact and "approx_percentile" not in exact
     assert "approx_percentile" in approx and "percentile_disc" not in approx
+
+
+def test_no_unlisted_global_windows(spark):
+    """Fleet-wide scale invariant (r9): a partition-less Window moves
+    every row through ONE task — the classic 100 TB serialization
+    mistake.  The only queries allowed to carry one are those whose
+    window INPUT is provably bounded:
+
+    - corpus_doremi_quotas / corpus_quota_fill / corpus_token_quotas —
+      largest-remainder assignment over the SOURCE-level table
+      (domain-sized: one row per source);
+    - documents_priority_sample — WindowGroupLimit-capped top-K
+      (plan-asserted in its own r6 pin);
+    - pipeline_rank_fusion — rank over the input pipelines' already
+      $limit-bounded result sets;
+    - sketch_ddq_quantiles — the constant-size DDSketch bucket grid.
+
+    Any OTHER registry query growing a global window fails here before
+    it ships.  (Scans optimizedPlan of every registered query at
+    sf0.001 — plan build only, nothing executes.)
+    """
+    import re
+
+    from mongo_hadoop_spark import operators
+
+    ALLOWED = {"corpus_doremi_quotas", "corpus_quota_fill",
+               "corpus_token_quotas", "documents_priority_sample",
+               "pipeline_rank_fusion", "sketch_ddq_quantiles"}
+    offenders = []
+    for name, fn in operators.all_queries().items():
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution() \
+            .executedPlan().toString()
+        for line in plan.splitlines():
+            if "windowspecdefinition(" not in line:
+                continue
+            for spec in re.findall(r"windowspecdefinition\(([^)]*)\)",
+                                   line):
+                first = spec.split(",")[0].strip()
+                if (("ASC" in first or "DESC" in first
+                     or first.startswith("specifiedwindowframe"))
+                        and name not in ALLOWED):
+                    offenders.append((name, spec[:60]))
+    assert not offenders, offenders
