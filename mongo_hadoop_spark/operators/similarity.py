@@ -353,17 +353,26 @@ def dedup_semantic_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    cand = banded_lsh_candidates(emb, SEM_LSH_BANDS, SEM_LSH_BITS)
-    va = emb.select(F.col("vec_id").alias("id_a"),
-                    F.col("embedding").alias("va"),
-                    F.sqrt(norm2(F.col("embedding"))).alias("na"))
-    vb = emb.select(F.col("vec_id").alias("id_b"),
-                    F.col("embedding").alias("vb"),
-                    F.sqrt(norm2(F.col("embedding"))).alias("nb"))
+    # r9 hardening, same argument as the IVF path: exact-duplicate
+    # vectors share EVERY band bucket (identical signatures), so
+    # candidate volume grows as dup² on real corpora — collapse to
+    # min-id representatives first (provably answer-preserving, see
+    # _vector_classes)
+    reps, members = _vector_classes(emb)
+    member_dominated = members.select("vec_id")
+    cand = banded_lsh_candidates(reps, SEM_LSH_BANDS, SEM_LSH_BITS)
+    va = reps.select(F.col("vec_id").alias("id_a"),
+                     F.col("embedding").alias("va"),
+                     F.sqrt(norm2(F.col("embedding"))).alias("na"))
+    vb = reps.select(F.col("vec_id").alias("id_b"),
+                     F.col("embedding").alias("vb"),
+                     F.sqrt(norm2(F.col("embedding"))).alias("nb"))
     sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     dominated = (cand.join(va, "id_a").join(vb, "id_b")
                  .where(sim >= NEAR_DUP_THRESHOLD)
-                 .select(F.col("id_b").alias("vec_id")).distinct())
+                 .select(F.col("id_b").alias("vec_id"))
+                 .unionByName(member_dominated)
+                 .distinct())
     return (emb.join(dominated, "vec_id", "left_anti")
             .select("vec_id", "label"))
 
@@ -487,6 +496,46 @@ SELECT vec_id, centroid_id FROM (
 """
 
 
+def _vector_classes(emb: DataFrame):
+    """Collapse EXACT-duplicate embeddings to their min-vec_id
+    representative before any pairwise stage.
+
+    Returns ``(reps, members)``: the one-row-per-distinct-vector frame
+    (vec_id = the class minimum) and a ``(vec_id, rep_id)`` map of
+    every OTHER class member to its representative.  For dedup, the
+    members are dominated outright (cosine 1 ≥ any threshold, smaller
+    id exists — no scoring needed); for per-vector derivations (PQ
+    codes), a member's answer is its representative's, joined back.
+
+    Why this is load-bearing at scale: a crawl corpus carries heavy
+    EXACT embedding duplication (boilerplate, mirrors), and duplicates
+    land in the same IVF cell / every shared LSH bucket by construction
+    — pair volume in a hot cell grows as dup², the real production
+    blow-up (the r9 probe measured 20.3× at 8× under verbatim-duplicate
+    replicas before this collapse; ~linear after — SCALE.md).  The
+    collapse provably cannot change the answer: x ≠ min(class) is
+    dominated by min(class); min(class) is dominated iff some class H
+    with sim ≥ τ has min(H) < min(class) — exactly what
+    representative-only pairing decides (any non-min member of H that
+    could dominate shares H's cell/buckets AND min(H) is smaller
+    still).
+
+    Class key = md5 of the JSON-rendered float array — the repo's
+    standard deterministic row-hash idiom (bit-identical floats,
+    engine-stable rendering).
+    """
+    keyed = emb.select(
+        "vec_id", "embedding",
+        F.md5(F.to_json(F.struct(F.col("embedding")))).alias("__vk"))
+    rep_ids = keyed.groupBy("__vk").agg(F.min("vec_id").alias("rep_id"))
+    tagged = keyed.join(rep_ids, "__vk")
+    members = (tagged.where(F.col("vec_id") != F.col("rep_id"))
+               .select("vec_id", "rep_id"))
+    reps = (tagged.where(F.col("vec_id") == F.col("rep_id"))
+            .select("vec_id", "embedding"))
+    return reps, members
+
+
 def dedup_semantic_survivors_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path semantic dedup (the SemDeDup shape proper): cluster
     via IVF assignment, score pairs ONLY within a cell, keep min-id.
@@ -504,11 +553,41 @@ def dedup_semantic_survivors_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same exact verification (cosine ≥ threshold) and min-id-wins policy
     as the baseline, so at small SF the two mostly agree; the oracle is
     fully expressible either way.
+
+    r9 hardening: EXACT-duplicate vectors are collapsed to their
+    min-id representative (:func:`_vector_classes`) before assignment
+    and pairing.  A real crawl corpus carries heavy exact embedding
+    duplication, and duplicates land in the same cell by construction —
+    pair volume inside a hot cell grows as dup², which is the true
+    production blow-up (the r9 probe measured 20.3× at 8× under
+    verbatim-duplicate replicas; ~linear after the collapse — SCALE.md).
+    The collapse provably cannot change the answer: x ≠ min(class) is
+    dominated by min(class) at cosine 1; min(class) is dominated iff
+    some class H with sim ≥ τ has min(H) < min(class) — exactly what
+    representative-only pairing decides.
     """
     emb = table(spark, sf_dir, "embeddings")
-    cells = ivf_assign(spark, sf_dir)  # (vec_id, centroid_id)
-    v = emb.select("vec_id", "embedding",
-                   F.sqrt(norm2(F.col("embedding"))).alias("nrm"))
+    reps, members = _vector_classes(emb)
+    member_dominated = members.select("vec_id")
+    # assign REPRESENTATIVES to the nearest centroid; the centroid set
+    # stays the full vec_id % CENTROID_MOD slice (parity with
+    # ivf_assign — only the wasted non-rep assignment work is skipped)
+    scored = (
+        reps.select("vec_id", F.col("embedding").alias("v"),
+                    F.sqrt(norm2(F.col("embedding"))).alias("vn"))
+        .join(F.broadcast(_centroids(emb)))
+        .select("vec_id", "centroid_id",
+                (dot(F.col("v"), F.col("cv"))
+                 / (F.col("vn") * F.col("cvn"))).alias("sim"))
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(),
+                                              F.col("centroid_id"))
+    cells = (scored.select("vec_id", "centroid_id",
+                           F.row_number().over(aw).alias("rn"))
+             .where(F.col("rn") == 1)
+             .select("vec_id", "centroid_id"))
+    v = reps.select("vec_id", "embedding",
+                    F.sqrt(norm2(F.col("embedding"))).alias("nrm"))
     tagged = (v.join(cells, "vec_id")
               .repartition(spark.sparkContext.defaultParallelism,
                            "centroid_id"))
@@ -524,6 +603,7 @@ def dedup_semantic_survivors_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("id_a") < F.col("id_b")))
         .where(sim >= NEAR_DUP_THRESHOLD)
         .select(F.col("id_b").alias("vec_id"))
+        .unionByName(member_dominated)  # exact-dup class members
         .distinct()
     )
     return (emb.join(dominated, "vec_id", "left_anti")
@@ -928,20 +1008,38 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks broadcast, argmin is a (vec_id, subspace)-keyed window,
     and the code columns pivot back with one groupBy — shuffle volume
     is rows × subspaces ids, never the float payload.
+
+    r9 hardening: codes are computed for DISTINCT vectors only
+    (:func:`_vector_classes`) and exact-duplicate members inherit
+    their representative's codes through one id join — identical
+    vectors quantize identically, so the output is unchanged while the
+    argmin work drops from N×C to distinct×C (the r9 probe read 9.9×
+    at 8× under verbatim-duplicate replicas before this; the fixed-
+    256-codeword production variant :func:`embedding_pq_codes_fixed`
+    remains the strictly-linear path when distinct count itself grows
+    with the corpus, since this teaching variant's mod-slice codebook
+    C grows ∝ N).
     """
     emb = table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    sub = emb.select(
+    reps, members = _vector_classes(emb)
+    sub = reps.select(
         "vec_id",
         F.posexplode(F.expr(
             f"transform(sequence(0, {PQ_SUBSPACES - 1}), "
             f"j -> slice(embedding, j * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}))"
         )).alias("j", "sv"),
     )
-    cent = (sub.where(F.col("vec_id") % CENTROID_MOD == 0)
-            .select(F.col("vec_id").alias("cid"), F.col("j").alias("cj"),
-                    F.col("sv").alias("cv")))
+    # the codebook stays the FULL vec_id % CENTROID_MOD slice of the
+    # corpus (parity with the pre-collapse formulation and the oracle)
+    cent = (emb.where(F.col("vec_id") % CENTROID_MOD == 0)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.posexplode(F.expr(
+                    f"transform(sequence(0, {PQ_SUBSPACES - 1}), "
+                    f"j -> slice(embedding, j * {_PQ_SUBDIM} + 1, "
+                    f"{_PQ_SUBDIM}))")).alias("cj", "cv")))
     d = (norm2(F.col("sv")) + norm2(F.col("cv"))
          - 2 * dot(F.col("sv"), F.col("cv")))
     w = Window.partitionBy("vec_id", "j").orderBy(F.col("d").asc(),
@@ -952,10 +1050,15 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
     )
-    return best.groupBy("vec_id").agg(*[
+    rep_codes = best.groupBy("vec_id").agg(*[
         F.max(F.when(F.col("j") == j, F.col("cid"))).alias(f"code_{j}")
         for j in range(PQ_SUBSPACES)
     ])
+    member_codes = (
+        members.join(rep_codes.withColumnRenamed("vec_id", "rep_id"),
+                     "rep_id")
+        .select("vec_id", *[f"code_{j}" for j in range(PQ_SUBSPACES)]))
+    return rep_codes.unionByName(member_codes)
 
 
 _PQ_CODE_COLS = ",\n       ".join(

@@ -76,3 +76,46 @@ def test_registry_band_shape_unchanged(spark):
     )
 
     assert (SEM_LSH_BANDS, SEM_LSH_BITS) == (16, 8)
+
+
+def test_exact_duplicate_collapse_is_answer_preserving(spark, tmp_path):
+    """r9 duplicate-collapse hardening (_vector_classes): planting
+    exact-duplicate vectors must (a) dominate every non-min copy,
+    (b) leave the representatives' survivor decisions unchanged, and
+    (c) give duplicates identical PQ codes to their representative —
+    the properties that let the collapsed formulations share the
+    original oracles verbatim."""
+    import pyspark.sql.functions as F
+
+    from mongo_hadoop_spark.operators.similarity import (
+        dedup_semantic_survivors_ivf, dedup_semantic_survivors_lsh,
+        embedding_pq_codes)
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path / "dup_sf")
+    (tmp_path / "dup_sf").mkdir()
+    for t in ("embeddings",):
+        base = spark.read.parquet(f"{src}/{t}.parquet")
+        shift = base.agg(F.max("vec_id")).collect()[0][0] + 1
+        # clone EVERY vector once, verbatim, at shifted ids
+        clones = base.withColumn("vec_id", F.col("vec_id") + F.lit(shift))
+        base.unionByName(clones).write.parquet(f"{out}/{t}.parquet")
+    # (these operators read only the embeddings table, so the other
+    # tables need not exist in the synthetic sf dir)
+
+    base_ids = {r.vec_id for r in spark.read.parquet(
+        f"{src}/embeddings.parquet").select("vec_id").collect()}
+    for op in (dedup_semantic_survivors_ivf, dedup_semantic_survivors_lsh):
+        orig = {r.vec_id for r in op(spark, src).collect()}
+        dup = {r.vec_id for r in op(spark, out).collect()}
+        # every clone (higher id, exact copy) must be dominated...
+        assert dup <= base_ids, op.__name__
+        # ...and the originals' survivor set is untouched
+        assert dup == orig, op.__name__
+
+    codes = embedding_pq_codes(spark, out).collect()
+    by_id = {r.vec_id: tuple(r)[1:] for r in codes}
+    assert len(by_id) == 2 * len(base_ids)  # every row still present
+    shift = max(base_ids) + 1
+    for vid in base_ids:
+        assert by_id[vid + shift] == by_id[vid]  # clone codes = rep codes
