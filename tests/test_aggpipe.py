@@ -2550,12 +2550,13 @@ def test_to_object_id_and_js_random_refusals(people):
     assert bad[0]["oid"] is None
     for expr, msg in [({"$function": {"body": "x", "args": [], "lang": "js"}},
                        "JavaScript"),
-                      ({"$accumulator": {}}, "JavaScript"),
-                      ({"$rand": {}}, "non-deterministic")]:
+                      ({"$accumulator": {}}, "JavaScript")]:
         with pytest.raises(ValueError, match=msg):
             aggregate(people, [{"$project": {"x": expr}}])
-    # $sampleRate is SUPPORTED as of r8 (deterministic md5 gate — see
-    # test_sample_rate_deterministic); only $where still refuses here
+    # $sampleRate is SUPPORTED as of r8 and $rand as of r9 (both are
+    # the deterministic md5-of-row gate — see
+    # test_sample_rate_deterministic / test_rand_deterministic_md5_gate);
+    # only the server-side-JavaScript operators still refuse here
     with pytest.raises(ValueError, match="JavaScript"):
         aggregate(people, [{"$match": {"$where": "this.x > 1"}}])
 
