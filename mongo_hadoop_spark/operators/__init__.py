@@ -54,8 +54,12 @@ _HEAD_KEYS = [
     "corpus_pretrain_manifest_approx",
     "pipeline_text_query_diacritics",
     "pipeline_window_percentiles",
-    # changed this round — apply side rewritten output-bound (same hashes)
+    "pipeline_window_range_frames",
+    # changed this round — plans rewritten, hashes pinned unchanged
+    # (token budget: output-bound apply side; lsh dedup: exact-duplicate
+    # collapse; the ivf dedup + pq codes siblings sit in the r4 block)
     "corpus_pretrain_token_budget",
+    "dedup_semantic_survivors_lsh",
     # r04-verified — the 35 oldest outstanding driver verdicts
     "embedding_norms", "embedding_pq_codes", "events_asof_last_order",
     "events_asof_last_order_tolerance", "events_per_user_sample",
@@ -70,13 +74,13 @@ _HEAD_KEYS = [
     "tpch_q2_min_cost_supplier", "tpch_q3", "tpch_q5", "tpch_q6",
     "tpch_q7_nation_volume", "tpch_q8_market_share", "tpch_q9_profit",
     "window_event_gaps", "window_running_sum", "window_topn_per_group",
-    # r05-verified — oldest nine fill the window; the rest queue below
+    # r05-verified — oldest six fill the window; the rest queue below
     # it (alphabetical within the era: equally stale, a stable order)
     "corpus_contamination_report", "corpus_dsir_weights",
     "corpus_gopher_yield", "corpus_nb_confusion",
     "corpus_nb_token_weights", "corpus_source_mixture",
-    "dedup_duplicate_spans", "dedup_semantic_survivors_lsh",
     # --- 50-entry window boundary (r10 rotation starts here) ---
+    "dedup_duplicate_spans",
     "documents_priority_sample",
     "documents_span_dedup_survivors", "documents_span_stats",
     "events_asof_next_order", "pipeline_bitwise_flags",

@@ -428,6 +428,43 @@ FROM w WHERE seq <= 4
 """
 
 
+def pipeline_window_range_frames(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """$setWindowFields RANGE windows (the time-bounded form): per
+    user, trailing-1-hour event count and min event id over the event
+    stream — ``{"range": [-1, 0], "unit": "hour"}`` compiled to
+    ``rangeBetween`` over epoch-millis (inclusive bounds, ties by key
+    included on both engines by frame definition, so the result is
+    order-independent).  Pre-r9 a range frame fell through SILENTLY to
+    the default documents frame — this gate pins the execution."""
+    events = table(spark, sf_dir, "events")
+    return aggregate(events, [
+        {"$setWindowFields": {
+            "partitionBy": "$user_id",
+            "sortBy": {"ts": 1},
+            "output": {
+                "n_1h": {"$count": {},
+                         "window": {"range": [-1, 0], "unit": "hour"}},
+                "min_eid_1h": {"$min": "$event_id",
+                               "window": {"range": [-1, 0],
+                                          "unit": "hour"}},
+            },
+        }},
+        {"$project": {"event_id": 1, "user_id": 1,
+                      "n_1h": 1, "min_eid_1h": 1}},
+    ])
+
+
+PIPELINE_WINDOW_RANGE_SQL = """
+SELECT event_id, user_id,
+       count(*) OVER wf AS n_1h,
+       min(event_id) OVER wf AS min_eid_1h
+FROM events
+WINDOW wf AS (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 PIPELINE_WINDOW_SQL = """
 WITH w AS (
   SELECT o_custkey, o_orderkey,
@@ -2249,6 +2286,7 @@ QUERIES = {
     "pipeline_percentile_approx": pipeline_percentile_approx,
     "pipeline_window_fields": pipeline_window_fields,
     "pipeline_window_percentiles": pipeline_window_percentiles,
+    "pipeline_window_range_frames": pipeline_window_range_frames,
     "pipeline_densify_user_counts": pipeline_densify_user_counts,
     "pipeline_graphlookup_reports": pipeline_graphlookup_reports,
 }
@@ -2300,6 +2338,7 @@ ORACLES = {
     "pipeline_percentile_approx": PIPELINE_PCTL_APPROX_SQL,
     "pipeline_window_fields": PIPELINE_WINDOW_SQL,
     "pipeline_window_percentiles": PIPELINE_WINDOW_PCTL_SQL,
+    "pipeline_window_range_frames": PIPELINE_WINDOW_RANGE_SQL,
     "pipeline_densify_user_counts": PIPELINE_DENSIFY_SQL,
     "pipeline_graphlookup_reports": PIPELINE_GRAPH_SQL,
 }

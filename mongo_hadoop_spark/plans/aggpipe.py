@@ -2210,6 +2210,75 @@ _UNIT_MS = {"week": 604_800_000, "day": 86_400_000, "hour": 3_600_000,
             "minute": 60_000, "second": 1000, "millisecond": 1}
 
 
+def _range_bound(v, unit_ms: int, side: str) -> int:
+    from pyspark.sql import Window as W
+
+    if v == "unbounded":
+        return W.unboundedPreceding if side == "lo" else W.unboundedFollowing
+    if v == "current":
+        return W.currentRow
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise ValueError(f"range window bound must be numeric, "
+                         f"'current' or 'unbounded' (got {v!r})")
+    scaled = v * unit_ms
+    if scaled != int(scaled):
+        raise ValueError(
+            f"range window bound {v!r} must scale to an integer offset "
+            f"(Spark rangeBetween takes integral bounds)")
+    return int(scaled)
+
+
+def _framed_window(base, sort: dict, frame, order):
+    """Resolve a $setWindowFields ``window`` spec against the
+    partition-only WindowSpec ``base``.
+
+    - ``{"documents": [lo, hi]}`` → rowsBetween over the sortBy order;
+    - ``{"range": [lo, hi], "unit"?: ...}`` → rangeBetween over the
+      SINGLE ascending sortBy key (server rule), re-keyed to epoch
+      millis when a time ``unit`` is given (units week..millisecond,
+      the server's own range-window restriction — calendar units are
+      not fixed-length);
+    - no frame, with sortBy → the server default
+      (unbounded preceding → current row).
+
+    Pre-r9 a range frame fell through to the default frame SILENTLY —
+    wrong answers beat a refusal at being dangerous; now it executes
+    (or raises loudly for malformed specs).
+    """
+    from pyspark.sql import Window as W
+
+    w_sorted = base.orderBy(*order) if order else base
+    if frame and "documents" in frame:
+        lo, hi = frame["documents"]
+        return w_sorted.rowsBetween(_frame_bound(lo, "lo"),
+                                    _frame_bound(hi, "hi"))
+    if frame and "range" in frame:
+        if len(sort) != 1:
+            raise ValueError(
+                "range window requires exactly one sortBy field")
+        (sk, sd), = sort.items()
+        if sd < 0:
+            raise ValueError("range window requires an ascending sortBy")
+        unit = frame.get("unit")
+        if unit is None:
+            key, unit_ms = F.col(sk), 1
+        elif unit in _UNIT_MS:
+            key, unit_ms = F.unix_millis(F.col(sk).cast("timestamp")), \
+                _UNIT_MS[unit]
+        else:
+            raise ValueError(
+                f"range window unit {unit!r} unsupported (server allows "
+                f"week..millisecond for range windows)")
+        lo, hi = frame["range"]
+        return base.orderBy(key.asc()).rangeBetween(
+            _range_bound(lo, unit_ms, "lo"), _range_bound(hi, unit_ms, "hi"))
+    if frame:
+        raise ValueError(f"unsupported window frame {sorted(frame)}")
+    if order:
+        return w_sorted.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return w_sorted
+
+
 def _calculus_window(op: str, operand: dict, sort: dict, w_sorted, frame):
     """$derivative / $integral (Mongo 5.0 time-series window operators).
 
@@ -2372,25 +2441,14 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc))
         elif op in ("$covariancePop", "$covarianceSamp"):
             xs, ys = (expr_to_col(e) for e in operand)
-            w = w_sorted
-            if frame and "documents" in frame:
-                lo, hi = frame["documents"]
-                w = w_sorted.rowsBetween(_frame_bound(lo, "lo"),
-                                         _frame_bound(hi, "hi"))
-            elif order:
-                w = w_sorted.rowsBetween(W.unboundedPreceding, W.currentRow)
+            w = _framed_window(base, sort, frame, order)
             fn = F.covar_pop if op == "$covariancePop" else F.covar_samp
             col = fn(xs, ys).over(w)
         else:
-            w = w_sorted
-            if frame and "documents" in frame:
-                lo, hi = frame["documents"]
-                w = w_sorted.rowsBetween(_frame_bound(lo, "lo"),
-                                         _frame_bound(hi, "hi"))
-            elif order:
-                # server default with sortBy: unbounded preceding → current
-                from pyspark.sql import Window as _W
-                w = w_sorted.rowsBetween(_W.unboundedPreceding, _W.currentRow)
+            # documents/range/default frame resolution (range windows —
+            # the time-bounded form — execute as rangeBetween as of r9;
+            # previously they silently fell through to the default frame)
+            w = _framed_window(base, sort, frame, order)
             agg = {"$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
                    "$push": F.collect_list, "$count": None,
                    "$stdDevPop": F.stddev_pop, "$stdDevSamp": F.stddev_samp}.get(op)

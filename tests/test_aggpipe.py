@@ -3568,3 +3568,61 @@ def test_datediff_millisecond(spark):
         "ms": {"$dateDiff": {"startDate": "$a", "endDate": "$b",
                              "unit": "millisecond"}}}}]).collect()[0]
     assert r.ms == 1500
+
+
+def test_window_range_frames(spark):
+    """$setWindowFields range windows (r9): time-bounded rangeBetween
+    over the single ascending sortBy key.  Pre-r9 these frames fell
+    through SILENTLY to the default documents frame."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 8, 16, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(1, base, 10.0), (2, base + dt.timedelta(minutes=30), 20.0),
+         (3, base + dt.timedelta(minutes=61), 30.0),
+         (4, base + dt.timedelta(hours=3), 40.0)],
+        "id int, ts timestamp, v double")
+    got = {r.id: r for r in aggregate(df, [
+        {"$setWindowFields": {
+            "partitionBy": None,
+            "sortBy": {"ts": 1},
+            "output": {
+                "n_1h": {"$count": {},
+                         "window": {"range": [-1, 0], "unit": "hour"}},
+                "sum_1h": {"$sum": "$v",
+                           "window": {"range": [-1, 0], "unit": "hour"}},
+            },
+        }},
+    ]).collect()}
+    # id3 is 61min after id1 (outside) but 31min after id2 (inside)
+    assert [got[i].n_1h for i in (1, 2, 3, 4)] == [1, 2, 2, 1]
+    assert got[3].sum_1h == 50.0 and got[4].sum_1h == 40.0
+    # unit-less numeric range key
+    nf = spark.createDataFrame([(1, 10, 1.0), (2, 14, 1.0), (3, 30, 1.0)],
+                               "id int, k int, v double")
+    got2 = {r.id: r for r in aggregate(nf, [
+        {"$setWindowFields": {
+            "partitionBy": None, "sortBy": {"k": 1},
+            "output": {"n5": {"$count": {},
+                              "window": {"range": [-5, 0]}}}}},
+    ]).collect()}
+    assert [got2[i].n5 for i in (1, 2, 3)] == [1, 2, 1]
+    # malformed specs refuse loudly
+    with pytest.raises(ValueError, match="ascending"):
+        aggregate(nf, [{"$setWindowFields": {
+            "partitionBy": None, "sortBy": {"k": -1},
+            "output": {"n": {"$count": {}, "window": {"range": [-5, 0]}}}}}])
+    with pytest.raises(ValueError, match="exactly one sortBy"):
+        aggregate(nf, [{"$setWindowFields": {
+            "partitionBy": None, "sortBy": {"k": 1, "id": 1},
+            "output": {"n": {"$count": {}, "window": {"range": [-5, 0]}}}}}])
+    with pytest.raises(ValueError, match="unsupported"):
+        aggregate(nf, [{"$setWindowFields": {
+            "partitionBy": None, "sortBy": {"k": 1},
+            "output": {"n": {"$count": {},
+                             "window": {"range": [-1, 0],
+                                        "unit": "month"}}}}}])
+    with pytest.raises(ValueError, match="unsupported window frame"):
+        aggregate(nf, [{"$setWindowFields": {
+            "partitionBy": None, "sortBy": {"k": 1},
+            "output": {"n": {"$count": {}, "window": {"rows": [0, 1]}}}}}])

@@ -97,6 +97,8 @@ HEADLINE = [
      "BPE pricing gated output-bound by broadcast semi-join"),
     ("pipeline_window_percentiles",
      "Mongo-7.0 window $median/$percentile: keyed frames, no global"),
+    ("pipeline_window_range_frames",
+     "time-bounded RANGE windows: epoch-millis rangeBetween, keyed"),
 ]
 
 
