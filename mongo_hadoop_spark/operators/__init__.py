@@ -37,13 +37,14 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 # Registry order is part of the verification contract: external harnesses may
 # only sample a prefix of ``queries()``, so the entries that most need a fresh
 # cross-engine check come first.  Round-9 rotation (the round-8 verdict's
-# item 2, with its recomputed stale list): the 6 queries new this round
+# item 2, with its recomputed stale list): the 7 queries new this round
 # (never driver-verified — the approx-percentile production-mode gates,
-# the $text diacritic fold, and the Mongo-7.0 window percentiles) plus
-# corpus_pretrain_token_budget (its apply side was rewritten output-bound
-# this round; hashes pinned unchanged but it deserves the fresh gate)
-# lead, then ALL 35 queries whose latest driver verdicts date from round
-# 4, then the 8 oldest round-5 rows fill the 50-entry prefix.  The
+# the $text diacritic fold, and the Mongo-7.0 window percentile/range
+# forms) plus the two changed-with-pinned-hashes rewrites
+# (corpus_pretrain_token_budget's output-bound apply side;
+# dedup_semantic_survivors_lsh's exact-duplicate collapse) lead, then
+# ALL 35 queries whose latest driver verdicts date from round 4, then
+# the 6 oldest round-5 rows fill the 50-entry prefix.  The
 # remaining r5 rows queue just below the window for round 10;
 # fully-green r6/r7/r8 verdicts rotate to the tail.
 _HEAD_KEYS = [

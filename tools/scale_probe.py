@@ -49,6 +49,11 @@ DEFAULT_QUERIES = [
     "knn_bruteforce", "ivf_knn", "ivf_knn_nprobe", "lsh_bucket_histogram",
     "dedup_containment", "corpus_training_manifest", "text_heavy_hitters",
     "dedup_semantic_survivors_ivf", "embedding_pq_codes",
+    # r9 additions: the approx-percentile production path, the
+    # output-bound token budget, and the new window forms
+    "pipeline_bucket_auto_granularity_approx",
+    "corpus_pretrain_token_budget", "multimodal_pack_interleaved",
+    "pipeline_window_percentiles", "pipeline_window_range_frames",
 ]
 
 
