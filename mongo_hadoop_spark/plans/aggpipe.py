@@ -560,6 +560,11 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
                   if months else
                   F.make_interval(weeks=F.lit(amount)))
             return E(operand["startDate"]) - iv
+        if unit == "millisecond":
+            # exact epoch-millis arithmetic (a dt-interval of
+            # amount/1000 s would round through binary fractions)
+            x = E(operand["startDate"]).cast("timestamp")
+            return F.timestamp_millis(F.unix_millis(x) - F.lit(amount))
         if unit not in ("day", "hour", "minute", "second"):
             raise ValueError(f"unsupported $dateSubtract unit {unit!r}")
         kw = {"day": "days", "hour": "hours", "minute": "mins",
@@ -801,6 +806,10 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
                   if months else
                   F.make_interval(weeks=F.lit(amount)))
             return E(operand["startDate"]) + iv
+        if unit == "millisecond":
+            # exact epoch-millis arithmetic (see $dateSubtract)
+            x = E(operand["startDate"]).cast("timestamp")
+            return F.timestamp_millis(F.unix_millis(x) + F.lit(amount))
         if unit not in ("day", "hour", "minute", "second"):
             raise ValueError(f"unsupported $dateAdd unit {unit!r}")
         kw = {"day": "days", "hour": "hours", "minute": "mins",

@@ -3626,3 +3626,19 @@ def test_window_range_frames(spark):
         aggregate(nf, [{"$setWindowFields": {
             "partitionBy": None, "sortBy": {"k": 1},
             "output": {"n": {"$count": {}, "window": {"rows": [0, 1]}}}}}])
+
+
+def test_dateadd_subtract_millisecond(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2026, 8, 16, 0, 0, 0, 500000),)], "a timestamp")
+    r = aggregate(df, [{"$project": {
+        "plus": {"$dateAdd": {"startDate": "$a", "unit": "millisecond",
+                              "amount": 750}},
+        "minus": {"$dateSubtract": {"startDate": "$a",
+                                    "unit": "millisecond",
+                                    "amount": 1500}},
+    }}]).collect()[0]
+    assert r.plus == dt.datetime(2026, 8, 16, 0, 0, 1, 250000)
+    assert r.minus == dt.datetime(2026, 8, 15, 23, 59, 59)
