@@ -73,6 +73,18 @@ _APPROX_PCTL: contextvars.ContextVar[int | None] = contextvars.ContextVar(
 
 PERCENTILE_ACCURACY_CONF = "spark.mongo_hadoop_spark.percentileAccuracy"
 
+# Per-pipeline $rand occurrence sequence: each ``aggregate(...)`` call
+# resets it, and every $rand site compiled under that call draws the next
+# index (0, 1, 2, ... in compile order).  Index 0 compiles to the bare
+# md5-of-row fraction (bit-identical to $sampleRate's gate and to the
+# pre-r10 form); index k > 0 salts the hash with ``#k`` so DISTINCT
+# $rand sites in one pipeline decorrelate (the server draws an
+# independent uniform per evaluation) while each site stays
+# deterministic across runs and partitionings.  ``None`` (no pipeline
+# in flight — a bare ``expr_to_col`` call) behaves as index 0.
+_RAND_SEQ: contextvars.ContextVar[Any] = contextvars.ContextVar(
+    "mongo_hadoop_spark_rand_seq", default=None)
+
 # ---------------------------------------------------------------------------
 # Aggregation expression language → Column
 # ---------------------------------------------------------------------------
@@ -408,12 +420,20 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         # deliberate determinism deviation (the $sample/$sampleRate
         # precedent, r8): the server draws an independent uniform per
         # evaluation; here it's a uniform md5 hash of the whole row —
-        # reproducible on any engine/partitioning, identical to the
-        # $sampleRate gate's fraction, so {$lt: [{$rand: {}}, r]}
-        # composes into exactly that gate's keep-set
+        # reproducible on any engine/partitioning.  The FIRST $rand in a
+        # pipeline is bit-identical to the $sampleRate gate's fraction,
+        # so {$lt: [{$rand: {}}, r]} composes into exactly that gate's
+        # keep-set; subsequent $rand sites in the same pipeline are
+        # salted by their occurrence index (r10, per ADVICE) so
+        # double-threshold random splits do not silently correlate.
+        # Residual deviation: duplicate rows still draw equal values.
         if operand not in ({}, None):
             raise ValueError("$rand takes {} (no operands)")
-        return (F.expr("conv(substring(md5(to_json(struct(*))), 1, 15), "
+        seq = _RAND_SEQ.get()
+        idx = next(seq) if seq is not None else 0
+        payload = ("to_json(struct(*))" if idx == 0
+                   else f"concat(to_json(struct(*)), '#rand{idx}')")
+        return (F.expr(f"conv(substring(md5({payload}), 1, 15), "
                        "16, 10)").cast("double") / F.lit(float(2 ** 60)))
     if op == "$convert":
         # the general conversion op: try_cast semantics with onError /
@@ -635,6 +655,11 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
             return F.lit(0) if op == "$sum" else F.lit(None)
         if isinstance(operand, (int, float)):
             return F.lit(operand)
+        # NOTE: scalar-typed FIELD PATHS ({$sum: "$price"} on a
+        # non-array column — server pass-through) are dispatched
+        # schema-aware in ``_project_expr``; here the type is unknown,
+        # so a field-path operand is assumed to be an array and a
+        # scalar one fails Spark analysis at plan time.
         # per-row fold over the array, LEFT-TO-RIGHT (determinism:
         # float addition is order-sensitive; a fold has one order) —
         # nulls ignored like the server; $sum of an empty array is 0,
@@ -714,18 +739,29 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
                 f"$dateTrunc: unknown startOfWeek "
                 f"{operand.get('startOfWeek')!r}")
         x = E(operand["date"])
+        # fixed-length units take pure epoch arithmetic for EVERY
+        # binSize (r10, per ADVICE): binSize=1 is just the degenerate
+        # bin, and the old date_trunc fallback truncated to
+        # session-LOCAL boundaries where binSize>1 used UTC ones — the
+        # two modes disagreed under a non-UTC session TZ.  The anchor
+        # 946684800 (2000-01-01T00:00Z) is a multiple of 86400, so
+        # binSize=1 day is exact UTC-midnight truncation (server
+        # default timezone), likewise hour/minute/second.
+        if unit in ("second", "minute", "hour", "day"):
+            secs = {"second": 1, "minute": 60, "hour": 3600,
+                    "day": 86400}[unit] * bin_size
+            e2k = F.unix_timestamp(x) - F.lit(946684800)
+            binned = (F.floor(e2k / F.lit(secs)) * F.lit(secs)
+                      + F.lit(946684800))
+            return F.timestamp_seconds(binned)
         if bin_size > 1:
-            # binSize form (Mongo 5.0): bins anchored at the server's
-            # reference instant 2000-01-01T00:00:00 (for week: the
-            # startOfWeek on or before it).  Pure epoch/day/month-index
-            # arithmetic — engine-agnostic, no session-TZ functions.
-            if unit in ("second", "minute", "hour", "day"):
-                secs = {"second": 1, "minute": 60, "hour": 3600,
-                        "day": 86400}[unit] * bin_size
-                e2k = F.unix_timestamp(x) - F.lit(946684800)
-                binned = (F.floor(e2k / F.lit(secs)) * F.lit(secs)
-                          + F.lit(946684800))
-                return F.timestamp_seconds(binned)
+            # calendar units, binSize form (Mongo 5.0): bins anchored at
+            # the server's reference instant 2000-01-01T00:00:00 (for
+            # week: the startOfWeek on or before it) via day/month-index
+            # arithmetic.  The to_date/year/month field extraction is
+            # session-TZ-interpreted — consistent with the binSize=1
+            # calendar path below (both modes agree under any one
+            # session TZ; keep sessions UTC for server parity).
             if unit == "week":
                 # 2000-01-01 is a Saturday (dayofweek index 6); anchor
                 # on the startOfWeek on-or-before it
@@ -1687,6 +1723,30 @@ def _project_expr(df: DataFrame, v) -> Column:
                 from mongo_hadoop_spark.functions import dec_to_double
                 if isinstance(df.schema[name].dataType, DecimalType):
                     return dec_to_double(F.col(name))
+    if isinstance(v, dict) and len(v) == 1 and \
+            next(iter(v)) in ("$sum", "$avg"):
+        # scalar FIELD-PATH pass-through (r10, per ADVICE): in expression
+        # context the server passes a scalar-typed operand through
+        # ({$sum: "$price"} on a numeric scalar is $price; null/missing
+        # → 0 for $sum, null for $avg; non-numeric scalars are ignored →
+        # 0 / null).  Only the schema-resolvable top-level form is
+        # dispatched here; array-typed fields fall through to the
+        # per-row fold in ``_expr_op``, and NESTED occurrences (type
+        # unknown at compile time) still assume an array operand.
+        agg_op, op_v = next(iter(v.items()))
+        if isinstance(op_v, str) and op_v.startswith("$"):
+            name = op_v[1:]
+            if "." not in name and name in df.columns:
+                from pyspark.sql.types import ArrayType, NumericType
+
+                dt = df.schema[name].dataType
+                if not isinstance(dt, ArrayType):
+                    if isinstance(dt, NumericType):
+                        c = F.col(name)
+                        return (F.coalesce(c, F.lit(0))
+                                if agg_op == "$sum" else c)
+                    return (F.lit(0) if agg_op == "$sum"
+                            else F.lit(None))
     return expr_to_col(v)
 
 
@@ -2259,8 +2319,17 @@ def _framed_window(base, sort: dict, frame, order):
     w_sorted = base.orderBy(*order) if order else base
     if frame and "documents" in frame:
         lo, hi = frame["documents"]
-        return w_sorted.rowsBetween(_frame_bound(lo, "lo"),
-                                    _frame_bound(hi, "hi"))
+        lo_b, hi_b = _frame_bound(lo, "lo"), _frame_bound(hi, "hi")
+        # server rule: lower bound must not exceed upper bound (a
+        # reversed pair is an error, not an empty frame).  Spark's
+        # sentinel bounds compare correctly (unboundedPreceding is the
+        # most-negative long, unboundedFollowing the most-positive,
+        # currentRow 0), so one numeric check covers every form.
+        if lo_b > hi_b:
+            raise ValueError(
+                f"window documents bounds reversed: lower {lo!r} must "
+                f"be <= upper {hi!r}")
+        return w_sorted.rowsBetween(lo_b, hi_b)
     if frame and "range" in frame:
         if len(sort) != 1:
             raise ValueError(
@@ -2279,8 +2348,13 @@ def _framed_window(base, sort: dict, frame, order):
                 f"range window unit {unit!r} unsupported (server allows "
                 f"week..millisecond for range windows)")
         lo, hi = frame["range"]
-        return base.orderBy(key.asc()).rangeBetween(
-            _range_bound(lo, unit_ms, "lo"), _range_bound(hi, unit_ms, "hi"))
+        lo_b = _range_bound(lo, unit_ms, "lo")
+        hi_b = _range_bound(hi, unit_ms, "hi")
+        if lo_b > hi_b:  # same server rule as the documents form above
+            raise ValueError(
+                f"window range bounds reversed: lower {lo!r} must be "
+                f"<= upper {hi!r}")
+        return base.orderBy(key.asc()).rangeBetween(lo_b, hi_b)
     if frame:
         raise ValueError(f"unsupported window frame {sorted(frame)}")
     if order:
@@ -4403,14 +4477,18 @@ def aggregate(df: DataFrame, pipeline: list[dict],
     summary — the 100 TB path; see the ``_APPROX_PCTL`` module note).
     The Spark conf ``spark.mongo_hadoop_spark.percentileAccuracy``
     provides a session-wide default when the argument is omitted."""
+    import itertools
+
     token = _APPROX_PCTL.set(
         _resolve_percentile_accuracy(df, percentile_accuracy))
+    rand_token = _RAND_SEQ.set(itertools.count())
     try:
         out = _aggregate_impl(df, _push_sort_limit(pipeline),
                               tables=tables, store_path=store_path,
                               client_factory=client_factory,
                               spool_path=spool_path)
     finally:
+        _RAND_SEQ.reset(rand_token)
         _APPROX_PCTL.reset(token)
     for hidden in (_VS_SCORE_COL, _GEO_DIST_COL, _SEARCH_SCORE_COL,
                    _SEARCH_HIGHLIGHTS_COL, _TEXT_SCORE_COL,

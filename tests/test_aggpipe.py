@@ -3642,3 +3642,93 @@ def test_dateadd_subtract_millisecond(spark):
     }}]).collect()[0]
     assert r.plus == dt.datetime(2026, 8, 16, 0, 0, 1, 250000)
     assert r.minus == dt.datetime(2026, 8, 15, 23, 59, 59)
+
+
+def test_rand_distinct_sites_decorrelate(spark):
+    """r10 ADVICE: two $rand sites in one pipeline draw DIFFERENT
+    deterministic values per row (occurrence-salted md5), while the
+    first site stays bit-identical to the $sampleRate gate fraction."""
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(300)],
+                               "id long, s string")
+    got = aggregate(df, [{"$project": {
+        "id": 1, "r1": {"$rand": {}}, "r2": {"$rand": {}}}}]).collect()
+    # decorrelated: not all equal (pre-r10 every site was the same hash)
+    assert any(abs(x.r1 - x.r2) > 1e-12 for x in got)
+    assert all(0.0 <= x.r2 < 1.0 for x in got)
+    # both deterministic across independent compiles
+    again = aggregate(df, [{"$project": {
+        "id": 1, "r1": {"$rand": {}}, "r2": {"$rand": {}}}}]).collect()
+    assert sorted((x.id, x.r1, x.r2) for x in got) == \
+        sorted((x.id, x.r1, x.r2) for x in again)
+    # first-occurrence compatibility: {$lt: [{$rand:{}}, r]} ≡ $sampleRate r
+    via_rand = aggregate(df, [
+        {"$match": {"$expr": {"$lt": [{"$rand": {}}, 0.3]}}}]).collect()
+    via_rate = aggregate(df, [{"$match": {"$sampleRate": 0.3}}]).collect()
+    assert {x.id for x in via_rand} == {x.id for x in via_rate}
+
+
+def test_datetrunc_binsize1_utc_epoch_under_nonutc_session(spark):
+    """r10 ADVICE: binSize=1 fixed-length units truncate on UTC epoch
+    boundaries (server default timezone) regardless of the Spark session
+    timezone — previously date_trunc gave session-LOCAL midnights for
+    binSize=1 while binSize=2 used UTC, so the modes disagreed."""
+    import datetime as dt
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 3, 7, 22, 45, 11),)], "a timestamp")
+        r = aggregate(df, [{"$project": {
+            "d1": {"$dateTrunc": {"date": "$a", "unit": "day"}},
+            "d2": {"$dateTrunc": {"date": "$a", "unit": "day",
+                                  "binSize": 2}},
+            "h1": {"$dateTrunc": {"date": "$a", "unit": "hour"}},
+        }}]).collect()[0]
+        # local wall-clock 22:45 EST == 03:45Z next day; UTC-day
+        # truncation keeps both binSizes on the SAME UTC midnight
+        assert r.d1 == r.d2
+        assert r.h1.minute == 0 and r.h1.second == 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_sum_avg_scalar_field_path_passthrough(people):
+    """r10 ADVICE: {$sum: "$scalar"} / {$avg: "$scalar"} in expression
+    context pass the value through like the server (null → 0 / null;
+    non-numeric scalar → 0 / null); array fields still fold."""
+    got = aggregate(people, [{"$sort": {"id": 1}}, {"$project": {
+        "id": 1,
+        "s": {"$sum": "$bal"}, "a": {"$avg": "$bal"},
+        "sn": {"$sum": "$name"}, "an": {"$avg": "$name"},
+        "nt": {"$sum": {"$map": {"input": "$tags", "as": "t",
+                                 "in": 1}}},
+    }}]).collect()
+    assert [x.s for x in got] == [10.5, 20.0, 0.0, 7.25]   # null → 0
+    assert [x.a for x in got] == [10.5, 20.0, None, 7.25]  # null → null
+    assert all(x.sn == 0 for x in got)      # non-numeric → 0
+    assert all(x.an is None for x in got)   # non-numeric → null
+    assert [x.nt for x in got] == [2.0, 0.0, None, 1.0]  # array folds
+
+
+def test_window_reversed_bounds_raise(spark):
+    """r10 ADVICE: reversed frame bounds (lo > hi) raise like the
+    server instead of silently producing an empty Spark frame."""
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    with pytest.raises(ValueError, match="range bounds reversed"):
+        aggregate(df, [{"$setWindowFields": {
+            "partitionBy": None, "sortBy": {"k": 1},
+            "output": {"s": {"$sum": "$v",
+                             "window": {"range": [0, -1]}}}}}])
+    with pytest.raises(ValueError, match="documents bounds reversed"):
+        aggregate(df, [{"$setWindowFields": {
+            "partitionBy": None, "sortBy": {"k": 1},
+            "output": {"s": {"$sum": "$v",
+                             "window": {"documents": [1, -1]}}}}}])
+    # sentinel bounds still resolve (unboundedPreceding < 0 < following)
+    ok = aggregate(df, [{"$setWindowFields": {
+        "partitionBy": None, "sortBy": {"k": 1},
+        "output": {"s": {"$sum": "$v",
+                         "window": {"documents": ["unbounded",
+                                                  "current"]}}}}}])
+    assert sorted((r.k, r.s) for r in ok.collect()) == [(1, 1.0), (2, 3.0)]
