@@ -36,51 +36,26 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 
 # Registry order is part of the verification contract: external harnesses may
 # only sample a prefix of ``queries()``, so the entries that most need a fresh
-# cross-engine check come first.  Round-9 rotation (the round-8 verdict's
-# item 2, with its recomputed stale list): the 7 queries new this round
-# (never driver-verified — the approx-percentile production-mode gates,
-# the $text diacritic fold, and the Mongo-7.0 window percentile/range
-# forms) plus the two changed-with-pinned-hashes rewrites
-# (corpus_pretrain_token_budget's output-bound apply side;
-# dedup_semantic_survivors_lsh's exact-duplicate collapse) lead, then
-# ALL 35 queries whose latest driver verdicts date from round 4, then
-# the 6 oldest round-5 rows fill the 50-entry prefix.  The
-# remaining r5 rows queue just below the window for round 10;
-# fully-green r6/r7/r8 verdicts rotate to the tail.
+# cross-engine check come first.  Round-10 rotation (the round-9 verdict's
+# item 1): the 4 queries new this round (the fixed-K coarse quantizer
+# pair, the windowed approx-percentile production-mode twin, and the
+# $dateDiff startOfWeek convention gate) plus the one
+# changed-with-pinned-hash compile path (pipeline_array_aggregates:
+# its {$sum:"$q"} now dispatches through the r10 scalar-pass-through
+# type check — array input, plan unchanged) lead, then ALL 32 queries
+# whose latest driver verdicts date from round 5, then the 13 oldest
+# round-6 rows fill the 50-entry prefix.  The remaining r6 rows queue
+# just below the window for round 11; fully-green r7/r8/r9 verdicts
+# rotate to the tail.
 _HEAD_KEYS = [
     # new this round — never driver-verified
-    "pipeline_bucket_auto_granularity_approx",
-    "pipeline_bucket_auto_quartiles_approx",
-    "pipeline_percentile_approx",
-    "corpus_pretrain_manifest_approx",
-    "pipeline_text_query_diacritics",
-    "pipeline_window_percentiles",
-    "pipeline_window_range_frames",
-    # changed this round — plans rewritten, hashes pinned unchanged
-    # (token budget: output-bound apply side; lsh dedup: exact-duplicate
-    # collapse; the ivf dedup + pq codes siblings sit in the r4 block)
-    "corpus_pretrain_token_budget",
-    "dedup_semantic_survivors_lsh",
-    # r04-verified — the 35 oldest outstanding driver verdicts
-    "embedding_norms", "embedding_pq_codes", "events_asof_last_order",
-    "events_asof_last_order_tolerance", "events_per_user_sample",
-    "events_sliding_window", "events_tumbling_window",
-    "grouped_reducer_stats", "groupingsets_agg", "ivf_cell_histogram",
-    "lsh_bucket_assign", "multimodal_chunks", "multimodal_metadata",
-    "orders_rfm_segments", "pipeline_bucket_auto_quartiles", "pq_knn_adc",
-    "text_heavy_hitters", "tpch_q1", "tpch_q13_distribution",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
-    "tpch_q17_small_quantity", "tpch_q19_disjunctive",
-    "tpch_q20_excess_suppliers", "tpch_q21_waiting_supplier",
-    "tpch_q2_min_cost_supplier", "tpch_q3", "tpch_q5", "tpch_q6",
-    "tpch_q7_nation_volume", "tpch_q8_market_share", "tpch_q9_profit",
-    "window_event_gaps", "window_running_sum", "window_topn_per_group",
-    # r05-verified — oldest six fill the window; the rest queue below
-    # it (alphabetical within the era: equally stale, a stable order)
-    "corpus_contamination_report", "corpus_dsir_weights",
-    "corpus_gopher_yield", "corpus_nb_confusion",
-    "corpus_nb_token_weights", "corpus_source_mixture",
-    # --- 50-entry window boundary (r10 rotation starts here) ---
+    "ivf_assign_fixed",
+    "dedup_semantic_survivors_ivf_fixed",
+    "pipeline_window_percentiles_approx",
+    "pipeline_datediff_weekstarts",
+    # changed this round — compile path touched, hash pinned unchanged
+    "pipeline_array_aggregates",
+    # r05-verified — the 32 oldest outstanding driver verdicts
     "dedup_duplicate_spans",
     "documents_priority_sample",
     "documents_span_dedup_survivors", "documents_span_stats",
@@ -97,6 +72,27 @@ _HEAD_KEYS = [
     "sketch_cms_estimates", "sketch_cms_tokens", "sketch_ddq_buckets",
     "sketch_ddq_quantiles", "text_bigram_surprisal", "text_gopher_quality",
     "text_unigram_surprisal",
+    # r06-verified — oldest thirteen fill the window; the rest queue
+    # below it (alphabetical within the era: equally stale, stable order)
+    "corpus_crawl_increment", "corpus_doremi_quotas",
+    "corpus_doremi_weights", "corpus_dsir_selected",
+    "corpus_perplexity_buckets", "corpus_quota_fill",
+    "corpus_repetition_yield", "corpus_source_mixture_docs",
+    "corpus_token_quotas", "dedup_cluster_stats",
+    "dedup_connected_clusters", "dedup_survivors_by_authority",
+    "documents_chunk_windows",
+    # --- 50-entry window boundary (r11 rotation starts here) ---
+    "documents_fim_transform", "embedding_gram_matrix",
+    "embedding_matryoshka_recall", "embedding_pca_whitened",
+    "embedding_pq_codes_fixed", "embedding_pq_codes_trained",
+    "embedding_random_projection", "embeddings_cluster_sample",
+    "events_value_anomalies", "graph_degree_histogram",
+    "graph_pagerank_neardup", "ivf_assign_lloyd", "ivf_assign_refined",
+    "ivf_pq_knn", "pipeline_exp_moving_avg", "pipeline_geo_center_sphere",
+    "pipeline_geo_polygon_sphere", "pipeline_rank_fusion",
+    "pipeline_score_fusion", "pipeline_search_highlights",
+    "pipeline_search_meta_facets", "pq_knn_adc_fixed",
+    "skew_salted_rollup", "text_repetition_flags", "tpch_q11_value_share",
 ]
 
 

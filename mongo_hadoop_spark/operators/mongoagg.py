@@ -428,6 +428,104 @@ FROM w WHERE seq <= 4
 """
 
 
+def pipeline_window_percentiles_approx(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """:func:`pipeline_window_percentiles` in the PRODUCTION percentile
+    mode (r10, verdict item 4): ``percentile_accuracy`` compiles the
+    window $median/$percentile to a windowed ``approx_percentile`` —
+    the mergeable bounded-state GK path for corpus-sized partitions.
+    Shares the exact quantile_disc oracle verbatim: at gate scale every
+    per-customer frame holds ≤ a few dozen orders, orders of magnitude
+    under the GK rank-exactness bound ε·n < ½ (n < accuracy), so the
+    approximate answer IS the exact discrete one — the same regime
+    argument as the other *_approx twins."""
+    orders = table(spark, sf_dir, "orders")
+    return aggregate(orders, [
+        {"$setWindowFields": {
+            "partitionBy": "$o_custkey",
+            "sortBy": {"o_orderdate": 1, "o_orderkey": 1},
+            "output": {
+                "seq": {"$documentNumber": {}},
+                "run_med": {"$median": {"input": "$o_totalprice",
+                                        "method": "approximate"},
+                            "window": {"documents": ["unbounded",
+                                                     "current"]}},
+                "run_q": {"$percentile": {"input": "$o_totalprice",
+                                          "p": [0.25, 0.9],
+                                          "method": "approximate"},
+                          "window": {"documents": ["unbounded",
+                                                   "current"]}},
+            },
+        }},
+        {"$match": {"seq": {"$lte": 4}}},
+        {"$project": {"o_custkey": 1, "o_orderkey": 1, "seq": 1,
+                      "run_med": 1,
+                      "run_p25": {"$arrayElemAt": ["$run_q", 0]},
+                      "run_p90": {"$arrayElemAt": ["$run_q", 1]}}},
+    ], percentile_accuracy=GATE_PCTL_ACCURACY)
+
+
+def pipeline_datediff_weekstarts(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """$dateDiff week = startOfWeek-BOUNDARY CROSSINGS (server
+    semantics, r10 gate for the r9 fix): order-date → ship-date week
+    lag per lineitem under three different week conventions (default
+    Sunday, Monday, Thursday), histogrammed over the joined fact
+    tables.  A Saturday→Sunday ship is 1 under the default and 0 under
+    Monday — the convention disagreement this gate pins cross-engine.
+
+    Plan: orderkey equi-join (shuffle on the join key — both sides are
+    fact tables at scale; AQE broadcasts the small side at gate SF),
+    then three per-row day-arithmetic expressions and ONE keyed agg —
+    no window, no Python.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .select("o_orderdate", "l_shipdate"))
+    diffs = aggregate(j, [
+        {"$addFields": {
+            "w_sun": {"$dateDiff": {"startDate": "$o_orderdate",
+                                    "endDate": "$l_shipdate",
+                                    "unit": "week"}},
+            "w_mon": {"$dateDiff": {"startDate": "$o_orderdate",
+                                    "endDate": "$l_shipdate",
+                                    "unit": "week",
+                                    "startOfWeek": "monday"}},
+            "w_thu": {"$dateDiff": {"startDate": "$o_orderdate",
+                                    "endDate": "$l_shipdate",
+                                    "unit": "week",
+                                    "startOfWeek": "Thursday"}},
+        }},
+        {"$group": {"_id": {"s": "$w_sun", "m": "$w_mon", "t": "$w_thu"},
+                    "n_lines": {"$sum": 1}}},
+    ])
+    return diffs.select(
+        F.col("_id.s").alias("w_sun"), F.col("_id.m").alias("w_mon"),
+        F.col("_id.t").alias("w_thu"), "n_lines")
+
+
+# DuckDB dayofweek: 0=Sunday..6=Saturday; days-since-week-start under
+# offset ``off`` = (dayofweek(d) + 7 - off) % 7.  Aligning both endpoints
+# to their week start makes the day gap an exact multiple of 7.
+_DD_WEEK = ("(date_diff('day', "
+            "a::date - ((dayofweek(a) + 7 - {off}) % 7)::int, "
+            "b::date - ((dayofweek(b) + 7 - {off}) % 7)::int) // 7)"
+            "::bigint")
+
+PIPELINE_DATEDIFF_WEEKSTARTS_SQL = f"""
+WITH j AS (
+  SELECT o.o_orderdate AS a, l.l_shipdate AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT {_DD_WEEK.format(off=0)} AS w_sun,
+       {_DD_WEEK.format(off=1)} AS w_mon,
+       {_DD_WEEK.format(off=4)} AS w_thu,
+       count(*) AS n_lines
+FROM j GROUP BY 1, 2, 3
+"""
+
+
 def pipeline_window_range_frames(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """$setWindowFields RANGE windows (the time-bounded form): per
@@ -2286,6 +2384,8 @@ QUERIES = {
     "pipeline_percentile_approx": pipeline_percentile_approx,
     "pipeline_window_fields": pipeline_window_fields,
     "pipeline_window_percentiles": pipeline_window_percentiles,
+    "pipeline_window_percentiles_approx": pipeline_window_percentiles_approx,
+    "pipeline_datediff_weekstarts": pipeline_datediff_weekstarts,
     "pipeline_window_range_frames": pipeline_window_range_frames,
     "pipeline_densify_user_counts": pipeline_densify_user_counts,
     "pipeline_graphlookup_reports": pipeline_graphlookup_reports,
@@ -2338,6 +2438,8 @@ ORACLES = {
     "pipeline_percentile_approx": PIPELINE_PCTL_APPROX_SQL,
     "pipeline_window_fields": PIPELINE_WINDOW_SQL,
     "pipeline_window_percentiles": PIPELINE_WINDOW_PCTL_SQL,
+    "pipeline_window_percentiles_approx": PIPELINE_WINDOW_PCTL_SQL,
+    "pipeline_datediff_weekstarts": PIPELINE_DATEDIFF_WEEKSTARTS_SQL,
     "pipeline_window_range_frames": PIPELINE_WINDOW_RANGE_SQL,
     "pipeline_densify_user_counts": PIPELINE_DENSIFY_SQL,
     "pipeline_graphlookup_reports": PIPELINE_GRAPH_SQL,

@@ -1827,6 +1827,193 @@ FROM ranked GROUP BY query_id ORDER BY query_id
 """
 
 
+# --- fixed-K coarse quantizer (r10) ---------------------------------------
+#
+# Closes the last documented scale residual (SCALE.md): the teaching IVF
+# variants seed centroids from the ``vec_id % CENTROID_MOD`` corpus slice,
+# so the centroid table grows ∝ N and every assignment scores N/MOD
+# candidates — assignment cost N²/MOD.  Here the coarse codebook is K
+# vectors refined on a FIXED-size sample (the ``embedding_pq_codes_fixed``
+# recipe, similarity.py:1263): training is O(IVF_TRAIN_N · K) — constant —
+# and assignment is O(N · K) with the K-row table broadcast, a single
+# linear pass at any corpus size.  This is the trade SemDeDup itself makes
+# (GPU k-means with fixed K); cell DENSITY then grows ∝ N, which is the
+# honest cost: bound within-cell work by splitting hot cells (two-level
+# quantizer) or verifying against a candidate cap — documented in SCALE.md.
+
+IVF_FIXED_K = 16     # coarse centroids — FIXED, corpus-independent
+IVF_TRAIN_N = 256    # training sample: vectors with vec_id < IVF_TRAIN_N
+
+
+def _ivf_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the fixed-K coarse codebook: K seed vectors (vec_id <
+    IVF_FIXED_K) refined by one decimal-exact Lloyd round over the fixed
+    sample (vec_id < IVF_TRAIN_N).  Deterministic id-prefix seeds and
+    decimal(27,10) mean sums let DuckDB reproduce training bit-for-bit
+    (argmin ties by cid) — same contract as ``_pq_fixed_codebook``."""
+    emb = table(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") < IVF_TRAIN_N).select(
+        "vec_id", F.col("embedding").alias("v"))
+    seed = (emb.where(F.col("vec_id") < IVF_FIXED_K)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cv")))
+    d = (norm2(F.col("v")) + norm2(F.col("cv"))
+         - 2 * dot(F.col("v"), F.col("cv")))
+    # argmin as min(struct(d, cid)): partial-aggregates map-side
+    assign = (train.join(F.broadcast(seed))
+              .select("vec_id", "cid", d.alias("d"))
+              .groupBy("vec_id")
+              .agg(F.min(F.struct("d", "cid")).getField("cid").alias("cid")))
+    vals = (train.join(assign, "vec_id")
+            .select("cid", F.posexplode("v").alias("d", "x")))
+    means = vals.groupBy("cid", "d").agg(
+        (dec_to_double(F.sum(F.col("x").cast("double")
+                             .cast("decimal(27,10)")))
+         / F.count(F.lit(1))).alias("m"))
+    return (means.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m")))
+                 .alias("pairs"))
+            .select("cid", F.transform("pairs", lambda p: p["m"]).alias("cv")))
+
+
+def ivf_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF assignment against the fixed-K trained coarse quantizer — the
+    linear-at-scale variant of :func:`ivf_assign`.
+
+    Scale shape: the ≤ IVF_FIXED_K-row codebook broadcasts; each corpus
+    vector scores K candidates locally (no shuffle) and the argmin is ONE
+    vec_id-keyed ``min(struct(d, cid))`` aggregation, map-side combined.
+    Nothing grows with the corpus except the scan itself."""
+    emb = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cents = _ivf_fixed_centroids(spark, sf_dir)
+    d = (norm2(F.col("v")) + norm2(F.col("cv"))
+         - 2 * dot(F.col("v"), F.col("cv")))
+    return (emb.select("vec_id", F.col("embedding").alias("v"))
+            .join(F.broadcast(cents))
+            .select("vec_id", "cid", d.alias("d"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cid")).getField("cid")
+                 .alias("centroid_id")))
+
+
+_IVF_FIXED_PRELUDE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings
+),
+seed AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {IVF_FIXED_K}
+),
+assign0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, s.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, e.v)
+                      + list_dot_product(s.cv, s.cv)
+                      - 2 * list_dot_product(e.v, s.cv), s.cid) AS rn
+    FROM e CROSS JOIN seed s
+    WHERE e.vec_id < {IVF_TRAIN_N})
+  WHERE rn = 1
+),
+vals AS (
+  SELECT a.cid, dd.d, e.v[dd.d] AS x
+  FROM e JOIN assign0 a USING (vec_id)
+  CROSS JOIN generate_series(1, {EMB_DIM}) AS dd(d)
+),
+cents AS (
+  SELECT cid, array_agg(m ORDER BY d) AS cv FROM (
+    SELECT cid, d, (sum(x::decimal(27,10)))::double / count(*) AS m
+    FROM vals GROUP BY 1, 2)
+  GROUP BY 1
+),
+fixed_assign AS (
+  SELECT vec_id, cid AS centroid_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, e.v)
+                      + list_dot_product(c.cv, c.cv)
+                      - 2 * list_dot_product(e.v, c.cv), c.cid) AS rn
+    FROM e CROSS JOIN cents c)
+  WHERE rn = 1
+)"""
+
+IVF_ASSIGN_FIXED_SQL = f"""{_IVF_FIXED_PRELUDE}
+SELECT vec_id, centroid_id FROM fixed_assign
+"""
+
+
+def dedup_semantic_survivors_ivf_fixed(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """SemDeDup over fixed-K coarse cells — :func:`dedup_semantic_survivors_ivf`
+    with its assignment stage swapped to the corpus-size-decoupled
+    quantizer (the verdict-r9 composition ask).
+
+    Same exact-duplicate collapse (:func:`_vector_classes`), same exact
+    cosine ≥ NEAR_DUP_THRESHOLD verification within a cell, same
+    min-id-wins policy; only the cell structure differs.  Assignment is
+    O(N · K) against a broadcast codebook instead of O(N²/MOD) against
+    the corpus slice.  Honest trade: with K fixed, cell density grows
+    ∝ N, so within-cell pair volume needs the hot-cell split / candidate
+    cap documented in SCALE.md once cells outgrow memory."""
+    emb = table(spark, sf_dir, "embeddings")
+    reps, members = _vector_classes(emb)
+    member_dominated = members.select("vec_id")
+    cents = _ivf_fixed_centroids(spark, sf_dir)
+    d = (norm2(F.col("v")) + norm2(F.col("cv"))
+         - 2 * dot(F.col("v"), F.col("cv")))
+    cells = (reps.select("vec_id", F.col("embedding").alias("v"))
+             .join(F.broadcast(cents))
+             .select("vec_id", "cid", d.alias("d"))
+             .groupBy("vec_id")
+             .agg(F.min(F.struct("d", "cid")).getField("cid")
+                  .alias("centroid_id")))
+    v = reps.select("vec_id", "embedding",
+                    F.sqrt(norm2(F.col("embedding"))).alias("nrm"))
+    tagged = (v.join(cells, "vec_id")
+              .repartition(spark.sparkContext.defaultParallelism,
+                           "centroid_id"))
+    a = tagged.select(F.col("centroid_id").alias("ca"),
+                      F.col("vec_id").alias("id_a"),
+                      F.col("embedding").alias("va"),
+                      F.col("nrm").alias("na"))
+    b = tagged.select(F.col("centroid_id").alias("cb"),
+                      F.col("vec_id").alias("id_b"),
+                      F.col("embedding").alias("vb"),
+                      F.col("nrm").alias("nb"))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dominated = (
+        a.join(b, (F.col("ca") == F.col("cb"))
+               & (F.col("id_a") < F.col("id_b")))
+        .where(sim >= NEAR_DUP_THRESHOLD)
+        .select(F.col("id_b").alias("vec_id"))
+        .unionByName(member_dominated)
+        .distinct()
+    )
+    return (emb.join(dominated, "vec_id", "left_anti")
+            .select("vec_id", "label"))
+
+
+SEMANTIC_SURVIVORS_IVF_FIXED_SQL = f"""{_IVF_FIXED_PRELUDE},
+lab AS (
+  SELECT e.vec_id, e.v, fixed_assign.centroid_id
+  FROM e JOIN fixed_assign USING (vec_id)
+),
+dominated AS (
+  SELECT DISTINCT b.vec_id
+  FROM lab a JOIN lab b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {NEAR_DUP_THRESHOLD}
+)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
+"""
+
+
 QUERIES = {
     "embedding_matryoshka_recall": embedding_matryoshka_recall,
     "embeddings_cluster_sample": embeddings_cluster_sample,
@@ -1836,6 +2023,8 @@ QUERIES = {
     "ivf_knn_nprobe": ivf_knn_nprobe,
     "ivf_assign_refined": ivf_assign_refined,
     "ivf_assign_lloyd": ivf_assign_lloyd,
+    "ivf_assign_fixed": ivf_assign_fixed,
+    "dedup_semantic_survivors_ivf_fixed": dedup_semantic_survivors_ivf_fixed,
     "embedding_norms": embedding_norms,
     "knn_bruteforce": knn_bruteforce,
     "near_dup_pairs_cosine": near_dup_pairs_cosine,
@@ -1863,6 +2052,8 @@ ORACLES = {
     "ivf_knn_nprobe": IVF_KNN_NPROBE_SQL,
     "ivf_assign_refined": IVF_REFINED_SQL,
     "ivf_assign_lloyd": IVF_LLOYD_SQL,
+    "ivf_assign_fixed": IVF_ASSIGN_FIXED_SQL,
+    "dedup_semantic_survivors_ivf_fixed": SEMANTIC_SURVIVORS_IVF_FIXED_SQL,
     "embedding_norms": NORMS_SQL,
     "knn_bruteforce": KNN_SQL,
     "near_dup_pairs_cosine": NEAR_DUP_SQL,

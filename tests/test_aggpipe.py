@@ -3732,3 +3732,43 @@ def test_window_reversed_bounds_raise(spark):
                          "window": {"documents": ["unbounded",
                                                   "current"]}}}}}])
     assert sorted((r.k, r.s) for r in ok.collect()) == [(1, 1.0), (2, 3.0)]
+
+
+def test_datediff_week_startofweek_matrix_vs_duckdb(spark):
+    """r10 verdict item 5: $dateDiff week counts startOfWeek-boundary
+    CROSSINGS — property matrix across all seven startOfWeek values ×
+    a DST-free epoch grid (both directions, same-day, exact-boundary
+    pairs) against the DuckDB formula used by the driver oracle."""
+    import datetime as dt
+
+    import duckdb
+
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    # endpoints straddle week boundaries in both directions
+    offsets = [0, 1, 2, 3, 4, 5, 6, 7, 8, 13, 14, 20, -1, -3, -6, -7,
+               -8, -13, -15, 27]
+    pairs = [(base + dt.timedelta(days=a, hours=ha),
+              base + dt.timedelta(days=b, hours=hb))
+             for a in offsets[:8] for b in offsets
+             for ha, hb in ((0, 0), (23, 1))]
+    df = spark.createDataFrame(pairs, "a timestamp, b timestamp")
+    days = ["sunday", "monday", "tuesday", "wednesday", "thursday",
+            "friday", "saturday"]
+    got = aggregate(df, [{"$project": {
+        "a": 1, "b": 1,
+        **{f"w_{d}": {"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                                    "unit": "week", "startOfWeek": d}}
+           for d in days}}}]).collect()
+
+    con = duckdb.connect()
+    for r in got:
+        for off, d in [(0, "sunday"), (1, "monday"), (2, "tuesday"),
+                       (3, "wednesday"), (4, "thursday"), (5, "friday"),
+                       (6, "saturday")]:
+            want = con.execute(
+                f"SELECT (date_diff('day', "
+                f"  ?::timestamp::date - ((dayofweek(?::timestamp) + 7 - {off}) % 7)::int, "
+                f"  ?::timestamp::date - ((dayofweek(?::timestamp) + 7 - {off}) % 7)::int) // 7)::bigint",
+                [r.a, r.a, r.b, r.b]).fetchone()[0]
+            assert getattr(r, f"w_{d}") == want, (r.a, r.b, d)
+    con.close()

@@ -119,3 +119,41 @@ def test_exact_duplicate_collapse_is_answer_preserving(spark, tmp_path):
     shift = max(base_ids) + 1
     for vid in base_ids:
         assert by_id[vid + shift] == by_id[vid]  # clone codes = rep codes
+
+
+def test_fixed_k_coarse_quantizer_is_corpus_decoupled(spark):
+    """r10: the fixed-K coarse quantizer's codebook is ≤ IVF_FIXED_K rows
+    at every SF (corpus-size decoupling — the last SCALE.md residual),
+    assignments cover every vector exactly once, and the ivf_fixed dedup
+    keeps exactly the min-id representative of every exact-duplicate
+    class (answer preservation of the collapse composed with fixed-K
+    cells)."""
+    from mongo_hadoop_spark.operators.similarity import (
+        IVF_FIXED_K, _ivf_fixed_centroids,
+        dedup_semantic_survivors_ivf_fixed, ivf_assign_fixed,
+    )
+    from mongo_hadoop_spark.session import table
+
+    sf = "/root/testdata/sf0.001"
+    cents = _ivf_fixed_centroids(spark, sf).collect()
+    assert 0 < len(cents) <= IVF_FIXED_K
+    assert all(len(c.cv) == EMB_DIM for c in cents)
+
+    emb_n = table(spark, sf, "embeddings").count()
+    assign = ivf_assign_fixed(spark, sf)
+    got = assign.collect()
+    assert len(got) == emb_n                      # every vector, once
+    cids = {c.cid for c in cents}
+    assert {r.centroid_id for r in got} <= cids   # only trained cells
+
+    # exact-duplicate classes: every non-min member must be dominated
+    dup = table(spark, sf, "embeddings").select(
+        "vec_id", F.md5(F.to_json(F.struct("embedding"))).alias("k"))
+    import collections
+    cls = collections.defaultdict(list)
+    for r in dup.collect():
+        cls[r.k].append(r.vec_id)
+    non_min = {v for ids in cls.values() for v in ids if v != min(ids)}
+    survivors = {r.vec_id for r in
+                 dedup_semantic_survivors_ivf_fixed(spark, sf).collect()}
+    assert not (survivors & non_min)
