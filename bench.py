@@ -84,6 +84,19 @@ BENCH_QUERIES_R9 = [
 R8_SET = frozenset(BENCH_QUERIES)
 BENCH_QUERIES = BENCH_QUERIES + BENCH_QUERIES_R9
 
+# round 10 additions (r9 verdict item 2: the heaviest still-unbenched
+# surfaces named by the judge — authority dedup, connected components,
+# WordPiece, PCA whitening — plus this round's new gates).  R9_SET keeps
+# the r9 72-query subtotal as the cross-round comparison line.
+BENCH_QUERIES_R10 = [
+    "dedup_survivors_by_authority", "dedup_connected_clusters",
+    "corpus_wordpiece_compression", "embedding_pca_whitened",
+    "ivf_assign_fixed", "dedup_semantic_survivors_ivf_fixed",
+    "pipeline_window_percentiles_approx", "pipeline_datediff_weekstarts",
+]
+R9_SET = frozenset(BENCH_QUERIES)
+BENCH_QUERIES = BENCH_QUERIES + BENCH_QUERIES_R10
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -174,6 +187,9 @@ def main() -> None:
         # basis (the full total grows with every widening)
         "r8_subset_total_sec": r8_subtotal,
         "r8_subset_n": len(R8_SET),
+        "r9_subset_total_sec": round(
+            sum(v for k, v in timings.items() if k in R9_SET), 3),
+        "r9_subset_n": len(R9_SET),
         "queries": timings,
         # plan-output sanity across rounds: a timing shift that comes with
         # a row-count shift is a semantics change, not a perf change

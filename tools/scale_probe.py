@@ -54,6 +54,10 @@ DEFAULT_QUERIES = [
     "pipeline_bucket_auto_granularity_approx",
     "corpus_pretrain_token_budget", "multimodal_pack_interleaved",
     "pipeline_window_percentiles", "pipeline_window_range_frames",
+    # r10 additions: the fixed-K coarse quantizer pair (the production
+    # assignment path) and the new window/date gates
+    "ivf_assign_fixed", "dedup_semantic_survivors_ivf_fixed",
+    "pipeline_window_percentiles_approx", "pipeline_datediff_weekstarts",
 ]
 
 
