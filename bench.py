@@ -93,6 +93,7 @@ BENCH_QUERIES_R10 = [
     "corpus_wordpiece_compression", "embedding_pca_whitened",
     "ivf_assign_fixed", "dedup_semantic_survivors_ivf_fixed",
     "pipeline_window_percentiles_approx", "pipeline_datediff_weekstarts",
+    "ivf_pq_knn_fixed",
 ]
 R9_SET = frozenset(BENCH_QUERIES)
 BENCH_QUERIES = BENCH_QUERIES + BENCH_QUERIES_R10

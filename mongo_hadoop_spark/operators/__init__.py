@@ -43,7 +43,7 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 # changed-with-pinned-hash compile path (pipeline_array_aggregates:
 # its {$sum:"$q"} now dispatches through the r10 scalar-pass-through
 # type check — array input, plan unchanged) lead, then ALL 32 queries
-# whose latest driver verdicts date from round 5, then the 13 oldest
+# whose latest driver verdicts date from round 5, then the 12 oldest
 # round-6 rows fill the 50-entry prefix.  The remaining r6 rows queue
 # just below the window for round 11; fully-green r7/r8/r9 verdicts
 # rotate to the tail.
@@ -51,6 +51,7 @@ _HEAD_KEYS = [
     # new this round — never driver-verified
     "ivf_assign_fixed",
     "dedup_semantic_survivors_ivf_fixed",
+    "ivf_pq_knn_fixed",
     "pipeline_window_percentiles_approx",
     "pipeline_datediff_weekstarts",
     # changed this round — compile path touched, hash pinned unchanged
@@ -80,8 +81,8 @@ _HEAD_KEYS = [
     "corpus_repetition_yield", "corpus_source_mixture_docs",
     "corpus_token_quotas", "dedup_cluster_stats",
     "dedup_connected_clusters", "dedup_survivors_by_authority",
-    "documents_chunk_windows",
     # --- 50-entry window boundary (r11 rotation starts here) ---
+    "documents_chunk_windows",
     "documents_fim_transform", "embedding_gram_matrix",
     "embedding_matryoshka_recall", "embedding_pca_whitened",
     "embedding_pq_codes_fixed", "embedding_pq_codes_trained",

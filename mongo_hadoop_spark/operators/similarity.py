@@ -2014,6 +2014,130 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
 """
 
 
+def ivf_pq_knn_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving with EVERY piece of index state corpus-independent
+    — the end-to-end production composition (r10): coarse cells from the
+    fixed-K quantizer (:func:`ivf_assign_fixed`), codes and ADC tables
+    from the fixed PQ codebook (:func:`embedding_pq_codes_fixed`).
+
+    vs :func:`ivf_pq_knn` (whose coarse codebook is the corpus slice and
+    grows ∝ N): here the broadcast state is K=16 coarse centroids +
+    16×8 PQ codewords + PQ_FIXED_Q×8×16 ADC cells — CONSTANT at any
+    corpus size, so the only N-proportional cost is the one scan that
+    assigns/scores candidates.  Probe ranking uses the same squared-L2
+    metric as the fixed assignment (cells and probes must agree on the
+    metric or recall silently degrades at the cell boundaries).
+    """
+    emb = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cells = ivf_assign_fixed(spark, sf_dir)
+    codes = embedding_pq_codes_fixed(spark, sf_dir)
+    stack_args = ", ".join(f"{j}, code_{j}" for j in range(PQ_SUBSPACES))
+    codes_long = codes.selectExpr(
+        "vec_id", f"stack({PQ_SUBSPACES}, {stack_args}) AS (j, cid)")
+
+    cents = _ivf_fixed_centroids(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < PQ_FIXED_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    cd = (norm2(F.col("qv")) + norm2(F.col("cv"))
+          - 2 * dot(F.col("qv"), F.col("cv")))
+    wp = Window.partitionBy("qid").orderBy(F.col("cd").asc(), F.col("cid"))
+    probes = (q.join(F.broadcast(cents))
+              .select("qid", "cid", cd.alias("cd"))
+              .withColumn("rn", F.row_number().over(wp))
+              .where(F.col("rn") <= IVF_PQ_NPROBE)
+              .select("qid", F.col("cid").alias("centroid_id")))
+
+    tables = _pq_fixed_tables(spark, sf_dir)
+    scored = (
+        codes_long.join(cells, "vec_id")
+        .join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(tables), ["qid", "j", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.expr(_ADC_FOLD).alias("adc_d"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_d").asc(),
+                                          F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= PQ_ADC_K)
+            .select("qid", F.col("vec_id").alias("neighbor_id"), "rank"))
+
+
+# the coarse CTEs are c-prefixed so they compose with _PQ_FIXED_PRELUDE's
+# subvector-level names (e/sub/seed/assign0/vals/refined/best) in one WITH
+_IVF_FIXED_COARSE_CTES = f"""cseed AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {IVF_FIXED_K}
+),
+cassign0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, s.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, e.v)
+                      + list_dot_product(s.cv, s.cv)
+                      - 2 * list_dot_product(e.v, s.cv), s.cid) AS rn
+    FROM e CROSS JOIN cseed s
+    WHERE e.vec_id < {IVF_TRAIN_N})
+  WHERE rn = 1
+),
+cvals AS (
+  SELECT a.cid, dd.d, e.v[dd.d] AS x
+  FROM e JOIN cassign0 a USING (vec_id)
+  CROSS JOIN generate_series(1, {EMB_DIM}) AS dd(d)
+),
+ccents AS (
+  SELECT cid, array_agg(m ORDER BY d) AS cv FROM (
+    SELECT cid, d, (sum(x::decimal(27,10)))::double / count(*) AS m
+    FROM cvals GROUP BY 1, 2)
+  GROUP BY 1
+),
+fixed_cells AS (
+  SELECT vec_id, cid AS centroid_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, e.v)
+                      + list_dot_product(c.cv, c.cv)
+                      - 2 * list_dot_product(e.v, c.cv), c.cid) AS rn
+    FROM e CROSS JOIN ccents c)
+  WHERE rn = 1
+)"""
+
+IVF_PQ_KNN_FIXED_SQL = f"""{_PQ_FIXED_PRELUDE},
+{_IVF_FIXED_COARSE_CTES},
+probes AS (
+  SELECT qid, centroid_id FROM (
+    SELECT q.vec_id AS qid, c.cid AS centroid_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, q.v)
+                      + list_dot_product(c.cv, c.cv)
+                      - 2 * list_dot_product(q.v, c.cv), c.cid) AS rn
+    FROM e q CROSS JOIN ccents c
+    WHERE q.vec_id < {PQ_FIXED_Q})
+  WHERE rn <= {IVF_PQ_NPROBE}
+),
+{_PQ_FIXED_TABLES_SQL},
+scored AS (
+  SELECT t.qid, b.vec_id,
+         list_reduce(
+           list_prepend(0.0::double, array_agg(t.d ORDER BY b.j)),
+           (a, x) -> a + x) AS adc_d
+  FROM best b
+  JOIN fixed_cells ON fixed_cells.vec_id = b.vec_id
+  JOIN probes p ON p.centroid_id = fixed_cells.centroid_id
+  JOIN tables t ON t.qid = p.qid AND t.j = b.j AND t.cid = b.cid
+  GROUP BY 1, 2
+)
+SELECT qid, vec_id AS neighbor_id, rank FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_d, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {PQ_ADC_K}
+"""
+
+
 QUERIES = {
     "embedding_matryoshka_recall": embedding_matryoshka_recall,
     "embeddings_cluster_sample": embeddings_cluster_sample,
@@ -2038,6 +2162,7 @@ QUERIES = {
     "embedding_pq_codes_fixed": embedding_pq_codes_fixed,
     "pq_knn_adc_fixed": pq_knn_adc_fixed,
     "ivf_pq_knn": ivf_pq_knn,
+    "ivf_pq_knn_fixed": ivf_pq_knn_fixed,
     "ivf_recall_report": ivf_recall_report,
     "lsh_bucket_assign": lsh_bucket_assign,
     "lsh_bucket_histogram": lsh_bucket_histogram,
@@ -2067,6 +2192,7 @@ ORACLES = {
     "embedding_pq_codes_fixed": PQ_FIXED_CODES_SQL,
     "pq_knn_adc_fixed": PQ_ADC_FIXED_SQL,
     "ivf_pq_knn": IVF_PQ_KNN_SQL,
+    "ivf_pq_knn_fixed": IVF_PQ_KNN_FIXED_SQL,
     "ivf_recall_report": IVF_RECALL_SQL,
     "lsh_bucket_assign": LSH_ASSIGN_SQL,
     "lsh_bucket_histogram": LSH_HIST_SQL,

@@ -57,6 +57,7 @@ DEFAULT_QUERIES = [
     # r10 additions: the fixed-K coarse quantizer pair (the production
     # assignment path) and the new window/date gates
     "ivf_assign_fixed", "dedup_semantic_survivors_ivf_fixed",
+    "ivf_pq_knn_fixed",
     "pipeline_window_percentiles_approx", "pipeline_datediff_weekstarts",
 ]
 
