@@ -99,6 +99,17 @@ HEADLINE = [
      "Mongo-7.0 window $median/$percentile: keyed frames, no global"),
     ("pipeline_window_range_frames",
      "time-bounded RANGE windows: epoch-millis rangeBetween, keyed"),
+    # r10: the fixed-K coarse quantizer family + new gates
+    ("ivf_assign_fixed",
+     "fixed-K coarse assignment: broadcast codebook, fused argmin agg"),
+    ("dedup_semantic_survivors_ivf_fixed",
+     "SemDeDup on fixed-K cells: collapse + cell equi-join + anti-join"),
+    ("ivf_pq_knn_fixed",
+     "corpus-independent IVF-PQ: all index state broadcast"),
+    ("pipeline_window_percentiles_approx",
+     "windowed approx_percentile: bounded GK state per frame"),
+    ("pipeline_datediff_weekstarts",
+     "week-convention day arithmetic on the join, one keyed agg"),
 ]
 
 
@@ -143,7 +154,7 @@ def main() -> int:
     queries = operators.all_queries()
 
     lines = [
-        "# PLANS — physical plans of the headline queries (round 9)",
+        "# PLANS — physical plans of the headline queries (round 10)",
         "",
         "Generated by `python tools/plan_report.py` (re-run after",
         "plan-affecting changes).  The properties line summarizes what",
