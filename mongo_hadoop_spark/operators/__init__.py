@@ -37,9 +37,10 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 # Registry order is part of the verification contract: external harnesses may
 # only sample a prefix of ``queries()``, so the entries that most need a fresh
 # cross-engine check come first.  Round-10 rotation (the round-9 verdict's
-# item 1): the 4 queries new this round (the fixed-K coarse quantizer
-# pair, the windowed approx-percentile production-mode twin, and the
-# $dateDiff startOfWeek convention gate) plus the one
+# item 1): the 5 queries new this round (the fixed-K coarse quantizer
+# pair + its IVF-PQ serving composition, the windowed approx-percentile
+# production-mode twin, and the $dateDiff startOfWeek convention gate)
+# plus the one
 # changed-with-pinned-hash compile path (pipeline_array_aggregates:
 # its {$sum:"$q"} now dispatches through the r10 scalar-pass-through
 # type check — array input, plan unchanged) lead, then ALL 32 queries
@@ -73,7 +74,7 @@ _HEAD_KEYS = [
     "sketch_cms_estimates", "sketch_cms_tokens", "sketch_ddq_buckets",
     "sketch_ddq_quantiles", "text_bigram_surprisal", "text_gopher_quality",
     "text_unigram_surprisal",
-    # r06-verified — oldest thirteen fill the window; the rest queue
+    # r06-verified — oldest twelve fill the window; the rest queue
     # below it (alphabetical within the era: equally stale, stable order)
     "corpus_crawl_increment", "corpus_doremi_quotas",
     "corpus_doremi_weights", "corpus_dsir_selected",

@@ -2031,13 +2031,23 @@ def ivf_pq_knn_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    cells = ivf_assign_fixed(spark, sf_dir)
     codes = embedding_pq_codes_fixed(spark, sf_dir)
     stack_args = ", ".join(f"{j}, code_{j}" for j in range(PQ_SUBSPACES))
     codes_long = codes.selectExpr(
         "vec_id", f"stack({PQ_SUBSPACES}, {stack_args}) AS (j, cid)")
 
+    # ONE trained-centroid subtree feeds both the cell assignment and
+    # the probe ranking (r10 review finding: calling ivf_assign_fixed
+    # here rebuilt the whole Lloyd-training subplan a second time)
     cents = _ivf_fixed_centroids(spark, sf_dir)
+    d = (norm2(F.col("v")) + norm2(F.col("cv"))
+         - 2 * dot(F.col("v"), F.col("cv")))
+    cells = (emb.select("vec_id", F.col("embedding").alias("v"))
+             .join(F.broadcast(cents))
+             .select("vec_id", "cid", d.alias("d"))
+             .groupBy("vec_id")
+             .agg(F.min(F.struct("d", "cid")).getField("cid")
+                  .alias("centroid_id")))
     q = emb.where(F.col("vec_id") < PQ_FIXED_Q).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     cd = (norm2(F.col("qv")) + norm2(F.col("cv"))

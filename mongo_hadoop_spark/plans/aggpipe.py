@@ -668,7 +668,11 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         total = F.aggregate(arr, F.lit(0.0),
                             lambda acc, x: acc + x.cast("double"))
         if op == "$sum":
-            return total
+            # a NULL/missing operand sums to 0 like the server ($sum
+            # "returns 0 if all operands are non-numeric") — without
+            # the coalesce a null ARRAY column propagated null (r10
+            # review finding), diverging from the scalar pass-through
+            return F.coalesce(total, F.lit(0.0))
         n = F.size(arr)
         return F.when(n > 0, total / n.cast("double"))
     if op in ("$stdDevPop", "$stdDevSamp"):
@@ -4481,14 +4485,21 @@ def aggregate(df: DataFrame, pipeline: list[dict],
 
     token = _APPROX_PCTL.set(
         _resolve_percentile_accuracy(df, percentile_accuracy))
-    rand_token = _RAND_SEQ.set(itertools.count())
+    # seed the $rand occurrence sequence only at the OUTERMOST aggregate:
+    # $facet/$lookup/$unionWith sub-pipelines recurse through aggregate(),
+    # and resetting here would restart their $rand sites at index 0 —
+    # sibling branches would then draw correlated values (the exact
+    # defect the occurrence salt exists to prevent)
+    rand_token = (_RAND_SEQ.set(itertools.count())
+                  if _RAND_SEQ.get() is None else None)
     try:
         out = _aggregate_impl(df, _push_sort_limit(pipeline),
                               tables=tables, store_path=store_path,
                               client_factory=client_factory,
                               spool_path=spool_path)
     finally:
-        _RAND_SEQ.reset(rand_token)
+        if rand_token is not None:
+            _RAND_SEQ.reset(rand_token)
         _APPROX_PCTL.reset(token)
     for hidden in (_VS_SCORE_COL, _GEO_DIST_COL, _SEARCH_SCORE_COL,
                    _SEARCH_HIGHLIGHTS_COL, _TEXT_SCORE_COL,

@@ -3008,8 +3008,10 @@ def test_array_accumulator_expressions(spark):
     assert abs(r1.sd - (2 / 3) ** 0.5) < 1e-12
     # empty array: $sum -> 0, $avg/$median -> null, $maxN -> []
     assert (r2.s, r2.a, r2.med, r2.top2) == (0.0, None, None, [])
-    # null array: null through every operator
-    assert (r3.s, r3.a, r3.med) == (None, None, None)
+    # null array: $sum -> 0 (server ignores non-numeric operands and
+    # "returns 0 if all operands are non-numeric" — r10 review fix);
+    # $avg/$median stay null
+    assert (r3.s, r3.a, r3.med) == (0.0, None, None)
     assert (r4.s, r4.med, r4.f, r4.l) == (5.0, 5, 5, 5)
     # list-form $max/$min (the pre-existing surface) still compiles
     rows = aggregate(df, [
@@ -3708,7 +3710,8 @@ def test_sum_avg_scalar_field_path_passthrough(people):
     assert [x.a for x in got] == [10.5, 20.0, None, 7.25]  # null → null
     assert all(x.sn == 0 for x in got)      # non-numeric → 0
     assert all(x.an is None for x in got)   # non-numeric → null
-    assert [x.nt for x in got] == [2.0, 0.0, None, 1.0]  # array folds
+    # array folds; a NULL array sums to 0 like the server (not null)
+    assert [x.nt for x in got] == [2.0, 0.0, 0.0, 1.0]
 
 
 def test_window_reversed_bounds_raise(spark):
@@ -3772,3 +3775,21 @@ def test_datediff_week_startofweek_matrix_vs_duckdb(spark):
                 [r.a, r.a, r.b, r.b]).fetchone()[0]
             assert getattr(r, f"w_{d}") == want, (r.a, r.b, d)
     con.close()
+
+
+def test_rand_facet_branches_decorrelate(spark):
+    """r10 review finding: $facet/$lookup sub-pipelines recurse through
+    aggregate(); the $rand occurrence sequence must NOT reset per
+    branch, or sibling facets draw identical values per row."""
+    df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    out = aggregate(df, [{"$facet": {
+        "a": [{"$match": {"$expr": {"$lt": [{"$rand": {}}, 0.5]}}},
+              {"$project": {"id": 1}}],
+        "b": [{"$match": {"$expr": {"$lt": [{"$rand": {}}, 0.5]}}},
+              {"$project": {"id": 1}}],
+    }}]).collect()[0]
+    keep_a = {r.id for r in out.a}
+    keep_b = {r.id for r in out.b}
+    # each branch keeps ~half; correlated branches would be identical
+    assert keep_a != keep_b
+    assert 40 < len(keep_a) < 160 and 40 < len(keep_b) < 160
