@@ -116,6 +116,28 @@ def expr_to_col(expr, env: dict[str, Column] | None = None) -> Column:
 
 
 
+def _date_fmt(fmt: str) -> str:
+    """Translate a Mongo date format string to the Spark pattern.
+
+    Unknown ``%`` specifiers raise instead of passing through as
+    literal characters (r10 — a silent pass-through rendered e.g.
+    ``%V`` ISO-week requests as the literal text "%V" in every row).
+    ``%%`` is the server's literal percent.
+    """
+    import re as _re
+
+    out = fmt.replace("%%", "\x00")
+    for m, j in (("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"),
+                 ("%M", "mm"), ("%S", "ss"), ("%L", "SSS"), ("%j", "DDD")):
+        out = out.replace(m, j)
+    left = _re.search(r"%.?", out)
+    if left:
+        raise ValueError(
+            f"unsupported date format specifier {left.group(0)!r} "
+            f"(supported: %Y %m %d %H %M %S %L %j %%)")
+    return out.replace("\x00", "%")
+
+
 def _truthy(col: Column) -> Column:
     """Mongo boolean coercion for expression contexts: null and 0 are
     falsy, other numbers/booleans truthy (``cast("boolean")`` maps numeric
@@ -169,8 +191,12 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
     if op == "$floor":
         return F.floor(E(operand))
     if op == "$round":
+        # bround, not round: the server rounds HALF TO EVEN ("uses the
+        # 'round half to even' approach to perform rounding") — Spark's
+        # F.round is half-up, which disagrees on every exact .5
+        # ($round(2.5) is 2 on the server, 3 under half-up)
         e, places = (operand if isinstance(operand, list) else (operand, 0))
-        return F.round(E(e), places if isinstance(places, int) else 0)
+        return F.bround(E(e), places if isinstance(places, int) else 0)
     if op == "$sqrt":
         return F.sqrt(E(operand))
     if op == "$pow":
@@ -186,8 +212,13 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         return {"$eq": a == b, "$ne": a != b, "$gt": a > b,
                 "$gte": a >= b, "$lt": a < b, "$lte": a <= b}[op]
     if op == "$cmp":
+        # null sorts LOWEST in the BSON ordering (SURVEY §1.2), so
+        # $cmp(null, x) is -1, not 0 — a null-propagating `<` would
+        # fall through every when() and return 0 (r10 fix)
         a, b = _binary(operand)
-        return F.when(a < b, -1).when(a > b, 1).otherwise(0)
+        return (F.when(a.isNull() & b.isNull(), 0)
+                .when(a.isNull(), -1).when(b.isNull(), 1)
+                .when(a < b, -1).when(a > b, 1).otherwise(0))
     # boolean (operands coerced with Mongo truthiness: null/0 → false) ---
     if op == "$and":
         cols = [_truthy(E(x)) for x in operand]
@@ -224,12 +255,26 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         return F.length(E(operand))
     if op == "$substrCP":
         s, start, ln = operand
-        # Mongo is 0-based, Spark substring is 1-based
-        return F.substring(E(s), (start if isinstance(start, int) else 0) + 1,
-                           ln if isinstance(ln, int) else 0)
+        # Mongo is 0-based, Spark substring is 1-based.  Literal
+        # start/length validate the server's nonnegative rule at compile
+        # time; expression forms compile through (r10 — previously a
+        # non-literal start was SILENTLY read as 0).
+        for nm, v in (("starting index", start), ("length", ln)):
+            if isinstance(v, bool) or (isinstance(v, int) and v < 0):
+                raise ValueError(f"$substrCP: the {nm} must be a "
+                                 f"nonnegative integer (got {v!r})")
+        start_c = F.lit(start + 1) if isinstance(start, int) \
+            else (E(start).cast("int") + 1)
+        ln_c = F.lit(ln) if isinstance(ln, int) else E(ln).cast("int")
+        return F.substring(E(s), start_c, ln_c)
     if op == "$split":
         s, delim = operand
-        # literal delimiter, not a regex (server semantics)
+        # literal delimiter, not a regex (server semantics); the server
+        # rejects an empty separator outright
+        if not isinstance(delim, str) or delim == "":
+            raise ValueError(
+                "$split requires a non-empty string literal delimiter "
+                f"(got {delim!r})")
         import re as _re
         return F.split(E(s), _re.escape(delim))
     if op in ("$trim", "$ltrim", "$rtrim"):
@@ -382,8 +427,18 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
             entries = F.array(*[E(e) for e in arr[0]])
         else:
             entries = E(arr)
-        return F.map_from_entries(
-            F.transform(entries, lambda x: F.struct(x["k"], x["v"])))
+        ent = F.transform(entries, lambda x: F.struct(x["k"], x["v"]))
+        # duplicate keys: the server keeps the LAST value; Spark's
+        # map_from_entries THROWS under the default mapKeyDedupPolicy
+        # (a session conf this compiler must not depend on).  Keep each
+        # entry only if no LATER entry shares its key — last-wins with
+        # first-appearance ordering, O(entries²) per row on small
+        # per-document arrays.
+        dedup = F.filter(ent, lambda x, i: ~F.exists(
+            F.slice(ent, i + F.lit(2),
+                    F.greatest(F.size(ent) - i - 1, F.lit(0))),
+            lambda y: y["k"] == x["k"]))
+        return F.map_from_entries(dedup)
     # conversion ---------------------------------------------------------
     if op == "$toInt":
         return E(operand).cast("int")
@@ -456,11 +511,7 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
                 .otherwise(converted)
         return F.when(inp.isNull(), F.lit(None)).otherwise(converted)
     if op == "$dateFromString":
-        fmt = operand.get("format", "%Y-%m-%dT%H:%M:%S")
-        for m, j in (("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"),
-                     ("%H", "HH"), ("%M", "mm"), ("%S", "ss"),
-                     ("%L", "SSS"), ("%j", "DDD")):
-            fmt = fmt.replace(m, j)
+        fmt = _date_fmt(operand.get("format", "%Y-%m-%dT%H:%M:%S"))
         ds = E(operand["dateString"])
         parsed = F.try_to_timestamp(ds, F.lit(fmt))
         if "onError" in operand:
@@ -857,10 +908,7 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         return E(operand["startDate"]) + F.make_dt_interval(
             **{kw: F.lit(amount)})
     if op == "$dateToString":
-        fmt = operand.get("format", "%Y-%m-%dT%H:%M:%S")
-        for m, j in (("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"),
-                     ("%M", "mm"), ("%S", "ss"), ("%L", "SSS"), ("%j", "DDD")):
-            fmt = fmt.replace(m, j)
+        fmt = _date_fmt(operand.get("format", "%Y-%m-%dT%H:%M:%S"))
         return F.date_format(E(operand["date"]), fmt)
     if op == "$dateToParts":
         d = E(operand["date"] if isinstance(operand, dict) else operand)

@@ -3793,3 +3793,67 @@ def test_rand_facet_branches_decorrelate(spark):
     # each branch keeps ~half; correlated branches would be identical
     assert keep_a != keep_b
     assert 40 < len(keep_a) < 160 and 40 < len(keep_b) < 160
+
+
+def test_round_half_to_even(spark):
+    """$round rounds half to even like the server (banker's rounding):
+    2.5 → 2, 3.5 → 4, -2.5 → -2; places form 1.25 → 1.2."""
+    df = spark.createDataFrame(
+        [(1, 2.5), (2, 3.5), (3, -2.5), (4, 1.25)], "id long, x double")
+    got = aggregate(df, [{"$sort": {"id": 1}}, {"$project": {
+        "r": {"$round": "$x"}, "r1": {"$round": ["$x", 1]}}}]).collect()
+    assert [g.r for g in got] == [2.0, 4.0, -2.0, 1.0]
+    assert got[3].r1 == 1.2
+
+
+def test_array_to_object_duplicate_keys_last_wins(spark):
+    """$arrayToObject with duplicate keys keeps the LAST value (server
+    semantics) instead of throwing under Spark's default
+    mapKeyDedupPolicy=EXCEPTION."""
+    df = spark.createDataFrame([(1,)], "id long")
+    got = aggregate(df, [{"$project": {
+        "o": {"$arrayToObject": [[
+            {"k": "a", "v": 1}, {"k": "b", "v": 2}, {"k": "a", "v": 3},
+        ]]},
+    }}]).collect()[0]
+    assert dict(got.o) == {"a": 3, "b": 2}
+
+
+def test_substrcp_expression_bounds_and_split_empty_delim(spark):
+    """r10: $substrCP accepts EXPRESSION start/length (previously a
+    non-literal start silently became 0) and validates literal
+    negatives like the server; $split rejects the empty separator."""
+    df = spark.createDataFrame([("hello", 1, 3), ("world", 2, 2)],
+                               "s string, st int, ln int")
+    got = aggregate(df, [{"$project": {
+        "sub": {"$substrCP": ["$s", "$st", "$ln"]},
+        "lit": {"$substrCP": ["$s", 0, 2]},
+    }}]).collect()
+    assert [(g.sub, g.lit) for g in got] == [("ell", "he"), ("rl", "wo")]
+    with pytest.raises(ValueError, match="nonnegative"):
+        aggregate(df, [{"$project": {"x": {"$substrCP": ["$s", -1, 2]}}}])
+    with pytest.raises(ValueError, match="non-empty"):
+        aggregate(df, [{"$project": {"x": {"$split": ["$s", ""]}}}])
+
+
+def test_cmp_null_sorts_lowest(spark):
+    """$cmp follows BSON ordering: null < any value, null == null."""
+    df = spark.createDataFrame([(None, 5), (5, None), (None, None),
+                                (3, 5)], "a int, b int")
+    got = aggregate(df, [{"$project": {"c": {"$cmp": ["$a", "$b"]}}}]).collect()
+    assert [g.c for g in got] == [-1, 1, 0, -1]
+
+
+def test_date_format_unknown_specifier_raises(spark):
+    """Unknown % specifiers raise instead of rendering literally; %%
+    stays a literal percent."""
+    import datetime as dt
+
+    df = spark.createDataFrame([(dt.datetime(2024, 3, 7, 22, 45),)],
+                               "a timestamp")
+    with pytest.raises(ValueError, match="unsupported date format"):
+        aggregate(df, [{"$project": {"s": {"$dateToString": {
+            "date": "$a", "format": "%G-%V"}}}}])
+    got = aggregate(df, [{"$project": {"s": {"$dateToString": {
+        "date": "$a", "format": "%Y%%%m"}}}}]).collect()[0]
+    assert got.s == "2024%03"
