@@ -530,9 +530,18 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
             lambda x: expr_to_col(operand["in"], {**(env or {}), var: x, "this": x}))
     if op == "$filter":
         var = operand.get("as", "this")
-        return F.filter(
+        filtered = F.filter(
             E(operand["input"]),
             lambda x: expr_to_col(operand["cond"], {**(env or {}), var: x, "this": x}))
+        limit = operand.get("limit")
+        if limit is None:
+            return filtered
+        # Mongo 5.2 limit: first n matches (previously IGNORED silently)
+        if not isinstance(limit, int) or isinstance(limit, bool) \
+                or limit < 1:
+            raise ValueError("$filter limit must be a positive integer "
+                             f"literal (got {limit!r})")
+        return F.slice(filtered, 1, limit)
     if op == "$reduce":
         return F.aggregate(
             E(operand["input"]), E(operand["initialValue"]),
@@ -645,7 +654,26 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
     if op == "$indexOfArray":
         arr, search = operand[0], operand[1]
         # array_position is 1-based with 0 = absent; Mongo is 0-based/-1
-        return (F.array_position(E(arr), E(search)) - 1).cast("int")
+        if len(operand) == 2:
+            return (F.array_position(E(arr), E(search)) - 1).cast("int")
+        # 4-arg range form (search within [start, end)); index reported
+        # against the ORIGINAL array — previously the extra args were
+        # IGNORED silently (r10)
+        start = operand[2]
+        end = operand[3] if len(operand) > 3 else None
+        for nm, v in (("start", start), ("end", end)):
+            if v is not None and (not isinstance(v, int)
+                                  or isinstance(v, bool) or v < 0):
+                raise ValueError(f"$indexOfArray {nm} must be a "
+                                 f"nonnegative integer literal (got {v!r})")
+        a = E(arr)
+        window = (F.slice(a, start + 1,
+                          F.greatest(F.size(a) - start, F.lit(0)))
+                  if end is None
+                  else F.slice(a, start + 1, max(end - start, 0)))
+        pos = F.array_position(window, E(search))
+        return F.when(pos > 0, (pos + start - 1).cast("int")) \
+            .otherwise(F.when(a.isNotNull(), F.lit(-1)).cast("int"))
     if op == "$setUnion":
         cols = [E(x) for x in operand]
         out = cols[0]

@@ -3857,3 +3857,31 @@ def test_date_format_unknown_specifier_raises(spark):
     got = aggregate(df, [{"$project": {"s": {"$dateToString": {
         "date": "$a", "format": "%Y%%%m"}}}}]).collect()[0]
     assert got.s == "2024%03"
+
+
+def test_filter_limit_and_indexofarray_range(spark):
+    """r10: $filter honors the Mongo-5.2 limit arg (previously ignored
+    silently); $indexOfArray honors the 4-arg [start, end) range form,
+    reporting the index against the original array."""
+    df = spark.createDataFrame([(1, [1, 5, 2, 6, 3, 7])],
+                               "id long, xs array<int>")
+    got = aggregate(df, [{"$project": {
+        "f2": {"$filter": {"input": "$xs", "as": "x",
+                           "cond": {"$gt": ["$$x", 2]}, "limit": 2}},
+        "i_all": {"$indexOfArray": ["$xs", 3]},
+        "i_from": {"$indexOfArray": ["$xs", 5, 2]},
+        "i_rng": {"$indexOfArray": ["$xs", 6, 1, 3]},
+        "i_miss": {"$indexOfArray": ["$xs", 6, 1, 3]},
+        "i_in": {"$indexOfArray": ["$xs", 2, 1, 4]},
+    }}]).collect()[0]
+    assert got.f2 == [5, 6]
+    assert got.i_all == 4
+    assert got.i_from == -1        # 5 sits at index 1, before start=2
+    assert got.i_rng == -1         # 6 is at index 3, outside [1, 3)
+    assert got.i_in == 2
+    with pytest.raises(ValueError, match="limit"):
+        aggregate(df, [{"$project": {"x": {"$filter": {
+            "input": "$xs", "cond": True, "limit": 0}}}}])
+    with pytest.raises(ValueError, match="nonnegative"):
+        aggregate(df, [{"$project": {"x": {"$indexOfArray":
+                                           ["$xs", 1, -2]}}}])
