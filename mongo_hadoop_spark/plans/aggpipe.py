@@ -263,9 +263,15 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
             if isinstance(v, bool) or (isinstance(v, int) and v < 0):
                 raise ValueError(f"$substrCP: the {nm} must be a "
                                  f"nonnegative integer (got {v!r})")
+        # Expression forms are clamped to >= 0 at runtime (r11, per
+        # ADVICE): the server ERRORS on a negative start/length, but a
+        # raw negative here would silently flip Spark's substring into
+        # count-from-the-end semantics — clamping keeps the result inside
+        # server-reachable space (documented deviation: clamp, not raise).
         start_c = F.lit(start + 1) if isinstance(start, int) \
-            else (E(start).cast("int") + 1)
-        ln_c = F.lit(ln) if isinstance(ln, int) else E(ln).cast("int")
+            else (F.greatest(E(start).cast("int"), F.lit(0)) + 1)
+        ln_c = F.lit(ln) if isinstance(ln, int) \
+            else F.greatest(E(ln).cast("int"), F.lit(0))
         return F.substring(E(s), start_c, ln_c)
     if op == "$split":
         s, delim = operand
@@ -431,9 +437,10 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         # duplicate keys: the server keeps the LAST value; Spark's
         # map_from_entries THROWS under the default mapKeyDedupPolicy
         # (a session conf this compiler must not depend on).  Keep each
-        # entry only if no LATER entry shares its key — last-wins with
-        # first-appearance ordering, O(entries²) per row on small
-        # per-document arrays.
+        # entry only if no LATER entry shares its key — last-wins, with
+        # each surviving key at its LAST-occurrence position (e.g.
+        # [a,b,a] -> [b,a]); O(entries²) per row on small per-document
+        # arrays.
         dedup = F.filter(ent, lambda x, i: ~F.exists(
             F.slice(ent, i + F.lit(2),
                     F.greatest(F.size(ent) - i - 1, F.lit(0))),
@@ -653,9 +660,24 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
             **{kw: F.lit(amount)})
     if op == "$indexOfArray":
         arr, search = operand[0], operand[1]
-        # array_position is 1-based with 0 = absent; Mongo is 0-based/-1
+
+        # Null-safe 0-based first-match scan (r11, per ADVICE): the server
+        # compares with aggregation equality, under which null == null, so
+        # a null search value FINDS null elements (and misses → -1) — it
+        # does not poison the result.  array_position cannot express that
+        # (null search → null), so both forms share one eqNullSafe fold;
+        # a null ARRAY still yields null (HOFs propagate null input).
+        def _nullsafe_idx(window, needle):
+            indexed = F.transform(
+                window, lambda x, i: F.struct(x.alias("v"), i.alias("i")))
+            return F.aggregate(
+                indexed, F.lit(-1),
+                lambda acc, s: F.when(
+                    (acc == -1) & s["v"].eqNullSafe(needle),
+                    s["i"].cast("int")).otherwise(acc))
+
         if len(operand) == 2:
-            return (F.array_position(E(arr), E(search)) - 1).cast("int")
+            return _nullsafe_idx(E(arr), E(search))
         # 4-arg range form (search within [start, end)); index reported
         # against the ORIGINAL array — previously the extra args were
         # IGNORED silently (r10)
@@ -671,8 +693,8 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
                           F.greatest(F.size(a) - start, F.lit(0)))
                   if end is None
                   else F.slice(a, start + 1, max(end - start, 0)))
-        pos = F.array_position(window, E(search))
-        return F.when(pos > 0, (pos + start - 1).cast("int")) \
+        pos = _nullsafe_idx(window, E(search))
+        return F.when(pos >= 0, (pos + start).cast("int")) \
             .otherwise(F.when(a.isNotNull(), F.lit(-1)).cast("int"))
     if op == "$setUnion":
         cols = [E(x) for x in operand]
@@ -1817,12 +1839,19 @@ def _project_expr(df: DataFrame, v) -> Column:
         if isinstance(op_v, str) and op_v.startswith("$"):
             name = op_v[1:]
             if "." not in name and name in df.columns:
-                from pyspark.sql.types import ArrayType, NumericType
+                from pyspark.sql.types import (ArrayType, DecimalType,
+                                               NumericType)
+
+                from mongo_hadoop_spark.functions import dec_to_double
 
                 dt = df.schema[name].dataType
                 if not isinstance(dt, ArrayType):
                     if isinstance(dt, NumericType):
                         c = F.col(name)
+                        # decimals normalize to double like the bare
+                        # field-path branch above (r11, per ADVICE)
+                        if isinstance(dt, DecimalType):
+                            c = dec_to_double(c)
                         return (F.coalesce(c, F.lit(0))
                                 if agg_op == "$sum" else c)
                     return (F.lit(0) if agg_op == "$sum"

@@ -3885,3 +3885,50 @@ def test_filter_limit_and_indexofarray_range(spark):
     with pytest.raises(ValueError, match="nonnegative"):
         aggregate(df, [{"$project": {"x": {"$indexOfArray":
                                            ["$xs", 1, -2]}}}])
+
+
+def test_indexofarray_null_safe_both_forms(spark):
+    """r11 ADVICE: a null search value behaves identically in the 2-arg
+    and range forms — aggregation equality treats null == null, so a null
+    needle FINDS null elements and otherwise yields -1 (never a poisoned
+    null result); a null ARRAY still yields null in both forms."""
+    df = spark.createDataFrame(
+        [(1, [1, None, 3], None),
+         (2, [1, 2, 3], None),
+         (3, None, None)],
+        "id long, xs array<int>, nil int")
+    got = aggregate(df, [{"$project": {
+        "id": 1,
+        "two": {"$indexOfArray": ["$xs", "$nil"]},
+        "rng": {"$indexOfArray": ["$xs", "$nil", 0, 3]},
+        "from2": {"$indexOfArray": ["$xs", "$nil", 2]},
+    }}, {"$sort": {"id": 1}}]).collect()
+    assert [r.two for r in got] == [1, -1, None]
+    assert [r.rng for r in got] == [1, -1, None]
+    assert [r.from2 for r in got] == [-1, -1, None]
+
+
+def test_substrcp_runtime_negative_clamps(spark):
+    """r11 ADVICE: an expression start/length that evaluates negative at
+    runtime is clamped to 0 (documented deviation: the server errors) —
+    it must NOT flip into Spark substring's count-from-the-end mode."""
+    df = spark.createDataFrame([("abcdef", -2, -3)],
+                               "s string, st int, ln int")
+    got = aggregate(df, [{"$project": {
+        "neg_start": {"$substrCP": ["$s", "$st", 3]},
+        "neg_len": {"$substrCP": ["$s", 1, "$ln"]},
+    }}]).collect()[0]
+    assert got.neg_start == "abc"   # clamped start=0, not tail "ef"
+    assert got.neg_len == ""        # clamped length=0, not from-the-end
+
+
+def test_sum_avg_scalar_passthrough_decimal_normalizes(spark):
+    """r11 ADVICE: the {$sum|$avg: "$field"} scalar pass-through
+    normalizes DecimalType to double like the bare field-path branch."""
+    df = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "id", "cast(1.5 as decimal(12,2)) as price")
+    got = aggregate(df, [{"$project": {
+        "s": {"$sum": "$price"}, "a": {"$avg": "$price"}}}])
+    assert dict(got.dtypes) == {"s": "double", "a": "double"}
+    r = got.collect()[0]
+    assert r.s == 1.5 and r.a == 1.5

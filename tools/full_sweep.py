@@ -73,7 +73,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"[{i + 1}/{len(queries)}] {name}: FAILED "
-                  f"({errors[name].splitlines()[0]})", file=sys.stderr)
+                  f"({errors[name].partition(chr(10))[0]})", file=sys.stderr)
             continue
         timings[name] = round(best, 3)
         rows_out[name] = rows
