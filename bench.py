@@ -98,6 +98,13 @@ BENCH_QUERIES_R10 = [
 R9_SET = frozenset(BENCH_QUERIES)
 BENCH_QUERIES = BENCH_QUERIES + BENCH_QUERIES_R10
 
+# round 11 addition: the per-cell-capped SemDeDup composition (the gated
+# hot-cell mitigation).  R10_SET keeps the r10 81-query subtotal as the
+# cross-round comparison line.
+BENCH_QUERIES_R11 = ["dedup_semantic_survivors_ivf_capped"]
+R10_SET = frozenset(BENCH_QUERIES)
+BENCH_QUERIES = BENCH_QUERIES + BENCH_QUERIES_R11
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -191,6 +198,9 @@ def main() -> None:
         "r9_subset_total_sec": round(
             sum(v for k, v in timings.items() if k in R9_SET), 3),
         "r9_subset_n": len(R9_SET),
+        "r10_subset_total_sec": round(
+            sum(v for k, v in timings.items() if k in R10_SET), 3),
+        "r10_subset_n": len(R10_SET),
         "queries": timings,
         # plan-output sanity across rounds: a timing shift that comes with
         # a row-count shift is a semantics change, not a perf change
@@ -248,6 +258,7 @@ def main() -> None:
     # This short line always fits at the end of any tail.
     compact = {k: out[k] for k in ("metric", "value", "unit",
                                    "r8_subset_total_sec", "r8_subset_n",
+                                   "r10_subset_total_sec", "r10_subset_n",
                                    "sf",
                                    "repeats", "timing", "materialize",
                                    "n_queries",

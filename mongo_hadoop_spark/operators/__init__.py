@@ -36,53 +36,23 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 
 # Registry order is part of the verification contract: external harnesses may
 # only sample a prefix of ``queries()``, so the entries that most need a fresh
-# cross-engine check come first.  Round-10 rotation (the round-9 verdict's
-# item 1): the 5 queries new this round (the fixed-K coarse quantizer
-# pair + its IVF-PQ serving composition, the windowed approx-percentile
-# production-mode twin, and the $dateDiff startOfWeek convention gate)
-# plus the one
-# changed-with-pinned-hash compile path (pipeline_array_aggregates:
-# its {$sum:"$q"} now dispatches through the r10 scalar-pass-through
-# type check — array input, plan unchanged) lead, then ALL 32 queries
-# whose latest driver verdicts date from round 5, then the 12 oldest
-# round-6 rows fill the 50-entry prefix.  The remaining r6 rows queue
-# just below the window for round 11; fully-green r7/r8/r9 verdicts
-# rotate to the tail.
+# cross-engine check come first.  Round-11 rotation (the round-10 verdict's
+# item 2): the query new this round (the per-cell-capped SemDeDup
+# composition — the gated hot-cell mitigation), then the
+# changed-with-pinned-hash paths (embedding_pq_codes / pq_knn_adc /
+# ivf_assign now load through guard_quadratic — an identity wrapper, plan
+# unchanged; pipeline_array_aggregates dispatches through the r11
+# decimal-normalizing scalar-pass-through type check — array input, plan
+# unchanged), then ALL 26 queries whose latest driver verdicts date from
+# round 6, then the 20 oldest round-7 rows fill the 50-entry prefix.
+# The remaining r7 rows queue just below the window for round 12;
+# fully-green r8/r9/r10 verdicts rotate to the tail.
 _HEAD_KEYS = [
     # new this round — never driver-verified
-    "ivf_assign_fixed",
-    "dedup_semantic_survivors_ivf_fixed",
-    "ivf_pq_knn_fixed",
-    "pipeline_window_percentiles_approx",
-    "pipeline_datediff_weekstarts",
-    # changed this round — compile path touched, hash pinned unchanged
-    "pipeline_array_aggregates",
-    # r05-verified — the 32 oldest outstanding driver verdicts
-    "dedup_duplicate_spans",
-    "documents_priority_sample",
-    "documents_span_dedup_survivors", "documents_span_stats",
-    "events_asof_next_order", "pipeline_bitwise_flags",
-    "pipeline_event_calculus", "pipeline_fill_linear",
-    "pipeline_geo_within", "pipeline_jsonschema_gate",
-    "pipeline_lookup_correlated", "pipeline_match_operators",
-    "pipeline_object_to_array", "pipeline_price_percentiles",
-    "pipeline_redact_levels", "pipeline_regex_type_report",
-    "pipeline_search_bm25", "pipeline_search_fuzzy",
-    "pipeline_search_querystring", "pipeline_search_wildcard",
-    "pipeline_text_search", "pipeline_top_orders_per_status",
-    "pipeline_vector_search", "sketch_bloom_audit", "sketch_bloom_tokens",
-    "sketch_cms_estimates", "sketch_cms_tokens", "sketch_ddq_buckets",
-    "sketch_ddq_quantiles", "text_bigram_surprisal", "text_gopher_quality",
-    "text_unigram_surprisal",
-    # r06-verified — oldest twelve fill the window; the rest queue
-    # below it (alphabetical within the era: equally stale, stable order)
-    "corpus_crawl_increment", "corpus_doremi_quotas",
-    "corpus_doremi_weights", "corpus_dsir_selected",
-    "corpus_perplexity_buckets", "corpus_quota_fill",
-    "corpus_repetition_yield", "corpus_source_mixture_docs",
-    "corpus_token_quotas", "dedup_cluster_stats",
-    "dedup_connected_clusters", "dedup_survivors_by_authority",
-    # --- 50-entry window boundary (r11 rotation starts here) ---
+    "dedup_semantic_survivors_ivf_capped",
+    # changed this round — code path touched, hash pinned unchanged
+    "embedding_pq_codes", "pq_knn_adc", "pipeline_array_aggregates",
+    # r06-verified — the 26 oldest outstanding driver verdicts
     "documents_chunk_windows",
     "documents_fim_transform", "embedding_gram_matrix",
     "embedding_matryoshka_recall", "embedding_pca_whitened",
@@ -95,6 +65,27 @@ _HEAD_KEYS = [
     "pipeline_score_fusion", "pipeline_search_highlights",
     "pipeline_search_meta_facets", "pq_knn_adc_fixed",
     "skew_salted_rollup", "text_repetition_flags", "tpch_q11_value_share",
+    # r07-verified — guard-touched ivf_assign first, then the oldest
+    # nineteen (alphabetical within the era: equally stale, stable order)
+    "ivf_assign",
+    "a1_avg_by_year", "a3_pair_counts", "a5_frequent_short_tokens",
+    "broadcast_dim_join", "corpus_chunk_dedup", "corpus_decontaminate",
+    "corpus_dup_spans", "corpus_span_excised", "corpus_span_increment",
+    "count_distinct_suppliers", "cube_agg", "custom_sort_comparator",
+    "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_minhash_verified",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_span_alignments",
+    "embedding_quantize_int8",
+    # --- 50-entry window boundary (r12 rotation starts here) ---
+    "events_session_windows", "f3_sort_limit", "f4_skip_pagination",
+    "hive_pushdown_conjunction", "ivf_knn", "ivf_knn_nprobe",
+    "ivf_recall_report", "json_roundtrip", "knn_bruteforce",
+    "lsh_bucket_histogram", "near_dup_pairs_cosine",
+    "pipeline_geo_intersects", "pipeline_geo_near",
+    "pipeline_geo_near_sphere", "rollup_agg", "s2_dotted_key_extract",
+    "s6_tokenize_stats", "s8_multi_union", "set_except", "set_intersect",
+    "text_langid", "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q18",
+    "tpch_q22_antijoin", "tpch_q4_semijoin", "treasury_doubled",
+    "u2_objectid_seconds", "window_spend_quartiles",
 ]
 
 

@@ -456,8 +456,15 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: broadcast the tiny centroid table, score every (vector,
     centroid) pair JVM-side, keep the argmin per vector via a ranking
     window partitioned by vec_id.  The inverted lists this induces are
-    what bounds the search space in :func:`ivf_knn`."""
-    emb = table(spark, sf_dir, "embeddings").repartition(
+    what bounds the search space in :func:`ivf_knn`.
+
+    Guarded (r11): the mod-slice centroid table grows ∝ N (measured
+    2.4-3.5x at 8x, SCALE.md r10) — this is a teaching baseline; the
+    corpus-independent production path is :func:`ivf_assign_fixed`."""
+    emb = guard_quadratic(
+        table(spark, sf_dir, "embeddings"), "ivf_assign",
+        "ivf_assign_fixed", cache_key=f"{sf_dir}/embeddings",
+    ).repartition(
         spark.sparkContext.defaultParallelism
     )
     scored = (
@@ -717,8 +724,14 @@ def ivf_assign_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dimension mean is one shuffle keyed by (cell, dim) — fully
     partial-aggregated map-side — and re-assignment reuses the broadcast
     argmin pattern of :func:`ivf_assign`.  Fixed iteration count keeps it
-    reproducible; :func:`ivf_assign_lloyd` loops it for more rounds."""
-    emb = table(spark, sf_dir, "embeddings").repartition(
+    reproducible; :func:`ivf_assign_lloyd` loops it for more rounds.
+
+    Guarded (r11): mod-slice centroids ∝ N — teaching baseline; the
+    production path is :func:`ivf_assign_fixed`."""
+    emb = guard_quadratic(
+        table(spark, sf_dir, "embeddings"), "ivf_assign_refined",
+        "ivf_assign_fixed", cache_key=f"{sf_dir}/embeddings",
+    ).repartition(
         spark.sparkContext.defaultParallelism
     )
     return _lloyd_round(emb, ivf_assign(spark, sf_dir))
@@ -802,8 +815,14 @@ def ivf_assign_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-exact too.  The unrolled DAG grows linearly in rounds (each
     round's assignment feeds the next round's means exactly once); at
     production scale you would checkpoint the assignment every few rounds
-    to cap lineage, which changes nothing about the per-round plan."""
-    emb = table(spark, sf_dir, "embeddings").repartition(
+    to cap lineage, which changes nothing about the per-round plan.
+
+    Guarded (r11): mod-slice centroids ∝ N — teaching baseline; the
+    production path is :func:`ivf_assign_fixed`."""
+    emb = guard_quadratic(
+        table(spark, sf_dir, "embeddings"), "ivf_assign_lloyd",
+        "ivf_assign_fixed", cache_key=f"{sf_dir}/embeddings",
+    ).repartition(
         spark.sparkContext.defaultParallelism
     )
     a = ivf_assign(spark, sf_dir)
@@ -1019,8 +1038,14 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     remains the strictly-linear path when distinct count itself grows
     with the corpus, since this teaching variant's mod-slice codebook
     C grows ∝ N).
+
+    Guarded (r11): the mod-slice codebook grows ∝ N — teaching
+    baseline; the production path is :func:`embedding_pq_codes_fixed`.
     """
-    emb = table(spark, sf_dir, "embeddings").repartition(
+    emb = guard_quadratic(
+        table(spark, sf_dir, "embeddings"), "embedding_pq_codes",
+        "embedding_pq_codes_fixed", cache_key=f"{sf_dir}/embeddings",
+    ).repartition(
         spark.sparkContext.defaultParallelism
     )
     reps, members = _vector_classes(emb)
@@ -1107,8 +1132,14 @@ def embedding_pq_codes_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     (subspace, code, dim)-keyed mean shuffle (map-side partial), then
     the broadcast argmin re-assignment of :func:`embedding_pq_codes`.
     More rounds = loop this plan (the `ivf_assign_lloyd` pattern).
+
+    Guarded (r11): the trained codebook seed set grows ∝ N — teaching
+    baseline; the production path is :func:`embedding_pq_codes_fixed`.
     """
-    emb = table(spark, sf_dir, "embeddings").repartition(
+    emb = guard_quadratic(
+        table(spark, sf_dir, "embeddings"), "embedding_pq_codes_trained",
+        "embedding_pq_codes_fixed", cache_key=f"{sf_dir}/embeddings",
+    ).repartition(
         spark.sparkContext.defaultParallelism
     )
     sub = emb.select(
@@ -1446,8 +1477,15 @@ def ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ties → centroid id), ADC totals the ordered fold of
     :func:`pq_knn_adc` — every float op is a sequential fold shared
     bit-for-bit with DuckDB.
+
+    Guarded (r11): composes mod-slice centroid + codebook tables (both
+    ∝ N) — teaching baseline; the fully corpus-independent serving path
+    is :func:`ivf_pq_knn_fixed`.
     """
-    emb = table(spark, sf_dir, "embeddings").repartition(
+    emb = guard_quadratic(
+        table(spark, sf_dir, "embeddings"), "ivf_pq_knn",
+        "ivf_pq_knn_fixed", cache_key=f"{sf_dir}/embeddings",
+    ).repartition(
         spark.sparkContext.defaultParallelism
     )
     cells = ivf_assign(spark, sf_dir)
@@ -2014,6 +2052,115 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
 """
 
 
+#: per-cell anchor budget for the capped SemDeDup composition — the
+#: hot-cell mitigation (r11, verdict item 4).  Deterministic: the C
+#: smallest rep vec_ids of each cell.
+CELL_ANCHOR_CAP = 32
+
+
+def dedup_semantic_survivors_ivf_capped(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """:func:`dedup_semantic_survivors_ivf_fixed` with a per-cell
+    CANDIDATE CAP — the gated hot-cell mitigation for the fixed-K
+    composition's N²/K within-cell pair volume (SCALE.md r10 residual).
+
+    Within each coarse cell, only the ``CELL_ANCHOR_CAP`` smallest-id
+    representatives act as ANCHORS; every rep is scored against its
+    cell's anchors (anchor id < candidate id), so pair volume is
+    ≤ C·|cell| per cell — Σ = C·N, LINEAR in the corpus even when one
+    cell absorbs everything (the planted-hot-cell regime the probe test
+    pins).  Exact-duplicate classes are still collapsed first
+    (:func:`_vector_classes`), so verbatim clones can neither blow up a
+    cell nor waste anchor slots.
+
+    Documented recall contract: a rep is deduplicated iff one of its
+    cell's C smallest-id reps dominates it (cosine ≥ threshold).  With
+    ≤ C distinct classes per cell this is EXACTLY the uncapped fixed-K
+    answer; beyond that, duplicates whose smaller-id partner ranks past
+    the anchor budget are missed — the accepted trade of every capped
+    clustered dedup (size C to the expected distinct-class density, or
+    run the uncapped variant per-cell on overflow cells).
+
+    Plan: the anchor ranking (row_number over centroid_id) and the
+    anchor×member join share ONE centroid_id shuffle; a hot cell costs
+    a per-cell sort (O(|cell| log |cell|)), never a quadratic join.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    reps, members = _vector_classes(emb)
+    member_dominated = members.select("vec_id")
+    cents = _ivf_fixed_centroids(spark, sf_dir)
+    d = (norm2(F.col("v")) + norm2(F.col("cv"))
+         - 2 * dot(F.col("v"), F.col("cv")))
+    cells = (reps.select("vec_id", F.col("embedding").alias("v"))
+             .join(F.broadcast(cents))
+             .select("vec_id", "cid", d.alias("d"))
+             .groupBy("vec_id")
+             .agg(F.min(F.struct("d", "cid")).getField("cid")
+                  .alias("centroid_id")))
+    v = reps.select("vec_id", "embedding",
+                    F.sqrt(norm2(F.col("embedding"))).alias("nrm"))
+    tagged = (v.join(cells, "vec_id")
+              .repartition(spark.sparkContext.defaultParallelism,
+                           "centroid_id"))
+    w = Window.partitionBy("centroid_id").orderBy("vec_id")
+    anchors = (tagged
+               .withColumn("rk", F.row_number().over(w))
+               .where(F.col("rk") <= CELL_ANCHOR_CAP)
+               .select(F.col("centroid_id").alias("ca"),
+                       F.col("vec_id").alias("id_a"),
+                       F.col("embedding").alias("va"),
+                       F.col("nrm").alias("na")))
+    b = tagged.select(F.col("centroid_id").alias("cb"),
+                      F.col("vec_id").alias("id_b"),
+                      F.col("embedding").alias("vb"),
+                      F.col("nrm").alias("nb"))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dominated = (
+        anchors.join(b, (F.col("ca") == F.col("cb"))
+                     & (F.col("id_a") < F.col("id_b")))
+        .where(sim >= NEAR_DUP_THRESHOLD)
+        .select(F.col("id_b").alias("vec_id"))
+        .unionByName(member_dominated)
+        .distinct()
+    )
+    return (emb.join(dominated, "vec_id", "left_anti")
+            .select("vec_id", "label"))
+
+
+# the oracle mirrors the collapse (min-id per DISTINCT double vector —
+# float→double is injective, so double-list grouping ≡ the Spark md5
+# class key), the anchor ranking, and the capped pairing exactly
+SEMANTIC_SURVIVORS_IVF_CAPPED_SQL = f"""{_IVF_FIXED_PRELUDE},
+reps AS (
+  SELECT min(vec_id) AS vec_id, v FROM e GROUP BY v
+),
+lab AS (
+  SELECT r.vec_id, r.v, fixed_assign.centroid_id
+  FROM reps r JOIN fixed_assign ON r.vec_id = fixed_assign.vec_id
+),
+anchors AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT lab.*, row_number() OVER (
+      PARTITION BY centroid_id ORDER BY vec_id) AS rk
+    FROM lab)
+  WHERE rk <= {CELL_ANCHOR_CAP}
+),
+dominated AS (
+  SELECT DISTINCT b.vec_id
+  FROM anchors a JOIN lab b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {NEAR_DUP_THRESHOLD}
+  UNION
+  SELECT e.vec_id FROM e
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM reps)
+)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
+"""
+
+
 def ivf_pq_knn_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ serving with EVERY piece of index state corpus-independent
     — the end-to-end production composition (r10): coarse cells from the
@@ -2159,6 +2306,7 @@ QUERIES = {
     "ivf_assign_lloyd": ivf_assign_lloyd,
     "ivf_assign_fixed": ivf_assign_fixed,
     "dedup_semantic_survivors_ivf_fixed": dedup_semantic_survivors_ivf_fixed,
+    "dedup_semantic_survivors_ivf_capped": dedup_semantic_survivors_ivf_capped,
     "embedding_norms": embedding_norms,
     "knn_bruteforce": knn_bruteforce,
     "near_dup_pairs_cosine": near_dup_pairs_cosine,
@@ -2189,6 +2337,7 @@ ORACLES = {
     "ivf_assign_lloyd": IVF_LLOYD_SQL,
     "ivf_assign_fixed": IVF_ASSIGN_FIXED_SQL,
     "dedup_semantic_survivors_ivf_fixed": SEMANTIC_SURVIVORS_IVF_FIXED_SQL,
+    "dedup_semantic_survivors_ivf_capped": SEMANTIC_SURVIVORS_IVF_CAPPED_SQL,
     "embedding_norms": NORMS_SQL,
     "knn_bruteforce": KNN_SQL,
     "near_dup_pairs_cosine": NEAR_DUP_SQL,

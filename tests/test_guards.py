@@ -85,3 +85,31 @@ def test_probe_cache_invalidated_on_file_change(spark, tmp_path):
     guards.guard_quadratic(spark.range(10), "op", "alt",
                            max_rows=50, cache_key=key)
     assert len(guards._PROBE_CACHE) == 2
+
+
+@pytest.mark.parametrize("op, fixed_twin", [
+    ("ivf_assign", "ivf_assign_fixed"),
+    ("ivf_assign_refined", "ivf_assign_fixed"),
+    ("ivf_assign_lloyd", "ivf_assign_fixed"),
+    ("embedding_pq_codes", "embedding_pq_codes_fixed"),
+    ("embedding_pq_codes_trained", "embedding_pq_codes_fixed"),
+    ("ivf_pq_knn", "ivf_pq_knn_fixed"),
+])
+def test_mod_slice_teaching_variants_guarded(spark, monkeypatch, op,
+                                             fixed_twin):
+    """r11 (verdict item 3): the mod-slice variants carry centroid/codebook
+    tables ∝ N (2.4-3.5x at 8x, SCALE.md r10) — each refuses oversized
+    inputs with a pointer to its corpus-independent _fixed twin."""
+    from mongo_hadoop_spark import guards
+
+    guards._PROBE_CACHE.clear()
+    monkeypatch.setenv("SPARK_GRAFT_QUADRATIC_MAX_ROWS", "10")
+    with pytest.raises(QuadraticInputError, match=fixed_twin):
+        getattr(similarity, op)(spark, SF_SMOKE)
+    guards._PROBE_CACHE.clear()
+
+
+def test_mod_slice_variants_build_at_default_bound(spark):
+    # smoke tables sit far under 200k rows — plans still build and run
+    assert similarity.ivf_assign(spark, SF_SMOKE).count() >= 0
+    assert similarity.embedding_pq_codes(spark, SF_SMOKE).count() >= 0

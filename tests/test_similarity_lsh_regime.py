@@ -157,3 +157,65 @@ def test_fixed_k_coarse_quantizer_is_corpus_decoupled(spark):
     survivors = {r.vec_id for r in
                  dedup_semantic_survivors_ivf_fixed(spark, sf).collect()}
     assert not (survivors & non_min)
+
+
+def test_capped_semdedup_hot_cell_contract(spark, tmp_path):
+    """r11 (verdict item 4): the per-cell-capped SemDeDup composition
+    under a PLANTED hot-cell corpus — near-duplicate replicas (distinct
+    vectors, cosine ≈ 1, same fixed-K cell, strictly larger ids), the
+    regime where the uncapped fixed-K composition's within-cell pair
+    volume grows quadratically.
+
+    Contract pinned here:
+    (a) anchor stability — replicas carry larger ids than every base
+        vector, so each cell's CELL_ANCHOR_CAP smallest-id anchors are
+        unchanged and the BASE ids' survivor decisions are identical to
+        the un-planted corpus;
+    (b) recall containment — the cap can only MISS dominations, never
+        invent them: capped survivors ⊇ uncapped fixed-K survivors,
+        on both the plain and the planted corpus;
+    (c) member domination — exact-duplicate class members are still
+        dominated outright (the collapse runs ahead of the cap).
+    """
+    import pyspark.sql.functions as F
+
+    from mongo_hadoop_spark.operators.similarity import (
+        dedup_semantic_survivors_ivf_capped,
+        dedup_semantic_survivors_ivf_fixed)
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path / "hot_sf")
+    (tmp_path / "hot_sf").mkdir()
+    base = spark.read.parquet(f"{src}/embeddings.parquet")
+    shift = base.agg(F.max("vec_id")).collect()[0][0] + 1
+    planted = base
+    for i in (1, 2):   # 3x corpus: base + two near-dup replicas
+        planted = planted.unionByName(
+            base.withColumn("vec_id", F.col("vec_id") + i * shift)
+            .withColumn("embedding", F.expr(
+                "transform(embedding, (x, j) -> CAST(CASE WHEN j = 0 "
+                f"THEN x + {i}e-5 ELSE x END AS FLOAT))")))
+    planted.write.parquet(f"{out}/embeddings.parquet")
+
+    base_ids = {r.vec_id for r in base.select("vec_id").collect()}
+    cap_plain = {r.vec_id for r in
+                 dedup_semantic_survivors_ivf_capped(spark, src).collect()}
+    cap_hot = {r.vec_id for r in
+               dedup_semantic_survivors_ivf_capped(spark, out).collect()}
+    fix_plain = {r.vec_id for r in
+                 dedup_semantic_survivors_ivf_fixed(spark, src).collect()}
+    fix_hot = {r.vec_id for r in
+               dedup_semantic_survivors_ivf_fixed(spark, out).collect()}
+
+    assert cap_hot & base_ids == cap_plain          # (a)
+    assert cap_plain >= fix_plain                   # (b)
+    assert cap_hot >= fix_hot                       # (b)
+    # (c): plant one exact clone class and check outright domination
+    clone_out = str(tmp_path / "clone_sf")
+    (tmp_path / "clone_sf").mkdir()
+    clones = base.withColumn("vec_id", F.col("vec_id") + 10 * shift)
+    base.unionByName(clones).write.parquet(f"{clone_out}/embeddings.parquet")
+    cap_clone = {r.vec_id for r in dedup_semantic_survivors_ivf_capped(
+        spark, clone_out).collect()}
+    assert cap_clone <= base_ids                    # every clone dominated
+    assert cap_clone == cap_plain                   # reps' decisions intact

@@ -86,8 +86,23 @@ def main(argv: list[str]) -> int:
     if row_drift:
         print("ROW-COUNT DRIFT (semantics change, not perf): "
               + ", ".join(f"{k} {br[k]}->{nr[k]}" for k in sorted(row_drift)))
-    print(f"\nTOTAL {base['value']:.3f} -> {new['value']:.3f} "
-          f"({new['value'] / base['value']:.3f}x)"
+    # Like-for-like subset totals, NAMED by the files being compared —
+    # the r10 verdict caught a comparability line that divided a shared-
+    # subset numerator by a different round's full-set denominator.  The
+    # headline ratio is always sum-over-shared vs sum-over-shared.
+    b_sub = sum(bq[k] for k in shared)
+    n_sub = sum(nq[k] for k in shared)
+    print(f"\nSHARED SUBSET ({len(shared)} queries): "
+          f"{argv[0]} {b_sub:.3f}s -> {argv[1]} {n_sub:.3f}s "
+          f"({n_sub / max(b_sub, 1e-3):.3f}x)")
+    med = sorted(ratio(k) for k in shared)[len(shared) // 2] if shared \
+        else float("nan")
+    print(f"median per-query ratio: {med:.2f}x")
+    # bench.py records "value"; full_sweep.py records "total_sec"
+    bv = base.get("value", base.get("total_sec", b_sub))
+    nv = new.get("value", new.get("total_sec", n_sub))
+    print(f"FULL TOTAL (sets may differ): {bv:.3f} -> "
+          f"{nv:.3f} ({nv / bv:.3f}x)"
           + (f"  [new: {new.get('n_failed', 0)} failed]"))
     if regressed:
         print(f"FAIL: {len(regressed)} queries over {threshold}x: "

@@ -70,7 +70,8 @@ def _round_up(x: int, m: int) -> int:
 _WS = r"filter(split(text, '\\s+'), x -> x != '')"
 
 
-def build_replicas(spark, out_dir: str, realistic_docs: bool = False) -> None:
+def build_replicas(spark, out_dir: str, realistic_docs: bool = False,
+                   neardup_embeddings: bool = False) -> None:
     from mongo_hadoop_spark.session import table
 
     os.makedirs(out_dir, exist_ok=True)
@@ -137,7 +138,22 @@ def build_replicas(spark, out_dir: str, realistic_docs: bool = False) -> None:
     vshift = _round_up(emb.agg(F.max("vec_id")).collect()[0][0] + 1, 500)
     out = emb
     for i in range(1, MULTS["embeddings"]):
-        out = out.unionByName(emb.withColumn("vec_id", F.col("vec_id") + i * vshift))
+        rep = emb.withColumn("vec_id", F.col("vec_id") + i * vshift)
+        if neardup_embeddings:
+            # Planted hot-cell regime (r11, verdict item 4): replicas are
+            # NEAR-duplicates — dim 0 nudged by i·1e-5, so every replica
+            # is a DISTINCT vector (the exact-duplicate collapse cannot
+            # absorb it) at cosine ≈ 1 to its base, landing in the SAME
+            # fixed-K cell.  Distinct-class density per cell grows ∝ the
+            # multiplier: the uncapped fixed-K composition's within-cell
+            # pair volume grows ∝ N², the CELL_ANCHOR_CAP'd one ∝ N.
+            # Training ids (vec_id < IVF_TRAIN_N) are all in the base
+            # copy, so the trained cells themselves are unchanged.
+            rep = rep.withColumn(
+                "embedding",
+                F.expr("transform(embedding, (x, j) -> CAST(CASE WHEN "
+                       f"j = 0 THEN x + {i}e-5 ELSE x END AS FLOAT))"))
+        out = out.unionByName(rep)
     out.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
@@ -183,6 +199,12 @@ def main() -> None:
                          "80%% replica-salted token permutations (~17.5%% "
                          "duplicated content at 8x) instead of 7/8 "
                          "verbatim copies")
+    ap.add_argument("--neardup-embeddings", action="store_true",
+                    help="replica embeddings: distinct near-duplicate "
+                         "vectors (dim 0 nudged per replica) instead of "
+                         "verbatim copies — plants hot fixed-K cells "
+                         "whose distinct-class density grows with the "
+                         "multiplier")
     args = ap.parse_args()
 
     from mongo_hadoop_spark.session import get_spark
@@ -192,7 +214,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if not args.skip_build:
         print("building replicas...", file=sys.stderr)
-        build_replicas(spark, args.out, realistic_docs=args.realistic_docs)
+        build_replicas(spark, args.out, realistic_docs=args.realistic_docs,
+                       neardup_embeddings=args.neardup_embeddings)
     # warm python workers
     import pandas as pd  # noqa: F401
     spark.range(1000, numPartitions=16).mapInPandas(lambda it: it, "id long").count()
