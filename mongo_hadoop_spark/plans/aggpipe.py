@@ -196,7 +196,13 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         # F.round is half-up, which disagrees on every exact .5
         # ($round(2.5) is 2 on the server, 3 under half-up)
         e, places = (operand if isinstance(operand, list) else (operand, 0))
-        return F.bround(E(e), places if isinstance(places, int) else 0)
+        if not isinstance(places, int) or isinstance(places, bool):
+            # refuse loudly (r11) — previously an expression place was
+            # SILENTLY read as 0; Spark's bround takes a literal scale
+            raise ValueError(
+                "$round place must be an integer literal (expression "
+                f"places are unsupported; got {places!r})")
+        return F.bround(E(e), places)
     if op == "$sqrt":
         return F.sqrt(E(operand))
     if op == "$pow":
@@ -364,15 +370,21 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         # keys (server semantics).  map_concat can't express later-wins
         # portably (dup-key policy is a session conf), so earlier entries
         # whose key reappears later are filtered before the merge.
+        # Null operands are IGNORED like the server (all-null → {}) —
+        # r11: previously one null operand poisoned the whole merge.
         ops = operand if isinstance(operand, list) else [operand]
-        out = E(ops[0])
-        for nxt in ops[1:]:
-            m2 = E(nxt)
+        merged = None
+        for x in ops:
+            ent = F.coalesce(F.map_entries(E(x)), F.array())
+            if merged is None:
+                merged = ent
+                continue
+            nxt = ent
             kept = F.filter(
-                F.map_entries(out),
-                lambda e: ~F.array_contains(F.map_keys(m2), e["key"]))
-            out = F.map_from_entries(F.concat(kept, F.map_entries(m2)))
-        return out
+                merged,
+                lambda e: ~F.exists(nxt, lambda n: n["key"] == e["key"]))
+            merged = F.concat(kept, nxt)
+        return F.map_from_entries(merged)
     # date ---------------------------------------------------------------
     if op in ("$year", "$month", "$dayOfMonth", "$hour", "$minute",
               "$second", "$dayOfWeek"):
@@ -397,16 +409,28 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         return F.size(E(operand))
     if op == "$arrayElemAt":
         arr, idx = operand
-        i = idx if isinstance(idx, int) else 0
         # element_at is 1-based; negative indexes count from the end in both.
         # try_element_at: Mongo returns *missing* for an out-of-range index
         # (plain element_at raises under ANSI mode, which Spark 4 defaults on)
-        return F.try_element_at(E(arr), F.lit(i + 1 if i >= 0 else i))
+        if isinstance(idx, int) and not isinstance(idx, bool):
+            return F.try_element_at(E(arr),
+                                    F.lit(idx + 1 if idx >= 0 else idx))
+        # expression index (r11 — previously SILENTLY read as 0, the
+        # dangerous ignored-argument kind): same 0-based→1-based shift,
+        # negatives count from the end
+        i = E(idx).cast("int")
+        return F.try_element_at(E(arr),
+                                F.when(i >= 0, i + 1).otherwise(i))
     if op == "$concatArrays":
         return F.concat(*[E(x) for x in operand])
     if op == "$in":
+        # aggregation equality: null matches null (r11 — array_contains
+        # returns null for a null needle, poisoning the result; the
+        # server finds null elements).  Same eqNullSafe rule as
+        # $indexOfArray.
         elem, arr = operand
-        return F.array_contains(E(arr), E(elem))
+        e = E(elem)
+        return F.exists(E(arr), lambda x: x.eqNullSafe(e))
     # object/map reshaping ------------------------------------------------
     if op == "$objectToArray":
         # Dynamic documents are modeled as MAP columns (the only Spark
@@ -559,7 +583,14 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         for br in operand["branches"]:
             c, t = _truthy(E(br["case"])), E(br["then"])
             out = F.when(c, t) if out is None else out.when(c, t)
-        return out.otherwise(E(operand["default"])) if "default" in operand else out
+        if "default" in operand:
+            return out.otherwise(E(operand["default"]))
+        # no default + no matching branch is a SERVER ERROR (r11 —
+        # previously fell through to null, the dangerous silent kind);
+        # raise_error reproduces the fail-the-query behavior per row
+        return out.otherwise(F.raise_error(F.lit(
+            "$switch could not find a matching branch for an input, "
+            "and no default was specified")))
     if op == "$range":
         start_, end_ = E(operand[0]), E(operand[1])
         step = operand[2] if len(operand) > 2 else 1
@@ -742,10 +773,19 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         return F.greatest(*[E(x) for x in operand])
     if op == "$min" and isinstance(operand, list):
         return F.least(*[E(x) for x in operand])
-    if op == "$max":
-        return F.array_max(E(operand))
-    if op == "$min":
-        return F.array_min(E(operand))
+    if op in ("$max", "$min"):
+        # scalar-LITERAL operands pass through like the server (r11 —
+        # {$max: 5} is 5 per row, {$min: "abc"} is "abc"; previously
+        # these hit array_max/array_min and failed Spark analysis).
+        # Scalar-typed FIELD PATHS are dispatched schema-aware in
+        # ``_project_expr``; here a field-path/computed operand is
+        # assumed to be an array.
+        if (operand is None or isinstance(operand, bool)
+                or isinstance(operand, (int, float))
+                or (isinstance(operand, str) and not operand.startswith("$"))):
+            return F.lit(operand)
+        return (F.array_max(E(operand)) if op == "$max"
+                else F.array_min(E(operand)))
     if op in ("$sum", "$avg") and not isinstance(operand, list):
         # scalar-literal operands pass through like the server ({$sum: 1}
         # → 1 per row; non-numeric scalar → 0 for $sum, null for $avg) —
@@ -962,29 +1002,60 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         return F.date_format(E(operand["date"]), fmt)
     if op == "$dateToParts":
         d = E(operand["date"] if isinstance(operand, dict) else operand)
+        ms = F.pmod(F.floor(F.unix_micros(d) / 1000), F.lit(1000)) \
+            .cast("int").alias("millisecond")
+        # pmod over floor-div: pre-epoch timestamps must yield 0-999
+        # (Spark's % keeps the dividend sign)
+        if isinstance(operand, dict) and operand.get("iso8601"):
+            # iso8601: true swaps the calendar fields for the ISO
+            # week-date triple (r11 — previously SILENTLY ignored)
+            return F.struct(
+                F.extract(F.lit("YEAROFWEEK"), d).cast("long")
+                .alias("isoWeekYear"),
+                F.weekofyear(d).alias("isoWeek"),
+                (F.pmod(F.dayofweek(d) + F.lit(5), F.lit(7)) + F.lit(1))
+                .alias("isoDayOfWeek"),
+                F.hour(d).alias("hour"), F.minute(d).alias("minute"),
+                F.second(d).alias("second"), ms)
         return F.struct(
             F.year(d).alias("year"), F.month(d).alias("month"),
             F.dayofmonth(d).alias("day"), F.hour(d).alias("hour"),
-            F.minute(d).alias("minute"), F.second(d).alias("second"),
-            # pmod over floor-div: pre-epoch timestamps must yield 0-999
-            # (Spark's % keeps the dividend sign)
-            F.pmod(F.floor(F.unix_micros(d) / 1000), F.lit(1000))
-            .cast("int").alias("millisecond"))
+            F.minute(d).alias("minute"), F.second(d).alias("second"), ms)
     if op == "$dateFromParts":
         # session-TZ caveat as with the other date ops (documented)
+        unsupported = {"isoWeekYear", "isoWeek", "isoDayOfWeek",
+                       "timezone"} & operand.keys()
+        if unsupported:
+            # refuse loudly (r11) — previously these were silently
+            # dropped, assembling a different instant than asked for
+            raise ValueError(
+                f"$dateFromParts fields {sorted(unsupported)} are "
+                "unsupported (ISO week-date form and timezone)")
         parts = {k: E(operand[k]) if k in operand else F.lit(d)
                  for k, d in (("year", 2000), ("month", 1), ("day", 1),
                               ("hour", 0), ("minute", 0), ("second", 0))}
-        return F.make_timestamp(parts["year"], parts["month"], parts["day"],
-                                parts["hour"], parts["minute"], parts["second"])
+        ts = F.make_timestamp(parts["year"], parts["month"], parts["day"],
+                              parts["hour"], parts["minute"],
+                              parts["second"])
+        if "millisecond" in operand:
+            # carried via microsecond arithmetic (r11 — previously
+            # silently dropped); server allows out-of-range carry
+            ts = F.timestamp_micros(
+                F.unix_micros(ts)
+                + (E(operand["millisecond"]).cast("long") * 1000))
+        return ts
     if op == "$dayOfYear":
         return F.dayofyear(E(operand))
     if op == "$week":
-        return F.weekofyear(E(operand))
+        # Mongo $week is the SUNDAY-start week-of-year (strftime %U:
+        # days before the year's first Sunday are week 0) — NOT the ISO
+        # week, which $isoWeek covers (r11; weekofyear here was ISO).
+        d = E(operand)
+        return F.floor((F.dayofyear(d) + F.lit(6)
+                        - (F.dayofweek(d) - F.lit(1))) / F.lit(7)) \
+            .cast("int")
     if op == "$regexMatch":
-        return E(operand["input"]).rlike(
-            operand["regex"].pattern if hasattr(operand["regex"], "pattern")
-            else str(operand["regex"]))
+        return E(operand["input"]).rlike(_regex_pattern(operand))
     if op in ("$regexFind", "$regexFindAll"):
         return _regex_find(op, operand, E)
     if op == "$meta":
@@ -1105,6 +1176,24 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
     raise ValueError(f"unsupported aggregation expression operator {op}")
 
 
+def _regex_pattern(operand: dict) -> str:
+    """Resolve a ``$regexMatch``/``$regexFind(All)`` pattern WITH its
+    ``options`` (r11 — previously options were silently ignored, so
+    ``{"options": "i"}`` matched case-sensitively).  The server's i/m/s/x
+    map 1:1 onto Java embedded flags; anything else refuses loudly."""
+    pat = operand["regex"]
+    pat = pat.pattern if hasattr(pat, "pattern") else str(pat)
+    opts = operand.get("options", "")
+    if opts:
+        bad = set(opts) - set("imsx")
+        if bad:
+            raise ValueError(
+                f"$regex options {''.join(sorted(bad))!r} unsupported "
+                "(i, m, s, x map to Java embedded flags)")
+        pat = f"(?{opts})" + pat
+    return pat
+
+
 def _regex_find(op: str, operand: dict, E) -> Column:
     """``$regexFind`` / ``$regexFindAll`` (Mongo 4.2).
 
@@ -1120,8 +1209,7 @@ def _regex_find(op: str, operand: dict, E) -> Column:
     """
     import re as _re
 
-    pat = operand["regex"]
-    pat = pat.pattern if hasattr(pat, "pattern") else str(pat)
+    pat = _regex_pattern(operand)
     ngroups = _re.compile(pat).groups
     s = E(operand["input"])
     lit = F.lit(pat)
@@ -1826,15 +1914,17 @@ def _project_expr(df: DataFrame, v) -> Column:
                 if isinstance(df.schema[name].dataType, DecimalType):
                     return dec_to_double(F.col(name))
     if isinstance(v, dict) and len(v) == 1 and \
-            next(iter(v)) in ("$sum", "$avg"):
-        # scalar FIELD-PATH pass-through (r10, per ADVICE): in expression
-        # context the server passes a scalar-typed operand through
-        # ({$sum: "$price"} on a numeric scalar is $price; null/missing
-        # → 0 for $sum, null for $avg; non-numeric scalars are ignored →
-        # 0 / null).  Only the schema-resolvable top-level form is
-        # dispatched here; array-typed fields fall through to the
-        # per-row fold in ``_expr_op``, and NESTED occurrences (type
-        # unknown at compile time) still assume an array operand.
+            next(iter(v)) in ("$sum", "$avg", "$min", "$max"):
+        # scalar FIELD-PATH pass-through (r10, per ADVICE; $min/$max
+        # r11): in expression context the server passes a scalar-typed
+        # operand through ({$sum: "$price"} on a numeric scalar is
+        # $price; null/missing → 0 for $sum, null for $avg/$min/$max;
+        # non-numeric scalars are ignored by $sum/$avg → 0 / null, but
+        # $min/$max compare ANY scalar type and pass it through).  Only
+        # the schema-resolvable top-level form is dispatched here;
+        # array-typed fields fall through to the per-row fold in
+        # ``_expr_op``, and NESTED occurrences (type unknown at compile
+        # time) still assume an array operand.
         agg_op, op_v = next(iter(v.items()))
         if isinstance(op_v, str) and op_v.startswith("$"):
             name = op_v[1:]
@@ -1846,12 +1936,14 @@ def _project_expr(df: DataFrame, v) -> Column:
 
                 dt = df.schema[name].dataType
                 if not isinstance(dt, ArrayType):
+                    c = F.col(name)
+                    # decimals normalize to double like the bare
+                    # field-path branch above (r11, per ADVICE)
+                    if isinstance(dt, DecimalType):
+                        c = dec_to_double(c)
+                    if agg_op in ("$min", "$max"):
+                        return c
                     if isinstance(dt, NumericType):
-                        c = F.col(name)
-                        # decimals normalize to double like the bare
-                        # field-path branch above (r11, per ADVICE)
-                        if isinstance(dt, DecimalType):
-                            c = dec_to_double(c)
                         return (F.coalesce(c, F.lit(0))
                                 if agg_op == "$sum" else c)
                     return (F.lit(0) if agg_op == "$sum"

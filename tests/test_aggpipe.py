@@ -3932,3 +3932,128 @@ def test_sum_avg_scalar_passthrough_decimal_normalizes(spark):
     assert dict(got.dtypes) == {"s": "double", "a": "double"}
     r = got.collect()[0]
     assert r.s == 1.5 and r.a == 1.5
+
+
+def test_min_max_scalar_passthrough(spark):
+    """r11: $min/$max in expression context pass scalar operands through
+    like the server — scalar literals ({$max: 5} → 5, {$min: "abc"} →
+    "abc") and schema-resolvable scalar field paths ({$max: "$price"} on
+    a non-array column is $price, decimals normalized to double);
+    array operands still fold."""
+    df = spark.createDataFrame([(1, [3, 1, 2])], "id long, xs array<int>") \
+        .selectExpr("id", "xs", "cast(2.5 as decimal(12,2)) as price",
+                    "cast(null as int) as nil")
+    got = aggregate(df, [{"$project": {
+        "lit_n": {"$max": 5},
+        "lit_s": {"$min": "abc"},
+        "fp": {"$max": "$price"},
+        "fp_null": {"$min": "$nil"},
+        "arr_max": {"$max": "$xs"},
+        "arr_min": {"$min": "$xs"},
+        "two": {"$max": ["$id", 7]},
+    }}])
+    assert dict(got.dtypes)["fp"] == "double"
+    r = got.collect()[0]
+    assert r.lit_n == 5 and r.lit_s == "abc"
+    assert r.fp == 2.5 and r.fp_null is None
+    assert r.arr_max == 3 and r.arr_min == 1 and r.two == 7
+
+
+def test_switch_no_default_no_match_errors(spark):
+    """r11: $switch with no matching branch and no default FAILS the query
+    like the server (previously fell through to a silent null)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame([(1,), (99,)], "v long")
+    pipe = [{"$project": {"sw": {"$switch": {"branches": [
+        {"case": {"$lt": ["$v", 10]}, "then": "small"}]}}}}]
+    with pytest.raises(SparkRuntimeException, match="matching branch"):
+        aggregate(df, pipe).collect()
+    # all rows matching → no error
+    ok = aggregate(df.where("v < 10"), pipe).collect()
+    assert [r.sw for r in ok] == ["small"]
+
+
+def test_in_expression_null_safe(spark):
+    """r11: expression-form $in uses aggregation equality — a null needle
+    FINDS null elements (array_contains would poison the result null)."""
+    df = spark.createDataFrame(
+        [(1, [1, None, 3], None), (2, [1, 2], None)],
+        "id long, xs array<int>, nil int")
+    got = aggregate(df, [
+        {"$project": {"id": 1, "has_nil": {"$in": ["$nil", "$xs"]},
+                      "has_two": {"$in": [2, "$xs"]}}},
+        {"$sort": {"id": 1}}]).collect()
+    assert [r.has_nil for r in got] == [True, False]
+    assert [r.has_two for r in got] == [False, True]
+
+
+def test_array_elem_at_expression_index(spark):
+    """r11: $arrayElemAt with an EXPRESSION index (previously silently
+    read as 0); negatives count from the end, out-of-range → null."""
+    df = spark.createDataFrame([([10, 20, 30], 1), ([10, 20, 30], -1),
+                                ([10, 20, 30], 9)],
+                               "a array<int>, i int")
+    got = aggregate(df, [{"$project": {
+        "v": {"$arrayElemAt": ["$a", "$i"]}}}]).collect()
+    assert [r.v for r in got] == [20, 30, None]
+
+
+def test_merge_objects_ignores_null_operands(spark):
+    """r11: $mergeObjects ignores null operands like the server (all-null
+    → {}); later keys still overwrite earlier ones."""
+    df = spark.createDataFrame(
+        [(1,)], "id long").selectExpr(
+        "id", "map('a', 1, 'b', 2) as m1",
+        "cast(null as map<string,int>) as mnull",
+        "map('b', 9) as m2")
+    got = aggregate(df, [{"$project": {
+        "m": {"$mergeObjects": ["$m1", "$mnull", "$m2"]},
+        "all_null": {"$mergeObjects": ["$mnull", "$mnull"]},
+    }}]).collect()[0]
+    assert dict(got.m) == {"a": 1, "b": 9}
+    assert dict(got.all_null) == {}
+
+
+def test_week_is_sunday_start_not_iso(spark):
+    """r11: $week is the Sunday-start %U week (days before the first
+    Sunday are week 0); $isoWeek stays ISO."""
+    df = spark.createDataFrame(
+        [("2024-01-01",), ("2024-01-07",), ("2024-12-31",),
+         ("2023-01-01",)], "d string").selectExpr(
+        "cast(d as timestamp) as ts")
+    got = aggregate(df, [{"$project": {
+        "w": {"$week": "$ts"}, "iso": {"$isoWeek": "$ts"}}}]).collect()
+    # 2024-01-01 Mon → week 0 (%U); ISO week 1
+    # 2024-01-07 first Sunday → week 1; 2024-12-31 → 52
+    # 2023-01-01 IS a Sunday → week 1 immediately
+    assert [r.w for r in got] == [0, 1, 52, 1]
+    assert got[0].iso == 1
+
+
+def test_regex_options_honored(spark):
+    """r11: $regexMatch/$regexFind(All) honor the options argument
+    (previously silently ignored); unsupported letters refuse loudly."""
+    df = spark.createDataFrame([("Hello World",)], "s string")
+    got = aggregate(df, [{"$project": {
+        "ci": {"$regexMatch": {"input": "$s", "regex": "hello",
+                               "options": "i"}},
+        "cs": {"$regexMatch": {"input": "$s", "regex": "hello"}},
+        "find_ci": {"$regexFind": {"input": "$s", "regex": "w(or)ld",
+                                   "options": "i"}},
+    }}]).collect()[0]
+    assert got.ci is True and got.cs is False
+    assert got.find_ci.match == "World" and got.find_ci.captures == ["or"]
+    with pytest.raises(ValueError, match="unsupported"):
+        aggregate(df, [{"$project": {"x": {"$regexMatch": {
+            "input": "$s", "regex": "a", "options": "u"}}}}])
+
+
+def test_round_expression_places_refuses(spark):
+    """r11: an expression $round place refuses loudly instead of being
+    silently read as 0 (Spark bround takes a literal scale)."""
+    df = spark.createDataFrame([(2.567, 1)], "v double, p int")
+    assert aggregate(df, [{"$project": {
+        "r": {"$round": ["$v", 1]}}}]).collect()[0].r == 2.6
+    with pytest.raises(ValueError, match="integer literal"):
+        aggregate(df, [{"$project": {"r": {"$round": ["$v", "$p"]}}}])
