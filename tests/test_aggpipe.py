@@ -4057,3 +4057,27 @@ def test_round_expression_places_refuses(spark):
         "r": {"$round": ["$v", 1]}}}]).collect()[0].r == 2.6
     with pytest.raises(ValueError, match="integer literal"):
         aggregate(df, [{"$project": {"r": {"$round": ["$v", "$p"]}}}])
+
+
+def test_date_parts_iso8601_and_millisecond_carry(spark):
+    """r11: $dateToParts honors iso8601:true (ISO week-date triple —
+    previously silently ignored); $dateFromParts carries millisecond
+    (previously silently dropped) and refuses the ISO/timezone fields."""
+    df = spark.createDataFrame([("2024-01-01 10:20:30",)], "d string") \
+        .selectExpr("cast(d as timestamp) as ts")
+    got = aggregate(df, [{"$project": {
+        "iso": {"$dateToParts": {"date": "$ts", "iso8601": True}},
+        "cal": {"$dateToParts": {"date": "$ts"}},
+        "made": {"$dateFromParts": {
+            "year": 2024, "month": 1, "day": 1, "hour": 10,
+            "minute": 20, "second": 30, "millisecond": 450}},
+    }}]).collect()[0]
+    # 2024-01-01 is Monday of ISO week 1 of ISO year 2024
+    assert (got.iso.isoWeekYear, got.iso.isoWeek, got.iso.isoDayOfWeek) \
+        == (2024, 1, 1)
+    assert got.iso.hour == 10 and got.iso.millisecond == 0
+    assert got.cal.year == 2024 and got.cal.day == 1
+    assert got.made.microsecond == 450000
+    with pytest.raises(ValueError, match="unsupported"):
+        aggregate(df, [{"$project": {"x": {"$dateFromParts": {
+            "isoWeekYear": 2024, "isoWeek": 1}}}}])
