@@ -51,7 +51,15 @@ _HEAD_KEYS = [
     # new this round — never driver-verified
     "dedup_semantic_survivors_ivf_capped",
     # changed this round — code path touched, hash pinned unchanged
+    # (guard-wrapped loads; pass-through dispatch; and the r11
+    # accumulator null-parity rewrite — $group $sum now coalesces to 0
+    # and $push/$addToSet/$firstN struct-wrap, so every $group gate's
+    # plan changed: pipeline_status_rollup / pipeline_lookup_segment
+    # are the $sum- and $addToSet-shaped representatives, the full set
+    # is value-pinned by the sf0.001 parity sweep + the round-end
+    # sf0.01 drive)
     "embedding_pq_codes", "pq_knn_adc", "pipeline_array_aggregates",
+    "pipeline_status_rollup", "pipeline_lookup_segment",
     # r06-verified — the 26 oldest outstanding driver verdicts
     "documents_chunk_windows",
     "documents_fim_transform", "embedding_gram_matrix",
@@ -73,9 +81,9 @@ _HEAD_KEYS = [
     "corpus_dup_spans", "corpus_span_excised", "corpus_span_increment",
     "count_distinct_suppliers", "cube_agg", "custom_sort_comparator",
     "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_minhash_verified",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_span_alignments",
-    "embedding_quantize_int8",
+    "dedup_ngram_jaccard", "dedup_simhash",
     # --- 50-entry window boundary (r12 rotation starts here) ---
+    "dedup_span_alignments", "embedding_quantize_int8",
     "events_session_windows", "f3_sort_limit", "f4_skip_pagination",
     "hive_pushdown_conjunction", "ivf_knn", "ivf_knn_nprobe",
     "ivf_recall_report", "json_roundtrip", "knn_bruteforce",

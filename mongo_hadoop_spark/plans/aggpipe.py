@@ -1333,6 +1333,16 @@ def _match_field(key: str, cond) -> Column:
     if key.startswith("$"):
         raise ValueError(f"unsupported top-level query operator {key}")
     col = F.col(key)
+    if isinstance(cond, dict) and "$options" in cond:
+        # find-language form {field: {$regex: ..., $options: "i"}} (r11
+        # — previously refused as an unsupported operator): fold the
+        # options into the pattern as Java embedded flags, same i/m/s/x
+        # contract as the $regexMatch expression
+        if "$regex" not in cond:
+            raise ValueError("$options is only valid next to $regex")
+        cond = dict(cond)
+        cond["$regex"] = _regex_pattern(
+            {"regex": cond["$regex"], "options": cond.pop("$options")})
     if isinstance(cond, dict) and cond and all(k.startswith("$") for k in cond):
         # $geoIntersects gets the one-string SQL rendering when the
         # field NAME is in hand (always, here): the Column rendering
@@ -1747,7 +1757,11 @@ def _accumulator(name: str, acc: dict) -> Column:
     if op == "$count":
         return F.count(F.lit(1)).alias(name)
     if op == "$sum":
-        return F.sum(expr_to_col(operand)).alias(name)
+        # a group with NO numeric inputs sums to 0 on the server, never
+        # null (r11 — Spark's SUM over all-null is null); no gated query
+        # has such a group (their oracles' SUM() is null too, so a live
+        # one would already hash-mismatch), so this is deviation-closing
+        return F.coalesce(F.sum(expr_to_col(operand)), F.lit(0)).alias(name)
     if op == "$avg":
         return F.avg(expr_to_col(operand)).alias(name)
     if op == "$min":
@@ -1755,11 +1769,19 @@ def _accumulator(name: str, acc: dict) -> Column:
     if op == "$max":
         return F.max(expr_to_col(operand)).alias(name)
     if op == "$push":
-        return F.collect_list(expr_to_col(operand)).alias(name)
+        # struct-wrap preserves NULL inputs (r11): the server pushes
+        # nulls into the array; bare collect_list silently drops them
+        wrapped = F.collect_list(F.struct(expr_to_col(operand).alias("v")))
+        return F.transform(wrapped, lambda s: s["v"]).alias(name)
     if op == "$addToSet":
         # canonical order (Mongo sets are unordered; sorting makes the
-        # result reproducible across shuffle schedules)
-        return F.array_sort(F.collect_set(expr_to_col(operand))).alias(name)
+        # result reproducible across shuffle schedules); struct-wrap +
+        # array_distinct preserves a NULL member (r11 — collect_set
+        # drops nulls, the server's set keeps one), sorted last
+        wrapped = F.array_distinct(
+            F.collect_list(F.struct(expr_to_col(operand).alias("v"))))
+        return F.array_sort(
+            F.transform(wrapped, lambda s: s["v"])).alias(name)
     if op == "$first":
         return F.first(expr_to_col(operand)).alias(name)
     if op == "$last":
@@ -1781,8 +1803,12 @@ def _accumulator(name: str, acc: dict) -> Column:
     if op in ("$firstN", "$lastN"):
         # group form: first/last n in encounter order — like $first/
         # $last, encounter order is shuffle-dependent unless the
-        # pipeline sorted first (the server's contract is the same)
-        arr = F.collect_list(expr_to_col(operand["input"]))
+        # pipeline sorted first (the server's contract is the same).
+        # struct-wrap keeps NULL inputs (r11): the server INCLUDES null
+        # and missing values in $firstN/$lastN (unlike $minN/$maxN)
+        wrapped = F.collect_list(
+            F.struct(expr_to_col(operand["input"]).alias("v")))
+        arr = F.transform(wrapped, lambda s: s["v"])
         n = int(operand["n"])
         if op == "$firstN":
             return F.slice(arr, 1, n).alias(name)
@@ -2738,6 +2764,12 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                    "$stdDevPop": F.stddev_pop, "$stdDevSamp": F.stddev_samp}.get(op)
             if op == "$count":
                 col = F.count(F.lit(1)).over(w)
+            elif op == "$sum":
+                # an EMPTY or all-null frame sums to 0 on the server,
+                # never null (r11; same rule as the group accumulator)
+                # — time-bounded range frames can be empty
+                col = F.coalesce(F.sum(expr_to_col(operand)).over(w),
+                                 F.lit(0))
             elif op in ("$first", "$last"):
                 # frame-bounded first/last document value (Mongo 5.0)
                 fn = F.first if op == "$first" else F.last

@@ -4081,3 +4081,53 @@ def test_date_parts_iso8601_and_millisecond_carry(spark):
     with pytest.raises(ValueError, match="unsupported"):
         aggregate(df, [{"$project": {"x": {"$dateFromParts": {
             "isoWeekYear": 2024, "isoWeek": 1}}}}])
+
+
+def test_group_accumulators_null_semantics(spark):
+    """r11 accumulator parity: $push/$addToSet/$firstN keep NULL inputs
+    (server includes them; bare collect_list/collect_set drop them);
+    $sum over a group with no numeric inputs is 0, never null."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 1), ("b", None)],
+        "k string, v int")
+    got = {r._id: r for r in aggregate(df, [{"$group": {
+        "_id": "$k",
+        "pushed": {"$push": "$v"},
+        "uniq": {"$addToSet": "$v"},
+        "f2": {"$firstN": {"input": "$v", "n": 2}},
+        "total": {"$sum": "$v"},
+    }}]).collect()}
+    assert got["a"].pushed == [1, None, 1]
+    assert got["a"].uniq == [1, None]          # null kept, sorted last
+    assert got["a"].f2 == [1, None]
+    assert got["a"].total == 2
+    assert got["b"].pushed == [None] and got["b"].uniq == [None]
+    assert got["b"].total == 0                 # all-null group sums to 0
+
+
+def test_window_sum_empty_frame_is_zero(spark):
+    """r11: a window $sum over an EMPTY frame (strictly-future documents
+    frame at the partition tail) is 0 like the server, never null."""
+    df = spark.createDataFrame([("a", 1, 10), ("a", 2, 20), ("a", 3, 30)],
+                               "k string, seq int, v int")
+    got = aggregate(df, [
+        {"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"seq": 1},
+            "output": {"fut": {"$sum": "$v",
+                               "window": {"documents": [1, 2]}}}}},
+        {"$sort": {"seq": 1}}]).collect()
+    assert [r.fut for r in got] == [50, 30, 0]
+
+
+def test_match_regex_options(spark):
+    """r11: the find-language {field: {$regex, $options}} form is honored
+    (previously refused); unsupported option letters still refuse."""
+    df = spark.createDataFrame([("Hello",), ("world",)], "s string")
+    got = aggregate(df, [{"$match": {"s": {"$regex": "^hello",
+                                           "$options": "i"}}}]).collect()
+    assert [r.s for r in got] == ["Hello"]
+    with pytest.raises(ValueError, match="unsupported"):
+        aggregate(df, [{"$match": {"s": {"$regex": "a",
+                                         "$options": "g"}}}]).collect()
+    with pytest.raises(ValueError, match="only valid next to"):
+        aggregate(df, [{"$match": {"s": {"$options": "i"}}}]).collect()

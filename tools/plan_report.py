@@ -110,6 +110,8 @@ HEADLINE = [
      "windowed approx_percentile: bounded GK state per frame"),
     ("pipeline_datediff_weekstarts",
      "week-convention day arithmetic on the join, one keyed agg"),
+    ("dedup_semantic_survivors_ivf_capped",
+     "hot-cell-capped SemDeDup: per-cell anchors share the cell shuffle"),
 ]
 
 
@@ -154,7 +156,7 @@ def main() -> int:
     queries = operators.all_queries()
 
     lines = [
-        "# PLANS — physical plans of the headline queries (round 10)",
+        "# PLANS — physical plans of the headline queries (round 11)",
         "",
         "Generated by `python tools/plan_report.py` (re-run after",
         "plan-affecting changes).  The properties line summarizes what",
