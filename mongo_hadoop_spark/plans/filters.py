@@ -167,8 +167,29 @@ def _is_op_doc(cond) -> bool:
     return isinstance(cond, dict) and cond and all(k.startswith("$") for k in cond)
 
 
+def _merge_regex_options(cond: dict) -> dict:
+    """Fold a find-language ``{$regex, $options}`` pair into one $regex
+    with Java/Python embedded flags (r11) — same i/m/s/x contract as the
+    Column compiler (aggpipe._regex_pattern)."""
+    if "$options" not in cond:
+        return cond
+    if "$regex" not in cond:
+        raise ValueError("$options is only valid next to $regex")
+    cond = dict(cond)
+    opts = cond.pop("$options")
+    bad = set(opts) - set("imsx")
+    if bad:
+        raise ValueError(
+            f"$regex options {''.join(sorted(bad))!r} unsupported")
+    pat = cond["$regex"]
+    pat = pat.pattern if isinstance(pat, Regex) else str(pat)
+    cond["$regex"] = (f"(?{opts})" if opts else "") + pat
+    return cond
+
+
 def _match_condition(value, cond) -> bool:
     if _is_op_doc(cond):
+        cond = _merge_regex_options(cond)
         return all(_match_op(value, op, operand) for op, operand in cond.items())
     if isinstance(cond, Regex):
         return _match_op(value, "$regex", cond)
@@ -188,6 +209,7 @@ def _field_matches(values, cond) -> bool:
     op-doc is evaluated independently over the value set (server behavior
     for mixed docs like {$gt: 1, $ne: 5})."""
     if _is_op_doc(cond):
+        cond = _merge_regex_options(cond)
         for op, operand in cond.items():
             if op == "$ne":
                 ok = not any(_eq(v, operand) for v in values)

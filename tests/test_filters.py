@@ -217,3 +217,18 @@ def test_projection_slice_and_elem_match():
     import pytest as _p
     with _p.raises(ValueError, match="limit must be positive"):
         project(doc, {"tags": {"$slice": [1, 0]}})
+
+
+def test_match_regex_options_python_side():
+    """r11: the python-side matcher honors {$regex, $options} like the
+    Column compiler (case-insensitive etc.); bad letters refuse."""
+    from mongo_hadoop_spark.plans.filters import match
+
+    assert match({"s": "Hello"}, {"s": {"$regex": "^hello",
+                                        "$options": "i"}})
+    assert not match({"s": "Hello"}, {"s": {"$regex": "^hello"}})
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unsupported"):
+        match({"s": "x"}, {"s": {"$regex": "a", "$options": "g"}})
+    with _pt.raises(ValueError, match="only valid"):
+        match({"s": "x"}, {"s": {"$options": "i"}})
