@@ -2126,14 +2126,17 @@ def _stage_lookup_pipeline(df: DataFrame, spec: dict,
     - a leading ``$match``'s plain (non-$expr) predicates pre-filter the
       foreign scan (pushdown-eligible);
     - ``$expr`` decomposes over its $and-tree: every
-      ``$eq[$foreign, $$var]`` becomes an EQUI-JOIN key (the foreign
-      side pre-aggregates per key into one array column, so the join is
-      1:1 and Catalyst broadcasts it when small); every other
-      comparison — correlated range predicates like
-      ``$lte[$price, $$cap]``, or foreign-field-to-foreign-field /
-      foreign-to-literal — becomes an ELEMENT-level ``F.filter`` lambda
-      over the joined array (higher-order functions may reference outer
-      columns, which is exactly what a correlated predicate is);
+      ``$eq[$foreign, <local>]`` becomes an EQUI-JOIN key — ``<local>``
+      is a ``$$var`` or, r11, any COMPUTED expression over $$vars and
+      literals (the foreign side pre-aggregates per key into one array
+      column, so the join is 1:1 and Catalyst broadcasts it when
+      small); every other comparison — correlated range predicates like
+      ``$lte[$price, $$cap]`` or ``$lte[$price, {$multiply: [$$cap,
+      2]}]``, foreign-field-to-foreign-field, foreign-to-literal, and
+      binary ``$in`` membership (null-safe, r11) — becomes an
+      ELEMENT-level ``F.filter`` lambda over the joined array
+      (higher-order functions may reference outer columns, which is
+      exactly what a correlated predicate is);
     - trailing ``$project`` / ``$sort`` / ``$limit`` sub-stages compile
       to ``transform`` / ``array_sort`` (multi-key comparator, nulls
       first) / ``slice`` on the array — per-document top-k with no extra
@@ -2153,8 +2156,25 @@ def _stage_lookup_pipeline(df: DataFrame, spec: dict,
     local_vars = {name: expr_to_col(val) for name, val in let.items()}
     stages = list(spec["pipeline"])
 
+    def _has_bare_field_ref(x) -> bool:
+        # a "$field" (not "$$var") string anywhere → references the
+        # FOREIGN document; such operands cannot compile to a local
+        # Column (dict KEYS are operators, not references)
+        if isinstance(x, str):
+            return x.startswith("$") and not x.startswith("$$")
+        if isinstance(x, dict):
+            return any(_has_bare_field_ref(v) for v in x.values())
+        if isinstance(x, list):
+            return any(_has_bare_field_ref(v) for v in x)
+        return False
+
     def _classify_side(operand):
-        """→ ('foreign', path) | ('var', name) | ('lit', value)."""
+        """→ ('foreign', path) | ('var', name) | ('localexpr', Column) |
+        ('lit', value).  A dict/list operand referencing only
+        ``$$variables`` and literals compiles to a LOCAL Column (r11 —
+        previously any computed operand was refused); computed operands
+        that reference foreign fields stay unsupported (they would need
+        element-level re-targeting of every field reference)."""
         if isinstance(operand, str) and operand.startswith("$$"):
             name = operand[2:]
             if name not in local_vars:
@@ -2164,10 +2184,21 @@ def _stage_lookup_pipeline(df: DataFrame, spec: dict,
         if isinstance(operand, str) and operand.startswith("$"):
             return ("foreign", operand[1:])
         if isinstance(operand, (dict, list)):
-            raise ValueError(
-                "$lookup pipeline $expr supports comparisons between "
-                "foreign field paths, $$variables, and literals only")
+            if _has_bare_field_ref(operand):
+                raise ValueError(
+                    "$lookup pipeline $expr computed operands may "
+                    "reference $$variables and literals only (foreign "
+                    "field paths must be bare, e.g. '$price')")
+            return ("localexpr", expr_to_col(operand, dict(local_vars)))
         return ("lit", operand)
+
+    def _local_col(side) -> Column:
+        kind, val = side
+        if kind == "var":
+            return local_vars[val]
+        if kind == "localexpr":
+            return val
+        return F.lit(val)
 
     equi: list[tuple[str, Column]] = []      # (foreign field, local col)
     residual: list[tuple[str, tuple, tuple]] = []
@@ -2189,19 +2220,29 @@ def _stage_lookup_pipeline(df: DataFrame, spec: dict,
                     raise ValueError(
                         f"unsupported $lookup pipeline $expr term {comp!r}")
                 (op, operands), = comp.items()
-                if op not in _CMP_OPS or not isinstance(operands, list) \
+                if (op not in _CMP_OPS and op != "$in") \
+                        or not isinstance(operands, list) \
                         or len(operands) != 2:
                     raise ValueError(
                         f"unsupported $lookup pipeline $expr operator {op!r}"
-                        " (binary comparisons only)")
+                        " (binary comparisons and $in only)")
                 a, b = (_classify_side(x) for x in operands)
+                if op == "$in":
+                    # membership residual (r11): [needle, haystack] —
+                    # needle may be a foreign path or local expression,
+                    # haystack a $$var / computed local array / literal
+                    # list; aggregation equality (null finds null)
+                    residual.append(("$in", a, b))
+                    continue
                 # normalize: put a foreign field first when present
                 flipped = {"$lt": "$gt", "$lte": "$gte", "$gt": "$lt",
                            "$gte": "$lte", "$eq": "$eq", "$ne": "$ne"}
                 if a[0] != "foreign" and b[0] == "foreign":
                     a, b, op = b, a, flipped[op]
-                if op == "$eq" and a[0] == "foreign" and b[0] == "var":
-                    equi.append((a[1], local_vars[b[1]]))
+                if op == "$eq" and a[0] == "foreign" \
+                        and b[0] in ("var", "localexpr"):
+                    # computed local operands join as equi keys too (r11)
+                    equi.append((a[1], _local_col(b)))
                 else:
                     residual.append((op, a, b))
 
@@ -2246,12 +2287,19 @@ def _stage_lookup_pipeline(df: DataFrame, spec: dict,
                 return ref
             if kind == "var":
                 return local_vars[val]
+            if kind == "localexpr":
+                return val
             return F.lit(val)
 
         def keep(e):
             cond = None
             for op, a, b in residual:
-                c = _apply_cmp(op, elem_ref(e, a), elem_ref(e, b))
+                if op == "$in":
+                    needle = elem_ref(e, a)
+                    c = F.exists(elem_ref(e, b),
+                                 lambda x: x.eqNullSafe(needle))
+                else:
+                    c = _apply_cmp(op, elem_ref(e, a), elem_ref(e, b))
                 cond = c if cond is None else cond & c
             return cond
         arr = F.filter(arr, keep)

@@ -1674,10 +1674,12 @@ def test_lookup_pipeline_validation(lk_orders, lk_items):
             "from": "items", "pipeline": [
                 {"$match": {"$expr": {"$eq": ["$ikey", "$$nope"]}}}],
             "as": "x"}}], tables=t)
-    with pytest.raises(ValueError, match="binary comparisons only"):
+    with pytest.raises(ValueError, match="foreign field paths must be"):
+        # computed operands may not reference foreign fields
         aggregate(lk_orders, [{"$lookup": {
             "from": "items", "let": {"k": "$okey"}, "pipeline": [
-                {"$match": {"$expr": {"$in": ["$ikey", [1, 2]]}}}],
+                {"$match": {"$expr": {"$eq": [
+                    {"$add": ["$ikey", 1]}, "$$k"]}}}],
             "as": "x"}}], tables=t)
     with pytest.raises(ValueError, match="sub-stage"):
         aggregate(lk_orders, [{"$lookup": {
@@ -4131,3 +4133,47 @@ def test_match_regex_options(spark):
                                          "$options": "g"}}}]).collect()
     with pytest.raises(ValueError, match="only valid next to"):
         aggregate(df, [{"$match": {"s": {"$options": "i"}}}]).collect()
+
+
+def test_lookup_pipeline_computed_let_and_in(lk_orders, lk_items):
+    """r11: $lookup pipeline $expr accepts COMPUTED local operands
+    (dicts/lists over $$variables and literals — compiled to local
+    Columns, equi-joinable) and binary $in membership residuals
+    (previously both refused as 'binary comparisons only')."""
+    got = aggregate(lk_orders, [
+        {"$lookup": {
+            "from": "items",
+            "let": {"cap": "$cap"},
+            "pipeline": [{"$match": {"$expr": {"$and": [
+                # $in: foreign scalar vs literal list (residual)
+                {"$in": ["$ikey", [1, 3]]},
+                # computed local operand: price <= cap * 2
+                {"$lte": ["$price", {"$multiply": ["$$cap", 2]}]},
+            ]}}}, {"$sort": {"price": -1}},
+                {"$project": {"price": 1}}],
+            "as": "hits"}},
+        {"$project": {"okey": 1,
+                      "prices": {"$map": {"input": "$hits", "as": "h",
+                                          "in": "$$h.price"}}}},
+        {"$sort": {"okey": 1}},
+    ], tables={"items": lk_items})
+    r = {row.okey: row.prices for row in got.collect()}
+    # items with ikey in (1,): prices 30/120/80 — ikey 3 has no rows
+    # okey=1 cap=100 → <=200: all of [120, 80, 30]
+    # okey=2 cap=50 → <=100: [80, 30]; okey=3 cap=10 → <=20: []
+    assert r == {1: [120.0, 80.0, 30.0], 2: [80.0, 30.0], 3: []}
+
+
+def test_lookup_pipeline_computed_equi_key(lk_orders, lk_items):
+    """r11: a computed local operand on the $eq side becomes an
+    EQUI-JOIN key (never a nested loop): ikey == okey + 1 - 1."""
+    got = aggregate(lk_orders, [
+        {"$lookup": {
+            "from": "items", "let": {"k": "$okey"},
+            "pipeline": [{"$match": {"$expr": {"$eq": [
+                "$ikey", {"$subtract": [{"$add": ["$$k", 1]}, 1]}]}}}],
+            "as": "hits"}},
+        {"$project": {"okey": 1, "n": {"$size": "$hits"}}},
+        {"$sort": {"okey": 1}},
+    ], tables={"items": lk_items})
+    assert [(r.okey, r.n) for r in got.collect()] == [(1, 3), (2, 2), (3, 0)]
