@@ -1939,6 +1939,25 @@ def _project_expr(df: DataFrame, v) -> Column:
                 from mongo_hadoop_spark.functions import dec_to_double
                 if isinstance(df.schema[name].dataType, DecimalType):
                     return dec_to_double(F.col(name))
+    if isinstance(v, dict) and len(v) == 1 and "$toString" in v:
+        # server $toString renders a BSON date as ISO-8601 UTC
+        # ("2024-01-01T10:20:30.000Z"); a plain string cast renders the
+        # session-TZ wall clock without the T/Z shape (r11).  Schema-
+        # aware like $toDouble: only the resolvable top-level form;
+        # nested/lambda occurrences keep the documented cast deviation.
+        op = v["$toString"]
+        if isinstance(op, str) and op.startswith("$"):
+            name = op[1:]
+            if "." not in name and name in df.columns:
+                from pyspark.sql.types import TimestampType
+
+                if isinstance(df.schema[name].dataType, TimestampType):
+                    ntz_utc = F.convert_timezone(
+                        F.current_timezone(), F.lit("UTC"),
+                        F.col(name).cast("timestamp_ntz"))
+                    return F.concat(
+                        F.date_format(ntz_utc, "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+                        F.lit("Z"))
     if isinstance(v, dict) and len(v) == 1 and \
             next(iter(v)) in ("$sum", "$avg", "$min", "$max"):
         # scalar FIELD-PATH pass-through (r10, per ADVICE; $min/$max

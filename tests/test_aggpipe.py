@@ -4177,3 +4177,17 @@ def test_lookup_pipeline_computed_equi_key(lk_orders, lk_items):
         {"$sort": {"okey": 1}},
     ], tables={"items": lk_items})
     assert [(r.okey, r.n) for r in got.collect()] == [(1, 3), (2, 2), (3, 0)]
+
+
+def test_tostring_timestamp_iso8601_utc(spark):
+    """r11: schema-resolvable $toString on a timestamp column renders the
+    server's ISO-8601 UTC shape (session-TZ-independent by construction:
+    the NTZ wall clock is rebased current_timezone → UTC before
+    formatting); numeric $toString is unchanged."""
+    df = spark.createDataFrame([("2024-01-01 10:20:30", 7)],
+                               "d string, n int").selectExpr(
+        "cast(d as timestamp) as ts", "n")
+    got = aggregate(df, [{"$project": {
+        "s": {"$toString": "$ts"}, "sn": {"$toString": "$n"}}}]).collect()[0]
+    assert got.s == "2024-01-01T10:20:30.000Z"
+    assert got.sn == "7"
