@@ -2233,37 +2233,44 @@ def _stage_lookup_pipeline(df: DataFrame, spec: dict,
         expr = match_spec.pop("$expr", None)
         if match_spec:
             foreign = foreign.where(match_to_col(match_spec))
+        def _parse_term(comp):
+            """→ ('term', op, a, b) | ('$or'|'$and', [terms]) — the
+            recursive residual grammar (r11: $or/$and subtrees become
+            element-level boolean conditions; only TOP-level $and arms
+            are equi-extraction candidates)."""
+            if not (isinstance(comp, dict) and len(comp) == 1):
+                raise ValueError(
+                    f"unsupported $lookup pipeline $expr term {comp!r}")
+            (op, operands), = comp.items()
+            if op in ("$or", "$and"):
+                if not isinstance(operands, list) or not operands:
+                    raise ValueError(f"$lookup pipeline $expr {op} needs "
+                                     "a non-empty list")
+                return (op, [_parse_term(t) for t in operands])
+            if (op not in _CMP_OPS and op != "$in") \
+                    or not isinstance(operands, list) \
+                    or len(operands) != 2:
+                raise ValueError(
+                    f"unsupported $lookup pipeline $expr operator {op!r}"
+                    " (binary comparisons, $in, $and/$or trees)")
+            a, b = (_classify_side(x) for x in operands)
+            return ("term", op, a, b)
+
         if expr is not None:
             for comp in _flatten_expr_and(expr):
-                if not (isinstance(comp, dict) and len(comp) == 1):
-                    raise ValueError(
-                        f"unsupported $lookup pipeline $expr term {comp!r}")
-                (op, operands), = comp.items()
-                if (op not in _CMP_OPS and op != "$in") \
-                        or not isinstance(operands, list) \
-                        or len(operands) != 2:
-                    raise ValueError(
-                        f"unsupported $lookup pipeline $expr operator {op!r}"
-                        " (binary comparisons and $in only)")
-                a, b = (_classify_side(x) for x in operands)
-                if op == "$in":
-                    # membership residual (r11): [needle, haystack] —
-                    # needle may be a foreign path or local expression,
-                    # haystack a $$var / computed local array / literal
-                    # list; aggregation equality (null finds null)
-                    residual.append(("$in", a, b))
-                    continue
-                # normalize: put a foreign field first when present
-                flipped = {"$lt": "$gt", "$lte": "$gte", "$gt": "$lt",
-                           "$gte": "$lte", "$eq": "$eq", "$ne": "$ne"}
-                if a[0] != "foreign" and b[0] == "foreign":
-                    a, b, op = b, a, flipped[op]
-                if op == "$eq" and a[0] == "foreign" \
-                        and b[0] in ("var", "localexpr"):
-                    # computed local operands join as equi keys too (r11)
-                    equi.append((a[1], _local_col(b)))
-                else:
-                    residual.append((op, a, b))
+                t = _parse_term(comp)
+                # top-level $eq between a foreign path and a local
+                # operand ($$var or computed, r11) → EQUI-JOIN key;
+                # everything else is an element-level residual
+                if t[0] == "term" and t[1] == "$eq":
+                    _, _, a, b = t
+                    if a[0] == "foreign" and b[0] in ("var", "localexpr"):
+                        equi.append((a[1], _local_col(b)))
+                        continue
+                    if b[0] == "foreign" and a[0] in ("var", "localexpr"):
+                        equi.append((b[1], _local_col(a)))
+                        continue
+                residual.append(t)
 
     if (equi and parent_bound is not None
             and parent_bound <= _LOOKUP_PREFILTER_MAX):
@@ -2310,15 +2317,24 @@ def _stage_lookup_pipeline(df: DataFrame, spec: dict,
                 return val
             return F.lit(val)
 
+        def ev(t, e) -> Column:
+            if t[0] in ("$or", "$and"):
+                subs = [ev(x, e) for x in t[1]]
+                out = subs[0]
+                for c in subs[1:]:
+                    out = (out | c) if t[0] == "$or" else (out & c)
+                return out
+            _, op, a, b = t
+            if op == "$in":
+                needle = elem_ref(e, a)
+                return F.exists(elem_ref(e, b),
+                                lambda x: x.eqNullSafe(needle))
+            return _apply_cmp(op, elem_ref(e, a), elem_ref(e, b))
+
         def keep(e):
             cond = None
-            for op, a, b in residual:
-                if op == "$in":
-                    needle = elem_ref(e, a)
-                    c = F.exists(elem_ref(e, b),
-                                 lambda x: x.eqNullSafe(needle))
-                else:
-                    c = _apply_cmp(op, elem_ref(e, a), elem_ref(e, b))
+            for t in residual:
+                c = ev(t, e)
                 cond = c if cond is None else cond & c
             return cond
         arr = F.filter(arr, keep)

@@ -4191,3 +4191,29 @@ def test_tostring_timestamp_iso8601_utc(spark):
         "s": {"$toString": "$ts"}, "sn": {"$toString": "$n"}}}]).collect()[0]
     assert got.s == "2024-01-01T10:20:30.000Z"
     assert got.sn == "7"
+
+
+def test_lookup_pipeline_or_residual(lk_orders, lk_items):
+    """r11: $or subtrees in $lookup $expr compile to element-level
+    boolean residuals (previously refused); top-level $eq arms still
+    extract as equi-join keys."""
+    got = aggregate(lk_orders, [
+        {"$lookup": {
+            "from": "items", "let": {"k": "$okey", "cap": "$cap"},
+            "pipeline": [{"$match": {"$expr": {"$and": [
+                {"$eq": ["$ikey", "$$k"]},                  # equi key
+                {"$or": [{"$lte": ["$price", "$$cap"]},     # residual OR
+                         {"$gte": ["$price", 100]}]},
+            ]}}}, {"$sort": {"price": 1}},
+                {"$project": {"price": 1}}],
+            "as": "hits"}},
+        {"$project": {"okey": 1,
+                      "prices": {"$map": {"input": "$hits", "as": "h",
+                                          "in": "$$h.price"}}}},
+        {"$sort": {"okey": 1}},
+    ], tables={"items": lk_items})
+    r = {row.okey: row.prices for row in got.collect()}
+    # okey=1 (cap 100): ikey=1 prices 30/80/120 → <=100 or >=100 → all
+    # okey=2 (cap 50): ikey=2 prices 45/60 → 45<=50 or 60>=100? no → [45]
+    # okey=3: no ikey=3 items → []
+    assert r == {1: [30.0, 80.0, 120.0], 2: [45.0], 3: []}
