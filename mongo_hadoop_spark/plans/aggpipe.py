@@ -3043,27 +3043,50 @@ def _stage_graph_lookup(df: DataFrame, spec: dict,
     ``maxDepth`` is REQUIRED here (the server's unbounded traversal has
     no lazy-plan shape; pick the bound you mean).  The result array is
     canonically sorted (struct field order) rather than traversal-ordered
-    — deterministic across partitionings."""
+    — deterministic across partitionings.
+
+    ``restrictSearchWithMatch`` pre-filters the foreign collection with
+    the query language, and ``depthField`` tags each document with the
+    MINIMUM recursion depth that reached it (startWith matches are 0) —
+    both were SILENTLY ignored before r11.  Unknown spec keys refuse."""
     if not tables or spec["from"] not in tables:
         raise ValueError(
             f"$graphLookup from {spec['from']!r}: pass tables={{name: DataFrame}}")
     if "maxDepth" not in spec:
         raise ValueError("$graphLookup requires maxDepth (bounded unroll)")
+    known = {"from", "startWith", "connectFromField", "connectToField",
+             "as", "maxDepth", "depthField", "restrictSearchWithMatch"}
+    unknown = set(spec) - known
+    if unknown:
+        raise ValueError(f"unsupported $graphLookup keys {sorted(unknown)}")
     foreign = tables[spec["from"]]
+    if "restrictSearchWithMatch" in spec:
+        foreign = foreign.where(match_to_col(spec["restrictSearchWithMatch"]))
     cf, ct, as_ = (spec["connectFromField"], spec["connectToField"], spec["as"])
     depth = int(spec["maxDepth"])
+    depth_field = spec.get("depthField")
     src = df.withColumn("__gid", F.monotonically_increasing_id())
     fstruct = F.struct(*[F.col(c) for c in foreign.columns])
     frontier = src.select("__gid", expr_to_col(spec["startWith"]).alias("__val"))
     visited = None
-    for _ in range(depth + 1):
+    for lvl in range(depth + 1):
         hits = (frontier.join(foreign, frontier["__val"] == foreign[ct])
                 .select("__gid", fstruct.alias("__doc"),
+                        F.lit(lvl).cast("long").alias("__depth"),
                         F.col(cf).alias("__next")))
         visited = hits if visited is None else visited.unionAll(hits)
         frontier = hits.select("__gid", F.col("__next").alias("__val")).distinct()
-    matches = (visited.dropDuplicates(["__gid", "__doc"])
-               .groupBy("__gid")
+    if depth_field is not None:
+        # min depth per reached doc (server: the number of recursions
+        # needed to reach it), injected as one more struct field
+        docs = (visited.groupBy("__gid", "__doc")
+                .agg(F.min("__depth").alias("__mind"))
+                .select("__gid",
+                        F.col("__doc").withField(
+                            depth_field, F.col("__mind")).alias("__doc")))
+    else:
+        docs = visited.dropDuplicates(["__gid", "__doc"]).select("__gid", "__doc")
+    matches = (docs.groupBy("__gid")
                .agg(F.array_sort(F.collect_list("__doc")).alias(as_)))
     out = src.join(matches, "__gid", "left")
     arr_type = matches.schema[as_].dataType

@@ -4217,3 +4217,40 @@ def test_lookup_pipeline_or_residual(lk_orders, lk_items):
     # okey=2 (cap 50): ikey=2 prices 45/60 → 45<=50 or 60>=100? no → [45]
     # okey=3: no ikey=3 items → []
     assert r == {1: [30.0, 80.0, 120.0], 2: [45.0], 3: []}
+
+
+def test_graph_lookup_depth_field_and_restrict(spark):
+    """r11: $graphLookup honors depthField (MIN recursion depth per
+    reached doc, startWith = 0) and restrictSearchWithMatch (query-
+    language pre-filter) — both previously silently ignored; unknown
+    spec keys refuse loudly."""
+    people = spark.createDataFrame([("a",), ("x",)], "start string")
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("a", "c", 0)],
+        "frm string, dst string, w int")
+    t = {"edges": edges}
+    got = aggregate(people, [{"$graphLookup": {
+        "from": "edges", "startWith": "$start",
+        "connectFromField": "dst", "connectToField": "frm",
+        "as": "reach", "maxDepth": 3, "depthField": "d"}}],
+        tables=t).collect()
+    r = {row.start: {(e.frm, e.dst, e.d) for e in row.reach} for row in got}
+    # from "a": depth0 = a->b, a->c; depth1 = b->c, c->d (via a->b/a->c);
+    # edge c->d reachable at depth 1 (via a->c) — MIN depth wins
+    assert r["a"] == {("a", "b", 0), ("a", "c", 0), ("b", "c", 1),
+                      ("c", "d", 1)}
+    assert r["x"] == set()
+    # restrictSearchWithMatch prunes w=0 edges BEFORE traversal: a->c
+    # disappears, so c->d is now only reachable at depth 2 via b
+    got2 = aggregate(people, [{"$graphLookup": {
+        "from": "edges", "startWith": "$start",
+        "connectFromField": "dst", "connectToField": "frm",
+        "as": "reach", "maxDepth": 3, "depthField": "d",
+        "restrictSearchWithMatch": {"w": 1}}}], tables=t).collect()
+    r2 = {row.start: {(e.frm, e.dst, e.d) for e in row.reach} for row in got2}
+    assert r2["a"] == {("a", "b", 0), ("b", "c", 1), ("c", "d", 2)}
+    with pytest.raises(ValueError, match="unsupported \\$graphLookup"):
+        aggregate(people, [{"$graphLookup": {
+            "from": "edges", "startWith": "$start",
+            "connectFromField": "dst", "connectToField": "frm",
+            "as": "reach", "maxDepth": 1, "bogus": 1}}], tables=t)
