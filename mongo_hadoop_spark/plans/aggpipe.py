@@ -2909,8 +2909,16 @@ def _stage_densify(df: DataFrame, spec: dict) -> DataFrame:
     step = rng["step"]
     unit = rng.get("unit")
     parts = spec.get("partitionByFields", [])
-    if unit not in (None, "day"):
-        raise ValueError(f"unsupported $densify unit {unit!r}")
+    # fixed-duration units compile to one timestamp sequence() (r11 —
+    # previously only "day"); month/quarter/year are calendar-variable
+    # and stay refused (a sequence interval cannot express them exactly)
+    _FIXED_UNITS = ("millisecond", "second", "minute", "hour", "day",
+                    "week")
+    if unit is not None and unit not in _FIXED_UNITS:
+        raise ValueError(
+            f"unsupported $densify unit {unit!r} (fixed-duration units "
+            f"{sorted(_FIXED_UNITS)} supported; month/quarter/year are "
+            "calendar-variable)")
 
     fcol = F.col(field)
     bounds = rng.get("bounds", "full")
@@ -2937,6 +2945,19 @@ def _stage_densify(df: DataFrame, spec: dict) -> DataFrame:
         axis = axis_src.select(*parts, axis_val)
         if df.schema[field].dataType.typeName() == "timestamp":
             axis = axis.withColumn(field, F.col(field).cast("timestamp"))
+    elif unit is not None:
+        # sub-day / week fixed units: one timestamp sequence (r11)
+        ival = {"millisecond": f"{int(step)} millisecond",
+                "second": f"{int(step)} second",
+                "minute": f"{int(step)} minute",
+                "hour": f"{int(step)} hour",
+                "week": f"{7 * int(step)} day"}[unit]
+        seq = F.sequence(F.col("__lo").cast("timestamp"),
+                         F.col("__hi").cast("timestamp"),
+                         F.expr(f"interval {ival}"))
+        axis = axis_src.select(*parts, F.explode(seq).alias(field))
+        axis = axis.withColumn(field,
+                               F.col(field).cast(df.schema[field].dataType))
     else:
         seq = F.sequence(F.col("__lo").cast("long"), F.col("__hi").cast("long"),
                          F.lit(int(step)))

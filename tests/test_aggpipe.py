@@ -4254,3 +4254,26 @@ def test_graph_lookup_depth_field_and_restrict(spark):
             "from": "edges", "startWith": "$start",
             "connectFromField": "dst", "connectToField": "frm",
             "as": "reach", "maxDepth": 1, "bogus": 1}}], tables=t)
+
+
+def test_densify_fixed_subday_units(spark):
+    """r11: $densify supports all fixed-duration units (ms..week), not
+    just day; calendar-variable units still refuse."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2024-01-01 03:00:00",)],
+        "d string").selectExpr("cast(d as timestamp) as ts")
+    got = aggregate(df, [{"$densify": {
+        "field": "ts", "range": {"step": 1, "unit": "hour",
+                                 "bounds": "full"}}}]).collect()
+    assert len(got) == 4      # 00,01,02,03
+    wk = spark.createDataFrame(
+        [("2024-01-01",), ("2024-01-15",)], "d string").selectExpr(
+        "cast(d as timestamp) as ts")
+    got_w = aggregate(wk, [{"$densify": {
+        "field": "ts", "range": {"step": 1, "unit": "week",
+                                 "bounds": "full"}}}]).collect()
+    assert len(got_w) == 3    # Jan 1, 8, 15
+    with pytest.raises(ValueError, match="calendar-variable"):
+        aggregate(df, [{"$densify": {
+            "field": "ts", "range": {"step": 1, "unit": "month",
+                                     "bounds": "full"}}}])
