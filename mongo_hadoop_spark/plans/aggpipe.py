@@ -1775,13 +1775,18 @@ def _accumulator(name: str, acc: dict) -> Column:
         return F.transform(wrapped, lambda s: s["v"]).alias(name)
     if op == "$addToSet":
         # canonical order (Mongo sets are unordered; sorting makes the
-        # result reproducible across shuffle schedules); struct-wrap +
-        # array_distinct preserves a NULL member (r11 — collect_set
-        # drops nulls, the server's set keeps one), sorted last
-        wrapped = F.array_distinct(
-            F.collect_list(F.struct(expr_to_col(operand).alias("v"))))
-        return F.array_sort(
-            F.transform(wrapped, lambda s: s["v"])).alias(name)
+        # result reproducible across shuffle schedules).  A NULL member
+        # is preserved (r11 — the server's set keeps one) by a null
+        # FLAG appended after the hash-deduped collect_set, NOT by
+        # array_distinct over collect_list: distinct-over-list is
+        # O(group²) per group and measured 13x on a large-group gate —
+        # collect_set keeps the linear hash-dedup path.
+        c = expr_to_col(operand)
+        vals = F.array_sort(F.collect_set(c))
+        has_null = F.count(F.lit(1)) > F.count(c)
+        return F.when(has_null,
+                      F.concat(vals, F.array(F.lit(None)))) \
+            .otherwise(vals).alias(name)
     if op == "$first":
         return F.first(expr_to_col(operand)).alias(name)
     if op == "$last":
