@@ -1709,16 +1709,24 @@ def _match_op_col(col: Column, op: str, operand) -> Column:
         aliases = operand if isinstance(operand, list) else [operand]
         # numeric BSON type codes → string aliases
         codes = {1: "double", 2: "string", 3: "object", 4: "array",
-                 5: "binData", 8: "bool", 9: "date", 16: "int",
-                 18: "long", 19: "decimal"}
+                 5: "binData", 8: "bool", 9: "date", 10: "null",
+                 16: "int", 18: "long", 19: "decimal"}
         t = F.call_function("typeof", col)
         checks = []
+        null_check = None
         for a in aliases:
             a = codes.get(a, a) if isinstance(a, int) else a
+            if a == "null":
+                # BSON null (code 10): matches a null-VALUED field —
+                # r11; previously unexpressible (the isNotNull guard
+                # below exists so a null value matches no OTHER alias)
+                null_check = col.isNull()
+                continue
             if a not in _BSON_TYPE_CHECKS:
                 raise ValueError(f"unsupported $type alias {a!r}")
             checks.append(_BSON_TYPE_CHECKS[a](t))
-        return col.isNotNull() & _fold_or(checks)
+        out = (col.isNotNull() & _fold_or(checks)) if checks else F.lit(False)
+        return (out | null_check) if null_check is not None else out
     if op == "$exists":
         # flat-column approximation: present ⇔ not null
         return col.isNotNull() if operand else col.isNull()

@@ -4277,3 +4277,15 @@ def test_densify_fixed_subday_units(spark):
         aggregate(df, [{"$densify": {
             "field": "ts", "range": {"step": 1, "unit": "month",
                                      "bounds": "full"}}}])
+
+
+def test_match_type_null_alias(spark):
+    """r11: {$type: "null"} (BSON code 10) matches null-valued fields
+    (previously unexpressible — the isNotNull guard excluded them);
+    mixed alias lists OR correctly."""
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id long, s string")
+    got = aggregate(df, [{"$match": {"s": {"$type": "null"}}}]).collect()
+    assert [r.id for r in got] == [2]
+    got2 = aggregate(df, [{"$match": {"s": {"$type": ["string", 10]}}}],
+                     ).collect()
+    assert sorted(r.id for r in got2) == [1, 2]
