@@ -612,6 +612,86 @@ ORDER BY user_id
 """
 
 
+def pipeline_densify_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$dateTrunc(month) → $group → $densify(unit: month) → $fill: gapless
+    monthly order counts over a sparse keyset (r12 — calendar-unit
+    densify).  Stepping is anchored (lo + i·step months, timestampadd);
+    the month-start axis is in the clamp-free regime where the server's
+    iterative $dateAdd, Spark's sequence(), and DuckDB's generate_series
+    all agree exactly."""
+    orders = table(spark, sf_dir, "orders")
+    return aggregate(orders, [
+        {"$match": {"$expr": {"$eq": [{"$mod": ["$o_orderkey", 997]}, 0]}}},
+        {"$addFields": {"m": {"$dateTrunc": {"date": "$o_orderdate",
+                                             "unit": "month"}}}},
+        {"$group": {"_id": "$m", "n": {"$sum": 1}}},
+        {"$addFields": {"m": "$_id"}},
+        {"$project": {"m": 1, "n": 1}},
+        {"$densify": {"field": "m",
+                      "range": {"step": 1, "unit": "month",
+                                "bounds": "full"}}},
+        {"$fill": {"output": {"n": {"value": {"$toLong": 0}}}}},
+        {"$project": {"month": {"$dateToString": {"format": "%Y-%m-%d",
+                                                  "date": "$m"}},
+                      "n": 1}},
+        {"$sort": {"month": 1}},
+    ])
+
+
+PIPELINE_DENSIFY_MONTHLY_SQL = """
+WITH per AS (
+  SELECT date_trunc('month', o_orderdate)::timestamp AS m, count(*) AS n
+  FROM orders WHERE o_orderkey % 997 = 0 GROUP BY 1
+),
+b AS (SELECT min(m) AS lo, max(m) AS hi FROM per),
+axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH))::timestamp
+             AS m FROM b)
+SELECT strftime(axis.m, '%Y-%m-%d') AS month, coalesce(per.n, 0) AS n
+FROM axis LEFT JOIN per USING (m) ORDER BY month
+"""
+
+
+def pipeline_densify_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned calendar densify: per-priority quarterly order counts,
+    $densify bounds:"partition" with unit quarter (r12) — each
+    o_orderpriority band gets its own gapless quarter axis."""
+    orders = table(spark, sf_dir, "orders")
+    return aggregate(orders, [
+        {"$match": {"$expr": {"$eq": [{"$mod": ["$o_orderkey", 499]}, 0]}}},
+        {"$addFields": {"q": {"$dateTrunc": {"date": "$o_orderdate",
+                                             "unit": "quarter"}}}},
+        {"$group": {"_id": {"pri": "$o_orderpriority", "q": "$q"},
+                    "n": {"$sum": 1}}},
+        {"$addFields": {"pri": "$_id.pri", "q": "$_id.q"}},
+        {"$project": {"pri": 1, "q": 1, "n": 1}},
+        {"$densify": {"field": "q", "partitionByFields": ["pri"],
+                      "range": {"step": 1, "unit": "quarter",
+                                "bounds": "partition"}}},
+        {"$fill": {"output": {"n": {"value": {"$toLong": 0}}}}},
+        {"$project": {"pri": 1,
+                      "quarter": {"$dateToString": {"format": "%Y-%m-%d",
+                                                    "date": "$q"}},
+                      "n": 1}},
+        {"$sort": {"pri": 1, "quarter": 1}},
+    ])
+
+
+PIPELINE_DENSIFY_QUARTERLY_SQL = """
+WITH per AS (
+  SELECT o_orderpriority AS pri,
+         date_trunc('quarter', o_orderdate)::timestamp AS q, count(*) AS n
+  FROM orders WHERE o_orderkey % 499 = 0 GROUP BY 1, 2
+),
+b AS (SELECT pri, min(q) AS lo, max(q) AS hi FROM per GROUP BY 1),
+axis AS (SELECT pri,
+                unnest(generate_series(lo, hi, INTERVAL 3 MONTH))::timestamp
+                    AS q FROM b)
+SELECT axis.pri, strftime(axis.q, '%Y-%m-%d') AS quarter,
+       coalesce(per.n, 0) AS n
+FROM axis LEFT JOIN per USING (pri, q) ORDER BY pri, quarter
+"""
+
+
 GRAPH_MAX_DEPTH = 3
 
 
@@ -2388,6 +2468,8 @@ QUERIES = {
     "pipeline_datediff_weekstarts": pipeline_datediff_weekstarts,
     "pipeline_window_range_frames": pipeline_window_range_frames,
     "pipeline_densify_user_counts": pipeline_densify_user_counts,
+    "pipeline_densify_monthly": pipeline_densify_monthly,
+    "pipeline_densify_quarterly": pipeline_densify_quarterly,
     "pipeline_graphlookup_reports": pipeline_graphlookup_reports,
 }
 
@@ -2442,5 +2524,7 @@ ORACLES = {
     "pipeline_datediff_weekstarts": PIPELINE_DATEDIFF_WEEKSTARTS_SQL,
     "pipeline_window_range_frames": PIPELINE_WINDOW_RANGE_SQL,
     "pipeline_densify_user_counts": PIPELINE_DENSIFY_SQL,
+    "pipeline_densify_monthly": PIPELINE_DENSIFY_MONTHLY_SQL,
+    "pipeline_densify_quarterly": PIPELINE_DENSIFY_QUARTERLY_SQL,
     "pipeline_graphlookup_reports": PIPELINE_GRAPH_SQL,
 }

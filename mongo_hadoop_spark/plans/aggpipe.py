@@ -579,6 +579,10 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
             lambda acc, x: expr_to_col(
                 operand["in"], {**(env or {}), "value": acc, "this": x}))
     if op == "$switch":
+        # server: "$switch requires at least one branch" (r12 — an empty
+        # branches list previously crashed with AttributeError on None)
+        if not operand.get("branches"):
+            raise ValueError("$switch requires at least one branch")
         out = None
         for br in operand["branches"]:
             c, t = _truthy(E(br["case"])), E(br["then"])
@@ -1269,6 +1273,23 @@ def _regex_find(op: str, operand: dict, E) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _fold_find_options(cond):
+    """Fold the find-language ``{$regex: ..., $options: "i"}`` pair into a
+    single ``$regex`` pattern with Java embedded flags (same i/m/s/x
+    contract as the $regexMatch expression).  Applies wherever an op-doc
+    is legal — the top level of a field condition and inside ``$not``
+    (r12; previously only the top level folded).  Non-dicts and dicts
+    without ``$options`` pass through unchanged."""
+    if not isinstance(cond, dict) or "$options" not in cond:
+        return cond
+    if "$regex" not in cond:
+        raise ValueError("$options is only valid next to $regex")
+    cond = dict(cond)
+    cond["$regex"] = _regex_pattern(
+        {"regex": cond["$regex"], "options": cond.pop("$options")})
+    return cond
+
+
 def match_to_col(query: dict) -> Column:
     """Compile a query document (the ``find()``/``$match`` language) to a
     boolean Column with MongoDB null semantics."""
@@ -1333,16 +1354,7 @@ def _match_field(key: str, cond) -> Column:
     if key.startswith("$"):
         raise ValueError(f"unsupported top-level query operator {key}")
     col = F.col(key)
-    if isinstance(cond, dict) and "$options" in cond:
-        # find-language form {field: {$regex: ..., $options: "i"}} (r11
-        # — previously refused as an unsupported operator): fold the
-        # options into the pattern as Java embedded flags, same i/m/s/x
-        # contract as the $regexMatch expression
-        if "$regex" not in cond:
-            raise ValueError("$options is only valid next to $regex")
-        cond = dict(cond)
-        cond["$regex"] = _regex_pattern(
-            {"regex": cond["$regex"], "options": cond.pop("$options")})
+    cond = _fold_find_options(cond) if isinstance(cond, dict) else cond
     if isinstance(cond, dict) and cond and all(k.startswith("$") for k in cond):
         # $geoIntersects gets the one-string SQL rendering when the
         # field NAME is in hand (always, here): the Column rendering
@@ -1732,7 +1744,10 @@ def _match_op_col(col: Column, op: str, operand) -> Column:
         return col.isNotNull() if operand else col.isNull()
     if op == "$not":
         # same three-valued-logic collapse as $nor: non-match (incl. null
-        # comparisons) negates to TRUE
+        # comparisons) negates to TRUE.  The find-language {$regex,
+        # $options} pair is legal inside $not too (r12 — previously
+        # refused because the fold only ran at the op-doc top level).
+        operand = _fold_find_options(operand)
         return ~F.coalesce(
             _fold_and([_match_op_col(col, o, v) for o, v in operand.items()]),
             F.lit(False))
@@ -2923,15 +2938,34 @@ def _stage_densify(df: DataFrame, spec: dict) -> DataFrame:
     unit = rng.get("unit")
     parts = spec.get("partitionByFields", [])
     # fixed-duration units compile to one timestamp sequence() (r11 —
-    # previously only "day"); month/quarter/year are calendar-variable
-    # and stay refused (a sequence interval cannot express them exactly)
+    # previously only "day"); calendar units (month/quarter/year, r12)
+    # compile to anchored month-stepping: value_i = lo + i*step months
+    # (timestampadd, day-of-month clamped per step FROM THE ANCHOR —
+    # the same contract as Spark's native sequence() and $dateAdd with
+    # amount=i*step.  The server iterates $dateAdd one unit at a time,
+    # which additionally compounds the clamp once a day-29..31 anchor
+    # crosses a shorter month: Jan 31 -> Feb 28 -> Mar 28 server-side
+    # vs Mar 31 here.  On anchors whose day-of-month exists in every
+    # generated month — day <= 28, or month-start axes — the two agree
+    # exactly; the deviation is documented rather than silently wrong.)
     _FIXED_UNITS = ("millisecond", "second", "minute", "hour", "day",
                     "week")
-    if unit is not None and unit not in _FIXED_UNITS:
+    _CAL_MONTHS = {"month": 1, "quarter": 3, "year": 12}
+    if unit is not None and unit not in _FIXED_UNITS and \
+            unit not in _CAL_MONTHS:
         raise ValueError(
             f"unsupported $densify unit {unit!r} (fixed-duration units "
-            f"{sorted(_FIXED_UNITS)} supported; month/quarter/year are "
-            "calendar-variable)")
+            f"{sorted(_FIXED_UNITS)} and calendar units "
+            f"{sorted(_CAL_MONTHS)} supported)")
+    if unit is not None:
+        # the server errors when unit is set on a non-date field; without
+        # this check a numeric axis would silently cast long->timestamp
+        # (seconds) and produce a seconds-stepped numeric axis (r12)
+        ftype = df.schema[field].dataType.typeName()
+        if ftype not in ("timestamp", "timestamp_ntz", "date"):
+            raise ValueError(
+                f"$densify range.unit requires a date field; {field!r} "
+                f"is {ftype}")
 
     fcol = F.col(field)
     bounds = rng.get("bounds", "full")
@@ -2951,7 +2985,32 @@ def _stage_densify(df: DataFrame, spec: dict) -> DataFrame:
                     if parts else df.limit(1).select())
         axis_src = axis_src.withColumn("__lo", F.lit(lo)).withColumn(
             "__hi", F.lit(hi))
-    if unit == "day":
+    if unit in _CAL_MONTHS:
+        # anchored month-stepping (see the unit contract above): generate
+        # i = 0..floor(month-span/step) then timestampadd from the anchor;
+        # the clamp can overshoot __hi on day-29..31 anchors, so filter
+        # rather than trust the index bound.  O(#keys x #steps) like every
+        # other axis branch — no shuffle beyond the final join.
+        months = int(step) * _CAL_MONTHS[unit]
+        lo_ts = F.col("__lo").cast("timestamp")
+        hi_ts = F.col("__hi").cast("timestamp")
+        span = ((F.year(hi_ts) - F.year(lo_ts)) * 12
+                + F.month(hi_ts) - F.month(lo_ts))
+        n = F.floor(span / F.lit(months)).cast("int")
+        axis = (axis_src
+                .select(*parts, "__lo", "__hi",
+                        F.explode(F.sequence(F.lit(0),
+                                             F.greatest(n, F.lit(0))))
+                        .alias("__i"))
+                .withColumn(field, F.expr(
+                    f"timestampadd(MONTH, __i * {months}, "
+                    "cast(__lo as timestamp))"))
+                .withColumn(field,
+                            F.col(field).cast(df.schema[field].dataType))
+                .where(F.col(field).cast("timestamp")
+                       <= F.col("__hi").cast("timestamp"))
+                .select(*parts, field))
+    elif unit == "day":
         seq = F.sequence(F.col("__lo").cast("date"), F.col("__hi").cast("date"),
                          F.expr(f"interval {int(step)} day"))
         axis_val = F.explode(seq).alias(field)
@@ -2977,7 +3036,13 @@ def _stage_densify(df: DataFrame, spec: dict) -> DataFrame:
         axis = axis_src.select(*parts, F.explode(seq).alias(field))
         axis = axis.withColumn(field, F.col(field).cast(df.schema[field].dataType))
     join_keys = parts + [field]
-    return axis.join(df, join_keys, "left")
+    # FULL outer, not left (r12): the server returns every original
+    # document unmodified even when its value is off-step (e.g. k=4 with
+    # step 2 from lo=1, or a mid-month date under unit:month) — a left
+    # join from the axis silently dropped those rows.  Spark's
+    # key-list full join coalesces the key columns, so on-axis rows
+    # still merge with their generated twin.
+    return axis.join(df, join_keys, "full")
 
 
 def _stage_fill(df: DataFrame, spec: dict) -> DataFrame:

@@ -4273,10 +4273,112 @@ def test_densify_fixed_subday_units(spark):
         "field": "ts", "range": {"step": 1, "unit": "week",
                                  "bounds": "full"}}}]).collect()
     assert len(got_w) == 3    # Jan 1, 8, 15
-    with pytest.raises(ValueError, match="calendar-variable"):
+    with pytest.raises(ValueError, match="unsupported .densify unit"):
         aggregate(df, [{"$densify": {
-            "field": "ts", "range": {"step": 1, "unit": "month",
+            "field": "ts", "range": {"step": 1, "unit": "fortnight",
                                      "bounds": "full"}}}])
+
+
+def test_densify_calendar_units(spark):
+    """r12: month/quarter/year $densify — ANCHORED stepping
+    (value_i = lo + i*step months via timestampadd): a day-31 anchor
+    clamps per step from the anchor (Jan 31 -> Feb 28 -> Mar 31 ->
+    Apr 30), never compounding the clamp (Mar 28)."""
+    import datetime as dt
+    df = spark.createDataFrame(
+        [(dt.datetime(2021, 1, 31, 10, 30), 1),
+         (dt.datetime(2021, 4, 30, 10, 30), 4)], "ts timestamp, x long")
+    got = aggregate(df, [
+        {"$densify": {"field": "ts", "range": {"step": 1, "unit": "month",
+                                               "bounds": "full"}}},
+        {"$sort": {"ts": 1}},
+    ]).collect()
+    assert [r.ts for r in got] == [
+        dt.datetime(2021, 1, 31, 10, 30), dt.datetime(2021, 2, 28, 10, 30),
+        dt.datetime(2021, 3, 31, 10, 30), dt.datetime(2021, 4, 30, 10, 30)]
+    # quarter = 3 months; the clamp can overshoot __hi (Jan 31 + 1
+    # quarter = Apr 30 > Apr 15) — the axis filter must drop it
+    df2 = spark.createDataFrame(
+        [(dt.datetime(2021, 1, 31), 1), (dt.datetime(2021, 4, 15), 2)],
+        "ts timestamp, x long")
+    got2 = aggregate(df2, [
+        {"$densify": {"field": "ts", "range": {"step": 1, "unit": "quarter",
+                                               "bounds": "full"}}},
+        {"$sort": {"ts": 1}},
+    ]).collect()
+    assert [r.ts for r in got2] == [dt.datetime(2021, 1, 31),
+                                    dt.datetime(2021, 4, 15)]
+    # year unit on a DATE column keeps the column type
+    df3 = spark.createDataFrame(
+        [(dt.date(2020, 2, 29), 1), (dt.date(2023, 1, 1), 2)],
+        "d date, x long")
+    got3 = aggregate(df3, [
+        {"$densify": {"field": "d", "range": {"step": 1, "unit": "year",
+                                              "bounds": "full"}}},
+        {"$sort": {"d": 1}},
+    ]).collect()
+    assert [r.d for r in got3] == [
+        dt.date(2020, 2, 29), dt.date(2021, 2, 28), dt.date(2022, 2, 28),
+        dt.date(2023, 1, 1)]   # leap anchor clamps, axis stays date-typed
+    # partitioned calendar bounds: each partition gets its own axis
+    df4 = spark.createDataFrame(
+        [("a", dt.datetime(2021, 1, 1)), ("a", dt.datetime(2021, 4, 1)),
+         ("b", dt.datetime(2021, 6, 1))], "g string, ts timestamp")
+    got4 = aggregate(df4, [
+        {"$densify": {"field": "ts", "partitionByFields": ["g"],
+                      "range": {"step": 1, "unit": "month",
+                                "bounds": "partition"}}},
+        {"$sort": {"g": 1, "ts": 1}},
+    ]).collect()
+    assert [(r.g, r.ts.month) for r in got4] == [
+        ("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 6)]
+
+
+def test_densify_preserves_off_step_rows(spark):
+    """r12: the server returns every original document unmodified even
+    when its value is off the generated step axis — a row at k=4 under
+    step 2 from lo=1 must survive (previously dropped by the left join
+    from the axis)."""
+    df = spark.createDataFrame([(1, "a"), (4, "b"), (7, "c")],
+                               "k long, v string")
+    got = aggregate(df, [
+        {"$densify": {"field": "k", "range": {"step": 2, "bounds": "full"}}},
+        {"$sort": {"k": 1}},
+    ]).collect()
+    assert [(r.k, r.v) for r in got] == [
+        (1, "a"), (3, None), (4, "b"), (5, None), (7, "c")]
+
+
+def test_densify_unit_requires_date_field(spark):
+    """r12 (advice): range.unit on a NUMERIC field refuses loudly like
+    the server instead of silently casting long->timestamp (seconds)."""
+    df = spark.createDataFrame([(1,), (5,)], "k long")
+    for unit in ("day", "month"):
+        with pytest.raises(ValueError, match="requires a date field"):
+            aggregate(df, [{"$densify": {
+                "field": "k", "range": {"step": 1, "unit": unit,
+                                        "bounds": "full"}}}])
+
+
+def test_switch_empty_branches(spark):
+    """r12 (advice): $switch with an empty branches list raises the
+    server's ValueError instead of AttributeError on None."""
+    df = spark.createDataFrame([(1,)], "x long")
+    for operand in ({"branches": []}, {"branches": [], "default": 0}):
+        with pytest.raises(ValueError, match="at least one branch"):
+            aggregate(df, [{"$project": {"y": {"$switch": operand}}}])
+
+
+def test_not_regex_options(spark):
+    """r12 (advice): the find-language {$regex, $options} pair folds
+    inside $not too, not only at the op-doc top level."""
+    df = spark.createDataFrame([("Alpha",), ("beta",), (None,)],
+                               "s string")
+    got = aggregate(df, [{"$match": {
+        "s": {"$not": {"$regex": "^al", "$options": "i"}}}}]).collect()
+    # $not matches non-matches INCLUDING null (server three-valued rule)
+    assert sorted(r.s for r in got if r.s is not None) == ["beta"]
+    assert len(got) == 2
 
 
 def test_match_type_null_alias(spark):

@@ -102,7 +102,7 @@ def main(argv: list[str]) -> int:
     bv = base.get("value", base.get("total_sec", b_sub))
     nv = new.get("value", new.get("total_sec", n_sub))
     print(f"FULL TOTAL (sets may differ): {bv:.3f} -> "
-          f"{nv:.3f} ({nv / bv:.3f}x)"
+          f"{nv:.3f} ({nv / max(bv, 1e-3):.3f}x)"
           + (f"  [new: {new.get('n_failed', 0)} failed]"))
     if regressed:
         print(f"FAIL: {len(regressed)} queries over {threshold}x: "
