@@ -2000,14 +2000,7 @@ def dedup_semantic_survivors_ivf_fixed(spark: SparkSession,
     reps, members = _vector_classes(emb)
     member_dominated = members.select("vec_id")
     cents = _ivf_fixed_centroids(spark, sf_dir)
-    d = (norm2(F.col("v")) + norm2(F.col("cv"))
-         - 2 * dot(F.col("v"), F.col("cv")))
-    cells = (reps.select("vec_id", F.col("embedding").alias("v"))
-             .join(F.broadcast(cents))
-             .select("vec_id", "cid", d.alias("d"))
-             .groupBy("vec_id")
-             .agg(F.min(F.struct("d", "cid")).getField("cid")
-                  .alias("centroid_id")))
+    cells = _nearest_fixed_cell(reps, cents)
     v = reps.select("vec_id", "embedding",
                     F.sqrt(norm2(F.col("embedding"))).alias("nrm"))
     tagged = (v.join(cells, "vec_id")
@@ -2052,6 +2045,22 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
 """
 
 
+def _nearest_fixed_cell(reps: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each representative vector to its nearest fixed-K coarse
+    cell: ``(vec_id, centroid_id)``.  Broadcast centroids, squared-L2
+    argmin via one min-of-struct aggregation — the shared assignment
+    stage of the fixed/capped SemDeDup compositions and the cell-density
+    report."""
+    d = (norm2(F.col("v")) + norm2(F.col("cv"))
+         - 2 * dot(F.col("v"), F.col("cv")))
+    return (reps.select("vec_id", F.col("embedding").alias("v"))
+            .join(F.broadcast(cents))
+            .select("vec_id", "cid", d.alias("d"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cid")).getField("cid")
+                 .alias("centroid_id")))
+
+
 #: per-cell anchor budget for the capped SemDeDup composition — the
 #: hot-cell mitigation (r11, verdict item 4).  Deterministic: the C
 #: smallest rep vec_ids of each cell.
@@ -2089,14 +2098,7 @@ def dedup_semantic_survivors_ivf_capped(spark: SparkSession,
     reps, members = _vector_classes(emb)
     member_dominated = members.select("vec_id")
     cents = _ivf_fixed_centroids(spark, sf_dir)
-    d = (norm2(F.col("v")) + norm2(F.col("cv"))
-         - 2 * dot(F.col("v"), F.col("cv")))
-    cells = (reps.select("vec_id", F.col("embedding").alias("v"))
-             .join(F.broadcast(cents))
-             .select("vec_id", "cid", d.alias("d"))
-             .groupBy("vec_id")
-             .agg(F.min(F.struct("d", "cid")).getField("cid")
-                  .alias("centroid_id")))
+    cells = _nearest_fixed_cell(reps, cents)
     v = reps.select("vec_id", "embedding",
                     F.sqrt(norm2(F.col("embedding"))).alias("nrm"))
     tagged = (v.join(cells, "vec_id")
@@ -2158,6 +2160,57 @@ dominated AS (
 )
 SELECT vec_id, label FROM embeddings
 WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
+"""
+
+
+def dedup_semantic_cell_density(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Overflow SIGNAL for the capped SemDeDup (r12, verdict item 4):
+    per-cell distinct-class density vs ``CELL_ANCHOR_CAP``.
+
+    :func:`dedup_semantic_survivors_ivf_capped`'s recall contract
+    silently degrades on cells holding more than CELL_ANCHOR_CAP
+    distinct exact-duplicate classes — duplicates whose smaller-id
+    partner ranks past the anchor budget are missed with no error.  This
+    report makes the regime DETECTABLE: one row per coarse cell with the
+    distinct-class count, the total row count mapped into the cell
+    (classes + their exact-duplicate members), and an ``overflow`` flag
+    (n_classes > cap).  A pipeline runs it next to the capped dedup and
+    routes or alerts on any flagged cell (e.g. re-run the uncapped
+    per-cell pairing on just those cells, whose volume it now knows).
+
+    Cost: the same class collapse + broadcast assignment the capped
+    dedup already does, then ONE keyed aggregation — no pairwise stage
+    at all, trivially linear.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    reps, members = _vector_classes(emb)
+    cents = _ivf_fixed_centroids(spark, sf_dir)
+    cells = _nearest_fixed_cell(reps, cents)
+    class_sz = (members.groupBy("rep_id").agg(F.count("*").alias("m"))
+                .withColumnRenamed("rep_id", "vec_id"))
+    per_class = (cells.join(class_sz, "vec_id", "left")
+                 .select("centroid_id",
+                         (F.coalesce(F.col("m"), F.lit(0)) + 1)
+                         .alias("sz")))
+    return (per_class.groupBy("centroid_id")
+            .agg(F.count("*").alias("n_classes"),
+                 F.sum("sz").alias("n_rows"))
+            .withColumn("overflow",
+                        F.col("n_classes") > CELL_ANCHOR_CAP)
+            .orderBy("centroid_id"))
+
+
+SEMANTIC_CELL_DENSITY_SQL = f"""{_IVF_FIXED_PRELUDE},
+cls AS (
+  SELECT min(vec_id) AS vec_id, count(*) AS sz FROM e GROUP BY v
+)
+SELECT f.centroid_id,
+       count(*) AS n_classes,
+       sum(c.sz)::bigint AS n_rows,
+       count(*) > {CELL_ANCHOR_CAP} AS overflow
+FROM cls c JOIN fixed_assign f ON c.vec_id = f.vec_id
+GROUP BY 1 ORDER BY 1
 """
 
 
@@ -2307,6 +2360,7 @@ QUERIES = {
     "ivf_assign_fixed": ivf_assign_fixed,
     "dedup_semantic_survivors_ivf_fixed": dedup_semantic_survivors_ivf_fixed,
     "dedup_semantic_survivors_ivf_capped": dedup_semantic_survivors_ivf_capped,
+    "dedup_semantic_cell_density": dedup_semantic_cell_density,
     "embedding_norms": embedding_norms,
     "knn_bruteforce": knn_bruteforce,
     "near_dup_pairs_cosine": near_dup_pairs_cosine,
@@ -2338,6 +2392,7 @@ ORACLES = {
     "ivf_assign_fixed": IVF_ASSIGN_FIXED_SQL,
     "dedup_semantic_survivors_ivf_fixed": SEMANTIC_SURVIVORS_IVF_FIXED_SQL,
     "dedup_semantic_survivors_ivf_capped": SEMANTIC_SURVIVORS_IVF_CAPPED_SQL,
+    "dedup_semantic_cell_density": SEMANTIC_CELL_DENSITY_SQL,
     "embedding_norms": NORMS_SQL,
     "knn_bruteforce": KNN_SQL,
     "near_dup_pairs_cosine": NEAR_DUP_SQL,

@@ -219,3 +219,55 @@ def test_capped_semdedup_hot_cell_contract(spark, tmp_path):
         spark, clone_out).collect()}
     assert cap_clone <= base_ids                    # every clone dominated
     assert cap_clone == cap_plain                   # reps' decisions intact
+
+
+def test_cell_density_overflow_signal(spark, tmp_path):
+    """r12 (verdict item 4): the cell-density report FIRES on the
+    planted hot-cell corpus — every cell whose distinct-class count
+    exceeds CELL_ANCHOR_CAP carries overflow=true, the class/row
+    accounting reconciles with the corpus, and exact-duplicate clones
+    inflate n_rows but NOT n_classes (the collapse runs first)."""
+    import pyspark.sql.functions as F
+
+    from mongo_hadoop_spark.operators.similarity import (
+        CELL_ANCHOR_CAP, dedup_semantic_cell_density)
+
+    src = "/root/testdata/sf0.001"
+    base = spark.read.parquet(f"{src}/embeddings.parquet")
+    n_base = base.count()
+    shift = base.agg(F.max("vec_id")).collect()[0][0] + 1
+
+    plain = dedup_semantic_cell_density(spark, src).collect()
+    assert sum(r.n_rows for r in plain) == n_base
+    assert all(r.overflow == (r.n_classes > CELL_ANCHOR_CAP)
+               for r in plain)
+
+    # planted hot cells: near-dup replicas are DISTINCT classes, so
+    # n_classes triples and the overflow flag must fire somewhere
+    out = str(tmp_path / "hot_sf")
+    (tmp_path / "hot_sf").mkdir()
+    planted = base
+    for i in (1, 2):
+        planted = planted.unionByName(
+            base.withColumn("vec_id", F.col("vec_id") + i * shift)
+            .withColumn("embedding", F.expr(
+                "transform(embedding, (x, j) -> CAST(CASE WHEN j = 0 "
+                f"THEN x + {i}e-5 ELSE x END AS FLOAT))")))
+    planted.write.parquet(f"{out}/embeddings.parquet")
+    hot = dedup_semantic_cell_density(spark, out).collect()
+    assert sum(r.n_rows for r in hot) == 3 * n_base
+    assert sum(r.n_classes for r in hot) == 3 * sum(
+        r.n_classes for r in plain)
+    assert any(r.overflow for r in hot)
+
+    # exact clones: same classes, doubled rows — no new overflow beyond
+    # the plain corpus's own flags
+    clone_out = str(tmp_path / "clone_sf")
+    (tmp_path / "clone_sf").mkdir()
+    base.unionByName(
+        base.withColumn("vec_id", F.col("vec_id") + 10 * shift)
+    ).write.parquet(f"{clone_out}/embeddings.parquet")
+    cl = dedup_semantic_cell_density(spark, clone_out).collect()
+    assert {(r.centroid_id, r.n_classes, r.overflow) for r in cl} == \
+        {(r.centroid_id, r.n_classes, r.overflow) for r in plain}
+    assert sum(r.n_rows for r in cl) == 2 * n_base
