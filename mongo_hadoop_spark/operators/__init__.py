@@ -36,53 +36,26 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 
 # Registry order is part of the verification contract: external harnesses may
 # only sample a prefix of ``queries()``, so the entries that most need a fresh
-# cross-engine check come first.  Round-11 rotation (the round-10 verdict's
-# item 2): the query new this round (the per-cell-capped SemDeDup
-# composition — the gated hot-cell mitigation), then the
-# changed-with-pinned-hash paths (embedding_pq_codes / pq_knn_adc /
-# ivf_assign now load through guard_quadratic — an identity wrapper, plan
-# unchanged; pipeline_array_aggregates dispatches through the r11
-# decimal-normalizing scalar-pass-through type check — array input, plan
-# unchanged), then ALL 26 queries whose latest driver verdicts date from
-# round 6, then the 20 oldest round-7 rows fill the 50-entry prefix.
-# The remaining r7 rows queue just below the window for round 12;
-# fully-green r8/r9/r10 verdicts rotate to the tail.
+# cross-engine check come first.  Round-12 rotation (the round-11 verdict's
+# item 1): the three queries new this round (calendar-unit $densify gates,
+# SemDeDup cell-density overflow report), then the changed-path rows (the
+# $densify full-join + spec-key audit touched every $densify/$fill/$bucket/
+# $bucketAuto/$setWindowFields gate's compile path — plans value-pinned by
+# the sf0.001 parity sweep; the _nearest_fixed_cell refactor touched the
+# fixed/capped SemDeDup assignment subtree), then ALL 32 queries whose
+# latest driver verdicts date from round 7, then the 10 oldest round-8
+# rows fill the 50-entry prefix.  The remaining r8 rows queue just below
+# the window for round 13; fully-green r9/r10/r11 verdicts rotate to the
+# tail.
 _HEAD_KEYS = [
     # new this round — never driver-verified
-    "dedup_semantic_survivors_ivf_capped",
-    # changed this round — code path touched, hash pinned unchanged
-    # (guard-wrapped loads; pass-through dispatch; and the r11
-    # accumulator null-parity rewrite — $group $sum now coalesces to 0
-    # and $push/$addToSet/$firstN struct-wrap, so every $group gate's
-    # plan changed: pipeline_status_rollup / pipeline_lookup_segment
-    # are the $sum- and $addToSet-shaped representatives, the full set
-    # is value-pinned by the sf0.001 parity sweep + the round-end
-    # sf0.01 drive)
-    "embedding_pq_codes", "pq_knn_adc", "pipeline_array_aggregates",
-    "pipeline_status_rollup", "pipeline_lookup_segment",
-    # r06-verified — the 26 oldest outstanding driver verdicts
-    "documents_chunk_windows",
-    "documents_fim_transform", "embedding_gram_matrix",
-    "embedding_matryoshka_recall", "embedding_pca_whitened",
-    "embedding_pq_codes_fixed", "embedding_pq_codes_trained",
-    "embedding_random_projection", "embeddings_cluster_sample",
-    "events_value_anomalies", "graph_degree_histogram",
-    "graph_pagerank_neardup", "ivf_assign_lloyd", "ivf_assign_refined",
-    "ivf_pq_knn", "pipeline_exp_moving_avg", "pipeline_geo_center_sphere",
-    "pipeline_geo_polygon_sphere", "pipeline_rank_fusion",
-    "pipeline_score_fusion", "pipeline_search_highlights",
-    "pipeline_search_meta_facets", "pq_knn_adc_fixed",
-    "skew_salted_rollup", "text_repetition_flags", "tpch_q11_value_share",
-    # r07-verified — guard-touched ivf_assign first, then the oldest
-    # nineteen (alphabetical within the era: equally stale, stable order)
-    "ivf_assign",
-    "a1_avg_by_year", "a3_pair_counts", "a5_frequent_short_tokens",
-    "broadcast_dim_join", "corpus_chunk_dedup", "corpus_decontaminate",
-    "corpus_dup_spans", "corpus_span_excised", "corpus_span_increment",
-    "count_distinct_suppliers", "cube_agg", "custom_sort_comparator",
-    "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_minhash_verified",
-    "dedup_ngram_jaccard", "dedup_simhash",
-    # --- 50-entry window boundary (r12 rotation starts here) ---
+    "pipeline_densify_monthly", "pipeline_densify_quarterly",
+    "dedup_semantic_cell_density",
+    # changed this round — compile path touched, values pinned unchanged
+    "pipeline_densify_user_counts", "pipeline_window_fields",
+    "pipeline_bucket_order_values", "pipeline_bucket_auto_granularity",
+    "dedup_semantic_survivors_ivf_fixed",
+    # r07-verified — ALL 32 outstanding r7 driver verdicts
     "dedup_span_alignments", "embedding_quantize_int8",
     "events_session_windows", "f3_sort_limit", "f4_skip_pagination",
     "hive_pushdown_conjunction", "ivf_knn", "ivf_knn_nprobe",
@@ -94,6 +67,29 @@ _HEAD_KEYS = [
     "text_langid", "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q18",
     "tpch_q22_antijoin", "tpch_q4_semijoin", "treasury_doubled",
     "u2_objectid_seconds", "window_spend_quartiles",
+    # r08-verified — the 10 oldest (alphabetical within the era:
+    # equally stale, stable order)
+    "a2_upsert_docs", "a4_log_rollup", "corpus_bpe_compression",
+    "corpus_bpe_merges", "corpus_bpe_symbol_stats",
+    "corpus_pretrain_manifest", "corpus_split_leakage",
+    "corpus_training_manifest", "corpus_wordpiece_compression",
+    "corpus_wordpiece_merges",
+    # --- 50-entry window boundary (r13 rotation starts here) ---
+    # remaining r8-era rows queue first for round 13
+    "corpus_yield_report", "dedup_containment", "dedup_exact_survivors",
+    "dedup_minhash_signatures", "dedup_semantic_survivors",
+    "dedup_semantic_survivors_ivf", "dedup_simhash_groups",
+    "documents_epoch_shuffle", "documents_pack_sequences",
+    "documents_pack_sequences_bpe", "documents_stratified_sample",
+    "documents_train_split", "events_cohort_retention", "events_funnel",
+    "multimodal_decode_features", "multimodal_frame_sample",
+    "multimodal_pack_interleaved", "multimodal_resize",
+    "orders_quantile_rollup", "pipeline_graphlookup_reports",
+    "pipeline_sortbycount", "pipeline_text_query", "pipeline_wordcount",
+    "sketch_hll_documents", "sketch_hll_users", "text_fingerprint",
+    "text_quality", "text_redact_pii", "text_repetition_ratio",
+    "text_token_count", "text_top_distinctive_terms",
+    "user_activity_histogram",
 ]
 
 

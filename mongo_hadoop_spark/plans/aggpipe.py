@@ -2401,11 +2401,26 @@ def _stage_sort(df: DataFrame, spec: dict) -> DataFrame:
     return df.orderBy(*order)
 
 
+def _check_spec_keys(stage: str, spec: dict, allowed: frozenset | set) -> None:
+    """Refuse unknown stage-spec keys loudly (r12, the
+    silently-ignored-argument audit): a misspelled or unsupported
+    argument must fail the plan, never be dropped — the server rejects
+    unknown arguments to every multi-key stage spec, and a silent drop
+    is the wrong-answer-no-error failure class."""
+    unknown = set(spec) - set(allowed)
+    if unknown:
+        raise ValueError(
+            f"{stage}: unknown argument(s) {sorted(unknown)} "
+            f"(supported: {sorted(allowed)})")
+
+
 def _stage_bucket(df: DataFrame, spec: dict) -> DataFrame:
     """$bucket: group by the containing [b_i, b_{i+1}) boundary interval;
     the bucket's inclusive lower bound is its ``_id`` (server semantics).
     Out-of-range values go to ``default`` (error without one, like the
     server)."""
+    _check_spec_keys("$bucket", spec,
+                     {"groupBy", "boundaries", "default", "output"})
     gb = expr_to_col(spec["groupBy"])
     bounds = spec["boundaries"]
     out_spec = spec.get("output", {"count": {"$sum": 1}})
@@ -2520,6 +2535,8 @@ def _stage_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
     ``list_filter``): v falls in bucket idx = |{c_i : v > c_i}|, which
     spans (c_idx, c_{idx+1}] with c_0 = min and c_n = max.
     """
+    _check_spec_keys("$bucketAuto", spec,
+                     {"groupBy", "buckets", "output", "granularity"})
     gb = expr_to_col(spec["groupBy"])
     n = int(spec["buckets"])
     out_spec = spec.get("output", {"count": {"$sum": 1}})
@@ -2764,6 +2781,8 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
     accumulators over a partition+sort window."""
     from pyspark.sql import Window as W
 
+    _check_spec_keys("$setWindowFields", spec,
+                     {"partitionBy", "sortBy", "output"})
     base = (W.partitionBy(expr_to_col(spec["partitionBy"]))
             if "partitionBy" in spec and spec["partitionBy"] is not None
             else W.partitionBy())
@@ -2774,6 +2793,13 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
     for name, out in spec["output"].items():
         out = dict(out)
         frame = out.pop("window", None)
+        if len(out) != 1:
+            # exactly one window operator per output field (r12: extra
+            # keys previously died in tuple unpacking; none silently)
+            raise ValueError(
+                f"$setWindowFields output {name!r} must hold exactly one "
+                f"window operator (plus an optional 'window' frame); got "
+                f"keys {sorted(out)}")
         (op, operand), = out.items()
         if op == "$rank":
             col = F.rank().over(w_sorted)
@@ -2932,8 +2958,11 @@ def _stage_densify(df: DataFrame, spec: dict) -> DataFrame:
     sequence()+explode of the step axis per partition key, left-joined
     against the existing rows — generation is O(#keys × #steps) and
     never shuffles the fact rows more than the one join."""
+    _check_spec_keys("$densify", spec,
+                     {"field", "partitionByFields", "range"})
     field = spec["field"]
     rng = spec["range"]
+    _check_spec_keys("$densify range", rng, {"step", "unit", "bounds"})
     step = rng["step"]
     unit = rng.get("unit")
     parts = spec.get("partitionByFields", [])
@@ -3048,12 +3077,24 @@ def _stage_densify(df: DataFrame, spec: dict) -> DataFrame:
 def _stage_fill(df: DataFrame, spec: dict) -> DataFrame:
     """$fill: per-column gap filling — ``{value: expr}`` constant fill or
     ``{method: "locf"}`` last-observation-carried-forward over the
-    sortBy order (one keyed window)."""
+    sortBy order (one keyed window).  Partitioning comes from
+    ``partitionBy`` (field-path string) or ``partitionByFields`` (name
+    list) — mutually exclusive like the server (r12: partitionByFields
+    was previously silently ignored)."""
     from pyspark.sql import Window as W
 
+    _check_spec_keys("$fill", spec,
+                     {"partitionBy", "partitionByFields", "sortBy",
+                      "output"})
+    if "partitionBy" in spec and "partitionByFields" in spec:
+        raise ValueError(
+            "$fill: specify either partitionBy or partitionByFields, "
+            "not both (server rule)")
     parts = spec.get("partitionBy")
     if isinstance(parts, str):
         parts = [parts[1:] if parts.startswith("$") else parts]
+    if "partitionByFields" in spec:
+        parts = list(spec["partitionByFields"])
     base = W.partitionBy(*[F.col(p) for p in parts]) if parts else W.partitionBy()
     sort = spec.get("sortBy") or {}
     order = [F.col(k).asc() if d >= 0 else F.col(k).desc()
@@ -3061,6 +3102,13 @@ def _stage_fill(df: DataFrame, spec: dict) -> DataFrame:
     w = (base.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
          if order else base)
     for name, how in spec["output"].items():
+        # exactly {value} or {method} per output (server rule; a spec
+        # carrying both previously applied value and dropped method)
+        if not isinstance(how, dict) or set(how) not in ({"value"},
+                                                         {"method"}):
+            raise ValueError(
+                f"$fill output {name!r} must be {{value: <expr>}} or "
+                f"{{method: 'locf'|'linear'}}; got {how!r}")
         if "value" in how:
             df = df.withColumn(name, F.coalesce(F.col(name),
                                                 expr_to_col(how["value"])))
@@ -3220,6 +3268,18 @@ def _stage_out(df: DataFrame, spec, store_path: str | None,
     pipeline→live-cluster loop."""
     if store_path is None:
         raise ValueError("$out requires store_path=...")
+    if isinstance(spec, dict):
+        _check_spec_keys("$out", spec, {"db", "coll"})
+        if "db" in spec:
+            # the engine's target database is fixed by store_path (the
+            # store directory / mongodb:// URI); honoring a differing db
+            # silently would write to the wrong namespace (r12 audit:
+            # previously ignored)
+            raise ValueError(
+                "$out: the target database comes from store_path (the "
+                "store directory or mongodb:// URI); cross-database $out "
+                "is unsupported — drop the 'db' key or point store_path "
+                "at that database")
     coll = spec if isinstance(spec, str) else spec["coll"]
     if _is_live_target(store_path):
         from mongo_hadoop_spark.sources import register
@@ -3342,6 +3402,16 @@ def _stage_merge(df: DataFrame, spec, store_path: str | None,
     from mongo_hadoop_spark.sinks.writers import apply_pending_updates, write_documents
 
     spec = spec if isinstance(spec, dict) else {"into": spec}
+    _check_spec_keys("$merge", spec,
+                     {"into", "on", "whenMatched", "whenNotMatched", "let"})
+    if isinstance(spec["into"], dict):
+        _check_spec_keys("$merge into", spec["into"], {"db", "coll"})
+        if "db" in spec["into"]:
+            raise ValueError(
+                "$merge: the target database comes from store_path (the "
+                "store directory or mongodb:// URI); cross-database "
+                "$merge is unsupported — drop the 'db' key or point "
+                "store_path at that database")
     coll = spec["into"] if isinstance(spec["into"], str) else spec["into"]["coll"]
     on = spec.get("on", "_id")
     on_cols = [on] if isinstance(on, str) else list(on)
@@ -5063,6 +5133,7 @@ def _aggregate_impl(df: DataFrame, pipeline: list[dict],
         elif op == "$unionWith":
             if isinstance(spec, str):
                 spec = {"coll": spec}
+            _check_spec_keys("$unionWith", spec, {"coll", "pipeline"})
             if not tables or spec["coll"] not in tables:
                 raise ValueError(
                     f"$unionWith {spec.get('coll')!r}: pass tables={{name: DataFrame}}")
@@ -5074,6 +5145,7 @@ def _aggregate_impl(df: DataFrame, pipeline: list[dict],
             # here the "sample" is the top-N by a uniform md5 hash of the
             # whole row — reproducible on any engine/partitioning, and
             # plans as TakeOrderedAndProject (no global sort materialized)
+            _check_spec_keys("$sample", spec, {"size"})
             n = int(spec["size"])
             ranked = out.withColumn(
                 "__smp", F.md5(F.to_json(F.struct(*[F.col(c) for c in out.columns]))))

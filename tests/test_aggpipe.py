@@ -4360,6 +4360,87 @@ def test_densify_unit_requires_date_field(spark):
                                         "bounds": "full"}}}])
 
 
+def test_stage_specs_refuse_unknown_keys(spark):
+    """r12 (verdict item 6, the silently-ignored-argument audit): every
+    multi-key stage spec refuses unknown arguments loudly — a misspelled
+    or unsupported key must fail the plan, never be dropped."""
+    df = spark.createDataFrame([(1, 2.0, "a")], "k long, v double, g string")
+    cases = [
+        ({"$bucket": {"groupBy": "$k", "boundaries": [0, 5],
+                      "granularity": "R5"}}, "bucket"),
+        ({"$bucketAuto": {"groupBy": "$k", "buckets": 2,
+                          "boundaries": [0, 5]}}, "bucketAuto"),
+        ({"$setWindowFields": {"sortBy": {"k": 1},
+                               "output": {"r": {"$rank": {}}},
+                               "partitionByFields": ["g"]}},
+         "setWindowFields"),
+        ({"$sample": {"size": 1, "seed": 7}}, "sample"),
+        ({"$densify": {"field": "k", "range": {"step": 1, "bounds": "full"},
+                       "partitionBy": "$g"}}, "densify"),
+        ({"$densify": {"field": "k",
+                       "range": {"step": 1, "bounds": "full",
+                                 "granularity": 2}}}, "densify range"),
+        ({"$fill": {"output": {"v": {"value": 0}}, "sortKey": {"k": 1}}},
+         "fill"),
+    ]
+    for stage, label in cases:
+        with pytest.raises(ValueError, match="unknown argument"):
+            aggregate(df, [stage]).collect()
+    # $unionWith unknown key (needs a tables binding to get past nothing)
+    with pytest.raises(ValueError, match="unknown argument"):
+        aggregate(df, [{"$unionWith": {"coll": "t", "let": {}}}],
+                  tables={"t": df})
+    # $setWindowFields output: exactly one operator per field
+    with pytest.raises(ValueError, match="exactly one window operator"):
+        aggregate(df, [{"$setWindowFields": {
+            "sortBy": {"k": 1},
+            "output": {"r": {"$rank": {}, "$denseRank": {}}}}}])
+    # $fill output: value XOR method, nothing else
+    with pytest.raises(ValueError, match=r"\$fill output"):
+        aggregate(df, [{"$fill": {
+            "sortBy": {"k": 1},
+            "output": {"v": {"value": 0, "method": "locf"}}}}])
+
+
+def test_fill_partition_by_fields(spark):
+    """r12: $fill honors partitionByFields (previously silently ignored
+    — locf leaked observations across partitions); partitionBy and
+    partitionByFields together refuse."""
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, None), ("b", 1, None)],
+        "g string, k long, v double")
+    got = aggregate(df, [
+        {"$fill": {"partitionByFields": ["g"], "sortBy": {"k": 1},
+                   "output": {"v": {"method": "locf"}}}},
+        {"$sort": {"g": 1, "k": 1}},
+    ]).collect()
+    # b's null must NOT inherit a's 1.0
+    assert [(r.g, r.k, r.v) for r in got] == [
+        ("a", 1, 1.0), ("a", 2, 1.0), ("b", 1, None)]
+    with pytest.raises(ValueError, match="not both"):
+        aggregate(df, [{"$fill": {
+            "partitionBy": "$g", "partitionByFields": ["g"],
+            "sortBy": {"k": 1}, "output": {"v": {"method": "locf"}}}}])
+
+
+def test_out_merge_refuse_cross_db(spark, tmp_path):
+    """r12: $out/$merge dict targets refuse a 'db' key loudly (the
+    engine's database is fixed by store_path; previously ignored) and
+    refuse unknown keys ('timeSeries' etc.)."""
+    df = spark.createDataFrame([(1,)], "x long")
+    sp = str(tmp_path / "store")
+    for stage in ({"$out": {"db": "other", "coll": "t"}},
+                  {"$merge": {"into": {"db": "other", "coll": "t"}}}):
+        with pytest.raises(ValueError, match="target database"):
+            aggregate(df, [stage], store_path=sp)
+    with pytest.raises(ValueError, match="unknown argument"):
+        aggregate(df, [{"$out": {"coll": "t", "timeSeries": {}}}],
+                  store_path=sp)
+    with pytest.raises(ValueError, match="unknown argument"):
+        aggregate(df, [{"$merge": {"into": "t", "bypassDocumentValidation":
+                                   True}}], store_path=sp)
+
+
 def test_switch_empty_branches(spark):
     """r12 (advice): $switch with an empty branches list raises the
     server's ValueError instead of AttributeError on None."""
