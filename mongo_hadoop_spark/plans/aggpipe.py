@@ -147,6 +147,84 @@ def _truthy(col: Column) -> Column:
     return F.coalesce(col.cast("boolean"), F.lit(False))
 
 
+#: dict-operand expression operators → their FULL server argument sets
+#: (r12, the silently-ignored-argument audit extended to the expression
+#: language: a misspelled or unsupported argument refuses instead of
+#: being dropped).  Checked only when the operand IS a dict — several of
+#: these also take scalar/list shorthand forms.  Keys listed here but
+#: handled specially (ISO week-date in $dateFromParts, method in
+#: $median/$percentile) keep their own informative refusals/deviations.
+_EXPR_DICT_KEYS: dict[str, frozenset] = {
+    "$let": frozenset({"vars", "in"}),
+    "$cond": frozenset({"if", "then", "else"}),
+    "$trim": frozenset({"input", "chars"}),
+    "$ltrim": frozenset({"input", "chars"}),
+    "$rtrim": frozenset({"input", "chars"}),
+    "$replaceOne": frozenset({"input", "find", "replacement"}),
+    "$replaceAll": frozenset({"input", "find", "replacement"}),
+    "$getField": frozenset({"field", "input"}),
+    "$setField": frozenset({"field", "input", "value"}),
+    "$unsetField": frozenset({"field", "input"}),
+    "$convert": frozenset({"input", "to", "onError", "onNull"}),
+    "$dateFromString": frozenset({"dateString", "format", "timezone",
+                                  "onError", "onNull"}),
+    "$map": frozenset({"input", "as", "in"}),
+    "$filter": frozenset({"input", "cond", "as", "limit"}),
+    "$reduce": frozenset({"input", "initialValue", "in"}),
+    "$switch": frozenset({"branches", "default"}),
+    "$sortArray": frozenset({"input", "sortBy"}),
+    "$zip": frozenset({"inputs", "useLongestLength", "defaults"}),
+    "$dateAdd": frozenset({"startDate", "unit", "amount", "timezone"}),
+    "$dateSubtract": frozenset({"startDate", "unit", "amount",
+                                "timezone"}),
+    "$dateTrunc": frozenset({"date", "unit", "binSize", "timezone",
+                             "startOfWeek"}),
+    "$dateDiff": frozenset({"startDate", "endDate", "unit", "timezone",
+                            "startOfWeek"}),
+    "$dateToString": frozenset({"date", "format", "timezone", "onNull"}),
+    "$dateToParts": frozenset({"date", "timezone", "iso8601"}),
+    "$dateFromParts": frozenset({"year", "month", "day", "hour", "minute",
+                                 "second", "millisecond", "isoWeekYear",
+                                 "isoWeek", "isoDayOfWeek", "timezone"}),
+    "$median": frozenset({"input", "method"}),
+    "$percentile": frozenset({"input", "p", "method"}),
+    "$regexMatch": frozenset({"input", "regex", "options"}),
+    "$regexFind": frozenset({"input", "regex", "options"}),
+    "$regexFindAll": frozenset({"input", "regex", "options"}),
+    "$firstN": frozenset({"input", "n"}),
+    "$lastN": frozenset({"input", "n"}),
+    "$minN": frozenset({"input", "n"}),
+    "$maxN": frozenset({"input", "n"}),
+    "$top": frozenset({"sortBy", "output"}),
+    "$bottom": frozenset({"sortBy", "output"}),
+    "$topN": frozenset({"sortBy", "output", "n"}),
+    "$bottomN": frozenset({"sortBy", "output", "n"}),
+}
+
+#: date operators whose server ``timezone`` argument the engine cannot
+#: honor (expressions run in the Spark session TZ — the documented
+#: caveat): the server DEFAULT "UTC" is accepted as a no-op relative to
+#: that caveat; any other zone refuses instead of being silently ignored
+_TZ_UTC_ONLY = frozenset({"$dateTrunc", "$dateAdd", "$dateSubtract",
+                          "$dateDiff", "$dateToString", "$dateFromString",
+                          "$dateToParts"})
+
+
+def _check_expr_keys(op: str, operand) -> None:
+    allowed = _EXPR_DICT_KEYS.get(op)
+    if allowed is None or not isinstance(operand, dict):
+        return
+    _check_spec_keys(op, operand, allowed)
+    if op in _TZ_UTC_ONLY and "timezone" in operand:
+        tz = operand["timezone"]
+        if tz != "UTC":
+            raise ValueError(
+                f"{op}: timezone {tz!r} is unsupported (expressions "
+                "evaluate in the Spark session timezone; only the server "
+                "default 'UTC' is accepted — run the session in UTC or "
+                "shift with epoch arithmetic)")
+
+
 def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
     def E(x):
         return expr_to_col(x, env)
@@ -155,6 +233,7 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         a, b = pair
         return E(a), E(b)
 
+    _check_expr_keys(op, operand)
     if op == "$literal":
         return F.lit(operand)
     if op == "$let":
@@ -585,6 +664,7 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
             raise ValueError("$switch requires at least one branch")
         out = None
         for br in operand["branches"]:
+            _check_spec_keys("$switch branch", br, {"case", "then"})
             c, t = _truthy(E(br["case"])), E(br["then"])
             out = F.when(c, t) if out is None else out.when(c, t)
         if "default" in operand:
@@ -1003,7 +1083,13 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
             **{kw: F.lit(amount)})
     if op == "$dateToString":
         fmt = _date_fmt(operand.get("format", "%Y-%m-%dT%H:%M:%S"))
-        return F.date_format(E(operand["date"]), fmt)
+        d = E(operand["date"])
+        s = F.date_format(d, fmt)
+        if "onNull" in operand:
+            # r12 audit: previously silently ignored (the no-onNull
+            # behavior — null in, null out — happened to coincide)
+            return F.when(d.isNull(), E(operand["onNull"])).otherwise(s)
+        return s
     if op == "$dateToParts":
         d = E(operand["date"] if isinstance(operand, dict) else operand)
         ms = F.pmod(F.floor(F.unix_micros(d) / 1000), F.lit(1000)) \
@@ -1777,6 +1863,7 @@ def _match_op_col(col: Column, op: str, operand) -> Column:
 
 def _accumulator(name: str, acc: dict) -> Column:
     (op, operand), = acc.items()
+    _check_expr_keys(op, operand)   # $firstN/$topN/$percentile arg specs
     if op == "$count":
         return F.count(F.lit(1)).alias(name)
     if op == "$sum":
@@ -2045,6 +2132,9 @@ def _stage_unwind(df: DataFrame, spec) -> DataFrame:
     if isinstance(spec, str):
         path, preserve, index_name = spec, False, None
     else:
+        _check_spec_keys("$unwind", spec,
+                         {"path", "includeArrayIndex",
+                          "preserveNullAndEmptyArrays"})
         path = spec["path"]
         preserve = bool(spec.get("preserveNullAndEmptyArrays"))
         index_name = spec.get("includeArrayIndex")
@@ -2096,6 +2186,9 @@ _LOOKUP_PREFILTER_MAX = 100_000
 def _stage_lookup(df: DataFrame, spec: dict,
                   tables: dict[str, DataFrame] | None,
                   parent_bound: int | None = None) -> DataFrame:
+    _check_spec_keys("$lookup", spec,
+                     {"from", "localField", "foreignField", "as", "let",
+                      "pipeline"})
     if not tables or spec["from"] not in tables:
         raise ValueError(
             f"$lookup from {spec['from']!r}: pass tables={{name: DataFrame}}")
@@ -2717,6 +2810,16 @@ def _framed_window(base, sort: dict, frame, order):
     return w_sorted
 
 
+#: window-operator argument specs ($setWindowFields output values whose
+#: operand is a spec dict, not an expression) — r12 audit
+_WINDOW_DICT_KEYS: dict[str, frozenset] = {
+    "$shift": frozenset({"output", "by", "default"}),
+    "$expMovingAvg": frozenset({"input", "N", "alpha"}),
+    "$derivative": frozenset({"input", "unit"}),
+    "$integral": frozenset({"input", "unit"}),
+}
+
+
 def _calculus_window(op: str, operand: dict, sort: dict, w_sorted, frame):
     """$derivative / $integral (Mongo 5.0 time-series window operators).
 
@@ -2801,6 +2904,11 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 f"window operator (plus an optional 'window' frame); got "
                 f"keys {sorted(out)}")
         (op, operand), = out.items()
+        if op in _WINDOW_DICT_KEYS and isinstance(operand, dict):
+            _check_spec_keys(f"$setWindowFields {op}", operand,
+                             _WINDOW_DICT_KEYS[op])
+        else:
+            _check_expr_keys(op, operand)
         if op == "$rank":
             col = F.rank().over(w_sorted)
         elif op == "$denseRank":
@@ -4518,6 +4626,14 @@ def _stage_vector_search(df: DataFrame, spec: dict) -> DataFrame:
     """
     from mongo_hadoop_spark.functions import dot, norm2
 
+    # index / numCandidates / exact are Atlas ANN tuning arguments: this
+    # stage always searches exactly (recall 1.0 — see the docstring), so
+    # they are ACCEPTED no-ops (every Atlas query carries them); truly
+    # unknown keys refuse (r12 audit)
+    _check_spec_keys("$vectorSearch", spec,
+                     {"path", "queryVector", "limit", "filter",
+                      "similarity", "tiebreak", "index", "numCandidates",
+                      "exact"})
     path, qv = spec["path"], spec["queryVector"]
     limit = int(spec["limit"])
     tb = spec.get("tiebreak") or []
@@ -4607,6 +4723,9 @@ def _stage_geo_near(df: DataFrame, spec: dict) -> DataFrame:
     Scale: distance is a per-row expression; the one shuffle is the
     ascending range sort, and min/max bounds filter *before* it.
     """
+    _check_spec_keys("$geoNear", spec,
+                     {"near", "distanceField", "key", "query", "spherical",
+                      "minDistance", "maxDistance", "distanceMultiplier"})
     near = spec["near"]
     geojson = isinstance(near, dict)
     if geojson:

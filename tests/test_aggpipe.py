@@ -4390,6 +4390,20 @@ def test_stage_specs_refuse_unknown_keys(spark):
     with pytest.raises(ValueError, match="unknown argument"):
         aggregate(df, [{"$unionWith": {"coll": "t", "let": {}}}],
                   tables={"t": df})
+    # $unwind / $geoNear / $lookup unknown keys
+    adf = spark.createDataFrame([(1, [1, 2])], "k long, xs array<int>")
+    with pytest.raises(ValueError, match="unknown argument"):
+        aggregate(adf, [{"$unwind": {"path": "$xs", "preserveNull": 1}}])
+    pdf = spark.createDataFrame([(1, [0.0, 0.0])],
+                                "k long, loc array<double>")
+    with pytest.raises(ValueError, match="unknown argument"):
+        aggregate(pdf, [{"$geoNear": {"near": [0.0, 0.0], "key": "loc",
+                                      "distanceField": "d",
+                                      "includeLocs": "l"}}])
+    with pytest.raises(ValueError, match="unknown argument"):
+        aggregate(adf, [{"$lookup": {"from": "t", "localField": "k",
+                                     "foreignField": "k", "as": "m",
+                                     "localfield": "k"}}], tables={"t": adf})
     # $setWindowFields output: exactly one operator per field
     with pytest.raises(ValueError, match="exactly one window operator"):
         aggregate(df, [{"$setWindowFields": {
@@ -4400,6 +4414,82 @@ def test_stage_specs_refuse_unknown_keys(spark):
         aggregate(df, [{"$fill": {
             "sortBy": {"k": 1},
             "output": {"v": {"value": 0, "method": "locf"}}}}])
+
+
+def test_expr_operands_refuse_unknown_keys(spark):
+    """r12: the silently-ignored-argument audit extended to the
+    EXPRESSION language — multi-key operand docs refuse unknown keys."""
+    df = spark.createDataFrame([(1, [3, 1, 2], "x")],
+                               "k long, xs array<int>, s string")
+    cases = [
+        {"$dateTrunc": {"date": "$k", "unit": "day", "binsize": 2}},
+        {"$dateAdd": {"startDate": "$k", "unit": "day", "amount": 1,
+                      "amonut": 2}},
+        {"$filter": {"input": "$xs", "cond": True, "als": "x"}},
+        {"$map": {"input": "$xs", "as": "x", "in": "$$x", "limit": 3}},
+        {"$sortArray": {"input": "$xs", "sortOrder": 1}},
+        {"$zip": {"inputs": ["$xs"], "useLongest": True}},
+        {"$regexMatch": {"input": "$s", "regex": "a", "option": "i"}},
+        {"$replaceOne": {"input": "$s", "find": "x", "replace": "y"}},
+        {"$convert": {"input": "$k", "to": "string", "onErr": 0}},
+        {"$trim": {"input": "$s", "char": "x"}},
+        {"$let": {"vars": {"a": 1}, "in_": "$$a"}},
+        {"$setField": {"field": "f", "input": {"f": 1}, "val": 2}},
+        {"$switch": {"branches": [{"case": True, "then": 1,
+                                   "els": 2}]}},
+        {"$topN": {"sortBy": {"k": 1}, "output": "$k", "n": 2,
+                   "limit": 3}},
+        {"$minN": {"input": "$xs", "count": 2}},
+    ]
+    for expr in cases:
+        with pytest.raises(ValueError, match="unknown argument"):
+            aggregate(df, [{"$project": {"y": expr}}]).collect()
+    # accumulator / window forms share the audit
+    with pytest.raises(ValueError, match="unknown argument"):
+        aggregate(df, [{"$group": {"_id": None, "v": {
+            "$firstN": {"input": "$k", "n": 2, "sortBy": {"k": 1}}}}}])
+    with pytest.raises(ValueError, match="unknown argument"):
+        aggregate(df, [{"$setWindowFields": {
+            "sortBy": {"k": 1},
+            "output": {"p": {"$shift": {"output": "$k", "by": 1,
+                                        "fill": 0}}}}}])
+
+
+def test_expr_timezone_utc_only(spark):
+    """r12: an explicit non-UTC timezone argument on a date expression
+    refuses loudly (expressions run in the session TZ — previously the
+    argument was dropped and the answer silently shifted); the server
+    default 'UTC' is accepted."""
+    import datetime as dt
+    df = spark.createDataFrame([(dt.datetime(2024, 3, 1, 12, 0),)],
+                               "ts timestamp")
+    got = aggregate(df, [{"$project": {
+        "d": {"$dateTrunc": {"date": "$ts", "unit": "day",
+                             "timezone": "UTC"}}}}]).collect()
+    assert got[0].d == dt.datetime(2024, 3, 1)
+    for expr in (
+        {"$dateTrunc": {"date": "$ts", "unit": "day",
+                        "timezone": "America/New_York"}},
+        {"$dateAdd": {"startDate": "$ts", "unit": "day", "amount": 1,
+                      "timezone": "+05:30"}},
+        {"$dateToString": {"date": "$ts", "timezone": "Asia/Tokyo"}},
+    ):
+        with pytest.raises(ValueError, match="timezone"):
+            aggregate(df, [{"$project": {"y": expr}}]).collect()
+
+
+def test_date_to_string_on_null(spark):
+    """r12: $dateToString onNull is honored (previously silently
+    dropped; the default null-in-null-out coincided)."""
+    import datetime as dt
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 1)), (2, None)], "k long, ts timestamp")
+    got = aggregate(df, [
+        {"$project": {"k": 1, "s": {"$dateToString": {
+            "date": "$ts", "format": "%Y-%m-%d", "onNull": "missing"}}}},
+        {"$sort": {"k": 1}},
+    ]).collect()
+    assert [r.s for r in got] == ["2024-03-01", "missing"]
 
 
 def test_fill_partition_by_fields(spark):
