@@ -223,6 +223,20 @@ def _check_expr_keys(op: str, operand) -> None:
                 "evaluate in the Spark session timezone; only the server "
                 "default 'UTC' is accepted — run the session in UTC or "
                 "shift with epoch arithmetic)")
+        # an explicit 'UTC' is a concrete request: honor it only when
+        # the session actually evaluates in UTC, else refuse (r12
+        # review — accepting it under a non-UTC session would be the
+        # same silent dishonoring the refusal above exists to prevent)
+        from pyspark.sql import SparkSession
+        sess = SparkSession.getActiveSession()
+        stz = sess.conf.get("spark.sql.session.timeZone") if sess else None
+        if stz is not None and stz not in ("UTC", "Etc/UTC", "GMT", "Z",
+                                           "+00:00"):
+            raise ValueError(
+                f"{op}: timezone 'UTC' requested but the Spark session "
+                f"timezone is {stz!r} — set "
+                "spark.sql.session.timeZone=UTC (expressions evaluate "
+                "in the session timezone)")
 
 
 def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
@@ -1440,7 +1454,7 @@ def _match_field(key: str, cond) -> Column:
     if key.startswith("$"):
         raise ValueError(f"unsupported top-level query operator {key}")
     col = F.col(key)
-    cond = _fold_find_options(cond) if isinstance(cond, dict) else cond
+    cond = _fold_find_options(cond)
     if isinstance(cond, dict) and cond and all(k.startswith("$") for k in cond):
         # $geoIntersects gets the one-string SQL rendering when the
         # field NAME is in hand (always, here): the Column rendering
@@ -3056,16 +3070,34 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
 
 
 def _stage_densify(df: DataFrame, spec: dict) -> DataFrame:
-    """$densify: materialize missing steps of a numeric or day-stepped
+    """$densify: materialize missing steps of a numeric or date-stepped
     field so downstream windows/fills see a gapless axis.
 
-    Supported: ``range.bounds`` = "full" (global min..max), "partition"
-    (each partition's own min..max — one keyed aggregation) or an
-    explicit ``[lo, hi)`` pair; ``range.unit`` absent (numeric) or
-    "day"; ``partitionByFields`` optional.  Compiled as
-    sequence()+explode of the step axis per partition key, left-joined
-    against the existing rows — generation is O(#keys × #steps) and
-    never shuffles the fact rows more than the one join."""
+    Supported: ``range.bounds`` = "full" (global min..max, CLOSED — max
+    is an existing value), "partition" (each partition's own min..max —
+    one keyed aggregation) or an explicit ``[lo, hi)`` pair (upper bound
+    EXCLUSIVE, the server contract; r12 — previously generated through
+    hi inclusively); ``range.unit`` absent (numeric), a fixed-duration
+    unit (millisecond..week), or a calendar unit (month/quarter/year);
+    ``partitionByFields`` optional.  Every date axis is anchored at
+    ``lo`` itself (time-of-day preserved — r12; "day" previously
+    truncated the anchor to midnight, generating ghost midnight rows
+    on intra-day data).  Calendar units step as
+    value_i = lo + i·step months via ``timestampadd`` — the
+    day-of-month clamp is computed per step FROM THE ANCHOR, the same
+    contract as Spark's native ``sequence()`` and ``$dateAdd`` with
+    amount=i·step.  (The server iterates $dateAdd one step at a time,
+    which additionally compounds the clamp once a day-29..31 anchor
+    crosses a shorter month: Jan 31 → Feb 28 → Mar 28 server-side vs
+    Mar 31 here; on anchors whose day-of-month exists in every
+    generated month — day ≤ 28, or dateTrunc'd month starts — the two
+    agree exactly.  Documented deviation, never silent.)
+
+    Original documents are ALWAYS returned unmodified, on- or off-step
+    (null-safe full join of the axis against the input — r12; a name-
+    list join would re-split null partition keys into ghost+original).
+    Generation is O(#keys × #steps); the axis join is the one shuffle.
+    """
     _check_spec_keys("$densify", spec,
                      {"field", "partitionByFields", "range"})
     field = spec["field"]
@@ -3074,27 +3106,23 @@ def _stage_densify(df: DataFrame, spec: dict) -> DataFrame:
     step = rng["step"]
     unit = rng.get("unit")
     parts = spec.get("partitionByFields", [])
-    # fixed-duration units compile to one timestamp sequence() (r11 —
-    # previously only "day"); calendar units (month/quarter/year, r12)
-    # compile to anchored month-stepping: value_i = lo + i*step months
-    # (timestampadd, day-of-month clamped per step FROM THE ANCHOR —
-    # the same contract as Spark's native sequence() and $dateAdd with
-    # amount=i*step.  The server iterates $dateAdd one unit at a time,
-    # which additionally compounds the clamp once a day-29..31 anchor
-    # crosses a shorter month: Jan 31 -> Feb 28 -> Mar 28 server-side
-    # vs Mar 31 here.  On anchors whose day-of-month exists in every
-    # generated month — day <= 28, or month-start axes — the two agree
-    # exactly; the deviation is documented rather than silently wrong.)
-    _FIXED_UNITS = ("millisecond", "second", "minute", "hour", "day",
-                    "week")
+    if isinstance(step, bool) or not isinstance(step, (int, float)) \
+            or step <= 0:
+        raise ValueError("$densify range.step must be a positive number")
+    _FIXED_DAYS = {"millisecond": None, "second": None, "minute": None,
+                   "hour": None, "day": 1, "week": 7}
     _CAL_MONTHS = {"month": 1, "quarter": 3, "year": 12}
-    if unit is not None and unit not in _FIXED_UNITS and \
-            unit not in _CAL_MONTHS:
+    if unit is not None and unit not in _FIXED_DAYS \
+            and unit not in _CAL_MONTHS:
         raise ValueError(
             f"unsupported $densify unit {unit!r} (fixed-duration units "
-            f"{sorted(_FIXED_UNITS)} and calendar units "
+            f"{sorted(_FIXED_DAYS)} and calendar units "
             f"{sorted(_CAL_MONTHS)} supported)")
     if unit is not None:
+        if float(step) != int(step):
+            # int(step) would silently mangle the axis (r12 review)
+            raise ValueError(
+                "$densify: non-integer steps with a unit are unsupported")
         # the server errors when unit is set on a non-date field; without
         # this check a numeric axis would silently cast long->timestamp
         # (seconds) and produce a seconds-stepped numeric axis (r12)
@@ -3103,16 +3131,24 @@ def _stage_densify(df: DataFrame, spec: dict) -> DataFrame:
             raise ValueError(
                 f"$densify range.unit requires a date field; {field!r} "
                 f"is {ftype}")
+        if ftype == "date" and unit in ("millisecond", "second",
+                                        "minute", "hour"):
+            # a sub-day axis cast back to date would hold duplicate
+            # values and multiply the joined originals (r12 review)
+            raise ValueError(
+                f"$densify: unit {unit!r} is finer than date-typed "
+                f"{field!r} — use a timestamp field or unit 'day'+")
 
     fcol = F.col(field)
     bounds = rng.get("bounds", "full")
+    explicit = not (bounds in ("partition", "full") or bounds is None)
     if bounds == "partition":
         if not parts:
             raise ValueError(
                 '$densify bounds:"partition" requires partitionByFields')
         axis_src = df.groupBy(*parts).agg(F.min(fcol).alias("__lo"),
                                           F.max(fcol).alias("__hi"))
-    elif bounds == "full" or bounds is None:
+    elif not explicit:
         b = df.agg(F.min(fcol).alias("__lo"), F.max(fcol).alias("__hi"))
         axis_src = (df.select(*parts).distinct().crossJoin(F.broadcast(b))
                     if parts else b)
@@ -3123,11 +3159,10 @@ def _stage_densify(df: DataFrame, spec: dict) -> DataFrame:
         axis_src = axis_src.withColumn("__lo", F.lit(lo)).withColumn(
             "__hi", F.lit(hi))
     if unit in _CAL_MONTHS:
-        # anchored month-stepping (see the unit contract above): generate
-        # i = 0..floor(month-span/step) then timestampadd from the anchor;
-        # the clamp can overshoot __hi on day-29..31 anchors, so filter
-        # rather than trust the index bound.  O(#keys x #steps) like every
-        # other axis branch — no shuffle beyond the final join.
+        # anchored month-stepping: generate i = 0..floor(month-span/step)
+        # then timestampadd from the anchor; the clamp can overshoot
+        # __hi on day-29..31 anchors, so the bound filter below decides,
+        # never the index count.
         months = int(step) * _CAL_MONTHS[unit]
         lo_ts = F.col("__lo").cast("timestamp")
         hi_ts = F.col("__hi").cast("timestamp")
@@ -3141,45 +3176,74 @@ def _stage_densify(df: DataFrame, spec: dict) -> DataFrame:
                         .alias("__i"))
                 .withColumn(field, F.expr(
                     f"timestampadd(MONTH, __i * {months}, "
-                    "cast(__lo as timestamp))"))
-                .withColumn(field,
-                            F.col(field).cast(df.schema[field].dataType))
-                .where(F.col(field).cast("timestamp")
-                       <= F.col("__hi").cast("timestamp"))
-                .select(*parts, field))
-    elif unit == "day":
-        seq = F.sequence(F.col("__lo").cast("date"), F.col("__hi").cast("date"),
-                         F.expr(f"interval {int(step)} day"))
-        axis_val = F.explode(seq).alias(field)
-        axis = axis_src.select(*parts, axis_val)
-        if df.schema[field].dataType.typeName() == "timestamp":
-            axis = axis.withColumn(field, F.col(field).cast("timestamp"))
+                    "cast(__lo as timestamp))")))
     elif unit is not None:
-        # sub-day / week fixed units: one timestamp sequence (r11)
-        ival = {"millisecond": f"{int(step)} millisecond",
-                "second": f"{int(step)} second",
-                "minute": f"{int(step)} minute",
-                "hour": f"{int(step)} hour",
-                "week": f"{7 * int(step)} day"}[unit]
+        # fixed-duration units (ms..week): ONE timestamp sequence
+        # anchored at __lo exactly (time-of-day preserved)
+        days = _FIXED_DAYS[unit]
+        ival = (f"{days * int(step)} day" if days
+                else f"{int(step)} {unit}")
         seq = F.sequence(F.col("__lo").cast("timestamp"),
                          F.col("__hi").cast("timestamp"),
                          F.expr(f"interval {ival}"))
-        axis = axis_src.select(*parts, F.explode(seq).alias(field))
-        axis = axis.withColumn(field,
-                               F.col(field).cast(df.schema[field].dataType))
+        axis = axis_src.select(*parts, "__hi",
+                               F.explode(seq).alias(field))
+    elif float(step).is_integer() and df.schema[field].dataType.typeName() \
+            in ("byte", "short", "int", "integer", "long", "bigint"):
+        # integral fast path: native sequence()
+        seq = F.sequence(F.col("__lo").cast("long"),
+                         F.col("__hi").cast("long"), F.lit(int(step)))
+        axis = axis_src.select(*parts, "__hi", F.explode(seq).alias(field))
     else:
-        seq = F.sequence(F.col("__lo").cast("long"), F.col("__hi").cast("long"),
-                         F.lit(int(step)))
-        axis = axis_src.select(*parts, F.explode(seq).alias(field))
-        axis = axis.withColumn(field, F.col(field).cast(df.schema[field].dataType))
+        # fractional step / floating field (r12 — int() previously
+        # mangled both silently): value_i = lo + i·step in doubles, one
+        # multiply+add per value (same IEEE shape in DuckDB); the i
+        # bound overshoots by design and the bound filter decides
+        if df.schema[field].dataType.typeName() in (
+                "byte", "short", "int", "integer", "long", "bigint"):
+            raise ValueError(
+                f"$densify: fractional step {step!r} on integer-typed "
+                f"{field!r} would generate unrepresentable values")
+        lo_d = F.col("__lo").cast("double")
+        hi_d = F.col("__hi").cast("double")
+        n = F.floor((hi_d - lo_d) / F.lit(float(step))).cast("long")
+        axis = (axis_src
+                .select(*parts, "__lo", "__hi",
+                        F.explode(F.sequence(F.lit(0),
+                                             F.greatest(n, F.lit(0))))
+                        .alias("__i"))
+                .withColumn(field,
+                            F.col("__lo").cast("double")
+                            + F.col("__i") * F.lit(float(step))))
+    # one common bound filter: CLOSED upper for full/partition bounds
+    # (max is an existing value), EXCLUSIVE upper for an explicit
+    # [lo, hi) pair — the server contract (r12; previously inclusive)
+    axis = axis.withColumn(field,
+                           F.col(field).cast(df.schema[field].dataType))
+    cmp_v, cmp_hi = F.col(field), F.col("__hi").cast(
+        df.schema[field].dataType)
+    if unit is not None:
+        cmp_v, cmp_hi = cmp_v.cast("timestamp"), cmp_hi.cast("timestamp")
+    axis = (axis.where(cmp_v < cmp_hi if explicit else cmp_v <= cmp_hi)
+            .select(*parts, field))
     join_keys = parts + [field]
-    # FULL outer, not left (r12): the server returns every original
-    # document unmodified even when its value is off-step (e.g. k=4 with
-    # step 2 from lo=1, or a mid-month date under unit:month) — a left
-    # join from the axis silently dropped those rows.  Spark's
-    # key-list full join coalesces the key columns, so on-axis rows
-    # still merge with their generated twin.
-    return axis.join(df, join_keys, "full")
+    # FULL OUTER with NULL-SAFE key equality (r12): the server returns
+    # every original document unmodified even when its value is
+    # off-step (k=4 with step 2 from lo=1, a mid-month date under
+    # unit:month) — a left join from the axis silently dropped those
+    # rows — and a null partition key must merge with its own axis row
+    # rather than split into ghost + original (name-list joins are
+    # null-rejecting).
+    a, b = axis.alias("__dax"), df.alias("__din")
+    cond = None
+    for k in join_keys:
+        c = F.col(f"__dax.`{k}`").eqNullSafe(F.col(f"__din.`{k}`"))
+        cond = c if cond is None else cond & c
+    keep = [F.coalesce(F.col(f"__dax.`{k}`"), F.col(f"__din.`{k}`"))
+            .alias(k) for k in join_keys]
+    rest = [F.col(f"__din.`{c}`").alias(c) for c in df.columns
+            if c not in join_keys]
+    return a.join(b, cond, "full").select(*keep, *rest)
 
 
 def _stage_fill(df: DataFrame, spec: dict) -> DataFrame:

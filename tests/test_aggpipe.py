@@ -293,7 +293,12 @@ def test_densify_and_fill_numeric(spark):
 
 
 def test_densify_partitioned_explicit_bounds_value_fill(spark):
-    df = spark.createDataFrame([("a", 0, 1.0), ("a", 2, 3.0), ("b", 1, 9.0)],
+    # explicit bounds are HALF-OPEN [lo, hi) like the server (r12 —
+    # previously generated through hi inclusively): [0, 3] generates
+    # 0,1,2 only; an original document AT the excluded bound would
+    # still be returned (off-axis preservation)
+    df = spark.createDataFrame([("a", 0, 1.0), ("a", 2, 3.0), ("b", 1, 9.0),
+                                ("b", 3, 7.0)],
                                "g string, k long, v double")
     got = aggregate(df, [
         {"$densify": {"field": "k", "partitionByFields": ["g"],
@@ -302,8 +307,8 @@ def test_densify_partitioned_explicit_bounds_value_fill(spark):
         {"$sort": {"g": 1, "k": 1}},
     ])
     assert rows(got) == [
-        ("a", 0, 1.0), ("a", 1, -1.0), ("a", 2, 3.0), ("a", 3, -1.0),
-        ("b", 0, -1.0), ("b", 1, 9.0), ("b", 2, -1.0), ("b", 3, -1.0),
+        ("a", 0, 1.0), ("a", 1, -1.0), ("a", 2, 3.0),
+        ("b", 0, -1.0), ("b", 1, 9.0), ("b", 2, -1.0), ("b", 3, 7.0),
     ]
 
 
@@ -4349,6 +4354,84 @@ def test_densify_preserves_off_step_rows(spark):
         (1, "a"), (3, None), (4, "b"), (5, None), (7, "c")]
 
 
+def test_densify_day_anchored_at_lo(spark):
+    """r12 review: the day axis is anchored at lo ITSELF (time-of-day
+    preserved) like the server — not truncated to midnight, which
+    generated null-payload midnight ghosts on intra-day data."""
+    import datetime as dt
+    df = spark.createDataFrame(
+        [(dt.datetime(2021, 1, 1, 10, 0), 1),
+         (dt.datetime(2021, 1, 3, 9, 0), 3)], "ts timestamp, x long")
+    got = aggregate(df, [
+        {"$densify": {"field": "ts", "range": {"step": 1, "unit": "day",
+                                               "bounds": "full"}}},
+        {"$sort": {"ts": 1}},
+    ]).collect()
+    assert [(r.ts, r.x) for r in got] == [
+        (dt.datetime(2021, 1, 1, 10, 0), 1),
+        (dt.datetime(2021, 1, 2, 10, 0), None),
+        (dt.datetime(2021, 1, 3, 9, 0), 3)]
+
+
+def test_densify_fractional_numeric(spark):
+    """r12 review: fractional steps and floating fields generate the
+    exact lo + i*step axis (previously int() silently mangled both);
+    fractional steps on integer fields refuse."""
+    df = spark.createDataFrame([(0.0, "a"), (1.5, "b")], "x double, v string")
+    got = aggregate(df, [
+        {"$densify": {"field": "x", "range": {"step": 0.5,
+                                              "bounds": "full"}}},
+        {"$sort": {"x": 1}},
+    ]).collect()
+    assert [r.x for r in got] == [0.0, 0.5, 1.0, 1.5]
+    # explicit bounds stay half-open on the fractional path too
+    got2 = aggregate(df, [
+        {"$densify": {"field": "x", "range": {"step": 0.5,
+                                              "bounds": [0.0, 1.5]}}},
+        {"$sort": {"x": 1}},
+    ]).collect()
+    assert [r.x for r in got2] == [0.0, 0.5, 1.0, 1.5]  # 1.5 is original
+    assert [r.v for r in got2] == ["a", None, None, "b"]
+    ints = spark.createDataFrame([(1,), (4,)], "k long")
+    with pytest.raises(ValueError, match="fractional step"):
+        aggregate(ints, [{"$densify": {
+            "field": "k", "range": {"step": 0.5, "bounds": "full"}}}])
+    with pytest.raises(ValueError, match="positive number"):
+        aggregate(ints, [{"$densify": {
+            "field": "k", "range": {"step": 0, "bounds": "full"}}}])
+
+
+def test_densify_subday_unit_on_date_refuses(spark):
+    """r12 review: a sub-day unit on a DATE-typed field would generate
+    duplicate date axis values and multiply joined originals — refuse."""
+    import datetime as dt
+    df = spark.createDataFrame([(dt.date(2021, 1, 1),)], "d date")
+    with pytest.raises(ValueError, match="finer than date-typed"):
+        aggregate(df, [{"$densify": {
+            "field": "d", "range": {"step": 1, "unit": "hour",
+                                    "bounds": "full"}}}])
+    with pytest.raises(ValueError, match="non-integer steps"):
+        aggregate(df, [{"$densify": {
+            "field": "d", "range": {"step": 1.5, "unit": "day",
+                                    "bounds": "full"}}}])
+
+
+def test_densify_null_partition_key(spark):
+    """r12 review: a null partition key merges with its own axis row
+    (null-safe join) instead of splitting into ghost + original."""
+    df = spark.createDataFrame([("a", 1, 1.0), ("a", 3, 3.0),
+                                (None, 1, 9.0), (None, 3, 7.0)],
+                               "g string, k long, v double")
+    got = aggregate(df, [
+        {"$densify": {"field": "k", "partitionByFields": ["g"],
+                      "range": {"step": 1, "bounds": "partition"}}},
+        {"$sort": {"g": 1, "k": 1}},
+    ]).collect()
+    assert [(r.g, r.k, r.v) for r in got] == [
+        (None, 1, 9.0), (None, 2, None), (None, 3, 7.0),
+        ("a", 1, 1.0), ("a", 2, None), ("a", 3, 3.0)]
+
+
 def test_densify_unit_requires_date_field(spark):
     """r12 (advice): range.unit on a NUMERIC field refuses loudly like
     the server instead of silently casting long->timestamp (seconds)."""
@@ -4476,6 +4559,17 @@ def test_expr_timezone_utc_only(spark):
     ):
         with pytest.raises(ValueError, match="timezone"):
             aggregate(df, [{"$project": {"y": expr}}]).collect()
+    # an explicit 'UTC' under a NON-UTC session is a request the engine
+    # cannot honor — it must refuse, not silently truncate on local
+    # boundaries (r12 review)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="session\\s*.?timezone"):
+            aggregate(df, [{"$project": {"d": {"$dateTrunc": {
+                "date": "$ts", "unit": "day", "timezone": "UTC"}}}}])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
 
 
 def test_date_to_string_on_null(spark):
