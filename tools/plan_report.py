@@ -112,6 +112,13 @@ HEADLINE = [
      "week-convention day arithmetic on the join, one keyed agg"),
     ("dedup_semantic_survivors_ivf_capped",
      "hot-cell-capped SemDeDup: per-cell anchors share the cell shuffle"),
+    # r12: calendar densify + the SemDeDup overflow signal
+    ("pipeline_densify_monthly",
+     "calendar $densify: anchored timestampadd axis, null-safe full join"),
+    ("pipeline_densify_quarterly",
+     "partitioned calendar $densify: per-key axis, one keyed shuffle"),
+    ("dedup_semantic_cell_density",
+     "overflow signal: collapse + broadcast assignment + one keyed agg"),
 ]
 
 
@@ -156,7 +163,7 @@ def main() -> int:
     queries = operators.all_queries()
 
     lines = [
-        "# PLANS — physical plans of the headline queries (round 11)",
+        "# PLANS — physical plans of the headline queries (round 12)",
         "",
         "Generated by `python tools/plan_report.py` (re-run after",
         "plan-affecting changes).  The properties line summarizes what",
