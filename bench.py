@@ -108,7 +108,8 @@ BENCH_QUERIES = BENCH_QUERIES + BENCH_QUERIES_R11
 # round 12 additions: calendar-unit $densify gates + the SemDeDup
 # cell-density overflow report.  R11_SET keeps the r11 82-query subtotal.
 BENCH_QUERIES_R12 = ["pipeline_densify_monthly", "pipeline_densify_quarterly",
-                     "dedup_semantic_cell_density"]
+                     "dedup_semantic_cell_density",
+                     "pipeline_window_top_orders"]
 R11_SET = frozenset(BENCH_QUERIES)
 BENCH_QUERIES = BENCH_QUERIES + BENCH_QUERIES_R12
 

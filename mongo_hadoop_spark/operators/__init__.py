@@ -37,8 +37,9 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 # Registry order is part of the verification contract: external harnesses may
 # only sample a prefix of ``queries()``, so the entries that most need a fresh
 # cross-engine check come first.  Round-12 rotation (the round-11 verdict's
-# item 1): the three queries new this round (calendar-unit $densify gates,
-# SemDeDup cell-density overflow report), then the changed-path rows (the
+# item 1): the four queries new this round (calendar-unit $densify gates,
+# SemDeDup cell-density overflow report, window N-accumulators), then the
+# changed-path rows (the
 # $densify full-join + spec-key audit touched every $densify/$fill/$bucket/
 # $bucketAuto/$setWindowFields gate's compile path — plans value-pinned by
 # the sf0.001 parity sweep; the _nearest_fixed_cell refactor touched the
@@ -50,7 +51,7 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 _HEAD_KEYS = [
     # new this round — never driver-verified
     "pipeline_densify_monthly", "pipeline_densify_quarterly",
-    "dedup_semantic_cell_density",
+    "dedup_semantic_cell_density", "pipeline_window_top_orders",
     # changed this round — compile path touched, values pinned unchanged
     "pipeline_densify_user_counts", "pipeline_window_fields",
     "pipeline_bucket_order_values", "pipeline_bucket_auto_granularity",
@@ -73,10 +74,9 @@ _HEAD_KEYS = [
     "corpus_bpe_merges", "corpus_bpe_symbol_stats",
     "corpus_pretrain_manifest", "corpus_split_leakage",
     "corpus_training_manifest", "corpus_wordpiece_compression",
-    "corpus_wordpiece_merges",
     # --- 50-entry window boundary (r13 rotation starts here) ---
     # remaining r8-era rows queue first for round 13
-    "corpus_yield_report", "dedup_containment", "dedup_exact_survivors",
+    "corpus_wordpiece_merges", "corpus_yield_report", "dedup_containment", "dedup_exact_survivors",
     "dedup_minhash_signatures", "dedup_semantic_survivors",
     "dedup_semantic_survivors_ivf", "dedup_simhash_groups",
     "documents_epoch_shuffle", "documents_pack_sequences",

@@ -692,6 +692,63 @@ FROM axis LEFT JOIN per USING (pri, q) ORDER BY pri, quarter
 """
 
 
+def pipeline_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$setWindowFields N-accumulators (r12): whole-partition-default
+    $topN / $addToSet / $count per customer — the window forms share the
+    group accumulators' contracts (ranked ties broken by the output
+    value; $addToSet canonical-sorted; no-frame default = the WHOLE
+    partition, the server's documented default)."""
+    orders = table(spark, sf_dir, "orders")
+    return aggregate(orders, [
+        {"$match": {"$expr": {"$eq": [{"$mod": ["$o_custkey", 97]}, 0]}}},
+        {"$setWindowFields": {
+            "partitionBy": "$o_custkey",
+            "sortBy": {"o_orderdate": 1, "o_orderkey": 1},
+            "output": {
+                "seq": {"$documentNumber": {}},
+                "top3": {"$topN": {"sortBy": {"o_totalprice": -1},
+                                   "output": "$o_orderkey", "n": 3}},
+                "pris": {"$addToSet": "$o_orderpriority"},
+                "n": {"$count": {}},
+            }}},
+        {"$match": {"seq": 1}},
+        # arrays render as joined strings (the repo's cross-engine
+        # determinism idiom — raw array cells defeat the local
+        # row-sort canonicalization)
+        {"$project": {
+            "custkey": "$o_custkey",
+            "top3": {"$reduce": {
+                "input": {"$map": {"input": "$top3", "as": "x",
+                                   "in": {"$toString": "$$x"}}},
+                "initialValue": "",
+                "in": {"$concat": [
+                    "$$value",
+                    {"$cond": [{"$eq": ["$$value", ""]}, "", ","]},
+                    "$$this"]}}},
+            "pris": {"$reduce": {
+                "input": "$pris", "initialValue": "",
+                "in": {"$concat": [
+                    "$$value",
+                    {"$cond": [{"$eq": ["$$value", ""]}, "", ","]},
+                    "$$this"]}}},
+            "n": 1}},
+        {"$sort": {"custkey": 1}},
+    ])
+
+
+PIPELINE_WINDOW_TOP_ORDERS_SQL = """
+SELECT o_custkey AS custkey,
+       array_to_string(
+         (array_agg(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3],
+         ',') AS top3,
+       array_to_string(list_sort(list_distinct(array_agg(o_orderpriority))),
+                       ',') AS pris,
+       count(*) AS n
+FROM orders WHERE o_custkey % 97 = 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
 GRAPH_MAX_DEPTH = 3
 
 
@@ -2470,6 +2527,7 @@ QUERIES = {
     "pipeline_densify_user_counts": pipeline_densify_user_counts,
     "pipeline_densify_monthly": pipeline_densify_monthly,
     "pipeline_densify_quarterly": pipeline_densify_quarterly,
+    "pipeline_window_top_orders": pipeline_window_top_orders,
     "pipeline_graphlookup_reports": pipeline_graphlookup_reports,
 }
 
@@ -2526,5 +2584,6 @@ ORACLES = {
     "pipeline_densify_user_counts": PIPELINE_DENSIFY_SQL,
     "pipeline_densify_monthly": PIPELINE_DENSIFY_MONTHLY_SQL,
     "pipeline_densify_quarterly": PIPELINE_DENSIFY_QUARTERLY_SQL,
+    "pipeline_window_top_orders": PIPELINE_WINDOW_TOP_ORDERS_SQL,
     "pipeline_graphlookup_reports": PIPELINE_GRAPH_SQL,
 }

@@ -1956,6 +1956,14 @@ def _ranked_accumulator(name: str, op: str, operand: dict) -> Column:
     group is the collected array; Mongo holds the same O(group) state for
     these accumulators, and Spark's objHashAggregate spills it.
     """
+    return _ranked_pick(op, operand).alias(name)
+
+
+def _ranked_pick(op: str, operand: dict, over=None) -> Column:
+    """Shared core of the $top/$bottom(N) group accumulators and their
+    $setWindowFields window forms (r12): one sorted struct array per
+    group/frame, sliced from the requested end.  ``over`` frames the
+    collect when compiling the window form."""
     out_expr = expr_to_col(operand["output"])
     sort_by = operand["sortBy"]
     n = operand.get("n", 1)
@@ -1963,22 +1971,30 @@ def _ranked_accumulator(name: str, op: str, operand: dict) -> Column:
     for i, (fld, direction) in enumerate(sort_by.items()):
         c = expr_to_col(f"${fld}")
         if direction == -1:
+            # BSON order puts null SMALLEST, so a DESCENDING key ranks
+            # nulls LAST — but array_sort ranks a null struct field
+            # first, and -null is null, so the bare negation trick put
+            # them FIRST (r12 parity fix): a null-last marker key
+            # restores the server order
+            keys.append(F.when(c.isNull(), F.lit(1)).otherwise(F.lit(0))
+                        .alias(f"k{i}n"))
             c = -c
         elif direction != 1:
             raise ValueError(f"{op}: sortBy direction must be 1 or -1")
         keys.append(c.alias(f"k{i}"))
-    arr = F.array_sort(
-        F.collect_list(F.struct(*keys, out_expr.alias("v")))
-    )
+    coll = F.collect_list(F.struct(*keys, out_expr.alias("v")))
+    if over is not None:
+        coll = coll.over(over)
+    arr = F.array_sort(coll)
     if op == "$top":
-        return F.element_at(arr, 1)["v"].alias(name)
+        return F.element_at(arr, 1)["v"]
     if op == "$bottom":
-        return F.element_at(arr, -1)["v"].alias(name)
+        return F.element_at(arr, -1)["v"]
     if op == "$topN":
         picked = F.slice(arr, 1, n)
     else:  # $bottomN — clamp the negative start so n > group size works
         picked = F.slice(arr, -F.least(F.lit(n), F.size(arr)), n)
-    return F.transform(picked, lambda s: s["v"]).alias(name)
+    return F.transform(picked, lambda s: s["v"])
 
 
 def _percentile_accumulator(name: str, op: str, operand: dict) -> Column:
@@ -2769,8 +2785,10 @@ def _framed_window(base, sort: dict, frame, order):
       millis when a time ``unit`` is given (units week..millisecond,
       the server's own range-window restriction — calendar units are
       not fixed-length);
-    - no frame, with sortBy → the server default
-      (unbounded preceding → current row).
+    - no frame → the server default: the WHOLE partition (documents
+      ["unbounded", "unbounded"]), with or without sortBy (r12;
+      previously the sortBy form silently defaulted to Spark's
+      cumulative ordered-window frame).
 
     Pre-r9 a range frame fell through to the default frame SILENTLY —
     wrong answers beat a refusal at being dangerous; now it executes
@@ -2820,7 +2838,13 @@ def _framed_window(base, sort: dict, frame, order):
     if frame:
         raise ValueError(f"unsupported window frame {sorted(frame)}")
     if order:
-        return w_sorted.rowsBetween(W.unboundedPreceding, W.currentRow)
+        # no-frame default = the WHOLE partition, even with sortBy (the
+        # server's documented default, documents ["unbounded",
+        # "unbounded"]; r12 — previously defaulted to Spark's ordered-
+        # window cumulative frame, silently computing running values
+        # where the server computes partition totals)
+        return w_sorted.rowsBetween(W.unboundedPreceding,
+                                    W.unboundedFollowing)
     return w_sorted
 
 
@@ -3033,6 +3057,38 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 # frame-bounded first/last document value (Mongo 5.0)
                 fn = F.first if op == "$first" else F.last
                 col = fn(expr_to_col(operand)).over(w)
+            elif op == "$addToSet":
+                # window form (r12): same canonical contract as the
+                # group accumulator — sorted distinct values, one NULL
+                # kept (appended) via the hash-deduped collect_set +
+                # null-flag shape, never array_distinct-over-list
+                c = expr_to_col(operand)
+                vals = F.array_sort(F.collect_set(c).over(w))
+                has_null = (F.count(F.lit(1)).over(w)
+                            > F.count(c).over(w))
+                col = F.when(has_null,
+                             F.concat(vals, F.array(F.lit(None)))) \
+                    .otherwise(vals)
+            elif op in ("$minN", "$maxN"):
+                # window form (r12): n smallest/largest frame values,
+                # nulls not candidates (collect_list skips them)
+                arr = F.sort_array(
+                    F.collect_list(expr_to_col(operand["input"])).over(w),
+                    asc=(op == "$minN"))
+                col = F.slice(arr, 1, int(operand["n"]))
+            elif op in ("$firstN", "$lastN"):
+                # window form (r12): first/last n in frame order;
+                # struct-wrap keeps NULL inputs like the group form
+                wrapped = F.collect_list(F.struct(
+                    expr_to_col(operand["input"]).alias("v"))).over(w)
+                arr = F.transform(wrapped, lambda s: s["v"])
+                n_ = int(operand["n"])
+                col = (F.slice(arr, 1, n_) if op == "$firstN"
+                       else F.reverse(F.slice(F.reverse(arr), 1, n_)))
+            elif op in ("$top", "$bottom", "$topN", "$bottomN"):
+                # window form (r12): the operator's OWN sortBy ranks
+                # inside the frame (independent of the outer sortBy)
+                col = _ranked_pick(op, operand, over=w)
             elif op in ("$median", "$percentile"):
                 # window form (Mongo 7.0): same discrete-exact default /
                 # approx_percentile production trade as the group

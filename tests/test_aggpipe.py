@@ -850,10 +850,21 @@ def test_covariance_window(spark):
             "output": {"cp": {"$covariancePop": ["$x", "$y"]},
                        "cs": {"$covarianceSamp": ["$x", "$y"]}}}},
     ]).orderBy("x").collect()
-    # cumulative frames: last row sees all three points, cov_pop = 4/3
-    assert abs(got[2].cp - 4.0 / 3.0) < 1e-12
-    assert abs(got[2].cs - 2.0) < 1e-12
-    assert got[0].cs is None  # single point: sample covariance undefined
+    # no-frame default = WHOLE partition (server default, r12 — was
+    # silently cumulative): every row sees all three points
+    for r in got:
+        assert abs(r.cp - 4.0 / 3.0) < 1e-12
+        assert abs(r.cs - 2.0) < 1e-12
+    # the cumulative shape needs an explicit window now
+    got2 = aggregate(df, [
+        {"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"x": 1},
+            "output": {"cs": {"$covarianceSamp": ["$x", "$y"],
+                              "window": {"documents": ["unbounded",
+                                                       "current"]}}}}},
+    ]).orderBy("x").collect()
+    assert got2[0].cs is None  # single point: sample cov undefined
+    assert abs(got2[2].cs - 2.0) < 1e-12
 
 
 def test_integral_rejects_bounded_start_and_two_sort_keys(spark):
@@ -4441,6 +4452,60 @@ def test_densify_unit_requires_date_field(spark):
             aggregate(df, [{"$densify": {
                 "field": "k", "range": {"step": 1, "unit": unit,
                                         "bounds": "full"}}}])
+
+
+def test_window_n_accumulators(spark):
+    """r12: $setWindowFields supports the N-accumulator family
+    ($addToSet, $minN/$maxN, $firstN/$lastN, $top/$bottom(N)) with the
+    same null/ordering contracts as the group forms."""
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, 30.0), ("a", 4, 10.0),
+         ("b", 1, 5.0)],
+        "g string, seq long, v double")
+    got = aggregate(df, [
+        {"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"seq": 1},
+            "output": {
+                "st": {"$addToSet": "$v"},
+                "mn2": {"$minN": {"input": "$v", "n": 2}},
+                "mx2": {"$maxN": {"input": "$v", "n": 2}},
+                "f2": {"$firstN": {"input": "$v", "n": 2}},
+                "l2": {"$lastN": {"input": "$v", "n": 2}},
+                "best": {"$top": {"sortBy": {"v": -1}, "output": "$seq"}},
+                "top2": {"$topN": {"sortBy": {"v": -1}, "output": "$seq",
+                                   "n": 2}},
+                "bot2": {"$bottomN": {"sortBy": {"v": -1}, "output": "$seq",
+                                      "n": 2}},
+            }}},
+        {"$match": {"seq": 1}},
+        {"$sort": {"g": 1}},
+    ]).collect()
+    a, b = got
+    assert a.st == [10.0, 30.0, None]        # distinct sorted, one null kept
+    assert a.mn2 == [10.0, 10.0] and a.mx2 == [30.0, 10.0]
+    assert a.f2 == [10.0, None]              # firstN keeps nulls
+    assert a.l2 == [30.0, 10.0]
+    assert a.best == 3                        # highest v
+    assert a.top2 == [3, 1] and a.bot2 == [4, 2]   # desc-v order / tail
+    assert b.st == [5.0] and b.best == 1 and b.top2 == [1]
+
+
+def test_ranked_accumulator_desc_nulls_last(spark):
+    """r12 parity: BSON order puts null smallest, so a DESCENDING
+    $topN sortBy ranks null values LAST (the bare negation trick put
+    them first); ascending keeps them first."""
+    df = spark.createDataFrame(
+        [("g", 1, 10.0), ("g", 2, None), ("g", 3, 30.0)],
+        "g string, seq long, v double")
+    got = aggregate(df, [{"$group": {
+        "_id": "$g",
+        "top2": {"$topN": {"sortBy": {"v": -1}, "output": "$seq", "n": 2}},
+        "bot1": {"$bottom": {"sortBy": {"v": -1}, "output": "$seq"}},
+        "asc2": {"$topN": {"sortBy": {"v": 1}, "output": "$seq", "n": 2}},
+    }}]).collect()[0]
+    assert got.top2 == [3, 1]     # null ranks past every number, desc
+    assert got.bot1 == 2          # ...so it is the bottom
+    assert got.asc2 == [2, 1]     # ascending: null first (BSON smallest)
 
 
 def test_stage_specs_refuse_unknown_keys(spark):
