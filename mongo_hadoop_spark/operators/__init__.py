@@ -44,10 +44,10 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 # $bucketAuto/$setWindowFields gate's compile path — plans value-pinned by
 # the sf0.001 parity sweep; the _nearest_fixed_cell refactor touched the
 # fixed/capped SemDeDup assignment subtree), then ALL 32 queries whose
-# latest driver verdicts date from round 7, then the 10 oldest round-8
-# rows fill the 50-entry prefix.  The remaining r8 rows queue just below
-# the window for round 13; fully-green r9/r10/r11 verdicts rotate to the
-# tail.
+# latest driver verdicts date from round 7, then the 9 oldest round-8
+# rows fill the 50-entry prefix (4 new + 5 changed + 32 r7 + 9 r8 = 50).
+# The remaining r8 rows queue just below the window for round 13;
+# fully-green r9/r10/r11 verdicts rotate to the tail.
 _HEAD_KEYS = [
     # new this round — never driver-verified
     "pipeline_densify_monthly", "pipeline_densify_quarterly",

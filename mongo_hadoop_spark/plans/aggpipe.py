@@ -230,8 +230,12 @@ def _check_expr_keys(op: str, operand) -> None:
         from pyspark.sql import SparkSession
         sess = SparkSession.getActiveSession()
         stz = sess.conf.get("spark.sql.session.timeZone") if sess else None
-        if stz is not None and stz not in ("UTC", "Etc/UTC", "GMT", "Z",
-                                           "+00:00"):
+        _UTC_ALIASES = ("UTC", "Etc/UTC", "GMT", "Z", "+00:00", "+0000",
+                        "Etc/GMT", "Etc/GMT0", "Etc/GMT+0", "Etc/GMT-0",
+                        "GMT0", "GMT+00:00", "Etc/UCT", "UCT",
+                        "Etc/Universal", "Universal", "Etc/Zulu", "Zulu",
+                        "Etc/Greenwich", "Greenwich")
+        if stz is not None and stz not in _UTC_ALIASES:
             raise ValueError(
                 f"{op}: timezone 'UTC' requested but the Spark session "
                 f"timezone is {stz!r} — set "
@@ -1898,19 +1902,7 @@ def _accumulator(name: str, acc: dict) -> Column:
         wrapped = F.collect_list(F.struct(expr_to_col(operand).alias("v")))
         return F.transform(wrapped, lambda s: s["v"]).alias(name)
     if op == "$addToSet":
-        # canonical order (Mongo sets are unordered; sorting makes the
-        # result reproducible across shuffle schedules).  A NULL member
-        # is preserved (r11 — the server's set keeps one) by a null
-        # FLAG appended after the hash-deduped collect_set, NOT by
-        # array_distinct over collect_list: distinct-over-list is
-        # O(group²) per group and measured 13x on a large-group gate —
-        # collect_set keeps the linear hash-dedup path.
-        c = expr_to_col(operand)
-        vals = F.array_sort(F.collect_set(c))
-        has_null = F.count(F.lit(1)) > F.count(c)
-        return F.when(has_null,
-                      F.concat(vals, F.array(F.lit(None)))) \
-            .otherwise(vals).alias(name)
+        return _add_to_set(operand).alias(name)
     if op == "$first":
         return F.first(expr_to_col(operand)).alias(name)
     if op == "$last":
@@ -1923,26 +1915,56 @@ def _accumulator(name: str, acc: dict) -> Column:
         return _ranked_accumulator(name, op, operand)
     if op in ("$median", "$percentile"):
         return _percentile_accumulator(name, op, operand)
-    if op in ("$minN", "$maxN"):
-        # group form (Mongo 5.2): n smallest/largest input values,
-        # smallest-first (resp. largest-first); nulls are not candidates
-        arr = F.sort_array(F.collect_list(expr_to_col(operand["input"])),
-                           asc=(op == "$minN"))
-        return F.slice(arr, 1, int(operand["n"])).alias(name)
-    if op in ("$firstN", "$lastN"):
-        # group form: first/last n in encounter order — like $first/
-        # $last, encounter order is shuffle-dependent unless the
-        # pipeline sorted first (the server's contract is the same).
-        # struct-wrap keeps NULL inputs (r11): the server INCLUDES null
-        # and missing values in $firstN/$lastN (unlike $minN/$maxN)
-        wrapped = F.collect_list(
-            F.struct(expr_to_col(operand["input"]).alias("v")))
-        arr = F.transform(wrapped, lambda s: s["v"])
-        n = int(operand["n"])
-        if op == "$firstN":
-            return F.slice(arr, 1, n).alias(name)
-        return F.reverse(F.slice(F.reverse(arr), 1, n)).alias(name)
+    if op in ("$minN", "$maxN", "$firstN", "$lastN"):
+        return _n_accumulator(op, operand).alias(name)
     raise ValueError(f"unsupported accumulator {op}")
+
+
+def _add_to_set(operand, over=None) -> Column:
+    """$addToSet core, group and window forms.
+
+    Canonical order (Mongo sets are unordered; sorting makes the result
+    reproducible across shuffle schedules).  A NULL member is preserved
+    (r11 — the server's set keeps one) by a null FLAG appended after the
+    hash-deduped collect_set, NOT by array_distinct over collect_list:
+    distinct-over-list is O(group²) per group and measured 13x on a
+    large-group gate — collect_set keeps the linear hash-dedup path.
+    """
+    c = expr_to_col(operand)
+    vals, total, nn = F.collect_set(c), F.count(F.lit(1)), F.count(c)
+    if over is not None:
+        vals, total, nn = vals.over(over), total.over(over), nn.over(over)
+    vals = F.array_sort(vals)
+    return F.when(total > nn,
+                  F.concat(vals, F.array(F.lit(None)))).otherwise(vals)
+
+
+def _n_accumulator(op: str, operand: dict, over=None) -> Column:
+    """$minN/$maxN/$firstN/$lastN core, group and window forms
+    (Mongo 5.2).
+
+    $minN/$maxN: n smallest/largest input values, smallest-first (resp.
+    largest-first); nulls are not candidates (collect_list skips them).
+    $firstN/$lastN: first/last n in encounter/frame order — like
+    $first/$last, group encounter order is shuffle-dependent unless the
+    pipeline sorted first (the server's contract is the same); the
+    struct-wrap keeps NULL inputs (r11): the server INCLUDES null and
+    missing values in $firstN/$lastN (unlike $minN/$maxN).
+    """
+    n = int(operand["n"])
+    if op in ("$minN", "$maxN"):
+        coll = F.collect_list(expr_to_col(operand["input"]))
+        if over is not None:
+            coll = coll.over(over)
+        return F.slice(F.sort_array(coll, asc=(op == "$minN")), 1, n)
+    wrapped = F.collect_list(
+        F.struct(expr_to_col(operand["input"]).alias("v")))
+    if over is not None:
+        wrapped = wrapped.over(over)
+    arr = F.transform(wrapped, lambda s: s["v"])
+    if op == "$firstN":
+        return F.slice(arr, 1, n)
+    return F.reverse(F.slice(F.reverse(arr), 1, n))
 
 
 def _ranked_accumulator(name: str, op: str, operand: dict) -> Column:
@@ -2954,13 +2976,22 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
         elif op == "$documentNumber":
             col = F.row_number().over(w_sorted)
         elif op == "$shift":
-            by = operand.get("by", 1)
+            # 'by' is required on the server (r12 review — previously
+            # silently defaulted to 1, producing plausible unasked-for
+            # values)
+            if "by" not in operand:
+                raise ValueError("$shift requires 'by'")
+            by = operand["by"]
             default = operand.get("default")
-            target = expr_to_col(operand["output"])
+            # struct-wrap so an OUT-OF-PARTITION position (null struct)
+            # is distinguishable from a genuine null field value
+            # (struct{v: null}): the server applies 'default' only to
+            # the former (r12 review — coalesce replaced both)
+            target = F.struct(expr_to_col(operand["output"]).alias("v"))
             fn = F.lead(target, by) if by >= 0 else F.lag(target, -by)
-            col = fn.over(w_sorted)
-            if default is not None:
-                col = F.coalesce(col, F.lit(default))
+            led = fn.over(w_sorted)
+            col = (F.when(led.isNull(), F.lit(default)).otherwise(led["v"])
+                   if default is not None else led["v"])
         elif op in ("$derivative", "$integral"):
             col = _calculus_window(op, operand, sort, w_sorted, frame)
         elif op == "$locf":
@@ -3058,33 +3089,11 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 fn = F.first if op == "$first" else F.last
                 col = fn(expr_to_col(operand)).over(w)
             elif op == "$addToSet":
-                # window form (r12): same canonical contract as the
-                # group accumulator — sorted distinct values, one NULL
-                # kept (appended) via the hash-deduped collect_set +
-                # null-flag shape, never array_distinct-over-list
-                c = expr_to_col(operand)
-                vals = F.array_sort(F.collect_set(c).over(w))
-                has_null = (F.count(F.lit(1)).over(w)
-                            > F.count(c).over(w))
-                col = F.when(has_null,
-                             F.concat(vals, F.array(F.lit(None)))) \
-                    .otherwise(vals)
-            elif op in ("$minN", "$maxN"):
-                # window form (r12): n smallest/largest frame values,
-                # nulls not candidates (collect_list skips them)
-                arr = F.sort_array(
-                    F.collect_list(expr_to_col(operand["input"])).over(w),
-                    asc=(op == "$minN"))
-                col = F.slice(arr, 1, int(operand["n"]))
-            elif op in ("$firstN", "$lastN"):
-                # window form (r12): first/last n in frame order;
-                # struct-wrap keeps NULL inputs like the group form
-                wrapped = F.collect_list(F.struct(
-                    expr_to_col(operand["input"]).alias("v"))).over(w)
-                arr = F.transform(wrapped, lambda s: s["v"])
-                n_ = int(operand["n"])
-                col = (F.slice(arr, 1, n_) if op == "$firstN"
-                       else F.reverse(F.slice(F.reverse(arr), 1, n_)))
+                # window form (r12): shares the group accumulator core
+                col = _add_to_set(operand, over=w)
+            elif op in ("$minN", "$maxN", "$firstN", "$lastN"):
+                # window forms (r12): share the group accumulator core
+                col = _n_accumulator(op, operand, over=w)
             elif op in ("$top", "$bottom", "$topN", "$bottomN"):
                 # window form (r12): the operator's OWN sortBy ranks
                 # inside the frame (independent of the outer sortBy)
@@ -3210,6 +3219,17 @@ def _stage_densify(df: DataFrame, spec: dict) -> DataFrame:
                     if parts else b)
     else:
         lo, hi = rng["bounds"]
+        if unit is None and df.schema[field].dataType.typeName() in (
+                "byte", "short", "int", "integer", "long", "bigint") and any(
+                isinstance(b, float) and not float(b).is_integer()
+                for b in (lo, hi)):
+            # the server would generate fractional ghosts, which an
+            # integer column cannot hold — refuse instead of silently
+            # truncating the bounds to a wrong integer axis (r12 review)
+            raise ValueError(
+                f"$densify: fractional explicit bounds {[lo, hi]!r} on "
+                f"integer-typed {field!r} would generate unrepresentable "
+                "values")
         axis_src = (df.select(*parts).distinct()
                     if parts else df.limit(1).select())
         axis_src = axis_src.withColumn("__lo", F.lit(lo)).withColumn(
@@ -3276,10 +3296,16 @@ def _stage_densify(df: DataFrame, spec: dict) -> DataFrame:
     # [lo, hi) pair — the server contract (r12; previously inclusive)
     axis = axis.withColumn(field,
                            F.col(field).cast(df.schema[field].dataType))
-    cmp_v, cmp_hi = F.col(field), F.col("__hi").cast(
-        df.schema[field].dataType)
+    # compare in the GENERATION domain, never through the field type:
+    # routing an explicit timestamp bound through a date-typed field
+    # truncated it to midnight and wrongly excluded the last on-step
+    # value under the [lo, hi) contract (r12 review)
     if unit is not None:
-        cmp_v, cmp_hi = cmp_v.cast("timestamp"), cmp_hi.cast("timestamp")
+        cmp_v = F.col(field).cast("timestamp")
+        cmp_hi = F.col("__hi").cast("timestamp")
+    else:
+        cmp_v, cmp_hi = F.col(field), F.col("__hi").cast(
+            df.schema[field].dataType)
     axis = (axis.where(cmp_v < cmp_hi if explicit else cmp_v <= cmp_hi)
             .select(*parts, field))
     join_keys = parts + [field]

@@ -4490,6 +4490,52 @@ def test_window_n_accumulators(spark):
     assert b.st == [5.0] and b.best == 1 and b.top2 == [1]
 
 
+def test_shift_default_only_out_of_partition(spark):
+    """r12 review: $shift 'default' applies ONLY when the shifted
+    position falls outside the partition — a genuine null field value
+    at a valid position stays null (coalesce had replaced both); and
+    'by' is required like the server."""
+    df = spark.createDataFrame([("g", 1, 10.0), ("g", 2, None),
+                                ("g", 3, 30.0)],
+                               "g string, seq long, v double")
+    got = aggregate(df, [
+        {"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"seq": 1},
+            "output": {"nxt": {"$shift": {"output": "$v", "by": 1,
+                                          "default": -1.0}}}}},
+        {"$sort": {"seq": 1}},
+    ]).collect()
+    # seq1 -> next value is the GENUINE null at seq2, not the default;
+    # seq3 -> out of partition -> default
+    assert [r.nxt for r in got] == [None, 30.0, -1.0]
+    with pytest.raises(ValueError, match="requires 'by'"):
+        aggregate(df, [{"$setWindowFields": {
+            "sortBy": {"seq": 1},
+            "output": {"nxt": {"$shift": {"output": "$v"}}}}}])
+
+
+def test_densify_fractional_explicit_bounds_refuse(spark):
+    """r12 review: fractional explicit bounds on an integer field would
+    silently truncate to a wrong axis — refuse; an explicit timestamp
+    bound is honored exactly (not truncated through the field type)."""
+    import datetime as dt
+    ints = spark.createDataFrame([(1,), (4,)], "k long")
+    with pytest.raises(ValueError, match="fractional explicit bounds"):
+        aggregate(ints, [{"$densify": {
+            "field": "k", "range": {"step": 1, "bounds": [0.5, 3.5]}}}])
+    # timestamp explicit bounds on a timestamp field: [lo, hi) honors
+    # the time-of-day in hi exactly
+    ts = spark.createDataFrame([(dt.datetime(2021, 1, 1, 10, 0),)],
+                               "t timestamp")
+    got = aggregate(ts, [{"$densify": {
+        "field": "t", "range": {"step": 1, "unit": "day",
+                                "bounds": [dt.datetime(2021, 1, 1, 10, 0),
+                                           dt.datetime(2021, 1, 3, 10, 0)]}}},
+        {"$sort": {"t": 1}}]).collect()
+    assert [r.t for r in got] == [dt.datetime(2021, 1, 1, 10, 0),
+                                  dt.datetime(2021, 1, 2, 10, 0)]
+
+
 def test_ranked_accumulator_desc_nulls_last(spark):
     """r12 parity: BSON order puts null smallest, so a DESCENDING
     $topN sortBy ranks null values LAST (the bare negation trick put

@@ -119,6 +119,8 @@ HEADLINE = [
      "partitioned calendar $densify: per-key axis, one keyed shuffle"),
     ("dedup_semantic_cell_density",
      "overflow signal: collapse + broadcast assignment + one keyed agg"),
+    ("pipeline_window_top_orders",
+     "window N-accumulators: one keyed window, whole-partition frames"),
 ]
 
 
