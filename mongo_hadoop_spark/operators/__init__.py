@@ -50,9 +50,13 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 # fully-green r9/r10/r11 verdicts rotate to the tail.
 _HEAD_KEYS = [
     # new this round — never driver-verified
+    "pipeline_graphlookup_unbounded",
     "pipeline_densify_monthly", "pipeline_densify_quarterly",
     "dedup_semantic_cell_density", "pipeline_window_top_orders",
     # changed this round — compile path touched, values pinned unchanged
+    # (pipeline_graphlookup_reports: the $graphLookup stage split into
+    # bounded/fixpoint halves in the second half of r12)
+    "pipeline_graphlookup_reports",
     "pipeline_densify_user_counts", "pipeline_window_fields",
     "pipeline_bucket_order_values", "pipeline_bucket_auto_granularity",
     "dedup_semantic_survivors_ivf_fixed",
@@ -73,9 +77,11 @@ _HEAD_KEYS = [
     "a2_upsert_docs", "a4_log_rollup", "corpus_bpe_compression",
     "corpus_bpe_merges", "corpus_bpe_symbol_stats",
     "corpus_pretrain_manifest", "corpus_split_leakage",
-    "corpus_training_manifest", "corpus_wordpiece_compression",
     # --- 50-entry window boundary (r13 rotation starts here) ---
-    # remaining r8-era rows queue first for round 13
+    # remaining r8-era rows queue first for round 13 (the two below
+    # slid out of the window when the unbounded-$graphLookup pair
+    # entered it mid-round)
+    "corpus_training_manifest", "corpus_wordpiece_compression",
     "corpus_wordpiece_merges", "corpus_yield_report", "dedup_containment", "dedup_exact_survivors",
     "dedup_minhash_signatures", "dedup_semantic_survivors",
     "dedup_semantic_survivors_ivf", "dedup_simhash_groups",
@@ -84,7 +90,7 @@ _HEAD_KEYS = [
     "documents_train_split", "events_cohort_retention", "events_funnel",
     "multimodal_decode_features", "multimodal_frame_sample",
     "multimodal_pack_interleaved", "multimodal_resize",
-    "orders_quantile_rollup", "pipeline_graphlookup_reports",
+    "orders_quantile_rollup",
     "pipeline_sortbycount", "pipeline_text_query", "pipeline_wordcount",
     "sketch_hll_documents", "sketch_hll_users", "text_fingerprint",
     "text_quality", "text_redact_pii", "text_repetition_ratio",

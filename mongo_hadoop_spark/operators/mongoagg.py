@@ -793,6 +793,65 @@ FROM walk WHERE depth >= 1
 GROUP BY 1 HAVING count(DISTINCT node) > 0
 """
 
+GRAPH_FX_MOD = 499       # node domain: o_orderkey residues mod this
+GRAPH_FX_ROOT_STEP = 7   # roots = nodes divisible by this
+
+
+def pipeline_graphlookup_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$graphLookup WITHOUT maxDepth — the server's traversal-to-
+    fixpoint semantics (r12), oracle-checked against a DuckDB recursive
+    CTE with a depth cap no real path can hit.
+
+    The graph is a deterministic contracting map over the order-key
+    residues: ``next = node // 3`` — every chain funnels to node 0,
+    whose edge is the SELF-LOOP 0→0, so the fixpoint loop must prove
+    cycle termination (visited-value pruning), not just tree descent.
+    Depth is ≤ log₃(mod) ≈ 6, so the eager per-level loop stays cheap
+    at any scale factor.  Each root reports how many edge-docs its walk
+    reached and the maximum BFS depth among them (depthField)."""
+    nodes = (table(spark, sf_dir, "orders")
+             .select((F.col("o_orderkey") % GRAPH_FX_MOD)
+                     .cast("long").alias("node"))
+             .distinct())
+    edges = nodes.select(
+        "node", F.floor(F.col("node") / 3).cast("long").alias("next"))
+    roots = (nodes.where(F.col("node") % GRAPH_FX_ROOT_STEP == 0)
+             .select(F.col("node").alias("start")))
+    return aggregate(roots, [
+        {"$graphLookup": {"from": "edges", "startWith": "$start",
+                          "connectFromField": "next",
+                          "connectToField": "node",
+                          "as": "walk", "depthField": "d"}},
+        {"$project": {
+            "start": 1,
+            "n_reached": {"$toLong": {"$size": "$walk"}},
+            "max_depth": {"$max": {"$map": {
+                "input": "$walk", "as": "w", "in": "$$w.d"}}},
+        }},
+        {"$sort": {"start": 1}},
+    ], tables={"edges": edges})
+
+
+PIPELINE_GRAPH_UNBOUNDED_SQL = f"""
+WITH RECURSIVE nodes AS (
+  SELECT DISTINCT (o_orderkey % {GRAPH_FX_MOD})::bigint AS node FROM orders
+),
+edges AS (SELECT node, (node // 3)::bigint AS next FROM nodes),
+walk AS (
+  SELECT n.node AS start, e.node AS node, e.next, 0 AS d
+  FROM nodes n JOIN edges e ON e.node = n.node
+  WHERE n.node % {GRAPH_FX_ROOT_STEP} = 0
+  UNION
+  SELECT w.start, e.node, e.next, w.d + 1
+  FROM walk w JOIN edges e ON e.node = w.next
+  WHERE w.d < {GRAPH_FX_MOD}
+),
+vis AS (SELECT start, node, min(d) AS d FROM walk GROUP BY 1, 2)
+SELECT start, count(*)::bigint AS n_reached, max(d)::bigint AS max_depth
+FROM vis GROUP BY 1 ORDER BY 1
+"""
+
+
 def pipeline_object_to_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$arrayToObject → $objectToArray round-trip: the schemaless
     document-reshaping pair (SURVEY §1.3 mode 1 — dynamic keys as data).
@@ -2529,6 +2588,7 @@ QUERIES = {
     "pipeline_densify_quarterly": pipeline_densify_quarterly,
     "pipeline_window_top_orders": pipeline_window_top_orders,
     "pipeline_graphlookup_reports": pipeline_graphlookup_reports,
+    "pipeline_graphlookup_unbounded": pipeline_graphlookup_unbounded,
 }
 
 ORACLES = {
@@ -2586,4 +2646,5 @@ ORACLES = {
     "pipeline_densify_quarterly": PIPELINE_DENSIFY_QUARTERLY_SQL,
     "pipeline_window_top_orders": PIPELINE_WINDOW_TOP_ORDERS_SQL,
     "pipeline_graphlookup_reports": PIPELINE_GRAPH_SQL,
+    "pipeline_graphlookup_unbounded": PIPELINE_GRAPH_UNBOUNDED_SQL,
 }

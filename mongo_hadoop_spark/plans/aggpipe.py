@@ -3436,15 +3436,103 @@ def _stage_facet(df: DataFrame, spec: dict,
     return out
 
 
+#: Safety cap on the UNBOUNDED $graphLookup fixpoint loop (levels, not
+#: documents).  A graph whose true BFS depth exceeds this is the wrong
+#: shape for a per-level driver loop (a 100k-link chain would run 100k
+#: Spark jobs) — refuse loudly rather than grind.  Override with the
+#: environment variable of the same name.
+GRAPH_LOOKUP_MAX_LEVELS_ENV = "SPARK_GRAFT_GRAPHLOOKUP_MAX_LEVELS"
+GRAPH_LOOKUP_MAX_LEVELS = 128
+
+
+def _graph_lookup_fixpoint(df: DataFrame, foreign: DataFrame, fstruct,
+                           start_with, cf: str, ct: str):
+    """Eager BFS-to-fixpoint half of $graphLookup (no maxDepth).
+
+    Returns ``(src, visited)`` where ``src`` carries a STABLE ``__gid``
+    (localCheckpoint-ed — ``monotonically_increasing_id`` is only
+    consistent within one job, and this loop runs many) and ``visited``
+    is the union of per-level hit sets (__gid, __doc, __depth, __next).
+
+    Scale shape: each level is ONE keyed equi-join (frontier ⋈ foreign
+    on the connectTo field) plus one left-anti join against the set of
+    (row, value) pairs already expanded — so every value is expanded at
+    most once per source row and cyclic graphs terminate.  Levels are
+    localCheckpoint-ed (lineage stays flat; the expanded-set union
+    reads materialized partitions, never recomputes).  The only driver
+    action per level is the empty-frontier convergence check — the
+    Pregel vote-to-halt scalar, same contract as the CC superstep loop.
+    """
+    import os
+    max_levels = int(os.environ.get(GRAPH_LOOKUP_MAX_LEVELS_ENV,
+                                    GRAPH_LOOKUP_MAX_LEVELS))
+    src = df.withColumn("__gid", F.monotonically_increasing_id()) \
+            .localCheckpoint()
+    frontier = (src.select("__gid", expr_to_col(start_with).alias("__val"))
+                .where(F.col("__val").isNotNull()).distinct()
+                .localCheckpoint())
+    # (gid, val) pairs already expanded — list of checkpointed levels,
+    # lazily unioned for the anti-join (each is already materialized)
+    expanded = [frontier]
+    levels = []          # checkpointed per-level hit sets
+    lvl = 0
+    while not frontier.isEmpty():
+        if lvl >= max_levels:
+            raise ValueError(
+                f"$graphLookup without maxDepth exceeded "
+                f"{max_levels} BFS levels — graph too deep for the "
+                f"per-level fixpoint loop (override with "
+                f"{GRAPH_LOOKUP_MAX_LEVELS_ENV} or pass maxDepth)")
+        hits = (frontier.join(foreign, frontier["__val"] == foreign[ct])
+                .select("__gid", fstruct.alias("__doc"),
+                        F.lit(lvl).cast("long").alias("__depth"),
+                        F.col(cf).alias("__next"))
+                .localCheckpoint())
+        levels.append(hits)
+        seen = expanded[0]
+        for e in expanded[1:]:
+            seen = seen.unionAll(e)
+        frontier = (hits.select("__gid", F.col("__next").alias("__val"))
+                    .where(F.col("__val").isNotNull()).distinct()
+                    .join(seen, ["__gid", "__val"], "left_anti")
+                    .localCheckpoint())
+        expanded.append(frontier)
+        lvl += 1
+    if not levels:
+        # nothing matched anywhere: empty visited with the right schema
+        empty = (frontier.limit(0)
+                 .join(foreign, frontier["__val"] == foreign[ct])
+                 .select("__gid", fstruct.alias("__doc"),
+                         F.lit(0).cast("long").alias("__depth"),
+                         F.col(cf).alias("__next")))
+        return src, empty
+    visited = levels[0]
+    for h in levels[1:]:
+        visited = visited.unionAll(h)
+    return src, visited
+
+
 def _stage_graph_lookup(df: DataFrame, spec: dict,
                         tables: dict[str, DataFrame] | None) -> DataFrame:
-    """$graphLookup: bounded-depth BFS over a foreign collection,
-    unrolled into one lazy plan (one equi-join per level).
+    """$graphLookup: BFS transitive closure over a foreign collection.
 
-    ``maxDepth`` is REQUIRED here (the server's unbounded traversal has
-    no lazy-plan shape; pick the bound you mean).  The result array is
-    canonically sorted (struct field order) rather than traversal-ordered
-    — deterministic across partitionings.
+    With ``maxDepth`` the BFS is unrolled into one lazy plan (one
+    equi-join per level) — no driver actions, Catalyst sees the whole
+    thing.  WITHOUT ``maxDepth`` the server semantics are traversal to
+    fixpoint, which has no lazy-plan shape; that form runs an EAGER
+    per-level loop like the connected-components operator
+    (operators/dedup.py:connected_component_labels): each level is one
+    keyed join, the next frontier is anti-joined against every value
+    already expanded for that source row (so cyclic graphs terminate —
+    the server likewise tracks visited documents,
+    ref docs/aggregation $graphLookup "handles cyclic graphs"), and
+    each level's output is localCheckpoint-ed to keep lineage flat.
+    The loop ends when the frontier is empty; a safety cap of
+    ``GRAPH_LOOKUP_MAX_LEVELS`` levels (env-overridable) refuses graphs
+    whose BFS depth makes a per-level driver loop the wrong tool.
+
+    The result array is canonically sorted (struct field order) rather
+    than traversal-ordered — deterministic across partitionings.
 
     ``restrictSearchWithMatch`` pre-filters the foreign collection with
     the query language, and ``depthField`` tags each document with the
@@ -3453,8 +3541,6 @@ def _stage_graph_lookup(df: DataFrame, spec: dict,
     if not tables or spec["from"] not in tables:
         raise ValueError(
             f"$graphLookup from {spec['from']!r}: pass tables={{name: DataFrame}}")
-    if "maxDepth" not in spec:
-        raise ValueError("$graphLookup requires maxDepth (bounded unroll)")
     known = {"from", "startWith", "connectFromField", "connectToField",
              "as", "maxDepth", "depthField", "restrictSearchWithMatch"}
     unknown = set(spec) - known
@@ -3464,19 +3550,25 @@ def _stage_graph_lookup(df: DataFrame, spec: dict,
     if "restrictSearchWithMatch" in spec:
         foreign = foreign.where(match_to_col(spec["restrictSearchWithMatch"]))
     cf, ct, as_ = (spec["connectFromField"], spec["connectToField"], spec["as"])
-    depth = int(spec["maxDepth"])
     depth_field = spec.get("depthField")
-    src = df.withColumn("__gid", F.monotonically_increasing_id())
     fstruct = F.struct(*[F.col(c) for c in foreign.columns])
-    frontier = src.select("__gid", expr_to_col(spec["startWith"]).alias("__val"))
-    visited = None
-    for lvl in range(depth + 1):
-        hits = (frontier.join(foreign, frontier["__val"] == foreign[ct])
-                .select("__gid", fstruct.alias("__doc"),
-                        F.lit(lvl).cast("long").alias("__depth"),
-                        F.col(cf).alias("__next")))
-        visited = hits if visited is None else visited.unionAll(hits)
-        frontier = hits.select("__gid", F.col("__next").alias("__val")).distinct()
+    if "maxDepth" in spec:
+        depth = int(spec["maxDepth"])
+        src = df.withColumn("__gid", F.monotonically_increasing_id())
+        frontier = src.select(
+            "__gid", expr_to_col(spec["startWith"]).alias("__val"))
+        visited = None
+        for lvl in range(depth + 1):
+            hits = (frontier.join(foreign, frontier["__val"] == foreign[ct])
+                    .select("__gid", fstruct.alias("__doc"),
+                            F.lit(lvl).cast("long").alias("__depth"),
+                            F.col(cf).alias("__next")))
+            visited = hits if visited is None else visited.unionAll(hits)
+            frontier = hits.select(
+                "__gid", F.col("__next").alias("__val")).distinct()
+    else:
+        src, visited = _graph_lookup_fixpoint(
+            df, foreign, fstruct, spec["startWith"], cf, ct)
     if depth_field is not None:
         # min depth per reached doc (server: the number of recursions
         # needed to reach it), injected as one more struct field

@@ -275,11 +275,88 @@ def test_graph_lookup_bfs(spark):
     ], tables={"emp": emp})
     # 1 manages {2,3,4} transitively; 2 manages {3}; 3,4 manage none
     assert rows(got) == [(1, 3), (2, 1), (3, 0), (4, 0)]
-    with pytest.raises(ValueError, match="maxDepth"):
-        aggregate(emp, [{"$graphLookup": {"from": "emp", "startWith": "$eid",
-                                          "connectFromField": "eid",
-                                          "connectToField": "mgr",
-                                          "as": "r"}}], tables={"emp": emp})
+
+
+def test_graph_lookup_unbounded_fixpoint(spark):
+    """r12: omitting maxDepth runs the server's traversal-to-fixpoint
+    (eager per-level loop) instead of refusing.  Same org chart as the
+    bounded test — the fixpoint must find the identical closure."""
+    emp = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 2), (4, 1)], "eid long, mgr long")
+    got = aggregate(emp, [
+        {"$graphLookup": {"from": "emp", "startWith": "$eid",
+                          "connectFromField": "eid",
+                          "connectToField": "mgr", "as": "reports"}},
+        {"$addFields": {"n": {"$size": "$reports"}}},
+        {"$sort": {"eid": 1}}, {"$project": {"eid": 1, "n": 1}},
+    ], tables={"emp": emp})
+    assert rows(got) == [(1, 3), (2, 1), (3, 0), (4, 0)]
+
+
+def test_graph_lookup_unbounded_cycle_terminates(spark):
+    """Cyclic graph (a→b→c→a plus a tail d→a): the fixpoint loop must
+    terminate (visited-value pruning) and each root must see exactly
+    the nodes reachable from it, once each."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")],
+        "node string, next string")
+    roots = spark.createDataFrame([("a",), ("d",)], "start string")
+    got = aggregate(roots, [
+        {"$graphLookup": {"from": "edges", "startWith": "$start",
+                          "connectFromField": "next",
+                          "connectToField": "node", "as": "walk",
+                          "depthField": "d"}},
+        {"$addFields": {"n": {"$size": "$walk"}}},
+        {"$sort": {"start": 1}},
+    ], tables={"edges": edges})
+    out = {r["start"]: r for r in got.collect()}
+    # from 'a': edge-docs a,b,c reachable (cycle closed, no dup)
+    assert out["a"]["n"] == 3
+    assert sorted((w["node"], w["d"]) for w in out["a"]["walk"]) == [
+        ("a", 0), ("b", 1), ("c", 2)]
+    # from 'd': d at depth 0, then the whole cycle
+    assert out["d"]["n"] == 4
+    assert sorted((w["node"], w["d"]) for w in out["d"]["walk"]) == [
+        ("a", 1), ("b", 2), ("c", 3), ("d", 0)]
+
+
+def test_graph_lookup_unbounded_level_cap(spark, monkeypatch):
+    """A chain deeper than the level cap refuses loudly with the
+    env-override pointer instead of grinding through thousands of jobs."""
+    import mongo_hadoop_spark.plans.aggpipe as ap
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "node long, next long")
+    start = spark.createDataFrame([(0,)], "s long")
+    monkeypatch.setenv(ap.GRAPH_LOOKUP_MAX_LEVELS_ENV, "3")
+    with pytest.raises(ValueError, match="BFS levels"):
+        aggregate(start, [
+            {"$graphLookup": {"from": "chain", "startWith": "$s",
+                              "connectFromField": "next",
+                              "connectToField": "node", "as": "w"}},
+        ], tables={"chain": chain}).collect()
+    monkeypatch.setenv(ap.GRAPH_LOOKUP_MAX_LEVELS_ENV, "20")
+    got = aggregate(start, [
+        {"$graphLookup": {"from": "chain", "startWith": "$s",
+                          "connectFromField": "next",
+                          "connectToField": "node", "as": "w"}},
+        {"$project": {"n": {"$size": "$w"}}},
+    ], tables={"chain": chain})
+    assert got.collect()[0]["n"] == 6
+
+
+def test_graph_lookup_unbounded_no_match(spark):
+    """startWith values that never match: empty arrays, no crash."""
+    edges = spark.createDataFrame([("x", "y")], "node string, next string")
+    roots = spark.createDataFrame([("zz",), (None,)], "start string")
+    got = aggregate(roots, [
+        {"$graphLookup": {"from": "edges", "startWith": "$start",
+                          "connectFromField": "next",
+                          "connectToField": "node", "as": "w"}},
+        {"$project": {"start": 1, "n": {"$size": "$w"}}},
+        {"$sort": {"start": 1}},
+    ], tables={"edges": edges})
+    assert [(r["start"], r["n"]) for r in got.collect()] == [
+        (None, 0), ("zz", 0)]
 
 
 def test_densify_and_fill_numeric(spark):
