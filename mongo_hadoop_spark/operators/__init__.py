@@ -50,7 +50,7 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 # fully-green r9/r10/r11 verdicts rotate to the tail.
 _HEAD_KEYS = [
     # new this round — never driver-verified
-    "pipeline_graphlookup_unbounded",
+    "pipeline_graphlookup_unbounded", "pipeline_merge_objects_rollup",
     "pipeline_densify_monthly", "pipeline_densify_quarterly",
     "dedup_semantic_cell_density", "pipeline_window_top_orders",
     # changed this round — compile path touched, values pinned unchanged
@@ -76,11 +76,12 @@ _HEAD_KEYS = [
     # equally stale, stable order)
     "a2_upsert_docs", "a4_log_rollup", "corpus_bpe_compression",
     "corpus_bpe_merges", "corpus_bpe_symbol_stats",
-    "corpus_pretrain_manifest", "corpus_split_leakage",
+    "corpus_pretrain_manifest",
     # --- 50-entry window boundary (r13 rotation starts here) ---
-    # remaining r8-era rows queue first for round 13 (the two below
-    # slid out of the window when the unbounded-$graphLookup pair
-    # entered it mid-round)
+    # remaining r8-era rows queue first for round 13 (the three below
+    # slid out of the window when the unbounded-$graphLookup pair and
+    # the $mergeObjects-accumulator gate entered it mid-round)
+    "corpus_split_leakage",
     "corpus_training_manifest", "corpus_wordpiece_compression",
     "corpus_wordpiece_merges", "corpus_yield_report", "dedup_containment", "dedup_exact_survivors",
     "dedup_minhash_signatures", "dedup_semantic_survivors",

@@ -793,6 +793,40 @@ FROM walk WHERE depth >= 1
 GROUP BY 1 HAVING count(DISTINCT node) > 0
 """
 
+def pipeline_merge_objects_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$mergeObjects as a $group ACCUMULATOR (r12) — the canonical
+    two-level idiom from the server docs: group once to one sparse
+    single-key document per (customer, status), then merge the sparse
+    documents per customer.  Keys are DISTINCT within the outer group,
+    so later-wins is order-independent and the merge→$objectToArray→
+    $unwind round-trip must reproduce the flat two-key GROUP BY the
+    DuckDB oracle computes.  Money goes through the decimal-sum
+    convention (engine-deterministic float totals)."""
+    orders = table(spark, sf_dir, "orders")
+    return aggregate(orders, [
+        {"$addFields": {"pd": {"$toDecimal": "$o_totalprice"}}},
+        {"$group": {"_id": {"c": "$o_custkey", "s": "$o_orderstatus"},
+                    "tot": {"$sum": "$pd"}}},
+        {"$project": {"c": "$_id.c",
+                      "m": {"$arrayToObject": [[
+                          {"k": "$_id.s", "v": {"$toDouble": "$tot"}}]]}}},
+        {"$group": {"_id": "$c", "merged": {"$mergeObjects": "$m"}}},
+        {"$project": {"custkey": "$_id",
+                      "kv": {"$objectToArray": "$merged"}}},
+        {"$unwind": "$kv"},
+        {"$project": {"custkey": 1, "status": "$kv.k", "tot": "$kv.v"}},
+        {"$sort": {"custkey": 1, "status": 1}},
+    ])
+
+
+PIPELINE_MERGE_OBJECTS_SQL = """
+SELECT o_custkey AS custkey, o_orderstatus AS status,
+       (trunc((sum(CAST(o_totalprice AS DECIMAL(38,6)))))::bigint::double + ((((sum(CAST(o_totalprice AS DECIMAL(38,6)))) % 1)::decimal(16,15)) * 1000000000000000)::bigint::double / 1000000000000000.0) AS tot
+FROM orders
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 GRAPH_FX_MOD = 499       # node domain: o_orderkey residues mod this
 GRAPH_FX_ROOT_STEP = 7   # roots = nodes divisible by this
 
@@ -2589,6 +2623,7 @@ QUERIES = {
     "pipeline_window_top_orders": pipeline_window_top_orders,
     "pipeline_graphlookup_reports": pipeline_graphlookup_reports,
     "pipeline_graphlookup_unbounded": pipeline_graphlookup_unbounded,
+    "pipeline_merge_objects_rollup": pipeline_merge_objects_rollup,
 }
 
 ORACLES = {
@@ -2647,4 +2682,5 @@ ORACLES = {
     "pipeline_window_top_orders": PIPELINE_WINDOW_TOP_ORDERS_SQL,
     "pipeline_graphlookup_reports": PIPELINE_GRAPH_SQL,
     "pipeline_graphlookup_unbounded": PIPELINE_GRAPH_UNBOUNDED_SQL,
+    "pipeline_merge_objects_rollup": PIPELINE_MERGE_OBJECTS_SQL,
 }

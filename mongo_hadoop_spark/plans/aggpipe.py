@@ -671,8 +671,25 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
                              f"literal (got {limit!r})")
         return F.slice(filtered, 1, limit)
     if op == "$reduce":
+        arr = E(operand["input"])
+        init = E(operand["initialValue"])
+        # Server typing is dynamic (the accumulator promotes per
+        # element), but Spark's aggregate() requires the zero to ALREADY
+        # carry the merge expression's result type — {$reduce: {input:
+        # "$longs", initialValue: 0, in: {$add: [...]}}} used to fail
+        # analysis with INT zero vs BIGINT merge.  Resolve the merge
+        # type symbolically: apply the in-expression once to (init,
+        # first element) inside a never-taken branch; when(false,
+        # probe).otherwise(init) analyzes to the least-common type with
+        # init's value, and SimplifyConditionals folds the dead branch
+        # out of the physical plan.  F.get (not element_at) keeps the
+        # probe null-safe even if it were ever evaluated under ANSI.
+        probe = expr_to_col(
+            operand["in"],
+            {**(env or {}), "value": init, "this": F.get(arr, F.lit(0))})
+        zero = F.when(F.lit(False), probe).otherwise(init)
         return F.aggregate(
-            E(operand["input"]), E(operand["initialValue"]),
+            arr, zero,
             lambda acc, x: expr_to_col(
                 operand["in"], {**(env or {}), "value": acc, "this": x}))
     if op == "$switch":
@@ -1917,7 +1934,42 @@ def _accumulator(name: str, acc: dict) -> Column:
         return _percentile_accumulator(name, op, operand)
     if op in ("$minN", "$maxN", "$firstN", "$lastN"):
         return _n_accumulator(op, operand).alias(name)
+    if op == "$mergeObjects":
+        return _merge_objects_acc(operand).alias(name)
     raise ValueError(f"unsupported accumulator {op}")
+
+
+def _merge_objects_acc(operand) -> Column:
+    """$mergeObjects as a $group accumulator: combine the group's
+    MAP-typed documents in encounter order, later documents overwriting
+    earlier keys; null operands are ignored (all-null → {}), matching
+    the expression form at :data:`aggpipe` line ~465.
+
+    Shape: collect_list (skips nulls = server ignores null operands),
+    then one linear fold — each merge step filters the accumulator's
+    entries against the incoming map's keys (map_contains_key) and
+    concatenates, so a step is O(|acc| + |doc|) and the group totals
+    O(docs × distinct keys), never O(entries²).  The fold's zero is the
+    FIRST collected map (coalesced to an empty map of the right type
+    when the group collected nothing); merging a map into itself is
+    idempotent under later-wins, so seeding with element 1 and folding
+    the whole list is exact.
+
+    Encounter order is shuffle-dependent unless the pipeline sorted
+    first — the same contract as $first/$push (and the server's).  For
+    deterministic results, merge documents whose keys are DISTINCT
+    within the group (the canonical two-level-group idiom in the
+    server docs)."""
+    coll = F.collect_list(expr_to_col(operand))
+    zero = F.map_from_entries(
+        F.coalesce(F.map_entries(F.get(coll, F.lit(0))), F.array()))
+
+    def merge(acc, m):
+        kept = F.filter(F.map_entries(acc),
+                        lambda e: ~F.map_contains_key(m, e["key"]))
+        return F.map_from_entries(F.concat(kept, F.map_entries(m)))
+
+    return F.aggregate(coll, zero, merge)
 
 
 def _add_to_set(operand, over=None) -> Column:

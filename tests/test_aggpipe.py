@@ -4844,3 +4844,72 @@ def test_match_type_null_alias(spark):
     got2 = aggregate(df, [{"$match": {"s": {"$type": ["string", 10]}}}],
                      ).collect()
     assert sorted(r.id for r in got2) == [1, 2]
+
+
+def test_reduce_type_promotion(spark):
+    """r12: $reduce's fold zero adopts the merge expression's result
+    type (server typing is dynamic) — INT initialValue over a BIGINT
+    array, a DOUBLE literal array, and a merge that promotes BEYOND the
+    element type all analyze and fold correctly."""
+    df = spark.createDataFrame([(1, [1, 2, 3]), (2, [])],
+                               "k long, arr array<long>")
+    got = aggregate(df, [
+        {"$project": {"k": 1, "r": {"$reduce": {
+            "input": "$arr", "initialValue": 0,
+            "in": {"$add": ["$$value", "$$this"]}}}}},
+        {"$sort": {"k": 1}}])
+    assert rows(got) == [(1, 6), (2, 0)]
+    got2 = aggregate(df, [
+        {"$project": {"k": 1, "r": {"$reduce": {
+            "input": [1.5, 2.5], "initialValue": 0,
+            "in": {"$add": ["$$value", "$$this"]}}}}},
+        {"$sort": {"k": 1}}])
+    assert rows(got2) == [(1, 4.0), (2, 4.0)]
+    # merge promotes beyond the element type (long elems, double step)
+    got3 = aggregate(df, [
+        {"$project": {"k": 1, "r": {"$reduce": {
+            "input": "$arr", "initialValue": 0,
+            "in": {"$add": ["$$value",
+                            {"$multiply": ["$$this", 1.5]}]}}}}},
+        {"$sort": {"k": 1}}])
+    assert rows(got3) == [(1, 9.0), (2, 0.0)]
+    # string fold unaffected
+    got4 = aggregate(df, [
+        {"$project": {"k": 1, "r": {"$reduce": {
+            "input": ["a", "b"], "initialValue": "",
+            "in": {"$concat": ["$$value", "$$this"]}}}}},
+        {"$sort": {"k": 1}}])
+    assert rows(got4) == [(1, "ab"), (2, "ab")]
+
+
+def test_merge_objects_accumulator(spark):
+    """r12: $mergeObjects as a $group accumulator — later documents
+    overwrite earlier keys, null operands are ignored, all-null → {}."""
+    df = spark.createDataFrame(
+        [("g1", {"a": 1}), ("g1", {"b": 2}), ("g1", {"a": 3}),
+         ("g2", None), ("g2", {"x": 9}), ("g3", None)],
+        "g string, m map<string,long>").coalesce(1)
+    got = aggregate(df, [
+        {"$group": {"_id": "$g", "merged": {"$mergeObjects": "$m"}}},
+        {"$sort": {"_id": 1}}])
+    out = {r["_id"]: dict(r["merged"]) for r in got.collect()}
+    assert out == {"g1": {"a": 3, "b": 2}, "g2": {"x": 9}, "g3": {}}
+
+
+def test_merge_objects_accumulator_two_level_idiom(spark):
+    """The order-independent two-level idiom (distinct keys per outer
+    group): merge of single-key sparse docs reproduces the flat
+    two-key group-by regardless of partitioning."""
+    data = [(c, s, float(v)) for c, s, v in [
+        (1, "A", 10), (1, "B", 20), (1, "A", 5),
+        (2, "B", 7), (2, "C", 1)]]
+    df = spark.createDataFrame(data, "c long, s string, v double") \
+              .repartition(4)
+    got = aggregate(df, [
+        {"$group": {"_id": {"c": "$c", "s": "$s"}, "tot": {"$sum": "$v"}}},
+        {"$project": {"c": "$_id.c",
+                      "m": {"$arrayToObject": [[{"k": "$_id.s", "v": "$tot"}]]}}},
+        {"$group": {"_id": "$c", "merged": {"$mergeObjects": "$m"}}},
+        {"$sort": {"_id": 1}}])
+    out = {r["_id"]: dict(r["merged"]) for r in got.collect()}
+    assert out == {1: {"A": 15.0, "B": 20.0}, 2: {"B": 7.0, "C": 1.0}}
