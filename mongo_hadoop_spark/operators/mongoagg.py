@@ -827,6 +827,38 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def pipeline_lookup_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated $lookup sub-pipeline with the FULL stage language
+    (r12): the sub-pipeline ($group over the whole foreign collection)
+    references nothing from the outer document, so it compiles once
+    through the main pipeline compiler and broadcasts as a one-row
+    array to every outer row — the server's uncorrelated-subquery
+    cache, with zero per-row recomputation and no shuffle on the outer
+    side.  Previously only a leading $match + $project/$sort/$limit
+    were accepted here; $group refused."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return aggregate(cust, [
+        {"$match": {"c_custkey": {"$mod": [100, 0]}}},
+        {"$lookup": {"from": "orders", "pipeline": [
+            {"$group": {"_id": "$o_orderstatus", "n": {"$sum": 1}}},
+            {"$sort": {"_id": 1}}], "as": "stats"}},
+        {"$unwind": "$stats"},
+        {"$project": {"custkey": "$c_custkey", "status": "$stats._id",
+                      "n": "$stats.n"}},
+        {"$sort": {"custkey": 1, "status": 1}},
+    ], tables={"orders": orders})
+
+
+PIPELINE_LOOKUP_UNCORRELATED_SQL = """
+SELECT c.c_custkey AS custkey, s.status, s.n
+FROM (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0) c
+CROSS JOIN (SELECT o_orderstatus AS status, count(*)::bigint AS n
+            FROM orders GROUP BY 1) s
+ORDER BY 1, 2
+"""
+
+
 GRAPH_FX_MOD = 499       # node domain: o_orderkey residues mod this
 GRAPH_FX_ROOT_STEP = 7   # roots = nodes divisible by this
 
@@ -2624,6 +2656,7 @@ QUERIES = {
     "pipeline_graphlookup_reports": pipeline_graphlookup_reports,
     "pipeline_graphlookup_unbounded": pipeline_graphlookup_unbounded,
     "pipeline_merge_objects_rollup": pipeline_merge_objects_rollup,
+    "pipeline_lookup_uncorrelated": pipeline_lookup_uncorrelated,
 }
 
 ORACLES = {
@@ -2683,4 +2716,5 @@ ORACLES = {
     "pipeline_graphlookup_reports": PIPELINE_GRAPH_SQL,
     "pipeline_graphlookup_unbounded": PIPELINE_GRAPH_UNBOUNDED_SQL,
     "pipeline_merge_objects_rollup": PIPELINE_MERGE_OBJECTS_SQL,
+    "pipeline_lookup_uncorrelated": PIPELINE_LOOKUP_UNCORRELATED_SQL,
 }

@@ -2399,6 +2399,34 @@ def _stage_lookup_pipeline(df: DataFrame, spec: dict,
     let = spec.get("let") or {}
     local_vars = {name: expr_to_col(val) for name, val in let.items()}
     stages = list(spec["pipeline"])
+    if not let and "localField" not in spec:
+        # UNCORRELATED sub-pipeline (no let vars, no concise localField):
+        # nothing references the outer document, so the restricted
+        # stage subset below is unnecessary — compile the sub-pipeline
+        # with the FULL stage language (r12: $group/$count/$unwind/...
+        # previously refused here) and broadcast the one-row collected
+        # array to every outer row, the server's uncorrelated-subquery
+        # cache.  Trailing $sort/$limit lift to array ops AFTER the
+        # collect: collect_list across partitions loses DataFrame
+        # order, the array comparator restores it deterministically.
+        tail = []
+        while stages and next(iter(stages[-1])) in ("$sort", "$limit"):
+            tail.insert(0, stages.pop())
+        sub = aggregate(foreign, stages, tables=tables) if stages else foreign
+        fstruct_u = F.struct(*[F.col(c) for c in sub.columns])
+        agg_u = sub.agg(F.collect_list(fstruct_u).alias(as_))
+        out_u = df.crossJoin(F.broadcast(agg_u))
+        arr_u = F.col(as_)
+        for st in tail:
+            (t_op, t_spec), = st.items()
+            if t_op == "$sort":
+                arr_u = F.array_sort(arr_u, _array_sort_comparator(t_spec))
+            else:
+                arr_u = F.slice(arr_u, 1, int(t_spec))
+        out_u = out_u.withColumn(as_, arr_u)
+        arr_type_u = out_u.schema[as_].dataType
+        return out_u.withColumn(
+            as_, F.coalesce(F.col(as_), F.array().cast(arr_type_u)))
 
     def _has_bare_field_ref(x) -> bool:
         # a "$field" (not "$$var") string anywhere → references the

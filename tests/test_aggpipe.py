@@ -1762,9 +1762,17 @@ def test_lookup_pipeline_uncorrelated_and_plain_match(lk_orders, lk_items):
 
 def test_lookup_pipeline_validation(lk_orders, lk_items):
     t = {"items": lk_items}
-    with pytest.raises(ValueError, match="undefined variable"):
+    # no let → uncorrelated path → the full compiler rejects the
+    # unbound variable (different message, still loud)
+    with pytest.raises(ValueError, match="unbound pipeline variable"):
         aggregate(lk_orders, [{"$lookup": {
             "from": "items", "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$ikey", "$$nope"]}}}],
+            "as": "x"}}], tables=t)
+    with pytest.raises(ValueError, match="undefined variable"):
+        # correlated path (let present) keeps its own refusal
+        aggregate(lk_orders, [{"$lookup": {
+            "from": "items", "let": {"k": "$okey"}, "pipeline": [
                 {"$match": {"$expr": {"$eq": ["$ikey", "$$nope"]}}}],
             "as": "x"}}], tables=t)
     with pytest.raises(ValueError, match="foreign field paths must be"):
@@ -1774,14 +1782,30 @@ def test_lookup_pipeline_validation(lk_orders, lk_items):
                 {"$match": {"$expr": {"$eq": [
                     {"$add": ["$ikey", 1]}, "$$k"]}}}],
             "as": "x"}}], tables=t)
+    # CORRELATED sub-pipelines still refuse stages beyond the
+    # array-compilable subset...
     with pytest.raises(ValueError, match="sub-stage"):
         aggregate(lk_orders, [{"$lookup": {
-            "from": "items", "pipeline": [{"$group": {"_id": None}}],
+            "from": "items", "let": {"k": "$okey"},
+            "pipeline": [{"$match": {"$expr": {"$eq": ["$ikey", "$$k"]}}},
+                         {"$group": {"_id": None}}],
             "as": "x"}}], tables=t)
     with pytest.raises(ValueError, match="inclusion form"):
         aggregate(lk_orders, [{"$lookup": {
-            "from": "items", "pipeline": [{"$project": {"price": 0}}],
+            "from": "items", "let": {"k": "$okey"},
+            "pipeline": [{"$match": {"$expr": {"$eq": ["$ikey", "$$k"]}}},
+                         {"$project": {"price": 0}}],
             "as": "x"}}], tables=t)
+    # ...but UNCORRELATED ones (r12) compile the full stage language
+    got = aggregate(lk_orders, [{"$lookup": {
+        "from": "items", "pipeline": [
+            {"$group": {"_id": None, "n": {"$sum": 1}, "t": {"$sum": "$price"}}}],
+        "as": "x"}}, {"$sort": {"okey": 1}}], tables=t).collect()
+    assert all(len(r.x) == 1 and r.x[0]["n"] == lk_items.count() for r in got)
+    got2 = aggregate(lk_orders, [{"$lookup": {
+        "from": "items", "pipeline": [{"$project": {"price": 0}}],
+        "as": "x"}}], tables=t).collect()
+    assert "price" not in got2[0].x[0].asDict()
 
 
 def test_lookup_pipeline_foreign_to_foreign_residual(lk_orders, lk_items):
