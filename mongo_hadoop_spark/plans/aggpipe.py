@@ -726,10 +726,20 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         return F.reverse(E(operand))
     if op == "$sortArray":
         by = operand.get("sortBy", 1)
+        if isinstance(by, dict):
+            # document sort keys over struct elements (r12): the same
+            # multi-key -1/0/1 comparator the $lookup sub-pipeline
+            # $sort uses — BSON null ordering (nulls first ascending,
+            # last descending) per key, later keys tie-break
+            if not by or not all(d in (1, -1) for d in by.values()):
+                raise ValueError(
+                    "$sortArray document sortBy values must be 1 or -1")
+            return F.array_sort(E(operand["input"]),
+                                _array_sort_comparator(by))
         if not isinstance(by, int):
             raise ValueError(
-                "$sortArray supports scalar sortBy 1/-1 only (document "
-                "sort keys need per-field struct ordering)")
+                "$sortArray sortBy must be 1/-1 or a {field: 1|-1} "
+                "document")
         return F.sort_array(E(operand["input"]), asc=by >= 0)
     if op == "$zip":
         inputs = [E(x) for x in operand["inputs"]]

@@ -688,8 +688,11 @@ def test_numeric_and_date_ops_round2(spark):
 
 
 def test_sort_array_document_keys_rejected(spark):
+    # r12: document sortBy is now SUPPORTED on struct arrays; on a
+    # scalar array the field extraction fails loudly at analysis
+    # (Spark INVALID_EXTRACT_BASE_FIELD_TYPE), never a silent no-op
     df = spark.createDataFrame([([1.0],)], "a array<double>")
-    with pytest.raises(ValueError, match="sortBy"):
+    with pytest.raises(Exception, match="STRUCT|complex type"):
         aggregate(df, [{"$project": {
             "s": {"$sortArray": {"input": "$a", "sortBy": {"f": 1}}}}}]).collect()
 
@@ -4937,3 +4940,22 @@ def test_merge_objects_accumulator_two_level_idiom(spark):
         {"$sort": {"_id": 1}}])
     out = {r["_id"]: dict(r["merged"]) for r in got.collect()}
     assert out == {1: {"A": 15.0, "B": 20.0}, 2: {"B": 7.0, "C": 1.0}}
+
+
+def test_sort_array_document_keys(spark):
+    """r12: $sortArray accepts {field: 1|-1} document sort keys over
+    struct arrays — multi-key with BSON null ordering (nulls first
+    ascending, last descending)."""
+    arr = [(2, "x"), (1, "z"), (2, "y"), (None, "w")]
+    df = spark.createDataFrame([(arr,)],
+                               "xs array<struct<a:int,b:string>>")
+    got = aggregate(df, [{"$project": {"s": {"$sortArray": {
+        "input": "$xs", "sortBy": {"a": 1, "b": -1}}}}}]).collect()
+    assert [(e["a"], e["b"]) for e in got[0]["s"]] == [
+        (None, "w"), (1, "z"), (2, "y"), (2, "x")]
+    got2 = aggregate(df, [{"$project": {"s": {"$sortArray": {
+        "input": "$xs", "sortBy": {"a": -1}}}}}]).collect()
+    assert [e["a"] for e in got2[0]["s"]] == [2, 2, 1, None]
+    with pytest.raises(ValueError, match="must be 1 or -1"):
+        aggregate(df, [{"$project": {"s": {"$sortArray": {
+            "input": "$xs", "sortBy": {"a": 2}}}}}])
