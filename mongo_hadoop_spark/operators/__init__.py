@@ -37,23 +37,23 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 # Registry order is part of the verification contract: external harnesses may
 # only sample a prefix of ``queries()``, so the entries that most need a fresh
 # cross-engine check come first.  Round-12 rotation (the round-11 verdict's
-# item 1): the seven queries new this round (unbounded-$graphLookup,
+# item 1): the eight queries new this round (unbounded-$graphLookup,
 # $mergeObjects-accumulator and uncorrelated-$lookup gates from the second
 # half; calendar-unit $densify gates, SemDeDup cell-density overflow report,
-# window N-accumulators from the first), then the changed-path rows (the
+# window N-accumulators from the first; dotted-path-write gate), then the changed-path rows (the
 # $densify full-join + spec-key audit touched every $densify/$fill/$bucket/
 # $bucketAuto/$setWindowFields gate's compile path — plans value-pinned by
 # the sf0.001 parity sweep; the _nearest_fixed_cell refactor touched the
 # fixed/capped SemDeDup assignment subtree; the $graphLookup stage split
 # into bounded/fixpoint halves), then ALL 32 queries whose latest driver
 # verdicts date from round 7, then the 5 oldest round-8 rows fill the
-# 50-entry prefix (7 new + 6 changed + 32 r7 + 5 r8 = 50).  The remaining
+# 50-entry prefix (8 new + 6 changed + 32 r7 + 4 r8 = 50).  The remaining
 # r8 rows queue just below the window for round 13; fully-green
 # r9/r10/r11 verdicts rotate to the tail.
 _HEAD_KEYS = [
     # new this round — never driver-verified
     "pipeline_graphlookup_unbounded", "pipeline_merge_objects_rollup",
-    "pipeline_lookup_uncorrelated",
+    "pipeline_lookup_uncorrelated", "pipeline_dotted_paths",
     "pipeline_densify_monthly", "pipeline_densify_quarterly",
     "dedup_semantic_cell_density", "pipeline_window_top_orders",
     # changed this round — compile path touched, values pinned unchanged
@@ -75,15 +75,16 @@ _HEAD_KEYS = [
     "text_langid", "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q18",
     "tpch_q22_antijoin", "tpch_q4_semijoin", "treasury_doubled",
     "u2_objectid_seconds", "window_spend_quartiles",
-    # r08-verified — the 10 oldest (alphabetical within the era:
+    # r08-verified — the 4 oldest (alphabetical within the era:
     # equally stale, stable order)
     "a2_upsert_docs", "a4_log_rollup", "corpus_bpe_compression",
-    "corpus_bpe_merges", "corpus_bpe_symbol_stats",
+    "corpus_bpe_merges",
     # --- 50-entry window boundary (r13 rotation starts here) ---
-    # remaining r8-era rows queue first for round 13 (the four below
-    # slid out of the window when the unbounded-$graphLookup pair, the
-    # $mergeObjects-accumulator gate and the uncorrelated-$lookup gate
-    # entered it mid-round)
+    # remaining r8-era rows queue first for round 13 (the five below
+    # slid out of the window as the second-half r12 gates — unbounded
+    # $graphLookup, $mergeObjects accumulator, uncorrelated $lookup,
+    # dotted-path writes — entered it mid-round)
+    "corpus_bpe_symbol_stats",
     "corpus_pretrain_manifest", "corpus_split_leakage",
     "corpus_training_manifest", "corpus_wordpiece_compression",
     "corpus_wordpiece_merges", "corpus_yield_report", "dedup_containment", "dedup_exact_survivors",

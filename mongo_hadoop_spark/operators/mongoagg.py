@@ -859,6 +859,41 @@ ORDER BY 1, 2
 """
 
 
+def pipeline_dotted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dotted-path WRITES (r12): $addFields/$set create nested
+    documents (intermediates materialized, siblings preserved), $unset
+    removes one nested field, dotted $project inclusion reassembles the
+    nested shape, and $group reads the nested paths back — previously
+    every dotted write compiled to a FLAT column literally named "a.b"
+    and the later nested read missed it silently.  The oracle flattens
+    the same computation in plain SQL, so any drift in the nested
+    round-trip (lost sibling, stale subfield, leaked unset field)
+    changes the final counts."""
+    orders = table(spark, sf_dir, "orders")
+    return aggregate(orders, [
+        {"$addFields": {"meta.pri": "$o_orderpriority",
+                        "meta.bucket": {"$mod": ["$o_custkey", 7]}}},
+        {"$set": {"meta.flag": {"$cond": [
+            {"$gt": ["$o_totalprice", 150000]}, 1, 0]}}},
+        {"$unset": "meta.pri"},
+        {"$project": {"meta.bucket": 1, "meta.flag": 1}},
+        {"$group": {"_id": {"b": "$meta.bucket", "f": "$meta.flag"},
+                    "n": {"$sum": 1}}},
+        {"$project": {"bucket": "$_id.b", "flag": "$_id.f",
+                      "n": 1}},
+        {"$sort": {"bucket": 1, "flag": 1}},
+    ])
+
+
+PIPELINE_DOTTED_PATHS_SQL = """
+SELECT (o_custkey % 7)::bigint AS bucket,
+       CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS flag,
+       count(*) AS n
+FROM orders
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 GRAPH_FX_MOD = 499       # node domain: o_orderkey residues mod this
 GRAPH_FX_ROOT_STEP = 7   # roots = nodes divisible by this
 
@@ -2657,6 +2692,7 @@ QUERIES = {
     "pipeline_graphlookup_unbounded": pipeline_graphlookup_unbounded,
     "pipeline_merge_objects_rollup": pipeline_merge_objects_rollup,
     "pipeline_lookup_uncorrelated": pipeline_lookup_uncorrelated,
+    "pipeline_dotted_paths": pipeline_dotted_paths,
 }
 
 ORACLES = {
@@ -2717,4 +2753,5 @@ ORACLES = {
     "pipeline_graphlookup_unbounded": PIPELINE_GRAPH_UNBOUNDED_SQL,
     "pipeline_merge_objects_rollup": PIPELINE_MERGE_OBJECTS_SQL,
     "pipeline_lookup_uncorrelated": PIPELINE_LOOKUP_UNCORRELATED_SQL,
+    "pipeline_dotted_paths": PIPELINE_DOTTED_PATHS_SQL,
 }

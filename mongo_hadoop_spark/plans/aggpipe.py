@@ -2225,6 +2225,67 @@ def _project_expr(df: DataFrame, v) -> Column:
     return expr_to_col(v)
 
 
+def _write_dotted(base: Column | None, base_type, segs: list[str],
+                  val: Column, path: str) -> Column:
+    """``val`` written at the nested path ``segs`` below ``base`` (an
+    existing struct Column, or None when the root is being created) —
+    the server's dotted-path WRITE: intermediate documents are created
+    when missing and sibling fields are preserved when present.
+
+    r12: dotted keys in $addFields/$set/$project previously compiled to
+    a FLAT column literally named "a.b" — the dangerous silent kind
+    (the write succeeded, and the later nested read "$a.b" failed or
+    missed it).  Descending through an existing NON-document value
+    refuses loudly (the server's array-traversal semantics for dotted
+    writes over arrays are out of scope — named limitation)."""
+    from pyspark.sql.types import StructType
+    if not segs:
+        return val
+    head, rest = segs[0], segs[1:]
+    if base is None:
+        inner = _write_dotted(None, None, rest, val, path)
+        return F.struct(inner.alias(head))
+    if not isinstance(base_type, StructType):
+        raise ValueError(
+            f"dotted-path write {path!r}: intermediate value is "
+            f"{base_type.simpleString() if base_type is not None else 'missing'},"
+            " not a document (array-traversal writes are not supported"
+            " — unwind first)")
+    names = [f.name for f in base_type.fields]
+    if head in names:
+        sub_t = base_type[head].dataType
+        if rest:
+            sub = base[head] if isinstance(sub_t, StructType) else None
+            inner = _write_dotted(sub, sub_t, rest, val, path)
+        else:
+            inner = val
+        return base.withField(head, inner)
+    inner = _write_dotted(None, None, rest, val, path)
+    return base.withField(head, inner)
+
+
+def _nested_tree_insert(tree: dict, segs: list[str], col: Column, path: str):
+    node = tree
+    for s in segs[:-1]:
+        nxt = node.setdefault(s, {})
+        if not isinstance(nxt, dict):
+            raise ValueError(
+                f"$project: specification contains two conflicting "
+                f"paths at {path!r} (server rule)")
+        node = nxt
+    if segs[-1] in node:
+        raise ValueError(
+            f"$project: specification contains two conflicting paths "
+            f"at {path!r} (server rule)")
+    node[segs[-1]] = col
+
+
+def _nested_tree_build(tree: dict) -> Column:
+    return F.struct(*[
+        (_nested_tree_build(v) if isinstance(v, dict) else v).alias(k)
+        for k, v in tree.items()])
+
+
 def _stage_project(df: DataFrame, spec: dict) -> DataFrame:
     plain = {k: v for k, v in spec.items() if isinstance(v, (int, bool))}
     computed = {k: v for k, v in spec.items() if k not in plain}
@@ -2233,13 +2294,80 @@ def _stage_project(df: DataFrame, spec: dict) -> DataFrame:
     if excludes and includes:
         raise ValueError("cannot mix include and exclude in $project")
     if excludes:
-        out = df.drop(*[c for c in excludes if c in df.columns])
+        out = df.drop(*[c for c in excludes if c in df.columns
+                        and "." not in c])
+        out = _drop_dotted(out, [c for c in excludes if "." in c])
         for k, v in computed.items():
-            out = out.withColumn(k, _project_expr(out, v))
+            if "." in k:
+                out = _add_field_dotted(out, k, _project_expr(out, v))
+            else:
+                out = out.withColumn(k, _project_expr(out, v))
         return out
-    cols = [F.col(k).alias(k) for k in includes]
-    cols += [_project_expr(df, v).alias(k) for k, v in computed.items()]
+    # inclusion / computed: dotted keys assemble nested documents —
+    # {"s.x": 1, "s.z": expr} → one struct column s{x, z} (r12;
+    # previously a FLAT column named "s.x").  Spec order is the output
+    # field order (documented deviation: the server re-orders included
+    # fields to document order).
+    tree: dict = {}
+    for k in includes:
+        _nested_tree_insert(tree, k.split("."), F.col(k), k)
+    for k, v in computed.items():
+        _nested_tree_insert(tree, k.split("."), _project_expr(df, v), k)
+    cols = [(_nested_tree_build(v) if isinstance(v, dict) else v).alias(k)
+            for k, v in tree.items()]
     return df.select(*cols)
+
+
+def _add_field_dotted(df: DataFrame, key: str, val: Column) -> DataFrame:
+    """One dotted $addFields/$set write: rebuild the ROOT column with
+    ``val`` at the nested path, creating intermediates and preserving
+    siblings (shared `_write_dotted` core)."""
+    from pyspark.sql.types import StructType
+    segs = key.split(".")
+    root = segs[0]
+    if root in df.columns:
+        rt = df.schema[root].dataType
+        base = F.col(root) if isinstance(rt, StructType) else None
+        if base is None:
+            raise ValueError(
+                f"dotted-path write {key!r}: existing field {root!r} is "
+                f"{rt.simpleString()}, not a document")
+        return df.withColumn(root, _write_dotted(base, rt, segs[1:],
+                                                 val, key))
+    return df.withColumn(root, _write_dotted(None, None, segs[1:],
+                                             val, key))
+
+
+def _drop_dotted(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Dotted $unset / $project-exclusion: rebuild each root with
+    ``dropFields`` (nested names supported), server-style no-op when
+    the root column does not exist."""
+    from pyspark.sql.types import StructType
+    by_root: dict[str, list[str]] = {}
+    for k in keys:
+        root, rest = k.split(".", 1)
+        by_root.setdefault(root, []).append(rest)
+    out = df
+    for root, rests in by_root.items():
+        if root not in out.columns:
+            continue
+        rt = out.schema[root].dataType
+        if not isinstance(rt, StructType):
+            raise ValueError(
+                f"dotted-path unset {root}.{rests[0]!r}: field {root!r} "
+                f"is {rt.simpleString()}, not a document")
+        # server no-op on nonexistent leaves: filter to present paths
+        def _exists(t, segs):
+            for s in segs:
+                if not isinstance(t, StructType) or \
+                        s not in [f.name for f in t.fields]:
+                    return False
+                t = t[s].dataType
+            return True
+        present = [r for r in rests if _exists(rt, r.split("."))]
+        if present:
+            out = out.withColumn(root, F.col(root).dropFields(*present))
+    return out
 
 
 def _stage_unwind(df: DataFrame, spec) -> DataFrame:
@@ -5533,10 +5661,16 @@ def _aggregate_impl(df: DataFrame, pipeline: list[dict],
             out = _stage_project(out, spec)
         elif op in ("$addFields", "$set"):
             for k, v in spec.items():
-                out = out.withColumn(k, _project_expr(out, v))
+                if "." in k:
+                    # nested write (r12): previously a FLAT column
+                    # literally named "a.b" — the dangerous silent kind
+                    out = _add_field_dotted(out, k, _project_expr(out, v))
+                else:
+                    out = out.withColumn(k, _project_expr(out, v))
         elif op == "$unset":
             fields = [spec] if isinstance(spec, str) else list(spec)
-            out = out.drop(*fields)
+            out = out.drop(*[f for f in fields if "." not in f])
+            out = _drop_dotted(out, [f for f in fields if "." in f])
         elif op == "$group":
             out = _stage_group(out, spec)
         elif op == "$unwind":

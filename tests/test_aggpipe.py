@@ -4959,3 +4959,53 @@ def test_sort_array_document_keys(spark):
     with pytest.raises(ValueError, match="must be 1 or -1"):
         aggregate(df, [{"$project": {"s": {"$sortArray": {
             "input": "$xs", "sortBy": {"a": 2}}}}}])
+
+
+def test_dotted_path_writes(spark):
+    """r12: dotted keys in $addFields/$set/$project/$unset are NESTED
+    writes (server semantics) — previously they compiled to a flat
+    column literally named "a.b", the dangerous silent kind."""
+    flat = spark.createDataFrame([(1, 5)], "k long, v long")
+    df = spark.createDataFrame([((1, 2), 9)], "s struct<x:long,y:long>, v long")
+    # create nested from nothing, then read it back through the path
+    got = aggregate(flat, [{"$addFields": {"a.b": "$v"}},
+                           {"$project": {"r": "$a.b"}}]).collect()
+    assert got[0]["r"] == 5
+    # write into an existing struct preserves siblings
+    got = aggregate(df, [{"$addFields": {"s.z": "$v"}},
+                         {"$project": {"r": "$s.z", "x": "$s.x"}}]).collect()
+    assert (got[0]["r"], got[0]["x"]) == (9, 1)
+    # overwrite one subfield, keep the other
+    got = aggregate(df, [{"$set": {"s.x": 100}},
+                         {"$project": {"x": "$s.x", "y": "$s.y"}}]).collect()
+    assert (got[0]["x"], got[0]["y"]) == (100, 2)
+    # deep creation of intermediates
+    got = aggregate(flat, [{"$addFields": {"a.b.c.d": 7}},
+                           {"$project": {"r": "$a.b.c.d"}}]).collect()
+    assert got[0]["r"] == 7
+    # descending through a non-document refuses loudly
+    with pytest.raises(ValueError, match="not a document"):
+        aggregate(flat, [{"$addFields": {"v.b": 1}}])
+
+
+def test_dotted_path_project_and_unset(spark):
+    df = spark.createDataFrame([((1, 2), 9)], "s struct<x:long,y:long>, v long")
+    # inclusion assembles a nested document
+    got = aggregate(df, [{"$project": {"s.x": 1, "v": 1}}]).collect()
+    assert got[0].asDict(True) == {"s": {"x": 1}, "v": 9}
+    # inclusion + computed under one root
+    got = aggregate(df, [{"$project": {"s.x": 1, "s.z": "$v"}}]).collect()
+    assert got[0].asDict(True) == {"s": {"x": 1, "z": 9}}
+    # conflicting paths refuse (server rule)
+    with pytest.raises(ValueError, match="conflicting paths"):
+        aggregate(df, [{"$project": {"s": 1, "s.x": 1}}])
+    # exclusion drops one nested field, keeps the rest
+    got = aggregate(df, [{"$project": {"s.y": 0}}]).collect()
+    assert got[0].asDict(True) == {"s": {"x": 1}, "v": 9}
+    # $unset dotted; nonexistent leaf is a server-style no-op
+    got = aggregate(df, [{"$unset": "s.y"}]).collect()
+    assert got[0].asDict(True) == {"s": {"x": 1}, "v": 9}
+    got = aggregate(df, [{"$unset": "s.zzz"}]).collect()
+    assert got[0].asDict(True) == {"s": {"x": 1, "y": 2}, "v": 9}
+    got = aggregate(df, [{"$unset": ["v", "s.x"]}]).collect()
+    assert got[0].asDict(True) == {"s": {"y": 2}}
