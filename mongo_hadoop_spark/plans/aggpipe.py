@@ -2380,6 +2380,13 @@ def _stage_unwind(df: DataFrame, spec) -> DataFrame:
         path = spec["path"]
         preserve = bool(spec.get("preserveNullAndEmptyArrays"))
         index_name = spec.get("includeArrayIndex")
+        if index_name and "." in index_name:
+            # nested index field (r12): same temp-name + dotted-write
+            # route as $lookup "as" — previously a flat "i.x" column
+            tmp = "__uw_idx_tmp"
+            out = _stage_unwind(df, {**spec, "includeArrayIndex": tmp})
+            return _add_field_dotted(out, index_name,
+                                     F.col(tmp)).drop(tmp)
     field = path[1:]
     explode = F.explode_outer if preserve else F.explode
     if "." in field:
@@ -2431,6 +2438,14 @@ def _stage_lookup(df: DataFrame, spec: dict,
     _check_spec_keys("$lookup", spec,
                      {"from", "localField", "foreignField", "as", "let",
                       "pipeline"})
+    if "." in spec["as"]:
+        # nested "as" (r12): compute under a temp name, then write it
+        # through the shared dotted-path core — previously the dotted
+        # alias failed resolution (loud, but the server supports it)
+        tmp = "__lk_as_tmp"
+        out = _stage_lookup(df, {**spec, "as": tmp}, tables,
+                            parent_bound=parent_bound)
+        return _add_field_dotted(out, spec["as"], F.col(tmp)).drop(tmp)
     if not tables or spec["from"] not in tables:
         raise ValueError(
             f"$lookup from {spec['from']!r}: pass tables={{name: DataFrame}}")
@@ -3348,7 +3363,14 @@ def _stage_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 raise ValueError(f"unsupported window accumulator {op}")
             else:
                 col = agg(expr_to_col(operand)).over(w)
-        df = df.withColumn(name, col)
+        if "." in name:
+            # nested output field (r12): the server writes "w.total"
+            # as {w: {total: ...}}; previously a FLAT column literally
+            # named "w.total" — the same silent class as the dotted
+            # $addFields write
+            df = _add_field_dotted(df, name, col)
+        else:
+            df = df.withColumn(name, col)
     return df
 
 
@@ -3759,6 +3781,11 @@ def _stage_graph_lookup(df: DataFrame, spec: dict,
     if not tables or spec["from"] not in tables:
         raise ValueError(
             f"$graphLookup from {spec['from']!r}: pass tables={{name: DataFrame}}")
+    if "." in spec["as"]:
+        # nested "as": same temp-name + dotted-write route as $lookup
+        tmp = "__gl_as_tmp"
+        out = _stage_graph_lookup(df, {**spec, "as": tmp}, tables)
+        return _add_field_dotted(out, spec["as"], F.col(tmp)).drop(tmp)
     known = {"from", "startWith", "connectFromField", "connectToField",
              "as", "maxDepth", "depthField", "restrictSearchWithMatch"}
     unknown = set(spec) - known
@@ -5682,6 +5709,14 @@ def _aggregate_impl(df: DataFrame, pipeline: list[dict],
         elif op == "$limit":
             out = out.limit(int(spec))
         elif op == "$count":
+            # server rules: non-empty string, no '.', must not start
+            # with '$' (r12 — a dotted name previously produced a flat
+            # column literally named "a.b")
+            if not isinstance(spec, str) or not spec or "." in spec \
+                    or spec.startswith("$"):
+                raise ValueError(
+                    "$count field must be a non-empty string without "
+                    "'.' and not starting with '$' (server rule)")
             out = out.agg(F.count(F.lit(1)).alias(spec))
         elif op == "$lookup":
             out = _stage_lookup(out, spec, tables, parent_bound=bound)

@@ -5009,3 +5009,40 @@ def test_dotted_path_project_and_unset(spark):
     assert got[0].asDict(True) == {"s": {"x": 1, "y": 2}, "v": 9}
     got = aggregate(df, [{"$unset": ["v", "s.x"]}]).collect()
     assert got[0].asDict(True) == {"s": {"y": 2}}
+
+
+def test_dotted_output_names(spark):
+    """r12: dotted OUTPUT names write nested in every stage that
+    creates a field — $setWindowFields output, $lookup/$graphLookup
+    "as", $unwind includeArrayIndex; $count refuses '.' (server rule)."""
+    df = spark.createDataFrame([(1, 5), (2, 6)], "k long, v long")
+    other = spark.createDataFrame([(5, "x")], "fk long, nm string")
+    got = aggregate(df, [
+        {"$setWindowFields": {"sortBy": {"k": 1}, "output": {
+            "w.total": {"$sum": "$v",
+                        "window": {"documents": ["unbounded",
+                                                 "unbounded"]}}}}},
+        {"$project": {"k": 1, "t": "$w.total"}}, {"$sort": {"k": 1}}])
+    assert rows(got) == [(1, 11), (2, 11)]
+    got = aggregate(df, [
+        {"$lookup": {"from": "o", "localField": "v", "foreignField": "fk",
+                     "as": "r.docs"}},
+        {"$project": {"k": 1, "n": {"$size": "$r.docs"}}},
+        {"$sort": {"k": 1}}], tables={"o": other})
+    assert rows(got) == [(1, 1), (2, 0)]
+    got = aggregate(df, [
+        {"$graphLookup": {"from": "o", "startWith": "$v",
+                          "connectFromField": "fk", "connectToField": "fk",
+                          "as": "g.w", "maxDepth": 1}},
+        {"$project": {"k": 1, "n": {"$size": "$g.w"}}},
+        {"$sort": {"k": 1}}], tables={"o": other})
+    assert rows(got) == [(1, 1), (2, 0)]
+    got = aggregate(
+        spark.createDataFrame([([1, 2],)], "arr array<long>"),
+        [{"$unwind": {"path": "$arr", "includeArrayIndex": "i.x"}},
+         {"$project": {"arr": 1, "ix": "$i.x"}}, {"$sort": {"ix": 1}}])
+    assert rows(got) == [(1, 0), (2, 1)]
+    with pytest.raises(ValueError, match="server rule"):
+        aggregate(df, [{"$count": "a.b"}])
+    with pytest.raises(ValueError, match="server rule"):
+        aggregate(df, [{"$count": "$n"}])
