@@ -85,6 +85,13 @@ PERCENTILE_ACCURACY_CONF = "spark.mongo_hadoop_spark.percentileAccuracy"
 _RAND_SEQ: contextvars.ContextVar[Any] = contextvars.ContextVar(
     "mongo_hadoop_spark_rand_seq", default=None)
 
+# Column list of the CURRENT pipeline stage's input — set by the stage
+# dispatcher before each stage compiles, read by the $$ROOT/$$CURRENT
+# system variables (the whole document as one struct).  None = no
+# pipeline in flight (bare expr_to_col calls have no document scope).
+_STAGE_COLUMNS: contextvars.ContextVar[list[str] | None] = \
+    contextvars.ContextVar("mongo_hadoop_spark_stage_columns", default=None)
+
 # ---------------------------------------------------------------------------
 # Aggregation expression language → Column
 # ---------------------------------------------------------------------------
@@ -96,9 +103,28 @@ def expr_to_col(expr, env: dict[str, Column] | None = None) -> Column:
     ``$$value`` inside $map/$filter/$reduce, or a named ``as`` binding."""
     if isinstance(expr, str) and expr.startswith("$$"):
         name, _, rest = expr[2:].partition(".")
-        if not env or name not in env:
+        if env and name in env:
+            col = env[name]
+        elif name in ("ROOT", "CURRENT"):
+            # the whole input document of the current stage as one
+            # struct (r12); $$CURRENT is $$ROOT unless rebound (we do
+            # not support rebinding, same as modern servers)
+            cols = _STAGE_COLUMNS.get()
+            if cols is None:
+                raise ValueError(
+                    f"$${name} needs a pipeline stage scope "
+                    "(bare expression compile has no document)")
+            col = F.struct(*[F.col(c).alias(c) for c in cols])
+        elif name == "REMOVE":
+            # columnar mapping: a missing field IS a null column in
+            # this engine (documented convention), so $$REMOVE
+            # compiles to null — {$cond: [c, "$$REMOVE", "$f"]} yields
+            # null where the server omits the field
+            if rest:
+                raise ValueError("$$REMOVE takes no sub-path")
+            return F.lit(None)
+        else:
             raise ValueError(f"unbound pipeline variable $${name}")
-        col = env[name]
         for seg in (rest.split(".") if rest else []):
             col = col.getField(seg)
         return col
@@ -1482,6 +1508,9 @@ def _match_field(key: str, cond) -> Column:
         frac = (F.expr("conv(substring(md5(to_json(struct(*))), 1, 15), "
                        "16, 10)").cast("double") / F.lit(float(2 ** 60)))
         return frac < F.lit(rate)
+    if key == "$comment":
+        # server: an annotation for the profiler, no filtering effect
+        return F.lit(True)
     if key.startswith("$"):
         raise ValueError(f"unsupported top-level query operator {key}")
     col = F.col(key)
@@ -5598,6 +5627,7 @@ def aggregate(df: DataFrame, pipeline: list[dict],
     # defect the occurrence salt exists to prevent)
     rand_token = (_RAND_SEQ.set(itertools.count())
                   if _RAND_SEQ.get() is None else None)
+    cols_token = _STAGE_COLUMNS.set(_STAGE_COLUMNS.get())
     try:
         out = _aggregate_impl(df, _push_sort_limit(pipeline),
                               tables=tables, store_path=store_path,
@@ -5607,6 +5637,10 @@ def aggregate(df: DataFrame, pipeline: list[dict],
         if rand_token is not None:
             _RAND_SEQ.reset(rand_token)
         _APPROX_PCTL.reset(token)
+        # restore the caller's $$ROOT scope: a nested aggregate() (e.g.
+        # a $lookup sub-pipeline compile) must not leak its column list
+        # into the stages the OUTER loop compiles next
+        _STAGE_COLUMNS.reset(cols_token)
     for hidden in (_VS_SCORE_COL, _GEO_DIST_COL, _SEARCH_SCORE_COL,
                    _SEARCH_HIGHLIGHTS_COL, _TEXT_SCORE_COL,
                    _FUSION_SCORE_COL):
@@ -5635,6 +5669,14 @@ def _aggregate_impl(df: DataFrame, pipeline: list[dict],
                       "$geoNear", "$limit", "$graphLookup", "$fill"}
     for i, stage in enumerate(pipeline):
         (op, spec), = stage.items()
+        # bind $$ROOT/$$CURRENT for this stage's expression compiles:
+        # the whole input document as one struct (internal "__"-prefixed
+        # metadata columns excluded).  Nested aggregate() calls ($lookup
+        # sub-pipelines, $facet, $unionWith) re-set it around their own
+        # stages, which is exactly the server's scoping (their $$ROOT is
+        # THEIR input document).
+        _STAGE_COLUMNS.set(
+            [c for c in out.columns if not c.startswith("__")])
         if op == "$limit":
             n = int(spec)
             bound = n if bound is None else min(bound, n)
@@ -5727,7 +5769,12 @@ def _aggregate_impl(df: DataFrame, pipeline: list[dict],
                 root = spec["newRoot"]
             else:  # $replaceWith takes the expression directly
                 root = spec
-            if isinstance(root, str) and root.startswith("$"):
+            if isinstance(root, str) and root in ("$$ROOT", "$$CURRENT"):
+                pass    # the identity replace (r12) — a no-op
+            elif isinstance(root, str) and root.startswith("$$"):
+                out = (out.select(expr_to_col(root).alias("__root"))
+                       .select("__root.*"))
+            elif isinstance(root, str) and root.startswith("$"):
                 out = out.select(f"{root[1:]}.*")
             else:
                 # document expression (e.g. {$mergeObjects: ...} or a

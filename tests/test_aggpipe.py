@@ -5046,3 +5046,40 @@ def test_dotted_output_names(spark):
         aggregate(df, [{"$count": "a.b"}])
     with pytest.raises(ValueError, match="server rule"):
         aggregate(df, [{"$count": "$n"}])
+
+
+def test_system_variables_root_current_remove(spark):
+    """r12: $$ROOT/$$CURRENT (whole input document as one struct, per
+    stage scope), $$REMOVE (compiles to null — missing ≡ null is the
+    engine's columnar convention), $comment tolerated as a no-op."""
+    df = spark.createDataFrame([(1, 5, "a"), (2, None, "b")],
+                               "k long, v long, s string")
+    got = aggregate(df, [{"$project": {"doc": "$$ROOT", "k": 1}},
+                         {"$sort": {"k": 1}}]).collect()
+    assert got[0]["doc"].asDict() == {"k": 1, "v": 5, "s": "a"}
+    got = aggregate(df, [{"$project": {"x": "$$CURRENT.v"}},
+                         {"$sort": {"x": 1}}]).collect()
+    assert [r["x"] for r in got] == [None, 5]
+    got = aggregate(df, [
+        {"$project": {"k": 1, "v": {"$cond": [
+            {"$eq": ["$s", "b"]}, "$$REMOVE", "$v"]}}},
+        {"$sort": {"k": 1}}]).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(1, 5), (2, None)]
+    # identity replaceRoot and $push $$ROOT
+    assert aggregate(df, [{"$replaceRoot": {"newRoot": "$$ROOT"}}]) \
+        .columns == ["k", "v", "s"]
+    got = aggregate(df, [
+        {"$sort": {"k": 1}}, {"$limit": 1},
+        {"$group": {"_id": None, "docs": {"$push": "$$ROOT"}}}]).collect()
+    assert got[0]["docs"][0].asDict() == {"k": 1, "v": 5, "s": "a"}
+    # $comment: annotation only, no filtering effect
+    assert aggregate(df, [{"$match": {"k": {"$gt": 0},
+                                      "$comment": "x"}}]).count() == 2
+    # $$ROOT in a $lookup sub-pipeline scopes to the FOREIGN document
+    other = spark.createDataFrame([(9,)], "z long")
+    got = aggregate(df, [{"$lookup": {"from": "o", "pipeline": [
+        {"$project": {"d": "$$ROOT"}}], "as": "c"}}],
+        tables={"o": other}).collect()
+    assert got[0]["c"][0]["d"].asDict() == {"z": 9}
+    with pytest.raises(ValueError, match="unbound"):
+        aggregate(df, [{"$project": {"x": "$$NOPE"}}])
