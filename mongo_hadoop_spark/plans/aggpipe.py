@@ -3435,6 +3435,11 @@ def _stage_densify(df: DataFrame, spec: dict) -> DataFrame:
     _check_spec_keys("$densify", spec,
                      {"field", "partitionByFields", "range"})
     field = spec["field"]
+    if "." in field:
+        raise ValueError(
+            "$densify on a dotted (nested) field is not supported — "
+            "generated axis rows have no parent document to embed into;"
+            " $project the nested value to a top-level field first")
     rng = spec["range"]
     _check_spec_keys("$densify range", rng, {"step", "unit", "bounds"})
     step = rng["step"]
@@ -3632,13 +3637,19 @@ def _stage_fill(df: DataFrame, spec: dict) -> DataFrame:
             raise ValueError(
                 f"$fill output {name!r} must be {{value: <expr>}} or "
                 f"{{method: 'locf'|'linear'}}; got {how!r}")
+        # dotted output names fill the NESTED field in place (r12):
+        # reads resolve through the path, the write goes through the
+        # shared dotted-write core
+        def _fill_write(d, col):
+            return (_add_field_dotted(d, name, col) if "." in name
+                    else d.withColumn(name, col))
         if "value" in how:
-            df = df.withColumn(name, F.coalesce(F.col(name),
-                                                expr_to_col(how["value"])))
+            df = _fill_write(df, F.coalesce(F.col(name),
+                                            expr_to_col(how["value"])))
         elif how.get("method") == "locf":
             if not order:
                 raise ValueError("$fill method locf requires sortBy")
-            df = df.withColumn(name, F.last(F.col(name), ignorenulls=True).over(w))
+            df = _fill_write(df, F.last(F.col(name), ignorenulls=True).over(w))
         elif how.get("method") == "linear":
             # linear interpolation between surrounding non-nulls over the
             # sortBy axis (dates interpolate on epoch-ms, like the server);
@@ -3668,8 +3679,8 @@ def _stage_fill(df: DataFrame, spec: dict) -> DataFrame:
                          ignorenulls=True).over(wf)
             interp = pv + (nv - pv) * ((kcol - pk).cast("double")
                                        / (nk - pk).cast("double"))
-            df = df.withColumn(
-                name,
+            df = _fill_write(
+                df,
                 F.when(v.isNotNull(), v)
                 .when(pv.isNull() | nv.isNull(), F.lit(None))
                 .otherwise(interp),

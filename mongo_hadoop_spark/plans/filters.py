@@ -239,6 +239,10 @@ def match(doc: dict, query: dict | None) -> bool:
         elif key == "$nor":
             if any(match(doc, q) for q in cond):
                 return False
+        elif key == "$comment":
+            # server: profiler annotation, no filtering effect (r12 —
+            # consistent with the Column compiler's no-op)
+            continue
         elif key.startswith("$"):
             raise ValueError(f"unsupported top-level operator {key}")
         else:

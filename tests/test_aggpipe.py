@@ -5083,3 +5083,21 @@ def test_system_variables_root_current_remove(spark):
     assert got[0]["c"][0]["d"].asDict() == {"z": 9}
     with pytest.raises(ValueError, match="unbound"):
         aggregate(df, [{"$project": {"x": "$$NOPE"}}])
+
+
+def test_fill_dotted_output_and_densify_refusal(spark):
+    """r12: $fill output on a dotted path fills the NESTED field in
+    place (value + locf); $densify refuses dotted fields with a clear
+    reason (generated axis rows have no parent document)."""
+    df = spark.createDataFrame(
+        [(1, (10.0, 1.0)), (2, (None, 2.0)), (3, (30.0, None))],
+        "k long, s struct<v:double,u:double>")
+    got = aggregate(df, [
+        {"$fill": {"sortBy": {"k": 1}, "output": {
+            "s.v": {"method": "locf"}, "s.u": {"value": -1.0}}}},
+        {"$sort": {"k": 1}},
+        {"$project": {"k": 1, "v": "$s.v", "u": "$s.u"}}])
+    assert rows(got) == [(1, 10.0, 1.0), (2, 10.0, 2.0), (3, 30.0, -1.0)]
+    with pytest.raises(ValueError, match="nested"):
+        aggregate(df, [{"$densify": {
+            "field": "s.v", "range": {"step": 1, "bounds": "full"}}}])

@@ -232,3 +232,9 @@ def test_match_regex_options_python_side():
         match({"s": "x"}, {"s": {"$regex": "a", "$options": "g"}})
     with _pt.raises(ValueError, match="only valid"):
         match({"s": "x"}, {"s": {"$options": "i"}})
+
+
+def test_comment_noop():
+    from mongo_hadoop_spark.plans.filters import match
+    assert match({"a": 1}, {"a": 1, "$comment": "profiler note"})
+    assert not match({"a": 2}, {"a": 1, "$comment": "x"})
