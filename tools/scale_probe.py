@@ -59,6 +59,12 @@ DEFAULT_QUERIES = [
     "ivf_assign_fixed", "dedup_semantic_survivors_ivf_fixed",
     "ivf_pq_knn_fixed",
     "pipeline_window_percentiles_approx", "pipeline_datediff_weekstarts",
+    # r12 additions: the eager $graphLookup fixpoint (constant-depth
+    # graph over key residues — per-level joins should scale with the
+    # scan), the $mergeObjects rollup, the uncorrelated-$lookup
+    # broadcast cache, and the dotted-path write round-trip
+    "pipeline_graphlookup_unbounded", "pipeline_merge_objects_rollup",
+    "pipeline_lookup_uncorrelated", "pipeline_dotted_paths",
 ]
 
 
