@@ -109,7 +109,14 @@ BENCH_QUERIES = BENCH_QUERIES + BENCH_QUERIES_R11
 # cell-density overflow report.  R11_SET keeps the r11 82-query subtotal.
 BENCH_QUERIES_R12 = ["pipeline_densify_monthly", "pipeline_densify_quarterly",
                      "dedup_semantic_cell_density",
-                     "pipeline_window_top_orders"]
+                     "pipeline_window_top_orders",
+                     # second half: unbounded $graphLookup fixpoint,
+                     # $mergeObjects accumulator, uncorrelated $lookup,
+                     # dotted-path writes
+                     "pipeline_graphlookup_unbounded",
+                     "pipeline_merge_objects_rollup",
+                     "pipeline_lookup_uncorrelated",
+                     "pipeline_dotted_paths"]
 R11_SET = frozenset(BENCH_QUERIES)
 BENCH_QUERIES = BENCH_QUERIES + BENCH_QUERIES_R12
 
