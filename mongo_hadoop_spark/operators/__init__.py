@@ -46,7 +46,7 @@ _MODULES = [relational, relational2, relational3, relational4, relational5,
 # the sf0.001 parity sweep; the _nearest_fixed_cell refactor touched the
 # fixed/capped SemDeDup assignment subtree; the $graphLookup stage split
 # into bounded/fixpoint halves), then ALL 32 queries whose latest driver
-# verdicts date from round 7, then the 5 oldest round-8 rows fill the
+# verdicts date from round 7, then the 4 oldest round-8 rows fill the
 # 50-entry prefix (8 new + 6 changed + 32 r7 + 4 r8 = 50).  The remaining
 # r8 rows queue just below the window for round 13; fully-green
 # r9/r10/r11 verdicts rotate to the tail.

@@ -710,9 +710,17 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
         # init's value, and SimplifyConditionals folds the dead branch
         # out of the physical plan.  F.get (not element_at) keeps the
         # probe null-safe even if it were ever evaluated under ANSI.
-        probe = expr_to_col(
-            operand["in"],
-            {**(env or {}), "value": init, "this": F.get(arr, F.lit(0))})
+        # the probe is a THROWAWAY compile of the in-expression: shield
+        # the $rand occurrence sequence so it does not consume an index
+        # and shift every later $rand site's salt (review fix, r12)
+        probe_tok = _RAND_SEQ.set(None)
+        try:
+            probe = expr_to_col(
+                operand["in"],
+                {**(env or {}), "value": init,
+                 "this": F.get(arr, F.lit(0))})
+        finally:
+            _RAND_SEQ.reset(probe_tok)
         zero = F.when(F.lit(False), probe).otherwise(init)
         return F.aggregate(
             arr, zero,
@@ -757,7 +765,9 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
             # multi-key -1/0/1 comparator the $lookup sub-pipeline
             # $sort uses — BSON null ordering (nulls first ascending,
             # last descending) per key, later keys tie-break
-            if not by or not all(d in (1, -1) for d in by.values()):
+            if not by or not all(
+                    not isinstance(d, bool) and d in (1, -1)
+                    for d in by.values()):
                 raise ValueError(
                     "$sortArray document sortBy values must be 1 or -1")
             return F.array_sort(E(operand["input"]),
@@ -2284,8 +2294,16 @@ def _write_dotted(base: Column | None, base_type, segs: list[str],
     if head in names:
         sub_t = base_type[head].dataType
         if rest:
-            sub = base[head] if isinstance(sub_t, StructType) else None
-            inner = _write_dotted(sub, sub_t, rest, val, path)
+            if not isinstance(sub_t, StructType):
+                # review fix (r12): descending through an existing
+                # non-document value at ANY depth refuses — the first
+                # draft silently replaced it at depth >= 2
+                raise ValueError(
+                    f"dotted-path write {path!r}: intermediate field "
+                    f"{head!r} is {sub_t.simpleString()}, not a "
+                    "document (array-traversal writes are not "
+                    "supported — unwind first)")
+            inner = _write_dotted(base[head], sub_t, rest, val, path)
         else:
             inner = val
         return base.withField(head, inner)
@@ -2350,19 +2368,34 @@ def _stage_project(df: DataFrame, spec: dict) -> DataFrame:
 def _add_field_dotted(df: DataFrame, key: str, val: Column) -> DataFrame:
     """One dotted $addFields/$set write: rebuild the ROOT column with
     ``val`` at the nested path, creating intermediates and preserving
-    siblings (shared `_write_dotted` core)."""
-    from pyspark.sql.types import StructType
+    siblings (shared `_write_dotted` core).  A MAP-typed root — the
+    engine's dynamic-document convention — takes single-level key
+    writes (later-wins, like the $mergeObjects fold); deeper paths
+    under a map refuse (the map's value type cannot hold a document of
+    a different shape)."""
+    from pyspark.sql.types import MapType, StructType
     segs = key.split(".")
     root = segs[0]
     if root in df.columns:
         rt = df.schema[root].dataType
-        base = F.col(root) if isinstance(rt, StructType) else None
-        if base is None:
+        if isinstance(rt, MapType):
+            if len(segs) != 2:
+                raise ValueError(
+                    f"dotted-path write {key!r}: only single-level "
+                    f"writes into the MAP-typed document {root!r} are "
+                    "supported")
+            k = segs[1]
+            kept = F.map_filter(F.col(root), lambda mk, _: mk != F.lit(k))
+            merged = F.map_concat(kept, F.create_map(F.lit(k), val))
+            # a null map stays writable: start from an empty map
+            return df.withColumn(root, F.coalesce(
+                merged, F.map_concat(F.create_map(F.lit(k), val))))
+        if not isinstance(rt, StructType):
             raise ValueError(
                 f"dotted-path write {key!r}: existing field {root!r} is "
                 f"{rt.simpleString()}, not a document")
-        return df.withColumn(root, _write_dotted(base, rt, segs[1:],
-                                                 val, key))
+        return df.withColumn(root, _write_dotted(F.col(root), rt,
+                                                 segs[1:], val, key))
     return df.withColumn(root, _write_dotted(None, None, segs[1:],
                                              val, key))
 
@@ -2376,15 +2409,32 @@ def _drop_dotted(df: DataFrame, keys: list[str]) -> DataFrame:
     for k in keys:
         root, rest = k.split(".", 1)
         by_root.setdefault(root, []).append(rest)
+    from pyspark.sql.types import MapType
     out = df
     for root, rests in by_root.items():
         if root not in out.columns:
             continue
         rt = out.schema[root].dataType
+        if isinstance(rt, MapType):
+            # MAP-typed dynamic document: remove the keys (an empty
+            # map IS expressible, unlike an empty struct)
+            keys = [r for r in rests if "." not in r]
+            deeper = [r for r in rests if "." in r]
+            if deeper:
+                raise ValueError(
+                    f"dotted-path unset under the MAP-typed document "
+                    f"{root!r}: only single-level keys are supported "
+                    f"(got {deeper[0]!r})")
+            lits = [F.lit(k) for k in keys]
+            out = out.withColumn(root, F.map_filter(
+                F.col(root),
+                lambda mk, _: ~_fold_or([mk == x for x in lits])))
+            continue
         if not isinstance(rt, StructType):
-            raise ValueError(
-                f"dotted-path unset {root}.{rests[0]!r}: field {root!r} "
-                f"is {rt.simpleString()}, not a document")
+            # server parity (review fix, r12): unsetting a path through
+            # a non-document value removes nothing — a NO-OP, not an
+            # error (the first draft raised here)
+            continue
         # server no-op on nonexistent leaves: filter to present paths
         def _exists(t, segs):
             for s in segs:
@@ -2394,8 +2444,18 @@ def _drop_dotted(df: DataFrame, keys: list[str]) -> DataFrame:
                 t = t[s].dataType
             return True
         present = [r for r in rests if _exists(rt, r.split("."))]
-        if present:
-            out = out.withColumn(root, F.col(root).dropFields(*present))
+        if not present:
+            continue
+        # dropping EVERY field of the root would need an empty struct,
+        # which Spark cannot express — refuse with the reason instead
+        # of surfacing CANNOT_DROP_ALL_FIELDS (review fix, r12)
+        top_dropped = {r.split(".")[0] for r in present if "." not in r}
+        if top_dropped >= {f.name for f in rt.fields}:
+            raise ValueError(
+                f"unsetting every field of document {root!r} would "
+                "leave an empty document, which this engine's struct "
+                f"type cannot express — unset {root!r} itself instead")
+        out = out.withColumn(root, F.col(root).dropFields(*present))
     return out
 
 
@@ -2581,6 +2641,13 @@ def _stage_lookup_pipeline(df: DataFrame, spec: dict,
     let = spec.get("let") or {}
     local_vars = {name: expr_to_col(val) for name, val in let.items()}
     stages = list(spec["pipeline"])
+    if ("localField" in spec) != ("foreignField" in spec):
+        # review fix (r12): the uncorrelated branch below must never
+        # swallow a half-specified concise join — a forgotten
+        # localField would silently broadcast the WHOLE foreign side
+        raise ValueError(
+            "$lookup needs BOTH localField and foreignField (or "
+            "neither) alongside a pipeline")
     if not let and "localField" not in spec:
         # UNCORRELATED sub-pipeline (no let vars, no concise localField):
         # nothing references the outer document, so the restricted
@@ -2588,12 +2655,30 @@ def _stage_lookup_pipeline(df: DataFrame, spec: dict,
         # with the FULL stage language (r12: $group/$count/$unwind/...
         # previously refused here) and broadcast the one-row collected
         # array to every outer row, the server's uncorrelated-subquery
-        # cache.  Trailing $sort/$limit lift to array ops AFTER the
-        # collect: collect_list across partitions loses DataFrame
-        # order, the array comparator restores it deterministically.
+        # cache.  Trailing $sort/$limit/$project-inclusion lift to
+        # array ops AFTER the collect (in original stage order):
+        # collect_list across partitions loses DataFrame order, the
+        # array comparator restores it deterministically.  A $sort that
+        # would remain BURIED in the sub-pipeline (below a non-liftable
+        # stage) cannot define the result array's order through the
+        # collect, so it refuses loudly rather than silently yielding a
+        # partition-dependent order (review fix, r12).
+        def _liftable(st):
+            (t_op, t_spec), = st.items()
+            if t_op in ("$sort", "$limit"):
+                return True
+            return (t_op == "$project"
+                    and all(v in (1, True) for v in t_spec.values()))
         tail = []
-        while stages and next(iter(stages[-1])) in ("$sort", "$limit"):
+        while stages and _liftable(stages[-1]):
             tail.insert(0, stages.pop())
+        if any(next(iter(st)) == "$sort" for st in stages):
+            raise ValueError(
+                "uncorrelated $lookup pipeline: a $sort below "
+                "non-liftable stages cannot define the result array "
+                "order (Spark's collect is unordered) — move the $sort "
+                "to the pipeline tail, or follow it only with "
+                "$limit/$project-inclusion stages")
         sub = aggregate(foreign, stages, tables=tables) if stages else foreign
         fstruct_u = F.struct(*[F.col(c) for c in sub.columns])
         agg_u = sub.agg(F.collect_list(fstruct_u).alias(as_))
@@ -2603,8 +2688,12 @@ def _stage_lookup_pipeline(df: DataFrame, spec: dict,
             (t_op, t_spec), = st.items()
             if t_op == "$sort":
                 arr_u = F.array_sort(arr_u, _array_sort_comparator(t_spec))
-            else:
+            elif t_op == "$limit":
                 arr_u = F.slice(arr_u, 1, int(t_spec))
+            else:   # $project inclusion
+                keep_fields = [k for k in t_spec]
+                arr_u = F.transform(arr_u, lambda e: F.struct(
+                    *[e[f].alias(f) for f in keep_fields]))
         out_u = out_u.withColumn(as_, arr_u)
         arr_type_u = out_u.schema[as_].dataType
         return out_u.withColumn(

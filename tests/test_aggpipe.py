@@ -5101,3 +5101,52 @@ def test_fill_dotted_output_and_densify_refusal(spark):
     with pytest.raises(ValueError, match="nested"):
         aggregate(df, [{"$densify": {
             "field": "s.v", "range": {"step": 1, "bounds": "full"}}}])
+
+
+def test_r12_review_fixes(spark):
+    """In-round review fixes (r12 second half): buried-$sort refusal
+    and half-specified concise join in uncorrelated $lookup, deep
+    non-document intermediate refusal, unset no-op on non-document
+    roots, drop-all refusal, MAP-root dotted writes, $sortArray
+    boolean direction."""
+    df = spark.createDataFrame([(1, 5)], "k long, v long")
+    items = spark.createDataFrame([(1, 2.0), (2, 1.0)], "ikey long, price double")
+    t = {"items": items}
+    # buried $sort (below a non-liftable $group) refuses loudly
+    with pytest.raises(ValueError, match="array order"):
+        aggregate(df, [{"$lookup": {"from": "items", "pipeline": [
+            {"$sort": {"price": -1}},
+            {"$group": {"_id": None, "n": {"$sum": 1}}}], "as": "x"}}],
+            tables=t)
+    # ...but trailing $sort + $project-inclusion lifts to array ops
+    got = aggregate(df, [{"$lookup": {"from": "items", "pipeline": [
+        {"$sort": {"price": -1}}, {"$project": {"price": 1}}],
+        "as": "x"}}], tables=t).collect()
+    assert [e["price"] for e in got[0]["x"]] == [2.0, 1.0]
+    # half-specified concise join refuses
+    with pytest.raises(ValueError, match="BOTH localField"):
+        aggregate(df, [{"$lookup": {"from": "items",
+                                    "foreignField": "ikey",
+                                    "pipeline": [], "as": "x"}}], tables=t)
+    # deep non-document intermediate refuses (was silent replace)
+    sdf = spark.createDataFrame([((3,),)], "s struct<x:long>")
+    with pytest.raises(ValueError, match="intermediate field 'x'"):
+        aggregate(sdf, [{"$addFields": {"s.x.c": 1}}])
+    # unset through a non-document root: server-style NO-OP
+    got = aggregate(df, [{"$unset": "v.b"}]).collect()
+    assert got[0].asDict() == {"k": 1, "v": 5}
+    # unsetting the last field of a document refuses with the reason
+    with pytest.raises(ValueError, match="empty document"):
+        aggregate(sdf, [{"$unset": "s.x"}]).collect()
+    # MAP-typed root: single-level write and unset work (later-wins)
+    mdf = spark.createDataFrame([({"a": 1},)], "m map<string,long>")
+    got = aggregate(mdf, [{"$set": {"m.b": 2}}, {"$set": {"m.a": 9}},
+                          {"$unset": "m.b"}]).collect()
+    assert dict(got[0]["m"]) == {"a": 9}
+    with pytest.raises(ValueError, match="single-level"):
+        aggregate(mdf, [{"$set": {"m.a.b": 1}}])
+    # $sortArray boolean direction refuses
+    adf = spark.createDataFrame([([],)], "xs array<struct<a:long>>")
+    with pytest.raises(ValueError, match="1 or -1"):
+        aggregate(adf, [{"$project": {"s": {"$sortArray": {
+            "input": "$xs", "sortBy": {"a": True}}}}}])
