@@ -481,6 +481,12 @@ def _expr_op(op: str, operand, env: dict[str, Column] | None = None) -> Column:
                 " — use {field, input}")
         return E(operand["input"])[operand["field"]]
     if op == "$setField":
+        if operand.get("value") == "$$REMOVE":
+            # server: $setField with $$REMOVE REMOVES the field — for
+            # struct inputs dropFields expresses that exactly (r12;
+            # the generic $$REMOVE→null mapping would have written a
+            # null-valued field instead)
+            return E(operand["input"]).dropFields(operand["field"])
         return E(operand["input"]).withField(
             operand["field"], E(operand["value"]))
     if op == "$unsetField":

@@ -5150,3 +5150,12 @@ def test_r12_review_fixes(spark):
     with pytest.raises(ValueError, match="1 or -1"):
         aggregate(adf, [{"$project": {"s": {"$sortArray": {
             "input": "$xs", "sortBy": {"a": True}}}}}])
+
+
+def test_setfield_remove(spark):
+    """r12: $setField value $$REMOVE removes the field (server), not
+    writes a null."""
+    df = spark.createDataFrame([((1, 2),)], "s struct<x:long,y:long>")
+    got = aggregate(df, [{"$project": {"r": {"$setField": {
+        "input": "$s", "field": "y", "value": "$$REMOVE"}}}}]).collect()
+    assert got[0]["r"].asDict() == {"x": 1}
