@@ -121,6 +121,13 @@ HEADLINE = [
      "overflow signal: collapse + broadcast assignment + one keyed agg"),
     ("pipeline_window_top_orders",
      "window N-accumulators: one keyed window, whole-partition frames"),
+    # r12 second half
+    ("pipeline_merge_objects_rollup",
+     "$mergeObjects accumulator: two keyed aggs, linear map-fold"),
+    ("pipeline_lookup_uncorrelated",
+     "uncorrelated $lookup: sub-pipeline once, 1-row array broadcast"),
+    ("pipeline_dotted_paths",
+     "nested writes: per-row struct rebuilds, one keyed agg"),
 ]
 
 
