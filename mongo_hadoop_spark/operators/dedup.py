@@ -766,6 +766,8 @@ def connected_component_labels(pairs: DataFrame, a: str, b: str) -> DataFrame:
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .select("node", F.col("node").alias("label"))
               .localCheckpoint())
+    from pyspark.sql import Observation
+
     for _ in range(CC_MAX_ROUNDS):
         nbr = (edges.join(labels, edges.src == labels.node)
                .select(F.col("dst").alias("node"), "label"))
@@ -774,13 +776,23 @@ def connected_component_labels(pairs: DataFrame, a: str, b: str) -> DataFrame:
         jump = (labels.join(l2, labels.label == l2.j_node)
                 .select("node", F.col("j_label").alias("label")))
         new = (labels.unionByName(nbr).unionByName(jump)
-               .groupBy("node").agg(F.min("label").alias("label"))
+               .groupBy("node").agg(F.min("label").alias("label")))
+        # r12 optimization (guide §1.5/§2.4): the convergence scalar used
+        # to be a SECOND driver action — a full (new ⋈ old) join + count
+        # job after the checkpoint job, every superstep.  Folding the old
+        # label into the superstep join and observing the changed-count
+        # on the checkpoint's own materialization pass computes the same
+        # Pregel vote-to-halt scalar in the SAME job: one action and one
+        # pass over `new` per superstep instead of two, at any scale.
+        # The inner join preserves rows exactly (labels holds every node
+        # and `new` ⊇ labels via the self-union).
+        obs = Observation()
+        chk = (new.join(labels.withColumnRenamed("label", "old"), "node")
+               .observe(obs, F.sum((F.col("label") != F.col("old"))
+                                   .cast("long")).alias("changed"))
                .localCheckpoint())
-        changed = (new.join(labels.withColumnRenamed("label", "old"),
-                            "node")
-                   .where(F.col("label") != F.col("old")).count())
-        labels = new
-        if changed == 0:
+        labels = chk.select("node", "label")
+        if obs.get["changed"] == 0:
             return labels
     raise RuntimeError(
         f"connected components did not converge in "

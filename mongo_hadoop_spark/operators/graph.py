@@ -97,13 +97,25 @@ def _pagerank_loop(edges: DataFrame) -> DataFrame:
     for _ in range(PR_ROUNDS):
         contrib = ranks.select(
             "node", F.expr("rank_fp div deg").alias("c"))
-        insum = (edges.join(contrib, edges.src == contrib.node)
-                 .groupBy(F.col("dst").alias("node"))
-                 .agg(F.sum("c").alias("insum")))
-        ranks = (deg.join(insum, "node", "left")
+        # r12 optimization (guide §2.4): one keyed aggregation per round
+        # instead of agg + a second (deg LEFT JOIN insum) keyed join.
+        # Every node is seeded with a zero contribution carrying its deg,
+        # so the single groupBy computes insum (sum of longs + 0 — exact,
+        # identical to the old coalesce(insum, 0)) AND recovers deg
+        # (max over {deg, NULL…} = deg) — nodes with no in-contributions
+        # get the teleport floor exactly as the left join gave them.
+        # Saves one shuffle join of the rank table per superstep at any
+        # scale; the integer recurrence is unchanged bit-for-bit.
+        flows = (edges.join(contrib, edges.src == contrib.node)
+                 .select(F.col("dst").alias("node"), "c",
+                         F.lit(None).cast("long").alias("deg"))
+                 .unionByName(deg.select(
+                     "node", F.lit(0).cast("long").alias("c"), "deg")))
+        ranks = (flows.groupBy("node")
+                 .agg(F.sum("c").alias("insum"), F.max("deg").alias("deg"))
                  .select("node",
                          (F.lit(PR_BASE) + F.expr(
-                             f"({PR_DAMP_NUM} * coalesce(insum, 0L)) "
+                             f"({PR_DAMP_NUM} * insum) "
                              f"div {PR_DAMP_DEN}")).alias("rank_fp"),
                          "deg"))
     return ranks

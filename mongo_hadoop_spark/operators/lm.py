@@ -467,19 +467,28 @@ def _doremi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, the BPE-trainer argument.
     """
     d = table(spark, sf_dir, "documents")
+    # r12 optimization (guide §2.3 "aggregate before you shuffle"): one
+    # explode pass — per-(source, term) counts feed BOTH the vocabulary
+    # and the per-domain loss, instead of exploding the token stream a
+    # second time to re-join the vocabulary over raw tokens.  Exactness:
+    # bits is an int, so the c_st-weighted sums equal the token-repeated
+    # sums bit-for-bit and n_tokens = Σ c_st exactly (the same argument
+    # as pipeline._ppl_dsir_scores_from).
     toks = d.select("source", F.explode(tokenize("text")).alias("term"))
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    st = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c_st"))
+    vocab = st.groupBy("term").agg(F.sum("c_st").cast("long").alias("c"))
     total = vocab.agg(F.sum("c").alias("n_total"))
     base = (
-        toks.join(F.broadcast(vocab), "term")
+        st.join(F.broadcast(vocab), "term")
         .crossJoin(F.broadcast(total))
         .select(
-            "source",
+            "source", "c_st",
             (F.length(F.bin("n_total")) - F.length(F.bin("c"))).alias("bits"),
         )
         .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_tokens"),
-             F.sum("bits").alias("sum_bits"))
+        .agg(F.sum("c_st").cast("long").alias("n_tokens"),
+             F.sum(F.col("c_st") * F.col("bits")).alias("sum_bits"))
         .select(
             "source", "n_tokens",
             F.expr("(1000 * sum_bits) div n_tokens").alias("loss_millibits"),

@@ -128,7 +128,9 @@ def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .select("s").distinct())
     contaminated = (sh.where(F.col("doc_id") % BENCH_MOD != 0)
                     .join(F.broadcast(bench_shingles), "s")
-                    .select("doc_id").distinct())
+                    # no distinct: the LEFT ANTI join below is
+                    # duplicate-insensitive on its build side (r12)
+                    .select("doc_id"))
     clean = (kept.where(F.col("doc_id") % BENCH_MOD != 0)
              .join(contaminated, "doc_id", "left_anti"))
 
@@ -264,8 +266,22 @@ def _ppl_dsir_scores_from(base: DataFrame) -> DataFrame:
     from mongo_hadoop_spark.operators.selection import (_BUCKET_SPARK,
                                                         _SCORE_SPARK)
 
+    # r12 optimization (guide §2.3 "aggregate before you shuffle"): the
+    # token stream is exploded ONCE into per-document term counts, and
+    # both the model fit and the per-doc application run on (doc, term)
+    # rows instead of raw tokens.  Before r12 the stream was exploded
+    # twice (model-fit pass + apply pass) — two token-volume shuffles.
+    # Exactness: both per-term quantities are INTEGERS (bits: int;
+    # score_q20: Q20 fixed-point bigint — selection._SCORE_SPARK), so
+    # c_dt-weighted sums equal the token-repeated sums bit-for-bit, and
+    # n_tokens = Σ c_dt exactly; the per-document doubles derived from
+    # them are unchanged (still pinned against the standalone operators
+    # by tests/test_pretrain_manifest.py).
     toks = base.select("doc_id", "lang", F.explode("ws").alias("term"))
-    tl = toks.groupBy("term", "lang").agg(F.count(F.lit(1)).alias("c_tl"))
+    dt = (toks.groupBy("doc_id", "lang", "term")
+          .agg(F.count(F.lit(1)).alias("c_dt")))
+    tl = dt.groupBy("term", "lang").agg(
+        F.sum("c_dt").cast("long").alias("c_tl"))
     vocab = tl.groupBy("term").agg(F.sum("c_tl").cast("long").alias("c"))
     vb = vocab.select("term", "c", F.expr(_BUCKET_SPARK).alias("bucket"))
     raw = vb.groupBy("bucket").agg(F.sum("c").cast("long").alias("c_r"))
@@ -290,12 +306,12 @@ def _ppl_dsir_scores_from(base: DataFrame) -> DataFrame:
         )
     )
     return (
-        toks.join(F.broadcast(term_model), "term")
+        dt.join(F.broadcast(term_model), "term")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("bits").alias("sum_bits"),
-            F.sum("score_q20").alias("weight_q20"),
+            F.sum("c_dt").cast("long").alias("n_tokens"),
+            F.sum(F.col("c_dt") * F.col("bits")).alias("sum_bits"),
+            F.sum(F.col("c_dt") * F.col("score_q20")).alias("weight_q20"),
         )
         .select(
             "doc_id", "lang", "n_tokens",

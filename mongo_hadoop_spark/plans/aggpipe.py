@@ -3839,19 +3839,29 @@ def _graph_lookup_fixpoint(df: DataFrame, foreign: DataFrame, fstruct,
     Pregel vote-to-halt scalar, same contract as the CC superstep loop.
     """
     import os
+
+    from pyspark.sql import Observation
+
     max_levels = int(os.environ.get(GRAPH_LOOKUP_MAX_LEVELS_ENV,
                                     GRAPH_LOOKUP_MAX_LEVELS))
     src = df.withColumn("__gid", F.monotonically_increasing_id()) \
             .localCheckpoint()
+    # r12 optimization (guide §1.5): the frontier-size scalar rides the
+    # checkpoint's own materialization pass (Observation on a count) —
+    # the old `frontier.isEmpty()` probe was a THIRD driver action per
+    # level on top of the two checkpoint jobs.
+    obs0 = Observation()
     frontier = (src.select("__gid", expr_to_col(start_with).alias("__val"))
                 .where(F.col("__val").isNotNull()).distinct()
+                .observe(obs0, F.count(F.lit(1)).alias("n"))
                 .localCheckpoint())
+    n_frontier = obs0.get["n"]
     # (gid, val) pairs already expanded — list of checkpointed levels,
     # lazily unioned for the anti-join (each is already materialized)
     expanded = [frontier]
     levels = []          # checkpointed per-level hit sets
     lvl = 0
-    while not frontier.isEmpty():
+    while n_frontier > 0:
         if lvl >= max_levels:
             raise ValueError(
                 f"$graphLookup without maxDepth exceeded "
@@ -3867,10 +3877,13 @@ def _graph_lookup_fixpoint(df: DataFrame, foreign: DataFrame, fstruct,
         seen = expanded[0]
         for e in expanded[1:]:
             seen = seen.unionAll(e)
+        obs = Observation()
         frontier = (hits.select("__gid", F.col("__next").alias("__val"))
                     .where(F.col("__val").isNotNull()).distinct()
                     .join(seen, ["__gid", "__val"], "left_anti")
+                    .observe(obs, F.count(F.lit(1)).alias("n"))
                     .localCheckpoint())
+        n_frontier = obs.get["n"]
         expanded.append(frontier)
         lvl += 1
     if not levels:
@@ -5366,14 +5379,30 @@ def _stage_geo_near(df: DataFrame, spec: dict) -> DataFrame:
         bound_scale = EARTH_RADIUS_M if geojson else 1.0
         h = haversine_h_col(x, y, qx, qy)
         out = out.withColumn(_GEO_H_COL, h)
+        # r12 optimization: the same pushdown barrier as
+        # pipeline_geo_intersects (operators/mongoagg.py) — without it
+        # PushPredicateThroughNonJoin substitutes the ~40-term haversine
+        # polynomial into the range condition, so every row evaluates
+        # the kernel in the Filter AND again in the distance Project.
+        # The never-true nondeterministic disjunct keeps the kernel a
+        # materialized column consumed by attribute — one evaluation
+        # per row, same rows out (monotonically_increasing_id() >= 0
+        # always).
+        bound = None
         if "maxDistance" in spec:
-            out = out.where(F.col(_GEO_H_COL) <= F.lit(
+            bound = (F.col(_GEO_H_COL) <= F.lit(
                 center_sphere_threshold(
                     float(spec["maxDistance"]) / bound_scale)))
         if "minDistance" in spec:
-            out = out.where(F.col(_GEO_H_COL) >= F.lit(
+            lo = (F.col(_GEO_H_COL) >= F.lit(
                 center_sphere_threshold(
                     float(spec["minDistance"]) / bound_scale)))
+            bound = lo if bound is None else (bound & lo)
+        if bound is not None:
+            out = (out.withColumn("__geo_barrier__",
+                                  F.monotonically_increasing_id())
+                   .where(bound | (F.col("__geo_barrier__") < 0))
+                   .drop("__geo_barrier__"))
         dist = F.lit(2.0) * asin_col(
             F.sqrt(F.least(F.col(_GEO_H_COL), F.lit(1.0))))
         if geojson:

@@ -122,6 +122,57 @@ def table(spark: SparkSession, sf_dir: str, name: str):
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
+    try:
+        # source-size breadcrumb consumed by spread() below
+        df._mhs_src_bytes = os.stat(path).st_size
+    except OSError:
+        pass
     if per_session is not None:
         per_session[key] = df
     return df
+
+
+def spread(spark: SparkSession, df):
+    """Parallelism repair for unsplittable local inputs (optimization
+    guide §2.5 "input skew: one huge unsplittable file … repartition
+    immediately after the read" / §6 input split sizing).
+
+    The local test tables are single-file, SINGLE-ROW-GROUP parquet, so
+    any scan of them is one task no matter how `maxPartitionBytes` /
+    `minPartitionNum` slice the byte range — heavy per-row work riding
+    the scan (trig kernels, tokenization, decimal partial aggregation)
+    serializes on one core.  This helper round-robin-repartitions to the
+    session default parallelism ONLY when the source's estimated split
+    count is below it:
+
+        est_splits = max(1, file_bytes // maxPartitionBytes)
+
+    At cluster scale — multi-file inputs totalling ≥ cores ×
+    maxPartitionBytes — the condition is false and the call is an exact
+    no-op: the plan gains no Exchange and the scale posture (map work
+    rides the scan) is unchanged.  Catalyst pushes filters and prunes
+    columns through Repartition, so pushed scan predicates survive.
+
+    Only row-value-preserving queries may use this: a round-robin
+    exchange changes row ENCOUNTER ORDER, so operators whose results
+    depend on it ($push/$first without sort keys, $mergeObjects
+    accumulators) must not sit downstream.  Every call site is
+    oracle-re-verified (see OPTIMIZATION_r12.md).
+
+    ``SPARK_GRAFT_SPREAD=0`` disables it (plan-posture tests assert the
+    scale-shape plan through this switch)."""
+    if os.environ.get("SPARK_GRAFT_SPREAD", "1") == "0":
+        return df
+    size = getattr(df, "_mhs_src_bytes", None)
+    if size is None:
+        return df
+    try:
+        max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes")
+                     .lower().rstrip("b").replace("m", "000000")
+                     .replace("k", "000").replace("g", "000000000"))
+    except Exception:
+        max_pb = 128 * 1024 * 1024
+    par = spark.sparkContext.defaultParallelism
+    if max(1, size // max_pb) >= par:
+        return df
+    return df.repartition(par)

@@ -650,15 +650,32 @@ def test_geo_intersects_vectors_stay_materialized(spark):
 
 def test_text_query_plan_is_single_scan(spark):
     """$text bridge: per-row token expressions riding the scan — the
-    only exchange is the final relevance sort."""
+    only exchange is the final relevance sort.
+
+    r12: the queries wrap their scan in session.spread() (parallelism
+    repair for the local single-row-group parquet — an exact no-op on
+    splittable cluster input).  The SCALE posture is asserted with
+    spread disabled; the local form is allowed exactly one extra
+    round-robin exchange and nothing else."""
+    import os
+
     from mongo_hadoop_spark.operators import mongoagg
 
     for q in (mongoagg.pipeline_text_query,
               mongoagg.pipeline_text_query_diacritics):
-        plan = plan_of(q(spark, SF_SMOKE))
+        os.environ["SPARK_GRAFT_SPREAD"] = "0"
+        try:
+            plan = plan_of(q(spark, SF_SMOKE))
+        finally:
+            os.environ.pop("SPARK_GRAFT_SPREAD", None)
         assert plan.count("Exchange") <= 1, q.__name__
         assert "CartesianProduct" not in plan
         assert "Window" not in plan
+        local = plan_of(q(spark, SF_SMOKE))
+        assert local.count("Exchange") <= 2, q.__name__
+        assert local.count("RoundRobinPartitioning") <= 1, q.__name__
+        assert "CartesianProduct" not in local
+        assert "Window" not in local
 
 
 def test_split_leakage_plan_is_keyed(spark):
