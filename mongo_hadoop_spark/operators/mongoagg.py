@@ -142,7 +142,7 @@ def pipeline_bucket_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_bucket_auto_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$bucketAuto: 4 ~equal-count order-value buckets with decimal
     revenue — quantile boundaries computed engine-side, no global sort."""
-    orders = spread(spark, table(spark, sf_dir, "orders"))
+    orders = table(spark, sf_dir, "orders")
     return aggregate(orders, [
         {"$addFields": {"pd": {"$toDecimal": "$o_totalprice"}}},
         {"$bucketAuto": {
@@ -187,7 +187,7 @@ def pipeline_bucket_auto_granularity(spark: SparkSession,
     with the oracle — no runtime log/pow, bit-equal in both engines.
     Plan: one extra 1-row quantile aggregate broadcast back; no global
     sort at any input size."""
-    orders = spread(spark, table(spark, sf_dir, "orders"))
+    orders = table(spark, sf_dir, "orders")
     return aggregate(orders, [
         {"$bucketAuto": {
             "groupBy": "$o_totalprice",
@@ -217,7 +217,7 @@ def pipeline_bucket_auto_quartiles_approx(spark: SparkSession,
     boundary quantiles via ``approx_percentile`` (mergeable bounded-state
     GK summary — never an O(N) reducer buffer) instead of exact
     ``percentile_disc``.  Same exact oracle: see GATE_PCTL_ACCURACY."""
-    orders = spread(spark, table(spark, sf_dir, "orders"))
+    orders = table(spark, sf_dir, "orders")
     return aggregate(orders, [
         {"$addFields": {"pd": {"$toDecimal": "$o_totalprice"}}},
         {"$bucketAuto": {
@@ -240,7 +240,7 @@ def pipeline_bucket_auto_granularity_approx(spark: SparkSession,
     swap the $bucketAuto docstring promises, now code + gate instead of
     prose.  The granularity snap is unchanged: boundaries still land on
     the shared 1-2-5 literal series, bit-equal across engines."""
-    orders = spread(spark, table(spark, sf_dir, "orders"))
+    orders = table(spark, sf_dir, "orders")
     return aggregate(orders, [
         {"$bucketAuto": {
             "groupBy": "$o_totalprice",
@@ -1101,7 +1101,7 @@ def pipeline_geo_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes one per-row planar distance, range-bounds it BEFORE the
     ascending sort, and emits `dist`.
     """
-    events = spread(spark, table(spark, sf_dir, "events"))
+    events = table(spark, sf_dir, "events")
     with_loc = events.select(
         "event_id", "event_type",
         F.expr("array(value, cast(user_id % 97 AS double))").alias("loc"))
@@ -1490,7 +1490,7 @@ def pipeline_geo_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     $polygon shapes OR-combined over an [x, y] coordinate pair, rolled
     up per event type.  Every shape is a per-row arithmetic predicate —
     no shuffle beyond the final keyed count."""
-    events = spread(spark, table(spark, sf_dir, "events"))
+    events = table(spark, sf_dir, "events")
     with_loc = events.select(
         "event_id", "event_type",
         F.expr("array(value, cast(user_id % 97 AS double))").alias("loc"))
@@ -1580,7 +1580,7 @@ def pipeline_geo_near_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel too; only surviving rows pay the polynomial asin for the
     reported distance — scale shape identical to the planar $geoNear
     (per-row map + one range sort)."""
-    events = spread(spark, table(spark, sf_dir, "events"))
+    events = table(spark, sf_dir, "events")
     with_loc = events.select(
         "event_id", "event_type",
         F.expr(f"array({_SPH_LON}, {_SPH_LAT})").alias("loc"))
@@ -1644,7 +1644,7 @@ def pipeline_geo_polygon_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges to the same parity (north pole exterior by convention).  A
     pure per-row map ahead of the keyed count; the oracle unrolls the
     identical per-edge IEEE ops over a CTE-bound point vector."""
-    events = spread(spark, table(spark, sf_dir, "events"))
+    events = table(spark, sf_dir, "events")
     with_loc = events.select(
         "event_id", "event_type",
         F.expr(f"array({_SPH_LON}, {_SPH_LAT})").alias("loc"))

@@ -3846,45 +3846,63 @@ def _graph_lookup_fixpoint(df: DataFrame, foreign: DataFrame, fstruct,
                                     GRAPH_LOOKUP_MAX_LEVELS))
     src = df.withColumn("__gid", F.monotonically_increasing_id()) \
             .localCheckpoint()
-    # r12 optimization (guide §1.5): the frontier-size scalar rides the
-    # checkpoint's own materialization pass (Observation on a count) —
-    # the old `frontier.isEmpty()` probe was a THIRD driver action per
-    # level on top of the two checkpoint jobs.
+    # r12 optimization (guide §1.5, §2.4): ONE driver action per level —
+    # each level checkpoints only its hit set, with the hit count riding
+    # the checkpoint's own materialization pass (Observation); the next
+    # frontier is derived LAZILY from the materialized hits (distinct
+    # next-values anti-joined against everything already expanded) and
+    # fuses into the next level's join job.  Before r12 every level ran
+    # three actions (isEmpty probe + hits checkpoint + frontier
+    # checkpoint).  The expanded-set bookkeeping is equivalent: the set
+    # of (gid, val) pairs expanded before level k+1 equals the initial
+    # frontier ∪ the next-values of levels 0..k-1 — every frontier is a
+    # subset of the previous level's next-values, and next-values that
+    # were anti-joined away were by definition expanded earlier, so the
+    # anti-join build side is the same SET (duplicates are harmless to a
+    # left-anti join).  Termination: an empty frontier produces an empty
+    # hit set, and a level with zero hits cannot seed a frontier — the
+    # observed hit count is the vote-to-halt scalar.
     obs0 = Observation()
-    frontier = (src.select("__gid", expr_to_col(start_with).alias("__val"))
-                .where(F.col("__val").isNotNull()).distinct()
-                .observe(obs0, F.count(F.lit(1)).alias("n"))
-                .localCheckpoint())
-    n_frontier = obs0.get["n"]
-    # (gid, val) pairs already expanded — list of checkpointed levels,
-    # lazily unioned for the anti-join (each is already materialized)
-    expanded = [frontier]
+    f0 = (src.select("__gid", expr_to_col(start_with).alias("__val"))
+          .where(F.col("__val").isNotNull()).distinct()
+          .observe(obs0, F.count(F.lit(1)).alias("n"))
+          .localCheckpoint())
+    frontier = f0
     levels = []          # checkpointed per-level hit sets
     lvl = 0
-    while n_frontier > 0:
+    n_live = obs0.get["n"]
+    while n_live > 0:
         if lvl >= max_levels:
+            # n_live counts the PREVIOUS level's hits; only a genuinely
+            # live frontier refuses (one extra probe, boundary only —
+            # a non-empty hit set whose next-values were all null or
+            # already expanded terminates cleanly exactly as before).
+            if frontier.isEmpty():
+                break
             raise ValueError(
                 f"$graphLookup without maxDepth exceeded "
                 f"{max_levels} BFS levels — graph too deep for the "
                 f"per-level fixpoint loop (override with "
                 f"{GRAPH_LOOKUP_MAX_LEVELS_ENV} or pass maxDepth)")
+        obs = Observation()
         hits = (frontier.join(foreign, frontier["__val"] == foreign[ct])
                 .select("__gid", fstruct.alias("__doc"),
                         F.lit(lvl).cast("long").alias("__depth"),
                         F.col(cf).alias("__next"))
+                .observe(obs, F.count(F.lit(1)).alias("n"))
                 .localCheckpoint())
         levels.append(hits)
-        seen = expanded[0]
-        for e in expanded[1:]:
-            seen = seen.unionAll(e)
-        obs = Observation()
+        n_live = obs.get["n"]
+        if n_live == 0:
+            break
+        seen = f0
+        for h in levels[:-1]:
+            seen = seen.unionAll(
+                h.select("__gid", F.col("__next").alias("__val"))
+                .where(F.col("__val").isNotNull()))
         frontier = (hits.select("__gid", F.col("__next").alias("__val"))
                     .where(F.col("__val").isNotNull()).distinct()
-                    .join(seen, ["__gid", "__val"], "left_anti")
-                    .observe(obs, F.count(F.lit(1)).alias("n"))
-                    .localCheckpoint())
-        n_frontier = obs.get["n"]
-        expanded.append(frontier)
+                    .join(seen, ["__gid", "__val"], "left_anti"))
         lvl += 1
     if not levels:
         # nothing matched anywhere: empty visited with the right schema
