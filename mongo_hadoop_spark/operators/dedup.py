@@ -787,9 +787,15 @@ def connected_component_labels(pairs: DataFrame, a: str, b: str) -> DataFrame:
         # The inner join preserves rows exactly (labels holds every node
         # and `new` ⊇ labels via the self-union).
         obs = Observation()
+        # coalesce: SUM over ZERO rows observes NULL (an empty pair graph
+        # — labels has no nodes), which must read as "nothing changed",
+        # not as a failed convergence check (r12 advisor: `None == 0` is
+        # False, so an empty graph used to spin all CC_MAX_ROUNDS and
+        # raise).
         chk = (new.join(labels.withColumnRenamed("label", "old"), "node")
-               .observe(obs, F.sum((F.col("label") != F.col("old"))
-                                   .cast("long")).alias("changed"))
+               .observe(obs, F.coalesce(
+                   F.sum((F.col("label") != F.col("old")).cast("long")),
+                   F.lit(0).cast("long")).alias("changed"))
                .localCheckpoint())
         labels = chk.select("node", "label")
         if obs.get["changed"] == 0:

@@ -190,26 +190,21 @@ FROM clean GROUP BY 1, 2
 """
 
 
-#: session → {(documents.parquet identity, with_text) → checkpointed base}.
-#: Same invalidation discipline as session.table's catalog cache: the
-#: checkpointed DataFrame is immutable and bound to its session; keying on
-#: the file's stat identity invalidates on regeneration.  This is what a
-#: long-running cluster job does with its token stream — materialize once,
-#: serve every funnel consumer from the materialized copy.
-import os as _os
-import weakref as _weakref
-
-_BASE_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
-
-
 def _tokenized_base(spark: SparkSession, sf_dir: str,
                     with_text: bool = False) -> DataFrame:
     """(doc_id, lang, source, ws, nsym[, text]) — the corpus scanned and
-    whitespace-tokenized ONCE, lazily localCheckpoint-ed so every funnel
-    stage reads the materialized tokenized stream instead of re-scanning
+    whitespace-tokenized ONCE per query invocation, lazily
+    localCheckpoint-ed so every funnel stage in that invocation's plan
+    reads the materialized tokenized stream instead of re-scanning
     parquet and re-splitting text.  The checkpoint is the production
     shape for a multi-consumer token stream: MEMORY_AND_DISK on the
     executors, lineage truncated, computed on first use within the job.
+
+    r13 (verdict item 1): the r12 session-lifetime memo dictionary is
+    gone — sharing is scoped to ONE top-level query call via
+    ``invocation.memo`` (the funnel body and its scores/span-stats
+    helpers all read one checkpoint inside one plan), and every
+    invocation re-tokenizes from parquet.
 
     The raw text column is DROPPED by default (the tokens nearly
     duplicate it, so carrying both doubles the materialized bytes); the
@@ -218,32 +213,22 @@ def _tokenized_base(spark: SparkSession, sf_dir: str,
     consumers that re-derive differently-cased tokens (the BPE token
     budget).
     """
+    from mongo_hadoop_spark.invocation import memo
     from mongo_hadoop_spark.operators.textstats import gopher_nsym
 
-    key = None
-    per_session = None
-    try:
-        st = _os.stat(_os.path.join(sf_dir, "documents.parquet"))
-        key = (_os.path.abspath(sf_dir), st.st_mtime_ns, st.st_size,
-               with_text)
-        per_session = _BASE_CACHE.setdefault(spark, {})
-        if key in per_session:
-            return per_session[key]
-    except (OSError, TypeError):
-        pass
-    cols = ["doc_id", "lang", "source",
-            tokenize("text").alias("ws"), gopher_nsym().alias("nsym")]
-    if with_text:
-        cols.insert(3, F.col("text"))
-    base = (
-        table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(*cols)
-        .localCheckpoint(eager=False)
-    )
-    if per_session is not None:
-        per_session[key] = base
-    return base
+    def build() -> DataFrame:
+        cols = ["doc_id", "lang", "source",
+                tokenize("text").alias("ws"), gopher_nsym().alias("nsym")]
+        if with_text:
+            cols.insert(3, F.col("text"))
+        return (
+            table(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select(*cols)
+            .localCheckpoint(eager=False)
+        )
+
+    return memo(("tokenized_base", sf_dir, with_text), build)
 
 
 def _ppl_dsir_scores_from(base: DataFrame) -> DataFrame:
@@ -323,66 +308,45 @@ def _ppl_dsir_scores_from(base: DataFrame) -> DataFrame:
     )
 
 
-def _scores_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scores_table(spark: SparkSession, sf_dir: str,
+                  base: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, surprisal_bits, avg_q20_per_token) — the
-    per-document model-score table, materialized ONCE per session
-    (lazy localCheckpoint keyed on the documents file identity, the
-    `_tokenized_base` / `bpe._TRAIN_CACHE` discipline).
+    per-document model-score table, lazily localCheckpoint-ed and shared
+    WITHIN one query invocation.
 
-    r12 optimization: all three pretrain-funnel gates consume the
-    identical scores subtree — the heaviest piece of each (the
-    token-stream aggregation + model application, ~2.2 s at sf0.1) —
-    and before r12 every query invocation re-derived its own copy.  A
-    production selection pipeline fits the unigram/DSIR models once and
-    serves every funnel consumer from the fitted per-doc table; this
-    memo is that shape.  It is fitted MODEL OUTPUT over the corpus —
-    never a query result: every registered query still computes its
-    answer from the scores + its own gates/cuts on every invocation,
-    and the first consumer in a session pays the fit inside its own
-    timed run."""
-    key = None
-    per_session = None
-    try:
-        st = _os.stat(_os.path.join(sf_dir, "documents.parquet"))
-        key = (_os.path.abspath(sf_dir), st.st_mtime_ns, st.st_size,
-               "scores")
-        per_session = _BASE_CACHE.setdefault(spark, {})
-        if key in per_session:
-            return per_session[key]
-    except (OSError, TypeError):
-        key = None
-    df = (_ppl_dsir_scores_from(_tokenized_base(spark, sf_dir))
-          .select("doc_id", "n_tokens", "surprisal_bits",
-                  "avg_q20_per_token")
-          .localCheckpoint(eager=False))
-    if key is not None and per_session is not None:
-        per_session[key] = df
-    return df
+    Why the checkpoint (r12 optimization, kept): the scores subtree is
+    the heaviest piece of every funnel gate (~2.2 s at sf0.1) and each
+    gate's plan references it TWICE (the percentile cuts and the doc_id
+    join) — without materialization Catalyst executed the whole subtree
+    once per reference (zero ReusedExchange).  Why per-invocation (r13,
+    verdict item 1): the r12 session-lifetime memo let bench repeats 2-3
+    and sibling funnel queries read the first run's blocks; now the
+    scope is one top-level query call and every invocation re-fits from
+    the corpus.  ``base`` is the invocation's checkpointed tokenized
+    stream (scores use only doc_id/lang/ws, so the with-text variant
+    yields bit-identical scores)."""
+    from mongo_hadoop_spark.invocation import memo
+
+    return memo(("scores_table", sf_dir), lambda: (
+        _ppl_dsir_scores_from(base)
+        .select("doc_id", "n_tokens", "surprisal_bits",
+                "avg_q20_per_token")
+        .localCheckpoint(eager=False)))
 
 
-def _span_stats_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, dup_frac) — the winnowed span-dedup statistics,
-    materialized once per session (same discipline and rationale as
-    :func:`_scores_table`; shared by all three funnel gates)."""
+def _span_stats_table(spark: SparkSession, sf_dir: str,
+                      base: DataFrame) -> DataFrame:
+    """(doc_id, dup_frac) — the winnowed span-dedup statistics over the
+    invocation's tokenized stream.  Referenced ONCE per funnel plan (the
+    doc_id join), so no checkpoint of its own — the r12 one existed only
+    to feed the session-lifetime memo (removed, r13 verdict item 1); the
+    subtree executes exactly once either way, reading the shared
+    ``base`` checkpoint."""
+    from mongo_hadoop_spark.invocation import memo
     from mongo_hadoop_spark.operators.spans import span_stats_from
 
-    key = None
-    per_session = None
-    try:
-        st = _os.stat(_os.path.join(sf_dir, "documents.parquet"))
-        key = (_os.path.abspath(sf_dir), st.st_mtime_ns, st.st_size,
-               "span_stats")
-        per_session = _BASE_CACHE.setdefault(spark, {})
-        if key in per_session:
-            return per_session[key]
-    except (OSError, TypeError):
-        key = None
-    df = (span_stats_from(_tokenized_base(spark, sf_dir))
-          .select("doc_id", "dup_frac")
-          .localCheckpoint(eager=False))
-    if key is not None and per_session is not None:
-        per_session[key] = df
-    return df
+    return memo(("span_stats_table", sf_dir), lambda: (
+        span_stats_from(base).select("doc_id", "dup_frac")))
 
 
 def _funnel_inputs(spark: SparkSession, sf_dir: str, base: DataFrame,
@@ -398,7 +362,7 @@ def _funnel_inputs(spark: SparkSession, sf_dir: str, base: DataFrame,
     plans/aggpipe.py `_APPROX_PCTL`).
 
     The per-doc scores table is lazily ``localCheckpoint``-ed (and since
-    r12 session-memoized via :func:`_scores_table`): it feeds BOTH the
+    r13 invocation-scoped via :func:`_scores_table`): it feeds BOTH the
     percentile cuts and the doc_id join, and without the materialization
     Catalyst executed the whole scores subtree once per consumer (three
     times before r8 — the r7 probe's 1.45× at 8× was exactly this; zero
@@ -415,8 +379,8 @@ def _funnel_inputs(spark: SparkSession, sf_dir: str, base: DataFrame,
 
     d = base.select("doc_id", "lang", "source")
     gph = gopher_flags(base).select("doc_id", "keep")
-    scores = _scores_table(spark, sf_dir)
-    spn = _span_stats_table(spark, sf_dir)
+    scores = _scores_table(spark, sf_dir, base)
+    spn = _span_stats_table(spark, sf_dir, base)
     if percentile_accuracy is not None:
         acc = int(percentile_accuracy)
         cuts = scores.selectExpr(

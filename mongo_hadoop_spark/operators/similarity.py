@@ -31,53 +31,33 @@ QUERY_MOD = 100          # vec_id % QUERY_MOD == 0 → query set
 LSH_PLANES = 16
 EMB_DIM = 64
 
-#: session → {(embeddings.parquet identity, tag) → checkpointed trained
-#: state}.  Same catalog discipline as ``session.table`` /
-#: ``pipeline._tokenized_base``: the DataFrame is immutable, bound to its
-#: session, and invalidated by the source file's stat identity.
-#:
-#: Why (r12 optimization round, guide §2.4 "remove shuffles outright"):
-#: the fixed-codebook trainers below are multi-stage subplans (broadcast
-#: argmin + explode + two keyed aggregations over the training sample)
-#: whose OUTPUT is tiny (≤ K and ≤ K × PQ_SUBSPACES rows), but Catalyst
-#: inlines the subtree at every plan reference — ivf_pq_knn_fixed's
-#: pre-r12 physical plan re-executed IVF training twice and PQ training
-#: three times per run (32 parquet scans, zero ReusedExchange; ~1.0 s and
-#: ~0.8 s per re-execution at sf0.1).  Training state is precisely the
-#: piece a production index SERVES from after one training pass, so it is
-#: materialized once per session (lazy localCheckpoint — computed on
-#: first use, inside the consumer's own timed run) and every consumer
-#: reads the ≤ K-row materialized table.  This is index state, never a
-#: query result: every registered query still computes its answer from
-#: the parquet corpus on every invocation.
-import os as _os
-import weakref as _weakref
-
-_TRAINED_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
-
-
 def _trained_state(spark: SparkSession, sf_dir: str, tag: str, build):
-    """Memoized lazy-checkpoint of a tiny trained-state DataFrame.
+    """Lazy-checkpointed trained-state DataFrame, shared WITHIN one query
+    invocation only.
 
-    ``build()`` must produce a constant-size (corpus-independent) frame —
-    the trained coarse/PQ codebooks qualify by construction (their row
-    counts are bounded by the fixed K / PQ_K · PQ_SUBSPACES contracts).
-    Falls back to the unmaterialized plan when the source cannot be
-    stat-ed or the session cannot be weakly keyed (never wrong, only
-    slower)."""
-    key = None
-    per_session = None
-    try:
-        st = _os.stat(_os.path.join(sf_dir, "embeddings.parquet"))
-        key = (_os.path.abspath(sf_dir), st.st_mtime_ns, st.st_size, tag)
-        per_session = _TRAINED_CACHE.setdefault(spark, {})
-        if key in per_session:
-            return per_session[key]
-    except (OSError, TypeError):
-        return build()
-    df = build().localCheckpoint(eager=False)
-    per_session[key] = df
-    return df
+    Why the checkpoint (r12 optimization, guide §2.4/§5): the
+    fixed-codebook trainers below are multi-stage subplans (broadcast
+    argmin + explode + two keyed aggregations over the training sample)
+    whose OUTPUT is tiny (≤ K and ≤ K × PQ_SUBSPACES rows), but Catalyst
+    inlines the subtree at every plan reference — ivf_pq_knn_fixed's
+    pre-r12 physical plan re-executed IVF training twice and PQ training
+    three times per run (32 parquet scans, zero ReusedExchange; ~1.0 s
+    and ~0.8 s per re-execution at sf0.1).  The lazy localCheckpoint
+    materializes the trained state ONCE inside the consuming query's own
+    action and every plan reference reads the ≤ K-row table.
+
+    Why per-invocation (r13, verdict item 1): r12 kept these in a
+    session-lifetime dictionary, so bench repeats 2-3 and sibling
+    queries read the first run's materialized blocks — best-of-N then
+    discarded the only honest timing.  ``invocation.memo`` scopes the
+    shared handle to one top-level query call: queries that reach the
+    same trainer through several helpers (ivf_pq_knn_fixed →
+    embedding_pq_codes_fixed + _pq_fixed_tables) still train once per
+    plan, but every invocation re-trains from parquet."""
+    from mongo_hadoop_spark.invocation import memo
+
+    return memo(("trained_state", sf_dir, tag),
+                lambda: build().localCheckpoint(eager=False))
 
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3868,6 +3868,8 @@ def _graph_lookup_fixpoint(df: DataFrame, foreign: DataFrame, fstruct,
           .observe(obs0, F.count(F.lit(1)).alias("n"))
           .localCheckpoint())
     frontier = f0
+    seen = f0            # accumulated expanded (gid, val) set — r13: one
+    #                      running union, not a per-level rebuild
     levels = []          # checkpointed per-level hit sets
     lvl = 0
     n_live = obs0.get["n"]
@@ -3895,14 +3897,21 @@ def _graph_lookup_fixpoint(df: DataFrame, foreign: DataFrame, fstruct,
         n_live = obs.get["n"]
         if n_live == 0:
             break
-        seen = f0
-        for h in levels[:-1]:
-            seen = seen.unionAll(
-                h.select("__gid", F.col("__next").alias("__val"))
-                .where(F.col("__val").isNotNull()))
-        frontier = (hits.select("__gid", F.col("__next").alias("__val"))
-                    .where(F.col("__val").isNotNull()).distinct()
+        # r13 (verdict item 3): ONE accumulated seen-set, each level's
+        # next-values unioned into it once and lazily checkpointed —
+        # O(D) checkpoint scans over the whole loop.  The r12 shape
+        # rebuilt `f0 ∪ next(levels[0..k-1])` from scratch every level,
+        # re-scanning every prior level's checkpoint per anti-join:
+        # O(D²) scans at depth D.  Set equivalence is unchanged — the
+        # frontier is anti-joined against the seen-set BEFORE this
+        # level's next-values are folded in, exactly the old build side
+        # (the lazy checkpoint materializes inside the next level's own
+        # join job; no extra driver action).
+        new_vals = (hits.select("__gid", F.col("__next").alias("__val"))
+                    .where(F.col("__val").isNotNull()))
+        frontier = (new_vals.distinct()
                     .join(seen, ["__gid", "__val"], "left_anti"))
+        seen = seen.unionAll(new_vals).localCheckpoint(eager=False)
         lvl += 1
     if not levels:
         # nothing matched anywhere: empty visited with the right schema

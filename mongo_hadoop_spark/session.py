@@ -167,9 +167,12 @@ def spread(spark: SparkSession, df):
     if size is None:
         return df
     try:
-        max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes")
-                     .lower().rstrip("b").replace("m", "000000")
-                     .replace("k", "000").replace("g", "000000000"))
+        # Spark's own byte-string parser (r12 advisor: the previous
+        # string surgery treated k/m/g as decimal — ~5-7% off for binary
+        # units — and misparsed forms like "0.5g")
+        max_pb = int(spark._jvm.org.apache.spark.util.Utils
+                     .byteStringAsBytes(
+                         spark.conf.get("spark.sql.files.maxPartitionBytes")))
     except Exception:
         max_pb = 128 * 1024 * 1024
     par = spark.sparkContext.defaultParallelism

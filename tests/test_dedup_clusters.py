@@ -74,3 +74,13 @@ def test_cc_bridged_components_merge(spark):
     pairs = [(1, 2), (1, 3), (2, 3), (7, 8), (7, 9), (8, 9), (3, 7)]
     lab = _labels(spark, pairs)
     assert set(lab.values()) == {1}
+
+
+def test_cc_empty_pair_graph_returns_empty_labels(spark):
+    """Zero input pairs must yield empty labels on round 1, not spin all
+    CC_MAX_ROUNDS and raise (r12 advisor: SUM over zero rows observes
+    NULL, and `None == 0` is False)."""
+    empty = (spark.createDataFrame([(1, 2)], "a long, b long")
+             .where(F.lit(False)))
+    got = dedup.connected_component_labels(empty, "a", "b").collect()
+    assert got == []

@@ -663,11 +663,17 @@ def test_text_query_plan_is_single_scan(spark):
 
     for q in (mongoagg.pipeline_text_query,
               mongoagg.pipeline_text_query_diacritics):
+        # save/restore rather than pop (r12 advisor): popping deletes a
+        # value the user exported and changes later tests' behavior
+        prior = os.environ.get("SPARK_GRAFT_SPREAD")
         os.environ["SPARK_GRAFT_SPREAD"] = "0"
         try:
             plan = plan_of(q(spark, SF_SMOKE))
         finally:
-            os.environ.pop("SPARK_GRAFT_SPREAD", None)
+            if prior is None:
+                os.environ.pop("SPARK_GRAFT_SPREAD", None)
+            else:
+                os.environ["SPARK_GRAFT_SPREAD"] = prior
         assert plan.count("Exchange") <= 1, q.__name__
         assert "CartesianProduct" not in plan
         assert "Window" not in plan
