@@ -263,10 +263,22 @@ def _ppl_dsir_scores_from(base: DataFrame) -> DataFrame:
     # them are unchanged (still pinned against the standalone operators
     # by tests/test_pretrain_manifest.py).
     toks = base.select("doc_id", "lang", F.explode("ws").alias("term"))
+    # r13: dt is referenced TWICE (the tl→vocab→model fit chain and the
+    # final per-doc application join), and without materialization the
+    # explode + token-volume partial aggregation — the single heaviest
+    # stage of every funnel — executed once per reference.  The lazy
+    # localCheckpoint makes it one token pass per invocation (guide
+    # §2.4/§5); dt is (doc, lang, term, count) — far smaller than the
+    # token stream it summarizes.
     dt = (toks.groupBy("doc_id", "lang", "term")
-          .agg(F.count(F.lit(1)).alias("c_dt")))
-    tl = dt.groupBy("term", "lang").agg(
+          .agg(F.count(F.lit(1)).alias("c_dt"))
+          .localCheckpoint(eager=False))
+    # tl is read by every branch of the model fit (vocab → vb → raw /
+    # term_model, tgt, total) — materialized so each branch re-aggregates
+    # the vocabulary-sized (term, lang) table, not the (doc, term) table
+    tl = (dt.groupBy("term", "lang").agg(
         F.sum("c_dt").cast("long").alias("c_tl"))
+        .localCheckpoint(eager=False))
     vocab = tl.groupBy("term").agg(F.sum("c_tl").cast("long").alias("c"))
     vb = vocab.select("term", "c", F.expr(_BUCKET_SPARK).alias("bucket"))
     raw = vb.groupBy("bucket").agg(F.sum("c").cast("long").alias("c_r"))
