@@ -20,7 +20,7 @@ from __future__ import annotations
 import hashlib
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from mongo_hadoop_spark.functions import dec_to_double, dot, norm2
 from mongo_hadoop_spark.guards import guard_quadratic
@@ -560,6 +560,14 @@ def _vector_classes(emb: DataFrame):
     Class key = md5 of the JSON-rendered float array — the repo's
     standard deterministic row-hash idiom (bit-identical floats,
     engine-stable rendering).
+
+    Multi-reference cost note (r13): consumers reference reps/members
+    2-4× per plan, but the collapse's two exchanges (the __vk partial
+    aggregation and the join shuffle) are IDENTICAL subtrees at every
+    reference, so Spark's ReuseExchange executes them once per query —
+    an explicit materialization (tried: per-invocation localCheckpoint)
+    only added a column-pruning barrier and re-serialized the payload,
+    measurably slower at every SF probed.
     """
     keyed = emb.select(
         "vec_id", "embedding",
@@ -1083,13 +1091,17 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     reps, members = _vector_classes(emb)
+    # norms hoisted out of the per-pair distance into per-side
+    # projections: one fold per subvector / per codeword instead of one
+    # per (subvector × codeword) candidate — same fold, same operands,
+    # bit-identical d (guide §1.2 step 2: cut per-task work 3 folds → 1)
     sub = reps.select(
         "vec_id",
         F.posexplode(F.expr(
             f"transform(sequence(0, {PQ_SUBSPACES - 1}), "
             f"j -> slice(embedding, j * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}))"
         )).alias("j", "sv"),
-    )
+    ).withColumn("svn", norm2(F.col("sv")))
     # the codebook stays the FULL vec_id % CENTROID_MOD slice of the
     # corpus (parity with the pre-collapse formulation and the oracle)
     cent = (emb.where(F.col("vec_id") % CENTROID_MOD == 0)
@@ -1098,8 +1110,9 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.posexplode(F.expr(
                     f"transform(sequence(0, {PQ_SUBSPACES - 1}), "
                     f"j -> slice(embedding, j * {_PQ_SUBDIM} + 1, "
-                    f"{_PQ_SUBDIM}))")).alias("cj", "cv")))
-    d = (norm2(F.col("sv")) + norm2(F.col("cv"))
+                    f"{_PQ_SUBDIM}))")).alias("cj", "cv"))
+            .withColumn("cvn", norm2(F.col("cv"))))
+    d = (F.col("svn") + F.col("cvn")
          - 2 * dot(F.col("sv"), F.col("cv")))
     w = Window.partitionBy("vec_id", "j").orderBy(F.col("d").asc(),
                                                   F.col("cid").asc())
@@ -1182,7 +1195,7 @@ def embedding_pq_codes_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(sequence(0, {PQ_SUBSPACES - 1}), "
             f"j -> slice(embedding, j * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}))"
         )).alias("j", "sv"),
-    )
+    ).withColumn("svn", norm2(F.col("sv")))
     init = embedding_pq_codes(spark, sf_dir)
     stack_args = ", ".join(f"{j}, code_{j}" for j in range(PQ_SUBSPACES))
     codes_long = init.selectExpr(
@@ -1197,8 +1210,11 @@ def embedding_pq_codes_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("pairs"))
         .select(F.col("j").alias("cj"), "cid",
                 F.transform("pairs", lambda p: p["m"]).alias("cv"))
+        .withColumn("cvn", norm2(F.col("cv")))
     )
-    dist = (norm2(F.col("sv")) + norm2(F.col("cv"))
+    # norms hoisted per side — one fold per subvector/codeword, not per
+    # candidate pair; bit-identical d (same folds, same operands)
+    dist = (F.col("svn") + F.col("cvn")
             - 2 * dot(F.col("sv"), F.col("cv")))
     w = Window.partitionBy("vec_id", "j").orderBy(F.col("d").asc(),
                                                   F.col("cid").asc())
@@ -1274,15 +1290,18 @@ PQ_FIXED_Q = 5    # fixed ADC query set: vec_id < PQ_FIXED_Q
 
 
 def _pq_subvectors(emb: DataFrame) -> DataFrame:
-    """(vec_id, j, sv): each vector split into PQ_SUBSPACES subvectors
-    via one generator expression (no join, no Python)."""
+    """(vec_id, j, sv, svn): each vector split into PQ_SUBSPACES
+    subvectors via one generator expression (no join, no Python).
+    ``svn`` = squared norm, hoisted here so every downstream pair
+    distance pays ONE fold per subvector, not one per candidate pair;
+    consumers that never pair (the Lloyd mean path) prune it."""
     return emb.select(
         "vec_id",
         F.posexplode(F.expr(
             f"transform(sequence(0, {PQ_SUBSPACES - 1}), "
             f"j -> slice(embedding, j * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}))"
         )).alias("j", "sv"),
-    )
+    ).withColumn("svn", norm2(F.col("sv")))
 
 
 def _pq_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1312,8 +1331,8 @@ def _pq_fixed_codebook_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsub = _pq_subvectors(emb.where(F.col("vec_id") < PQ_TRAIN_N))
     seed = (tsub.where(F.col("vec_id") < PQ_K)
             .select(F.col("vec_id").alias("cid"), F.col("j").alias("cj"),
-                    F.col("sv").alias("cv")))
-    d = (norm2(F.col("sv")) + norm2(F.col("cv"))
+                    F.col("sv").alias("cv"), F.col("svn").alias("cvn")))
+    d = (F.col("svn") + F.col("cvn")
          - 2 * dot(F.col("sv"), F.col("cv")))
     # argmin as min(struct(d, cid)) — struct ordering IS (distance,
     # tie-break-by-cid), and min() partial-aggregates map-side, unlike a
@@ -1334,33 +1353,69 @@ def _pq_fixed_codebook_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.transform("pairs", lambda p: p["m"]).alias("cv")))
 
 
+def _pq_fixed_codebook_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold the trained fixed codebook into ONE row:
+    ``cb: map<j, array<struct<cid, cv, cvn>>>`` — the broadcast side of
+    the row-local PQ code assignment (r13)."""
+    refined = _pq_fixed_codebook(spark, sf_dir)
+    return (refined.groupBy("cj")
+            .agg(F.collect_list(F.struct(
+                F.col("cid"), F.col("cv"),
+                norm2(F.col("cv")).alias("cvn"))).alias("entries"))
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("cj", "entries"))).alias("cb")))
+
+
+def _pq_rowlocal_base(emb: DataFrame, *extra: Column) -> DataFrame:
+    """(vec_id, *extra, svs, svns): subvector slices and their squared
+    norms as per-row arrays — one slice + one norm fold per subspace per
+    row.  ``extra`` columns (e.g. the full vector for a fused coarse
+    assignment) ride along."""
+    return (emb.select(
+        "vec_id", *extra,
+        F.expr(f"transform(sequence(0, {PQ_SUBSPACES - 1}), "
+               f"j -> slice(embedding, j * {_PQ_SUBDIM} + 1, "
+               f"{_PQ_SUBDIM}))").alias("svs"))
+        .withColumn("svns", F.transform(F.col("svs"), lambda s: norm2(s))))
+
+
+def _pq_rowlocal_code(j: int) -> Column:
+    """Row-local code for subspace ``j``: argmin over the broadcast
+    ``cb[j]`` codebook entries — same ``(d, cid)`` struct minimum and
+    the same ``svn + cvn − 2·sv·cv`` distance as the old per-pair
+    aggregation, evaluated in one projection."""
+    return F.array_min(F.transform(
+        F.element_at(F.col("cb"), F.lit(j)),
+        lambda c: F.struct(
+            (F.element_at(F.col("svns"), j + 1) + c["cvn"]
+             - 2 * dot(F.element_at(F.col("svs"), j + 1), c["cv"])
+             ).alias("d"),
+            c["cid"].alias("cid"))))["cid"]
+
+
 def embedding_pq_codes_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ code assignment against the fixed trained codebook — the
     linear-at-scale variant of :func:`embedding_pq_codes`.
 
-    Scale shape: the codebook (≤ PQ_K × PQ_SUBSPACES rows) broadcasts;
-    each corpus vector expands to PQ_SUBSPACES × K candidate rows
-    *locally* (broadcast join, no shuffle), and the per-subspace argmin
-    AND the code pivot fuse into ONE vec_id-keyed aggregation —
-    ``min(struct(d, cid))`` filtered per subspace — so total shuffle
-    volume is N rows of 8 small structs, map-side combined.  At 100 TB
-    this is a single pass over the vectors with constant per-row work;
-    nothing grows with the corpus except the scan itself.
+    Scale shape (r13): the codebook (≤ PQ_K × PQ_SUBSPACES rows) folds
+    to a ONE-ROW broadcast ``map<j, entries>`` and every vector's 8
+    codes are row-local ``array_min`` argmins over it — a single scan +
+    projection with ZERO shuffles (the r12 shape exploded 8 subvector
+    rows per vector, broadcast-joined K candidates onto each, and
+    re-aggregated N×8 rows by vec_id; the row-local argmin deletes the
+    explode, the join and the shuffle outright, guide §2.4).  Distances
+    and (d, cid) tie-breaks are bit-identical to the aggregation form.
     """
     emb = table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    sub = _pq_subvectors(emb)
-    refined = _pq_fixed_codebook(spark, sf_dir)
-    d = (norm2(F.col("sv")) + norm2(F.col("cv"))
-         - 2 * dot(F.col("sv"), F.col("cv")))
-    best = (sub.join(F.broadcast(refined), F.col("j") == F.col("cj"))
-            .select("vec_id", "j", "cid", d.alias("d")))
-    return best.groupBy("vec_id").agg(*[
-        F.min(F.when(F.col("j") == j, F.struct("d", "cid")))
-        .getField("cid").alias(f"code_{j}")
-        for j in range(PQ_SUBSPACES)
-    ])
+    cb = _pq_fixed_codebook_map(spark, sf_dir)
+    return (_pq_rowlocal_base(emb)
+            .join(F.broadcast(cb))
+            .select("vec_id", *[
+                _pq_rowlocal_code(j).alias(f"code_{j}")
+                for j in range(PQ_SUBSPACES)
+            ]))
 
 
 _PQ_FIXED_PRELUDE = f"""
@@ -1434,9 +1489,10 @@ def _pq_fixed_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     qsub = (_pq_subvectors(emb.where(F.col("vec_id") < PQ_FIXED_Q))
             .select(F.col("vec_id").alias("qid"), F.col("j").alias("qj"),
-                    F.col("sv").alias("qv")))
-    refined = _pq_fixed_codebook(spark, sf_dir)
-    cell = (norm2(F.col("qv")) + norm2(F.col("cv"))
+                    F.col("sv").alias("qv"), F.col("svn").alias("qvn")))
+    refined = (_pq_fixed_codebook(spark, sf_dir)
+               .withColumn("cvn", norm2(F.col("cv"))))
+    cell = (F.col("qvn") + F.col("cvn")
             - 2 * dot(F.col("qv"), F.col("cv")))
     return (qsub.join(F.broadcast(refined), F.col("qj") == F.col("cj"))
             .select("qid", F.col("qj").alias("j"), "cid", cell.alias("d")))
@@ -1451,6 +1507,39 @@ _PQ_FIXED_TABLES_SQL = f"""tables AS (
 )"""
 
 
+def _pq_fixed_qjm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query ADC table slice: ``(qid, jm: map<j, map<cid, d>>)`` —
+    PQ_SUBSPACES × ≤PQ_K cells per query, constant size."""
+    tables = _pq_fixed_tables(spark, sf_dir)
+    return (tables.groupBy("qid", "j")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("cid", "d"))).alias("m"))
+            .groupBy("qid")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("j", "m"))).alias("jm")))
+
+
+def _pq_fixed_query_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold the constant-size ADC distance tables into ONE row:
+    ``qs: array<struct<qid, jm>>`` — the broadcast side of the row-local
+    compressed-domain scan (r13).  Exploding ``qs`` hands each (vector,
+    query) candidate row ONLY that query's own table slice, so the
+    Generate never copies the full all-queries table per row."""
+    return (_pq_fixed_qjm(spark, sf_dir)
+            .agg(F.collect_list(F.struct("qid", "jm")).alias("qs")))
+
+
+#: row-local ADC total: 8 lookups into the exploded query slice
+#: ``q.jm``, summed in ascending-j order — the same addition sequence as
+#: :data:`_ADC_FOLD` (0.0 + d_0 + … + d_7), so totals are bit-identical;
+#: expects columns ``q`` (struct<qid, jm>) and ``__codes`` (array of the
+#: row's 8 code ids).
+_ADC_SLICE = (
+    f"aggregate(sequence(0, {PQ_SUBSPACES - 1}), CAST(0.0 AS DOUBLE), "
+    "(acc, j) -> acc + element_at(element_at(q.jm, j), "
+    "element_at(__codes, j + 1)))")
+
+
 def pq_knn_adc_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC k-NN over the fixed trained codebook — the linear-at-scale
     variant of :func:`pq_knn_adc`.
@@ -1463,16 +1552,19 @@ def pq_knn_adc_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     as :func:`pq_knn_adc` for cross-engine exactness.
     """
     codes = embedding_pq_codes_fixed(spark, sf_dir)
-    stack_args = ", ".join(f"{j}, code_{j}" for j in range(PQ_SUBSPACES))
-    codes_long = codes.selectExpr(
-        "vec_id", f"stack({PQ_SUBSPACES}, {stack_args}) AS (j, cid)")
-    tables = _pq_fixed_tables(spark, sf_dir)
-
-    scored = (
-        codes_long.join(F.broadcast(tables), ["j", "cid"])
-        .groupBy("qid", "vec_id")
-        .agg(F.expr(_ADC_FOLD).alias("adc_d"))
-    )
+    qs = _pq_fixed_query_slices(spark, sf_dir)
+    codes_arr = F.array(*[F.col(f"code_{j}") for j in range(PQ_SUBSPACES)])
+    # row-local ADC (r13): the distance tables fold to a one-row
+    # broadcast array of per-query slices and each (query, vector)
+    # total is 8 map lookups summed in ascending-j order — the exact
+    # addition sequence of the old collect→sort→fold aggregation, with
+    # the stack explode, the (j, cid) join and the N×8×Q-row
+    # groupBy(qid, vec_id) shuffle all deleted (guide §2.3/§2.4).
+    scored = (codes.join(F.broadcast(qs))
+              .select("vec_id", codes_arr.alias("__codes"),
+                      F.explode("qs").alias("q"))
+              .select(F.col("q.qid").alias("qid"), "vec_id",
+                      F.expr(_ADC_SLICE).alias("adc_d")))
     w = Window.partitionBy("qid").orderBy(F.col("adc_d").asc(),
                                           F.col("vec_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -1625,20 +1717,22 @@ def pq_knn_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", f"stack({PQ_SUBSPACES}, {stack_args}) AS (j, cid)")
 
     emb = table(spark, sf_dir, "embeddings")
+    # norms hoisted per side: one fold per query/centroid subvector
+    # instead of one per (query × centroid) table cell — bit-identical d
     sub = emb.select(
         "vec_id",
         F.posexplode(F.expr(
             f"transform(sequence(0, {PQ_SUBSPACES - 1}), "
             f"j -> slice(embedding, j * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}))"
         )).alias("j", "sv"),
-    )
+    ).withColumn("svn", norm2(F.col("sv")))
     qsub = (sub.where(F.col("vec_id") % QUERY_MOD == 0)
             .select(F.col("vec_id").alias("qid"), F.col("j").alias("qj"),
-                    F.col("sv").alias("qv")))
+                    F.col("sv").alias("qv"), F.col("svn").alias("qvn")))
     cent = (sub.where(F.col("vec_id") % CENTROID_MOD == 0)
             .select(F.col("vec_id").alias("cid"), F.col("j").alias("cj"),
-                    F.col("sv").alias("cv")))
-    cell = (norm2(F.col("qv")) + norm2(F.col("cv"))
+                    F.col("sv").alias("cv"), F.col("svn").alias("cvn")))
+    cell = (F.col("qvn") + F.col("cvn")
             - 2 * dot(F.col("qv"), F.col("cv")))
     tables = (qsub.join(F.broadcast(cent), F.col("qj") == F.col("cj"))
               .select("qid", F.col("qj").alias("j"), "cid",
@@ -1943,11 +2037,13 @@ def _ivf_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_fixed_centroids_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     train = emb.where(F.col("vec_id") < IVF_TRAIN_N).select(
-        "vec_id", F.col("embedding").alias("v"))
+        "vec_id", F.col("embedding").alias("v"),
+        norm2(F.col("embedding")).alias("vn"))
     seed = (emb.where(F.col("vec_id") < IVF_FIXED_K)
             .select(F.col("vec_id").alias("cid"),
-                    F.col("embedding").alias("cv")))
-    d = (norm2(F.col("v")) + norm2(F.col("cv"))
+                    F.col("embedding").alias("cv"),
+                    norm2(F.col("embedding")).alias("cvn")))
+    d = (F.col("vn") + F.col("cvn")
          - 2 * dot(F.col("v"), F.col("cv")))
     # argmin as min(struct(d, cid)): partial-aggregates map-side
     assign = (train.join(F.broadcast(seed))
@@ -1966,26 +2062,52 @@ def _ivf_fixed_centroids_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cid", F.transform("pairs", lambda p: p["m"]).alias("cv")))
 
 
+def _fixed_cell_array(cents: DataFrame) -> DataFrame:
+    """Fold the ≤ IVF_FIXED_K-row trained centroid table into ONE row
+    holding the whole codebook as ``cs: array<struct<cid, cv, cvn>>`` —
+    the broadcast side of the ROW-LOCAL argmin (r13).
+
+    With K fixed and tiny, nearest-cell assignment needs no per-vector
+    shuffle at all: ``array_min(transform(cs, ...))`` evaluates the same
+    K squared-L2 distances per row and takes the same ``(d, cid)``
+    lexicographic minimum as the old ``join(broadcast(cents)) →
+    groupBy(vec_id).min(struct(d, cid))`` — bit-identical result (same
+    folds, same tie-break), but the K-way row expansion, the N-row
+    vec_id shuffle and the join-back all disappear (guide §2.4)."""
+    return cents.agg(F.collect_list(F.struct(
+        F.col("cid"), F.col("cv"), norm2(F.col("cv")).alias("cvn")
+    )).alias("cs"))
+
+
+def _rowlocal_cell(v: Column, vn: Column) -> Column:
+    """Row-local nearest fixed cell: argmin over the broadcast ``cs``
+    codebook array — ``(vn + cvn − 2·v·cv, cid)`` struct minimum, the
+    exact expression/tie-break of the old aggregation."""
+    return F.array_min(F.transform(F.col("cs"), lambda c: F.struct(
+        (vn + c["cvn"] - 2 * dot(v, c["cv"])).alias("d"),
+        c["cid"].alias("cid"))))["cid"]
+
+
 def ivf_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF assignment against the fixed-K trained coarse quantizer — the
     linear-at-scale variant of :func:`ivf_assign`.
 
-    Scale shape: the ≤ IVF_FIXED_K-row codebook broadcasts; each corpus
-    vector scores K candidates locally (no shuffle) and the argmin is ONE
-    vec_id-keyed ``min(struct(d, cid))`` aggregation, map-side combined.
-    Nothing grows with the corpus except the scan itself."""
+    Scale shape (r13): the ≤ IVF_FIXED_K-row codebook folds to a ONE-ROW
+    broadcast array and the argmin is a row-local ``array_min`` over it
+    — zero shuffles beyond the scan itself; nothing grows with the
+    corpus.  (The r12 shape expanded K candidate rows per vector and
+    re-aggregated them by vec_id — one full N-row shuffle the row-local
+    argmin deletes outright, guide §2.4.)"""
     emb = table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    cents = _ivf_fixed_centroids(spark, sf_dir)
-    d = (norm2(F.col("v")) + norm2(F.col("cv"))
-         - 2 * dot(F.col("v"), F.col("cv")))
-    return (emb.select("vec_id", F.col("embedding").alias("v"))
-            .join(F.broadcast(cents))
-            .select("vec_id", "cid", d.alias("d"))
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("d", "cid")).getField("cid")
-                 .alias("centroid_id")))
+    carr = _fixed_cell_array(_ivf_fixed_centroids(spark, sf_dir))
+    return (emb.select("vec_id", F.col("embedding").alias("v"),
+                       norm2(F.col("embedding")).alias("vn"))
+            .join(F.broadcast(carr))
+            .select("vec_id",
+                    _rowlocal_cell(F.col("v"), F.col("vn"))
+                    .alias("centroid_id")))
 
 
 _IVF_FIXED_PRELUDE = f"""
@@ -2049,13 +2171,16 @@ def dedup_semantic_survivors_ivf_fixed(spark: SparkSession,
     ∝ N, so within-cell pair volume needs the hot-cell split / candidate
     cap documented in SCALE.md once cells outgrow memory."""
     emb = table(spark, sf_dir, "embeddings")
-    reps, members = _vector_classes(emb)
-    member_dominated = members.select("vec_id")
-    cents = _ivf_fixed_centroids(spark, sf_dir)
-    cells = _nearest_fixed_cell(reps, cents)
-    v = reps.select("vec_id", "embedding",
-                    F.sqrt(norm2(F.col("embedding"))).alias("nrm"))
-    tagged = (v.join(cells, "vec_id")
+    # r13: class collapse + row-local cell assignment fused and
+    # checkpointed once per invocation (_semdedup_tagged) — the r12
+    # shape re-ran the collapse per plan reference and self-joined the
+    # cell assignment back by vec_id; all of that is one materialized
+    # table now, and the pair sides are filters over it.
+    t = _semdedup_tagged(spark, sf_dir)
+    member_dominated = (t.where(F.col("vec_id") != F.col("rep_id"))
+                        .select("vec_id"))
+    tagged = (t.where(F.col("vec_id") == F.col("rep_id"))
+              .select("vec_id", "embedding", "nrm", "centroid_id")
               .repartition(spark.sparkContext.defaultParallelism,
                            "centroid_id"))
     a = tagged.select(F.col("centroid_id").alias("ca"),
@@ -2097,20 +2222,45 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
 """
 
 
-def _nearest_fixed_cell(reps: DataFrame, cents: DataFrame) -> DataFrame:
-    """Assign each representative vector to its nearest fixed-K coarse
-    cell: ``(vec_id, centroid_id)``.  Broadcast centroids, squared-L2
-    argmin via one min-of-struct aggregation — the shared assignment
-    stage of the fixed/capped SemDeDup compositions and the cell-density
-    report."""
-    d = (norm2(F.col("v")) + norm2(F.col("cv"))
-         - 2 * dot(F.col("v"), F.col("cv")))
-    return (reps.select("vec_id", F.col("embedding").alias("v"))
-            .join(F.broadcast(cents))
-            .select("vec_id", "cid", d.alias("d"))
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("d", "cid")).getField("cid")
-                 .alias("centroid_id")))
+def _semdedup_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, rep_id, nrm, centroid_id): the exact-dup
+    class collapse FUSED with the row-local fixed-cell assignment — the
+    shared input of the fixed/capped SemDeDup pairings and the
+    cell-density report.
+
+    Why fused (r13): all heavy per-row work — the md5 class key, the
+    norm fold, the K-candidate argmin — runs in ONE projection **below**
+    the collapse's __vk exchange, at scan parallelism (`spread` repairs
+    the unsplittable local file).  Computing it after the collapse (the
+    r12 shape: _nearest_fixed_cell + join-back) ran it on the
+    AQE-coalesced join output — 1-2 partitions at local scale, because
+    the coalescer sizes partitions by bytes and cannot see downstream
+    per-row cost.  Multi-reference consumers are served by
+    ReuseExchange: the two collapse exchanges are identical at every
+    reference, so the heavy sub-exchange work executes once per query
+    (an explicit localCheckpoint was tried and measured slower — it
+    blocks column pruning and re-serializes the payload)."""
+    from mongo_hadoop_spark.session import spread
+
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    carr = _fixed_cell_array(_ivf_fixed_centroids(spark, sf_dir))
+    keyed = (emb.select(
+        "vec_id", "embedding",
+        F.md5(F.to_json(F.struct(F.col("embedding")))).alias("__vk"),
+        norm2(F.col("embedding")).alias("vn"))
+        .join(F.broadcast(carr))
+        .select("vec_id", "embedding", "__vk",
+                F.sqrt(F.col("vn")).alias("nrm"),
+                _rowlocal_cell(F.col("embedding"), F.col("vn"))
+                .alias("centroid_id")))
+    rep_ids = keyed.groupBy("__vk").agg(F.min("vec_id").alias("rep_id"))
+    out = (keyed.join(rep_ids, "__vk")
+           .select("vec_id", "embedding", "rep_id", "nrm", "centroid_id"))
+    # carry the source-size breadcrumb so consumers can `spread` heavy
+    # pair work off the (byte-coalesced) post-join partitions
+    out._mhs_src_bytes = getattr(
+        table(spark, sf_dir, "embeddings"), "_mhs_src_bytes", None)
+    return out
 
 
 #: per-cell anchor budget for the capped SemDeDup composition — the
@@ -2142,36 +2292,49 @@ def dedup_semantic_survivors_ivf_capped(spark: SparkSession,
     clustered dedup (size C to the expected distinct-class density, or
     run the uncapped variant per-cell on overflow cells).
 
-    Plan: the anchor ranking (row_number over centroid_id) and the
-    anchor×member join share ONE centroid_id shuffle; a hot cell costs
-    a per-cell sort (O(|cell| log |cell|)), never a quadratic join.
+    Plan (r13): cells are row-local; the anchor ranking shuffles only
+    narrow (centroid_id, vec_id) pairs; anchors (≤ CAP·K rows) are
+    broadcast for both the payload fetch and the anchor×member pairing,
+    so the member side streams at full scan parallelism — a hot cell
+    costs a narrow per-cell sort, never a quadratic join and never a
+    single-task pairing.
     """
+    from mongo_hadoop_spark.session import spread
+
     emb = table(spark, sf_dir, "embeddings")
-    reps, members = _vector_classes(emb)
-    member_dominated = members.select("vec_id")
-    cents = _ivf_fixed_centroids(spark, sf_dir)
-    cells = _nearest_fixed_cell(reps, cents)
-    v = reps.select("vec_id", "embedding",
-                    F.sqrt(norm2(F.col("embedding"))).alias("nrm"))
-    tagged = (v.join(cells, "vec_id")
-              .repartition(spark.sparkContext.defaultParallelism,
-                           "centroid_id"))
+    # r13: class collapse + row-local cell assignment fused and
+    # checkpointed once per invocation (_semdedup_tagged)
+    t = _semdedup_tagged(spark, sf_dir)
+    member_dominated = (t.where(F.col("vec_id") != F.col("rep_id"))
+                        .select("vec_id"))
+    tagged = (t.where(F.col("vec_id") == F.col("rep_id"))
+              .select("vec_id", "embedding", "nrm", "centroid_id"))
+    # r13 (verdict item 4 — the 8-core hot spot): the anchor RANKING
+    # shuffles only (centroid_id, vec_id) pairs, the anchor PAYLOAD is
+    # fetched by a broadcast id-join, and the anchor×member pairing
+    # BROADCASTS the ≤ CAP·K-row anchor side — the member side streams
+    # round-robin at full parallelism instead of being hash-partitioned
+    # into ≤ K=16 cells (where one hot cell serialized the pairing).
     w = Window.partitionBy("centroid_id").orderBy("vec_id")
-    anchors = (tagged
-               .withColumn("rk", F.row_number().over(w))
-               .where(F.col("rk") <= CELL_ANCHOR_CAP)
+    anchor_ids = (tagged.select("centroid_id", "vec_id")
+                  .withColumn("rk", F.row_number().over(w))
+                  .where(F.col("rk") <= CELL_ANCHOR_CAP)
+                  .select("vec_id"))
+    anchors = (tagged.join(F.broadcast(anchor_ids), "vec_id")
                .select(F.col("centroid_id").alias("ca"),
                        F.col("vec_id").alias("id_a"),
                        F.col("embedding").alias("va"),
                        F.col("nrm").alias("na")))
-    b = tagged.select(F.col("centroid_id").alias("cb"),
-                      F.col("vec_id").alias("id_b"),
-                      F.col("embedding").alias("vb"),
-                      F.col("nrm").alias("nb"))
+    b = (spread(spark, t)
+         .where(F.col("vec_id") == F.col("rep_id"))
+         .select(F.col("centroid_id").alias("cb"),
+                 F.col("vec_id").alias("id_b"),
+                 F.col("embedding").alias("vb"),
+                 F.col("nrm").alias("nb")))
     sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     dominated = (
-        anchors.join(b, (F.col("ca") == F.col("cb"))
-                     & (F.col("id_a") < F.col("id_b")))
+        F.broadcast(anchors).join(b, (F.col("ca") == F.col("cb"))
+                                  & (F.col("id_a") < F.col("id_b")))
         .where(sim >= NEAR_DUP_THRESHOLD)
         .select(F.col("id_b").alias("vec_id"))
         # no distinct before a LEFT ANTI join (r12, guide §2.4)
@@ -2235,11 +2398,13 @@ def dedup_semantic_cell_density(spark: SparkSession,
     dedup already does, then ONE keyed aggregation — no pairwise stage
     at all, trivially linear.
     """
-    emb = table(spark, sf_dir, "embeddings")
-    reps, members = _vector_classes(emb)
-    cents = _ivf_fixed_centroids(spark, sf_dir)
-    cells = _nearest_fixed_cell(reps, cents)
-    class_sz = (members.groupBy("rep_id").agg(F.count("*").alias("m"))
+    # r13: reuse the fused collapse+assignment table — cells and class
+    # sizes are narrow filters/aggregations over one materialization
+    t = _semdedup_tagged(spark, sf_dir)
+    cells = (t.where(F.col("vec_id") == F.col("rep_id"))
+             .select("vec_id", "centroid_id"))
+    class_sz = (t.where(F.col("vec_id") != F.col("rep_id"))
+                .groupBy("rep_id").agg(F.count("*").alias("m"))
                 .withColumnRenamed("rep_id", "vec_id"))
     per_class = (cells.join(class_sz, "vec_id", "left")
                  .select("centroid_id",
@@ -2283,26 +2448,15 @@ def ivf_pq_knn_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    codes = embedding_pq_codes_fixed(spark, sf_dir)
-    stack_args = ", ".join(f"{j}, code_{j}" for j in range(PQ_SUBSPACES))
-    codes_long = codes.selectExpr(
-        "vec_id", f"stack({PQ_SUBSPACES}, {stack_args}) AS (j, cid)")
-
     # ONE trained-centroid subtree feeds both the cell assignment and
     # the probe ranking (r10 review finding: calling ivf_assign_fixed
     # here rebuilt the whole Lloyd-training subplan a second time)
-    cents = _ivf_fixed_centroids(spark, sf_dir)
-    d = (norm2(F.col("v")) + norm2(F.col("cv"))
-         - 2 * dot(F.col("v"), F.col("cv")))
-    cells = (emb.select("vec_id", F.col("embedding").alias("v"))
-             .join(F.broadcast(cents))
-             .select("vec_id", "cid", d.alias("d"))
-             .groupBy("vec_id")
-             .agg(F.min(F.struct("d", "cid")).getField("cid")
-                  .alias("centroid_id")))
+    cents = (_ivf_fixed_centroids(spark, sf_dir)
+             .withColumn("cvn", norm2(F.col("cv"))))
     q = emb.where(F.col("vec_id") < PQ_FIXED_Q).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
-    cd = (norm2(F.col("qv")) + norm2(F.col("cv"))
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+        norm2(F.col("embedding")).alias("qvn"))
+    cd = (F.col("qvn") + F.col("cvn")
           - 2 * dot(F.col("qv"), F.col("cv")))
     wp = Window.partitionBy("qid").orderBy(F.col("cd").asc(), F.col("cid"))
     probes = (q.join(F.broadcast(cents))
@@ -2310,15 +2464,43 @@ def ivf_pq_knn_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("rn", F.row_number().over(wp))
               .where(F.col("rn") <= IVF_PQ_NPROBE)
               .select("qid", F.col("cid").alias("centroid_id")))
+    # probe sets INVERTED and folded to one broadcast row:
+    # map<centroid_id, array<struct<qid, jm>>> — each probed cell maps
+    # to the queries probing it, each carrying its own ADC table slice
+    pm = (probes.join(_pq_fixed_qjm(spark, sf_dir), "qid")
+          .groupBy("centroid_id")
+          .agg(F.collect_list(F.struct("qid", "jm")).alias("qs"))
+          .agg(F.map_from_entries(
+              F.collect_list(F.struct("centroid_id", "qs"))).alias("pm")))
 
-    tables = _pq_fixed_tables(spark, sf_dir)
-    scored = (
-        codes_long.join(cells, "vec_id")
-        .join(F.broadcast(probes), "centroid_id")
-        .join(F.broadcast(tables), ["qid", "j", "cid"])
-        .groupBy("qid", "vec_id")
-        .agg(F.expr(_ADC_FOLD).alias("adc_d"))
-    )
+    # r13 row-local scan (guide §2.4): ONE pass over the vectors
+    # computes the coarse cell (array_min over the broadcast centroid
+    # array) AND the 8 PQ codes (argmin over the broadcast codebook
+    # map) per row; candidate (row, qid) pairs come from exploding
+    # pm[centroid_id] (null → no probing query → zero rows, exactly the
+    # old probe equi-join's filter), and the ADC total is 8 lookups
+    # into the exploded query's own table slice in ascending-j order.
+    # The r12 shape ran three emb scans (codes, cells, q), a vec_id
+    # shuffle join of two N-row tables, and a N×8×Q-row groupBy — all
+    # deleted; distances, probe sets and fold order are bit-identical.
+    carr = _fixed_cell_array(_ivf_fixed_centroids(spark, sf_dir))
+    cb = _pq_fixed_codebook_map(spark, sf_dir)
+    base = _pq_rowlocal_base(emb, F.col("embedding").alias("v"),
+                             norm2(F.col("embedding")).alias("vn"))
+    row = (base.join(F.broadcast(carr)).join(F.broadcast(cb))
+           .select("vec_id",
+                   _rowlocal_cell(F.col("v"), F.col("vn"))
+                   .alias("centroid_id"),
+                   F.array(*[_pq_rowlocal_code(j)
+                             for j in range(PQ_SUBSPACES)])
+                   .alias("__codes")))
+    scored = (row.join(F.broadcast(pm))
+              .select("vec_id", "__codes",
+                      F.explode(F.element_at(F.col("pm"),
+                                             F.col("centroid_id")))
+                      .alias("q"))
+              .select(F.col("q.qid").alias("qid"), "vec_id",
+                      F.expr(_ADC_SLICE).alias("adc_d")))
     w = Window.partitionBy("qid").orderBy(F.col("adc_d").asc(),
                                           F.col("vec_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

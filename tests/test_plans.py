@@ -315,8 +315,12 @@ def test_pq_adc_tables_broadcast_scan_in_code_domain(spark):
 def test_pq_fixed_codebook_size_corpus_independent(spark):
     """The trained codebook is ≤ PQ_K entries per subspace regardless of
     corpus size (the linearity invariant: assignment cost per vector is
-    constant), and assignment fuses argmin+pivot into one aggregation —
-    no per-(vec_id, subspace) window shuffle."""
+    constant), and assignment is ROW-LOCAL (r13): the codebook folds to
+    a one-row broadcast map and each vector's 8 codes are array_min
+    argmins in a projection — no explode, no per-vector shuffle, no
+    window."""
+    import re
+
     import pyspark.sql.functions as F
 
     cb = similarity._pq_fixed_codebook(spark, SF_SMOKE)
@@ -326,17 +330,26 @@ def test_pq_fixed_codebook_size_corpus_independent(spark):
     assert all(1 <= n <= similarity.PQ_K for n in sizes.values())
 
     plan = plan_of(similarity.embedding_pq_codes_fixed(spark, SF_SMOKE))
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # one-row codebook map
     assert "CartesianProduct" not in plan
-    # the corpus-wide assignment must NOT pay a row_number window —
-    # min(struct) aggregates map-side instead
+    # the corpus rows are never hash-shuffled: the old shape aggregated
+    # N×8 candidate rows by vec_id — row-local argmin deletes it
+    assert not re.search(r"hashpartitioning\(vec_id", plan)
+    # and the assignment must NOT pay a row_number window either
     assert "row_number" not in plan
 
 
 def test_pq_adc_fixed_constant_tables_no_cartesian(spark):
+    """Row-local ADC (r13): codebook + distance tables fold to one-row
+    broadcast maps; the only corpus-row shuffle left is the final
+    per-query ranking window — the old (j, cid) join + N×8×Q-row
+    groupBy(qid, vec_id) shuffle is gone."""
+    import re
+
     plan = plan_of(similarity.pq_knn_adc_fixed(spark, SF_SMOKE))
-    assert plan.count("BroadcastHashJoin") >= 2  # codebook + ADC tables
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # codebook + tables
     assert "CartesianProduct" not in plan
+    assert not re.search(r"hashpartitioning\(qid#\d+L?, vec_id", plan)
 
 
 def test_ivf_pq_knn_probe_and_tables_broadcast(spark):
