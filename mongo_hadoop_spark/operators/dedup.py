@@ -765,13 +765,18 @@ def connected_component_labels(pairs: DataFrame, a: str, b: str) -> DataFrame:
     # lineage to the materialized partitions each round; a cluster
     # deployment would point this at a reliable checkpoint dir instead
     # of executor-local storage.
+    # eager=False (r13, guide §1.5): edges/labels materialize inside the
+    # FIRST superstep's checkpoint action — the eager form paid two
+    # extra blocking driver jobs before the loop even started.  (The
+    # per-round checkpoint below stays eager: the Observation-based
+    # convergence scalar needs the round's action to have run.)
     edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
              .unionByName(pairs.select(F.col(b).alias("src"),
                                        F.col(a).alias("dst")))
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .select("node", F.col("node").alias("label"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     from pyspark.sql import Observation
 
     for _ in range(CC_MAX_ROUNDS):

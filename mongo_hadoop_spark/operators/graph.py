@@ -87,10 +87,12 @@ def _pagerank_loop(edges: DataFrame) -> DataFrame:
     set instead of regenerating pairs."""
     # edges/deg are reused by all rounds: checkpoint once so the 8-round
     # plan re-reads materialized partitions instead of re-running the
-    # upstream subplan (LSH+verify) per round.
-    edges = edges.localCheckpoint()
+    # upstream subplan (LSH+verify) per round.  eager=False (r13, guide
+    # §1.5): both materialize inside the consumer's OWN first action —
+    # the eager form paid two extra blocking driver jobs per query.
+    edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")).localCheckpoint()
+        F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=False)
 
     ranks = deg.select("node", F.lit(PR_SCALE).cast("long").alias("rank_fp"),
                        "deg")
@@ -214,8 +216,10 @@ def dedup_survivors_by_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # eager=False (r13): the pair set materializes inside the first CC
+    # superstep's own action instead of a separate blocking driver job
     pairs = (dedup_minhash_verified(spark, sf_dir)
-             .select("doc_a", "doc_b").localCheckpoint())
+             .select("doc_a", "doc_b").localCheckpoint(eager=False))
     labels = connected_component_labels(pairs, "doc_a", "doc_b")
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))

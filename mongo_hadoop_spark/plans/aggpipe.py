@@ -4982,7 +4982,21 @@ def _stage_text_match(df: DataFrame, match_spec: dict) -> DataFrame:
     col = F.col(path) if case_sensitive else F.lower(F.col(path))
     if not diacritic_sensitive:
         col = F.translate(col, fold_src, fold_dst)
-    words = tokenize(col)
+    # r13 (guide §1.2 step 2): tokenize ONCE per row into a named
+    # column — the r12 expression tree inlined the normalize+split
+    # chain into every per-term tf of BOTH the match condition and the
+    # score projection (up to 2·|terms| regex splits per row).  The
+    # non-match residue (`rest`) is applied BELOW the token projection
+    # so its predicates still push to the scan; the never-true
+    # nondeterministic disjunct (the $geoNear barrier idiom) keeps the
+    # token-match filter from being substituted back under the
+    # projection.  Same expressions over the same tokens — matches and
+    # scores are bit-identical.
+    rest = match_to_col(match_spec) if match_spec else F.lit(True)
+    words_col = "__text_ws"
+    wdf = (df.where(F.coalesce(rest, F.lit(False)))
+           .withColumn(words_col, tokenize(col)))
+    words = F.col(words_col)
     n_tokens = F.size(words)
 
     def _eq(tok):
@@ -5019,10 +5033,13 @@ def _stage_text_match(df: DataFrame, match_spec: dict) -> DataFrame:
     for ph in neg_phrases:
         cond = cond & ~_phrase_hit(ph)
 
-    rest = match_to_col(match_spec) if match_spec else F.lit(True)
-    return (df.where(F.coalesce(cond, F.lit(False))
-                     & F.coalesce(rest, F.lit(False)))
-            .withColumn(_TEXT_SCORE_COL, score.cast("double")))
+    return (wdf.withColumn("__text_barrier__",
+                           F.monotonically_increasing_id())
+            .where(F.coalesce(cond, F.lit(False))
+                   | (F.col("__text_barrier__") < 0))
+            .drop("__text_barrier__")
+            .withColumn(_TEXT_SCORE_COL, score.cast("double"))
+            .drop(words_col))
 
 
 def _stage_search(df: DataFrame, spec: dict) -> DataFrame:
@@ -5111,22 +5128,33 @@ def _stage_search_text_bm25(df: DataFrame, spec: dict,
         t for t in str(spec["query"]).lower().split() if t))
     if not terms:
         raise ValueError("bm25 text clause needs a non-empty query")
-    words = tokenize(F.lower(F.col(path)))
-    dl = F.size(words).cast("long")
 
     def _eq(tok):
         return lambda w: w == F.lit(tok)
 
+    # r13 (guide §1.2 step 2): tokenize ONCE per row into a named
+    # column and derive dl + per-term tf from it — the r12 expression
+    # tree inlined tokenize() into every per-term tf in BOTH the stats
+    # aggregation and the scoring projection (1 + |terms| regex splits
+    # per row per subtree).  CollapseProject keeps the split
+    # un-inlined (multi-referenced non-cheap alias), so each subtree
+    # pays exactly one tokenization per row now.  Same expressions over
+    # the same tokens — counts, stats and scores are bit-identical.
+    words_col = "__bm25_ws"
+    tfd = df.withColumn(words_col, tokenize(F.lower(F.col(path))))
+    ws = F.col(words_col)
+    dl = F.size(ws).cast("long")
+
     def _tf(tok):
-        return F.size(F.filter(words, _eq(tok))).cast("long")
+        return F.size(F.filter(ws, _eq(tok))).cast("long")
 
     stats_aggs = [F.count(F.lit(1)).cast("long").alias("__bm25_n"),
                   F.sum(dl).alias("__bm25_tl")]
     for i, t in enumerate(terms):
         stats_aggs.append(
             F.sum((_tf(t) > 0).cast("long")).alias(f"__bm25_df_{i}"))
-    stats = df.agg(*stats_aggs)
-    out = df.crossJoin(F.broadcast(stats))
+    stats = tfd.agg(*stats_aggs)
+    out = tfd.crossJoin(F.broadcast(stats))
     n, tl = F.col("__bm25_n"), F.col("__bm25_tl")
     score, any_tf = None, None
     for i, t in enumerate(terms):
@@ -5140,9 +5168,15 @@ def _stage_search_text_bm25(df: DataFrame, spec: dict,
         term_score = idf * (num / den)
         score = term_score if score is None else score + term_score
         any_tf = tf if any_tf is None else any_tf + tf
-    helper = ["__bm25_n", "__bm25_tl"] + [
+    helper = [words_col, "__bm25_n", "__bm25_tl"] + [
         f"__bm25_df_{i}" for i in range(len(terms))]
-    return (out.where(any_tf > 0)
+    # pushdown barrier (the $geoNear idiom): without it the any_tf
+    # match filter is substituted below the token projection and every
+    # row re-tokenizes inside the Filter as well
+    return (out.withColumn("__bm25_barrier__",
+                           F.monotonically_increasing_id())
+            .where((any_tf > 0) | (F.col("__bm25_barrier__") < 0))
+            .drop("__bm25_barrier__")
             .withColumn(_SEARCH_SCORE_COL, score.cast("double"))
             .drop(*helper)
             .orderBy(F.col(_SEARCH_SCORE_COL).desc(), *tiebreak))
