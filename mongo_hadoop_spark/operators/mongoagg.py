@@ -801,8 +801,12 @@ def pipeline_merge_objects_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     so later-wins is order-independent and the merge→$objectToArray→
     $unwind round-trip must reproduce the flat two-key GROUP BY the
     DuckDB oracle computes.  Money goes through the decimal-sum
-    convention (engine-deterministic float totals)."""
-    orders = table(spark, sf_dir, "orders")
+    convention (engine-deterministic float totals).
+
+    ``spread`` is safe here (r13): every accumulator in the chain is
+    encounter-order-independent — decimal $sum, and $mergeObjects over
+    per-group-distinct keys — and the tail $sort totals the order."""
+    orders = spread(spark, table(spark, sf_dir, "orders"))
     return aggregate(orders, [
         {"$addFields": {"pd": {"$toDecimal": "$o_totalprice"}}},
         {"$group": {"_id": {"c": "$o_custkey", "s": "$o_orderstatus"},

@@ -2235,32 +2235,45 @@ def _semdedup_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     r12 shape: _nearest_fixed_cell + join-back) ran it on the
     AQE-coalesced join output — 1-2 partitions at local scale, because
     the coalescer sizes partitions by bytes and cannot see downstream
-    per-row cost.  Multi-reference consumers are served by
-    ReuseExchange: the two collapse exchanges are identical at every
-    reference, so the heavy sub-exchange work executes once per query
-    (an explicit localCheckpoint was tried and measured slower — it
-    blocks column pruning and re-serializes the payload)."""
+    per-row cost.
+
+    Why the lazy per-invocation localCheckpoint: consumers reference
+    this table 2-4x per plan (member union, anchor ranking, both pair
+    sides) and column pruning makes each reference a DIFFERENT subtree,
+    so ReuseExchange does NOT deduplicate them — the un-checkpointed
+    form re-ran the md5+argmin collapse (two full shuffles of the
+    payload) once per reference (4 __vk exchanges in its capped plan
+    dump).  One materialization, every reference a filter over it
+    (guide §5; the same invocation scoping as :func:`_trained_state`,
+    so bench repeats re-collapse from parquet)."""
+    from mongo_hadoop_spark.invocation import memo
     from mongo_hadoop_spark.session import spread
 
-    emb = spread(spark, table(spark, sf_dir, "embeddings"))
-    carr = _fixed_cell_array(_ivf_fixed_centroids(spark, sf_dir))
-    keyed = (emb.select(
-        "vec_id", "embedding",
-        F.md5(F.to_json(F.struct(F.col("embedding")))).alias("__vk"),
-        norm2(F.col("embedding")).alias("vn"))
-        .join(F.broadcast(carr))
-        .select("vec_id", "embedding", "__vk",
-                F.sqrt(F.col("vn")).alias("nrm"),
-                _rowlocal_cell(F.col("embedding"), F.col("vn"))
-                .alias("centroid_id")))
-    rep_ids = keyed.groupBy("__vk").agg(F.min("vec_id").alias("rep_id"))
-    out = (keyed.join(rep_ids, "__vk")
-           .select("vec_id", "embedding", "rep_id", "nrm", "centroid_id"))
-    # carry the source-size breadcrumb so consumers can `spread` heavy
-    # pair work off the (byte-coalesced) post-join partitions
-    out._mhs_src_bytes = getattr(
-        table(spark, sf_dir, "embeddings"), "_mhs_src_bytes", None)
-    return out
+    def build() -> DataFrame:
+        emb = spread(spark, table(spark, sf_dir, "embeddings"))
+        carr = _fixed_cell_array(_ivf_fixed_centroids(spark, sf_dir))
+        keyed = (emb.select(
+            "vec_id", "embedding",
+            F.md5(F.to_json(F.struct(F.col("embedding")))).alias("__vk"),
+            norm2(F.col("embedding")).alias("vn"))
+            .join(F.broadcast(carr))
+            .select("vec_id", "embedding", "__vk",
+                    F.sqrt(F.col("vn")).alias("nrm"),
+                    _rowlocal_cell(F.col("embedding"), F.col("vn"))
+                    .alias("centroid_id")))
+        rep_ids = keyed.groupBy("__vk").agg(
+            F.min("vec_id").alias("rep_id"))
+        out = (keyed.join(rep_ids, "__vk")
+               .select("vec_id", "embedding", "rep_id", "nrm",
+                       "centroid_id")
+               .localCheckpoint(eager=False))
+        # carry the source-size breadcrumb so consumers can `spread`
+        # heavy pair work off the (byte-coalesced) checkpoint partitions
+        out._mhs_src_bytes = getattr(
+            table(spark, sf_dir, "embeddings"), "_mhs_src_bytes", None)
+        return out
+
+    return memo(("semdedup_tagged", sf_dir), build)
 
 
 #: per-cell anchor budget for the capped SemDeDup composition — the
