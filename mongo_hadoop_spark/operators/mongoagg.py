@@ -803,10 +803,12 @@ def pipeline_merge_objects_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     DuckDB oracle computes.  Money goes through the decimal-sum
     convention (engine-deterministic float totals).
 
-    ``spread`` is safe here (r13): every accumulator in the chain is
-    encounter-order-independent — decimal $sum, and $mergeObjects over
-    per-group-distinct keys — and the tail $sort totals the order."""
-    orders = spread(spark, table(spark, sf_dir, "orders"))
+    r13 note: ``spread`` on the orders scan was tried (safe — every
+    accumulator is encounter-order-independent) and REVERTED: the
+    min-of-3 idle bench read 0.89 → 1.20 s with it — the round-robin
+    exchange of the scan output costs more than the single-task decimal
+    partial aggregation it parallelizes at this row count."""
+    orders = table(spark, sf_dir, "orders")
     return aggregate(orders, [
         {"$addFields": {"pd": {"$toDecimal": "$o_totalprice"}}},
         {"$group": {"_id": {"c": "$o_custkey", "s": "$o_orderstatus"},
