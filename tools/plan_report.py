@@ -172,7 +172,7 @@ def main() -> int:
     queries = operators.all_queries()
 
     lines = [
-        "# PLANS — physical plans of the headline queries (round 12)",
+        "# PLANS — physical plans of the headline queries (round 13)",
         "",
         "Generated by `python tools/plan_report.py` (re-run after",
         "plan-affecting changes).  The properties line summarizes what",
